@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets very large (≈100 TB) fact tables joined against
+dimension-sized hierarchies. Defaults below encode that posture:
+
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic broadcast-join demotion/promotion.
+- Arrow on: every Pandas-UDF / ``mapInPandas`` extension operator moves
+  data in columnar batches, not pickled rows.
+- shuffle partitions sized for the local test harness; on a real
+  cluster AQE coalescing makes the initial number far less sensitive.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Configs that matter at 100 TB, applied everywhere so test plans match
+# production plans as closely as local mode allows.
+SCALE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # dims (hierarchies, region/nation/customer slices) broadcast freely
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: the reference depends on NULL (not error) for
+    # out-of-range 1-based array access (aggregation_example.sql:188-201
+    # — level_2/3 columns of shallow nodes) and on permissive casts.
+    "spark.sql.ansi.enabled": "false",
+    # deterministic session timezone so timestamp-bucketing operators
+    # hash-match the DuckDB oracle regardless of host TZ
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": DEFAULT_CPUS,
+    # read side: keep scan tasks big enough to amortize open cost
+    "spark.sql.files.maxPartitionBytes": "256m",
+}
+
+
+def get_spark(app_name: str = "aggregation-duckdb-spark",
+              master: str | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's scale defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for the test
+    harness; on a cluster, pass ``None`` with a pre-configured
+    spark-submit and the builder inherits it.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif not SparkSession.getActiveSession():
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    for k, v in SCALE_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

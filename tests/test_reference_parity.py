@@ -1,0 +1,151 @@
+"""Reference-parity golden tests (FIXTURES.md F-REF-1..4).
+
+Compare on natural keys, names, levels, flags, and the DFS pre-order
+invariant — never on surrogate UUIDs or raw sort numbers (the
+reference's sibling order is UUID-lexicographic, SURVEY §1.4.1)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from aggregation_duckdb_spark.operators.aggregate import (
+    aggregate_with_closure, aggregate_with_rollup, standard_measures)
+from aggregation_duckdb_spark.reference_fixtures import (
+    GOLDEN_AGGREGATE, product_hierarchy, sales_facts_df)
+
+
+@pytest.fixture(scope="module")
+def hier(spark):
+    return product_hierarchy(spark)
+
+
+def test_prepared_flags(hier):
+    rows = {r["node_natural_key"]: (r["is_root"], r["is_leaf"])
+            for r in hier.prepared().collect()}
+    # F-REF-1 derived flags (:60-78)
+    assert rows == {
+        0: (True, False),
+        10: (False, False), 20: (False, False),
+        101: (False, True), 102: (False, True),
+        201: (False, True), 202: (False, True),
+    }
+
+
+def test_reporting_dim_golden(hier):
+    dim = hier.reporting_dim().collect()
+    assert len(dim) == 7
+    by_key = {r["node_natural_key"]: r for r in dim}
+    # level numbers
+    assert by_key[0]["level_number"] == 1
+    assert by_key[10]["level_number"] == 2 and by_key[20]["level_number"] == 2
+    for k in (101, 102, 201, 202):
+        assert by_key[k]["level_number"] == 3
+    # pivoted level columns: root row has NULL level_2/3 (:188-201)
+    root = by_key[0]
+    assert root["level_1_node_natural_key"] == 0
+    assert root["level_2_node_natural_key"] is None
+    assert root["level_3_node_natural_key"] is None
+    # leaf rows carry the full path pivot
+    assert by_key[201]["level_1_node_natural_key"] == 0
+    assert by_key[201]["level_2_node_natural_key"] == 20
+    assert by_key[201]["level_3_node_natural_key"] == 201
+    # path arrays
+    assert [s["node_natural_key"] for s in by_key[101]["node_json_path"]] == [0, 10, 101]
+    # DFS pre-order invariant: parent sorts before child; subtree contiguous.
+    order = {r["node_natural_key"]: r["node_sort_order"] for r in dim}
+    assert sorted(order.values()) == list(range(1, 8))
+    assert order[0] == 1
+    # deterministic sibling order: natural-key order → Produce(10) before Candy(20)
+    assert [k for k, _ in sorted(order.items(), key=lambda kv: kv[1])] == \
+        [0, 10, 101, 102, 20, 201, 202]
+
+
+def test_closure_golden(hier):
+    closure = hier.closure().collect()
+    # 17 rows = Σ node depths (BASELINE.md)
+    assert len(closure) == 17
+    pairs = {(r["ancestor_node_natural_key"], r["descendant_node_natural_key"]): r["net_level"]
+             for r in closure}
+    assert len(pairs) == 17
+    # 7 self-pairs at net_level 0
+    assert all(pairs[(k, k)] == 0 for k in (0, 10, 20, 101, 102, 201, 202))
+    # parent-child pairs at net_level 1
+    for a, d in [(0, 10), (0, 20), (10, 101), (10, 102), (20, 201), (20, 202)]:
+        assert pairs[(a, d)] == 1
+    # root→grandchild at net_level 2
+    for d in (101, 102, 201, 202):
+        assert pairs[(0, d)] == 2
+
+
+def _check_golden_agg(rows):
+    got = {r["ancestor_node_natural_key"]: r for r in rows}
+    assert len(got) == 7
+    for nk, name, level_name, lvl, s_sales, s_qty, d_cust, n in GOLDEN_AGGREGATE:
+        r = got[nk]
+        assert r["ancestor_node_name"] == name
+        assert r["ancestor_level_name"] == level_name
+        assert r["ancestor_level_number"] == lvl
+        assert Decimal(r["sum_of_sales_amount"]) == s_sales
+        assert Decimal(r["sum_of_unit_quantity"]) == s_qty
+        assert r["distinct_customer_count"] == d_cust
+        assert r["count_of_fact_records"] == n
+    # display indent: (level-1)*7 dashes (FIXTURES.md F-REF-4)
+    assert got[0]["product_node_name"] == "All Products"
+    assert got[10]["product_node_name"] == "-------Produce"
+    assert got[201]["product_node_name"] == "--------------Hershey Bar"
+
+
+def test_golden_aggregate_closure(spark, hier):
+    facts = sales_facts_df(spark)
+    rows = aggregate_with_closure(
+        facts, hier.closure(), "product_id",
+        standard_measures("sales_amount", "unit_quantity", "customer_id"),
+        reporting_dim=hier.reporting_dim()).collect()
+    _check_golden_agg(rows)
+    # DFS order with deterministic sibling order
+    assert [r["ancestor_node_natural_key"] for r in rows] == [0, 10, 101, 102, 20, 201, 202]
+
+
+def test_golden_aggregate_rollup_and_equivalence(spark, hier):
+    facts = sales_facts_df(spark)
+    rows = aggregate_with_rollup(
+        facts, hier.reporting_dim(), "product_id",
+        standard_measures("sales_amount", "unit_quantity", "customer_id"),
+        num_levels=3).collect()
+    _check_golden_agg(rows)
+    # strategy equivalence (the reference's implicit cross-validation)
+    closure_rows = aggregate_with_closure(
+        facts, hier.closure(), "product_id",
+        standard_measures("sales_amount", "unit_quantity", "customer_id"),
+        reporting_dim=hier.reporting_dim()).collect()
+    key = lambda r: (r["ancestor_node_natural_key"],)
+    a = {key(r): (r["sum_of_sales_amount"], r["sum_of_unit_quantity"],
+                  r["distinct_customer_count"], r["count_of_fact_records"]) for r in rows}
+    b = {key(r): (r["sum_of_sales_amount"], r["sum_of_unit_quantity"],
+                  r["distinct_customer_count"], r["count_of_fact_records"]) for r in closure_rows}
+    assert a == b
+
+
+def test_non_additive_distinct(spark, hier):
+    """Produce's distinct customers (4) ≠ sum of children's (4+1) —
+    any engine summing child distincts fails here (SURVEY §1.4.4)."""
+    facts = sales_facts_df(spark)
+    rows = aggregate_with_closure(
+        facts, hier.closure(), "product_id",
+        standard_measures("sales_amount", "unit_quantity", "customer_id")).collect()
+    got = {r["ancestor_node_natural_key"]: r["distinct_customer_count"] for r in rows}
+    assert got[10] == 4 and got[101] == 4 and got[102] == 1
+    assert got[0] == 5 and got[20] == 3
+
+
+def test_uuid_mode_same_semantics(spark):
+    """Reference-faithful uuid surrogate ids give identical semantic
+    output (natural keys, levels, closure shape)."""
+    hier = product_hierarchy(spark, deterministic_ids=False)
+    dim = hier.reporting_dim().collect()
+    assert len(dim) == 7
+    assert {r["node_natural_key"] for r in dim} == {0, 10, 20, 101, 102, 201, 202}
+    assert hier.closure().count() == 17
