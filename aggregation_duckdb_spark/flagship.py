@@ -1,0 +1,188 @@
+"""Flagship workload: the reference's hierarchical aggregation applied
+to the TPC-H-ish testdata (FIXTURES.md "flagship hierarchy mapping").
+
+Hierarchy (3 levels, mirroring the reference's shape):
+  All Regions (natural key −1) → region (key 100+r_regionkey) →
+  nation (key n_nationkey).
+Facts: orders, joined through customer.c_nationkey (broadcast) so each
+order lands on its leaf nation. Measures mirror the reference's four
+(:440-443): SUM(total price), COUNT(DISTINCT customer), COUNT(*).
+
+Scale shape: orders is the 100 TB-class table. It is scanned once,
+joined twice against broadcast dims (customer→nation key attach, then
+the closure fan-out), and shuffles exactly once — for the final
+group-by. Measures sum over DECIMAL so results are bit-deterministic
+across engines (float summation order is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from aggregation_duckdb_spark.hierarchy import Hierarchy
+from aggregation_duckdb_spark.io import load_table
+from aggregation_duckdb_spark.operators.aggregate import (
+    aggregate_with_closure, aggregate_with_rollup)
+
+REGION_KEY_OFFSET = 100  # keeps region natural keys disjoint from nation keys
+ROOT_KEY = -1
+
+
+def geo_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency list synthesized from region ∪ nation + artificial root."""
+    region = load_table(spark, "region", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    root = spark.range(1).select(
+        F.lit(ROOT_KEY).cast("long").alias("natural_key"),
+        F.lit("All Regions").alias("name"),
+        F.lit("Root").alias("level_name"),
+        F.lit(None).cast("long").alias("parent_natural_key"))
+    regions = region.select(
+        (F.col("r_regionkey") + REGION_KEY_OFFSET).cast("long").alias("natural_key"),
+        F.col("r_name").alias("name"),
+        F.lit("Region").alias("level_name"),
+        F.lit(ROOT_KEY).cast("long").alias("parent_natural_key"))
+    nations = nation.select(
+        F.col("n_nationkey").cast("long").alias("natural_key"),
+        F.col("n_name").alias("name"),
+        F.lit("Nation").alias("level_name"),
+        (F.col("n_regionkey") + REGION_KEY_OFFSET).cast("long").alias("parent_natural_key"))
+    return root.unionByName(regions).unionByName(nations)
+
+
+def geo_hierarchy(spark: SparkSession, sf_dir: str) -> Hierarchy:
+    return Hierarchy.from_adjacency(
+        geo_nodes(spark, sf_dir), natural_key="natural_key", name="name",
+        level_name="level_name", parent_natural_key="parent_natural_key")
+
+
+def order_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer (broadcast): attach the leaf nation key.
+
+    customer is a dimension even at 100 TB-of-orders scale; broadcast
+    keeps the fact table shuffle-free here."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey"), F.col("c_nationkey").cast("long").alias("nation_key"))
+    return (orders.join(F.broadcast(customer),
+                        orders["o_custkey"] == customer["c_custkey"], "inner")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "nation_key"))
+
+
+def flagship_measures() -> list:
+    """DECIMAL-summed measures: deterministic across engines and runs
+    (double summation is order-dependent; decimal addition is exact)."""
+    return [
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+         .alias("sum_total_price"),
+        F.count_distinct(F.col("o_custkey")).alias("distinct_customer_count"),
+        F.count(F.lit(1)).alias("count_of_fact_records"),
+    ]
+
+
+def flagship_closure_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: closure-join hierarchical aggregation of orders up
+    the geo hierarchy, DFS pre-ordered. Exercises J5+A1-A4+O1 and the
+    iterative recursion engine (SURVEY §7 Phase 1)."""
+    hier = geo_hierarchy(spark, sf_dir)
+    agg = aggregate_with_closure(
+        order_facts(spark, sf_dir), hier.closure(), "nation_key",
+        flagship_measures(), reporting_dim=hier.reporting_dim())
+    return agg.select(
+        F.col("ancestor_node_natural_key").alias("node_natural_key"),
+        F.col("ancestor_node_name").alias("node_name"),
+        F.col("ancestor_level_name").alias("level_name"),
+        F.col("ancestor_level_number").alias("level_number"),
+        F.col("node_sort_order").cast("long").alias("node_sort_order"),
+        "product_node_name",
+        "sum_total_price", "distinct_customer_count", "count_of_fact_records")
+
+
+def flagship_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer via the ROLLUP strategy (strategy-equivalence)."""
+    hier = geo_hierarchy(spark, sf_dir)
+    agg = aggregate_with_rollup(
+        order_facts(spark, sf_dir), hier.reporting_dim(), "nation_key",
+        flagship_measures(), num_levels=3)
+    return agg.select(
+        F.col("ancestor_node_natural_key").alias("node_natural_key"),
+        F.col("ancestor_node_name").alias("node_name"),
+        F.col("ancestor_level_name").alias("level_name"),
+        F.col("ancestor_level_number").alias("level_number"),
+        F.col("node_sort_order").cast("long").alias("node_sort_order"),
+        "product_node_name",
+        "sum_total_price", "distinct_customer_count", "count_of_fact_records")
+
+
+# DuckDB oracle: the same synthesized nodes + WITH RECURSIVE closure —
+# directly mirroring aggregation_example.sql:351-453.
+GEO_NODES_SQL = f"""
+    SELECT CAST(-1 AS BIGINT) AS natural_key, 'All Regions' AS name,
+           'Root' AS level_name, CAST(NULL AS BIGINT) AS parent_natural_key
+    UNION ALL
+    SELECT CAST(r_regionkey + {REGION_KEY_OFFSET} AS BIGINT), r_name, 'Region',
+           CAST(-1 AS BIGINT) FROM region
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), n_name, 'Nation',
+           CAST(n_regionkey + {REGION_KEY_OFFSET} AS BIGINT) FROM nation
+"""
+
+GEO_CLOSURE_SQL = f"""
+    WITH RECURSIVE nodes AS ({GEO_NODES_SQL}),
+    closure AS (
+        SELECT natural_key AS ancestor_key, name AS ancestor_name,
+               level_name AS ancestor_level_name,
+               1 AS ancestor_level_number_unused,
+               natural_key AS descendant_key, 0 AS net_level
+        FROM nodes
+        UNION ALL
+        SELECT c.ancestor_key, c.ancestor_name, c.ancestor_level_name,
+               1, n.natural_key, c.net_level + 1
+        FROM closure c JOIN nodes n ON n.parent_natural_key = c.descendant_key
+    )
+    SELECT * FROM closure
+"""
+
+
+def flagship_oracle_sql() -> str:
+    """ANSI/DuckDB SQL computing the identical flagship result (column
+    names and dtypes aligned with :func:`flagship_closure_agg`)."""
+    return f"""
+WITH RECURSIVE nodes AS ({GEO_NODES_SQL}),
+levels AS (
+    SELECT natural_key, name, level_name, 1 AS level_number,
+           [natural_key] AS path
+    FROM nodes WHERE parent_natural_key IS NULL
+    UNION ALL
+    SELECT n.natural_key, n.name, n.level_name, l.level_number + 1,
+           list_append(l.path, n.natural_key)
+    FROM nodes n JOIN levels l ON n.parent_natural_key = l.natural_key
+),
+dim AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY path ASC) AS node_sort_order
+    FROM levels
+),
+closure AS (
+    SELECT UNNEST(path) AS ancestor_key, natural_key AS descendant_key
+    FROM levels
+),
+facts AS (
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           CAST(c.c_nationkey AS BIGINT) AS nation_key
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT d.natural_key AS node_natural_key,
+       d.name AS node_name,
+       d.level_name AS level_name,
+       d.level_number AS level_number,
+       d.node_sort_order,
+       repeat('-', (d.level_number - 1) * 7) || d.name AS product_node_name,
+       CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total_price,
+       COUNT(DISTINCT f.o_custkey) AS distinct_customer_count,
+       COUNT(*) AS count_of_fact_records
+FROM facts f
+JOIN closure cl ON f.nation_key = cl.descendant_key
+JOIN dim d ON cl.ancestor_key = d.natural_key
+GROUP BY ALL
+ORDER BY d.node_sort_order
+"""
