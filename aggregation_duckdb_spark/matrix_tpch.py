@@ -1,1 +1,515 @@
-"""TPC-H-ish operator matrix entries (registered into matrix)."""
+"""TPC-H-ish operator matrix: one oracle-checked entry per SURVEY §2
+operator family over the driver's parquet tables.
+
+Determinism conventions (see matrix.py): money/measure arithmetic is
+done entirely in DECIMAL (exact, engine-independent) and cast to double
+only at the end; rankings always carry a unique tie-break key.
+DataFrame API is used where it maps 1:1; ``spark.sql`` is used for the
+subquery-shaped operators (P7/P8, grouping sets) — the views are
+registered per call, mirroring the reference being pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aggregation_duckdb_spark.io import load_table
+from aggregation_duckdb_spark.matrix import register
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, n, sf_dir).createOrReplaceTempView(n)
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------
+# A: aggregations (A1-A7) — TPC-H Q1-shaped pricing summary
+# ---------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (1 - CAST(l_discount AS DECIMAL(18,2))) *
+                (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_SQL)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A4/P4/P6 over the big fact table. Decimal arithmetic keeps
+    sums bit-identical across engines; the single shuffle is the
+    group-by (filter + partial agg are map-side — check .explain)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    qty, price, disc, tax = (_dec("l_quantity"), _dec("l_extendedprice"),
+                             _dec("l_discount"), _dec("l_tax"))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"),
+                 F.sum(price).cast("double").alias("sum_base_price"),
+                 F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+                 F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+                 (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+                 (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+@register("q_count_distinct", """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS distinct_customers,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 exact distinct (the reference's non-additive measure, :319)."""
+    return (load_table(spark, "orders", sf_dir)
+            .groupBy("o_orderstatus")
+            .agg(F.count_distinct("o_custkey").alias("distinct_customers"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("o_orderstatus"))
+
+
+@register("q_rollup_grouping", """
+SELECT r_name, n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+       CAST(GROUPING(r_name) AS INT) AS g_region,
+       CAST(GROUPING(n_name) AS INT) AS g_nation
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY g_region, g_nation, r_name NULLS LAST, n_name NULLS LAST
+""")
+def q_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6: rollup + grouping() including the grand total set."""
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir)
+    joined = (cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+              .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"]))
+    return (joined.rollup("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+                 F.grouping("r_name").cast("int").alias("g_region"),
+                 F.grouping("n_name").cast("int").alias("g_nation"))
+            .orderBy("g_region", "g_nation",
+                     F.asc_nulls_last("r_name"), F.asc_nulls_last("n_name")))
+
+
+@register("q_cube_grouping", """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+""")
+def q_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE extension (not in the reference; native in both engines)."""
+    return (load_table(spark, "orders", sf_dir)
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.grouping("o_orderstatus").cast("int").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("int").alias("g_priority"))
+            .orderBy("g_status", "g_priority",
+                     F.asc_nulls_last("o_orderstatus"),
+                     F.asc_nulls_last("o_orderpriority")))
+
+
+_GSETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+"""
+
+
+@register("q_grouping_sets", _GSETS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same text runs on DuckDB)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_GSETS_SQL)
+
+
+# ---------------------------------------------------------------------
+# P: projections / filters / predicates
+# ---------------------------------------------------------------------
+
+@register("q_filter_project", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+ORDER BY o_orderkey
+""")
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P6 + pushdown: both predicates and the 3-column projection
+    reach the parquet scan (PushedFilters/ReadSchema in .explain)."""
+    return (load_table(spark, "orders", sf_dir)
+            .where((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0))
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@register("q_case_when", """
+SELECT CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END AS tier,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer GROUP BY tier ORDER BY tier
+""")
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 CASE WHEN (the reference's is_root/is_leaf/grouping-pick shape)."""
+    tier = (F.when(F.col("c_acctbal") < 0, "overdrawn")
+            .when(F.col("c_acctbal") < 5000, "standard")
+            .otherwise("premium").alias("tier"))
+    return (load_table(spark, "customer", sf_dir)
+            .groupBy(tier)
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"))
+            .orderBy("tier"))
+
+
+_IN_SUBQ_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_nationkey IN (
+    SELECT n_nationkey FROM nation
+    WHERE n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+ORDER BY c_custkey
+"""
+
+
+@register("q_in_subquery", _IN_SUBQ_SQL)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 membership subquery + P8 scalar subquery (the reference's
+    is_leaf / seed-resolution shapes) — same SQL text on both engines."""
+    _views(spark, sf_dir, "customer", "nation", "region")
+    return spark.sql(_IN_SUBQ_SQL)
+
+
+_SCALAR_SUBQ_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice > (
+    SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM part)
+ORDER BY p_partkey
+"""
+
+
+@register("q_scalar_subquery", _SCALAR_SUBQ_SQL)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: uncorrelated scalar subquery; threshold computed in decimal
+    so the boundary is identical across engines."""
+    _views(spark, sf_dir, "part")
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+@register("q_having", """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+HAVING COUNT(*) >= 5
+ORDER BY c_nationkey
+""")
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 post-aggregation filter (:331)."""
+    return (load_table(spark, "customer", sf_dir)
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .where(F.col("n_customers") >= 5)
+            .orderBy("c_nationkey"))
+
+
+# ---------------------------------------------------------------------
+# J: joins
+# ---------------------------------------------------------------------
+
+@register("q_join_fact_dims", """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+""")
+def q_join_fact_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2-style star join: fact ⋈ three broadcast dims, one shuffle
+    (the final group-by)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir)
+    return (orders
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+            .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+            .groupBy("r_name", "n_name")
+            .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("r_name", "n_name"))
+
+
+@register("q_semi_join", """
+SELECT n_nationkey, n_name FROM nation
+WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+ORDER BY n_nationkey
+""")
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 semi-join (the reference's IN-subquery shape, :71-76)."""
+    nat = load_table(spark, "nation", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    return (nat.join(sup, nat["n_nationkey"] == sup["s_nationkey"], "left_semi")
+            .select("n_nationkey", "n_name").orderBy("n_nationkey"))
+
+
+@register("q_anti_join", """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+""")
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — the engine's idiomatic spelling of is_leaf (§1.4.2)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+            .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+
+@register("q_outer_join", """
+SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers
+FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+GROUP BY n_nationkey, n_name
+ORDER BY n_nationkey
+""")
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (beyond-reference; COUNT(col) skips NULLs)."""
+    nat = load_table(spark, "nation", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    return (nat.join(sup, nat["n_nationkey"] == sup["s_nationkey"], "left")
+            .groupBy("n_nationkey", "n_name")
+            .agg(F.count("s_suppkey").alias("n_suppliers"))
+            .orderBy("n_nationkey"))
+
+
+# ---------------------------------------------------------------------
+# W: window functions
+# ---------------------------------------------------------------------
+
+@register("q_window_row_number", """
+SELECT * FROM (
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+    FROM orders) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""")
+def q_window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 row_number — partitioned (unlike the reference's global dim
+    window), with a unique tie-break so ordering is deterministic."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (load_table(spark, "orders", sf_dir)
+            .select("o_custkey", "o_orderkey",
+                    F.row_number().over(w).cast("long").alias("rn"))
+            .where(F.col("rn") <= 3)
+            .orderBy("o_custkey", "rn"))
+
+
+@register("q_window_analytics", """
+SELECT o_orderkey, o_custkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend,
+       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS BIGINT) AS order_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+ORDER BY o_orderkey
+""")
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / rank / running aggregate over frames (beyond-reference
+    window surface; running sum in decimal for determinism)."""
+    by_key = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = by_key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (load_table(spark, "orders", sf_dir)
+            .select("o_orderkey", "o_custkey",
+                    F.lag("o_totalprice").over(by_key).alias("prev_price"),
+                    F.sum(_dec("o_totalprice")).over(run).cast("double")
+                     .alias("running_spend"),
+                    F.rank().over(by_date).cast("long").alias("order_rank"))
+            .orderBy("o_orderkey"))
+
+
+# ---------------------------------------------------------------------
+# O: sorts / limits / set ops
+# ---------------------------------------------------------------------
+
+@register("q_order_limit", """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""")
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O4 ordered limit → TakeOrderedAndProject (no global sort)."""
+    return (load_table(spark, "orders", sf_dir)
+            .select("o_orderkey", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+@register("q_union_all", """
+SELECT n_name AS name, 'nation' AS src FROM nation
+UNION ALL
+SELECT r_name AS name, 'region' AS src FROM region
+ORDER BY name, src
+""")
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 UNION ALL (the recursive CTE's glue, :131/:383)."""
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_name").alias("name"), F.lit("nation").alias("src"))
+    reg = load_table(spark, "region", sf_dir).select(
+        F.col("r_name").alias("name"), F.lit("region").alias("src"))
+    return nat.unionByName(reg).orderBy("name", "src")
+
+
+@register("q_distinct", """
+SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+""")
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load_table(spark, "customer", sf_dir)
+            .select("c_mktsegment").distinct().orderBy("c_mktsegment"))
+
+
+@register("q_intersect", """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+""")
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey"))
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(sup).orderBy("nationkey")
+
+
+@register("q_except", """
+SELECT n_nationkey AS nationkey FROM nation
+EXCEPT
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+""")
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("nationkey"))
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey"))
+    return nat.exceptAll(sup).distinct().orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------
+# F: scalar functions (F1-F12 surface)
+# ---------------------------------------------------------------------
+
+@register("q_scalar_functions", """
+SELECT n_nationkey,
+       n_name,
+       replace(n_name, 'A', '*') AS repl,
+       lpad(n_name, 15, '.') AS padded,
+       n_name || '/' || CAST(n_nationkey AS VARCHAR) AS tagged,
+       upper(substr(n_name, 1, 3)) AS prefix3,
+       CAST(length(n_name) AS INT) AS name_len
+FROM nation ORDER BY n_nationkey
+""")
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 replace, F9 lpad, F10 || concat, plus substr/upper/length."""
+    return (load_table(spark, "nation", sf_dir)
+            .select("n_nationkey", "n_name",
+                    F.replace(F.col("n_name"), F.lit("A"), F.lit("*")).alias("repl"),
+                    F.lpad(F.col("n_name"), 15, ".").alias("padded"),
+                    F.concat(F.col("n_name"), F.lit("/"),
+                             F.col("n_nationkey").cast("string")).alias("tagged"),
+                    F.upper(F.substring(F.col("n_name"), 1, 3)).alias("prefix3"),
+                    F.length(F.col("n_name")).cast("int").alias("name_len"))
+            .orderBy("n_nationkey"))
+
+
+@register("q_struct_array", """
+SELECT n_nationkey,
+       [struct_pack(k := CAST(n_nationkey AS BIGINT), nm := n_name),
+        struct_pack(k := CAST(n_regionkey AS BIGINT), nm := 'parent')][1].nm
+           AS first_nm,
+       [struct_pack(k := CAST(n_nationkey AS BIGINT), nm := n_name),
+        struct_pack(k := CAST(n_regionkey AS BIGINT), nm := 'parent')][2].k
+           AS second_k,
+       list_append([CAST(n_nationkey AS BIGINT)], CAST(n_regionkey AS BIGINT))[2]
+           AS appended_last
+FROM nation ORDER BY n_nationkey
+""")
+def q_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-F6: struct/array construction, array_append, 1-based
+    element_at, struct field deref — the reference's path machinery
+    (:111-161), surfaced as scalars so schemas compare."""
+    k1 = F.col("n_nationkey").cast("long").alias("k")
+    k2 = F.col("n_regionkey").cast("long").alias("k")
+    arr = F.array(F.struct(k1, F.col("n_name").alias("nm")),
+                  F.struct(k2, F.lit("parent").alias("nm")))
+    appended = F.array_append(F.array(F.col("n_nationkey").cast("long")),
+                              F.col("n_regionkey").cast("long"))
+    return (load_table(spark, "nation", sf_dir)
+            .select("n_nationkey",
+                    F.element_at(arr, 1).getField("nm").alias("first_nm"),
+                    F.element_at(arr, 2).getField("k").alias("second_k"),
+                    F.element_at(appended, 2).alias("appended_last"))
+            .orderBy("n_nationkey"))
+
+
+@register("q_date_functions", """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY order_month
+ORDER BY order_month
+""")
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 date literals + date_trunc bucketing (month grain)."""
+    return (load_table(spark, "orders", sf_dir)
+            .where((F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                   & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+            .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+            .orderBy("order_month"))
