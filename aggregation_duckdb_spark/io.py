@@ -22,8 +22,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Scan one table. Column pruning / filter pushdown happen at the
     parquet scan because callers compose on the returned DataFrame
-    lazily (check ``.explain``: PushedFilters / ReadSchema)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    lazily (check ``.explain``: PushedFilters / ReadSchema).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+    default; we read it as a nanosecond long and floor to microseconds
+    (exactly what DuckDB's reader does), keeping both engines on the
+    same instant."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,

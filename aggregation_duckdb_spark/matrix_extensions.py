@@ -1,1 +1,438 @@
-"""Pipeline-extension matrix entries (registered into matrix)."""
+"""Extension operator matrix: dedup, similarity search, text analysis,
+event-time, multimodal — each as an oracle-checked (Spark, DuckDB) pair.
+
+The oracles reproduce the operators exactly (same md5-string hash
+families, same fold order for float math), so even the MinHash/LSH and
+cosine entries hash-match bit-for-bit. SQL for the wide generated
+expressions (simhash bits, 64-dim cosine) is built programmatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from aggregation_duckdb_spark.io import load_table
+from aggregation_duckdb_spark.matrix import register
+from aggregation_duckdb_spark.operators import dedup as D
+from aggregation_duckdb_spark.operators import events as E
+from aggregation_duckdb_spark.operators import multimodal as M
+from aggregation_duckdb_spark.operators import similarity as S
+from aggregation_duckdb_spark.operators import text as T
+
+# ---------------------------------------------------------------------
+# shared DuckDB SQL fragments (mirror the Spark operators exactly)
+# ---------------------------------------------------------------------
+
+# tokens: whitespace split, empties filtered (mirrors text.tokens)
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def _shingle_sql(width: int = 3) -> str:
+    """Mirror of dedup.shingles: distinct word n-grams, short docs
+    yield one truncated shingle."""
+    return f"""list_distinct(list_transform(
+        generate_series(1, greatest(len(toks) - {width - 1}, 1)),
+        i -> array_to_string(toks[i:i+{width - 1}], ' ')))"""
+
+
+def _minhash_sql(num_hashes: int = 12) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
+        for i in range(num_hashes))
+    return f"[{mins}]"
+
+
+def _band_sql(num_bands: int, band_size: int) -> str:
+    keys = ", ".join(
+        f"md5('{b}|' || array_to_string(sig[{b * band_size + 1}:"
+        f"{(b + 1) * band_size}], '|'))"
+        for b in range(num_bands))
+    return f"[{keys}]"
+
+
+# ---------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------
+
+@register("text_stats", f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+            AS BIGINT) AS n_punct,
+       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / len(toks) AS avg_token_len,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens
+FROM d ORDER BY doc_id
+""")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (T.text_stats(load_table(spark, "documents", sf_dir))
+            .orderBy("doc_id"))
+
+
+def _lang_id_oracle() -> str:
+    score_cols = ", ".join(
+        "CAST(len(list_filter(toks, t -> list_contains({}, t))) AS BIGINT)"
+        " AS score_{}".format(
+            "[" + ", ".join(f"'{w}'" for w in ws) + "]", lang)
+        for lang, ws in T.LANG_STOPWORDS.items())
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in T.LANG_STOPWORDS) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in T.LANG_STOPWORDS
+    ) + " END"
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {score_cols} FROM d)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in T.LANG_STOPWORDS)},
+       CASE WHEN {best} > 0 THEN {pick} ELSE 'und' END AS predicted_lang
+FROM s ORDER BY doc_id
+"""
+
+
+@register("text_language_id", _lang_id_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (T.language_id(load_table(spark, "documents", sf_dir))
+            .orderBy("doc_id"))
+
+
+_ALL_STOP = sorted({w for ws in T.LANG_STOPWORDS.values() for w in ws})
+
+
+@register("text_quality", f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                  AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(toks, t -> list_contains(
+                 [{", ".join(f"'{w}'" for w in _ALL_STOP)}], t))) AS DOUBLE) AS n_stop
+      FROM d)
+SELECT doc_id,
+       round(least(n_tok / 64.0, 1.0), 6) AS length_score,
+       round(n_punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
+       round(n_stop / greatest(n_tok, 1.0), 6) AS stopword_ratio,
+       round(0.4 * least(n_tok / 64.0, 1.0)
+             + 0.3 * (1.0 - n_punct / greatest(n_chars, 1.0))
+             + 0.3 * least(n_stop / greatest(n_tok, 1.0) * 4, 1.0), 6)
+           AS quality_score
+FROM m ORDER BY doc_id
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (T.quality_score(load_table(spark, "documents", sf_dir))
+            .orderBy("doc_id"))
+
+
+@register("text_fingerprint", f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, text, {_shingle_sql(3)} AS sh FROM d)
+SELECT doc_id,
+       md5(lower(text)) AS exact_fingerprint,
+       list_min(list_transform(sh, s -> md5(s))) AS min_shingle_hash
+FROM s ORDER BY doc_id
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (T.fingerprint(load_table(spark, "documents", sf_dir))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------
+
+@register("dedup_exact_survivors", """
+WITH keepers AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text)))
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+ORDER BY d.doc_id
+""")
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (D.exact_dedup(docs)
+            .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
+@register("dedup_minhash_lsh", f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM d),
+sigs AS (SELECT doc_id, {_minhash_sql(12)} AS sig FROM s),
+buckets AS (
+    SELECT doc_id AS doc, UNNEST({_band_sql(4, 3)}) AS bucket FROM sigs)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc < b.doc
+ORDER BY doc_a, doc_b
+""")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs — signatures, band keys, and the
+    bucket self-join reproduce bit-for-bit in the oracle (md5-string
+    hash family, no RNG)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (D.minhash_lsh_candidates(docs, num_hashes=12, num_bands=4)
+            .orderBy("doc_a", "doc_b"))
+
+
+_JACCARD_SQL = f"""
+WITH d AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {_shingle_sql(3)} AS sh FROM d)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           AS jaccard
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_jaccard_pairs", _JACCARD_SQL)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard within same-language blocks (blocking keeps
+    the pair space linear-ish; the LSH entry is the unblocked scale
+    path)."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(F.col("doc_id"), F.col("lang"),
+                     D.shingles(F.col("text"), 3).alias("__sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    jac.alias("jaccard"))
+            .where(F.col("jaccard") >= 0.6)
+            .orderBy("doc_a", "doc_b"))
+
+
+@register("dedup_near_duplicates", f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM d),
+sigs AS (SELECT doc_id, sh, {_minhash_sql(12)} AS sig FROM s),
+buckets AS (
+    SELECT doc_id AS doc, UNNEST({_band_sql(4, 3)}) AS bucket FROM sigs),
+cands AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc < b.doc)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+                  AS DOUBLE) AS jaccard
+FROM cands c
+JOIN s sa ON c.doc_a = sa.doc_id
+JOIN s sb ON c.doc_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      >= 0.6
+ORDER BY doc_a, doc_b
+""")
+def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scale pipeline: LSH candidates → exact Jaccard verify."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (D.near_duplicates(docs, threshold=0.6, num_hashes=12, num_bands=4)
+            .orderBy("doc_a", "doc_b"))
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    hexhigh = "('8','9','a','b','c','d','e','f')"
+    bit_exprs = " || ".join(
+        f"(CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN "
+        f"substr(md5(t), {b + 1}, 1) IN {hexhigh} THEN 1 ELSE -1 END)) > 0 "
+        f"THEN '1' ELSE '0' END)"
+        for b in range(bits))
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id, {bit_exprs} AS simhash FROM d ORDER BY doc_id
+"""
+
+
+@register("dedup_simhash", _simhash_oracle(16))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (docs.select("doc_id",
+                        D.simhash_bits(F.col("text"), 16).alias("simhash"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------
+
+def _cosine_sql(a: str, b: str, dim: int = 64) -> str:
+    """Mirror of similarity.cosine's sequential fold: 0.0 + t1 + t2 …
+    ('+' is left-associative in both parsers → identical grouping)."""
+    dot = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1))
+    na = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1))
+    nb = " + ".join(
+        f"CAST({b}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1))
+    return (f"(CAST(0.0 AS DOUBLE) + {dot}) / "
+            f"(sqrt(CAST(0.0 AS DOUBLE) + {na}) * sqrt(CAST(0.0 AS DOUBLE) + {nb}))")
+
+
+@register("sim_topk_bruteforce", f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cosine_sim
+    FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""")
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for a bounded query set — the ANN baseline.
+    Scores are a sequential double fold → bit-identical to the oracle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return (S.brute_force_topk(emb, queries, k=10)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank")
+            .orderBy("query_id", "rank"))
+
+
+@register("sim_embedding_neardup", f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+SELECT id_a, id_b, {_cosine_sql('va', 'vb')} AS cosine_sim
+FROM a JOIN b ON id_a < id_b
+WHERE {_cosine_sql('va', 'vb')} >= 0.4
+ORDER BY id_a, id_b
+""")
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
+    corpus — real near-dup corpora use ≥0.95)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (S.embedding_near_duplicates(emb, threshold=0.4)
+            .orderBy("id_a", "id_b"))
+
+
+@register("sim_ivf_topk")  # approximate path: rows-only check (float
+# centroid means differ across engines in the last bits; the exact
+# baseline above is the oracle-checked twin)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = S.label_centroids(emb)
+    queries = emb.where(F.col("vec_id") < 5)
+    return (S.ivf_topk(emb, queries, cents, k=10, n_probe=3)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank")
+            .orderBy("query_id", "rank"))
+
+
+# ---------------------------------------------------------------------
+# event-time operators
+# ---------------------------------------------------------------------
+
+@register("events_tumbling", """
+SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""")
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.tumbling_counts(load_table(spark, "events", sf_dir))
+
+
+@register("events_sliding", """
+WITH expanded AS (
+    SELECT UNNEST([CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP),
+                   CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
+                       - INTERVAL '30 minutes']) AS window_start,
+           event_type
+    FROM events)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM expanded
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""")
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.sliding_counts(load_table(spark, "events", sf_dir))
+
+
+@register("events_sessionize", """
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events),
+flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                   THEN 1 ELSE 0 END AS is_new
+    FROM ordered),
+sessions AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+    FROM flagged)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+""")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = E.sessionize(ev, gap_minutes=30)
+    return out.withColumn("session_idx", F.col("session_idx").cast("long"))
+
+
+# ---------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------
+
+@register("mm_decode_metadata", """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum,
+       CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS INT)
+           AS fake_width,
+       CAST(strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS INT)
+           AS fake_height
+FROM documents ORDER BY doc_id
+""")
+def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing via mapInPandas (Arrow batches);
+    the decode itself is a deterministic stub (multimodal.REAL_CODECS),
+    which is what makes this oracle-checkable."""
+    docs = load_table(spark, "documents", sf_dir)
+    return M.decode_metadata(M.attach_payload(docs)).orderBy("doc_id")
+
+
+def _hex4_to_int_sql(h: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1) * {16 ** (4 - i)}"
+        for i in range(1, 5))
+    return f"({terms})"
+
+
+@register("mm_frame_sample", f"""
+WITH p AS (
+    SELECT doc_id, md5(text) AS h FROM documents),
+f AS (
+    SELECT doc_id, ({_hex4_to_int_sql('h')}) % 240 + 1 AS n_frames FROM p)
+SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+       UNNEST(generate_series(0, CAST(n_frames AS BIGINT) - 1, 10)) AS frame_idx
+FROM f ORDER BY doc_id, frame_idx
+""")
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (M.frame_sample_plan(M.attach_payload(docs), every_n=10)
+            .select("doc_id", F.col("n_frames").cast("long").alias("n_frames"),
+                    F.col("frame_idx").cast("long").alias("frame_idx"))
+            .orderBy("doc_id", "frame_idx"))

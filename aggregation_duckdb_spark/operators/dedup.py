@@ -1,0 +1,183 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Design rules for 100 TB of documents:
+
+- Everything is native ``pyspark.sql.functions`` — shingling, hashing,
+  signatures, and band keys are all computed IN-ROW at scan speed (one
+  map-side pass, no Python, no shuffle until the candidate join).
+- Hashes are md5 hex strings (F.md5 is JVM-side): deterministic across
+  runs, partitionings, AND engines — the DuckDB oracle reproduces every
+  signature bit-for-bit. No seeded RNG anywhere.
+- The only shuffles are groupBy(hash) for exact dedup and the
+  band-bucket self-join for LSH. Bucket skew (boilerplate text → one
+  giant bucket) is the classic failure mode: ``max_bucket_size`` drops
+  pathological buckets (their members are near-identical anyway and are
+  caught by the exact pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from aggregation_duckdb_spark.operators.text import tokens
+
+
+def shingles(text: Column, width: int = 3) -> Column:
+    """Distinct word n-gram shingles, computed in-row.
+
+    Short documents (< width tokens) produce their single truncated
+    shingle rather than none, so every doc has a signature."""
+    toks = tokens(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (width - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, width))))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 12) -> Column:
+    """MinHash signature as an array of md5-min hex strings.
+
+    Hash family i = md5('i|' || shingle); the minimum over a doc's
+    shingle set is a uniform MinHash. String min is lexicographic in
+    both Spark and DuckDB — portable with zero RNG.
+
+    NB: the salt must be closed over via a factory — a two-parameter
+    lambda would be treated by Spark as an (element, index) lambda."""
+    def salted(i: int):
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(*[F.array_min(F.transform(shingle_col, salted(i)))
+                     for i in range(num_hashes)])
+
+
+def band_keys(signature: Column, num_bands: int, band_size: int) -> Column:
+    """LSH band keys: md5 over each band's slice of the signature.
+    Two docs sharing any band key become a candidate pair."""
+    return F.array(*[
+        F.md5(F.concat_ws("|", F.lit(str(b)),
+                          F.concat_ws("|", F.slice(signature, b * band_size + 1,
+                                                   band_size))))
+        for b in range(num_bands)])
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           normalize: bool = True) -> DataFrame:
+    """Exact dedup via hash-groupBy: one shuffle on the md5 key.
+    Returns one row per duplicated content group with the keeper
+    (minimum id) and group size."""
+    t = F.lower(F.col(text_col)) if normalize else F.col(text_col)
+    return (docs
+            .select(F.md5(t).alias("content_hash"), F.col(id_col))
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias("keeper_id"),
+                 F.count(F.lit(1)).alias("group_size"),
+                 F.sort_array(F.collect_list(id_col)).alias("member_ids"))
+            .where(F.col("group_size") > 1))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
+    """Survivors after exact dedup (keeps min id per content hash).
+    Window-free: a groupBy(min) + semi-join keeps the fact-side plan
+    shuffle-light and avoids a global sort."""
+    t = F.lower(F.col(text_col)) if normalize else F.col(text_col)
+    hashed = docs.withColumn("__h", F.md5(t))
+    keepers = hashed.groupBy("__h").agg(F.min(id_col).alias("__keep"))
+    return (hashed.join(keepers, (hashed["__h"] == keepers["__h"])
+                        & (hashed[id_col] == keepers["__keep"]), "left_semi")
+            .drop("__h"))
+
+
+def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 12,
+                           num_bands: int = 4, shingle_width: int = 3,
+                           max_bucket_size: int | None = None) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    shingle→minhash→band→bucket-join: signatures and band keys are
+    map-side; the shuffle is the explode+self-join on band buckets.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    sig = minhash_signature(shingles(F.col(text_col), shingle_width), num_hashes)
+    band_size = num_hashes // num_bands
+    bucketed = (docs
+                .select(F.col(id_col).alias("doc"),
+                        F.explode(band_keys(sig, num_bands, band_size)).alias("bucket")))
+    if max_bucket_size is not None:
+        sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+        bucketed = (bucketed.join(sizes.where(F.col("__n") <= max_bucket_size),
+                                  "bucket", "left_semi"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .distinct())
+
+
+def jaccard_for_pairs(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_width: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    |A∩B| via array_intersect of the (already distinct) shingle sets;
+    |A∪B| by inclusion-exclusion — all integer math, then one double
+    division: bit-identical across engines."""
+    sh = docs.select(F.col(id_col).alias("__id"),
+                     shingles(F.col(text_col), shingle_width).alias("__sh"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
+    union = F.size(F.col("sa.__sh")) + F.size(F.col("sb.__sh")) - inter
+    return (pairs
+            .join(F.broadcast(a), pairs["doc_a"] == F.col("sa.__id"))
+            .join(F.broadcast(b), pairs["doc_b"] == F.col("sb.__id"))
+            .select("doc_a", "doc_b",
+                    (inter.cast("double") / union.cast("double")).alias("jaccard")))
+
+
+def near_duplicates(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", threshold: float = 0.6,
+                    num_hashes: int = 12, num_bands: int = 4,
+                    shingle_width: int = 3,
+                    max_bucket_size: int | None = None) -> DataFrame:
+    """The full scale path: LSH candidates → exact Jaccard verify →
+    threshold. False positives from banding are filtered here; false
+    negatives are bounded by the (num_hashes, num_bands) S-curve."""
+    cands = minhash_lsh_candidates(docs, text_col, id_col, num_hashes,
+                                   num_bands, shingle_width, max_bucket_size)
+    scored = jaccard_for_pairs(cands, docs, text_col, id_col, shingle_width)
+    return scored.where(F.col("jaccard") >= threshold)
+
+
+def simhash_bits(text: Column, bits: int = 16) -> Column:
+    """SimHash over tokens as a bit string.
+
+    Bit b of a token's hash = high bit of hex digit b of its md5 (a
+    digit in '89abcdef'); the document bit is the sign of the ±1 sum
+    over tokens (repeats included). Pure integer math — portable."""
+    toks = tokens(text)
+
+    def contrib_fn(b: int):
+        # factory closure: a 3-param lambda would break F.aggregate's
+        # two-argument merge signature
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), b + 1, 1).isin(*list("89abcdef")), 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for b in range(bits):
+        contrib = F.aggregate(toks, F.lit(0), contrib_fn(b))
+        bit_cols.append(F.when(contrib > 0, "1").otherwise("0"))
+    return F.concat(*bit_cols)
+
+
+def simhash_groups(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Docs grouped by identical SimHash — near-dup buckets at the
+    chosen bit width (coarser than MinHash; one shuffle)."""
+    return (docs
+            .select(F.col(id_col), simhash_bits(F.col(text_col), bits).alias("simhash"))
+            .groupBy("simhash")
+            .agg(F.count(F.lit(1)).alias("group_size"),
+                 F.min(id_col).alias("keeper_id"),
+                 F.sort_array(F.collect_list(id_col)).alias("member_ids")))

@@ -1,0 +1,85 @@
+"""Event-time operators over the ``events`` table (batch forms).
+
+The reference has no streaming surface (SURVEY §2.9); these are the
+batch-capable Spark time operators — ``F.window`` tumbling/sliding
+buckets and gap-based sessionization. The same transformations run
+unchanged under Structured Streaming (see ``streaming/``): ``F.window``
+is streaming-native, and the lag/cumsum sessionization maps to
+``session_window`` there.
+
+Determinism: bucket boundaries are epoch-aligned integer arithmetic;
+sessionization orders by (ts, event_id) so ties can't reorder; value
+sums are decimal-cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour",
+                    ts_col: str = "ts", type_col: str = "event_type",
+                    value_col: str = "value") -> DataFrame:
+    """Tumbling event-time windows: per (window, event_type) counts and
+    value sums. One shuffle (the group-by); the bucket key is computed
+    map-side."""
+    win = F.window(F.col(ts_col), width)
+    return (events
+            .groupBy(win.getField("start").alias("window_start"), F.col(type_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col(value_col).cast("decimal(18,3)")).cast("double")
+                  .alias("sum_value"))
+            .orderBy("window_start", type_col))
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour",
+                   slide: str = "30 minutes", ts_col: str = "ts",
+                   type_col: str = "event_type") -> DataFrame:
+    """Sliding windows: each event lands in width/slide buckets
+    (Spark expands in-row before the group-by)."""
+    win = F.window(F.col(ts_col), width, slide)
+    return (events
+            .groupBy(win.getField("start").alias("window_start"), F.col(type_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy("window_start", type_col))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               ts_col: str = "ts", user_col: str = "user_id",
+               id_col: str = "event_id") -> DataFrame:
+    """Gap-based sessionization via lag + running sum of session starts
+    — the portable island-detection form (works identically in any SQL
+    engine; Structured Streaming swaps in ``session_window``).
+
+    Two windows over the same (user, ts, id) ordering → a single
+    shuffle on user_id; both window passes run in one stage."""
+    order = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_ts = F.lag(F.col(ts_col)).over(order)
+    new_session = (prev_ts.isNull() |
+                   ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us))
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sessions = (events
+                     .withColumn("__new", new_session.cast("long"))
+                     .withColumn("session_idx", F.sum("__new").over(run)))
+    return (with_sessions
+            .groupBy(F.col(user_col), F.col("session_idx"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"))
+            .orderBy(user_col, "session_idx"))
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30,
+                  ts_col: str = "ts", user_col: str = "user_id",
+                  id_col: str = "event_id") -> DataFrame:
+    """Per-user session summary built on :func:`sessionize`."""
+    sessions = sessionize(events, gap_minutes, ts_col, user_col, id_col)
+    dur_s = ((F.unix_micros(F.col("session_end"))
+              - F.unix_micros(F.col("session_start"))) / F.lit(1_000_000.0))
+    return (sessions
+            .groupBy(user_col)
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n_events").alias("n_events"),
+                 F.max(dur_s).alias("max_session_seconds"))
+            .orderBy(user_col))

@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real pipelines carry image/audio/video as ``binary`` columns with typed
+metadata alongside. The Spark-side machinery that matters at 100 TB —
+schema, Arrow batch transfer, ``mapInPandas`` signatures, partition
+sizing — is fully real here; only the codec call itself is stubbed
+(image/audio libraries are not in this container): ``decode_image``
+raises NotImplementedError on the real path and otherwise derives
+deterministic fake metadata from the payload's md5, so the plumbing is
+oracle-checkable end-to-end.
+
+Scale notes: binary payloads dominate row size — keep
+``spark.sql.files.maxPartitionBytes`` modest so a partition of blobs
+fits executor memory, and never collect payload columns. ``mapInPandas``
+streams Arrow batches; the decode loop below is per-batch vectorizable
+numpy when a real codec lands.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+DECODE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("checksum", StringType()),
+    StructField("fake_width", IntegerType()),
+    StructField("fake_height", IntegerType()),
+])
+
+REAL_CODECS = False  # flip when PIL/libav land; fake path below is the stub
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Stand-in payload: utf-8 bytes of the text as an opaque binary
+    column (real pipelines read image bytes from object storage)."""
+    return docs.select(F.col(id_col),
+                       F.encode(F.col(text_col), "utf-8").alias("payload"))
+
+
+def _fake_decode(payload: bytes) -> tuple[int, str, int, int]:
+    """STUB decode: deterministic metadata from the payload md5 —
+    width/height from the first two hex digits. Replace with the real
+    codec when available (see REAL_CODECS)."""
+    digest = hashlib.md5(payload).hexdigest()
+    width = 1 + int(digest[0], 16)
+    height = 1 + int(digest[1], 16)
+    return len(payload), digest, width, height
+
+
+def decode_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode/inspect payloads via ``mapInPandas`` (Arrow-batched; the
+    idiomatic shape for per-row Python work that built-ins can't do)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if REAL_CODECS:
+            raise NotImplementedError(
+                "real image/audio decode requires codec libraries not in "
+                "this container")
+        for pdf in batches:
+            meta = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_bytes": pd.Series([m[0] for m in meta], dtype="int64"),
+                "checksum": [m[1] for m in meta],
+                "fake_width": pd.Series([m[2] for m in meta], dtype="int32"),
+                "fake_height": pd.Series([m[3] for m in meta], dtype="int32"),
+            })
+
+    return with_payload.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+def frame_sample_plan(with_payload: DataFrame, every_n: int = 10,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: derive a
+    deterministic pseudo frame count from the payload, then explode one
+    row per sampled frame index — the exact shape a real ffmpeg-backed
+    sampler produces (decode itself stubbed as above)."""
+    n_frames = (F.pmod(F.conv(F.substring(F.md5(F.col("payload")), 1, 4), 16, 10)
+                       .cast("long"), F.lit(240)) + 1)
+    return (with_payload
+            .select(F.col(id_col), n_frames.alias("n_frames"))
+            .select(id_col, "n_frames",
+                    F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1,
+                                         F.lit(every_n))).alias("frame_idx")))

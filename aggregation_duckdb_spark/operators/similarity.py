@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, O(Q·N), fine when the
+query set is bounded and the corpus fits a broadcast-or-shuffle join.
+Scale path: IVF-style partition pruning — assign vectors to coarse
+centroids, search only the probed cells — cutting the candidate set by
+the cell count. Both are pure DataFrame ops (array math via
+zip_with/aggregate is JVM-side; no Python in the hot path).
+
+Determinism note: ``cosine`` folds the array sequentially
+(left-to-right), matching DuckDB's list evaluation, so scores are
+bit-identical across engines for identical float inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k: broadcast the (bounded) query set against the
+    corpus scan, score in-row, per-query window top-k. The corpus is
+    never shuffled for the join; the only shuffle is the top-k window
+    partitioned by query (use a bounded query set — this is the
+    verification baseline for the ANN paths)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cvec"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k))
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               centroid_id: str = "centroid_id",
+               centroid_vec: str = "centroid") -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast centroids;
+    one in-row argmax per vector — a map-side pass over the corpus).
+    At scale, write the result partitioned by cell for pruned probes."""
+    cents = centroids.select(F.col(centroid_id).alias("__cid"),
+                             F.col(centroid_vec).alias("__cvec"))
+    scored = (corpus.crossJoin(F.broadcast(cents))
+              .select(F.col(id_col), F.col(vec_col),
+                      F.col("__cid"),
+                      cosine(F.col(vec_col), F.col("__cvec")).alias("__sim")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("__cid"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(id_col, vec_col, F.col("__cid").alias(centroid_id)))
+
+
+def label_centroids(corpus: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Coarse centroids as the element-wise mean per label group —
+    a cheap deterministic IVF codebook when a clustering column already
+    exists (k-means is a drop-in replacement at scale)."""
+    dim_df = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1)
+    dim = dim_df.first()["d"]
+    comps = [F.avg(F.element_at(F.col(vec_col), i).cast("double")).alias(f"__c{i}")
+             for i in range(1, dim + 1)]
+    per_label = corpus.groupBy(F.col(label_col).alias("centroid_id")).agg(*comps)
+    return per_label.select(
+        "centroid_id",
+        F.array(*[F.col(f"__c{i}") for i in range(1, dim + 1)]).alias("centroid"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: int = 10, n_probe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF search: score queries against centroids, probe the n_probe
+    nearest cells, brute-force only within those cells. The pruned join
+    is (query, cell)⋈(corpus, cell) — candidate count drops by
+    ~n_probe/num_cells versus brute force."""
+    cents = centroids.select(F.col("centroid_id").alias("__cid"),
+                             F.col("centroid").alias("__cvec"))
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qvec"))
+    qprobe = (q.crossJoin(F.broadcast(cents))
+              .select("query_id", "__qvec", "__cid",
+                      cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("__cid"))
+    probes = (qprobe.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= n_probe)
+              .select("query_id", "__qvec", F.col("__cid").alias("centroid_id")))
+    scored = (assigned.join(F.broadcast(probes), "centroid_id")
+              .where(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      cosine(F.col("__qvec"), F.col(vec_col)).alias("cosine_sim")))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(wk).cast("long"))
+            .where(F.col("rank") <= k))
+
+
+def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.99,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+    Brute-force form — at scale, route through ivf_assign and pair only
+    within cells (near-dups by definition share a cell)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= threshold))

@@ -1,0 +1,125 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built from native ``pyspark.sql.functions``
+(JVM-side, whole-stage-codegen'd) — no Python UDFs anywhere: at 100 TB
+of documents these run at scan speed. Determinism: every derived value
+is exact integer/string math (hashes are md5 hex strings), so results
+hash-match the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Order = deterministic tie-break priority.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est", "que"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings filtered (leading/trailing
+    whitespace would otherwise produce them)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    """Characters that are not alphanumeric/space — the quality signal
+    'too much punctuation'."""
+    return (F.length(text) -
+            F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("long")
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    """How many tokens are in the given stopword list (with repeats) —
+    an in-row intersection, no shuffle."""
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordset, t))).cast("long")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document surface statistics (token/char counts, ratios).
+    Entirely map-side: one pass over the scan, no shuffle."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("long")
+    return docs.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        punct_count(t).alias("n_punct"),
+        # mean token length: exact integer inputs → deterministic double
+        (F.aggregate(toks, F.lit(0).cast("long"),
+                     lambda acc, x: acc + F.length(x)).cast("double") / n_tok
+         ).alias("avg_token_len"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID heuristic. Scores per language are
+    computed in-row; argmax with fixed priority tie-break (list order
+    in LANG_STOPWORDS) so the answer is deterministic."""
+    toks = tokens(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col), toks.alias("__toks"),
+        *[stopword_hits(toks, ws).alias(f"score_{lang}")
+          for lang, ws in LANG_STOPWORDS.items()])
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_STOPWORDS])
+    pick = None
+    for lang in LANG_STOPWORDS:  # first max wins — fixed priority
+        cond = F.col(f"score_{lang}") == best
+        pick = F.when(cond, lang) if pick is None else pick.when(cond, lang)
+    return scored.select(
+        id_col, *[f"score_{lang}" for lang in LANG_STOPWORDS],
+        F.when(best > 0, pick).otherwise("und").alias("predicted_lang"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score ∈ [0,1] from length, punctuation, and
+    stopword density — the standard pre-training filter trio. All
+    arithmetic from exact integers → deterministic doubles."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(t).cast("double")
+    punct_ratio = punct_count(t).cast("double") / F.greatest(n_chars, F.lit(1.0))
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stop_ratio = (stopword_hits(toks, all_stop).cast("double")
+                  / F.greatest(n_tok, F.lit(1.0)))
+    length_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    score = (F.lit(0.4) * length_score
+             + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+             + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0)))
+    return docs.select(
+        F.col(id_col),
+        F.round(length_score, 6).alias("length_score"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", shingle_width: int = 3) -> DataFrame:
+    """Document fingerprints: full-text md5 (exact-dup key) plus the
+    minimum shingle hash (a 1-permutation MinHash — robust to small
+    edits). Both are md5 hex strings: deterministic and portable."""
+    from aggregation_duckdb_spark.operators.dedup import shingles
+    t = F.col(text_col)
+    sh = shingles(t, shingle_width)
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.lower(t)).alias("exact_fingerprint"),
+        F.array_min(F.transform(sh, F.md5)).alias("min_shingle_hash"))
