@@ -225,6 +225,16 @@ class Hierarchy:
         for lv in levels[1:]:
             flat = flat.unionByName(lv)  # :131/:383 UNION ALL
 
+        if self.config.validate:
+            # Reachability: a node in a cycle (or under one) is never
+            # visited by the root-anchored BFS — DuckDB's FK (:11-12)
+            # makes that impossible; we must assert it.
+            n_flat, n_nodes = flat.count(), nodes.count()
+            if n_flat != n_nodes:
+                raise HierarchyValidationError(
+                    f"{n_nodes - n_flat} nodes unreachable from any root "
+                    "(cycle in parent pointers?)")
+
         # Deterministic DFS pre-order (replaces the UUID-string
         # ROW_NUMBER at :184-186): lexicographic compare of the path of
         # natural keys. Global window is dim-only by design (W1 note).

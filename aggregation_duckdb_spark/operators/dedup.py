@@ -103,6 +103,10 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     bucketed = (docs
                 .select(F.col(id_col).alias("doc"),
                         F.explode(band_keys(sig, num_bands, band_size)).alias("bucket")))
+    # Materialize before the self-join: signatures are expensive (k·|shingles|
+    # hashes per doc) and the join would otherwise compute them twice. At
+    # cluster scale this is "write signatures, then join" — same idea.
+    bucketed = bucketed.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
         bucketed = (bucketed.join(sizes.where(F.col("__n") <= max_bucket_size),
@@ -124,6 +128,7 @@ def jaccard_for_pairs(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     division: bit-identical across engines."""
     sh = docs.select(F.col(id_col).alias("__id"),
                      shingles(F.col(text_col), shingle_width).alias("__sh"))
+    sh = sh.localCheckpoint(eager=True)  # reused by both sides of the pair join
     a = sh.alias("sa")
     b = sh.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))

@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers the flagship hierarchical aggregation (both
+strategies), the big-fact scan aggregation, dedup at LSH scale,
+similarity top-k, and event-time bucketing — the engine's
+scale-critical paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "hier_agg_closure",
+    "hier_agg_rollup",
+    "q1_pricing_summary",
+    "q_join_fact_dims",
+    "q_window_analytics",
+    "q_count_distinct",
+    "dedup_minhash_lsh",
+    "dedup_near_duplicates",
+    "text_stats",
+    "sim_topk_bruteforce",
+    "events_tumbling",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    from aggregation_duckdb_spark import matrix
+    from aggregation_duckdb_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      extra_confs={"spark.ui.enabled": "false"})
+    qs = matrix.queries()
+
+    # one warmup action to amortize JVM/codegen startup out of q1
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # materialize the full result
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

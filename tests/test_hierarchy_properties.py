@@ -1,0 +1,143 @@
+"""Property tests over generated random trees (SURVEY §5.2.3):
+closure cardinality = Σ depths; pair consistency with parent pointers;
+DFS pre-order invariant; rollup ≡ closure on random facts."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from aggregation_duckdb_spark.hierarchy import Hierarchy, HierarchyConfig
+from aggregation_duckdb_spark.hierarchy.core import HierarchyValidationError
+from aggregation_duckdb_spark.operators.aggregate import (
+    aggregate_with_closure, aggregate_with_rollup)
+
+
+def random_tree(rng: random.Random, n_nodes: int, max_children: int = 4):
+    """Uniform-depth-ish random tree as (key, name, level, parent) rows."""
+    rows = [(0, "root", "L1", None)]
+    for k in range(1, n_nodes):
+        parent = rng.choice(rows[:k])[0] if k > 1 else 0
+        rows.append((k, f"n{k}", "Lx", parent))
+    return rows
+
+
+def depths(rows):
+    parent = {k: p for k, _, _, p in rows}
+    d = {}
+
+    def depth(k):
+        if k not in d:
+            d[k] = 1 if parent[k] is None else depth(parent[k]) + 1
+        return d[k]
+
+    return {k: depth(k) for k, _, _, _ in rows}
+
+
+@pytest.mark.parametrize("seed,n", [(1, 12), (7, 25), (42, 60)])
+def test_closure_and_dfs_properties(spark, seed, n):
+    rng = random.Random(seed)
+    rows = random_tree(rng, n)
+    df = spark.createDataFrame(rows, "natural_key long, name string, level_name string, parent_natural_key long")
+    h = Hierarchy.from_adjacency(df, natural_key="natural_key", name="name",
+                                 level_name="level_name",
+                                 parent_natural_key="parent_natural_key")
+    d = depths(rows)
+    closure = h.closure().collect()
+    # |closure| = Σ node depths
+    assert len(closure) == sum(d.values())
+    parent = {k: p for k, _, _, p in rows}
+    for r in closure:
+        a, b = r["ancestor_node_natural_key"], r["descendant_node_natural_key"]
+        # walk up net_level steps from descendant → must reach ancestor
+        cur = b
+        for _ in range(r["net_level"]):
+            cur = parent[cur]
+        assert cur == a
+    # DFS pre-order: every node sorts after its parent; subtrees contiguous
+    flat = h.flattened().collect()
+    order = {r["node_natural_key"]: r["node_sort_order"] for r in flat}
+    for k, _, _, p in rows:
+        if p is not None:
+            assert order[k] > order[p]
+    # subtree contiguity: each node's subtree occupies a contiguous range
+    children = {}
+    for k, _, _, p in rows:
+        children.setdefault(p, []).append(k)
+
+    def subtree(k):
+        out = [k]
+        for c in children.get(k, []):
+            out.extend(subtree(c))
+        return out
+
+    for k, _, _, _ in rows:
+        positions = sorted(order[x] for x in subtree(k))
+        assert positions == list(range(positions[0], positions[0] + len(positions)))
+
+
+def test_rollup_equals_closure_on_random_facts(spark):
+    rng = random.Random(3)
+    # uniform-depth tree (rollup requires facts on max-depth leaves)
+    rows = [(0, "root", "L1", None)]
+    leaves = []
+    for b in range(3):
+        k = 10 + b
+        rows.append((k, f"mid{b}", "L2", 0))
+        for c in range(3):
+            kk = 100 + b * 10 + c
+            rows.append((kk, f"leaf{b}{c}", "L3", k))
+            leaves.append(kk)
+    df = spark.createDataFrame(rows, "natural_key long, name string, level_name string, parent_natural_key long")
+    h = Hierarchy.from_adjacency(df, natural_key="natural_key", name="name",
+                                 level_name="level_name",
+                                 parent_natural_key="parent_natural_key")
+    facts = spark.createDataFrame(
+        [(rng.choice(leaves), rng.randint(1, 5), rng.randint(1, 100))
+         for _ in range(200)],
+        "node_key long, customer long, amount long")
+    measures = [F.sum("amount").alias("sum_amount"),
+                F.count_distinct("customer").alias("dcust"),
+                F.count(F.lit(1)).alias("n")]
+    a = aggregate_with_closure(facts, h.closure(), "node_key", measures,
+                               reporting_dim=h.reporting_dim()).collect()
+    b = aggregate_with_rollup(facts, h.reporting_dim(), "node_key", measures,
+                              num_levels=3).collect()
+    key = lambda r: r["ancestor_node_natural_key"]
+    va = {key(r): (r["sum_amount"], r["dcust"], r["n"]) for r in a}
+    vb = {key(r): (r["sum_amount"], r["dcust"], r["n"]) for r in b}
+    assert va == vb
+    assert len(va) == len([r for r in rows])  # every node with facts below it
+    # root totals
+    root = va[0]
+    assert root[0] == sum(r["sum_amount"] for r in a if r["ancestor_level_number"] == 3)
+
+
+def test_validation_errors(spark):
+    # duplicate natural key
+    bad = spark.createDataFrame(
+        [(1, "a", "L", None), (1, "b", "L", 1)],
+        "natural_key long, name string, level_name string, parent_natural_key long")
+    with pytest.raises(HierarchyValidationError):
+        Hierarchy.from_adjacency(bad, natural_key="natural_key", name="name",
+                                 level_name="level_name",
+                                 parent_natural_key="parent_natural_key").prepared()
+    # dangling parent
+    dangle = spark.createDataFrame(
+        [(1, "a", "L", None), (2, "b", "L", 99)],
+        "natural_key long, name string, level_name string, parent_natural_key long")
+    with pytest.raises(HierarchyValidationError):
+        Hierarchy.from_adjacency(dangle, natural_key="natural_key", name="name",
+                                 level_name="level_name",
+                                 parent_natural_key="parent_natural_key").prepared()
+    # cycle → exceeds max_depth
+    cyc = spark.createDataFrame(
+        [(1, "a", "L", 2), (2, "b", "L", 1), (3, "r", "L", None)],
+        "natural_key long, name string, level_name string, parent_natural_key long")
+    with pytest.raises(HierarchyValidationError):
+        Hierarchy.from_adjacency(
+            cyc, natural_key="natural_key", name="name",
+            level_name="level_name", parent_natural_key="parent_natural_key",
+            config=HierarchyConfig(max_depth=8)).flattened()
