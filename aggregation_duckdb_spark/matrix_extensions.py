@@ -36,8 +36,13 @@ def _shingle_sql(width: int = 3) -> str:
 
 
 def _minhash_sql(num_hashes: int = 12) -> str:
+    """Mirror of dedup.minhash_signature_from_pairs over column ``hs``
+    (one md5 hex per shingle): family i = (h1 + i·h2) mod P with h1/h2
+    the 32-bit halves — exact int64 math in both engines."""
+    h1 = "('0x' || substr(h, 1, 8))::BIGINT"
+    h2 = "('0x' || substr(h, 9, 8))::BIGINT"
     mins = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
+        f"list_min(list_transform(hs, h -> ({h1} + {i} * {h2}) % 4294967311))"
         for i in range(num_hashes))
     return f"[{mins}]"
 
@@ -158,7 +163,8 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_minhash_lsh", f"""
 WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM d),
-sigs AS (SELECT doc_id, {_minhash_sql(12)} AS sig FROM s),
+hashes AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM s),
+sigs AS (SELECT doc_id, {_minhash_sql(12)} AS sig FROM hashes),
 buckets AS (
     SELECT doc_id AS doc, UNNEST({_band_sql(4, 3)}) AS bucket FROM sigs)
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
@@ -213,7 +219,8 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_near_duplicates", f"""
 WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM d),
-sigs AS (SELECT doc_id, sh, {_minhash_sql(12)} AS sig FROM s),
+hashes AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs FROM s),
+sigs AS (SELECT doc_id, sh, {_minhash_sql(12)} AS sig FROM hashes),
 buckets AS (
     SELECT doc_id AS doc, UNNEST({_band_sql(4, 3)}) AS bucket FROM sigs),
 cands AS (

@@ -33,30 +33,57 @@ def shingles(text: Column, width: int = 3) -> Column:
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, width))))
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 12) -> Column:
-    """MinHash signature as an array of md5-min hex strings.
+# Smallest prime > 2^32 — modulus for the double-hashing MinHash family.
+MINHASH_PRIME = 4294967311
 
-    Hash family i = md5('i|' || shingle); the minimum over a doc's
-    shingle set is a uniform MinHash. String min is lexicographic in
-    both Spark and DuckDB — portable with zero RNG.
 
-    NB: the salt must be closed over via a factory — a two-parameter
-    lambda would be treated by Spark as an (element, index) lambda."""
-    def salted(i: int):
-        prefix = f"{i}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+def shingle_hash_pairs(shingle_col: Column) -> Column:
+    """ONE md5 per shingle, split into two 32-bit halves (h1, h2).
 
-    return F.array(*[F.array_min(F.transform(shingle_col, salted(i)))
+    This is the expensive per-row pass; every hash family below is
+    derived from it by integer arithmetic (Kirsch–Mitzenmacher double
+    hashing), so signature width costs ~nothing extra. Both halves are
+    exact in int64 and reproduce in DuckDB via ('0x'||substr)::BIGINT."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("h2")))
+
+
+def minhash_signature_from_pairs(pairs_col: Column, num_hashes: int = 12) -> Column:
+    """MinHash signature array<bigint>: slot i = min over shingles of
+    (h1 + i·h2) mod P.  h1,h2 < 2^32 and i ≤ num_hashes, so the sum
+    stays < 2^37 — exact in int64 in both Spark and DuckDB.
+
+    IMPORTANT: pass a *column attribute* (materialized via select),
+    not the raw expression — this column is referenced num_hashes
+    times, and an inlined expression would recompute the md5 pass per
+    family."""
+    def family(i: int):
+        return lambda p: (p.h1 + F.lit(i).cast("long") * p.h2) % MINHASH_PRIME
+
+    return F.array(*[F.array_min(F.transform(pairs_col, family(i)))
                      for i in range(num_hashes)])
 
 
+def minhash_signature(shingle_col: Column, num_hashes: int = 12) -> Column:
+    """MinHash signature as a single expression (convenience form).
+    Prefer the staged pipeline in minhash_lsh_candidates for hot paths —
+    this form inlines the hash pass once per family."""
+    return minhash_signature_from_pairs(shingle_hash_pairs(shingle_col),
+                                        num_hashes)
+
+
 def band_keys(signature: Column, num_bands: int, band_size: int) -> Column:
-    """LSH band keys: md5 over each band's slice of the signature.
-    Two docs sharing any band key become a candidate pair."""
+    """LSH band keys: md5 over each band's slice of the signature
+    (bigint slots rendered base-10, '|'-joined — identical text in
+    DuckDB's array_to_string). Two docs sharing any band key become a
+    candidate pair."""
     return F.array(*[
         F.md5(F.concat_ws("|", F.lit(str(b)),
                           F.concat_ws("|", F.slice(signature, b * band_size + 1,
-                                                   band_size))))
+                                                   band_size).cast("array<string>"))))
         for b in range(num_bands)])
 
 
@@ -97,15 +124,29 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
 
     shingle→minhash→band→bucket-join: signatures and band keys are
     map-side; the shuffle is the explode+self-join on band buckets.
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
-    sig = minhash_signature(shingles(F.col(text_col), shingle_width), num_hashes)
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    Staged as separate projections so each pass is computed once per
+    row: shingles → one md5/shingle → arithmetic hash families →
+    band keys. (A single nested expression would re-inline the md5
+    pass num_hashes·num_bands times — measured 45× slower.)"""
     band_size = num_hashes // num_bands
-    bucketed = (docs
-                .select(F.col(id_col).alias("doc"),
-                        F.explode(band_keys(sig, num_bands, band_size)).alias("bucket")))
-    # Materialize before the self-join: signatures are expensive (k·|shingles|
-    # hashes per doc) and the join would otherwise compute them twice. At
-    # cluster scale this is "write signatures, then join" — same idea.
+    # Local inputs can arrive as one parquet split; the signature pass
+    # is the CPU-bound stage, so spread it. On a real cluster the scan
+    # already yields >= cores partitions and this is skipped.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+    hp = docs.select(F.col(id_col).alias("doc"),
+                     shingle_hash_pairs(
+                         shingles(F.col(text_col), shingle_width)).alias("hp"))
+    sigged = hp.select("doc", minhash_signature_from_pairs(
+        F.col("hp"), num_hashes).alias("sig"))
+    bucketed = sigged.select(
+        "doc", F.explode(band_keys(F.col("sig"), num_bands, band_size)).alias("bucket"))
+    # Materialize before the self-join so the signature pass runs once,
+    # not once per join side. At cluster scale this is "write
+    # signatures, then join" — same idea.
     bucketed = bucketed.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
