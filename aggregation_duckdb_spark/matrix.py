@@ -40,12 +40,14 @@ def register(name: str, sql: str | None = None):
 
 def queries() -> dict[str, QueryFn]:
     # import for registration side effects
-    from aggregation_duckdb_spark import matrix_tpch, matrix_extensions  # noqa: F401
+    from aggregation_duckdb_spark import (  # noqa: F401
+        matrix_extensions, matrix_streaming, matrix_tpch)
     return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from aggregation_duckdb_spark import matrix_tpch, matrix_extensions  # noqa: F401
+    from aggregation_duckdb_spark import (  # noqa: F401
+        matrix_extensions, matrix_streaming, matrix_tpch)
     return dict(_ORACLES)
 
 

@@ -1,0 +1,94 @@
+"""Streaming operator matrix entries.
+
+Each entry runs a REAL Structured Streaming pipeline (file source →
+availableNow → memory sink) to completion and returns the result as a
+batch DataFrame, so the driver oracle-checks streaming semantics
+against DuckDB SQL exactly like any batch query. The reference has no
+streaming surface (SURVEY §2.9) — these are north-star extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from aggregation_duckdb_spark.matrix import register
+from aggregation_duckdb_spark.streaming import (
+    events_stream, run_available_now, running_user_totals,
+    session_windows_stream, tumbling_counts_stream)
+
+
+@register("stream_tumbling", """
+SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""")
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, run as a streaming job.
+    Finite source ⇒ the complete-mode result equals the batch answer —
+    which is exactly what the oracle asserts."""
+    ev = events_stream(spark, sf_dir)
+    out = run_available_now(tumbling_counts_stream(ev), "complete")
+    return out.orderBy("window_start", "event_type")
+
+
+@register("stream_sessionize", """
+WITH ordered AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events),
+flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                   THEN 1 ELSE 0 END AS is_new
+    FROM ordered),
+sessions AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp
+    FROM flagged)
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, grp
+ORDER BY user_id, session_start
+""")
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessions as a streaming job.
+
+    NB the merge rule: session_window extends a session iff the next
+    event is *strictly* within the gap (next.ts − prev.ts < gap), so
+    the oracle's island condition is ``diff >= gap`` — one tick off
+    from the batch ``sessionize`` operator's ``diff > gap``. Both are
+    valid conventions; the pair of entries pins each one down."""
+    ev = events_stream(spark, sf_dir)
+    out = run_available_now(session_windows_stream(ev, gap_minutes=30),
+                            "complete")
+    return out.orderBy("user_id", "session_start")
+
+
+@register("stream_stateful_totals", """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""")
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) run as a
+    stream; the per-user running totals after the final micro-batch
+    must equal the batch GROUP BY. Update-mode emits one row per
+    (user, batch); the final row per user is the cumulative answer."""
+    ev = events_stream(spark, sf_dir)
+    out = run_available_now(running_user_totals(ev), "update")
+    final = out.groupBy("user_id").agg(
+        F.max_by(F.struct("n_events", "sum_value"), F.col("n_batches"))
+         .alias("s"))
+    return (final.select("user_id", F.col("s.n_events").alias("n_events"),
+                         F.col("s.sum_value").alias("sum_value"))
+            .orderBy("user_id"))

@@ -1,0 +1,24 @@
+"""Structured Streaming surface.
+
+The reference has no streaming operators (SURVEY §2.9) — this module is
+part of the north-star extension set: the same event-time semantics as
+``operators/events.py``, expressed streaming-native so they run
+unbounded with bounded state (watermarks), and a custom stateful
+operator built on ``applyInPandasWithState``.
+
+Every pipeline here is also runnable as a *finite* job via
+``run_available_now`` (file source → availableNow trigger → memory
+sink), which is how the driver oracle-checks streaming results against
+DuckDB SQL.
+"""
+
+from aggregation_duckdb_spark.streaming.event_time import (
+    events_stream, run_available_now, session_windows_stream,
+    sliding_counts_stream, tumbling_counts_stream)
+from aggregation_duckdb_spark.streaming.stateful import running_user_totals
+
+__all__ = [
+    "events_stream", "run_available_now", "session_windows_stream",
+    "sliding_counts_stream", "tumbling_counts_stream",
+    "running_user_totals",
+]

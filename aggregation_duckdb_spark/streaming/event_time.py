@@ -1,0 +1,117 @@
+"""Streaming event-time operators: watermarked windows and sessions.
+
+Mirrors ``operators/events.py`` (batch). The transformations are the
+same ``F.window``/``session_window`` group-bys — streaming-native, so
+state is bounded by the watermark: Spark drops window state once the
+watermark (max seen event time − delay) passes the window end. At
+100 TB/day that bound, not the data volume, sizes the state store.
+
+Determinism notes mirror the batch module: epoch-aligned buckets,
+decimal value sums. Streaming aggregation output order is undefined —
+callers (and the oracle harness) sort.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events parquet directory.
+
+    Streaming reads need a declared schema; we take it from a batch
+    probe of the same path (schema-on-read, one footer read). With
+    ``max_files_per_trigger`` the availableNow run is split into
+    multiple micro-batches — used by tests to prove state survives
+    batch boundaries."""
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isfile(path):
+        # FileStreamSource monitors a directory; testdata ships a single
+        # file, so expose it through a symlinked temp dir (no copy)
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(d, "events.parquet"))
+        path = d
+    # events.ts is parquet TIMESTAMP(NANOS); same nanos→micros floor as
+    # the batch loader (io.load_table) so both surfaces agree on instants
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(path)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts_stream(events: DataFrame, width: str = "1 hour",
+                           watermark: str = "2 hours", ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           value_col: str = "value") -> DataFrame:
+    """Streaming tumbling windows: per (window, event_type) counts and
+    value sums, state bounded by the watermark."""
+    win = F.window(F.col(ts_col), width)
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(win.getField("start").alias("window_start"), F.col(type_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col(value_col).cast("decimal(18,3)")).cast("double")
+                  .alias("sum_value")))
+
+
+def sliding_counts_stream(events: DataFrame, width: str = "1 hour",
+                          slide: str = "30 minutes", watermark: str = "2 hours",
+                          ts_col: str = "ts",
+                          type_col: str = "event_type") -> DataFrame:
+    """Streaming sliding windows (width/slide buckets per event)."""
+    win = F.window(F.col(ts_col), width, slide)
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(win.getField("start").alias("window_start"), F.col(type_col))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+def session_windows_stream(events: DataFrame, gap_minutes: int = 30,
+                           watermark: str = "2 hours", ts_col: str = "ts",
+                           user_col: str = "user_id") -> DataFrame:
+    """Gap-based sessions via the native ``session_window`` operator —
+    the streaming twin of the batch lag/cumsum islands in
+    ``operators.events.sessionize``.
+
+    Session merge rule: an event extends a session iff it arrives
+    strictly less than ``gap`` after the previous event (Spark merges
+    when next.start < prev.end, end = ts + gap). We report the
+    *event-time* extent (min/max ts), not the gap-padded window end,
+    so results are directly comparable with the batch form."""
+    win = F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.col(user_col), win)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"))
+            .drop("session_window"))
+
+
+def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a (finite-source) streaming DataFrame to completion and
+    return the materialized result as a batch DataFrame.
+
+    availableNow trigger → memory sink: processes everything currently
+    in the source (possibly as several micro-batches), then stops. The
+    memory sink holds the final state for ``complete`` mode, or the
+    union of emitted rows for ``append``/``update``."""
+    name = f"stream_result_{uuid.uuid4().hex}"
+    q = (result.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return result.sparkSession.table(name)

@@ -1,0 +1,80 @@
+"""Structured Streaming semantics: streaming results must equal the
+batch answers on the same data, including across micro-batch
+boundaries (the part a batch test can't cover)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aggregation_duckdb_spark.io import load_table
+from aggregation_duckdb_spark.operators import events as E
+from aggregation_duckdb_spark.streaming import (
+    events_stream, run_available_now, running_user_totals,
+    session_windows_stream, tumbling_counts_stream)
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    ev = events_stream(spark, sf_dir)
+    out = run_available_now(tumbling_counts_stream(ev), "complete")
+    batch = E.tumbling_counts(load_table(spark, "events", sf_dir))
+    assert _rows(out, "window_start", "event_type") == \
+        _rows(batch, "window_start", "event_type")
+
+
+def test_stream_sessions_match_batch_convention(spark, sf_dir):
+    """session_window splits at diff >= gap; batch islands split at
+    diff > gap. On data with no exact-gap ties the session sets match."""
+    ev = events_stream(spark, sf_dir)
+    out = run_available_now(session_windows_stream(ev, gap_minutes=30),
+                            "complete")
+    batch = E.sessionize(load_table(spark, "events", sf_dir), gap_minutes=30)
+    assert _rows(out.select("user_id", "session_start", "session_end",
+                            "n_events"),
+                 "user_id", "session_start") == \
+        _rows(batch.select("user_id", "session_start", "session_end",
+                           "n_events"),
+              "user_id", "session_start")
+
+
+@pytest.fixture()
+def multi_file_events(spark, sf_dir, tmp_path):
+    """events split across 4 parquet files so maxFilesPerTrigger=1
+    forces 4 micro-batches."""
+    path = str(tmp_path / "events_multi")
+    load_table(spark, "events", sf_dir).repartition(4) \
+        .write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stateful_totals_survive_batch_boundaries(spark, sf_dir,
+                                                  multi_file_events):
+    stream = (spark.readStream
+              .schema(spark.read.parquet(multi_file_events).schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(multi_file_events))
+    out = run_available_now(running_user_totals(stream), "update")
+
+    # final (= max n_batches) row per user is the cumulative total
+    final = (out.groupBy("user_id")
+             .agg(F.max_by(F.struct("n_events", "sum_value", "n_batches"),
+                           F.col("n_batches")).alias("s"))
+             .select("user_id", "s.n_events", "s.sum_value", "s.n_batches"))
+    got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 3))
+           for r in final.collect()}
+
+    batch = (spark.read.parquet(multi_file_events)
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("value").cast("decimal(18,3)")).alias("s")))
+    want = {r["user_id"]: (r["n"], round(float(r["s"]), 3))
+            for r in batch.collect()}
+    assert got == want
+
+    # state actually crossed micro-batches: some user saw >1 batch
+    assert final.agg(F.max("n_batches")).first()[0] > 1
