@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the scale properties we designed
+for must be visible in EXPLAIN, so a change that silently degrades the
+100 TB plan (broadcast→sort-merge, lost pushdown, row-Python in the
+data path) fails here instead of on a cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aggregation_duckdb_spark import flagship as fs, matrix
+from aggregation_duckdb_spark.io import load_table
+from aggregation_duckdb_spark.plans import (
+    assert_broadcast_join, assert_max_shuffles, assert_no_row_python_udf,
+    assert_pushed_filters, assert_read_schema_only,
+    assert_whole_stage_codegen, count_shuffles)
+
+
+def test_flagship_closure_plan_shape(spark, sf_dir):
+    """The scale-critical query: orders (the 100 TB table) must join
+    dims by broadcast only and shuffle exactly for (a) the two-phase
+    exact-distinct aggregate and (b) the final presentation sort."""
+    agg = fs.flagship_closure_agg(spark, sf_dir)
+    assert_broadcast_join(agg, at_least=2)   # customer attach + closure fan-out
+    assert_max_shuffles(agg, 3)              # 2 distinct-agg phases + order-by
+    assert_whole_stage_codegen(agg)
+    assert_no_row_python_udf(agg)
+
+
+def test_fact_scan_pushdown_and_pruning(spark, sf_dir):
+    scan = (load_table(spark, "lineitem", sf_dir)
+            .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+            .select("l_returnflag", "l_quantity"))
+    assert_pushed_filters(scan, "LessThanOrEqual(l_shipdate")
+    assert_read_schema_only(scan, "lineitem",
+                            {"l_returnflag", "l_quantity", "l_shipdate"})
+
+
+def test_dedup_lsh_is_jvm_side(spark, sf_dir):
+    """The LSH candidate plan must be pure JVM: signatures/band keys in
+    codegen, no Python anywhere."""
+    from aggregation_duckdb_spark.operators import dedup as D
+    cands = D.minhash_lsh_candidates(load_table(spark, "documents", sf_dir))
+    assert_no_row_python_udf(cands)
+    assert_whole_stage_codegen(cands)
+
+
+@pytest.mark.parametrize("name", sorted(
+    n for n in matrix.queries() if not n.startswith("stream_")))
+def test_no_row_python_udf_anywhere(spark, sf_dir, name):
+    """Every batch matrix query: Arrow-vectorized Python is allowed
+    (multimodal mapInPandas); row-at-a-time BatchEvalPython is not."""
+    df = matrix.queries()[name](spark, sf_dir)
+    assert_no_row_python_udf(df)
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    """Exact dedup = one shuffle on the content hash (plus none for the
+    semi-join, which must broadcast the keeper side)."""
+    from aggregation_duckdb_spark.operators import dedup as D
+    survivors = D.exact_dedup(load_table(spark, "documents", sf_dir))
+    assert count_shuffles(survivors) <= 2
