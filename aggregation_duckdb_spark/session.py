@@ -38,6 +38,8 @@ SCALE_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": DEFAULT_CPUS,
     # read side: keep scan tasks big enough to amortize open cost
     "spark.sql.files.maxPartitionBytes": "256m",
+    # catalog tables (bucketed writes) land outside the repo
+    "spark.sql.warehouse.dir": "/tmp/spark-graft-warehouse",
     # events.ts is parquet TIMESTAMP(NANOS); read as long (io.py floors
     # to micros, matching DuckDB's reader)
     "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -1,0 +1,73 @@
+"""Source/sink connectors: format round-trips and the bucketed
+co-located join (write-time shuffle buys zero-exchange joins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aggregation_duckdb_spark.io import load_table
+from aggregation_duckdb_spark.plans import count_shuffles, physical_plan
+from aggregation_duckdb_spark.sources import (
+    is_shuffle_free_join, read_csv, read_json, write_bucketed, write_csv_dir,
+    write_json)
+
+
+def test_csv_round_trip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, "nation", sf_dir)
+    path = str(tmp_path / "nation_csv")
+    write_csv_dir(nation, path, single_file=True)
+    back = read_csv(spark, path,
+                    "n_nationkey bigint, n_name string, n_regionkey bigint, "
+                    "n_comment string")
+    assert sorted(r["n_name"] for r in back.collect()) == \
+        sorted(r["n_name"] for r in nation.collect())
+
+
+def test_json_round_trip_nested(spark, sf_dir, tmp_path):
+    """Struct/array columns must survive the JSON sink (the reporting
+    dim's path columns are nested)."""
+    df = (load_table(spark, "region", sf_dir)
+          .select("r_regionkey",
+                  F.struct(F.col("r_name").alias("name")).alias("meta"),
+                  F.array(F.col("r_regionkey"),
+                          F.col("r_regionkey") + 1).alias("keys")))
+    path = str(tmp_path / "region_json")
+    write_json(df, path)
+    back = read_json(
+        spark, path,
+        "r_regionkey bigint, meta struct<name:string>, keys array<bigint>")
+    rows = {r["r_regionkey"]: (r["meta"]["name"], tuple(r["keys"]))
+            for r in back.collect()}
+    want = {r["r_regionkey"]: (r["meta"]["name"], tuple(r["keys"]))
+            for r in df.collect()}
+    assert rows == want
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """orders ⋈ customer both bucketed by the join key: the join plan
+    must contain no shuffle exchange even with broadcast disabled —
+    the layout IS the shuffle, paid once at write time."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey",
+                                                        "o_custkey",
+                                                        "o_totalprice")
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey",
+                                                            "c_name")
+    write_bucketed(orders, "t_orders_b", ["o_custkey"], 8,
+                   sort_cols=["o_custkey"])
+    write_bucketed(customer, "t_customer_b", ["c_custkey"], 8,
+                   sort_cols=["c_custkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("t_orders_b")
+        b = spark.table("t_customer_b")
+        joined = a.join(b, a["o_custkey"] == b["c_custkey"])
+        assert is_shuffle_free_join(joined), physical_plan(joined, "simple")
+        # and it still computes the right thing
+        n = joined.count()
+        plain = orders.join(customer,
+                            orders["o_custkey"] == customer["c_custkey"])
+        assert n == plain.count()
+        assert count_shuffles(plain) >= 1  # the unbucketed twin shuffles
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
