@@ -50,10 +50,22 @@ def geo_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return root.unionByName(regions).unionByName(nations)
 
 
+_HIER_CACHE: dict[tuple[str, str], Hierarchy] = {}
+
+
 def geo_hierarchy(spark: SparkSession, sf_dir: str) -> Hierarchy:
-    return Hierarchy.from_adjacency(
-        geo_nodes(spark, sf_dir), natural_key="natural_key", name="name",
-        level_name="level_name", parent_natural_key="parent_natural_key")
+    """Memoized per (application, sf_dir): four matrix entries and both
+    bench queries need the identical dim; the BFS build (several local
+    jobs) should run once per session, like a dim table built once and
+    reused by every fact query."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    h = _HIER_CACHE.get(key)
+    if h is None:
+        h = Hierarchy.from_adjacency(
+            geo_nodes(spark, sf_dir), natural_key="natural_key", name="name",
+            level_name="level_name", parent_natural_key="parent_natural_key")
+        _HIER_CACHE[key] = h
+    return h
 
 
 def order_facts(spark: SparkSession, sf_dir: str) -> DataFrame:

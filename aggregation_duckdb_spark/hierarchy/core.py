@@ -47,6 +47,13 @@ class HierarchyConfig:
     # so the loop raises if the frontier is still non-empty at max_depth.
     max_depth: int = 32
     validate: bool = True
+    # Hierarchies at or below this node count are flattened driver-side
+    # in one collect instead of the per-level BFS loop (which costs
+    # several local Spark jobs *per tree level*). Dims are driver-sized
+    # by definition — the reference's is 7 rows; even a million-node
+    # hierarchy is a few hundred MB. Set 0 to force the distributed
+    # loop (property tests assert both paths agree).
+    local_build_threshold: int = 100_000
 
 
 class HierarchyValidationError(ValueError):
@@ -181,27 +188,131 @@ class Hierarchy:
             level_number.alias("level_number"),
         )
 
+    # -- driver-side fast path for dim-sized hierarchies ----------------
+
+    def _flatten_local(self) -> DataFrame | None:
+        """Flatten driver-side when the node set fits the threshold.
+
+        One ``limit(threshold+1).collect()`` decides applicability AND
+        fetches the data; everything else — validation, flags, BFS,
+        DFS ordering — is plain Python, and the result returns to Spark
+        as a local relation. Semantically identical to the distributed
+        loop (property-tested); returns None when the dim is too big.
+        """
+        t = self.config.local_build_threshold
+        if t <= 0:
+            return None
+        raw = self._raw.select("node_id", "node_natural_key", "node_name",
+                               "level_name", "parent_node_id")
+        rows = raw.limit(t + 1).collect()
+        if len(rows) > t:
+            return None
+
+        parent_ids = {r["parent_node_id"] for r in rows
+                      if r["parent_node_id"] is not None}
+        if self.config.validate:
+            n = len(rows)
+            if len({r["node_natural_key"] for r in rows}) != n:
+                raise HierarchyValidationError("node_natural_key not unique")
+            ids = {r["node_id"] for r in rows}
+            if len(ids) != n:
+                raise HierarchyValidationError("node_id not unique")
+            if not any(r["parent_node_id"] is None for r in rows):
+                raise HierarchyValidationError(
+                    "no root (every parent_node_id is non-NULL)")
+            dangling = parent_ids - ids
+            if dangling:
+                raise HierarchyValidationError(
+                    f"{len(dangling)} nodes have parent_node_id not "
+                    "matching any node_id")
+
+        children: dict[str | None, list] = {}
+        for r in rows:
+            children.setdefault(r["parent_node_id"], []).append(r)
+
+        out: list[tuple] = []
+
+        def visit(r, level: int, path: list[tuple]) -> None:
+            if level > self.config.max_depth:
+                raise HierarchyValidationError(
+                    f"hierarchy deeper than max_depth="
+                    f"{self.config.max_depth} (cycle?)")
+            node = (r["node_id"], r["node_natural_key"], r["node_name"],
+                    r["level_name"], r["parent_node_id"],
+                    r["parent_node_id"] is None,       # is_root (:67-70)
+                    r["node_id"] not in parent_ids,    # is_leaf (:71-76)
+                    level)
+            full_path = path + [node]
+            out.append((*node, node, full_path))
+            for ch in children.get(r["node_id"], ()):
+                visit(ch, level + 1, full_path)
+
+        import sys
+        limit = sys.getrecursionlimit()
+        if self.config.max_depth + 100 > limit:
+            sys.setrecursionlimit(self.config.max_depth + 200)
+        try:
+            for root in children.get(None, ()):
+                visit(root, 1, [])
+        finally:
+            sys.setrecursionlimit(limit)
+
+        if self.config.validate and len(out) != len(rows):
+            raise HierarchyValidationError(
+                f"{len(rows) - len(out)} nodes unreachable from any root "
+                "(cycle in parent pointers?)")
+
+        # DFS pre-order == sort by path of natural keys (SURVEY §1.4.1)
+        out.sort(key=lambda t_: [p[1] for p in t_[9]])
+        rows_sorted = [(*t_, i + 1) for i, t_ in enumerate(out)]
+
+        self._depth = max((t_[7] for t_ in out), default=1)
+
+        from pyspark.sql.types import (ArrayType, BooleanType, IntegerType,
+                                       LongType, StringType, StructField,
+                                       StructType)
+        node_t = StructType([
+            StructField("node_id", StringType()),
+            StructField("node_natural_key", LongType()),
+            StructField("node_name", StringType()),
+            StructField("level_name", StringType()),
+            StructField("parent_node_id", StringType()),
+            StructField("is_root", BooleanType()),
+            StructField("is_leaf", BooleanType()),
+            StructField("level_number", IntegerType()),
+        ])
+        schema = StructType(
+            list(node_t.fields)
+            + [StructField("node_json", node_t),
+               StructField("node_json_path", ArrayType(node_t)),
+               StructField("node_sort_order", IntegerType())])
+        return self._raw.sparkSession.createDataFrame(rows_sorted, schema)
+
     def flattened(self) -> DataFrame:
         """One row per node with level_number, node_json, node_json_path,
         and the deterministic ``node_sort_order`` (DFS pre-order).
 
-        Replaces both recursive CTEs (:86-166 anchor+step, :353-403):
-        breadth-first loop, frontier broadcast, one iteration per tree
-        level.
+        Replaces both recursive CTEs (:86-166 anchor+step, :353-403).
+        Dim-sized hierarchies flatten driver-side in one collect; larger
+        ones run the breadth-first loop with the frontier broadcast, one
+        iteration per tree level.
         """
         if self._flat is not None:
             return self._flat
+        local = self._flatten_local()
+        if local is not None:
+            self._flat = local
+            return local
         nodes = self.prepared()
 
         frontier = (nodes.where(F.col("parent_node_id").isNull())  # anchor, :130
                     .withColumn("level_number", F.lit(1))
                     .withColumn("node_json", self._node_struct(F.lit(1)))
-                    .withColumn("node_json_path", F.array(F.col("node_json"))))
+                    .withColumn("node_json_path", F.array(F.col("node_json")))
+                    .localCheckpoint(eager=True))
         levels = [frontier]
         depth = 1
         while True:
-            frontier = frontier.localCheckpoint(eager=True)
-            levels[-1] = frontier  # keep the checkpointed plan in the union
             parents = frontier.select(F.col("node_id").alias("__p_id"),
                                       F.col("level_number").alias("__p_level"),
                                       F.col("node_json_path").alias("__p_path"))
@@ -211,7 +322,11 @@ class Hierarchy:
                     .withColumn("node_json", self._node_struct(F.col("level_number")))
                     .withColumn("node_json_path",  # :151-161 array_append
                                 F.array_append(F.col("__p_path"), F.col("node_json")))
-                    .drop("__p_id", "__p_level", "__p_path"))
+                    .drop("__p_id", "__p_level", "__p_path")
+                    # checkpoint BEFORE the emptiness probe: one
+                    # materialization serves the probe, the next
+                    # iteration's join, and the final union
+                    .localCheckpoint(eager=True))
             if step.isEmpty():
                 break
             depth += 1

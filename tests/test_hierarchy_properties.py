@@ -37,13 +37,17 @@ def depths(rows):
 
 
 @pytest.mark.parametrize("seed,n", [(1, 12), (7, 25), (42, 60)])
-def test_closure_and_dfs_properties(spark, seed, n):
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_closure_and_dfs_properties(spark, seed, n, path):
     rng = random.Random(seed)
     rows = random_tree(rng, n)
     df = spark.createDataFrame(rows, "natural_key long, name string, level_name string, parent_natural_key long")
+    cfg = HierarchyConfig(
+        local_build_threshold=0 if path == "distributed" else 100_000)
     h = Hierarchy.from_adjacency(df, natural_key="natural_key", name="name",
                                  level_name="level_name",
-                                 parent_natural_key="parent_natural_key")
+                                 parent_natural_key="parent_natural_key",
+                                 config=cfg)
     d = depths(rows)
     closure = h.closure().collect()
     # |closure| = Σ node depths
@@ -113,6 +117,24 @@ def test_rollup_equals_closure_on_random_facts(spark):
     # root totals
     root = va[0]
     assert root[0] == sum(r["sum_amount"] for r in a if r["ancestor_level_number"] == 3)
+
+
+def test_local_and_distributed_flatten_agree(spark):
+    """The driver-side fast path and the BFS loop must produce
+    identical flattened output (every column, including structs,
+    paths, and sort order)."""
+    rows = random_tree(random.Random(11), 40)
+    df = spark.createDataFrame(rows, "natural_key long, name string, level_name string, parent_natural_key long")
+    mk = lambda thr: Hierarchy.from_adjacency(
+        df, natural_key="natural_key", name="name", level_name="level_name",
+        parent_natural_key="parent_natural_key",
+        config=HierarchyConfig(local_build_threshold=thr))
+    norm = lambda h: sorted(
+        (tuple(r) for r in h.flattened().collect()),
+        key=lambda t: t[-1])
+    local, dist = norm(mk(100_000)), norm(mk(0))
+    assert local == dist
+    assert mk(100_000).depth == mk(0).depth
 
 
 def test_validation_errors(spark):
