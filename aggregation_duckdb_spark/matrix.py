@@ -153,6 +153,22 @@ def hier_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ancestor_node_natural_key", "descendant_node_natural_key")
 
 
+@register("hier_closure_recursive", _GEO_CLOSURE_ORACLE)
+def hier_closure_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same closure via Spark 4's native WITH RECURSIVE (:353-403's
+    literal construct) - the engine-internal twin of hier_closure;
+    both sides of the oracle pair now run an actual recursive CTE."""
+    closure = fs.geo_hierarchy(spark, sf_dir).closure_recursive_sql()
+    return closure.select(
+        "ancestor_node_natural_key", "ancestor_node_name",
+        "ancestor_level_name",
+        F.col("ancestor_level_number").cast("int").alias("ancestor_level_number"),
+        "descendant_node_natural_key", "descendant_node_name",
+        F.col("descendant_level_number").cast("int").alias("descendant_level_number"),
+        F.col("net_level").cast("int").alias("net_level"),
+    ).orderBy("ancestor_node_natural_key", "descendant_node_natural_key")
+
+
 # ---------------------------------------------------------------------
 # Reference seed-data parity (the golden 7-row answer, as an oracle pair)
 # ---------------------------------------------------------------------

@@ -137,6 +137,21 @@ def test_local_and_distributed_flatten_agree(spark):
     assert mk(100_000).depth == mk(0).depth
 
 
+def test_recursive_sql_closure_agrees(spark):
+    """Spark 4 WITH RECURSIVE path ≡ the BFS closure on the
+    natural-key projection."""
+    rows = random_tree(random.Random(13), 30)
+    df = spark.createDataFrame(rows, "natural_key long, name string, level_name string, parent_natural_key long")
+    h = Hierarchy.from_adjacency(df, natural_key="natural_key", name="name",
+                                 level_name="level_name",
+                                 parent_natural_key="parent_natural_key")
+    cols = ["ancestor_node_natural_key", "descendant_node_natural_key",
+            "net_level"]
+    a = sorted(tuple(r) for r in h.closure_recursive_sql().select(*cols).collect())
+    b = sorted(tuple(r) for r in h.closure().select(*cols).collect())
+    assert a == b
+
+
 def test_validation_errors(spark):
     # duplicate natural key
     bad = spark.createDataFrame(
