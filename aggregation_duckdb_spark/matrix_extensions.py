@@ -338,6 +338,35 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# as-of join (operator Spark lacks; DuckDB ASOF JOIN is the oracle)
+# ---------------------------------------------------------------------
+
+@register("asof_join_events", """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, CAST(value AS DOUBLE) AS value FROM events
+      WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts,
+       r.value AS value_asof, r.ts AS ts_asof
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+""")
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's most recent purchase at-or-before
+    it (NULL if none yet) — union+carry-forward-window implementation vs
+    DuckDB's native ASOF JOIN."""
+    from aggregation_duckdb_spark.operators.asof import asof_join
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    out = asof_join(clicks, purchases, on="ts", by="user_id",
+                    value_cols=["value", "ts"])
+    return out.select("event_id", "user_id", "ts", "value_asof",
+                      "ts_asof").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------
 # event-time operators
 # ---------------------------------------------------------------------
 

@@ -1,0 +1,71 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+``asof_join(left, right)``: for each left row, attach the most recent
+right row whose time is at or before the left row's time, within a key
+group. The canonical time-series/feature-store join (trades←quotes,
+facts←dimension-state, events←config-at-time).
+
+Spark-first implementation (global brief: composition of existing
+DataFrame ops before UDFs): tag-union both sides, then one window pass
+per key carrying the latest right-side values forward
+(``last(..., ignoreNulls=True)`` over rows up to the current one).
+
+Scale shape: ONE shuffle (on the key, to co-locate the window), no row
+explosion, no range cross-product — both sides stream through the
+window in time order. This beats the inequality-join formulation
+(left ⋈ right ON key AND r.ts <= l.ts + max-per-left), which Spark
+plans as a broadcast-nested-loop at O(|L|·|R|) per key. DuckDB's
+native ``ASOF JOIN`` is the oracle.
+
+Tie rule: a right row at exactly the left row's time IS visible
+(<= semantics, matching DuckDB ``ON l.ts >= r.ts``); among right rows
+at the same (key, time) the tiebreak column decides (latest wins),
+keeping the operator deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
+              value_cols: list[str], suffix: str = "_asof",
+              tiebreak: str | None = None) -> DataFrame:
+    """Left as-of join: every left row, plus the latest
+    ``right.value_cols`` state at-or-before ``left[on]`` within ``by``
+    groups (NULL when no prior right row exists).
+
+    ``tiebreak``: a right-side column ordering simultaneous right rows
+    (the greatest wins); required for determinism if (by, on) is not
+    unique on the right.
+    """
+    order_cols = [F.col(on), F.col("__side")]
+    r_sorted = right
+    if tiebreak is not None:
+        # keep only the winning right row per (by, on)
+        w = Window.partitionBy(by, on).orderBy(F.col(tiebreak).desc())
+        r_sorted = (right.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1).drop("__rn"))
+
+    l_tagged = left.withColumn("__side", F.lit(1))
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(f"{c}{suffix}",
+                                       F.lit(None).cast(dict(right.dtypes)[c]))
+    r_tagged = r_sorted.select(
+        F.col(by), F.col(on), F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols])
+    for c in l_tagged.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(
+                c, F.lit(None).cast(dict(l_tagged.dtypes)[c]))
+
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows (__side 0) sort before left rows at the same instant →
+    # a same-timestamp right row is visible to the left row (<= rule)
+    carry = (Window.partitionBy(by).orderBy(*order_cols)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for c in value_cols:
+        unioned = unioned.withColumn(
+            f"{c}{suffix}",
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(carry))
+    return unioned.where(F.col("__side") == 1).drop("__side")

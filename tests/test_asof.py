@@ -1,0 +1,31 @@
+"""as-of join edge semantics: equal-timestamp visibility, missing
+prior state, and the deterministic tiebreak."""
+
+from __future__ import annotations
+
+from aggregation_duckdb_spark.operators.asof import asof_join
+
+
+def test_asof_edges(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 10), (3, 1, 20), (4, 2, 7)],
+        "id long, k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0)],
+        "k long, t long, v double")
+    out = {r["id"]: r["v_asof"] for r in
+           asof_join(left, right, on="t", by="k", value_cols=["v"]).collect()}
+    assert out[1] is None          # before any right row
+    assert out[2] == 100.0         # equal timestamp IS visible (<=)
+    assert out[3] == 150.0         # latest at-or-before
+    assert out[4] is None          # key with no right rows at all
+
+
+def test_asof_tiebreak_dedupes_simultaneous_rows(spark):
+    left = spark.createDataFrame([(1, 1, 10)], "id long, k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, 1), (1, 10, 2.0, 2)],
+        "k long, t long, v double, seq long")
+    out = asof_join(left, right, on="t", by="k", value_cols=["v"],
+                    tiebreak="seq").collect()
+    assert out[0]["v_asof"] == 2.0  # greatest tiebreak wins
