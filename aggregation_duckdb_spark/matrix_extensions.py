@@ -338,6 +338,49 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# skew-hardened exact distinct (SURVEY §7 phase 6)
+# ---------------------------------------------------------------------
+
+from aggregation_duckdb_spark import flagship as _fs
+
+
+@register("hier_distinct_twostage", f"""
+WITH RECURSIVE nodes AS ({_fs.GEO_NODES_SQL}),
+levels AS (
+    SELECT natural_key, [natural_key] AS path_keys
+    FROM nodes WHERE parent_natural_key IS NULL
+    UNION ALL
+    SELECT n.natural_key, list_append(l.path_keys, n.natural_key)
+    FROM nodes n JOIN levels l ON n.parent_natural_key = l.natural_key),
+closure AS (
+    SELECT UNNEST(path_keys) AS ancestor_key, natural_key AS descendant_key
+    FROM levels)
+SELECT c.ancestor_key AS ancestor_node_natural_key,
+       COUNT(DISTINCT o.o_custkey) AS distinct_count
+FROM orders o
+JOIN customer cu ON o.o_custkey = cu.c_custkey
+JOIN closure c ON CAST(cu.c_nationkey AS BIGINT) = c.descendant_key
+GROUP BY c.ancestor_key
+ORDER BY ancestor_node_natural_key
+""")
+def hier_distinct_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-critical distinct, two-stage form: pre-dedup on
+    (ancestor, customer) — a shuffle whose key includes the distinct
+    value, so hot ancestors spread across partitions (inherent salting)
+    — then a cheap count. Must equal the plain COUNT(DISTINCT) oracle
+    exactly; this is the skew-hardening path for 100 TB fact tables."""
+    from aggregation_duckdb_spark import flagship as fs
+    from aggregation_duckdb_spark.operators.aggregate import (
+        distinct_count_two_stage)
+    facts = fs.order_facts(spark, sf_dir)
+    closure = fs.geo_hierarchy(spark, sf_dir).closure()
+    out = distinct_count_two_stage(
+        facts, closure, "nation_key", "o_custkey",
+        group_cols=["ancestor_node_natural_key"])
+    return out.orderBy("ancestor_node_natural_key")
+
+
+# ---------------------------------------------------------------------
 # as-of join (operator Spark lacks; DuckDB ASOF JOIN is the oracle)
 # ---------------------------------------------------------------------
 

@@ -513,3 +513,47 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
             .orderBy("order_month"))
+
+
+@register("q_percentiles", """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5)  AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       CAST(min(l_quantity) AS DOUBLE) AS qmin,
+       CAST(max(l_quantity) AS DOUBLE) AS qmax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the formula, so
+    values hash-match)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (li.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+                 F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+                 F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+                 F.min("l_quantity").cast("double").alias("qmin"),
+                 F.max("l_quantity").cast("double").alias("qmax"))
+            .orderBy("l_returnflag"))
+
+
+@register("q_exists_correlated", """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+ORDER BY c.c_custkey
+""")
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (P7/P8 family) through Spark SQL —
+    Catalyst decorrelates to a semi-join."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("__c")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("__o")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_name
+        FROM __c c
+        WHERE EXISTS (SELECT 1 FROM __o o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+        ORDER BY c.c_custkey""")

@@ -35,6 +35,9 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "events_tumbling",
     "events_sessionize",
+    "asof_join_events",
+    "hier_distinct_twostage",
+    "stream_tumbling",
 ]
 
 
