@@ -116,10 +116,29 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
             .drop("__h"))
 
 
+def doc_shingles(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", shingle_width: int = 3,
+                 out_col: str = "__sh") -> DataFrame:
+    """(id, shingle-set) for the corpus, parallelism-guarded and
+    checkpointed: the single expensive scan that both the LSH
+    candidate pass and the Jaccard verify derive from. At cluster
+    scale this is 'tokenize once, write, reuse'."""
+    # Local inputs can arrive as one parquet split; the shingle/hash
+    # pass is the CPU-bound stage, so spread it. On a real cluster the
+    # scan already yields >= cores partitions and this is skipped.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+    sh = docs.select(F.col(id_col).alias("doc"),
+                     shingles(F.col(text_col), shingle_width).alias(out_col))
+    return sh.localCheckpoint(eager=True)
+
+
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 12,
                            num_bands: int = 4, shingle_width: int = 3,
-                           max_bucket_size: int | None = None) -> DataFrame:
+                           max_bucket_size: int | None = None,
+                           shingled: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
     shingle→minhash→band→bucket-join: signatures and band keys are
@@ -129,17 +148,15 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     Staged as separate projections so each pass is computed once per
     row: shingles → one md5/shingle → arithmetic hash families →
     band keys. (A single nested expression would re-inline the md5
-    pass num_hashes·num_bands times — measured 45× slower.)"""
+    pass num_hashes·num_bands times — measured 45× slower.)
+
+    ``shingled``: pre-computed :func:`doc_shingles` output to share
+    the corpus scan with a downstream verify stage."""
     band_size = num_hashes // num_bands
-    # Local inputs can arrive as one parquet split; the signature pass
-    # is the CPU-bound stage, so spread it. On a real cluster the scan
-    # already yields >= cores partitions and this is skipped.
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism)
-    hp = docs.select(F.col(id_col).alias("doc"),
-                     shingle_hash_pairs(
-                         shingles(F.col(text_col), shingle_width)).alias("hp"))
+    if shingled is None:
+        shingled = doc_shingles(docs, text_col, id_col, shingle_width)
+    hp = shingled.select("doc",
+                         shingle_hash_pairs(F.col("__sh")).alias("hp"))
     sigged = hp.select("doc", minhash_signature_from_pairs(
         F.col("hp"), num_hashes).alias("sig"))
     bucketed = sigged.select(
@@ -161,15 +178,16 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
 
 
 def jaccard_for_pairs(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", shingle_width: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", shingle_width: int = 3,
+                      shingled: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     |A∩B| via array_intersect of the (already distinct) shingle sets;
     |A∪B| by inclusion-exclusion — all integer math, then one double
     division: bit-identical across engines."""
-    sh = docs.select(F.col(id_col).alias("__id"),
-                     shingles(F.col(text_col), shingle_width).alias("__sh"))
-    sh = sh.localCheckpoint(eager=True)  # reused by both sides of the pair join
+    if shingled is None:
+        shingled = doc_shingles(docs, text_col, id_col, shingle_width)
+    sh = shingled.withColumnRenamed("doc", "__id")
     a = sh.alias("sa")
     b = sh.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
@@ -189,9 +207,12 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     """The full scale path: LSH candidates → exact Jaccard verify →
     threshold. False positives from banding are filtered here; false
     negatives are bounded by the (num_hashes, num_bands) S-curve."""
+    shingled = doc_shingles(docs, text_col, id_col, shingle_width)
     cands = minhash_lsh_candidates(docs, text_col, id_col, num_hashes,
-                                   num_bands, shingle_width, max_bucket_size)
-    scored = jaccard_for_pairs(cands, docs, text_col, id_col, shingle_width)
+                                   num_bands, shingle_width, max_bucket_size,
+                                   shingled=shingled)
+    scored = jaccard_for_pairs(cands, docs, text_col, id_col, shingle_width,
+                               shingled=shingled)
     return scored.where(F.col("jaccard") >= threshold)
 
 
