@@ -493,6 +493,55 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_metadata(M.attach_payload(docs)).orderBy("doc_id")
 
 
+@register("mm_resize", """
+SELECT doc_id,
+       224 AS target_width, 224 AS target_height,
+       CAST(length(md5(text) || '224x224') AS BIGINT) AS n_out_bytes,
+       md5(md5(text) || '224x224') AS resized_checksum
+FROM documents ORDER BY doc_id
+""")
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-in/binary-out resize plumbing (stubbed codec): the
+    'resized' payload round-trips through Arrow and its checksum
+    hash-matches DuckDB."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = M.resize_plan(M.attach_payload(docs), target=(224, 224))
+    return (out.select("doc_id", "target_width", "target_height",
+                       F.length("resized_payload").cast("long")
+                        .alias("n_out_bytes"),
+                       "resized_checksum")
+            .orderBy("doc_id"))
+
+
+def _digest_byte_sql(h: str, j: int) -> str:
+    """Byte j of the md5 digest, from its hex rendering."""
+    hi = f"(strpos('0123456789abcdef', substr({h}, {2 * j + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({h}, {2 * j + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def _features_oracle(dim: int = 8) -> str:
+    step = 16 // dim
+    buckets = ", ".join(
+        "CAST(" + " + ".join(_digest_byte_sql("h", i * step + k)
+                             for k in range(step)) + " AS DOUBLE)"
+        for i in range(dim))
+    return f"""
+WITH p AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT doc_id, [{buckets}] AS features FROM p ORDER BY doc_id
+"""
+
+
+@register("mm_features", _features_oracle(8))
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing (payload → fixed-dim vector through
+    Arrow); stub features are digest-byte bucket sums, bit-identical in
+    the oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (M.extract_features(M.attach_payload(docs), dim=8)
+            .orderBy("doc_id"))
+
+
 def _hex4_to_int_sql(h: str) -> str:
     terms = " + ".join(
         f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1) * {16 ** (4 - i)}"

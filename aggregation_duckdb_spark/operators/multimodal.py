@@ -23,8 +23,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
+                               LongType, StringType, StructField, StructType)
 
 DECODE_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -75,6 +75,71 @@ def decode_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFram
             })
 
     return with_payload.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("target_width", IntegerType()),
+    StructField("target_height", IntegerType()),
+    StructField("resized_payload", BinaryType()),
+    StructField("resized_checksum", StringType()),
+])
+
+
+def resize_plan(with_payload: DataFrame, target: tuple[int, int] = (224, 224),
+                id_col: str = "doc_id") -> DataFrame:
+    """Resize plumbing: binary in → binary out through Arrow batches —
+    the exact shape a real PIL/torchvision resize produces (payload
+    column out, NOT collected to the driver). STUB: the 'resized'
+    payload is the utf-8 of ``md5(payload) || 'WxH'`` — deterministic,
+    so the checksum is oracle-checkable in DuckDB."""
+    tw, th = target
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if REAL_CODECS:
+            raise NotImplementedError("real resize requires codec libraries")
+        for pdf in batches:
+            fake = [(hashlib.md5(bytes(p)).hexdigest() + f"{tw}x{th}").encode()
+                    for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "target_width": pd.Series([tw] * len(pdf), dtype="int32"),
+                "target_height": pd.Series([th] * len(pdf), dtype="int32"),
+                "resized_payload": fake,
+                "resized_checksum": [hashlib.md5(b).hexdigest() for b in fake],
+            })
+
+    return with_payload.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("features", ArrayType(DoubleType())),
+])
+
+
+def extract_features(with_payload: DataFrame, dim: int = 8,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Feature-extraction plumbing: payload → fixed-dim double vector
+    (the embedding-model shape). STUB features: byte-histogram moments
+    over ``dim`` equal-width buckets of the payload's md5 digest bytes
+    — deterministic integer math, reproducible in DuckDB SQL."""
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if REAL_CODECS:
+            raise NotImplementedError(
+                "real feature extraction requires model runtimes")
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                digest = hashlib.md5(bytes(p)).digest()
+                step = len(digest) // dim
+                feats.append([float(sum(digest[i * step:(i + 1) * step]))
+                              for i in range(dim)])
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "features": feats})
+
+    return with_payload.mapInPandas(feat_batches, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(with_payload: DataFrame, every_n: int = 10,

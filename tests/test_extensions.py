@@ -151,3 +151,21 @@ def test_frame_sample_plan(spark, docs):
     for r in rows:
         assert 0 <= r["frame_idx"] < r["n_frames"]
         assert r["frame_idx"] % 10 == 0
+
+
+def test_resize_and_features_arrow_shapes(spark, docs):
+    """Binary-out and vector-out mapInPandas plumbing: schemas, payload
+    round-trip, and fixed feature dimensionality."""
+    wp = M.attach_payload(docs)
+    rz = M.resize_plan(wp, target=(64, 32))
+    assert dict(rz.dtypes)["resized_payload"] == "binary"
+    row = rz.orderBy("doc_id").first()
+    assert row["target_width"] == 64 and row["target_height"] == 32
+    # checksum matches the payload that actually crossed the Arrow boundary
+    import hashlib
+    assert hashlib.md5(bytes(row["resized_payload"])).hexdigest() == \
+        row["resized_checksum"]
+
+    ft = M.extract_features(wp, dim=4)
+    assert dict(ft.dtypes)["features"] == "array<double>"
+    assert all(len(r["features"]) == 4 for r in ft.collect())
