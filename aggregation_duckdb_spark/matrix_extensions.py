@@ -325,6 +325,62 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def _lsh_oracle(k: int = 10, num_tables: int = 4, bits_per_table: int = 6,
+                dim: int = 64) -> str:
+    """Mirror of similarity.lsh_topk: the ±1 sign matrices are Python
+    constants shared with the Spark plan, products by ±1 are IEEE-exact,
+    and the cosine re-rank is the same sequential fold."""
+    mats = S.lsh_sign_matrix(num_tables, bits_per_table, dim)
+
+    def bucket(col: str, t: int) -> str:
+        bits = []
+        for signs in mats[t]:
+            terms = " + ".join(
+                ("" if s > 0 else "- ") + f"CAST({col}[{i + 1}] AS DOUBLE)"
+                for i, s in enumerate(signs))
+            bits.append(f"(CASE WHEN (CAST(0.0 AS DOUBLE) + {terms}) > 0 "
+                        f"THEN '1' ELSE '0' END)")
+        return f"'{t}|' || " + " || ".join(bits)
+
+    c_buckets = " UNION ALL ".join(
+        f"SELECT neighbor_id, cv, {bucket('cv', t)} AS bucket FROM c"
+        for t in range(num_tables))
+    q_buckets = " UNION ALL ".join(
+        f"SELECT query_id, qv, {bucket('qv', t)} AS bucket FROM q"
+        for t in range(num_tables))
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+cb AS ({c_buckets}),
+qb AS ({q_buckets}),
+cands AS (
+    SELECT DISTINCT qb.query_id, cb.neighbor_id, qb.qv, cb.cv
+    FROM cb JOIN qb ON cb.bucket = qb.bucket
+    WHERE cb.neighbor_id <> qb.query_id),
+scored AS (
+    SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cosine_sim
+    FROM cands),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+@register("sim_lsh_topk", _lsh_oracle())
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: map-side bucketing, equi-join candidates,
+    exact cosine re-rank — the codebook-free scale path, bit-exact vs
+    the DuckDB mirror."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return (S.lsh_topk(emb, queries, k=10)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank")
+            .orderBy("query_id", "rank"))
+
+
 @register("sim_ivf_topk")  # approximate path: rows-only check (float
 # centroid means differ across engines in the last bits; the exact
 # baseline above is the oracle-checked twin)

@@ -129,3 +129,72 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.99,
             .select("id_a", "id_b",
                     cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
             .where(F.col("cosine_sim") >= threshold))
+
+
+# ---------------------------------------------------------------------
+# hyperplane-LSH ANN (the bucketed scale path without a codebook)
+# ---------------------------------------------------------------------
+
+def lsh_sign_matrix(num_tables: int, bits_per_table: int, dim: int) -> list:
+    """Deterministic ±1 hyperplane signs from md5("t|b|i") — generated
+    at PLAN BUILD time (Python), so the Spark plan and the DuckDB
+    oracle share literal constants and no float RNG crosses engines."""
+    import hashlib
+    mats = []
+    for t in range(num_tables):
+        planes = []
+        for b in range(bits_per_table):
+            planes.append([
+                1.0 if int(hashlib.md5(f"{t}|{b}|{i}".encode())
+                           .hexdigest()[0], 16) >= 8 else -1.0
+                for i in range(dim)])
+        mats.append(planes)
+    return mats
+
+
+def _bucket_bits(vec: Column, planes: list) -> Column:
+    """Bit b = sign of <vec, plane_b> (sequential double fold)."""
+    bits = []
+    for signs in planes:
+        d = dot(vec, F.array(*[F.lit(s) for s in signs]))
+        bits.append(F.when(d > 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             num_tables: int = 4, bits_per_table: int = 6, dim: int = 64,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """ANN top-k via random-hyperplane LSH: vectors that agree on all
+    bits of any table become candidates; exact cosine re-ranks.
+
+    Scale shape: the corpus is bucketed map-side (num_tables bucket
+    keys per vector), candidates come from an equi-join on
+    (table, bits) — no cross product, no codebook training. Recall
+    rises with num_tables; candidate cost with 2^-bits_per_table.
+    """
+    mats = lsh_sign_matrix(num_tables, bits_per_table, dim)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qvec"))
+    c_buckets = c.select(
+        "neighbor_id", "__cvec",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{t}|"), _bucket_bits(F.col("__cvec"), mats[t]))
+            for t in range(num_tables)])).alias("__bucket"))
+    q_buckets = q.select(
+        "query_id", "__qvec",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{t}|"), _bucket_bits(F.col("__qvec"), mats[t]))
+            for t in range(num_tables)])).alias("__bucket"))
+    cands = (c_buckets.join(F.broadcast(q_buckets), "__bucket")
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "__qvec", "neighbor_id", "__cvec")
+             .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k))

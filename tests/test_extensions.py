@@ -169,3 +169,25 @@ def test_resize_and_features_arrow_shapes(spark, docs):
     ft = M.extract_features(wp, dim=4)
     assert dict(ft.dtypes)["features"] == "array<double>"
     assert all(len(r["features"]) == 4 for r in ft.collect())
+
+
+def test_lsh_topk_recall_and_validity(spark, sf_dir):
+    """Hyperplane-LSH ANN: every returned neighbor's score must equal
+    the exact cosine (re-rank is exact), and recall vs brute force is
+    meaningful even on random embeddings."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, queries, k=5).collect()
+    # random embeddings have near-zero pairwise cosine, the worst case
+    # for hyperplane LSH — wide tables (12×4 bits) still recall >40%
+    approx = S.lsh_topk(emb, queries, k=5, num_tables=12,
+                        bits_per_table=4).collect()
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(e & a) >= len(e) * 0.4
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+                    for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cosine_sim"] - exact_scores[key]) < 1e-12
