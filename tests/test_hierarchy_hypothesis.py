@@ -1,0 +1,85 @@
+"""Hypothesis property tests: the hierarchy engine over adversarially
+generated trees (shapes a fixed-seed generator won't hit — chains,
+stars, ragged mixes)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aggregation_duckdb_spark.hierarchy import Hierarchy, HierarchyConfig
+
+# a tree as parent indices: node i (1-based) attaches to parents[i-1],
+# drawn from nodes 0..i-1 — always acyclic, single-rooted at 0
+trees = st.lists(st.integers(min_value=0, max_value=10_000),
+                 min_size=0, max_size=40).map(
+    lambda raw: [None] + [raw[i] % (i + 1) for i in range(len(raw))])
+
+
+def _spark():
+    from aggregation_duckdb_spark.session import get_spark
+    return get_spark("hypothesis")
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(parents=trees)
+def test_flatten_invariants_on_generated_trees(parents):
+    spark = _spark()
+    rows = [(k, f"n{k}", "L", p) for k, p in enumerate(parents)]
+    df = spark.createDataFrame(
+        rows, "natural_key long, name string, level_name string, "
+              "parent_natural_key long")
+    h = Hierarchy.from_adjacency(
+        df, natural_key="natural_key", name="name", level_name="level_name",
+        parent_natural_key="parent_natural_key")
+    flat = h.flattened().collect()
+
+    # every node appears exactly once
+    assert sorted(r["node_natural_key"] for r in flat) == sorted(
+        k for k, *_ in rows)
+
+    by_key = {r["node_natural_key"]: r for r in flat}
+    depth = {}
+
+    def d(k):
+        if k not in depth:
+            p = parents[k]
+            depth[k] = 1 if p is None else d(p) + 1
+        return depth[k]
+
+    for k, p in enumerate(parents):
+        r = by_key[k]
+        # level == distance from root along parent pointers
+        assert r["level_number"] == d(k)
+        # path spells the ancestry root→node
+        path_keys = [e["node_natural_key"] for e in r["node_json_path"]]
+        anc, cur = [], k
+        while cur is not None:
+            anc.append(cur)
+            cur = parents[cur]
+        assert path_keys == list(reversed(anc))
+        # pre-order: parent sorts strictly before child
+        if p is not None:
+            assert r["node_sort_order"] > by_key[p]["node_sort_order"]
+
+    # closure cardinality = Σ depths
+    assert h.closure().count() == sum(d(k) for k, _ in enumerate(parents))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(parents=trees)
+def test_local_equals_distributed_on_generated_trees(parents):
+    spark = _spark()
+    rows = [(k, f"n{k}", "L", p) for k, p in enumerate(parents)]
+    df = spark.createDataFrame(
+        rows, "natural_key long, name string, level_name string, "
+              "parent_natural_key long")
+    mk = lambda thr: Hierarchy.from_adjacency(
+        df, natural_key="natural_key", name="name", level_name="level_name",
+        parent_natural_key="parent_natural_key",
+        config=HierarchyConfig(local_build_threshold=thr))
+    local = sorted(tuple(r) for r in mk(10_000).flattened().collect())
+    dist = sorted(tuple(r) for r in mk(0).flattened().collect())
+    assert local == dist
