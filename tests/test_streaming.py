@@ -78,3 +78,44 @@ def test_stateful_totals_survive_batch_boundaries(spark, sf_dir,
 
     # state actually crossed micro-batches: some user saw >1 batch
     assert final.agg(F.max("n_batches")).first()[0] > 1
+
+
+def test_checkpointed_stream_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Restart semantics: a checkpointed file-source → parquet-sink
+    stream picks up only unseen files after a restart; every input row
+    lands in the sink exactly once."""
+    src_all = str(tmp_path / "all")
+    load_table(spark, "events", sf_dir).repartition(4) \
+        .write.mode("overwrite").parquet(src_all)
+    import glob, os
+    parts = sorted(glob.glob(src_all + "/part-*.parquet"))
+    assert len(parts) == 4
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(src_all).schema
+
+    def run_once():
+        q = (spark.readStream.schema(schema).parquet(str(src))
+             .writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for p in parts[:2]:
+        os.symlink(p, src / os.path.basename(p))
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+
+    for p in parts[2:]:
+        os.symlink(p, src / os.path.basename(p))
+    run_once()
+
+    got = spark.read.parquet(sink)
+    want = spark.read.parquet(src_all)
+    assert n_first == sum(spark.read.parquet(p).count() for p in parts[:2])
+    assert got.count() == want.count()  # no duplicates after restart
+    assert got.agg(F.count_distinct("event_id")).first()[0] == \
+        want.agg(F.count_distinct("event_id")).first()[0]
