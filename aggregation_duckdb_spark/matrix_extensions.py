@@ -142,6 +142,26 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("text_rolling_hash", """
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(generate_series(1, length(text)),
+                   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+    (acc, c) -> (acc * 131 + c) % 2147483647) AS doc_hash,
+  list_min(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(0, least(7, length(text) - i)),
+                          j -> CAST(ascii(substr(text, i + j, 1)) AS BIGINT))),
+           (acc, c) -> (acc * 131 + c) % 2147483647))) AS min_gram_hash
+FROM documents ORDER BY doc_id
+""")
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin–Karp rolling-hash fingerprints (whole-doc + min 8-gram
+    window): exact integer folds, bit-identical in DuckDB."""
+    return (T.rolling_fingerprint(load_table(spark, "documents", sf_dir))
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------

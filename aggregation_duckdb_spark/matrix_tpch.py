@@ -557,3 +557,67 @@ def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_totalprice > 400000)
         ORDER BY c.c_custkey""")
+
+
+@register("q_string_agg", """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""")
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation: collect_list is unordered in Spark, so
+    sort-then-join makes it deterministic (= DuckDB's ORDER BY inside
+    string_agg)."""
+    return (load_table(spark, "nation", sf_dir)
+            .groupBy("n_regionkey")
+            .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+                  .alias("nations"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("n_regionkey"))
+
+
+@register("q_pivot_status", """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS filled_revenue
+FROM orders GROUP BY order_year ORDER BY order_year
+""")
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via DataFrame .pivot() with explicit values (explicit list
+    keeps it one pass, no distinct-discovery job); oracle spelled as
+    FILTER aggregates — the portable pivot form."""
+    orders = load_table(spark, "orders", sf_dir)
+    pivoted = (orders
+               .withColumn("order_year", F.year("o_orderdate").cast("int"))
+               .groupBy("order_year")
+               .pivot("o_orderstatus", ["O", "F", "P"])
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(_dec("o_totalprice")).cast("double").alias("rev")))
+    return (pivoted.select(
+        "order_year",
+        F.coalesce("O_n", F.lit(0)).alias("n_open"),
+        F.coalesce("F_n", F.lit(0)).alias("n_filled"),
+        F.coalesce("P_n", F.lit(0)).alias("n_partial"),
+        F.col("F_rev").alias("filled_revenue"))
+        .orderBy("order_year"))
+
+
+@register("q_regex", """
+SELECT c_custkey,
+       regexp_extract(c_name, '[0-9]+') AS digits,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+       CAST(regexp_matches(c_name, 'Customer') AS BOOLEAN) AS is_std
+FROM customer ORDER BY c_custkey LIMIT 200
+""")
+def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: extract / global replace / match."""
+    return (load_table(spark, "customer", sf_dir)
+            .select("c_custkey",
+                    F.regexp_extract("c_name", "[0-9]+", 0).alias("digits"),
+                    F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+                    F.col("c_name").rlike("Customer").alias("is_std"))
+            .orderBy("c_custkey").limit(200))

@@ -123,3 +123,36 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.md5(F.lower(t)).alias("exact_fingerprint"),
         F.array_min(F.transform(sh, F.md5)).alias("min_shingle_hash"))
+
+
+ROLLING_BASE = 131
+ROLLING_MOD = 2147483647  # 2^31 − 1 (prime); acc·131 + 255 < 2^39, exact int64
+
+
+def _poly_hash(codes) -> "F.Column":
+    """Left fold (acc·B + c) mod M — the Rabin–Karp polynomial hash,
+    exact integer math, identical in DuckDB's list_reduce."""
+    return F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + c) % ROLLING_MOD)
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", gram: int = 8) -> DataFrame:
+    """Rolling-hash fingerprints: the whole-document polynomial hash
+    plus the minimum ``gram``-char window hash (winnowing-style local
+    fingerprint — stable under content reordering/appends that move but
+    don't change a window). All integer column math, no UDFs."""
+    t = F.col(text_col)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(F.substring(t, i, 1)).cast("long"))
+    window_hash = lambda i: _poly_hash(F.transform(
+        F.sequence(F.lit(0), F.least(F.lit(gram - 1), F.length(t) - i)),
+        lambda j: F.ascii(F.substring(t, i + j, 1)).cast("long")))
+    min_gram = F.array_min(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (gram - 1), F.lit(1))),
+        window_hash))
+    return docs.select(F.col(id_col),
+                      _poly_hash(codes).alias("doc_hash"),
+                      min_gram.alias("min_gram_hash"))
