@@ -1,0 +1,73 @@
+"""Scale-up probe: flagship throughput as fact volume multiplies.
+
+The 100 TB question isn't sf0.1 latency — it's whether cost grows
+linearly in fact rows with no plan degradation. This probe unions the
+orders scan N× (same dims, same plan shape) and times the closure
+aggregation at each multiple. Linear wall-clock growth + unchanged
+plan (broadcast joins, one agg shuffle) is the pass condition; output
+is one JSON line per multiple.
+
+Usage: python scripts/scale_probe.py [multiples ...] (default 1 4 16)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from aggregation_duckdb_spark import flagship as fs  # noqa: E402
+from aggregation_duckdb_spark.operators.aggregate import (  # noqa: E402
+    aggregate_with_closure)
+from aggregation_duckdb_spark.plans import (  # noqa: E402
+    count_shuffles, physical_plan)
+from aggregation_duckdb_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    multiples = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    h = fs.geo_hierarchy(spark, SF_DIR)
+    closure = h.closure()
+    dim = h.reporting_dim()
+    base = fs.order_facts(spark, SF_DIR)
+    # warmup
+    aggregate_with_closure(base, closure, "nation_key",
+                           fs.flagship_measures(), reporting_dim=dim).count()
+
+    for m in multiples:
+        facts = base
+        for i in range(m - 1):
+            # re-key so distinct counts grow with volume (union of the
+            # same rows would dedupe to the base answer)
+            shifted = base.select(
+                "o_orderkey",
+                (F.col("o_custkey") + (i + 1) * 10_000_000).alias("o_custkey"),
+                "o_totalprice", "nation_key")
+            facts = facts.unionByName(shifted)
+        agg = aggregate_with_closure(facts, closure, "nation_key",
+                                     fs.flagship_measures(),
+                                     reporting_dim=dim)
+        t0 = time.time()
+        n_rows = agg.count()
+        elapsed = time.time() - t0
+        plan = physical_plan(agg, "simple")
+        print(json.dumps({
+            "multiple": m,
+            "fact_rows": facts.count(),
+            "seconds": round(elapsed, 3),
+            "result_rows": n_rows,
+            "shuffles": count_shuffles(agg),
+            "broadcast_joins": plan.count("BroadcastHashJoin"),
+            "sort_merge_joins": plan.count("SortMergeJoin"),
+        }))
+
+
+if __name__ == "__main__":
+    main()
