@@ -391,6 +391,32 @@ class Hierarchy:
                 cols.append(elem.getField(attr).alias(f"level_{i}_{attr}"))
         return flat.select(*cols)
 
+    def descendants_of(self, ancestor_natural_key) -> DataFrame:
+        """All nodes at or under the given ancestor (self included) —
+        one closure filter, no recursion at query time."""
+        return (self.closure()
+                .where(F.col("ancestor_node_natural_key")
+                       == F.lit(ancestor_natural_key))
+                .select(F.col("descendant_node_natural_key").alias("node_natural_key"),
+                        F.col("descendant_node_name").alias("node_name"),
+                        F.col("descendant_level_name").alias("level_name"),
+                        F.col("descendant_level_number").alias("level_number"),
+                        F.col("net_level")))
+
+    def subtree_facts(self, facts: DataFrame, fact_key: str,
+                      ancestor_natural_key) -> DataFrame:
+        """Facts restricted to one subtree via a broadcast semi-join on
+        the filtered closure — the 'WHERE department under X' pattern.
+        The fact scan stays shuffle-free; at 100 TB this is a broadcast
+        of a handful of leaf keys against the full scan."""
+        leaves = (self.closure()
+                  .where(F.col("ancestor_node_natural_key")
+                         == F.lit(ancestor_natural_key))
+                  .select(F.col("descendant_node_natural_key").alias("__k"))
+                  .distinct())
+        return facts.join(F.broadcast(leaves),
+                          facts[fact_key] == F.col("__k"), "left_semi")
+
     def closure_recursive_sql(self) -> DataFrame:
         """Closure table via Spark 4's native ``WITH RECURSIVE`` — the
         reference's literal construct (:353-403) executed inside the

@@ -456,6 +456,40 @@ def hier_distinct_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("ancestor_node_natural_key")
 
 
+@register("hier_subtree_agg", f"""
+WITH RECURSIVE nodes AS ({_fs.GEO_NODES_SQL}),
+levels AS (
+    SELECT natural_key, [natural_key] AS path_keys
+    FROM nodes WHERE parent_natural_key IS NULL
+    UNION ALL
+    SELECT n.natural_key, list_append(l.path_keys, n.natural_key)
+    FROM nodes n JOIN levels l ON n.parent_natural_key = l.natural_key),
+subtree AS (
+    SELECT natural_key FROM levels WHERE list_contains(path_keys, 101))
+SELECT CAST(cu.c_nationkey AS BIGINT) AS nation_key,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer cu ON o.o_custkey = cu.c_custkey
+JOIN subtree s ON CAST(cu.c_nationkey AS BIGINT) = s.natural_key
+GROUP BY nation_key
+ORDER BY nation_key
+""")
+def hier_subtree_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree restriction ('orders under region 101'): broadcast
+    semi-join of facts against the filtered closure — no fact shuffle
+    for the filter; aggregation per leaf nation below."""
+    from aggregation_duckdb_spark import flagship as fs
+    h = fs.geo_hierarchy(spark, sf_dir)
+    facts = fs.order_facts(spark, sf_dir)
+    sub = h.subtree_facts(facts, "nation_key", 101)
+    return (sub.groupBy(F.col("nation_key"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("revenue"))
+            .orderBy("nation_key"))
+
+
 # ---------------------------------------------------------------------
 # as-of join (operator Spark lacks; DuckDB ASOF JOIN is the oracle)
 # ---------------------------------------------------------------------

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from aggregation_duckdb_spark.matrix import register
 from aggregation_duckdb_spark.streaming import (
     events_stream, run_available_now, running_user_totals,
-    session_windows_stream, tumbling_counts_stream)
+    session_windows_stream, sliding_counts_stream, tumbling_counts_stream)
 
 
 @register("stream_tumbling", """
@@ -69,6 +69,26 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(session_windows_stream(ev, gap_minutes=30),
                             "complete")
     return out.orderBy("user_id", "session_start")
+
+
+@register("stream_sliding", """
+WITH expanded AS (
+    SELECT UNNEST([CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP),
+                   CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
+                       - INTERVAL '30 minutes']) AS window_start,
+           event_type
+    FROM events)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM expanded
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""")
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding windows (1h width / 30min slide) as a
+    streaming job; each event expands into width/slide buckets."""
+    ev = events_stream(spark, sf_dir)
+    out = run_available_now(sliding_counts_stream(ev), "complete")
+    return out.orderBy("window_start", "event_type")
 
 
 @register("stream_stateful_totals", """

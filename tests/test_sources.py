@@ -71,3 +71,21 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         assert count_shuffles(plain) >= 1  # the unbucketed twin shuffles
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned parquet: a filter on the partition column must
+    prune directories at plan time (PartitionFilters), not scan-and-
+    filter — the date-partition pattern for 100 TB fact tables."""
+    from aggregation_duckdb_spark.io import write_parquet
+
+    ev = load_table(spark, "events", sf_dir)
+    path = str(tmp_path / "events_by_type")
+    write_parquet(ev, path, partition_by=["event_type"])
+
+    scan = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = physical_plan(scan, "formatted")
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+    # and the pruned read returns exactly the one partition's rows
+    assert scan.count() == ev.where(F.col("event_type") == "click").count()
