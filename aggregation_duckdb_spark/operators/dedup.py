@@ -124,12 +124,15 @@ def doc_shingles(docs: DataFrame, text_col: str = "text",
     candidate pass and the Jaccard verify derive from. At cluster
     scale this is 'tokenize once, write, reuse'."""
     # Local inputs can arrive as one parquet split; the shingle/hash
-    # pass is the CPU-bound stage, so spread it. On a real cluster the
-    # scan already yields >= cores partitions and this is skipped.
+    # pass is the CPU-bound stage, so spread it. Project to (id, text)
+    # BEFORE repartitioning so only those bytes shuffle. On a real
+    # cluster the scan already yields >= cores partitions and the
+    # repartition is skipped.
+    slim = docs.select(F.col(id_col).alias("doc"), F.col(text_col))
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism)
-    sh = docs.select(F.col(id_col).alias("doc"),
+    if slim.rdd.getNumPartitions() < parallelism:
+        slim = slim.repartition(parallelism)
+    sh = slim.select("doc",
                      shingles(F.col(text_col), shingle_width).alias(out_col))
     return sh.localCheckpoint(eager=True)
 
