@@ -110,6 +110,32 @@ def flagship_closure_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_total_price", "distinct_customer_count", "count_of_fact_records")
 
 
+def flagship_closure_agg_approx(spark: SparkSession, sf_dir: str,
+                                rsd: float = 0.02) -> DataFrame:
+    """Approx-distinct mode (SURVEY §7 phase 6): HyperLogLog++ replaces
+    the exact distinct — no expand, no second shuffle phase, constant
+    sketch memory per group. The switch for when exact distinct at
+    100 TB isn't worth its shuffle; rows-only driver check (sketch
+    estimates are engine-specific)."""
+    hier = geo_hierarchy(spark, sf_dir)
+    measures = [
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+         .alias("sum_total_price"),
+        F.approx_count_distinct(F.col("o_custkey"), rsd)
+         .alias("distinct_customer_count"),
+        F.count(F.lit(1)).alias("count_of_fact_records"),
+    ]
+    agg = aggregate_with_closure(
+        order_facts(spark, sf_dir), hier.closure(), "nation_key",
+        measures, reporting_dim=hier.reporting_dim())
+    return agg.select(
+        F.col("ancestor_node_natural_key").alias("node_natural_key"),
+        F.col("ancestor_node_name").alias("node_name"),
+        F.col("ancestor_level_number").alias("level_number"),
+        "sum_total_price", "distinct_customer_count",
+        "count_of_fact_records")
+
+
 def flagship_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same answer via the ROLLUP strategy (strategy-equivalence)."""
     hier = geo_hierarchy(spark, sf_dir)

@@ -58,6 +58,8 @@ def oracle_sql() -> dict[str, str]:
 register("hier_agg_closure", fs.flagship_oracle_sql())(fs.flagship_closure_agg)
 # Strategy equivalence: the ROLLUP path must match the same oracle.
 register("hier_agg_rollup", fs.flagship_oracle_sql())(fs.flagship_rollup_agg)
+# Approx-distinct mode: rows-only (HLL estimates are engine-specific).
+register("hier_agg_closure_approx")(fs.flagship_closure_agg_approx)
 
 
 _GEO_DIM_ORACLE = f"""

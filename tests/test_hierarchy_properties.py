@@ -178,3 +178,24 @@ def test_validation_errors(spark):
             cyc, natural_key="natural_key", name="name",
             level_name="level_name", parent_natural_key="parent_natural_key",
             config=HierarchyConfig(max_depth=8)).flattened()
+
+
+def test_reporting_dim_pivots_arbitrary_depth(spark):
+    """Width parameterization (fixes the reference's hard-coded 3-level
+    limit, :202/:325): a depth-6 chain pivots into level_1..level_6
+    columns with correct keys and NULLs above each node's depth."""
+    rows = [(k, f"n{k}", f"L{k + 1}", None if k == 0 else k - 1)
+            for k in range(6)]
+    df = spark.createDataFrame(rows, "natural_key long, name string, level_name string, parent_natural_key long")
+    h = Hierarchy.from_adjacency(df, natural_key="natural_key", name="name",
+                                 level_name="level_name",
+                                 parent_natural_key="parent_natural_key")
+    dim = h.reporting_dim()
+    assert "level_6_node_natural_key" in dim.columns
+    leaf = dim.where(F.col("node_natural_key") == 5).first()
+    assert [leaf[f"level_{i}_node_natural_key"] for i in range(1, 7)] == \
+        list(range(6))
+    root = dim.where(F.col("node_natural_key") == 0).first()
+    assert root["level_1_node_natural_key"] == 0
+    assert all(root[f"level_{i}_node_natural_key"] is None
+               for i in range(2, 7))

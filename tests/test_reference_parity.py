@@ -149,3 +149,21 @@ def test_uuid_mode_same_semantics(spark):
     assert len(dim) == 7
     assert {r["node_natural_key"] for r in dim} == {0, 10, 20, 101, 102, 201, 202}
     assert hier.closure().count() == 17
+
+
+def test_approx_distinct_mode_tracks_exact(spark, sf_dir):
+    """The approx flagship must agree on every non-sketch measure and
+    estimate distincts within ~3x rsd of exact."""
+    from aggregation_duckdb_spark.flagship import (
+        flagship_closure_agg, flagship_closure_agg_approx)
+    exact = {r["node_natural_key"]: r for r in
+             flagship_closure_agg(spark, sf_dir).collect()}
+    approx = {r["node_natural_key"]: r for r in
+              flagship_closure_agg_approx(spark, sf_dir, rsd=0.02).collect()}
+    assert set(exact) == set(approx)
+    for k, e in exact.items():
+        a = approx[k]
+        assert a["count_of_fact_records"] == e["count_of_fact_records"]
+        assert abs(a["sum_total_price"] - e["sum_total_price"]) < 1e-6
+        d_e, d_a = e["distinct_customer_count"], a["distinct_customer_count"]
+        assert abs(d_a - d_e) <= max(3, d_e * 0.06)
