@@ -621,3 +621,124 @@ def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
                     F.col("c_name").rlike("Customer").alias("is_std"))
             .orderBy("c_custkey").limit(200))
+
+
+@register("q3_shipping_priority", """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join, revenue agg, ordered top-k.
+    Filters reach the scans (segment, both dates); customer broadcasts;
+    the limit runs as TakeOrderedAndProject."""
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    c = (load_table(spark, "customer", sf_dir)
+         .where(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    o = (load_table(spark, "orders", sf_dir)
+         .where(F.col("o_orderdate") < cutoff)
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (load_table(spark, "lineitem", sf_dir)
+          .where(F.col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (_dec("l_extendedprice")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate")
+            .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                     F.asc("l_orderkey"))
+            .limit(10))
+
+
+@register("q5_local_supplier_volume", """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+""")
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way snowflake join with the local-supplier
+    equality (customer and supplier share a nation); dims broadcast,
+    the fact chain shuffles only for the final group-by."""
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir)
+    r = (load_table(spark, "region", sf_dir)
+         .where(F.col("r_name") == "ASIA"))
+    rev = (_dec("l_extendedprice")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(s), (li["l_suppkey"] == s["s_suppkey"])
+                  & (c["c_nationkey"] == s["s_nationkey"]))
+            .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name")))
+
+
+@register("q10_returned_items", """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
+       n.n_name,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top-20 —
+    high-cardinality group-by keyed on the customer, dims broadcast."""
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = (load_table(spark, "lineitem", sf_dir)
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    rev = (_dec("l_extendedprice")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name",
+                    F.col("c_acctbal").cast("double").alias("c_acctbal"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
