@@ -742,3 +742,46 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c_acctbal").cast("double").alias("c_acctbal"))
             .orderBy(F.desc("revenue"), F.asc("c_custkey"))
             .limit(20))
+
+
+@register("q18_large_volume_customers", """
+WITH big AS (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""")
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: semi-join against an aggregated subquery (the
+    'large orders' set), then re-aggregate — two passes over lineitem,
+    the qualifying-key set broadcast back as a semi-join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("__q"))
+           .where(F.col("__q") > 150)
+           .select("l_orderkey"))
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    qualified = o.join(F.broadcast(big),
+                       o["o_orderkey"] == big["l_orderkey"], "left_semi")
+    return (li.select("l_orderkey", "l_quantity")
+            .join(F.broadcast(qualified),
+                  F.col("l_orderkey") == qualified["o_orderkey"])
+            .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+            .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                  .cast("double").alias("total_qty"))
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                    "total_qty")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(20))
