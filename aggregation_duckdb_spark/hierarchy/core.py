@@ -157,9 +157,13 @@ class Hierarchy:
         stats = nodes.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(F.col("node_natural_key")).alias("nk"),
+            F.count(F.col("node_natural_key")).alias("nk_nonnull"),
             F.count_distinct(F.col("node_id")).alias("nid"),
             F.sum(F.col("is_root").cast("long")).alias("roots"),
         ).first()
+        if stats["nk_nonnull"] != stats["n"]:
+            raise HierarchyValidationError(
+                "node_natural_key is NULL (facts join on it; NOT NULL per :4-6)")
         if stats["nk"] != stats["n"]:
             raise HierarchyValidationError(
                 f"node_natural_key not unique: {stats['nk']} distinct of {stats['n']} rows")
@@ -212,6 +216,10 @@ class Hierarchy:
                       if r["parent_node_id"] is not None}
         if self.config.validate:
             n = len(rows)
+            if any(r["node_natural_key"] is None for r in rows):
+                raise HierarchyValidationError(
+                    "node_natural_key is NULL (facts join on it; "
+                    "NOT NULL per :4-6)")
             if len({r["node_natural_key"] for r in rows}) != n:
                 raise HierarchyValidationError("node_natural_key not unique")
             ids = {r["node_id"] for r in rows}

@@ -199,3 +199,16 @@ def test_reporting_dim_pivots_arbitrary_depth(spark):
     assert root["level_1_node_natural_key"] == 0
     assert all(root[f"level_{i}_node_natural_key"] is None
                for i in range(2, 7))
+
+
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_null_natural_key_rejected(spark, path):
+    rows = [(0, "root", "L1", None), (None, "bad", "L2", 0)]
+    df = spark.createDataFrame(rows, "natural_key long, name string, level_name string, parent_natural_key long")
+    cfg = HierarchyConfig(
+        local_build_threshold=0 if path == "distributed" else 100_000)
+    with pytest.raises(HierarchyValidationError, match="NULL"):
+        Hierarchy.from_adjacency(
+            df, natural_key="natural_key", name="name",
+            level_name="level_name", parent_natural_key="parent_natural_key",
+            config=cfg).flattened()
