@@ -118,11 +118,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 def doc_shingles(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", shingle_width: int = 3,
-                 out_col: str = "__sh") -> DataFrame:
+                 out_col: str = "__sh", checkpoint: bool = True) -> DataFrame:
     """(id, shingle-set) for the corpus, parallelism-guarded and
-    checkpointed: the single expensive scan that both the LSH
-    candidate pass and the Jaccard verify derive from. At cluster
-    scale this is 'tokenize once, write, reuse'."""
+    (when shared) checkpointed: the single expensive scan that both
+    the LSH candidate pass and the Jaccard verify derive from. At
+    cluster scale this is 'tokenize once, write, reuse'. Pass
+    ``checkpoint=False`` when exactly one consumer follows — the
+    materialization would just double the work."""
     # Local inputs can arrive as one parquet split; the shingle/hash
     # pass is the CPU-bound stage, so spread it. Project to (id, text)
     # BEFORE repartitioning so only those bytes shuffle. On a real
@@ -134,7 +136,7 @@ def doc_shingles(docs: DataFrame, text_col: str = "text",
         slim = slim.repartition(parallelism)
     sh = slim.select("doc",
                      shingles(F.col(text_col), shingle_width).alias(out_col))
-    return sh.localCheckpoint(eager=True)
+    return sh.localCheckpoint(eager=True) if checkpoint else sh
 
 
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
@@ -157,7 +159,10 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     the corpus scan with a downstream verify stage."""
     band_size = num_hashes // num_bands
     if shingled is None:
-        shingled = doc_shingles(docs, text_col, id_col, shingle_width)
+        # sole consumer here — the bucketed frame below is the
+        # checkpoint; materializing shingles too would double the work
+        shingled = doc_shingles(docs, text_col, id_col, shingle_width,
+                                checkpoint=False)
     hp = shingled.select("doc",
                          shingle_hash_pairs(F.col("__sh")).alias("hp"))
     sigged = hp.select("doc", minhash_signature_from_pairs(
