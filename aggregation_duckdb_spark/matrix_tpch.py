@@ -785,3 +785,47 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "total_qty")
             .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
             .limit(20))
+
+
+@register("q7_volume_shipping", """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY cust_nation, supp_nation, ship_year
+ORDER BY cust_nation, supp_nation, ship_year
+""")
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume by year — the same
+    dimension (nation) joined twice under different roles, plus a
+    dim-dim inequality applied post-broadcast."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("__n1k"), F.col("n_name").alias("cust_nation"))
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("__n2k"), F.col("n_name").alias("supp_nation"))
+    rev = (_dec("l_extendedprice")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(n1), c["c_nationkey"] == F.col("__n1k"))
+            .join(F.broadcast(n2), s["s_nationkey"] == F.col("__n2k"))
+            .where(F.col("cust_nation") != F.col("supp_nation"))
+            .groupBy("cust_nation", "supp_nation",
+                     F.year("l_shipdate").cast("int").alias("ship_year"))
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy("cust_nation", "supp_nation", "ship_year"))
