@@ -191,3 +191,27 @@ def test_lsh_topk_recall_and_validity(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert abs(r["cosine_sim"] - exact_scores[key]) < 1e-12
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Empty-corpus robustness: every extension operator must return an
+    empty, correctly-schemaed result — not raise — on zero rows."""
+    from aggregation_duckdb_spark.operators.asof import asof_join
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert D.exact_duplicate_groups(empty_docs).count() == 0
+    assert D.minhash_lsh_candidates(empty_docs).count() == 0
+    assert D.near_duplicates(empty_docs).count() == 0
+    assert T.text_stats(empty_docs).count() == 0
+    assert T.rolling_fingerprint(empty_docs).count() == 0
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double")
+    assert E.tumbling_counts(empty_ev).count() == 0
+    assert E.sessionize(empty_ev).count() == 0
+
+    left = spark.createDataFrame([(1, 1, 10)], "id long, k long, t long")
+    empty_right = spark.createDataFrame([], "k long, t long, v double")
+    out = asof_join(left, empty_right, on="t", by="k", value_cols=["v"])
+    assert [r["v_asof"] for r in out.collect()] == [None]

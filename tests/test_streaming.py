@@ -119,3 +119,59 @@ def test_checkpointed_stream_resumes_exactly_once(spark, sf_dir, tmp_path):
     assert got.count() == want.count()  # no duplicates after restart
     assert got.agg(F.count_distinct("event_id")).first()[0] == \
         want.agg(F.count_distinct("event_id")).first()[0]
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Real watermark semantics: a row arriving in a later micro-batch,
+    older than (max event time seen − watermark), must be dropped from
+    an append-mode windowed aggregation."""
+    import os
+    src = tmp_path / "late_src"
+    src.mkdir()
+    sink_dir = str(tmp_path / "late_sink")
+
+    base = "2024-01-01 "
+    on_time = spark.createDataFrame(
+        [(1, base + "10:00:00"), (2, base + "10:30:00"),
+         (3, base + "14:00:00")],          # advances watermark to 12:00
+        "id long, ts_s string").select(
+        "id", F.col("ts_s").cast("timestamp").alias("ts"))
+    late = spark.createDataFrame(
+        [(4, base + "10:15:00")],           # < 12:00 watermark → dropped
+        "id long, ts_s string").select(
+        "id", F.col("ts_s").cast("timestamp").alias("ts"))
+    stage = tmp_path / "stage"
+    on_time.coalesce(1).write.mode("overwrite").parquet(str(stage / "b1"))
+    late.coalesce(1).write.mode("overwrite").parquet(str(stage / "b2"))
+    import glob as _glob
+    b1, = _glob.glob(str(stage / "b1" / "part-*.parquet"))
+    b2, = _glob.glob(str(stage / "b2" / "part-*.parquet"))
+    schema = spark.read.parquet(str(stage / "b1")).schema
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        # NB append mode requires grouping by the full window column —
+        # a .getField("start") projection severs the watermark link
+        agg = (stream.withWatermark("ts", "2 hours")
+               .groupBy(F.window("ts", "1 hour"))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .select(F.col("window.start").alias("window_start"), "n"))
+        q = (agg.writeStream.format("parquet")
+             .option("path", sink_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # batch 1: on-time rows only → watermark advances to 12:00
+    os.symlink(b1, src / "b1.parquet")
+    run_once()
+    # batch 2: the 10:15 row is older than the watermark → dropped
+    os.symlink(b2, src / "b2.parquet")
+    run_once()
+
+    got = {str(r["window_start"]): r["n"]
+           for r in spark.read.parquet(sink_dir).collect()}
+    # the 10:00 window closed with exactly the 2 on-time rows; the late
+    # row (id 4) did not resurrect or re-emit it
+    assert got.get("2024-01-01 10:00:00") == 2
