@@ -519,6 +519,30 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "ts_asof").orderBy("event_id")
 
 
+@register("q_salted_join", """
+SELECT CAST(cu.c_nationkey AS BIGINT) AS nation_key,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+GROUP BY nation_key ORDER BY nation_key
+""")
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew salting: the salted join must produce EXACTLY the
+    plain-join answer (the oracle is the unsalted join) while spreading
+    any hot key across salt_buckets shuffle partitions."""
+    from aggregation_duckdb_spark.operators.skew import salted_join
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nation_key"))
+    joined = salted_join(orders, cust, "o_custkey", "c_custkey",
+                         salt_buckets=8, salt_source="o_orderkey")
+    return (joined.groupBy("nation_key")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("revenue"))
+            .orderBy("nation_key"))
+
+
 # ---------------------------------------------------------------------
 # event-time operators
 # ---------------------------------------------------------------------

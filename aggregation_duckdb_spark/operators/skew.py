@@ -1,0 +1,42 @@
+"""Skew handling: explicit key salting for shuffle joins.
+
+AQE's skew-join splitter handles most skew automatically (enabled in
+session.py), but it only fires on sort-merge joins past size
+thresholds. This is the explicit form for when you KNOW a key is hot
+(a null-ish default key, a mega-customer, boilerplate content): spread
+the probe side across ``salt_buckets`` sub-keys derived from a
+uniform-ish column, replicate the build side once per bucket, join on
+(key, salt). Result is provably identical to the plain join — the
+oracle entry asserts it — at the cost of a build side ``salt_buckets``×
+larger (still trivial for dimension tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_join(facts: DataFrame, dim: DataFrame, fact_key: str | Column,
+                dim_key: str | Column, salt_buckets: int = 8,
+                salt_source: str | Column | None = None,
+                how: str = "inner") -> DataFrame:
+    """facts ⋈ dim on key, with the fact side salted across
+    ``salt_buckets`` partitions per key.
+
+    ``salt_source``: a fact column whose hash spreads rows (a unique id
+    is ideal). Deterministic — no rand(), so results are reproducible
+    and retry-safe (a rand() salt changes on task retry, which can
+    duplicate or drop rows under speculative execution)."""
+    fk = F.col(fact_key) if isinstance(fact_key, str) else fact_key
+    dk = F.col(dim_key) if isinstance(dim_key, str) else dim_key
+    src = (F.col(salt_source) if isinstance(salt_source, str)
+           else salt_source) if salt_source is not None else fk
+    salted_facts = facts.withColumn(
+        "__salt", F.pmod(F.xxhash64(src), F.lit(salt_buckets)))
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+    out = salted_facts.join(
+        replicated_dim,
+        (fk == dk) & (salted_facts["__salt"] == replicated_dim["__salt"]),
+        how)
+    return out.drop("__salt")

@@ -212,3 +212,24 @@ def test_null_natural_key_rejected(spark, path):
             df, natural_key="natural_key", name="name",
             level_name="level_name", parent_natural_key="parent_natural_key",
             config=cfg).flattened()
+
+
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_forest_multiple_roots(spark, path):
+    """Forests (several NULL-parent roots) flatten correctly: each tree
+    independent, closure = Σ depths across trees."""
+    rows = [(0, "rootA", "L1", None), (1, "a1", "L2", 0),
+            (10, "rootB", "L1", None), (11, "b1", "L2", 10),
+            (12, "b2", "L3", 11)]
+    df = spark.createDataFrame(rows, "natural_key long, name string, level_name string, parent_natural_key long")
+    cfg = HierarchyConfig(
+        local_build_threshold=0 if path == "distributed" else 100_000)
+    h = Hierarchy.from_adjacency(df, natural_key="natural_key", name="name",
+                                 level_name="level_name",
+                                 parent_natural_key="parent_natural_key",
+                                 config=cfg)
+    flat = h.flattened().collect()
+    assert len(flat) == 5
+    levels = {r["node_natural_key"]: r["level_number"] for r in flat}
+    assert levels == {0: 1, 1: 2, 10: 1, 11: 2, 12: 3}
+    assert h.closure().count() == 1 + 2 + 1 + 2 + 3
