@@ -829,3 +829,24 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.year("l_shipdate").cast("int").alias("ship_year"))
             .agg(F.sum(rev).cast("double").alias("revenue"))
             .orderBy("cust_nation", "supp_nation", "ship_year"))
+
+
+@register("q_unpivot", """
+SELECT c_custkey, metric, CAST(value AS DOUBLE) AS value
+FROM (SELECT c_custkey,
+             CAST(c_acctbal AS DOUBLE) AS acctbal,
+             CAST(c_nationkey AS DOUBLE) AS nationkey
+      FROM customer)
+UNPIVOT (value FOR metric IN (acctbal, nationkey))
+ORDER BY c_custkey, metric
+""")
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide metrics to (key, metric, value) rows —
+    Spark's DataFrame.unpivot vs DuckDB's UNPIVOT."""
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"))
+    return (c.unpivot("c_custkey", ["acctbal", "nationkey"],
+                      "metric", "value")
+            .orderBy("c_custkey", "metric"))
