@@ -69,5 +69,39 @@ def main() -> None:
         }))
 
 
+def hierarchy_probe(n_nodes: int = 200_000, fanout: int = 8) -> None:
+    """Distributed-BFS probe: a generated n_nodes-node hierarchy ABOVE
+    the local threshold, so the per-level loop + closure explode run
+    distributed. Reports build/derive times and closure cardinality."""
+    from aggregation_duckdb_spark.hierarchy import Hierarchy, HierarchyConfig
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    # deterministic fanout-ary tree: parent(k) = (k-1) // fanout
+    nodes = spark.range(n_nodes).select(
+        F.col("id").alias("natural_key"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+        F.lit("L").alias("level_name"),
+        F.when(F.col("id") > 0, (F.col("id") - 1) / fanout)
+         .cast("long").alias("parent_natural_key"))
+    h = Hierarchy.from_adjacency(
+        nodes, natural_key="natural_key", name="name", level_name="level_name",
+        parent_natural_key="parent_natural_key",
+        config=HierarchyConfig(local_build_threshold=0, max_depth=64))
+    t0 = time.time()
+    flat_n = h.flattened().count()
+    t_flat = time.time() - t0
+    t0 = time.time()
+    closure_n = h.closure().count()
+    t_closure = time.time() - t0
+    print(json.dumps({
+        "probe": "hierarchy_distributed_bfs", "n_nodes": n_nodes,
+        "depth": h.depth, "flatten_seconds": round(t_flat, 2),
+        "flat_rows": flat_n, "closure_rows": closure_n,
+        "closure_seconds": round(t_closure, 2)}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--hierarchy":
+        hierarchy_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+    else:
+        main()
