@@ -164,6 +164,11 @@ class Hierarchy:
         if stats["nk_nonnull"] != stats["n"]:
             raise HierarchyValidationError(
                 "node_natural_key is NULL (facts join on it; NOT NULL per :4-6)")
+        # SUM over zero rows is NULL, not 0 — catch the empty frame
+        # explicitly so both build paths raise 'no root' identically
+        if stats["n"] == 0 or stats["roots"] is None:
+            raise HierarchyValidationError(
+                "no root (empty node set)")
         if stats["nk"] != stats["n"]:
             raise HierarchyValidationError(
                 f"node_natural_key not unique: {stats['nk']} distinct of {stats['n']} rows")

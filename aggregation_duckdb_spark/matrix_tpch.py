@@ -434,7 +434,10 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("nationkey"))
     sup = load_table(spark, "supplier", sf_dir).select(
         F.col("s_nationkey").alias("nationkey"))
-    return nat.exceptAll(sup).distinct().orderBy("nationkey")
+    # NB set-EXCEPT is subtract(), i.e. distinct-then-remove. The
+    # exceptAll().distinct() spelling is WRONG: with left multiplicity
+    # above right (e.g. [v,v] except [v]) it keeps v.
+    return nat.subtract(sup).orderBy("nationkey")
 
 
 # ---------------------------------------------------------------------

@@ -47,13 +47,18 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
         r_sorted = (right.withColumn("__rn", F.row_number().over(w))
                     .where(F.col("__rn") == 1).drop("__rn"))
 
-    l_tagged = left.withColumn("__side", F.lit(1))
-    for c in value_cols:
-        l_tagged = l_tagged.withColumn(f"{c}{suffix}",
-                                       F.lit(None).cast(dict(right.dtypes)[c]))
+    # Carry ONE struct per right row, not per-column values: the struct
+    # is non-NULL for every right row even when its fields are NULL, so
+    # (a) a genuinely NULL right value is reported as NULL rather than
+    # skipped for a stale older value, and (b) all carried fields come
+    # from the SAME right row — no cross-row mixing.
+    r_struct_t = ", ".join(
+        f"`{c}`:{dict(right.dtypes)[c]}" for c in value_cols)
+    l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
+        "__rstate", F.lit(None).cast(f"struct<{r_struct_t}>"))
     r_tagged = r_sorted.select(
         F.col(by), F.col(on), F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols])
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rstate"))
     for c in l_tagged.columns:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(
@@ -64,8 +69,9 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
     # a same-timestamp right row is visible to the left row (<= rule)
     carry = (Window.partitionBy(by).orderBy(*order_cols)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = unioned.withColumn(
+        "__rstate", F.last(F.col("__rstate"), ignorenulls=True).over(carry))
+    out = carried.where(F.col("__side") == 1)
     for c in value_cols:
-        unioned = unioned.withColumn(
-            f"{c}{suffix}",
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(carry))
-    return unioned.where(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(f"{c}{suffix}", F.col("__rstate").getField(c))
+    return out.drop("__side", "__rstate")

@@ -38,12 +38,16 @@ MINHASH_PRIME = 4294967311
 
 
 def shingle_hash_pairs(shingle_col: Column) -> Column:
-    """ONE md5 per shingle, split into two 32-bit halves (h1, h2).
+    """md5 per shingle split into two 32-bit halves (h1, h2); every
+    hash family derives from them by integer arithmetic
+    (Kirsch–Mitzenmacher double hashing), so signature width costs
+    ~nothing extra. Both halves are exact in int64 and reproduce in
+    DuckDB via ('0x'||substr)::BIGINT.
 
-    This is the expensive per-row pass; every hash family below is
-    derived from it by integer arithmetic (Kirsch–Mitzenmacher double
-    hashing), so signature width costs ~nothing extra. Both halves are
-    exact in int64 and reproduce in DuckDB via ('0x'||substr)::BIGINT."""
+    NB: as a single Column expression the two halves each evaluate
+    F.md5 (no CSE inside higher-order-function bodies) — convenience
+    form only. The hot path (minhash_lsh_candidates) stages the md5
+    pass as its own projection so it runs once per shingle."""
     return F.transform(
         shingle_col,
         lambda s: F.struct(
@@ -157,14 +161,29 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
 
     ``shingled``: pre-computed :func:`doc_shingles` output to share
     the corpus scan with a downstream verify stage."""
+    if num_bands <= 0 or num_hashes % num_bands != 0:
+        # a remainder would silently drop signature slots from banding;
+        # band_size=0 would give every doc identical band keys (the
+        # self-join degenerates to a full cross product)
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a positive multiple of "
+            f"num_bands={num_bands}")
     band_size = num_hashes // num_bands
     if shingled is None:
         # sole consumer here — the bucketed frame below is the
         # checkpoint; materializing shingles too would double the work
         shingled = doc_shingles(docs, text_col, id_col, shingle_width,
                                 checkpoint=False)
-    hp = shingled.select("doc",
-                         shingle_hash_pairs(F.col("__sh")).alias("hp"))
+    # md5 staged as its own projection: inside a single higher-order
+    # lambda the two 32-bit halves would each evaluate F.md5 (no CSE in
+    # HOF bodies) — this keeps the expensive pass at ONE md5 per shingle
+    hs = shingled.select("doc", F.transform(F.col("__sh"), F.md5).alias("hs"))
+    hp = hs.select("doc", F.transform(
+        F.col("hs"),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"))
+    ).alias("hp"))
     sigged = hp.select("doc", minhash_signature_from_pairs(
         F.col("hp"), num_hashes).alias("sig"))
     bucketed = sigged.select(
@@ -200,9 +219,13 @@ def jaccard_for_pairs(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     b = sh.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
     union = F.size(F.col("sa.__sh")) + F.size(F.col("sb.__sh")) - inter
+    # plain equi-joins: the shingle table is corpus-sized (one row per
+    # doc carrying its whole shingle set) — force-broadcasting it would
+    # replicate the corpus to every executor. AQE may still choose
+    # broadcast when it is actually small.
     return (pairs
-            .join(F.broadcast(a), pairs["doc_a"] == F.col("sa.__id"))
-            .join(F.broadcast(b), pairs["doc_b"] == F.col("sb.__id"))
+            .join(a, pairs["doc_a"] == F.col("sa.__id"))
+            .join(b, pairs["doc_b"] == F.col("sb.__id"))
             .select("doc_a", "doc_b",
                     (inter.cast("double") / union.cast("double")).alias("jaccard")))
 

@@ -78,8 +78,11 @@ def label_centroids(corpus: DataFrame, vec_col: str = "embedding",
     """Coarse centroids as the element-wise mean per label group —
     a cheap deterministic IVF codebook when a clustering column already
     exists (k-means is a drop-in replacement at scale)."""
-    dim_df = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1)
-    dim = dim_df.first()["d"]
+    row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError("label_centroids: corpus is empty — cannot "
+                         "infer the embedding dimension")
+    dim = row["d"]
     comps = [F.avg(F.element_at(F.col(vec_col), i).cast("double")).alias(f"__c{i}")
              for i in range(1, dim + 1)]
     per_label = corpus.groupBy(F.col(label_col).alias("centroid_id")).agg(*comps)
@@ -172,6 +175,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     (table, bits) — no cross product, no codebook training. Recall
     rises with num_tables; candidate cost with 2^-bits_per_table.
     """
+    # a wrong dim silently zeroes every bucket bit (null-padded zip_with
+    # poisons the dot fold) — all vectors collide and the join
+    # degenerates to a cross product; fail loudly instead
+    probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is not None and probe["d"] != dim:
+        raise ValueError(
+            f"lsh_topk dim={dim} but {vec_col} has {probe['d']} elements")
     mats = lsh_sign_matrix(num_tables, bits_per_table, dim)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__cvec"))

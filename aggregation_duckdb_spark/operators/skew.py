@@ -26,13 +26,26 @@ def salted_join(facts: DataFrame, dim: DataFrame, fact_key: str | Column,
     ``salt_source``: a fact column whose hash spreads rows (a unique id
     is ideal). Deterministic — no rand(), so results are reproducible
     and retry-safe (a rand() salt changes on task retry, which can
-    duplicate or drop rows under speculative execution)."""
+    duplicate or drop rows under speculative execution). Default:
+    ``spark_partition_id()`` — hot-key rows already span input
+    partitions before the shuffle, so the partition id spreads them;
+    NEVER the join key itself (constant per key ⇒ no spread).
+
+    Only fact-preserving join types are valid: the build side is
+    replicated per bucket, so right/full outer would emit
+    ``salt_buckets`` null-extended copies of unmatched build rows."""
+    if how not in ("inner", "left", "left_outer", "left_semi",
+                   "left_anti", "cross"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched "
+            "replicated build rows would duplicate under right/full outer")
     fk = F.col(fact_key) if isinstance(fact_key, str) else fact_key
     dk = F.col(dim_key) if isinstance(dim_key, str) else dim_key
-    src = (F.col(salt_source) if isinstance(salt_source, str)
-           else salt_source) if salt_source is not None else fk
+    src_col = (F.xxhash64(F.col(salt_source)
+                          if isinstance(salt_source, str) else salt_source)
+               if salt_source is not None else F.spark_partition_id())
     salted_facts = facts.withColumn(
-        "__salt", F.pmod(F.xxhash64(src), F.lit(salt_buckets)))
+        "__salt", F.pmod(src_col, F.lit(salt_buckets)))
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
     out = salted_facts.join(

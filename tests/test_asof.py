@@ -21,6 +21,19 @@ def test_asof_edges(spark):
     assert out[4] is None          # key with no right rows at all
 
 
+def test_asof_null_right_value_not_skipped(spark):
+    """A matched right row whose value is genuinely NULL must yield
+    NULL — not carry a stale older value past it (DuckDB ASOF returns
+    the row, NULLs included)."""
+    left = spark.createDataFrame([(1, 1, 30)], "id long, k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, None)], "k long, t long, v double")
+    row = asof_join(left, right, on="t", by="k",
+                    value_cols=["v", "t"]).first()
+    assert row["v_asof"] is None     # the t=20 row, not the stale 5.0
+    assert row["t_asof"] == 20       # fields come from the SAME row
+
+
 def test_asof_tiebreak_dedupes_simultaneous_rows(spark):
     left = spark.createDataFrame([(1, 1, 10)], "id long, k long, t long")
     right = spark.createDataFrame(
