@@ -15,6 +15,8 @@ from aggregation_duckdb_spark.matrix import register
 from aggregation_duckdb_spark.streaming import (
     events_stream, run_available_now, running_user_totals,
     session_windows_stream, sliding_counts_stream, tumbling_counts_stream)
+from aggregation_duckdb_spark.streaming.event_time import (
+    stream_stream_time_join)
 
 
 @register("stream_tumbling", """
@@ -89,6 +91,30 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
     out = run_available_now(sliding_counts_stream(ev), "complete")
     return out.orderBy("window_start", "event_type")
+
+
+@register("stream_stream_join", """
+SELECT l.user_id, l.event_id AS l_event_id, l.ts AS l_ts,
+       r.event_id AS r_event_id, r.ts AS r_ts
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') l
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL '1 hour'
+ORDER BY l_event_id, r_event_id
+""")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-interval join (clicks × purchases within the
+    preceding hour, per user): both sides watermarked so join state is
+    bounded; finite source ⇒ equals the batch interval join, which the
+    oracle asserts."""
+    clicks = events_stream(spark, sf_dir).where(
+        F.col("event_type") == "click")
+    purchases = events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase")
+    out = run_available_now(
+        stream_stream_time_join(clicks, purchases, lookback="1 hour"),
+        "append")
+    return out.orderBy("l_event_id", "r_event_id")
 
 
 @register("stream_stateful_totals", """

@@ -853,3 +853,38 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.unpivot("c_custkey", ["acctbal", "nationkey"],
                       "metric", "value")
             .orderBy("c_custkey", "metric"))
+
+
+@register("q_array_functions", """
+WITH a AS (
+    SELECT n_nationkey,
+           [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT),
+            CAST(n_nationkey AS BIGINT) + 10] AS arr
+    FROM nation)
+SELECT n_nationkey,
+       list_sort(arr) AS sorted_arr,
+       list_contains(arr, CAST(n_regionkey AS BIGINT)) AS has_region,
+       CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INT) AS n_even,
+       list_transform(arr, x -> x * 2) AS doubled,
+       CAST(list_sum(arr) AS BIGINT) AS arr_sum
+FROM (SELECT a.*, n_regionkey FROM a JOIN nation USING (n_nationkey))
+ORDER BY n_nationkey
+""")
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar family: sort / contains / filter / transform /
+    aggregate — the building blocks the dedup and similarity operators
+    compose (F3-F5 surface, generalized)."""
+    n = load_table(spark, "nation", sf_dir)
+    arr = F.array(F.col("n_nationkey").cast("long"),
+                  F.col("n_regionkey").cast("long"),
+                  F.col("n_nationkey").cast("long") + 10)
+    return (n.select(
+        "n_nationkey",
+        F.array_sort(arr).alias("sorted_arr"),
+        F.array_contains(arr, F.col("n_regionkey").cast("long"))
+         .alias("has_region"),
+        F.size(F.filter(arr, lambda x: x % 2 == 0)).alias("n_even"),
+        F.transform(arr, lambda x: x * 2).alias("doubled"),
+        F.aggregate(arr, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("arr_sum"))
+        .orderBy("n_nationkey"))

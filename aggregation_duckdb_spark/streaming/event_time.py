@@ -98,6 +98,35 @@ def session_windows_stream(events: DataFrame, gap_minutes: int = 30,
             .drop("session_window"))
 
 
+def stream_stream_time_join(left: DataFrame, right: DataFrame,
+                            key: str = "user_id", ts_col: str = "ts",
+                            lookback: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: left events matched to right events of
+    the same key within [left.ts − lookback, left.ts].
+
+    Both sides carry watermarks and the join has a time-interval
+    condition — the two requirements that let Spark bound each side's
+    join state (a right row can be evicted once the watermark passes
+    its ts + lookback). Without them a stream-stream join would buffer
+    forever; this is the canonical bounded-state shape.
+    """
+    l = left.select(F.col(key).alias("l_key"),
+                    F.col(ts_col).alias("l_ts"),
+                    F.col("event_id").alias("l_event_id")) \
+        .withWatermark("l_ts", watermark)
+    r = right.select(F.col(key).alias("r_key"),
+                     F.col(ts_col).alias("r_ts"),
+                     F.col("event_id").alias("r_event_id")) \
+        .withWatermark("r_ts", watermark)
+    cond = ((F.col("l_key") == F.col("r_key"))
+            & (F.col("r_ts") <= F.col("l_ts"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}")))
+    return (l.join(r, cond, "inner")
+            .select(F.col("l_key").alias(key), "l_event_id", "l_ts",
+                    "r_event_id", "r_ts"))
+
+
 def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a (finite-source) streaming DataFrame to completion and
     return the materialized result as a batch DataFrame.
