@@ -888,3 +888,67 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(arr, F.lit(0).cast("long"),
                     lambda acc, x: acc + x).alias("arr_sum"))
         .orderBy("n_nationkey"))
+
+
+@register("q_map_functions", """
+WITH m AS (
+    SELECT n_nationkey,
+           map(['nation', 'region'],
+               [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)]) AS kv
+    FROM nation)
+SELECT n_nationkey,
+       kv['nation'][1] AS nation_val,
+       kv['region'][1] AS region_val,
+       map_keys(kv) AS keys,
+       CAST(cardinality(kv) AS INT) AS n_entries
+FROM m ORDER BY n_nationkey
+""")
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar family: construction, key lookup, keys, cardinality.
+    (DuckDB map[k] yields a list — the oracle unwraps with [1].)"""
+    n = load_table(spark, "nation", sf_dir)
+    kv = F.map_from_arrays(
+        F.array(F.lit("nation"), F.lit("region")),
+        F.array(F.col("n_nationkey").cast("long"),
+                F.col("n_regionkey").cast("long")))
+    return (n.select(
+        "n_nationkey",
+        F.element_at(kv, "nation").alias("nation_val"),
+        F.element_at(kv, "region").alias("region_val"),
+        F.map_keys(kv).alias("keys"),
+        F.size(kv).alias("n_entries"))
+        .orderBy("n_nationkey"))
+
+
+@register("q_date_arithmetic", """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_month,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE) AS plus_45d,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+           AS days_since_95,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr
+FROM orders
+ORDER BY o_orderkey LIMIT 500
+""")
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: interval add (month-end clamped the same
+    way in both engines), diffs, last_day, day-of-week (DuckDB is
+    0=Sunday vs Spark 1=Sunday — oracle shifts by one), year/quarter."""
+    o = load_table(spark, "orders", sf_dir)
+    d = F.col("o_orderdate").cast("date")
+    return (o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.add_months(d, 1).alias("plus_month"),
+        F.date_add(d, 45).alias("plus_45d"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int")
+         .alias("days_since_95"),
+        F.last_day(d).alias("month_end"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.year(d).cast("int").alias("yr"),
+        F.quarter(d).cast("int").alias("qtr"))
+        .orderBy("o_orderkey").limit(500))
