@@ -40,11 +40,16 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
     unique on the right.
     """
     order_cols = [F.col(on), F.col("__side")]
-    r_sorted = right
+    # SQL join semantics: a NULL key or NULL time on the right can
+    # never match (l.key = r.key / l.ts >= r.ts are never true with
+    # NULL) — drop such rows so the carry-forward window can't serve
+    # them. Left rows with NULL key/time sort before any right state
+    # (nulls first) and correctly receive NULL.
+    r_sorted = right.where(F.col(by).isNotNull() & F.col(on).isNotNull())
     if tiebreak is not None:
         # keep only the winning right row per (by, on)
         w = Window.partitionBy(by, on).orderBy(F.col(tiebreak).desc())
-        r_sorted = (right.withColumn("__rn", F.row_number().over(w))
+        r_sorted = (r_sorted.withColumn("__rn", F.row_number().over(w))
                     .where(F.col("__rn") == 1).drop("__rn"))
 
     # Carry ONE struct per right row, not per-column values: the struct
@@ -59,10 +64,12 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
     r_tagged = r_sorted.select(
         F.col(by), F.col(on), F.lit(0).alias("__side"),
         F.struct(*[F.col(c) for c in value_cols]).alias("__rstate"))
-    for c in l_tagged.columns:
-        if c not in r_tagged.columns:
-            r_tagged = r_tagged.withColumn(
-                c, F.lit(None).cast(dict(l_tagged.dtypes)[c]))
+    l_types = dict(l_tagged.dtypes)
+    r_cols = set(r_tagged.columns)
+    r_tagged = r_tagged.select(
+        *r_tagged.columns,
+        *[F.lit(None).cast(l_types[c]).alias(c)
+          for c in l_tagged.columns if c not in r_cols])
 
     unioned = l_tagged.unionByName(r_tagged)
     # right rows (__side 0) sort before left rows at the same instant →

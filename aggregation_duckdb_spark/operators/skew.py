@@ -34,13 +34,12 @@ def salted_join(facts: DataFrame, dim: DataFrame, fact_key: str | Column,
     Only fact-preserving join types are valid: the build side is
     replicated per bucket, so right/full outer would emit
     ``salt_buckets`` null-extended copies of unmatched build rows."""
-    if how not in ("inner", "left", "left_outer", "left_semi",
-                   "left_anti", "cross"):
+    if how.replace("_", "") not in ("inner", "left", "leftouter",
+                                    "leftsemi", "semi", "leftanti", "anti",
+                                    "cross"):
         raise ValueError(
             f"salted_join does not support how={how!r}: unmatched "
             "replicated build rows would duplicate under right/full outer")
-    fk = F.col(fact_key) if isinstance(fact_key, str) else fact_key
-    dk = F.col(dim_key) if isinstance(dim_key, str) else dim_key
     src_col = (F.xxhash64(F.col(salt_source)
                           if isinstance(salt_source, str) else salt_source)
                if salt_source is not None else F.spark_partition_id())
@@ -48,8 +47,12 @@ def salted_join(facts: DataFrame, dim: DataFrame, fact_key: str | Column,
         "__salt", F.pmod(src_col, F.lit(salt_buckets)))
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+    # resolve string keys against their own side — bare F.col would be
+    # AMBIGUOUS_REFERENCE when both frames share the key column name
+    fk_r = salted_facts[fact_key] if isinstance(fact_key, str) else fact_key
+    dk_r = replicated_dim[dim_key] if isinstance(dim_key, str) else dim_key
     out = salted_facts.join(
         replicated_dim,
-        (fk == dk) & (salted_facts["__salt"] == replicated_dim["__salt"]),
+        (fk_r == dk_r) & (salted_facts["__salt"] == replicated_dim["__salt"]),
         how)
     return out.drop("__salt")

@@ -19,6 +19,9 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# symlink dirs for single-file sources, one per source path per process
+_SYMLINK_DIRS: dict[str, str] = {}
+
 
 def events_stream(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int | None = None) -> DataFrame:
@@ -32,9 +35,14 @@ def events_stream(spark: SparkSession, sf_dir: str,
     path = f"{sf_dir}/events.parquet"
     if os.path.isfile(path):
         # FileStreamSource monitors a directory; testdata ships a single
-        # file, so expose it through a symlinked temp dir (no copy)
-        d = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(path, os.path.join(d, "events.parquet"))
+        # file, so expose it through a symlinked temp dir (no copy).
+        # Cached per source path — callers invoke this many times per
+        # session and each mkdtemp would otherwise leak.
+        d = _SYMLINK_DIRS.get(path)
+        if d is None:
+            d = tempfile.mkdtemp(prefix="events_stream_")
+            os.symlink(path, os.path.join(d, "events.parquet"))
+            _SYMLINK_DIRS[path] = d
         path = d
     # events.ts is parquet TIMESTAMP(NANOS); same nanos→micros floor as
     # the batch loader (io.load_table) so both surfaces agree on instants
@@ -55,13 +63,17 @@ def tumbling_counts_stream(events: DataFrame, width: str = "1 hour",
                            value_col: str = "value") -> DataFrame:
     """Streaming tumbling windows: per (window, event_type) counts and
     value sums, state bounded by the watermark."""
-    win = F.window(F.col(ts_col), width)
+    # group by the window column ITSELF: projecting .start into the
+    # grouping key strips the watermark metadata, and with it state
+    # eviction (append mode would even fail analysis)
     return (events
             .withWatermark(ts_col, watermark)
-            .groupBy(win.getField("start").alias("window_start"), F.col(type_col))
+            .groupBy(F.window(F.col(ts_col), width), F.col(type_col))
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.col(value_col).cast("decimal(18,3)")).cast("double")
-                  .alias("sum_value")))
+                  .alias("sum_value"))
+            .select(F.col("window.start").alias("window_start"), type_col,
+                    "n_events", "sum_value"))
 
 
 def sliding_counts_stream(events: DataFrame, width: str = "1 hour",
@@ -69,11 +81,12 @@ def sliding_counts_stream(events: DataFrame, width: str = "1 hour",
                           ts_col: str = "ts",
                           type_col: str = "event_type") -> DataFrame:
     """Streaming sliding windows (width/slide buckets per event)."""
-    win = F.window(F.col(ts_col), width, slide)
     return (events
             .withWatermark(ts_col, watermark)
-            .groupBy(win.getField("start").alias("window_start"), F.col(type_col))
-            .agg(F.count(F.lit(1)).alias("n_events")))
+            .groupBy(F.window(F.col(ts_col), width, slide), F.col(type_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("window.start").alias("window_start"), type_col,
+                    "n_events"))
 
 
 def session_windows_stream(events: DataFrame, gap_minutes: int = 30,
@@ -100,6 +113,7 @@ def session_windows_stream(events: DataFrame, gap_minutes: int = 30,
 
 def stream_stream_time_join(left: DataFrame, right: DataFrame,
                             key: str = "user_id", ts_col: str = "ts",
+                            id_col: str = "event_id",
                             lookback: str = "1 hour",
                             watermark: str = "2 hours") -> DataFrame:
     """Stream-stream inner join: left events matched to right events of
@@ -113,11 +127,11 @@ def stream_stream_time_join(left: DataFrame, right: DataFrame,
     """
     l = left.select(F.col(key).alias("l_key"),
                     F.col(ts_col).alias("l_ts"),
-                    F.col("event_id").alias("l_event_id")) \
+                    F.col(id_col).alias("l_event_id")) \
         .withWatermark("l_ts", watermark)
     r = right.select(F.col(key).alias("r_key"),
                      F.col(ts_col).alias("r_ts"),
-                     F.col("event_id").alias("r_event_id")) \
+                     F.col(id_col).alias("r_event_id")) \
         .withWatermark("r_ts", watermark)
     cond = ((F.col("l_key") == F.col("r_key"))
             & (F.col("r_ts") <= F.col("l_ts"))
@@ -143,4 +157,10 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    return result.sparkSession.table(name)
+    spark = result.sparkSession
+    # detach from the memory sink: checkpoint a copy and drop the view,
+    # otherwise every invocation pins its full result (plus a dead
+    # query handle) in the driver for the session lifetime
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out

@@ -42,3 +42,20 @@ def test_asof_tiebreak_dedupes_simultaneous_rows(spark):
     out = asof_join(left, right, on="t", by="k", value_cols=["v"],
                     tiebreak="seq").collect()
     assert out[0]["v_asof"] == 2.0  # greatest tiebreak wins
+
+
+def test_asof_null_keys_and_times_never_match(spark):
+    """SQL join semantics: NULL keys/timestamps on the right can never
+    match; left rows with NULL key/time get NULL state (= DuckDB ASOF)."""
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, None, 10), (3, 1, None)],
+        "id long, k long, t long")
+    right = spark.createDataFrame(
+        [(None, 5, 1.0), (1, None, 2.0), (1, 5, 3.0)],
+        "k long, t long, v double")
+    out = {r["id"]: r["v_asof"] for r in
+           asof_join(left, right, on="t", by="k",
+                     value_cols=["v"]).collect()}
+    assert out[1] == 3.0    # only the fully non-NULL right row matches
+    assert out[2] is None   # NULL left key matches nothing
+    assert out[3] is None   # NULL left time matches nothing

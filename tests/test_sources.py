@@ -89,3 +89,20 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
         "PartitionFilters", 1)[1].split("]", 1)[0]
     # and the pruned read returns exactly the one partition's rows
     assert scan.count() == ev.where(F.col("event_type") == "click").count()
+
+
+def test_salted_join_same_key_name_and_aliases(spark, sf_dir):
+    """Same-named join keys must not raise AMBIGUOUS_REFERENCE, and
+    canonical Spark alias spellings of fact-preserving joins work."""
+    from aggregation_duckdb_spark.operators.skew import salted_join
+    import pytest as _pytest
+
+    facts = spark.createDataFrame([(1, 10.0), (1, 20.0), (2, 5.0)],
+                                  "k long, v double")
+    dim = spark.createDataFrame([(1, "a"), (3, "c")], "k long, name string")
+    out = salted_join(facts, dim, "k", "k", salt_buckets=4)
+    assert out.count() == 2  # two facts with k=1 match
+
+    assert salted_join(facts, dim, "k", "k", how="leftsemi").count() == 2
+    with _pytest.raises(ValueError):
+        salted_join(facts, dim, "k", "k", how="right")
