@@ -698,3 +698,25 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("n_frames").cast("long").alias("n_frames"),
                     F.col("frame_idx").cast("long").alias("frame_idx"))
             .orderBy("doc_id", "frame_idx"))
+
+
+@register("q_json_functions", """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+       to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS BIGINT) * 2,
+                           tag := event_type)) AS rebuilt
+FROM events
+ORDER BY event_id LIMIT 500
+""")
+def q_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar family over the events props column: path extract
+    (string-typed JSON) and re-serialization — both engines render
+    to_json without whitespace, so values hash-match."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.to_json(F.struct((k * 2).alias("k"),
+                           F.col("event_type").alias("tag"))).alias("rebuilt"))
+        .orderBy("event_id").limit(500))
