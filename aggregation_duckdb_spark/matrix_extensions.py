@@ -720,3 +720,27 @@ def q_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.struct((k * 2).alias("k"),
                            F.col("event_type").alias("tag"))).alias("rebuilt"))
         .orderBy("event_id").limit(500))
+
+
+@register("events_user_gap_stats", """
+WITH ordered AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+    FROM events),
+gaps AS (SELECT user_id, us - prev AS gap FROM ordered WHERE prev IS NOT NULL),
+base AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+SELECT b.user_id, b.n_events,
+       COUNT(g.gap) AS n_gaps,
+       round(avg(g.gap) / 1000000.0, 6) AS mean_gap_s,
+       round(max(g.gap) / 1000000.0, 6) AS max_gap_s
+FROM base b LEFT JOIN gaps g ON b.user_id = g.user_id
+GROUP BY b.user_id, b.n_events
+ORDER BY b.user_id
+""")
+def events_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the Arrow per-group form): per-user
+    inter-event gap moments computed on the whole sorted group; integer
+    microsecond math so the lag-based SQL oracle hash-matches."""
+    return (E.user_gap_stats(load_table(spark, "events", sf_dir))
+            .orderBy("user_id"))

@@ -83,3 +83,40 @@ def session_stats(events: DataFrame, gap_minutes: int = 30,
                  F.sum("n_events").alias("n_events"),
                  F.max(dur_s).alias("max_session_seconds"))
             .orderBy(user_col))
+
+
+def user_gap_stats(events: DataFrame, user_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """Per-user inter-event-gap statistics via grouped-map
+    ``applyInPandas`` — the Arrow grouped-map form for per-key logic
+    that needs the whole group in order (here: sort, diff, moments).
+
+    Scale shape: one shuffle on the group key; each group must fit an
+    Arrow batch (per-user event counts do). Gap moments are computed in
+    integer microseconds and divided once — deterministic, so the
+    DuckDB lag-based oracle hash-matches."""
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        # normalize to integer microseconds regardless of the Arrow
+        # timestamp unit the batch arrived with
+        micros = pdf[ts_col].astype("datetime64[us]").astype("int64")
+        gaps = micros.diff().dropna()
+        n = len(pdf)
+        return pd.DataFrame({
+            "user_id": [pdf[user_col].iloc[0]],
+            "n_events": [n],
+            "n_gaps": [len(gaps)],
+            "mean_gap_s": [round(float(gaps.mean()) / 1e6, 6)
+                           if len(gaps) else None],
+            "max_gap_s": [round(float(gaps.max()) / 1e6, 6)
+                          if len(gaps) else None],
+        })
+
+    return (events.select(user_col, ts_col, id_col)
+            .groupBy(user_col)
+            .applyInPandas(
+                stats,
+                "user_id long, n_events long, n_gaps long, "
+                "mean_gap_s double, max_gap_s double"))
