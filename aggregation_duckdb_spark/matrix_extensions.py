@@ -732,8 +732,8 @@ gaps AS (SELECT user_id, us - prev AS gap FROM ordered WHERE prev IS NOT NULL),
 base AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
 SELECT b.user_id, b.n_events,
        COUNT(g.gap) AS n_gaps,
-       round(avg(g.gap) / 1000000.0, 6) AS mean_gap_s,
-       round(max(g.gap) / 1000000.0, 6) AS max_gap_s
+       CAST(SUM(g.gap) AS DOUBLE) / COUNT(g.gap) / 1000000.0 AS mean_gap_s,
+       CAST(max(g.gap) AS DOUBLE) / 1000000.0 AS max_gap_s
 FROM base b LEFT JOIN gaps g ON b.user_id = g.user_id
 GROUP BY b.user_id, b.n_events
 ORDER BY b.user_id
@@ -743,4 +743,28 @@ def events_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter-event gap moments computed on the whole sorted group; integer
     microsecond math so the lag-based SQL oracle hash-matches."""
     return (E.user_gap_stats(load_table(spark, "events", sf_dir))
+            .orderBy("user_id"))
+
+
+@register("events_conversion_lag", """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+m AS (
+    SELECT c.user_id, epoch_us(c.ts) AS c_us, epoch_us(p.ts) AS p_us
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts)
+SELECT user_id,
+       COUNT(*) AS n_clicks,
+       COUNT(p_us) AS n_matched,
+       CAST(SUM(p_us - c_us) AS DOUBLE) / COUNT(p_us) / 1000000.0
+           AS mean_lag_s
+FROM m GROUP BY user_id ORDER BY user_id
+""")
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (two streams per key in one pandas call,
+    pd.merge_asof forward) vs DuckDB's forward ASOF LEFT JOIN — the
+    conversion-funnel shape, hash-matched."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return (E.click_to_purchase_lag(clicks, purchases)
             .orderBy("user_id"))

@@ -108,9 +108,11 @@ def user_gap_stats(events: DataFrame, user_col: str = "user_id",
             "user_id": [pdf[user_col].iloc[0]],
             "n_events": [n],
             "n_gaps": [len(gaps)],
-            "mean_gap_s": [round(float(gaps.mean()) / 1e6, 6)
+            # exact int sums, one double division, no rounding (Python
+            # banker's round vs SQL half-away drifts at boundaries)
+            "mean_gap_s": [float(int(gaps.sum())) / len(gaps) / 1e6
                            if len(gaps) else None],
-            "max_gap_s": [round(float(gaps.max()) / 1e6, 6)
+            "max_gap_s": [float(int(gaps.max())) / 1e6
                           if len(gaps) else None],
         })
 
@@ -120,3 +122,51 @@ def user_gap_stats(events: DataFrame, user_col: str = "user_id",
                 stats,
                 "user_id long, n_events long, n_gaps long, "
                 "mean_gap_s double, max_gap_s double"))
+
+
+def click_to_purchase_lag(clicks: DataFrame, purchases: DataFrame,
+                          user_col: str = "user_id",
+                          ts_col: str = "ts") -> DataFrame:
+    """Per-user click→next-purchase lag via COGROUPED ``applyInPandas``:
+    both sides of a key arrive together as pandas frames, matched with
+    ``merge_asof(direction='forward')`` — the per-key two-stream form
+    (conversion funnels, order↔shipment matching).
+
+    Scale shape: one shuffle per side on the key; each user's pair of
+    groups must fit an Arrow batch. Integer-microsecond lag math keeps
+    the DuckDB forward-ASOF oracle hash-matching."""
+    import pandas as pd
+
+    def match(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame(columns=["user_id", "n_clicks", "n_matched",
+                                         "mean_lag_s"])
+        l = l.sort_values(ts_col)
+        lm = l[ts_col].astype("datetime64[us]").astype("int64").rename("c_us")
+        lf = pd.DataFrame({"c_us": lm})
+        if len(r):
+            r = r.sort_values(ts_col)
+            rf = pd.DataFrame({
+                "p_us": r[ts_col].astype("datetime64[us]").astype("int64")})
+            merged = pd.merge_asof(lf, rf, left_on="c_us", right_on="p_us",
+                                   direction="forward")
+            lags = (merged["p_us"] - merged["c_us"]).dropna()
+        else:
+            lags = pd.Series([], dtype="float64")
+        return pd.DataFrame({
+            "user_id": [l[user_col].iloc[0]],
+            "n_clicks": [len(l)],
+            "n_matched": [int(lags.shape[0])],
+            # exact int64 sum, ONE double division, NO rounding — float
+            # accumulation order (pandas .mean()) and Python's banker's
+            # round both drift in the last decimal vs SQL; identical
+            # IEEE ops on identical ints are drift-free
+            "mean_lag_s": [float(int(lags.sum())) / len(lags) / 1e6
+                           if len(lags) else None],
+        })
+
+    return (clicks.select(user_col, ts_col).groupBy(user_col)
+            .cogroup(purchases.select(user_col, ts_col).groupBy(user_col))
+            .applyInPandas(
+                match,
+                "user_id long, n_clicks long, n_matched long, mean_lag_s double"))
