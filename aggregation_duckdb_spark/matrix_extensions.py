@@ -768,3 +768,32 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.where(F.col("event_type") == "purchase")
     return (E.click_to_purchase_lag(clicks, purchases)
             .orderBy("user_id"))
+
+
+@register("text_tokenize_udtf", f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 100)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+FROM d, UNNEST(generate_series(1, len(toks))) AS t(i)
+ORDER BY doc_id, pos
+""")
+def text_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) exploding documents into
+    (pos, token) rows via a LATERAL join — the §2.8 UDTF surface (the
+    reference has none). Whitespace tokenization matches the engine's
+    text.tokens, so the UNNEST-with-index oracle hash-matches."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(text.split()):
+                    yield i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("__docs")
+    return spark.sql("""
+        SELECT d.doc_id, t.pos, t.token
+        FROM __docs d, LATERAL tokenize_udtf(d.text) t
+        WHERE d.doc_id < 100
+        ORDER BY d.doc_id, t.pos""")
