@@ -797,3 +797,40 @@ def text_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs d, LATERAL tokenize_udtf(d.text) t
         WHERE d.doc_id < 100
         ORDER BY d.doc_id, t.pos""")
+
+
+@register("dedup_edit_distance", f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents),
+s AS (SELECT doc_id, text, {_shingle_sql(3)} AS sh FROM d),
+hashes AS (SELECT doc_id, text, list_transform(sh, s -> md5(s)) AS hs FROM s),
+sigs AS (SELECT doc_id, text, {_minhash_sql(12)} AS sig FROM hashes),
+buckets AS (
+    SELECT doc_id AS doc, text, UNNEST({_band_sql(4, 3)}) AS bucket FROM sigs),
+cands AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+           a.text AS text_a, b.text AS text_b
+    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc < b.doc)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(text_a, text_b) AS BIGINT) AS edit_distance,
+       1.0 - CAST(levenshtein(text_a, text_b) AS DOUBLE)
+           / greatest(length(text_a), length(text_b)) AS edit_similarity
+FROM cands ORDER BY doc_a, doc_b
+""")
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify for LSH candidate pairs: levenshtein (same
+    definition both engines) + length-normalized similarity — the
+    character-level complement to the shingle-Jaccard verify."""
+    docs = load_table(spark, "documents", sf_dir)
+    cands = D.minhash_lsh_candidates(docs, num_hashes=12, num_bands=4)
+    texts = docs.select(F.col("doc_id").alias("__id"), "text")
+    a, b = texts.alias("ta"), texts.alias("tb")
+    lev = F.levenshtein(F.col("ta.text"), F.col("tb.text"))
+    longest = F.greatest(F.length("ta.text"), F.length("tb.text"))
+    return (cands
+            .join(a, cands["doc_a"] == F.col("ta.__id"))
+            .join(b, cands["doc_b"] == F.col("tb.__id"))
+            .select("doc_a", "doc_b",
+                    lev.cast("long").alias("edit_distance"),
+                    (F.lit(1.0) - lev.cast("double") / longest)
+                    .alias("edit_similarity"))
+            .orderBy("doc_a", "doc_b"))
