@@ -100,8 +100,36 @@ def hierarchy_probe(n_nodes: int = 200_000, fanout: int = 8) -> None:
         "closure_seconds": round(t_closure, 2)}))
 
 
+def dedup_probe(multiples: list) -> None:
+    """Extension scale path: MinHash-LSH candidate generation as the
+    corpus multiplies (docs re-keyed per copy so the near-dup structure
+    replicates). Linear growth + a shuffle-stable plan is the pass."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    base = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    D.minhash_lsh_candidates(base).count()  # warmup
+
+    for m in multiples:
+        docs = base
+        for i in range(m - 1):
+            docs = docs.unionByName(base.select(
+                (F.col("doc_id") + (i + 1) * 10_000_000).alias("doc_id"),
+                "text"))
+        t0 = time.time()
+        cands = D.minhash_lsh_candidates(docs)
+        n = cands.count()
+        print(json.dumps({
+            "probe": "dedup_minhash_lsh", "multiple": m,
+            "docs": docs.count(), "candidate_pairs": n,
+            "seconds": round(time.time() - t0, 2)}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--hierarchy":
         hierarchy_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--dedup":
+        dedup_probe([int(a) for a in sys.argv[2:]] or [1, 4, 8])
     else:
         main()
