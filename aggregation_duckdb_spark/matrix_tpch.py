@@ -952,3 +952,57 @@ def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(d).cast("int").alias("yr"),
         F.quarter(d).cast("int").alias("qtr"))
         .orderBy("o_orderkey").limit(500))
+
+
+@register("q_null_safety", """
+WITH v AS (
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                ELSE n_regionkey END AS maybe_region
+    FROM nation)
+SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b
+FROM v a JOIN v b
+  ON a.maybe_region IS NOT DISTINCT FROM b.maybe_region
+ AND a.n_nationkey < b.n_nationkey
+ORDER BY key_a, key_b
+""")
+def q_null_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics plain '=' silently drops."""
+    n = load_table(spark, "nation", sf_dir)
+    v = n.select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None))
+         .otherwise(F.col("n_regionkey")).alias("maybe_region"))
+    a, b = v.alias("a"), v.alias("b")
+    return (a.join(b, F.col("a.maybe_region").eqNullSafe(F.col("b.maybe_region"))
+                   & (F.col("a.n_nationkey") < F.col("b.n_nationkey")))
+            .select(F.col("a.n_nationkey").alias("key_a"),
+                    F.col("b.n_nationkey").alias("key_b"))
+            .orderBy("key_a", "key_b"))
+
+
+@register("q_try_and_coalesce", """
+SELECT n_nationkey,
+       TRY_CAST(n_name AS BIGINT) AS bad_cast,
+       TRY_CAST(CAST(n_nationkey AS VARCHAR) AS BIGINT) AS good_cast,
+       COALESCE(TRY_CAST(n_name AS BIGINT), -1) AS coalesced,
+       NULLIF(n_regionkey, 0) AS nullif_region,
+       IFNULL(NULLIF(n_regionkey, 0), 99) AS ifnull_region
+FROM nation ORDER BY n_nationkey
+""")
+def q_try_and_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-producing scalar family: try_cast (NULL, not error),
+    coalesce / nullif / ifnull — identical semantics both engines."""
+    n = load_table(spark, "nation", sf_dir)
+    bad = F.expr("try_cast(n_name AS BIGINT)")
+    return (n.select(
+        "n_nationkey",
+        bad.alias("bad_cast"),
+        F.expr("try_cast(CAST(n_nationkey AS STRING) AS BIGINT)")
+         .alias("good_cast"),
+        F.coalesce(bad, F.lit(-1)).alias("coalesced"),
+        F.nullif(F.col("n_regionkey"), F.lit(0)).alias("nullif_region"),
+        F.ifnull(F.nullif(F.col("n_regionkey"), F.lit(0)), F.lit(99))
+         .alias("ifnull_region"))
+        .orderBy("n_nationkey"))
