@@ -655,14 +655,20 @@ def _digest_byte_sql(h: str, j: int) -> str:
 
 
 def _features_oracle(dim: int = 8) -> str:
+    # Serialized (not array-typed) output: the driver's pandas
+    # canonicalizer factorizes columns to sort rows and cannot hash
+    # python lists — every nested-type result column must be
+    # flattened to a string on BOTH sides of the oracle pair.
     step = 16 // dim
     buckets = ", ".join(
         "CAST(" + " + ".join(_digest_byte_sql("h", i * step + k)
-                             for k in range(step)) + " AS DOUBLE)"
+                             for k in range(step)) + " AS BIGINT)"
         for i in range(dim))
     return f"""
 WITH p AS (SELECT doc_id, md5(text) AS h FROM documents)
-SELECT doc_id, [{buckets}] AS features FROM p ORDER BY doc_id
+SELECT doc_id, array_to_string([{buckets}], '|') AS features_str,
+       CAST({dim} AS INT) AS dim
+FROM p ORDER BY doc_id
 """
 
 
@@ -670,10 +676,18 @@ SELECT doc_id, [{buckets}] AS features FROM p ORDER BY doc_id
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing (payload → fixed-dim vector through
     Arrow); stub features are digest-byte bucket sums, bit-identical in
-    the oracle."""
+    the oracle. The vector is emitted pipe-serialized — bucket sums are
+    exact small integers, so bigint rendering is lossless — because the
+    driver's hasher cannot canonicalize array-typed columns."""
     docs = load_table(spark, "documents", sf_dir)
-    return (M.extract_features(M.attach_payload(docs), dim=8)
-            .orderBy("doc_id"))
+    feats = M.extract_features(M.attach_payload(docs), dim=8)
+    return (feats.select(
+        "doc_id",
+        F.concat_ws("|", F.transform(
+            "features", lambda x: x.cast("bigint").cast("string")))
+         .alias("features_str"),
+        F.size("features").alias("dim"))
+        .orderBy("doc_id"))
 
 
 def _hex4_to_int_sql(h: str) -> str:

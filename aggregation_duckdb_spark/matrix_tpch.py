@@ -862,10 +862,10 @@ WITH a AS (
             CAST(n_nationkey AS BIGINT) + 10] AS arr
     FROM nation)
 SELECT n_nationkey,
-       list_sort(arr) AS sorted_arr,
+       array_to_string(list_sort(arr), '|') AS sorted_arr,
        list_contains(arr, CAST(n_regionkey AS BIGINT)) AS has_region,
        CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INT) AS n_even,
-       list_transform(arr, x -> x * 2) AS doubled,
+       array_to_string(list_transform(arr, x -> x * 2), '|') AS doubled,
        CAST(list_sum(arr) AS BIGINT) AS arr_sum
 FROM (SELECT a.*, n_regionkey FROM a JOIN nation USING (n_nationkey))
 ORDER BY n_nationkey
@@ -873,18 +873,24 @@ ORDER BY n_nationkey
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array scalar family: sort / contains / filter / transform /
     aggregate — the building blocks the dedup and similarity operators
-    compose (F3-F5 surface, generalized)."""
+    compose (F3-F5 surface, generalized). Array-valued results are
+    pipe-serialized: the driver's hasher cannot canonicalize
+    list-typed cells."""
     n = load_table(spark, "nation", sf_dir)
     arr = F.array(F.col("n_nationkey").cast("long"),
                   F.col("n_regionkey").cast("long"),
                   F.col("n_nationkey").cast("long") + 10)
+
+    def _ser(col):
+        return F.concat_ws("|", F.transform(col, lambda x: x.cast("string")))
+
     return (n.select(
         "n_nationkey",
-        F.array_sort(arr).alias("sorted_arr"),
+        _ser(F.array_sort(arr)).alias("sorted_arr"),
         F.array_contains(arr, F.col("n_regionkey").cast("long"))
          .alias("has_region"),
         F.size(F.filter(arr, lambda x: x % 2 == 0)).alias("n_even"),
-        F.transform(arr, lambda x: x * 2).alias("doubled"),
+        _ser(F.transform(arr, lambda x: x * 2)).alias("doubled"),
         F.aggregate(arr, F.lit(0).cast("long"),
                     lambda acc, x: acc + x).alias("arr_sum"))
         .orderBy("n_nationkey"))
@@ -899,13 +905,14 @@ WITH m AS (
 SELECT n_nationkey,
        kv['nation'][1] AS nation_val,
        kv['region'][1] AS region_val,
-       map_keys(kv) AS keys,
+       array_to_string(map_keys(kv), '|') AS keys,
        CAST(cardinality(kv) AS INT) AS n_entries
 FROM m ORDER BY n_nationkey
 """)
 def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map scalar family: construction, key lookup, keys, cardinality.
-    (DuckDB map[k] yields a list — the oracle unwraps with [1].)"""
+    (DuckDB map[k] yields a list — the oracle unwraps with [1];
+    map_keys is pipe-serialized for the driver's hasher.)"""
     n = load_table(spark, "nation", sf_dir)
     kv = F.map_from_arrays(
         F.array(F.lit("nation"), F.lit("region")),
@@ -915,7 +922,7 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.element_at(kv, "nation").alias("nation_val"),
         F.element_at(kv, "region").alias("region_val"),
-        F.map_keys(kv).alias("keys"),
+        F.concat_ws("|", F.map_keys(kv)).alias("keys"),
         F.size(kv).alias("n_entries"))
         .orderBy("n_nationkey"))
 

@@ -80,6 +80,17 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {ex}")
             continue
+        # The driver's pandas canonicalizer factorizes result columns to
+        # sort rows; list/map/struct cells raise "unhashable type". Be
+        # strictly AS strict as the driver here: nested output types are
+        # a failure even if values match — serialize them to strings.
+        nested = [f.name for f in sdf.schema.fields
+                  if f.dataType.typeName() in ("array", "map", "struct")]
+        if nested:
+            failures.append(name)
+            print(f"FAIL  {name}: nested-type output columns {nested} "
+                  f"would crash the driver hasher — serialize to string")
+            continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
