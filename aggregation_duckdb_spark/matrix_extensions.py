@@ -329,19 +329,55 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
-@register("sim_embedding_neardup", f"""
-WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
-b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+def _bucket_sql(col: str, t: int, mats: list) -> str:
+    """DuckDB mirror of similarity._bucket_bits for table t: ±1 terms
+    summed left-to-right (IEEE-exact same fold as the Spark side)."""
+    bits = []
+    for signs in mats[t]:
+        terms = " + ".join(
+            ("" if s > 0 else "- ") + f"CAST({col}[{i + 1}] AS DOUBLE)"
+            for i, s in enumerate(signs))
+        bits.append(f"(CASE WHEN (CAST(0.0 AS DOUBLE) + {terms}) > 0 "
+                    f"THEN '1' ELSE '0' END)")
+    return f"'{t}|' || " + " || ".join(bits)
+
+
+def _neardup_lsh_oracle(threshold: float, num_tables: int,
+                        bits_per_table: int, dim: int = 64) -> str:
+    """Mirror of similarity.embedding_near_duplicates_lsh: identical
+    deterministic buckets on both engines, so candidate generation —
+    not just the verify — is bit-exact across the oracle pair."""
+    mats = S.lsh_sign_matrix(num_tables, bits_per_table, dim)
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, v, {_bucket_sql('v', t, mats)} AS bucket FROM e"
+        for t in range(num_tables))
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+eb AS ({buckets}),
+cands AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           a.v AS va, b.v AS vb
+    FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, {_cosine_sql('va', 'vb')} AS cosine_sim
-FROM a JOIN b ON id_a < id_b
-WHERE {_cosine_sql('va', 'vb')} >= 0.4
+FROM cands
+WHERE {_cosine_sql('va', 'vb')} >= {threshold}
 ORDER BY id_a, id_b
-""")
+"""
+
+
+@register("sim_embedding_neardup", _neardup_lsh_oracle(0.4, 6, 8))
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
-    corpus — real near-dup corpora use ≥0.95)."""
+    """Embedding-cosine near-dup pairs via LSH-bucketed candidates +
+    exact-cosine verify — the scale path (bucket equi-join, never a
+    cross product; ~2^-(bits+1) of the all-pairs candidate count per
+    table). The DuckDB oracle mirrors the deterministic buckets
+    bit-for-bit, so the comparison covers candidate generation too.
+    Threshold 0.4 is tuned to the synthetic corpus (real near-dup
+    corpora use ≥0.95, where candidate recall is far higher — see
+    tests/test_extensions.py recall assertions)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return (S.embedding_near_duplicates(emb, threshold=0.4)
+    return (S.embedding_near_duplicates_lsh(emb, threshold=0.4,
+                                            num_tables=6, bits_per_table=8)
             .orderBy("id_a", "id_b"))
 
 

@@ -123,15 +123,61 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
 def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.99,
                               vec_col: str = "embedding",
                               id_col: str = "vec_id") -> DataFrame:
-    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
-    Brute-force form — at scale, route through ivf_assign and pair only
-    within cells (near-dups by definition share a cell)."""
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold),
+    EXACT all-pairs form: plans as a nested-loop O(N²) join — keep this
+    strictly as the small-N verification baseline (recall oracle for the
+    bucketed path below). At scale use
+    :func:`embedding_near_duplicates_lsh`."""
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
                     cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
             .where(F.col("cosine_sim") >= threshold))
+
+
+def embedding_near_duplicates_lsh(corpus: DataFrame, threshold: float = 0.99,
+                                  num_tables: int = 6, bits_per_table: int = 8,
+                                  dim: int = 64, vec_col: str = "embedding",
+                                  id_col: str = "vec_id") -> DataFrame:
+    """Near-dup pairs via hyperplane-LSH candidate generation + exact
+    cosine verify — the 100 TB shape. Each vector gets ``num_tables``
+    deterministic bucket keys map-side; candidates come from a
+    self-equi-join on the bucket (shuffle on bucket key, never a cross
+    product: ~N²/2^(bits+1) candidate pairs per table instead of N²/2),
+    then the exact cosine filter keeps true pairs only.
+
+    Candidate recall is probabilistic: a pair at angle θ agrees on one
+    bit w.p. 1-θ/π, on a table w.p. (1-θ/π)^bits. For real near-dup
+    thresholds (≥0.95) the default 6×8 config finds ≥96% of pairs (and
+    misses only pairs hovering at the threshold); raise ``num_tables``
+    for more recall, ``bits_per_table`` for fewer candidates. Buckets
+    are md5-derived constants (lsh_sign_matrix) — fully deterministic,
+    so results are reproducible bit-for-bit across engines.
+    """
+    probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is not None and probe["d"] != dim:
+        raise ValueError(
+            f"embedding_near_duplicates_lsh dim={dim} but {vec_col} has "
+            f"{probe['d']} elements")
+    mats = lsh_sign_matrix(num_tables, bits_per_table, dim)
+    buckets = F.explode(F.array(*[
+        F.concat(F.lit(f"{t}|"), _bucket_bits(F.col("__v"), mats[t]))
+        for t in range(num_tables)])).alias("__bucket")
+    a = corpus.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("__v")).select(
+        "id_a", F.col("__v").alias("__va"), buckets)
+    b = corpus.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("__v")).select(
+        "id_b", F.col("__v").alias("__vb"), buckets)
+    cands = (a.join(b, "__bucket")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "__va", "__vb")
+             .dropDuplicates(["id_a", "id_b"]))
+    return (cands.select(
+        "id_a", "id_b",
+        cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold))
 
 
 # ---------------------------------------------------------------------

@@ -10,13 +10,13 @@ broadcast join into a 100 TB shuffle fails CI instead of the cluster.
 """
 
 from aggregation_duckdb_spark.plans.inspect import (
-    assert_broadcast_join, assert_max_shuffles, assert_no_row_python_udf,
-    assert_pushed_filters, assert_read_schema_only,
+    assert_broadcast_join, assert_max_shuffles, assert_no_nested_loop_join,
+    assert_no_row_python_udf, assert_pushed_filters, assert_read_schema_only,
     assert_whole_stage_codegen, count_shuffles, physical_plan)
 
 __all__ = [
     "physical_plan", "count_shuffles", "assert_broadcast_join",
-    "assert_max_shuffles", "assert_no_row_python_udf",
-    "assert_pushed_filters", "assert_read_schema_only",
-    "assert_whole_stage_codegen",
+    "assert_max_shuffles", "assert_no_nested_loop_join",
+    "assert_no_row_python_udf", "assert_pushed_filters",
+    "assert_read_schema_only", "assert_whole_stage_codegen",
 ]

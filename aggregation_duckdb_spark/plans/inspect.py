@@ -93,6 +93,17 @@ def assert_whole_stage_codegen(df: DataFrame) -> None:
         raise AssertionError("no WholeStageCodegen stage in plan:\n" + plan)
 
 
+def assert_no_nested_loop_join(df: DataFrame) -> None:
+    """Theta/cross joins plan as BroadcastNestedLoopJoin or
+    CartesianProduct — O(N·M) row comparisons, the signature of an
+    accidental all-pairs path. Candidate-generation plans (LSH, IVF)
+    must pair via equi-joins only."""
+    plan = physical_plan(df, "simple")
+    for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        if node in plan:
+            raise AssertionError(f"{node} in plan (all-pairs path):\n" + plan)
+
+
 def assert_no_row_python_udf(df: DataFrame) -> None:
     """Row-at-a-time scalar Python (BatchEvalPython) is banned in the
     data path; Arrow-vectorized forms (ArrowEvalPython, MapInPandas,

@@ -215,3 +215,37 @@ def test_operators_handle_empty_inputs(spark):
     empty_right = spark.createDataFrame([], "k long, t long, v double")
     out = asof_join(left, empty_right, on="t", by="k", value_cols=["v"])
     assert [r["v_asof"] for r in out.collect()] == [None]
+
+
+def test_lsh_neardup_finds_planted_near_dups(spark):
+    """Genuine near-dups (cosine ~0.9999) must all surface through the
+    LSH bucket candidates: at that angle a 6-table x 8-bit config has
+    per-pair miss probability ~1e-9, and buckets are deterministic, so
+    exact recall is a stable assertion, not a flaky one."""
+    rows = []
+    for i in range(40):
+        v = [float((i * 31 + j * 7) % 13 - 6) for j in range(64)]
+        rows.append((i, v))
+        w = list(v)
+        w[0] += 0.01  # near-identical twin
+        rows.append((i + 1000, w))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"])
+           for r in S.embedding_near_duplicates_lsh(
+               emb, threshold=0.99, num_tables=6, bits_per_table=8).collect()}
+    assert {(i, i + 1000) for i in range(40)} <= got
+
+
+def test_lsh_neardup_subset_of_exact(spark, sf_dir):
+    """Every LSH-found pair is a true pair: subset of the all-pairs
+    exact result with identical cosine scores (candidate generation may
+    prune, the verify step may not distort)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in S.embedding_near_duplicates(emb, threshold=0.4).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+           for r in S.embedding_near_duplicates_lsh(
+               emb, threshold=0.4, num_tables=6, bits_per_table=8).collect()}
+    assert set(lsh) <= set(exact)
+    for pair, sim in lsh.items():
+        assert sim == exact[pair]

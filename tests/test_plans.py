@@ -61,3 +61,13 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     from aggregation_duckdb_spark.operators import dedup as D
     survivors = D.exact_dedup(load_table(spark, "documents", sf_dir))
     assert count_shuffles(survivors) <= 2
+
+
+def test_embedding_neardup_no_nested_loop(spark, sf_dir):
+    """The near-dup candidate path must pair via the LSH bucket
+    equi-join — an all-pairs theta-join (BroadcastNestedLoopJoin /
+    CartesianProduct) is the O(N^2) scale-killer this plan replaced."""
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    df = matrix.queries()["sim_embedding_neardup"](spark, sf_dir)
+    assert_no_nested_loop_join(df)
+    assert_no_row_python_udf(df)
