@@ -252,21 +252,31 @@ def simhash_bits(text: Column, bits: int = 16) -> Column:
 
     Bit b of a token's hash = high bit of hex digit b of its md5 (a
     digit in '89abcdef'); the document bit is the sign of the ±1 sum
-    over tokens (repeats included). Pure integer math — portable."""
-    toks = tokens(text)
+    over tokens (repeats included). Pure integer math — portable.
 
-    def contrib_fn(b: int):
-        # factory closure: a 3-param lambda would break F.aggregate's
-        # two-argument merge signature
-        return lambda acc, t: acc + F.when(
-            F.substring(F.md5(t), b + 1, 1).isin(*list("89abcdef")), 1
-        ).otherwise(-1)
+    The md5 pass is staged: one ``transform(tokens, md5)`` projection,
+    then a single fold over the cached hex strings with an
+    array-of-counters accumulator. A per-bit fold would re-evaluate
+    ``md5(t)`` inside each lambda body (HOF bodies get no common
+    subexpression elimination) — ``bits``× the hash work, the same
+    trap the MinHash path stages around (see minhash_lsh_candidates).
+    """
+    hashed = F.transform(tokens(text), F.md5)
 
-    bit_cols = []
-    for b in range(bits):
-        contrib = F.aggregate(toks, F.lit(0), contrib_fn(b))
-        bit_cols.append(F.when(contrib > 0, "1").otherwise("0"))
-    return F.concat(*bit_cols)
+    def contribs(h: Column) -> Column:
+        # per-token ±1 vector, one cheap substring per bit of the
+        # ALREADY-hashed hex — md5 runs exactly once per token above
+        return F.array(*[
+            F.when(F.substring(h, b + 1, 1).isin(*list("89abcdef")), 1)
+             .otherwise(-1)
+            for b in range(bits)])
+
+    counts = F.aggregate(
+        hashed,
+        F.array(*[F.lit(0)] * bits),
+        lambda acc, h: F.zip_with(acc, contribs(h), lambda a, c: a + c))
+    return F.array_join(
+        F.transform(counts, lambda c: F.when(c > 0, "1").otherwise("0")), "")
 
 
 def simhash_groups(docs: DataFrame, text_col: str = "text",
