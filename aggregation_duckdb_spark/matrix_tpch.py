@@ -1013,3 +1013,52 @@ def q_try_and_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ifnull(F.nullif(F.col("n_regionkey"), F.lit(0)), F.lit(99))
          .alias("ifnull_region"))
         .orderBy("n_nationkey"))
+
+
+@register("q_io_roundtrip", """
+SELECT r_name AS region_name,
+       CAST(COUNT(*) AS BIGINT) AS nation_count,
+       CAST(SUM(n_nationkey) AS BIGINT) AS nationkey_sum
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY region_name
+""")
+def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage surface end-to-end (SURVEY S4-S6): CTAS to parquet
+    (io.write_parquet), read-back, temp-view + spark.sql access, CSV
+    sink (io.write_csv) and CSV read-back with an explicit schema.
+    The values must survive both round-trips untouched, so the oracle
+    is the plain aggregate over the base tables — any serialization
+    drift (types, header handling, row loss) breaks the hash.
+
+    Mirrors aggregation_example.sql's CREATE OR REPLACE TABLE ... AS
+    (:86, :351) and the reference's CSV results artifact
+    (results/product_reporting_dim_table_contents.csv)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.io import write_csv, write_parquet
+
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    agg = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .groupBy(F.col("r_name").alias("region_name"))
+           .agg(F.count(F.lit(1)).alias("nation_count"),
+                F.sum("n_nationkey").alias("nationkey_sum")))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-io-roundtrip")
+    pq_path = os.path.join(base, "agg.parquet")
+    csv_path = os.path.join(base, "agg.csv")
+    # S5: CTAS → parquet, then read back
+    write_parquet(agg, pq_path)
+    back = spark.read.parquet(pq_path)
+    # S4: temp view + SQL access
+    back.createOrReplaceTempView("io_roundtrip_agg")
+    via_sql = spark.sql("SELECT region_name, nation_count, nationkey_sum "
+                        "FROM io_roundtrip_agg")
+    # S6: CSV sink, then read back with the explicit schema
+    write_csv(via_sql, csv_path)
+    return (spark.read.option("header", True)
+            .schema("region_name string, nation_count bigint, "
+                    "nationkey_sum bigint")
+            .csv(csv_path)
+            .orderBy("region_name"))
