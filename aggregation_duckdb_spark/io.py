@@ -19,6 +19,24 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Enable reading parquet TIMESTAMP(NANOS) columns as nanosecond
+    longs. Session-scoped by necessity (Spark exposes no per-read
+    option for it) and safe session-wide: the conf ONLY changes the
+    handling of NANOS columns, which Spark 4 otherwise refuses to read
+    at all — every other parquet read is unaffected. Set in
+    session.SCALE_CONFS for our own sessions; this covers sessions
+    created by external callers (e.g. the round driver)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+# Nanos→micros as FLOOR division in pure integer math: `ts div 1000`
+# truncates toward zero, which rounds pre-epoch (negative) instants the
+# wrong way; pmod keeps the arithmetic on longs (a double division
+# would lose precision past 2^53 ns). Matches DuckDB's reader exactly.
+_NANOS_TS_TO_MICROS = "timestamp_micros((ts - pmod(ts, 1000)) div 1000)"
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Scan one table. Column pruning / filter pushdown happen at the
     parquet scan because callers compose on the returned DataFrame
@@ -29,11 +47,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     (exactly what DuckDB's reader does), keeping both engines on the
     same instant."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ensure_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", F.expr(_NANOS_TS_TO_MICROS))
     return df
 
 

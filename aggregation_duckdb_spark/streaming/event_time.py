@@ -46,14 +46,16 @@ def events_stream(spark: SparkSession, sf_dir: str,
         path = d
     # events.ts is parquet TIMESTAMP(NANOS); same nanos→micros floor as
     # the batch loader (io.load_table) so both surfaces agree on instants
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from aggregation_duckdb_spark.io import (_NANOS_TS_TO_MICROS,
+                                             ensure_nanos_as_long)
+    ensure_nanos_as_long(spark)
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(path)
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream = stream.withColumn("ts", F.expr(_NANOS_TS_TO_MICROS))
     return stream
 
 

@@ -22,7 +22,10 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 STATE_SCHEMA = StructType([
     StructField("n_events", LongType()),
-    StructField("sum_value", DoubleType()),
+    # running sum in exact milli units (value is decimal(18,3)-shaped):
+    # integer accumulation is order-independent; descaled to a double
+    # only at emit
+    StructField("sum_millis", LongType()),
     StructField("n_batches", LongType()),
 ])
 
@@ -42,15 +45,16 @@ def _update_totals(key: tuple, pdfs: Iterable[pd.DataFrame],
     consumers see a monotone sequence per key; the final row is the
     answer. Value sums round to 3 decimals at emit so the result is
     reproducible as decimal math in the oracle."""
-    n, s, b = state.get if state.exists else (0, 0.0, 0)
+    n, sum_millis, b = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
         # values arrive as decimal(18,3)-compatible doubles; sum in
-        # cents-style integer space to stay order-independent
-        s += int(round(pdf["value"].astype(float).mul(1000).sum()))
-    state.update((n, s, b + 1))
+        # exact milli-unit integer space to stay order-independent
+        sum_millis += int(round(pdf["value"].astype(float).mul(1000).sum()))
+    state.update((n, sum_millis, b + 1))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                        "sum_value": [s / 1000.0], "n_batches": [b + 1]})
+                        "sum_value": [sum_millis / 1000.0],
+                        "n_batches": [b + 1]})
 
 
 def running_user_totals(events: DataFrame, user_col: str = "user_id",

@@ -106,3 +106,17 @@ def test_salted_join_same_key_name_and_aliases(spark, sf_dir):
     assert salted_join(facts, dim, "k", "k", how="leftsemi").count() == 2
     with _pytest.raises(ValueError):
         salted_join(facts, dim, "k", "k", how="right")
+
+
+def test_nanos_to_micros_floors_pre_epoch(spark):
+    """Nanos→micros must FLOOR, not truncate toward zero: a pre-epoch
+    instant like -1 ns is inside microsecond -1 (1969-12-31
+    23:59:59.999999), not microsecond 0. DuckDB's reader floors; the
+    engines must agree on the instant."""
+    from aggregation_duckdb_spark.io import _NANOS_TS_TO_MICROS
+    df = (spark.createDataFrame(
+            [(-1,), (-1500,), (0,), (1500,)], "ts long")
+          .select(F.col("ts").alias("ns"),
+                  F.unix_micros(F.expr(_NANOS_TS_TO_MICROS)).alias("us")))
+    got = {r["ns"]: r["us"] for r in df.collect()}
+    assert got == {-1: -1, -1500: -2, 0: 0, 1500: 1}
