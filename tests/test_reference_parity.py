@@ -167,3 +167,67 @@ def test_approx_distinct_mode_tracks_exact(spark, sf_dir):
         assert abs(a["sum_total_price"] - e["sum_total_price"]) < 1e-6
         d_e, d_a = e["distinct_customer_count"], a["distinct_customer_count"]
         assert abs(d_a - d_e) <= max(3, d_e * 0.06)
+
+
+REFERENCE_CSV = ("/root/reference/results/"
+                 "product_reporting_dim_table_contents.csv")
+
+
+def test_reporting_dim_matches_reference_csv_artifact(hier):
+    """Direct parity with the reference's only versioned result artifact
+    (results/product_reporting_dim_table_contents.csv): every UUID-free
+    column must match per node. Surrogate node_ids and the JSON blobs
+    embedding them are engine-generated (UUID-lexicographic sibling
+    order, SURVEY §1.4.1) and are excluded; the DFS pre-order invariant
+    is asserted structurally instead."""
+    import csv
+    import os
+
+    if not os.path.exists(REFERENCE_CSV):
+        pytest.skip("reference artifact not available")
+    with open(REFERENCE_CSV, newline="") as fh:
+        ref_rows = list(csv.DictReader(fh))
+    assert len(ref_rows) == 7
+
+    def ref_val(row, col):
+        v = row[col]
+        return None if v == "" else v
+
+    dim = {r["node_natural_key"]: r
+           for r in hier.reporting_dim(num_levels=3).collect()}
+    parent_of = {}
+    ref_order = {}
+    for row in ref_rows:
+        key = int(row["node_natural_key"])
+        got = dim[key]
+        assert got["node_name"] == row["node_name"]
+        assert got["level_name"] == row["level_name"]
+        assert got["is_root"] == (row["is_root"] == "TRUE")
+        assert got["is_leaf"] == (row["is_leaf"] == "TRUE")
+        assert got["level_number"] == int(row["level_number"])
+        for i in (1, 2, 3):
+            nk = ref_val(row, f"level_{i}_node_natural_key")
+            assert got[f"level_{i}_node_natural_key"] == \
+                (None if nk is None else int(nk))
+            assert got[f"level_{i}_node_name"] == \
+                ref_val(row, f"level_{i}_node_name")
+            assert got[f"level_{i}_level_name"] == \
+                ref_val(row, f"level_{i}_level_name")
+        ref_order[key] = int(row["node_sort_order"])
+        if row["parent_node_id"]:
+            # parent natural key = second-to-last path entry
+            path_keys = [ref_val(row, f"level_{i}_node_natural_key")
+                         for i in (1, 2, 3)]
+            path_keys = [int(k) for k in path_keys if k is not None]
+            parent_of[key] = path_keys[-2]
+
+    # both engines emit a DFS pre-order: contiguous 1..7, root first,
+    # every parent before its child (sibling ORDER legitimately differs:
+    # UUID-lexicographic there, natural-key here)
+    assert sorted(ref_order.values()) == list(range(1, 8))
+    our_order = {r["node_natural_key"]: r["node_sort_order"]
+                 for r in hier.reporting_dim(num_levels=3).collect()}
+    assert sorted(our_order.values()) == list(range(1, 8))
+    for order in (ref_order, our_order):
+        for child, parent in parent_of.items():
+            assert order[parent] < order[child]
