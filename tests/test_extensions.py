@@ -249,3 +249,30 @@ def test_lsh_neardup_subset_of_exact(spark, sf_dir):
     assert set(lsh) <= set(exact)
     for pair, sim in lsh.items():
         assert sim == exact[pair]
+
+
+def test_ivf_entry_config_recall_floor(spark, sf_dir):
+    """The driver entry sim_ivf_topk is rows-only (float centroid means
+    are engine-specific), so its quality gate lives here: at the entry's
+    exact config (k=10, n_probe=3, label centroids) recall vs the exact
+    brute-force baseline is deterministic — 0.48 on this synthetic
+    corpus (random embeddings, weak clusters) — and must stay above the
+    floor. A regression in cell assignment or probe pruning trips this
+    before it silently degrades the rows-only entry."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    cents = S.label_centroids(emb)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(emb, queries, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in S.ivf_topk(emb, queries, cents, k=10,
+                                  n_probe=3).collect()}
+    assert len(exact & approx) >= len(exact) * 0.4
+    # and every IVF hit must carry the true cosine (scores not distorted
+    # by the pruned path)
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+                    for r in S.brute_force_topk(emb, queries, k=10).collect()}
+    for r in S.ivf_topk(emb, queries, cents, k=10, n_probe=3).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert r["cosine_sim"] == exact_scores[key]
