@@ -37,9 +37,15 @@ def array_append_compat(arr: Column, elem: Column) -> Column:
 
 def element_at_1based(arr: Column, index: int) -> Column:
     """DuckDB ``arr[n]`` — 1-based, NULL out of range (:188-201).
-    ``try_element_at`` matches both properties; plain ``element_at``
-    errors out of range under ANSI."""
-    return F.try_element_at(arr, F.lit(index))
+
+    Size-guarded ``getItem`` rather than ``(try_)element_at``: the
+    semantics are identical (NULL out of range, NULL array → NULL, ANSI
+    or not), but Spark 4.1.2's ElementAt breaks whole-stage codegen on
+    arrays of non-literal structs ("isNull_N is not an rvalue" →
+    silent interpreted fallback), and the hierarchy path pivot sits on
+    exactly that shape. GetArrayItem with the in-range guard compiles.
+    """
+    return F.when(F.size(arr) >= index, arr[index - 1])
 
 
 def indent(level_number: Column, per_level: int = 7,

@@ -391,15 +391,17 @@ class Hierarchy:
 
         ``level_i_*`` columns come from ``path[i]`` (1-based, NULL above
         a node's depth — matching DuckDB's out-of-range NULL, which the
-        reference relies on at :188-201; ``try_element_at`` gives the
-        same semantics under ANSI mode).
+        reference relies on at :188-201; ``element_at_1based`` gives the
+        same semantics under ANSI mode and stays inside whole-stage
+        codegen, which ElementAt on struct arrays does not).
         """
         flat = self.flattened()
         width = num_levels or self.depth
         cols = [F.col(c) for c in NODE_ATTRS]
         cols += [F.col("node_json"), F.col("node_json_path"), F.col("node_sort_order")]
+        from aggregation_duckdb_spark.functions.scalars import element_at_1based
         for i in range(1, width + 1):
-            elem = F.try_element_at(F.col("node_json_path"), F.lit(i))
+            elem = element_at_1based(F.col("node_json_path"), i)
             for attr in ("node_id", "node_natural_key", "node_name", "level_name"):
                 cols.append(elem.getField(attr).alias(f"level_{i}_{attr}"))
         return flat.select(*cols)

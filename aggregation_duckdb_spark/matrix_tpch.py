@@ -481,8 +481,12 @@ FROM nation ORDER BY n_nationkey
 """)
 def q_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2-F6: struct/array construction, array_append, 1-based
-    element_at, struct field deref — the reference's path machinery
-    (:111-161), surfaced as scalars so schemas compare."""
+    deref, struct field deref — the reference's path machinery
+    (:111-161), surfaced as scalars so schemas compare. Struct-array
+    derefs go through element_at_1based (ElementAt on struct arrays
+    breaks whole-stage codegen in Spark 4.1.2); the primitive-array
+    deref keeps plain element_at, which compiles fine."""
+    from aggregation_duckdb_spark.functions.scalars import element_at_1based
     k1 = F.col("n_nationkey").cast("long").alias("k")
     k2 = F.col("n_regionkey").cast("long").alias("k")
     arr = F.array(F.struct(k1, F.col("n_name").alias("nm")),
@@ -491,8 +495,8 @@ def q_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("n_regionkey").cast("long"))
     return (load_table(spark, "nation", sf_dir)
             .select("n_nationkey",
-                    F.element_at(arr, 1).getField("nm").alias("first_nm"),
-                    F.element_at(arr, 2).getField("k").alias("second_k"),
+                    element_at_1based(arr, 1).getField("nm").alias("first_nm"),
+                    element_at_1based(arr, 2).getField("k").alias("second_k"),
                     F.element_at(appended, 2).alias("appended_last"))
             .orderBy("n_nationkey"))
 

@@ -26,13 +26,17 @@ HEADLINE = [
     "hier_agg_closure",
     "hier_agg_rollup",
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q18_large_volume_customers",
     "q_join_fact_dims",
     "q_window_analytics",
     "q_count_distinct",
     "dedup_minhash_lsh",
     "dedup_near_duplicates",
+    "dedup_simhash",
     "text_stats",
     "sim_topk_bruteforce",
+    "sim_embedding_neardup",
     "events_tumbling",
     "events_sessionize",
     "asof_join_events",
@@ -62,16 +66,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        # best of 2: steady-state latency, robust to one-off JIT/GC
-        # hiccups so round-over-round comparisons track real changes
-        best, n = None, 0
-        for _ in range(2):
+        # median of 3: best-of-2 proved too noisy to distinguish a real
+        # 1.5x change from run variance (r01 vs r02 swung 1.12x on
+        # identical plans); the median discards one-off JIT/GC hiccups
+        # in either direction
+        runs, n = [], 0
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()  # materialize the full result
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     try:
