@@ -59,7 +59,9 @@ _DRIVER_WINDOW_FIRST = [
     "q_null_safety", "q_try_and_coalesce",
     # changed in round 3 — need a fresh driver row proving the fix:
     "mm_features", "dedup_simhash", "sim_embedding_neardup",
-    "q_io_roundtrip",
+    # new in round 3 — never driver-checked:
+    "q_io_roundtrip", "q14_promo_effect", "q_window_frames",
+    "q_bucketed_join", "text_topk_ngrams", "pipeline_clean_corpus",
 ]
 
 

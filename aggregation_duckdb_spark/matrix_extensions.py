@@ -884,3 +884,71 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.lit(1.0) - lev.cast("double") / longest)
                     .alias("edit_similarity"))
             .orderBy("doc_a", "doc_b"))
+
+
+@register("text_topk_ngrams", f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bi AS (
+    SELECT UNNEST(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+    FROM d),
+counted AS (
+    SELECT ngram, COUNT(*) AS n FROM bi GROUP BY ngram)
+SELECT ngram, n FROM counted
+ORDER BY n DESC, ngram ASC
+LIMIT 20
+""")
+def text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k bigram frequencies — the n-gram census a
+    training-data pipeline runs for contamination/boilerplate checks.
+    Map-side: tokenize + adjacent-pair zip per doc (no Python); the
+    only shuffles are the count group-by and the top-k sort, both on
+    the (small) distinct-ngram set."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(T.tokens(F.col("text")).alias("toks"))
+    bi = d.selectExpr(
+        "explode(CASE WHEN size(toks) >= 2 THEN "
+        "zip_with(slice(toks, 1, size(toks) - 1), "
+        "         slice(toks, 2, size(toks) - 1), "
+        "         (a, b) -> concat(a, ' ', b)) "
+        "ELSE array() END) AS ngram")
+    return (bi.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("ngram"))
+            .limit(20))
+
+
+@register("pipeline_clean_corpus", f"""
+WITH keepers AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))),
+survivors AS (
+    SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+counted AS (
+    SELECT *, len({_TOKS}) AS tc FROM survivors)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(tc) AS BIGINT) AS sum_tokens,
+       CAST(SUM(tc) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM counted
+WHERE tc BETWEEN 5 AND 500
+GROUP BY lang
+ORDER BY lang
+""")
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: exact dedup → token-length
+    filter → per-language corpus stats. Exercises operator COMPOSITION
+    (dedup semi-join feeding a native filter feeding one aggregate
+    shuffle) the way a real cleaning job chains them; the oracle
+    replays the same three stages in SQL. Integer token sums with one
+    final IEEE division keep the average bit-stable."""
+    docs = load_table(spark, "documents", sf_dir)
+    survivors = D.exact_dedup(docs)
+    counted = survivors.withColumn("tc", T.token_count(F.col("text")))
+    return (counted.where((F.col("tc") >= 5) & (F.col("tc") <= 500))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.sum("tc").cast("long").alias("sum_tokens"),
+                 (F.sum("tc").cast("double") / F.count(F.lit(1)))
+                  .alias("avg_tokens"))
+            .orderBy("lang"))

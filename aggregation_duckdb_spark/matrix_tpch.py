@@ -1066,3 +1066,114 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "nationkey_sum bigint")
             .csv(csv_path)
             .orderBy("region_name"))
+
+
+@register("q14_promo_effect", """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+       CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) * CAST(1 AS DECIMAL(18,2)) END)
+            AS DOUBLE) /
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY ship_month
+ORDER BY ship_month
+""")
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-revenue ratio over a fact⋈dim
+    broadcast join. Both legs summed exactly in decimal; the single
+    IEEE division happens once per group at the end, so the doubles
+    are bit-identical across engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        _dec(F.lit(0)) * _dec(F.lit(1)))
+    return (li.where((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                     & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+            .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .groupBy(F.date_trunc("month", F.col("l_shipdate"))
+                      .alias("ship_month"))
+            .agg((F.lit(100.0) * F.sum(promo).cast("double")
+                  / F.sum(rev).cast("double")).alias("promo_revenue_pct"))
+            .orderBy("ship_month"))
+
+
+@register("q_window_frames", """
+SELECT o_orderkey, o_custkey,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+       first_value(o_orderkey) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS neighbor_first,
+       last_value(o_orderkey) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS neighbor_last,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+       COUNT(*) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sliding_avg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+ORDER BY o_orderkey
+""")
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame surface beyond W1: lead / ntile / dense_rank and
+    explicit ROWS frames (symmetric neighbor frame, trailing sliding
+    frame). All orderings key on the unique o_orderkey; the sliding
+    average is an exact decimal sum with one double division."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    nb = w.rowsBetween(-1, 1)
+    trail = w.rowsBetween(-2, Window.currentRow)
+    return (load_table(spark, "orders", sf_dir)
+            .select("o_orderkey", "o_custkey",
+                    F.lead("o_totalprice").over(w).alias("next_price"),
+                    F.ntile(4).over(w).cast("int").alias("quartile"),
+                    F.dense_rank().over(w).cast("long").alias("drank"),
+                    F.first("o_orderkey").over(nb).alias("neighbor_first"),
+                    F.last("o_orderkey").over(nb).alias("neighbor_last"),
+                    (F.sum(_dec("o_totalprice")).over(trail).cast("double")
+                     / F.count(F.lit(1)).over(trail)).alias("sliding_avg"))
+            .orderBy("o_orderkey"))
+
+
+@register("q_bucketed_join", """
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_order_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join via bucketed storage (the scale lever
+    for the 100 TB orders⋈lineitem shuffle: pay the shuffle once at
+    write, never per query — sources/bucketing.py). Both sides are
+    written bucketed+sorted by the join key, the join reads matching
+    buckets with no exchange (plan-asserted in tests/test_plans.py),
+    and the aggregate must match the plain-join oracle exactly."""
+    from aggregation_duckdb_spark.sources.bucketing import write_bucketed
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    write_bucketed(o, "q_bkt_orders", ["o_orderkey"], num_buckets=8,
+                   sort_cols=["o_orderkey"])
+    write_bucketed(li, "q_bkt_lineitem", ["l_orderkey"], num_buckets=8,
+                   sort_cols=["l_orderkey"])
+    ob, lb = spark.table("q_bkt_orders"), spark.table("q_bkt_lineitem")
+    return (ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(_dec("o_totalprice")).cast("double")
+                  .alias("sum_order_price"))
+            .orderBy("l_returnflag"))

@@ -71,3 +71,18 @@ def test_embedding_neardup_no_nested_loop(spark, sf_dir):
     df = matrix.queries()["sim_embedding_neardup"](spark, sf_dir)
     assert_no_nested_loop_join(df)
     assert_no_row_python_udf(df)
+
+
+def test_bucketed_join_entry_shuffle_budget(spark, sf_dir):
+    """q_bucketed_join: with broadcast off, the orders⋈lineitem join
+    must read co-located buckets with NO exchange of its own — the only
+    shuffles allowed are the returnflag aggregate and the final sort.
+    A third exchange means bucket metadata got lost and the 100 TB
+    write-once shuffle is being paid per query again."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = matrix.queries()["q_bucketed_join"](spark, sf_dir)
+        assert count_shuffles(df) <= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
