@@ -22,6 +22,11 @@ DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # Configs that matter at 100 TB, applied everywhere so test plans match
 # production plans as closely as local mode allows.
 SCALE_CONFS: dict[str, str] = {
+    # local[N] runs every task in the driver JVM; Spark's 1g default
+    # heap starves 32 concurrent shuffle tasks (observed OOM in the
+    # near-dup candidate join at ~16k vectors). JVM-start conf: applies
+    # when this factory creates the session, inert on an existing one.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -126,10 +126,61 @@ def dedup_probe(multiples: list) -> None:
             "seconds": round(time.time() - t0, 2)}))
 
 
+def neardup_probe(multiples: list) -> None:
+    """Embedding near-dup at growing corpus size: candidate pairs from
+    the LSH bucket equi-join versus the N·(N-1)/2 an all-pairs join
+    would compare. Pass = candidate count a small fraction of
+    all-pairs and no nested-loop join in the plan. Copies are
+    deterministically perturbed (component 0 += copy/1000) so they
+    spread across buckets like real near-identical vectors."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import similarity as S
+    from aggregation_duckdb_spark.plans import physical_plan
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    base = load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
+    S.embedding_near_duplicates_lsh(base, threshold=0.99).count()  # warmup
+
+    for m in multiples:
+        corpus = base
+        for i in range(m - 1):
+            corpus = corpus.unionByName(base.select(
+                (F.col("vec_id") + (i + 1) * 10_000_000).alias("vec_id"),
+                F.concat(
+                    F.array((F.element_at("embedding", 1)
+                             + (i + 1) / 1000.0).cast("float")),
+                    F.slice("embedding", 2, 63)).alias("embedding")))
+        n_vecs = corpus.count()
+        mats = S.lsh_sign_matrix(6, 8, 64)
+        bucketed = corpus.select(F.explode(F.array(*[
+            F.concat(F.lit(f"{t}|"),
+                     S._bucket_bits(F.col("embedding"), mats[t]))
+            for t in range(6)])).alias("__bucket"))
+        cand_per_bucket = (bucketed.groupBy("__bucket")
+                           .agg(F.count(F.lit(1)).alias("n"))
+                           .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)
+                                .alias("pairs")).first()["pairs"])
+        t0 = time.time()
+        pairs = S.embedding_near_duplicates_lsh(corpus, threshold=0.99)
+        n_pairs = pairs.count()
+        plan = physical_plan(pairs, "simple")
+        print(json.dumps({
+            "probe": "embedding_neardup_lsh", "multiple": m,
+            "vectors": n_vecs,
+            "all_pairs": n_vecs * (n_vecs - 1) // 2,
+            "bucket_candidate_pairs": int(cand_per_bucket),
+            "result_pairs": n_pairs,
+            "seconds": round(time.time() - t0, 2),
+            "nested_loop_join": ("BroadcastNestedLoopJoin" in plan
+                                 or "CartesianProduct" in plan)}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--hierarchy":
         hierarchy_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--dedup":
         dedup_probe([int(a) for a in sys.argv[2:]] or [1, 4, 8])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--neardup":
+        neardup_probe([int(a) for a in sys.argv[2:]] or [1, 8, 32])
     else:
         main()
