@@ -19,6 +19,8 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 # Configs that matter at 100 TB, applied everywhere so test plans match
 # production plans as closely as local mode allows.
 SCALE_CONFS: dict[str, str] = {
@@ -26,7 +28,15 @@ SCALE_CONFS: dict[str, str] = {
     # heap starves 32 concurrent shuffle tasks (observed OOM in the
     # near-dup candidate join at ~16k vectors). JVM-start conf: applies
     # when this factory creates the session, inert on an existing one.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    "spark.driver.memory": _DRIVER_MEM,
+    # Commit the whole heap at JVM start (-Xms + pre-touch): without
+    # this, G1 grows the heap lazily toward -Xmx and the task threads
+    # pay multi-second page-fault/zeroing stalls mid-query for the
+    # first several jobs (observed: 6-11 s one-off stalls in the LSH
+    # bench at 16g, GC pauses <25 ms — allocation, not collection).
+    # Moves the cost to startup, where the bench warmup absorbs it.
+    "spark.driver.extraJavaOptions":
+        f"-Xms{_DRIVER_MEM} -XX:+AlwaysPreTouch",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
