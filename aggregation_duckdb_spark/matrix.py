@@ -62,6 +62,10 @@ _DRIVER_WINDOW_FIRST = [
     # new in round 3 — never driver-checked:
     "q_io_roundtrip", "q14_promo_effect", "q_window_frames",
     "q_bucketed_join", "text_topk_ngrams", "pipeline_clean_corpus",
+    "q4_order_priority", "q6_revenue_forecast", "q9_profit_by_nation",
+    "q12_priority_class", "q13_customer_distribution",
+    "q16_supplier_counts", "q19_disjunctive_revenue",
+    "q22_dormant_customers",
 ]
 
 

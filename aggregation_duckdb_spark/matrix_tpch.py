@@ -1177,3 +1177,267 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(_dec("o_totalprice")).cast("double")
                   .alias("sum_order_price"))
             .orderBy("l_returnflag"))
+
+
+# ---------------------------------------------------------------------
+# TPC-H shapes q4..q22, adapted to the driver schema (no commitdate /
+# receiptdate / shipmode / partsupp / phone columns — each entry keeps
+# the original query's OPERATOR shape and swaps the missing column for
+# an equivalent predicate over the columns that exist)
+# ---------------------------------------------------------------------
+
+@register("q4_order_priority", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS
+    against the fact table feeding a count-by-priority. The driver
+    schema has no l_commitdate/l_receiptdate, so the 'late line'
+    predicate becomes ship-lag > 30 days — same semi-join shape
+    (Catalyst plans the EXISTS as a left-semi hash join on orderkey)."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 30 DAYS)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+
+
+@register("q6_revenue_forecast", """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+    — every predicate pushes to the parquet scan and the whole query is
+    one map-side partial + one exchange for the global sum. The plan to
+    check at 100 TB: PushedFilters on shipdate/discount/quantity,
+    no join, no window."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg((F.sum(_dec("l_extendedprice") * _dec("l_discount")))
+             .cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines")))
+
+
+@register("q9_profit_by_nation", """
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_profit
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, YEAR(o_orderdate)
+ORDER BY nation, o_year
+""")
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): the five-way star join —
+    fact⋈fact (orders) shuffles on orderkey, the three dims broadcast.
+    No ps_supplycost in the driver schema, so profit is the discounted
+    revenue leg only; the LIKE filter on p_name prunes parts before the
+    join exactly as in Q9."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    p = load_table(spark, "part", sf_dir).where(F.col("p_name").like("%a%"))
+    amount = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.sum(amount).cast("double").alias("sum_profit"))
+            .orderBy("nation", "o_year"))
+
+
+@register("q12_priority_class", """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority classes): conditional
+    two-way counts over the orders⋈lineitem join. No l_shipmode /
+    receipt-commit dates in the driver schema — the group key becomes
+    l_returnflag and the lateness predicate ship-lag > 60 days; the
+    CASE-IN aggregation shape is Q12's."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .where(F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+            .orderBy("l_returnflag"))
+
+
+@register("q13_customer_distribution", """
+WITH c_orders AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+    GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): left outer join with an
+    extra join-side predicate (kept on the JOIN, not the WHERE — the
+    rows it drops must still produce c_count=0 customers), then a
+    second aggregation over the first's result — the classic
+    'histogram of group sizes' double-agg."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (c.join(o, (c["c_custkey"] == o["o_custkey"])
+                       & (o["o_orderpriority"] != "5-LOW"), "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+@register("q16_supplier_counts", """
+SELECT p_brand, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+""")
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): NOT IN
+    (null-free) subquery planned as an anti-join, COUNT(DISTINCT) per
+    group, negated + IN-list predicates on the dim. No partsupp table
+    in the driver schema — lineitem is the part⋈supplier bridge, and
+    the excluded-supplier set is acctbal < 0 (complaints stand-in)."""
+    _views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql("""
+        SELECT p_brand, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size""")
+
+
+@register("q19_disjunctive_revenue", """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""")
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): OR-of-ANDs predicate spanning
+    both join sides. Catalyst extracts the common per-side conjuncts
+    from the disjunction (l_quantity windows push to the lineitem scan,
+    brand/size to the part scan) before the join — the optimization Q19
+    exists to test. No p_container in the driver schema; size windows
+    stand in."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (((b == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+            | ((b == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+            | ((b == "Brand#34") & sz.between(1, 35) & q.between(20, 30)))
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .where(disj)
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+@register("q22_dormant_customers", """
+WITH threshold AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS avg_bal
+    FROM customer WHERE c_acctbal > 0.0)
+SELECT c_nationkey AS cntry,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, threshold
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY cntry
+""")
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar-subquery
+    threshold (average positive balance — computed as one exact decimal
+    sum with a single IEEE division, so the cut-off is bit-identical
+    across engines) + NOT EXISTS anti-join against orders, grouped by
+    country. No c_phone in the driver schema — c_nationkey is the
+    country code; 'dormant' = no orders since 2000 (every synthetic
+    customer has SOME order, so the unconditional anti-join would be
+    a vacuous 0-row check)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+        WITH threshold AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0)
+        SELECT c_nationkey AS cntry,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM customer CROSS JOIN threshold
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_nationkey
+        ORDER BY cntry""")
