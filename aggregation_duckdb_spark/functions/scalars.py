@@ -48,6 +48,20 @@ def element_at_1based(arr: Column, index: int) -> Column:
     return F.when(F.size(arr) >= index, arr[index - 1])
 
 
+def serialize_array(arr: Column, elem_type: str = "string",
+                    sep: str = "|") -> Column:
+    """Flatten an array column to one delimited string — REQUIRED for
+    every array-typed matrix-entry output: the driver's pandas hasher
+    cannot canonicalize list cells (factorize → ``unhashable type:
+    'list'``), and scripts/oracle_check.py rejects nested output types
+    for the same reason. ``elem_type`` is the per-element cast applied
+    before rendering (pass ``"bigint"`` for whole-valued doubles so
+    Spark prints ``12``, not ``12.0``, matching DuckDB's
+    ``array_to_string``)."""
+    return F.concat_ws(
+        sep, F.transform(arr, lambda x: x.cast(elem_type).cast("string")))
+
+
 def indent(level_number: Column, per_level: int = 7,
            fill: str = "-") -> Column:
     """``LPAD('-', (level-1)*7, '-')`` (:334-337, :435-438): visual

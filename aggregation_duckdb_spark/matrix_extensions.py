@@ -715,13 +715,13 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle. The vector is emitted pipe-serialized — bucket sums are
     exact small integers, so bigint rendering is lossless — because the
     driver's hasher cannot canonicalize array-typed columns."""
+    from aggregation_duckdb_spark.functions.scalars import serialize_array
+
     docs = load_table(spark, "documents", sf_dir)
     feats = M.extract_features(M.attach_payload(docs), dim=8)
     return (feats.select(
         "doc_id",
-        F.concat_ws("|", F.transform(
-            "features", lambda x: x.cast("bigint").cast("string")))
-         .alias("features_str"),
+        serialize_array(F.col("features"), "bigint").alias("features_str"),
         F.size("features").alias("dim"))
         .orderBy("doc_id"))
 

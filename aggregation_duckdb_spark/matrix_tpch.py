@@ -885,16 +885,15 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("n_regionkey").cast("long"),
                   F.col("n_nationkey").cast("long") + 10)
 
-    def _ser(col):
-        return F.concat_ws("|", F.transform(col, lambda x: x.cast("string")))
+    from aggregation_duckdb_spark.functions.scalars import serialize_array
 
     return (n.select(
         "n_nationkey",
-        _ser(F.array_sort(arr)).alias("sorted_arr"),
+        serialize_array(F.array_sort(arr)).alias("sorted_arr"),
         F.array_contains(arr, F.col("n_regionkey").cast("long"))
          .alias("has_region"),
         F.size(F.filter(arr, lambda x: x % 2 == 0)).alias("n_even"),
-        _ser(F.transform(arr, lambda x: x * 2)).alias("doubled"),
+        serialize_array(F.transform(arr, lambda x: x * 2)).alias("doubled"),
         F.aggregate(arr, F.lit(0).cast("long"),
                     lambda acc, x: acc + x).alias("arr_sum"))
         .orderBy("n_nationkey"))
@@ -917,6 +916,8 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map scalar family: construction, key lookup, keys, cardinality.
     (DuckDB map[k] yields a list — the oracle unwraps with [1];
     map_keys is pipe-serialized for the driver's hasher.)"""
+    from aggregation_duckdb_spark.functions.scalars import serialize_array
+
     n = load_table(spark, "nation", sf_dir)
     kv = F.map_from_arrays(
         F.array(F.lit("nation"), F.lit("region")),
@@ -926,7 +927,7 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.element_at(kv, "nation").alias("nation_val"),
         F.element_at(kv, "region").alias("region_val"),
-        F.concat_ws("|", F.map_keys(kv)).alias("keys"),
+        serialize_array(F.map_keys(kv)).alias("keys"),
         F.size(kv).alias("n_entries"))
         .orderBy("n_nationkey"))
 
@@ -1049,7 +1050,11 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy(F.col("r_name").alias("region_name"))
            .agg(F.count(F.lit(1)).alias("nation_count"),
                 F.sum("n_nationkey").alias("nationkey_sum")))
-    base = os.path.join(tempfile.gettempdir(), "spark-graft-io-roundtrip")
+    # path keyed on the session's application id: two concurrent
+    # sessions (bench + oracle_check, or the round driver) must not
+    # overwrite each other's round-trip mid-read
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-io-roundtrip",
+                        spark.sparkContext.applicationId)
     pq_path = os.path.join(base, "agg.parquet")
     csv_path = os.path.join(base, "agg.csv")
     # S5: CTAS → parquet, then read back
@@ -1282,10 +1287,10 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q12_priority_class", """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
 GROUP BY l_returnflag

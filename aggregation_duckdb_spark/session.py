@@ -19,7 +19,21 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+def _default_driver_mem() -> str:
+    """16g where the host can afford it (the 128 GiB / 32-thread test
+    harness), else a quarter of physical RAM (floor 2g) — -Xms +
+    pre-touch below commits the whole amount at JVM start, so a fixed
+    16g default would refuse to boot on smaller hosts."""
+    try:
+        phys_gib = (os.sysconf("SC_PAGE_SIZE")
+                    * os.sysconf("SC_PHYS_PAGES")) // (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+    return "16g" if phys_gib >= 64 else f"{max(2, phys_gib // 4)}g"
+
+
+_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                             _default_driver_mem())
 
 # Configs that matter at 100 TB, applied everywhere so test plans match
 # production plans as closely as local mode allows.

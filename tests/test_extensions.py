@@ -262,17 +262,16 @@ def test_ivf_entry_config_recall_floor(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") < 5)
     cents = S.label_centroids(emb)
-    exact = {(r["query_id"], r["neighbor_id"])
-             for r in S.brute_force_topk(emb, queries, k=10).collect()}
-    approx = {(r["query_id"], r["neighbor_id"])
-              for r in S.ivf_topk(emb, queries, cents, k=10,
-                                  n_probe=3).collect()}
+    exact_rows = S.brute_force_topk(emb, queries, k=10).collect()
+    ivf_rows = S.ivf_topk(emb, queries, cents, k=10, n_probe=3).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
     assert len(exact & approx) >= len(exact) * 0.4
     # and every IVF hit must carry the true cosine (scores not distorted
     # by the pruned path)
     exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"]
-                    for r in S.brute_force_topk(emb, queries, k=10).collect()}
-    for r in S.ivf_topk(emb, queries, cents, k=10, n_probe=3).collect():
+                    for r in exact_rows}
+    for r in ivf_rows:
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert r["cosine_sim"] == exact_scores[key]
