@@ -330,7 +330,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket_sql(col: str, t: int, mats: list) -> str:
-    """DuckDB mirror of similarity._bucket_bits for table t: ±1 terms
+    """DuckDB mirror of similarity._bucket_keys for table t: ±1 terms
     summed left-to-right (IEEE-exact same fold as the Spark side)."""
     bits = []
     for signs in mats[t]:

@@ -14,6 +14,8 @@ bit-identical across engines for identical float inputs.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -164,35 +166,89 @@ def embedding_near_duplicates_lsh(corpus: DataFrame, threshold: float = 0.99,
         F.concat(F.lit(f"embedding_near_duplicates_lsh: dim={dim} but "
                        f"{vec_col} has "),
                  F.size(F.col(vec_col)).cast("string"), F.lit(" elements")))
-    buckets = F.explode(F.array(*[
-        F.concat(F.lit(f"{t}|"), _bucket_bits(F.col("__v"), mats[t]))
-        for t in range(num_tables)])).alias("__bucket")
-    bucketed = (corpus
-                .where(guard.isNull())
+    # The vector norm is per-vector, not per-pair: compute it once in
+    # the signature pass and carry it to the verify join, which then
+    # pays one dot product per candidate instead of a full cosine
+    # (dot + two norms — the value is IEEE-identical, norm's fold is
+    # unchanged, so oracle hashes are unaffected).
+    bucketed = (_fan_out(corpus.where(guard.isNull()))
                 .select(F.col(id_col).alias("__id"),
-                        F.col(vec_col).alias("__v"))
-                .select("__id", "__v", buckets))
+                        F.col(vec_col).alias("__v"),
+                        norm(F.col(vec_col)).alias("__n"),
+                        F.explode(_bucket_keys(F.col(vec_col), mats))
+                         .alias("__bucket")))
     # Materialize once and self-join: the signature pass runs a single
     # time instead of once per join side (at cluster scale: "write the
     # bucket table, then join" — same shape as the MinHash path).
     bucketed = bucketed.localCheckpoint(eager=True)
     a = bucketed.select(F.col("__id").alias("id_a"),
-                        F.col("__v").alias("__va"), "__bucket")
+                        F.col("__v").alias("__va"),
+                        F.col("__n").alias("__na"), "__bucket")
     b = bucketed.select(F.col("__id").alias("id_b"),
-                        F.col("__v").alias("__vb"), "__bucket")
+                        F.col("__v").alias("__vb"),
+                        F.col("__n").alias("__nb"), "__bucket")
     cands = (a.join(b, "__bucket")
              .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "__va", "__vb")
+             .select("id_a", "id_b", "__va", "__vb", "__na", "__nb")
              .dropDuplicates(["id_a", "id_b"]))
     return (cands.select(
         "id_a", "id_b",
-        cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
+        (dot(F.col("__va"), F.col("__vb"))
+         / (F.col("__na") * F.col("__nb"))).alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold))
 
 
 # ---------------------------------------------------------------------
 # hyperplane-LSH ANN (the bucketed scale path without a codebook)
 # ---------------------------------------------------------------------
+
+def _planes_tensor(mats: list) -> Column:
+    """All tables' sign matrices as ONE plan node.
+
+    ``F.lit(mats)`` expands nested Python lists into a CreateArray tree
+    with one Literal node per scalar — tables×bits×dim ≈ 3k nodes that
+    every analyzer/optimizer pass re-walks, a fixed ~1.5s of driver time
+    per query at the 6×8×64 default (measured). ``from_json`` of a
+    foldable string is constant-folded by Catalyst into a single
+    array-typed Literal at optimization time (verified: no
+    ``jsontostructs`` in the optimized plan), so the plan tree stays
+    small and per-row evaluation reads the folded constant."""
+    return F.from_json(F.lit(json.dumps(mats)),
+                       "array<array<array<double>>>")
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism when the scan produced
+    fewer partitions — the LSH signature pass is CPU-bound per row, and
+    a small parquet file arrives as one partition that would serialize
+    the whole pass on one core. At scale this is a no-op: a 100 TB scan
+    already yields far more partitions than cores."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
+def _bucket_keys(vec: Column, mats: list) -> Column:
+    """``table|bits`` bucket key per LSH table, as one array column.
+
+    Bit b of table t = sign of <vec, plane_tb> (sequential double fold —
+    zip_with then left-to-right aggregate — so bucket bits stay
+    bit-identical to the DuckDB oracle mirror). The whole tensor enters
+    the plan as a single folded literal (see _planes_tensor); one
+    index-aware transform derives every table's key in one pass."""
+    def bits(tp: Column) -> Column:
+        return F.array_join(
+            F.transform(tp, lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(vec, p,
+                               lambda x, y: x.cast("double") * y.cast("double")),
+                    F.lit(0.0), lambda acc, v: acc + v) > 0, "1")
+                .otherwise("0")), "")
+    return F.transform(
+        _planes_tensor(mats),
+        lambda tp, i: F.concat(i.cast("string"), F.lit("|"), bits(tp)))
+
 
 def lsh_sign_matrix(num_tables: int, bits_per_table: int, dim: int) -> list:
     """Deterministic ±1 hyperplane signs from md5("t|b|i") — generated
@@ -209,26 +265,6 @@ def lsh_sign_matrix(num_tables: int, bits_per_table: int, dim: int) -> list:
                 for i in range(dim)])
         mats.append(planes)
     return mats
-
-
-def _bucket_bits(vec: Column, planes: list) -> Column:
-    """Bit b = sign of <vec, plane_b> (sequential double fold).
-
-    The plane matrix enters the plan as ONE nested array literal with
-    generic transform/aggregate loops over it — unrolling bits×dim
-    scalar literals instead builds a several-thousand-node expression
-    tree whose Catalyst optimization + Janino compile dominates
-    wall-clock on every run (measured 5.1s → 0.9s for the near-dup
-    entry at sf0.1). Fold order is unchanged (zip_with then sequential
-    aggregate), so bucket bits stay bit-identical to the unrolled form
-    and to the DuckDB oracle mirror."""
-    return F.array_join(
-        F.transform(F.lit(planes), lambda p: F.when(
-            F.aggregate(
-                F.zip_with(vec, p,
-                           lambda x, y: x.cast("double") * y.cast("double")),
-                F.lit(0.0), lambda acc, v: acc + v) > 0, "1").otherwise("0")),
-        "")
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -250,20 +286,16 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         raise ValueError(
             f"lsh_topk dim={dim} but {vec_col} has {probe['d']} elements")
     mats = lsh_sign_matrix(num_tables, bits_per_table, dim)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cvec"))
+    c = _fan_out(corpus).select(F.col(id_col).alias("neighbor_id"),
+                                F.col(vec_col).alias("__cvec"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("__qvec"))
     c_buckets = c.select(
         "neighbor_id", "__cvec",
-        F.explode(F.array(*[
-            F.concat(F.lit(f"{t}|"), _bucket_bits(F.col("__cvec"), mats[t]))
-            for t in range(num_tables)])).alias("__bucket"))
+        F.explode(_bucket_keys(F.col("__cvec"), mats)).alias("__bucket"))
     q_buckets = q.select(
         "query_id", "__qvec",
-        F.explode(F.array(*[
-            F.concat(F.lit(f"{t}|"), _bucket_bits(F.col("__qvec"), mats[t]))
-            for t in range(num_tables)])).alias("__bucket"))
+        F.explode(_bucket_keys(F.col("__qvec"), mats)).alias("__bucket"))
     cands = (c_buckets.join(F.broadcast(q_buckets), "__bucket")
              .where(F.col("neighbor_id") != F.col("query_id"))
              .select("query_id", "__qvec", "neighbor_id", "__cvec")
