@@ -59,13 +59,16 @@ _DRIVER_WINDOW_FIRST = [
     "q_null_safety", "q_try_and_coalesce",
     # changed in round 3 — need a fresh driver row proving the fix:
     "mm_features", "dedup_simhash", "sim_embedding_neardup",
+    "sim_lsh_topk",
     # new in round 3 — never driver-checked:
     "q_io_roundtrip", "q14_promo_effect", "q_window_frames",
     "q_bucketed_join", "text_topk_ngrams", "pipeline_clean_corpus",
     "q4_order_priority", "q6_revenue_forecast", "q9_profit_by_nation",
     "q12_priority_class", "q13_customer_distribution",
     "q16_supplier_counts", "q19_disjunctive_revenue",
-    "q22_dormant_customers",
+    "q22_dormant_customers", "q2_min_cost_supplier", "q8_market_share",
+    "q11_important_parts", "q15_top_supplier", "q17_small_qty_revenue",
+    "q20_promo_suppliers", "q21_waiting_suppliers",
 ]
 
 

@@ -1446,3 +1446,275 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY c_nationkey
         ORDER BY cntry""")
+
+
+# ---------------------------------------------------------------------
+# TPC-H shapes, round 3 batch: correlated-MIN lookup (Q2), share ratio
+# (Q8), HAVING vs scalar aggregate (Q11), argmax-by-equality (Q15),
+# per-group-average correlated filter (Q17), aggregated IN-subquery
+# (Q20), EXISTS + NOT EXISTS on the same fact (Q21). Together with the
+# earlier batch this covers every TPC-H query plan family expressible
+# over the driver schema (no partsupp / commit-receipt dates — each
+# docstring notes the stand-in).
+# ---------------------------------------------------------------------
+
+_Q2_SQL = """
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS supply_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+FROM part
+JOIN cost ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 25 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+  AND supply_cost = (SELECT MIN(c2.supply_cost)
+                     FROM cost c2
+                     JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+                     JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                     JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                     WHERE c2.l_partkey = p_partkey
+                       AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+@register("q2_min_cost_supplier", _Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): a correlated MIN scalar
+    subquery over the same derived table the outer query joins —
+    Catalyst rewrites it to an aggregate + join on the correlation key
+    (p_partkey), never a per-row re-scan. No partsupp in the driver
+    schema: per-(part,supplier) average sale price from lineitem stands
+    in for ps_supplycost (exact decimal sum, one IEEE division, so the
+    MIN and the equality test are bit-identical across engines)."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier", "nation",
+           "region")
+    return spark.sql(_Q2_SQL)
+
+
+@register("q8_market_share", """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN
+                CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS mkt_share,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN part     ON p_partkey = l_partkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+ORDER BY o_year
+""")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): conditional-sum /
+    total-sum ratio per year over a five-dim snowflake. The only
+    shuffle-worthy join is lineitem⋈orders (both fact-sized) — every
+    dimension is broadcast; the nation table enters twice under
+    different roles (customer's vs supplier's), which exercises
+    self-alias resolution. Share = one conditional decimal sum divided
+    by one total decimal sum (both exact, single IEEE division).
+    SUM(CASE WHEN .. THEN x END) with no ELSE is NULL for a year with
+    zero matching lines in BOTH engines — kept without COALESCE on
+    purpose."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    p = load_table(spark, "part", sf_dir).where(F.col("p_type") == "ECONOMY")
+    n1 = load_table(spark, "nation", sf_dir).alias("n1")
+    n2 = load_table(spark, "nation", sf_dir).alias("n2")
+    r = load_table(spark, "region", sf_dir).where(F.col("r_name") == "AMERICA")
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    joined = (li
+              .join(o.where(
+                  (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(n1),
+                    F.col("c_nationkey") == F.col("n1.n_nationkey"))
+              .join(F.broadcast(r),
+                    F.col("n1.n_regionkey") == F.col("r_regionkey"))
+              .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(n2),
+                    F.col("s_nationkey") == F.col("n2.n_nationkey"))
+              .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")))
+    return (joined
+            .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg((F.sum(F.when(F.col("n2.n_name") == "NATION_1", vol))
+                  .cast("double")
+                  / F.sum(vol).cast("double")).alias("mkt_share"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("o_year"))
+
+
+_Q11_SQL = """
+SELECT l_partkey AS p_key,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+       (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.002
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3')
+ORDER BY part_value DESC, p_key
+"""
+
+
+@register("q11_important_parts", _Q11_SQL)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): HAVING
+    compared against an uncorrelated scalar aggregate of the SAME
+    filtered join — planned as one reusable aggregate feeding a
+    broadcast of a single row, not a re-scan per group. No partsupp:
+    lineitem value (price×qty) per part over one nation's suppliers
+    stands in for stock value. Both sides of the comparison are exact
+    decimal sums cast to double (the threshold multiply is one IEEE
+    op), so the cut is bit-identical."""
+    _views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(_Q11_SQL)
+
+
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", _Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): argmax by equality against an
+    uncorrelated MAX scalar subquery over a shared CTE — the classic
+    'view referenced twice' plan. The comparison and MAX run on the
+    exact DECIMAL sum (cast to double only in the projection), so
+    engines agree even when two suppliers tie to the cent."""
+    _views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(_Q15_SQL)
+
+
+_Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity
+                                   AS DECIMAL(18,2))) AS DOUBLE)
+                                  / COUNT(*))
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register("q17_small_qty_revenue", _Q17_SQL)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): per-part average
+    correlated subquery — Catalyst decorrelates to an aggregate on
+    l_partkey joined back to the filtered fact, so the fact table is
+    scanned twice but never per-row. The per-part average is an exact
+    decimal sum with one IEEE division then one multiply by 0.2,
+    parenthesized identically on both engines."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q17_SQL)
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >
+             CAST(100 AS DECIMAL(18,2)))
+ORDER BY s_suppkey
+"""
+
+
+@register("q20_promo_suppliers", _Q20_SQL)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): IN-subquery whose
+    inner query is itself a filtered aggregate with HAVING — plans as
+    aggregate → left-semi join, the scalable 'suppliers who shipped
+    enough of X' filter. No partsupp: shipped quantity over a year
+    stands in for available stock; the HAVING threshold is an exact
+    decimal comparison."""
+    _views(spark, sf_dir, "supplier", "nation", "region", "lineitem",
+           "part")
+    return spark.sql(_Q20_SQL)
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderstatus = 'F' AND r_name = 'ASIA'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1
+                  FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register("q21_waiting_suppliers", _Q21_SQL)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS and
+    NOT EXISTS against the SAME fact table in one query — planned as a
+    left-semi plus a left-anti join on l_orderkey, both shuffle-free
+    relative to the already-partitioned fact at scale. No
+    commit/receipt dates in the driver schema: 'late' = shipped more
+    than 90 days after the order date, and the inner NOT EXISTS
+    re-derives each sibling line's lateness from its own order row
+    (self-contained, no cross-row correlation beyond the order key)."""
+    _views(spark, sf_dir, "supplier", "lineitem", "orders", "nation",
+           "region")
+    return spark.sql(_Q21_SQL)
