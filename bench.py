@@ -28,6 +28,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q18_large_volume_customers",
+    "q8_market_share",
+    "q21_waiting_suppliers",
     "q_join_fact_dims",
     "q_window_analytics",
     "q_count_distinct",

@@ -86,3 +86,37 @@ def test_bucketed_join_entry_shuffle_budget(spark, sf_dir):
         assert count_shuffles(df) <= 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@pytest.mark.parametrize("name", [
+    "q2_min_cost_supplier", "q8_market_share", "q11_important_parts",
+    "q15_top_supplier", "q17_small_qty_revenue", "q20_promo_suppliers",
+    "q21_waiting_suppliers"])
+def test_tpch_subquery_shapes_decorrelate(spark, sf_dir, name):
+    """Every correlated subquery in the round-3 TPC-H batch must be
+    decorrelated by Catalyst into aggregate+join form — a
+    BroadcastNestedLoopJoin/CartesianProduct here means a per-row
+    re-scan of the fact table at 100 TB."""
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    df = matrix.queries()[name](spark, sf_dir)
+    assert_no_nested_loop_join(df)
+
+
+def test_q21_exists_pair_plans_semi_plus_anti(spark, sf_dir):
+    """EXISTS → left-semi, NOT EXISTS → left-anti, both against the
+    same fact: the pair must appear as exactly one of each, not as a
+    rewritten aggregate-join (which would double-shuffle lineitem)."""
+    from aggregation_duckdb_spark.plans.inspect import physical_plan
+    df = matrix.queries()["q21_waiting_suppliers"](spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q8_snowflake_broadcasts_every_dim(spark, sf_dir):
+    """Q8 joins five dimensions (nation twice) around the
+    lineitem⋈orders fact join — all of them must broadcast; the fact
+    join is the only join allowed to shuffle."""
+    df = matrix.queries()["q8_market_share"](spark, sf_dir)
+    assert_broadcast_join(df, at_least=5)
+    assert_max_shuffles(df, 4)
