@@ -386,58 +386,56 @@ def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(100))
 
 
-@register("q_union_all", """
-SELECT n_name AS name, 'nation' AS src FROM nation
+@register("q_set_ops", """
+SELECT 'union_all' AS probe, n_name || '/nation' AS val FROM nation
 UNION ALL
-SELECT r_name AS name, 'region' AS src FROM region
-ORDER BY name, src
+SELECT 'union_all' AS probe, r_name || '/region' AS val FROM region
+UNION ALL
+SELECT 'distinct' AS probe, val FROM (
+    SELECT DISTINCT c_mktsegment AS val FROM customer)
+UNION ALL
+SELECT 'intersect' AS probe, CAST(nationkey AS VARCHAR) AS val FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except' AS probe, CAST(nationkey AS VARCHAR) AS val FROM (
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey FROM supplier)
+ORDER BY probe, val
 """)
-def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O5 UNION ALL (the recursive CTE's glue, :131/:383)."""
-    nat = load_table(spark, "nation", sf_dir).select(
-        F.col("n_name").alias("name"), F.lit("nation").alias("src"))
-    reg = load_table(spark, "region", sf_dir).select(
-        F.col("r_name").alias("name"), F.lit("region").alias("src"))
-    return nat.unionByName(reg).orderBy("name", "src")
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 set-op family in one entry: UNION ALL (the recursive CTE's
+    glue, :131/:383) plus DISTINCT / INTERSECT / EXCEPT, tagged by a
+    probe column so each branch stays independently checkable.
 
+    NB set-EXCEPT is subtract(), i.e. distinct-then-remove. The
+    exceptAll().distinct() spelling is WRONG: with left multiplicity
+    above right (e.g. [v,v] except [v]) it keeps v."""
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
 
-@register("q_distinct", """
-SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
-""")
-def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (load_table(spark, "customer", sf_dir)
-            .select("c_mktsegment").distinct().orderBy("c_mktsegment"))
+    def tag(probe: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(probe).alias("probe"),
+                         F.col("val").cast("string").alias("val"))
 
-
-@register("q_intersect", """
-SELECT c_nationkey AS nationkey FROM customer
-INTERSECT
-SELECT s_nationkey FROM supplier
-ORDER BY nationkey
-""")
-def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, "customer", sf_dir).select(
-        F.col("c_nationkey").alias("nationkey"))
-    sup = load_table(spark, "supplier", sf_dir).select(
-        F.col("s_nationkey").alias("nationkey"))
-    return cust.intersect(sup).orderBy("nationkey")
-
-
-@register("q_except", """
-SELECT n_nationkey AS nationkey FROM nation
-EXCEPT
-SELECT s_nationkey FROM supplier
-ORDER BY nationkey
-""")
-def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nat = load_table(spark, "nation", sf_dir).select(
-        F.col("n_nationkey").alias("nationkey"))
-    sup = load_table(spark, "supplier", sf_dir).select(
-        F.col("s_nationkey").alias("nationkey"))
-    # NB set-EXCEPT is subtract(), i.e. distinct-then-remove. The
-    # exceptAll().distinct() spelling is WRONG: with left multiplicity
-    # above right (e.g. [v,v] except [v]) it keeps v.
-    return nat.subtract(sup).orderBy("nationkey")
+    union_all = tag("union_all", nat.select(
+        F.concat(F.col("n_name"), F.lit("/nation")).alias("val"))
+        .unionByName(reg.select(
+            F.concat(F.col("r_name"), F.lit("/region")).alias("val"))))
+    distinct = tag("distinct", cust.select(
+        F.col("c_mktsegment").alias("val")).distinct())
+    inter = tag("intersect", cust.select(
+        F.col("c_nationkey").alias("val"))
+        .intersect(sup.select(F.col("s_nationkey").alias("val"))))
+    exc = tag("except", nat.select(
+        F.col("n_nationkey").alias("val"))
+        .subtract(sup.select(F.col("s_nationkey").alias("val"))))
+    return (union_all.unionByName(distinct).unionByName(inter)
+            .unionByName(exc).orderBy("probe", "val"))
 
 
 # ---------------------------------------------------------------------
@@ -451,11 +449,15 @@ SELECT n_nationkey,
        lpad(n_name, 15, '.') AS padded,
        n_name || '/' || CAST(n_nationkey AS VARCHAR) AS tagged,
        upper(substr(n_name, 1, 3)) AS prefix3,
-       CAST(length(n_name) AS INT) AS name_len
+       CAST(length(n_name) AS INT) AS name_len,
+       regexp_extract(n_name, '[AEIOU]+') AS vowels,
+       regexp_replace(n_name, '[AEIOU]', '_', 'g') AS masked,
+       CAST(regexp_matches(n_name, '^[A-Z]+$') AS BOOLEAN) AS is_alpha
 FROM nation ORDER BY n_nationkey
 """)
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7 replace, F9 lpad, F10 || concat, plus substr/upper/length."""
+    """F7 replace, F9 lpad, F10 || concat, plus substr/upper/length and
+    the regex scalar family (extract / global replace / match)."""
     return (load_table(spark, "nation", sf_dir)
             .select("n_nationkey", "n_name",
                     F.replace(F.col("n_name"), F.lit("A"), F.lit("*")).alias("repl"),
@@ -463,7 +465,10 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat(F.col("n_name"), F.lit("/"),
                              F.col("n_nationkey").cast("string")).alias("tagged"),
                     F.upper(F.substring(F.col("n_name"), 1, 3)).alias("prefix3"),
-                    F.length(F.col("n_name")).cast("int").alias("name_len"))
+                    F.length(F.col("n_name")).cast("int").alias("name_len"),
+                    F.regexp_extract("n_name", "[AEIOU]+", 0).alias("vowels"),
+                    F.regexp_replace("n_name", "[AEIOU]", "_").alias("masked"),
+                    F.col("n_name").rlike("^[A-Z]+$").alias("is_alpha"))
             .orderBy("n_nationkey"))
 
 
@@ -502,24 +507,45 @@ def q_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q_date_functions", """
-SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
-       COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_month,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE) AS plus_45d,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+           AS days_since_95,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY order_month
-ORDER BY order_month
+ORDER BY o_orderkey LIMIT 500
 """)
 def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F11 date literals + date_trunc bucketing (month grain)."""
-    return (load_table(spark, "orders", sf_dir)
-            .where((F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-                   & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
-            .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
-            .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
-            .orderBy("order_month"))
+    """Merged date family: F11 date literals (the WHERE bounds),
+    date_trunc bucketing, interval add (month-end clamped the same way
+    in both engines), diffs, last_day, day-of-week (DuckDB is 0=Sunday
+    vs Spark 1=Sunday — oracle shifts by one), year/quarter — one
+    ordered scan of orders."""
+    o = load_table(spark, "orders", sf_dir)
+    d = F.col("o_orderdate").cast("date")
+    return (o.where((F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+            .select(
+        "o_orderkey",
+        d.alias("d"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.add_months(d, 1).alias("plus_month"),
+        F.date_add(d, 45).alias("plus_45d"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int")
+         .alias("days_since_95"),
+        F.last_day(d).alias("month_end"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.year(d).cast("int").alias("yr"),
+        F.quarter(d).cast("int").alias("qtr"))
+        .orderBy("o_orderkey").limit(500))
 
 
 @register("q_percentiles", """
@@ -611,23 +637,6 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("P_n", F.lit(0)).alias("n_partial"),
         F.col("F_rev").alias("filled_revenue"))
         .orderBy("order_year"))
-
-
-@register("q_regex", """
-SELECT c_custkey,
-       regexp_extract(c_name, '[0-9]+') AS digits,
-       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
-       CAST(regexp_matches(c_name, 'Customer') AS BOOLEAN) AS is_std
-FROM customer ORDER BY c_custkey LIMIT 200
-""")
-def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex scalar family: extract / global replace / match."""
-    return (load_table(spark, "customer", sf_dir)
-            .select("c_custkey",
-                    F.regexp_extract("c_name", "[0-9]+", 0).alias("digits"),
-                    F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
-                    F.col("c_name").rlike("Customer").alias("is_std"))
-            .orderBy("c_custkey").limit(200))
 
 
 @register("q3_shipping_priority", """
@@ -859,34 +868,45 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_custkey", "metric"))
 
 
-@register("q_array_functions", """
+@register("q_collections", """
 WITH a AS (
-    SELECT n_nationkey,
+    SELECT n_nationkey, n_regionkey,
            [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT),
-            CAST(n_nationkey AS BIGINT) + 10] AS arr
+            CAST(n_nationkey AS BIGINT) + 10] AS arr,
+           map(['nation', 'region'],
+               [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)]) AS kv
     FROM nation)
 SELECT n_nationkey,
        array_to_string(list_sort(arr), '|') AS sorted_arr,
        list_contains(arr, CAST(n_regionkey AS BIGINT)) AS has_region,
        CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INT) AS n_even,
        array_to_string(list_transform(arr, x -> x * 2), '|') AS doubled,
-       CAST(list_sum(arr) AS BIGINT) AS arr_sum
-FROM (SELECT a.*, n_regionkey FROM a JOIN nation USING (n_nationkey))
-ORDER BY n_nationkey
+       CAST(list_sum(arr) AS BIGINT) AS arr_sum,
+       kv['nation'][1] AS nation_val,
+       kv['region'][1] AS region_val,
+       array_to_string(map_keys(kv), '|') AS keys,
+       CAST(cardinality(kv) AS INT) AS n_entries
+FROM a ORDER BY n_nationkey
 """)
-def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array scalar family: sort / contains / filter / transform /
-    aggregate — the building blocks the dedup and similarity operators
-    compose (F3-F5 surface, generalized). Array-valued results are
-    pipe-serialized: the driver's hasher cannot canonicalize
-    list-typed cells."""
+def q_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection scalar families in one scan of nation.
+
+    Arrays: sort / contains / filter / transform / aggregate — the
+    building blocks the dedup and similarity operators compose (F3-F5
+    surface, generalized). Maps: construction, key lookup, keys,
+    cardinality (DuckDB map[k] yields a list — the oracle unwraps with
+    [1]). Collection-valued results are pipe-serialized: the driver's
+    hasher cannot canonicalize list-typed cells."""
+    from aggregation_duckdb_spark.functions.scalars import serialize_array
+
     n = load_table(spark, "nation", sf_dir)
     arr = F.array(F.col("n_nationkey").cast("long"),
                   F.col("n_regionkey").cast("long"),
                   F.col("n_nationkey").cast("long") + 10)
-
-    from aggregation_duckdb_spark.functions.scalars import serialize_array
-
+    kv = F.map_from_arrays(
+        F.array(F.lit("nation"), F.lit("region")),
+        F.array(F.col("n_nationkey").cast("long"),
+                F.col("n_regionkey").cast("long")))
     return (n.select(
         "n_nationkey",
         serialize_array(F.array_sort(arr)).alias("sorted_arr"),
@@ -895,36 +915,7 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(arr, lambda x: x % 2 == 0)).alias("n_even"),
         serialize_array(F.transform(arr, lambda x: x * 2)).alias("doubled"),
         F.aggregate(arr, F.lit(0).cast("long"),
-                    lambda acc, x: acc + x).alias("arr_sum"))
-        .orderBy("n_nationkey"))
-
-
-@register("q_map_functions", """
-WITH m AS (
-    SELECT n_nationkey,
-           map(['nation', 'region'],
-               [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)]) AS kv
-    FROM nation)
-SELECT n_nationkey,
-       kv['nation'][1] AS nation_val,
-       kv['region'][1] AS region_val,
-       array_to_string(map_keys(kv), '|') AS keys,
-       CAST(cardinality(kv) AS INT) AS n_entries
-FROM m ORDER BY n_nationkey
-""")
-def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map scalar family: construction, key lookup, keys, cardinality.
-    (DuckDB map[k] yields a list — the oracle unwraps with [1];
-    map_keys is pipe-serialized for the driver's hasher.)"""
-    from aggregation_duckdb_spark.functions.scalars import serialize_array
-
-    n = load_table(spark, "nation", sf_dir)
-    kv = F.map_from_arrays(
-        F.array(F.lit("nation"), F.lit("region")),
-        F.array(F.col("n_nationkey").cast("long"),
-                F.col("n_regionkey").cast("long")))
-    return (n.select(
-        "n_nationkey",
+                    lambda acc, x: acc + x).alias("arr_sum"),
         F.element_at(kv, "nation").alias("nation_val"),
         F.element_at(kv, "region").alias("region_val"),
         serialize_array(F.map_keys(kv)).alias("keys"),
@@ -932,92 +923,52 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("n_nationkey"))
 
 
-@register("q_date_arithmetic", """
-SELECT o_orderkey,
-       CAST(o_orderdate AS DATE) AS d,
-       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_month,
-       CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE) AS plus_45d,
-       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
-           AS days_since_95,
-       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
-       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
-       CAST(year(o_orderdate) AS INT) AS yr,
-       CAST(quarter(o_orderdate) AS INT) AS qtr
-FROM orders
-ORDER BY o_orderkey LIMIT 500
-""")
-def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date arithmetic family: interval add (month-end clamped the same
-    way in both engines), diffs, last_day, day-of-week (DuckDB is
-    0=Sunday vs Spark 1=Sunday — oracle shifts by one), year/quarter."""
-    o = load_table(spark, "orders", sf_dir)
-    d = F.col("o_orderdate").cast("date")
-    return (o.select(
-        "o_orderkey",
-        d.alias("d"),
-        F.add_months(d, 1).alias("plus_month"),
-        F.date_add(d, 45).alias("plus_45d"),
-        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int")
-         .alias("days_since_95"),
-        F.last_day(d).alias("month_end"),
-        F.dayofweek(d).cast("int").alias("dow"),
-        F.year(d).cast("int").alias("yr"),
-        F.quarter(d).cast("int").alias("qtr"))
-        .orderBy("o_orderkey").limit(500))
-
-
 @register("q_null_safety", """
 WITH v AS (
-    SELECT n_nationkey,
+    SELECT n_nationkey, n_name, n_regionkey,
            CASE WHEN n_nationkey % 5 = 0 THEN NULL
                 ELSE n_regionkey END AS maybe_region
     FROM nation)
-SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b
+SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+       TRY_CAST(a.n_name AS BIGINT) AS bad_cast,
+       TRY_CAST(CAST(a.n_nationkey AS VARCHAR) AS BIGINT) AS good_cast,
+       COALESCE(TRY_CAST(a.n_name AS BIGINT), -1) AS coalesced,
+       NULLIF(a.n_regionkey, 0) AS nullif_region,
+       IFNULL(NULLIF(a.n_regionkey, 0), 99) AS ifnull_region,
+       COALESCE(a.maybe_region, -1) AS region_or_sentinel
 FROM v a JOIN v b
   ON a.maybe_region IS NOT DISTINCT FROM b.maybe_region
  AND a.n_nationkey < b.n_nationkey
 ORDER BY key_a, key_b
 """)
 def q_null_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
-    match each other — the semantics plain '=' silently drops."""
+    """Null-handling family in one entry. Join side: null-safe equality
+    (<=> / IS NOT DISTINCT FROM) — NULL keys match each other, the
+    semantics plain '=' silently drops. Scalar side: try_cast (NULL,
+    not error), coalesce / nullif / ifnull — identical semantics both
+    engines."""
     n = load_table(spark, "nation", sf_dir)
     v = n.select(
-        "n_nationkey",
+        "n_nationkey", "n_name", "n_regionkey",
         F.when(F.col("n_nationkey") % 5 == 0, F.lit(None))
          .otherwise(F.col("n_regionkey")).alias("maybe_region"))
     a, b = v.alias("a"), v.alias("b")
+    bad = F.expr("try_cast(a.n_name AS BIGINT)")
     return (a.join(b, F.col("a.maybe_region").eqNullSafe(F.col("b.maybe_region"))
                    & (F.col("a.n_nationkey") < F.col("b.n_nationkey")))
             .select(F.col("a.n_nationkey").alias("key_a"),
-                    F.col("b.n_nationkey").alias("key_b"))
+                    F.col("b.n_nationkey").alias("key_b"),
+                    bad.alias("bad_cast"),
+                    F.expr("try_cast(CAST(a.n_nationkey AS STRING) AS BIGINT)")
+                     .alias("good_cast"),
+                    F.coalesce(bad, F.lit(-1)).alias("coalesced"),
+                    F.nullif(F.col("a.n_regionkey"), F.lit(0))
+                     .alias("nullif_region"),
+                    F.ifnull(F.nullif(F.col("a.n_regionkey"), F.lit(0)),
+                             F.lit(99)).alias("ifnull_region"),
+                    F.coalesce(F.col("a.maybe_region"), F.lit(-1))
+                     .alias("region_or_sentinel"))
             .orderBy("key_a", "key_b"))
-
-
-@register("q_try_and_coalesce", """
-SELECT n_nationkey,
-       TRY_CAST(n_name AS BIGINT) AS bad_cast,
-       TRY_CAST(CAST(n_nationkey AS VARCHAR) AS BIGINT) AS good_cast,
-       COALESCE(TRY_CAST(n_name AS BIGINT), -1) AS coalesced,
-       NULLIF(n_regionkey, 0) AS nullif_region,
-       IFNULL(NULLIF(n_regionkey, 0), 99) AS ifnull_region
-FROM nation ORDER BY n_nationkey
-""")
-def q_try_and_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-producing scalar family: try_cast (NULL, not error),
-    coalesce / nullif / ifnull — identical semantics both engines."""
-    n = load_table(spark, "nation", sf_dir)
-    bad = F.expr("try_cast(n_name AS BIGINT)")
-    return (n.select(
-        "n_nationkey",
-        bad.alias("bad_cast"),
-        F.expr("try_cast(CAST(n_nationkey AS STRING) AS BIGINT)")
-         .alias("good_cast"),
-        F.coalesce(bad, F.lit(-1)).alias("coalesced"),
-        F.nullif(F.col("n_regionkey"), F.lit(0)).alias("nullif_region"),
-        F.ifnull(F.nullif(F.col("n_regionkey"), F.lit(0)), F.lit(99))
-         .alias("ifnull_region"))
-        .orderBy("n_nationkey"))
 
 
 @register("q_io_roundtrip", """
