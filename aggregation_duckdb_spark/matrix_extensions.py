@@ -952,3 +952,171 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum("tc").cast("double") / F.count(F.lit(1)))
                   .alias("avg_tokens"))
             .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------
+# corpus pipeline: splits, PII, repetition, decontamination, centroids
+# ---------------------------------------------------------------------
+
+@register("pipeline_split_assign", f"""
+WITH b AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {10_000} AS bucket
+    FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+""")
+def pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: md5-bucketed, pure map-side —
+    every executor (and every re-run over late-arriving shards) assigns
+    identically with zero coordination. The salt re-deals the corpus."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+
+    docs = load_table(spark, "documents", sf_dir)
+    return P.split_assign(docs).orderBy("doc_id")
+
+
+# The synthetic corpus contains no contact strings, so the entry plants
+# deterministic PII per doc (derived from doc_id) and scrubs it back
+# out — the redaction counts are then provably non-trivial.
+_PII_AUG = ("text || ' reach user' || CAST(doc_id AS VARCHAR) "
+            "|| '@mail.example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) "
+            "|| '.7 ext 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')")
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3,4}"
+
+
+@register("pipeline_pii_scrub", f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG} AS text FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+              regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+       FROM aug),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t1, '{_PII_IP}')) AS n_ipv4,
+              regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+              len(regexp_extract_all(t2, '{_PII_PHONE}')) AS n_phone,
+              regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS t3
+       FROM s2)
+SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4, CAST(n_phone AS BIGINT) AS n_phone,
+       md5(t3) AS scrubbed_md5, CAST(length(t3) AS BIGINT) AS scrubbed_len
+FROM s3 ORDER BY doc_id
+""")
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: sequential email → IPv4 → phone masking with
+    per-category counts, map-only (regex runs inside codegen, nothing
+    leaves the JVM). Scrubbed text is md5-compacted for the hasher."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+
+    docs = load_table(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" reach user"),
+            F.col("doc_id").cast("string"), F.lit("@mail.example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7 ext 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"))
+    return (P.pii_scrub(aug)
+            .select("doc_id", "n_email", "n_ipv4", "n_phone",
+                    F.md5(F.col("scrubbed_text")).alias("scrubbed_md5"),
+                    F.length("scrubbed_text").cast("long")
+                     .alias("scrubbed_len"))
+            .orderBy("doc_id"))
+
+
+@register("pipeline_repetition", f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(list_max(list_transform(
+                 list_distinct(toks),
+                 d2 -> len(list_filter(toks, t -> t = d2)))) AS BIGINT)
+                 AS top_token_count
+      FROM d)
+SELECT doc_id, n_tokens, n_distinct, top_token_count,
+       CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_share,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       (CAST(top_token_count AS DOUBLE) / n_tokens) <= 0.2 AS keep
+FROM m ORDER BY doc_id
+""")
+def pipeline_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/degeneracy filter: most-frequent-token share and
+    distinct ratio per document, computed in-row (no explode, no
+    shuffle) — the standard drop-degenerate-docs quality gate."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+
+    docs = load_table(spark, "documents", sf_dir)
+    return P.repetition_stats(docs).orderBy("doc_id")
+
+
+def _decontaminate_oracle(width: int = 6) -> str:
+    return f"""
+WITH tr AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+            WHERE source <> 'src0'),
+be AS (SELECT {_TOKS} AS toks FROM documents WHERE source = 'src0'),
+trk AS (SELECT doc_id,
+               UNNEST(list_transform({_shingle_sql(width)}, s -> md5(s)))
+                   AS key
+        FROM tr),
+bek AS (SELECT DISTINCT
+               UNNEST(list_transform({_shingle_sql(width)}, s -> md5(s)))
+                   AS key
+        FROM be),
+hits AS (SELECT DISTINCT doc_id FROM trk
+         WHERE key IN (SELECT key FROM bek))
+SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM (SELECT DISTINCT doc_id FROM tr) t
+LEFT JOIN hits h ON t.doc_id = h.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register("pipeline_decontaminate", _decontaminate_oracle(6))
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    6-gram with the held-out eval slice (source 'src0' stands in for
+    the benchmark). Both sides reduce to distinct md5 n-gram keys
+    before a semi-join — the eval side is tiny, so Spark broadcasts
+    it and the training text itself never shuffles."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.where(F.col("source") != "src0")
+    bench = docs.where(F.col("source") == "src0")
+    return P.decontaminate(train, bench, width=6).orderBy("doc_id")
+
+
+@register("emb_label_centroids", f"""
+WITH e AS (SELECT label AS centroid_id,
+                  CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+                  unnest(embedding) AS comp
+           FROM embeddings)
+SELECT centroid_id, pos,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(round(CAST(comp AS DOUBLE) * {S.CENTROID_SCALE})
+                     AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / {S.CENTROID_SCALE} AS mean_value
+FROM e GROUP BY centroid_id, pos
+ORDER BY centroid_id, pos
+""")
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids with order-independent fixed-point
+    math (see label_centroids_exact) — the codebook-building step for
+    IVF, exact enough to hash-match the oracle bit-for-bit, in long
+    (label, pos) form so no array serialization is needed."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (S.label_centroids_exact(emb)
+            .select("centroid_id", F.col("pos").cast("int").alias("pos"),
+                    "n_vectors", "mean_value")
+            .orderBy("centroid_id", "pos"))

@@ -138,3 +138,28 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (final.select("user_id", F.col("s.n_events").alias("n_events"),
                          F.col("s.sum_value").alias("sum_value"))
             .orderBy("user_id"))
+
+
+@register("stream_dedup", """
+SELECT event_id, user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_copies_kept
+FROM events
+GROUP BY event_id, user_id, event_type
+ORDER BY event_id
+""")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup: the source is the events
+    stream unioned with itself (every row delivered twice — the
+    at-least-once scenario), and dropDuplicatesWithinWatermark must
+    collapse each event back to exactly one row. The oracle's
+    n_copies_kept is COUNT(*) per key over the ORIGINAL table — i.e.
+    asserting one survivor per event — which only matches if the
+    streaming state actually deduplicated across the unioned inputs."""
+    from aggregation_duckdb_spark.streaming import dedup_stream
+
+    doubled = events_stream(spark, sf_dir).unionByName(
+        events_stream(spark, sf_dir))
+    out = run_available_now(dedup_stream(doubled), "append")
+    return (out.groupBy("event_id", "user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_copies_kept"))
+            .orderBy("event_id"))

@@ -1,0 +1,162 @@
+"""Corpus-pipeline operators: deterministic splits, PII scrubbing,
+repetition filtering, benchmark decontamination.
+
+These are the pre-training data-prep steps that sit between raw scans
+and dedup/similarity: assign every document to train/val/test without
+coordination, strip contact-info strings, drop degenerate repetitive
+documents, and remove anything that shares n-grams with an evaluation
+benchmark. All hot-path logic is native ``pyspark.sql.functions``
+(JVM-side, codegen'd); the only shuffle in the whole module is the
+decontamination semi-join, which is a hash equi-join on md5 keys —
+broadcastable when the benchmark side is small (it always is).
+
+Determinism: split buckets and n-gram keys are md5-derived (exact hex
+string math in both engines), so every operator hash-matches its DuckDB
+oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from aggregation_duckdb_spark.operators.dedup import shingles
+from aggregation_duckdb_spark.operators.text import tokens
+
+# ---------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------
+
+#: bucket space for split assignment; 10_000 gives basis-point
+#: resolution on split fractions, plenty for corpus work.
+SPLIT_BUCKETS = 10_000
+
+
+def split_bucket(id_col: Column, salt: str = "v1") -> Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS): the first 8 hex
+    chars of md5(salt|id) as an integer, mod the bucket space. Pure
+    map-side — every executor assigns identically with zero
+    coordination, and re-runs (or late-arriving shards at 100 TB)
+    land in the same split. Changing ``salt`` re-deals the whole
+    corpus."""
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), id_col.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % SPLIT_BUCKETS)
+
+
+def split_assign(docs: DataFrame, id_col: str = "doc_id",
+                 fractions: dict[str, float] | None = None,
+                 salt: str = "v1") -> DataFrame:
+    """Assign each row to a named split by cumulative bucket ranges.
+    ``fractions`` preserves insertion order; values must sum to 1."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = split_bucket(F.col(id_col), salt)
+    expr: Column | None = None
+    edge = 0.0
+    cases = []
+    for name, frac in fractions.items():
+        edge += frac
+        cases.append((name, int(round(edge * SPLIT_BUCKETS))))
+    expr = F.lit(cases[-1][0])  # last split absorbs rounding remainder
+    for name, hi in reversed(cases[:-1]):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return docs.select(F.col(id_col), bucket.alias("bucket"),
+                       expr.alias("split"))
+
+
+# ---------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------
+
+# Patterns are intersection-of-dialects: every construct here (classes,
+# bounded repeats, alternation) means the same thing to Java regex
+# (Spark) and RE2 (DuckDB). Order matters: emails go first so an IP
+# inside a hostname is already masked when the IP pass runs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"[0-9]{3}-[0-9]{3,4}", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Mask contact-info spans and count redactions per category.
+    Map-only: one projection, no shuffle, no Python in the row path."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(scrubbed, F.lit(pat)).cast("long")
+                      .alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(F.col(id_col), *counts,
+                       scrubbed.alias("scrubbed_text"))
+
+
+# ---------------------------------------------------------------------
+# repetition / degeneracy filter
+# ---------------------------------------------------------------------
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_top_share: float = 0.2) -> DataFrame:
+    """Per-document repetition signals: share of the most frequent
+    token and distinct-token ratio, plus the keep/drop verdict a
+    cleaning pipeline would apply.
+
+    Computed in-row (distinct-tokens × occurrences scan per document)
+    rather than explode→groupBy: document length is bounded, so the
+    quadratic term is a constant, and the operator stays a pure
+    map-side projection — no shuffle at any corpus size."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    top_count = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda d: F.size(F.filter(toks, lambda t: t == d))))
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    top_share = top_count.cast("double") / n_tok
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        top_count.cast("long").alias("top_token_count"),
+        top_share.alias("top_token_share"),
+        (n_distinct.cast("double") / n_tok).alias("distinct_ratio"),
+        (top_share <= max_top_share).alias("keep"))
+
+
+# ---------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------
+
+def ngram_keys(text: Column, width: int) -> Column:
+    """Distinct md5 keys of word n-grams — the contamination unit."""
+    return F.transform(shingles(text, width), F.md5)
+
+
+def decontaminate(train: DataFrame, bench: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  width: int = 6) -> DataFrame:
+    """Flag training documents sharing any word ``width``-gram with a
+    benchmark document — the standard eval-set decontamination pass.
+
+    Shape for 100 TB: both sides reduce to distinct md5 n-gram keys
+    *before* the join (explode → distinct is map-side combinable), the
+    benchmark side is tiny by construction (eval sets are thousands of
+    documents, not billions) so Spark broadcasts it, and the verdict
+    is a semi-join — the train text itself never shuffles; only its
+    (id, key) pairs do.
+    """
+    train_keys = (train.select(F.col(id_col),
+                               F.explode(ngram_keys(F.col(text_col), width))
+                               .alias("__key")))
+    bench_keys = (bench.select(F.explode(ngram_keys(F.col(text_col), width))
+                               .alias("__key"))
+                  .distinct())
+    hit = (train_keys.join(bench_keys, "__key", "left_semi")
+           .select(id_col).distinct()
+           .withColumn("contaminated", F.lit(True)))
+    return (train.select(id_col).distinct()
+            .join(hit, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("contaminated"), F.lit(False))
+                    .alias("contaminated")))

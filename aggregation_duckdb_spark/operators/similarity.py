@@ -93,6 +93,40 @@ def label_centroids(corpus: DataFrame, vec_col: str = "embedding",
         F.array(*[F.col(f"__c{i}") for i in range(1, dim + 1)]).alias("centroid"))
 
 
+#: fixed-point scale for exact centroid math: 1e6 keeps six decimal
+#: digits of a float32 component, and a 2^53-safe sum up to ~9e9 rows.
+CENTROID_SCALE = 1_000_000
+
+
+def label_centroids_exact(corpus: DataFrame, vec_col: str = "embedding",
+                          label_col: str = "label",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Per-label centroids in long form (label, component position,
+    count, mean) with ORDER-INDEPENDENT math, unlike the float-avg
+    ``label_centroids``: each component is rounded to fixed-point
+    (×CENTROID_SCALE, half-away-from-zero — identical in Spark and
+    DuckDB), summed exactly as int64, and divided back at the end.
+    Integer addition commutes, so any partitioning/merge order yields
+    the same bits, and the final two IEEE double ops (sum/count, then
+    /scale) are deterministic given exact integer inputs — the result
+    hash-matches an oracle engine bit-for-bit.
+
+    Shape for scale: posexplode → partial-agg groupBy(label, pos);
+    one shuffle keyed on (label, pos) — dim× fan-out but fixed-width
+    rows, and the map-side combine reduces each partition to
+    |labels|·dim rows before the exchange."""
+    ex = corpus.select(F.col(label_col).alias("centroid_id"),
+                       F.posexplode(F.col(vec_col)).alias("pos0", "comp"))
+    scaled = F.round(F.col("comp").cast("double") * CENTROID_SCALE) \
+        .cast("long")
+    return (ex.groupBy("centroid_id", (F.col("pos0") + 1).alias("pos"))
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.sum(scaled).alias("__s"))
+            .select("centroid_id", "pos", "n_vectors",
+                    ((F.col("__s").cast("double") / F.col("n_vectors"))
+                     / CENTROID_SCALE).alias("mean_value")))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 10, n_probe: int = 2,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

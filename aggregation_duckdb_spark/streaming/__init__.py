@@ -13,12 +13,13 @@ DuckDB SQL.
 """
 
 from aggregation_duckdb_spark.streaming.event_time import (
-    events_stream, run_available_now, session_windows_stream,
-    sliding_counts_stream, tumbling_counts_stream)
+    dedup_stream, events_stream, run_available_now,
+    session_windows_stream, sliding_counts_stream,
+    tumbling_counts_stream)
 from aggregation_duckdb_spark.streaming.stateful import running_user_totals
 
 __all__ = [
-    "events_stream", "run_available_now", "session_windows_stream",
-    "sliding_counts_stream", "tumbling_counts_stream",
-    "running_user_totals",
+    "dedup_stream", "events_stream", "run_available_now",
+    "session_windows_stream", "sliding_counts_stream",
+    "tumbling_counts_stream", "running_user_totals",
 ]

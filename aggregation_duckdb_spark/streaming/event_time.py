@@ -113,6 +113,21 @@ def session_windows_stream(events: DataFrame, gap_minutes: int = 30,
             .drop("session_window"))
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 ts_col: str = "ts",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming deduplication with BOUNDED state: keep the first row
+    per key, dropping re-deliveries that arrive within the watermark
+    horizon (`dropDuplicatesWithinWatermark`). Unlike plain
+    ``dropDuplicates``, seen-key state is evicted once the watermark
+    passes — the operator runs forever on an unbounded at-least-once
+    source without growing state, the shape a 100 TB ingest pipeline
+    needs. Exactly-once dedup of arbitrarily-late duplicates is
+    impossible with finite state; the watermark IS the contract."""
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys or ["event_id"]))
+
+
 def stream_stream_time_join(left: DataFrame, right: DataFrame,
                             key: str = "user_id", ts_col: str = "ts",
                             id_col: str = "event_id",

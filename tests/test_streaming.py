@@ -175,3 +175,15 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     # the 10:00 window closed with exactly the 2 on-time rows; the late
     # row (id 4) did not resurrect or re-emit it
     assert got.get("2024-01-01 10:00:00") == 2
+
+
+def test_stream_dedup_collapses_redelivery(spark, sf_dir):
+    from aggregation_duckdb_spark.streaming import (
+        dedup_stream, events_stream, run_available_now)
+
+    doubled = events_stream(spark, sf_dir).unionByName(
+        events_stream(spark, sf_dir))
+    out = run_available_now(dedup_stream(doubled), "append")
+    n_src = load_table(spark, "events", sf_dir).count()
+    assert out.count() == n_src
+    assert out.select("event_id").distinct().count() == n_src
