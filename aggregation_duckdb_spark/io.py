@@ -37,21 +37,42 @@ def ensure_nanos_as_long(spark: SparkSession) -> None:
 _NANOS_TS_TO_MICROS = "timestamp_micros((ts - pmod(ts, 1000)) div 1000)"
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TimestampType (LTZ) whatever the
+    parquet encoding was:
+
+    - TIMESTAMP(NANOS) read as long (``nanosAsLong``) → floor to
+      micros, matching DuckDB's reader;
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ →
+      wall-clock-preserving cast (session TZ is pinned UTC, so the
+      instant is identical and DuckDB's naive read agrees);
+    - already TimestampType → unchanged.
+
+    Every downstream time operator (``unix_micros``, watermarks,
+    ``dropDuplicatesWithinWatermark``) requires TimestampType, so this
+    is the single choke point for event-time typing."""
+    from pyspark.sql import functions as F
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn("ts", F.expr(_NANOS_TS_TO_MICROS))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Scan one table. Column pruning / filter pushdown happen at the
     parquet scan because callers compose on the returned DataFrame
     lazily (check ``.explain``: PushedFilters / ReadSchema).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    default; we read it as a nanosecond long and floor to microseconds
-    (exactly what DuckDB's reader does), keeping both engines on the
-    same instant."""
+    ``events.ts`` arrives in whatever physical type the generator used
+    (nanos or micros-NTZ); :func:`normalize_event_ts` pins it to
+    TimestampType either way."""
     if name == "events":
         ensure_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-        df = df.withColumn("ts", F.expr(_NANOS_TS_TO_MICROS))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

@@ -42,37 +42,37 @@ def register(name: str, sql: str | None = None):
 # their DuckDB oracles. ALL entries pass the same comparison locally
 # (scripts/oracle_check.py runs the full set — keep it that way); this
 # list only schedules WHICH entries get a driver-recorded row this
-# round: first the entries that had no driver row through round 2
-# (near-duplicate scalar-family entries merged in round 3 so the whole
-# batch fits the 50-entry window), then entries whose implementation
-# changed this round (they must re-verify), then the long-proven
-# remainder in registration order. Exactly 50 names below.
+# round: first entries with no driver row through round 3, then entries
+# whose implementation changed this round (they must re-verify), then
+# the entries whose only driver evidence is round 1 — the testdata was
+# regenerated before round 4 (events.ts switched nanos→micros-NTZ), so
+# round-1 rows are both oldest and against different physical data.
+# Round-3-verified entries sit past the cutoff. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
-    # no driver row as of CORRECTNESS_r02 (all pass the local oracle);
-    # merged entries: q_set_ops = union_all+distinct+intersect+except,
-    # q_scalar_functions += regex, q_date_functions += date arithmetic,
-    # q_collections = arrays+maps, q_null_safety += try/coalesce.
-    "q_scalar_subquery", "q_having", "q_join_fact_dims", "q_semi_join",
-    "q_anti_join", "q_outer_join", "q_window_row_number",
-    "q_window_analytics", "q_order_limit", "q_set_ops",
-    "q_scalar_functions", "q_struct_array", "q_date_functions",
-    "q_percentiles", "q_exists_correlated", "q_string_agg",
-    "q_pivot_status", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q10_returned_items",
-    "q18_large_volume_customers", "q7_volume_shipping", "q_unpivot",
-    "q_collections", "q_null_safety",
-    # changed in round 3 — need a fresh driver row proving the fix:
-    "mm_features", "dedup_simhash", "sim_embedding_neardup",
-    "sim_lsh_topk",
-    # new in round 3 — never driver-checked:
-    "q_io_roundtrip", "q14_promo_effect", "q_window_frames",
-    "q_bucketed_join", "text_topk_ngrams", "pipeline_clean_corpus",
-    "q4_order_priority", "q6_revenue_forecast", "q9_profit_by_nation",
-    "q12_priority_class", "q13_customer_distribution",
-    "q16_supplier_counts", "q19_disjunctive_revenue",
-    "q22_dormant_customers", "q2_min_cost_supplier", "q8_market_share",
-    "q11_important_parts", "q15_top_supplier", "q17_small_qty_revenue",
-    "q20_promo_suppliers", "q21_waiting_suppliers",
+    # never driver-checked (new in round 3; all pass the local oracle):
+    "pipeline_split_assign", "pipeline_pii_scrub", "pipeline_repetition",
+    "pipeline_decontaminate", "emb_label_centroids", "stream_dedup",
+    # changed in round 4: events.ts normalization (nanos→micros-NTZ
+    # testdata change broke unix_micros/watermarks) touched every
+    # event-time and streaming entry — fresh rows prove the fix:
+    "asof_join_events", "events_tumbling", "events_sliding",
+    "events_sessionize", "events_user_gap_stats",
+    "events_conversion_lag", "stream_tumbling", "stream_sliding",
+    "stream_sessionize", "stream_stateful_totals", "stream_stream_join",
+    # driver evidence only from round 1 (pre-regeneration data); the
+    # two rows-only entries (hier_agg_closure_approx, sim_ivf_topk)
+    # yield to oracled entries — their driver row is the weak check:
+    "hier_agg_closure", "hier_agg_rollup", "hier_reporting_dim",
+    "hier_closure", "hier_closure_recursive", "ref_parity_agg",
+    "text_stats", "text_language_id", "text_quality",
+    "text_fingerprint", "text_rolling_hash", "dedup_exact_survivors",
+    "dedup_minhash_lsh", "dedup_jaccard_pairs", "dedup_near_duplicates",
+    "sim_topk_bruteforce", "hier_distinct_twostage", "hier_subtree_agg",
+    "q_salted_join", "mm_decode_metadata", "mm_resize",
+    "mm_frame_sample", "q_json_functions", "text_tokenize_udtf",
+    "dedup_edit_distance", "q1_pricing_summary", "q_count_distinct",
+    "q_rollup_grouping", "q_cube_grouping", "q_grouping_sets",
+    "q_filter_project", "q_case_when", "q_in_subquery",
 ]
 
 

@@ -989,7 +989,7 @@ _PII_AUG = ("text || ' reach user' || CAST(doc_id AS VARCHAR) "
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-_PII_PHONE = "[0-9]{3}-[0-9]{3,4}"
+_PII_PHONE = "\\b[0-9]{3}-[0-9]{3,4}\\b"
 
 
 @register("pipeline_pii_scrub", f"""
@@ -1045,9 +1045,15 @@ m AS (SELECT doc_id,
                  AS top_token_count
       FROM d)
 SELECT doc_id, n_tokens, n_distinct, top_token_count,
-       CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_share,
-       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
-       (CAST(top_token_count AS DOUBLE) / n_tokens) <= 0.2 AS keep
+       CASE WHEN n_tokens > 0
+            THEN CAST(top_token_count AS DOUBLE) / n_tokens END
+           AS top_token_share,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_distinct AS DOUBLE) / n_tokens END
+           AS distinct_ratio,
+       CASE WHEN n_tokens > 0
+            THEN (CAST(top_token_count AS DOUBLE) / n_tokens) <= 0.2
+            ELSE FALSE END AS keep
 FROM m ORDER BY doc_id
 """)
 def pipeline_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

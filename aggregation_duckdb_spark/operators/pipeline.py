@@ -74,7 +74,10 @@ def split_assign(docs: DataFrame, id_col: str = "doc_id",
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
-    ("phone", r"[0-9]{3}-[0-9]{3,4}", "<PHONE>"),
+    # word-boundary anchored so date fragments (2024-01), ZIP+4, and
+    # digit runs inside longer numbers don't get over-redacted; \b is
+    # an ASCII word boundary in both Java regex and RE2
+    ("phone", r"\b[0-9]{3}-[0-9]{3,4}\b", "<PHONE>"),
 ]
 
 
@@ -113,15 +116,20 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
         F.array_distinct(toks),
         lambda d: F.size(F.filter(toks, lambda t: t == d))))
     n_distinct = F.size(F.array_distinct(toks)).cast("long")
-    top_share = top_count.cast("double") / n_tok
+    # empty documents (zero tokens): shares are undefined (NULL) and the
+    # verdict is an explicit drop — without the guard, NULL share would
+    # make `keep` NULL and silently vanish from downstream keep-filters
+    top_share = F.when(n_tok > 0, top_count.cast("double") / n_tok)
     return docs.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
         top_count.cast("long").alias("top_token_count"),
         top_share.alias("top_token_share"),
-        (n_distinct.cast("double") / n_tok).alias("distinct_ratio"),
-        (top_share <= max_top_share).alias("keep"))
+        F.when(n_tok > 0, n_distinct.cast("double") / n_tok)
+         .alias("distinct_ratio"),
+        F.when(n_tok > 0, top_share <= max_top_share)
+         .otherwise(F.lit(False)).alias("keep"))
 
 
 # ---------------------------------------------------------------------

@@ -44,19 +44,17 @@ def events_stream(spark: SparkSession, sf_dir: str,
             os.symlink(path, os.path.join(d, "events.parquet"))
             _SYMLINK_DIRS[path] = d
         path = d
-    # events.ts is parquet TIMESTAMP(NANOS); same nanos→micros floor as
-    # the batch loader (io.load_table) so both surfaces agree on instants
-    from aggregation_duckdb_spark.io import (_NANOS_TS_TO_MICROS,
-                                             ensure_nanos_as_long)
+    # same ts normalization as the batch loader (io.load_table) so both
+    # surfaces agree on instants and type (TimestampType — watermarks
+    # and dropDuplicatesWithinWatermark reject TIMESTAMP_NTZ)
+    from aggregation_duckdb_spark.io import (ensure_nanos_as_long,
+                                             normalize_event_ts)
     ensure_nanos_as_long(spark)
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(path)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr(_NANOS_TS_TO_MICROS))
-    return stream
+    return normalize_event_ts(reader.parquet(path))
 
 
 def tumbling_counts_stream(events: DataFrame, width: str = "1 hour",
@@ -124,6 +122,11 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None,
     source without growing state, the shape a 100 TB ingest pipeline
     needs. Exactly-once dedup of arbitrarily-late duplicates is
     impossible with finite state; the watermark IS the contract."""
+    # dropDuplicatesWithinWatermark requires a TimestampType event-time
+    # column (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on TIMESTAMP_NTZ);
+    # defensive for callers that didn't come through events_stream
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (events.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(keys or ["event_id"]))
 
