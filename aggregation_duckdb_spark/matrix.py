@@ -49,9 +49,11 @@ def register(name: str, sql: str | None = None):
 # round-1 rows are both oldest and against different physical data.
 # Round-3-verified entries sit past the cutoff. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
-    # never driver-checked (new in round 3; all pass the local oracle):
+    # never driver-checked (new in rounds 3-4; all pass the local oracle):
     "pipeline_split_assign", "pipeline_pii_scrub", "pipeline_repetition",
     "pipeline_decontaminate", "emb_label_centroids", "stream_dedup",
+    "dedup_cc_clusters", "pipeline_pack_sequences", "text_tfidf_topterms",
+    "pipeline_stratified_sample", "pipeline_quantile_filter",
     # changed in round 4: events.ts normalization (nanos→micros-NTZ
     # testdata change broke unix_micros/watermarks) touched every
     # event-time and streaming entry — fresh rows prove the fix:
@@ -71,8 +73,7 @@ _DRIVER_WINDOW_FIRST = [
     "q_salted_join", "mm_decode_metadata", "mm_resize",
     "mm_frame_sample", "q_json_functions", "text_tokenize_udtf",
     "dedup_edit_distance", "q1_pricing_summary", "q_count_distinct",
-    "q_rollup_grouping", "q_cube_grouping", "q_grouping_sets",
-    "q_filter_project", "q_case_when", "q_in_subquery",
+    "q_rollup_grouping",
 ]
 
 

@@ -1126,3 +1126,186 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("centroid_id", F.col("pos").cast("int").alias("pos"),
                     "n_vectors", "mean_value")
             .orderBy("centroid_id", "pos"))
+
+
+# ---------------------------------------------------------------------
+# round 4: cluster dedup, packing, TF-IDF, sampling, quantile gate
+# ---------------------------------------------------------------------
+
+# near-dup verified pairs as a reusable oracle fragment (the same
+# LSH → Jaccard-verify pipeline dedup_near_duplicates checks directly)
+_NEARDUP_PAIRS_CTES = f"""
+d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM d),
+hashes AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs FROM s),
+sigs AS (SELECT doc_id, sh, {_minhash_sql(12)} AS sig FROM hashes),
+buckets AS (
+    SELECT doc_id AS doc, UNNEST({_band_sql(4, 3)}) AS bucket FROM sigs),
+cands AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc < b.doc),
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cands c
+    JOIN s sa ON c.doc_a = sa.doc_id
+    JOIN s sb ON c.doc_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+                 AS DOUBLE) >= 0.6)
+"""
+
+
+@register("dedup_cc_clusters", f"""
+WITH RECURSIVE {_NEARDUP_PAIRS_CTES},
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+    SELECT DISTINCT a AS id, a AS r FROM edges
+    UNION
+    SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM labels GROUP BY cluster_id)
+SELECT l.id AS doc_id, l.cluster_id, sz.cluster_size,
+       (l.id = l.cluster_id) AS is_keeper
+FROM labels l JOIN sizes sz ON l.cluster_id = sz.cluster_id
+ORDER BY doc_id
+""")
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: verified LSH pairs closed under
+    transitivity by distributed connected components (iterative
+    min-label propagation, operators/graph.py) — the unit a cleaning
+    pipeline actually drops. The oracle computes the same transitive
+    closure with a recursive CTE."""
+    from aggregation_duckdb_spark.operators import graph as G
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.near_duplicates(docs, threshold=0.6, num_hashes=12,
+                              num_bands=4)
+    return G.duplicate_clusters(pairs).orderBy("doc_id")
+
+
+@register("pipeline_pack_sequences", f"""
+WITH b AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 10000 % 16 AS bucket,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents),
+c AS (
+    SELECT doc_id, bucket, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_offset
+    FROM b)
+SELECT doc_id, bucket, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 1024 AS BIGINT) AS seq_idx
+FROM c ORDER BY doc_id
+""")
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concat-then-chunk documents into 1024-token
+    training sequences, sharded over 16 md5 buckets so each bucket's
+    cumulative-sum window packs independently in parallel — no global
+    single-task window at any corpus size."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (P.pack_sequences(docs, context_len=1024, num_buckets=16)
+            .orderBy("doc_id"))
+
+
+@register("text_tfidf_topterms", f"""
+WITH p AS (SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM p GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf, d.df,
+           CAST(t.tf AS DOUBLE) * (SELECT n_docs FROM n) / d.df AS score
+    FROM tf t JOIN df d ON t.term = d.term),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term ASC) AS rank
+    FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+""")
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf with the
+    division-only idf = N/df (ln() differs in the last ulp across
+    engines; one IEEE division of exact integers does not)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return T.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
+@register("pipeline_stratified_sample", """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('sample-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))
+          ::BIGINT % 10000
+      < (CASE WHEN lang = 'en' THEN 0.5
+              WHEN lang = 'zh' THEN 0.25
+              ELSE 0.125 END) * 10000
+ORDER BY doc_id
+""")
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep fractions
+    via md5-bucket Bernoulli (exact-binary fractions so the
+    frac·buckets product is IEEE-identical in both engines); map-only,
+    reproducible across runs, engines, and shard arrival order."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (P.stratified_sample(docs, {"en": 0.5, "zh": 0.25},
+                                default_fraction=0.125)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+@register("pipeline_quantile_filter", f"""
+WITH d AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, lang,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                  AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(toks, t -> list_contains(
+                 [{", ".join(f"'{w}'" for w in _ALL_STOP)}], t))) AS DOUBLE) AS n_stop
+      FROM d),
+q AS (SELECT doc_id, lang,
+             round(0.4 * least(n_tok / 64.0, 1.0)
+                   + 0.3 * (1.0 - n_punct / greatest(n_chars, 1.0))
+                   + 0.3 * least(n_stop / greatest(n_tok, 1.0) * 4, 1.0), 6)
+                 AS quality_score
+      FROM m),
+counts AS (SELECT lang, quality_score, COUNT(*) AS c
+           FROM q GROUP BY lang, quality_score),
+cc AS (SELECT lang, quality_score,
+              SUM(c) OVER (PARTITION BY lang ORDER BY quality_score
+                           ROWS UNBOUNDED PRECEDING) AS le
+       FROM counts),
+tot AS (SELECT lang, SUM(c) AS n FROM counts GROUP BY lang),
+thr AS (SELECT cc.lang, MIN(cc.quality_score) AS threshold
+        FROM cc JOIN tot ON cc.lang = tot.lang
+        WHERE cc.le >= CEIL(0.5 * tot.n)
+        GROUP BY cc.lang)
+SELECT q.doc_id, q.lang, q.quality_score
+FROM q JOIN thr ON q.lang = thr.lang
+WHERE q.quality_score >= thr.threshold
+ORDER BY q.doc_id
+""")
+def pipeline_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median quality gate: keep documents at or above
+    their language's discrete 0.5-quantile quality score. The
+    threshold pass compresses to (lang, distinct score) counts before
+    any window touches data, and the filter join broadcasts the
+    lang-sized threshold table."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = (T.quality_score(docs)
+              .join(docs.select("doc_id", "lang"), "doc_id")
+              .select("doc_id", "lang", "quality_score"))
+    return (P.quantile_filter(scored, "quality_score", "lang", 0.5)
+            .select("doc_id", "lang", "quality_score")
+            .orderBy("doc_id"))

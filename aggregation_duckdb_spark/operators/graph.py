@@ -1,0 +1,99 @@
+"""Graph operators: distributed connected components.
+
+The missing piece of near-duplicate deduplication at scale: LSH +
+verify yields *pairs*, but the unit a cleaning pipeline drops is the
+*cluster* (a duplicate group is the transitive closure of its pairs —
+A~B, B~C puts A and C in one group even if LSH never paired them).
+
+``connected_components`` is iterative min-label propagation, the
+standard Spark-shaped form (no GraphX dependency, pure DataFrame ops):
+
+- state: one (id, label) row per vertex, label = smallest vertex id
+  seen so far in its component;
+- step: every vertex sends its label across its edges; each vertex
+  keeps the minimum of its own and received labels — one groupBy(min)
+  shuffle per iteration;
+- termination: no label changed (checked with a cheap join+count on
+  dimension-sized state), or ``max_iters``.
+
+Scale analysis (100 TB corpus → billions of vertices):
+
+- iterations = component diameter, and near-dup clusters are
+  small-diameter by construction (members are mutually similar, LSH
+  pairs them densely), so propagation converges in a handful of
+  rounds — this is NOT the adversarial long-path regime where
+  star-contraction (Kiveris et al., "Connected Components in
+  MapReduce") is required; the docstring contract documents that
+  assumption.
+- per-iteration state is (id, label) pairs only — two longs per
+  vertex, never the document payload;
+- ``localCheckpoint`` per round keeps the lineage flat (an unrolled
+  loop would re-execute every prior shuffle on each action and
+  overflow the planner at depth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iters: int = 25) -> DataFrame:
+    """Label every vertex of the undirected graph ``edges`` with the
+    minimum vertex id of its connected component.
+
+    Returns (id, label); isolated vertices don't appear (the caller
+    unions them back with label = own id if needed — for dedup they
+    are the non-duplicates).
+
+    Raises if ``max_iters`` rounds don't converge — a truncated
+    labeling silently merges/splits clusters, which for dedup means
+    wrongly kept or dropped documents.
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    labels = (sym.select(F.col("a").alias("id"))
+              .distinct()
+              .select("id", F.col("id").alias("label"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        msgs = (sym.join(labels, sym["a"] == labels["id"])
+                .select(F.col("b").alias("id"), F.col("label")))
+        new_labels = (labels.unionByName(msgs)
+                      .groupBy("id").agg(F.min("label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (labels.alias("o")
+                   .join(new_labels.alias("n"), "id")
+                   .where(F.col("o.label") != F.col("n.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds; "
+        f"component diameter exceeds the near-dup assumption — raise "
+        f"max_iters or switch to star-contraction")
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a",
+                       id_b: str = "doc_b") -> DataFrame:
+    """Near-duplicate clusters from verified pairs: transitive closure
+    via :func:`connected_components`, plus per-cluster bookkeeping.
+
+    Returns one row per clustered document:
+    (doc_id, cluster_id = min doc id of the cluster, cluster_size,
+    is_keeper = this doc is the cluster representative). Documents in
+    no pair are absent — they are their own keepers by definition.
+    """
+    labels = connected_components(pairs, src=id_a, dst=id_b)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("label").alias("cluster_id"),
+                    "cluster_size",
+                    (F.col("id") == F.col("label")).alias("is_keeper")))

@@ -133,6 +133,110 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------
+
+def pack_sequences(docs: DataFrame, context_len: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_buckets: int = 64) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences —
+    concat-then-chunk packing: within a bucket, documents are laid out
+    end-to-end in id order and cut every ``context_len`` tokens; a
+    document's sequence is the chunk its first token lands in.
+
+    Scale shape: a single global cumulative sum would serialize on one
+    task, so packing is sharded into ``num_buckets`` md5-derived
+    buckets (deterministic, coordination-free, same trick as
+    :func:`split_assign`); each bucket packs independently under one
+    window partition — one shuffle, ``num_buckets``-way parallel. The
+    cost is at most one partially-filled final sequence per bucket.
+
+    Returns (doc_id, bucket, n_tokens, start_offset, seq_idx) where
+    ``start_offset`` is the document's first-token position within its
+    bucket's layout and ``seq_idx`` = start_offset div context_len.
+    """
+    from pyspark.sql import Window
+    from aggregation_duckdb_spark.operators.text import token_count
+    bucket = split_bucket(F.col(id_col), salt="pack") % num_buckets
+    w = (Window.partitionBy("bucket").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sized = docs.select(F.col(id_col), bucket.alias("bucket"),
+                        token_count(F.col(text_col)).alias("n_tokens"))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    return (sized
+            .withColumn("start_offset", start)
+            .withColumn("seq_idx",
+                        (F.col("start_offset") / context_len)
+                        .cast("long")))
+
+
+# ---------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------
+
+def stratified_sample(docs: DataFrame, fractions: dict[str, float],
+                      group_col: str = "lang", id_col: str = "doc_id",
+                      default_fraction: float = 0.0,
+                      salt: str = "sample-v1") -> DataFrame:
+    """Deterministic per-group Bernoulli sampling: keep a row iff its
+    md5 bucket falls under its group's fraction. Pure map-side (the
+    fraction map compiles to a CASE literal — no join, no shuffle, no
+    RNG), so the sample is reproducible across runs, engines, and
+    late-arriving shards — the property corpus re-balancing needs
+    (e.g. downsample web crawl, keep all books).
+
+    Sampling and split assignment use independent salts: a row's
+    sample fate must not correlate with its train/val/test fate.
+    """
+    frac: Column = F.lit(default_fraction)
+    for g, f in sorted(fractions.items()):
+        frac = F.when(F.col(group_col) == g, F.lit(f)).otherwise(frac)
+    keep = split_bucket(F.col(id_col), salt) < (frac * SPLIT_BUCKETS)
+    return docs.where(keep)
+
+
+# ---------------------------------------------------------------------
+# per-group quantile filter
+# ---------------------------------------------------------------------
+
+def group_quantile_threshold(scored: DataFrame, score_col: str,
+                             group_col: str, q: float) -> DataFrame:
+    """Per-group discrete ``q``-quantile: the smallest score s.t. at
+    least ``q`` of the group's rows are ≤ it (the value at rank
+    ceil(q·n), i.e. SQL ``quantile_disc`` semantics). Discrete — an
+    actual member value, no interpolation — so the threshold is
+    bit-exact across engines.
+
+    Scale shape: first compress to (group, distinct score) counts —
+    a map-side-combinable aggregation that collapses 100 TB of rows to
+    the score *domain* — then run the cumulative window over that
+    compressed table only. No sort or window ever touches full-size
+    data. Returns (group_col, threshold)."""
+    from pyspark.sql import Window
+    counts = (scored.groupBy(group_col, score_col)
+              .agg(F.count(F.lit(1)).alias("__c")))
+    w = (Window.partitionBy(group_col).orderBy(score_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = counts.withColumn("__le", F.sum("__c").over(w))
+    totals = counts.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+    return (cum.join(totals, group_col)
+            .where(F.col("__le") >= F.ceil(F.lit(q) * F.col("__n")))
+            .groupBy(group_col)
+            .agg(F.min(score_col).alias("threshold")))
+
+
+def quantile_filter(scored: DataFrame, score_col: str,
+                    group_col: str = "lang", q: float = 0.5) -> DataFrame:
+    """Keep rows at or above their group's discrete ``q``-quantile —
+    the per-language "drop the low-quality half" gate. The threshold
+    table is group-cardinality-sized, so the filter join broadcasts."""
+    thresholds = group_quantile_threshold(scored, score_col, group_col, q)
+    return (scored.join(F.broadcast(thresholds), group_col)
+            .where(F.col(score_col) >= F.col("threshold"))
+            .drop("threshold"))
+
+
+# ---------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------
 

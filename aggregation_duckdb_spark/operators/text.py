@@ -125,6 +125,42 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         F.array_min(F.transform(sh, F.md5)).alias("min_shingle_hash"))
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf, with the
+    raw-ratio idf variant idf = N/df (no logarithm): ln() is
+    library-dependent in its last ulp across engines, while one IEEE
+    division of exact integers is bit-identical everywhere — and a
+    monotone per-term transform, so each term's score ordering across
+    documents is unchanged. The keyword-extraction primitive for corpus
+    exploration and topic labeling.
+
+    Scale shape: explode → groupBy(doc, term) for tf (map-side
+    combinable); df reduces the same pairs by term (tiny: vocabulary-
+    sized); the tf⋈df join is on term — vocabulary tables broadcast;
+    the top-k window partitions by doc over rows already co-located by
+    the tf group-by. Ties break on term text ascending so results are
+    deterministic."""
+    from pyspark.sql import Window
+    pairs = (docs.select(F.col(id_col),
+                         F.explode(tokens(F.col(text_col))).alias("term")))
+    tf = (pairs.groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    scored = (tf.join(F.broadcast(df_), "term")
+              .withColumn("score",
+                          F.col("tf").cast("double") * n_docs / F.col("df")))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("score").desc(), F.col("term").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"),
+                    "score", F.col("rank").cast("long").alias("rank")))
+
+
 ROLLING_BASE = 131
 ROLLING_MOD = 2147483647  # 2^31 − 1 (prime); acc·131 + 255 < 2^39, exact int64
 

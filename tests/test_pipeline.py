@@ -96,3 +96,92 @@ def test_label_centroids_exact_matches_plain_mean(spark, sf_dir):
                                   ["centroid_id", "pos"])
               .where(F.col("a.mean_value") != F.col("b.mean_value")))
     assert joined.count() == 0
+
+
+def test_connected_components_labels_min_id(spark):
+    from aggregation_duckdb_spark.operators import graph as G
+    # two components: {1,2,3,4} via a chain, {10,11}; 20-21-22 triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long")
+    labels = {r["id"]: r["label"]
+              for r in G.connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                      20: 20, 21: 20, 22: 20}
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    from aggregation_duckdb_spark.operators import graph as G
+    # A~B, B~C but LSH never paired A~C: one cluster of three
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)],
+                                  "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in G.duplicate_clusters(pairs).collect()}
+    assert {out[i]["cluster_id"] for i in (1, 2, 3)} == {1}
+    assert out[1]["cluster_size"] == 3 and out[1]["is_keeper"]
+    assert not out[2]["is_keeper"] and not out[3]["is_keeper"]
+    assert out[7]["cluster_id"] == 7 and out[7]["cluster_size"] == 2
+    assert out[9]["cluster_id"] == 7
+
+
+def test_pack_sequences_invariants(spark, docs):
+    out = P.pack_sequences(docs, context_len=256, num_buckets=8).cache()
+    assert out.count() == docs.count()
+    # within a bucket: offsets are the exclusive cumsum in id order
+    rows = (out.where(F.col("bucket") == out.first()["bucket"])
+            .orderBy("doc_id").collect())
+    acc = 0
+    for r in rows:
+        assert r["start_offset"] == acc
+        assert r["seq_idx"] == acc // 256
+        acc += r["n_tokens"]
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, docs):
+    frac = {"en": 0.5, "zh": 0.25}
+    s1 = P.stratified_sample(docs, frac, default_fraction=0.125).cache()
+    s2 = P.stratified_sample(docs, frac, default_fraction=0.125)
+    # identical under re-execution AND different partitioning
+    assert s1.count() == s2.count()
+    assert s1.join(s2, "doc_id", "left_anti").count() == 0
+    s3 = P.stratified_sample(docs.repartition(7), frac,
+                             default_fraction=0.125)
+    assert s1.join(s3, "doc_id", "left_anti").count() == 0
+    # per-group rates in a generous tolerance band around the targets
+    tot = {r["lang"]: r["count"]
+           for r in docs.groupBy("lang").count().collect()}
+    kept = {r["lang"]: r["count"]
+            for r in s1.groupBy("lang").count().collect()}
+    for lang, f in (("en", 0.5), ("zh", 0.25)):
+        assert abs(kept.get(lang, 0) / tot[lang] - f) < 0.2
+
+
+def test_quantile_filter_keeps_upper_half_per_group(spark):
+    rows = [(i, "g1", float(i)) for i in range(1, 11)] \
+        + [(100 + i, "g2", float(i * 10)) for i in range(1, 5)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    thr = {r["lang"]: r["threshold"]
+           for r in P.group_quantile_threshold(d, "score", "lang", 0.5)
+           .collect()}
+    # rank ceil(0.5*10)=5 -> value 5.0 ; ceil(0.5*4)=2 -> 20.0
+    assert thr == {"g1": 5.0, "g2": 20.0}
+    kept = P.quantile_filter(d, "score", "lang", 0.5)
+    assert kept.count() == 6 + 3  # scores 5..10 and 20,30,40
+
+
+def test_tfidf_topterms_ranks_distinctive_terms(spark):
+    from aggregation_duckdb_spark.operators import text as T
+    d = spark.createDataFrame(
+        [(1, "zebra zebra zebra common common"),
+         (2, "common words only here"),
+         (3, "common quail words")],
+        "doc_id long, text string")
+    out = T.tfidf_top_terms(d, k=2)
+    top1 = {r["doc_id"]: r["term"]
+            for r in out.where(F.col("rank") == 1).collect()}
+    # 'zebra' (df=1, tf=3) dominates doc 1; 'common' (df=3) never wins
+    assert top1[1] == "zebra"
+    assert top1[2] != "common"
+    assert top1[3] == "quail"
+    # deterministic tie-break: rerun yields identical rows
+    again = T.tfidf_top_terms(d, k=2)
+    assert out.exceptAll(again).count() == 0
