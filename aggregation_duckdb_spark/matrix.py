@@ -54,6 +54,7 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_decontaminate", "emb_label_centroids", "stream_dedup",
     "dedup_cc_clusters", "pipeline_pack_sequences", "text_tfidf_topterms",
     "pipeline_stratified_sample", "pipeline_quantile_filter",
+    "events_state_intervals", "q_histogram_totalprice",
     # changed in round 4: events.ts normalization (nanos→micros-NTZ
     # testdata change broke unix_micros/watermarks) touched every
     # event-time and streaming entry — fresh rows prove the fix:
@@ -72,8 +73,7 @@ _DRIVER_WINDOW_FIRST = [
     "sim_topk_bruteforce", "hier_distinct_twostage", "hier_subtree_agg",
     "q_salted_join", "mm_decode_metadata", "mm_resize",
     "mm_frame_sample", "q_json_functions", "text_tokenize_udtf",
-    "dedup_edit_distance", "q1_pricing_summary", "q_count_distinct",
-    "q_rollup_grouping",
+    "dedup_edit_distance", "q1_pricing_summary",
 ]
 
 

@@ -1309,3 +1309,64 @@ def pipeline_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (P.quantile_filter(scored, "quality_score", "lang", 0.5)
             .select("doc_id", "lang", "quality_score")
             .orderBy("doc_id"))
+
+
+@register("events_state_intervals", """
+WITH ordered AS (
+    SELECT user_id, event_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_state,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+    FROM events),
+flagged AS (
+    SELECT *, CASE WHEN rn = 1 OR event_type IS DISTINCT FROM prev_state
+                   THEN 1 ELSE 0 END AS chg
+    FROM ordered),
+versions AS (
+    SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS version
+    FROM flagged),
+iv AS (
+    SELECT user_id, CAST(version AS BIGINT) AS version,
+           MIN(event_type) AS state, MIN(ts) AS valid_from,
+           COUNT(*) AS n_events
+    FROM versions GROUP BY user_id, version)
+SELECT user_id, version, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to,
+       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        IS NULL) AS is_current,
+       n_events
+FROM iv ORDER BY user_id, version
+""")
+def events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2 change tracking over the events stream: each user's
+    consecutive same-state run becomes one validity interval with
+    valid_from/valid_to/is_current — the dimension-versioning
+    primitive, window-built in one key partitioning."""
+    ev = load_table(spark, "events", sf_dir)
+    return (E.state_intervals(ev)
+            .orderBy("user_id", "version"))
+
+
+@register("q_histogram_totalprice", """
+SELECT CAST(least(floor(o_totalprice / 60000.0), 9) AS BIGINT) AS bin,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+FROM orders GROUP BY bin ORDER BY bin
+""")
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value: bin index from one IEEE
+    division + floor (bit-identical across engines), counts and
+    decimal-exact sums per bin. Map-side bin key, one shuffle."""
+    orders = load_table(spark, "orders", sf_dir)
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 60000.0),
+                   F.lit(9)).cast("long")
+    return (orders
+            .groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_price"))
+            .orderBy("bin"))

@@ -85,6 +85,45 @@ def session_stats(events: DataFrame, gap_minutes: int = 30,
             .orderBy(user_col))
 
 
+def state_intervals(events: DataFrame, state_col: str = "event_type",
+                    key_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id") -> DataFrame:
+    """SCD-Type-2-style change tracking: collapse each key's run of
+    consecutive identical states into one validity interval —
+    (key, version, state, valid_from, valid_to, is_current, n_events),
+    where ``valid_to`` is the next interval's start (NULL on the open
+    current interval). The dimension-versioning primitive: applied to
+    attribute snapshots it builds the slowly-changing dimension the
+    reference's reporting dims would need under change capture.
+
+    Same shuffle shape as :func:`sessionize`: both window passes and
+    the group-by share one partitioning on the key. Null-safe state
+    compare (``eqNullSafe``) so a NULL state forms its own run instead
+    of merging into its neighbors'."""
+    order = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev_state = F.lag(F.col(state_col)).over(order)
+    first_row = F.row_number().over(order) == 1
+    changed = (first_row
+               | ~F.col(state_col).eqNullSafe(prev_state)).cast("long")
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versioned = (events
+                 .withColumn("__chg", changed)
+                 .withColumn("version", F.sum("__chg").over(run)))
+    intervals = (versioned
+                 .groupBy(F.col(key_col), F.col("version"))
+                 .agg(F.min(state_col).alias("state"),  # constant per run
+                      F.min(ts_col).alias("valid_from"),
+                      F.count(F.lit(1)).alias("n_events")))
+    succ = Window.partitionBy(key_col).orderBy("version")
+    valid_to = F.lead("valid_from").over(succ)
+    return (intervals
+            .withColumn("valid_to", valid_to)
+            .withColumn("is_current", valid_to.isNull())
+            .select(key_col, F.col("version").cast("long").alias("version"),
+                    "state", "valid_from", "valid_to", "is_current",
+                    "n_events"))
+
+
 def user_gap_stats(events: DataFrame, user_col: str = "user_id",
                    ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
     """Per-user inter-event-gap statistics via grouped-map

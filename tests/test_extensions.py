@@ -275,3 +275,28 @@ def test_ivf_entry_config_recall_floor(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert r["cosine_sim"] == exact_scores[key]
+
+
+def test_state_intervals_scd2_semantics(spark):
+    from aggregation_duckdb_spark.operators import events as E
+    from pyspark.sql import functions as F
+    d = spark.createDataFrame(
+        [(1, 100, "2024-01-01 00:00:00", "a"),
+         (2, 100, "2024-01-01 01:00:00", "a"),
+         (3, 100, "2024-01-01 02:00:00", "b"),
+         (4, 100, "2024-01-01 03:00:00", "a"),
+         (5, 200, "2024-01-01 00:00:00", "x")],
+        "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = E.state_intervals(d).orderBy("user_id", "version").collect()
+    u100 = [r for r in out if r["user_id"] == 100]
+    # a(2 events) -> b -> a : three versions, not two
+    assert [(r["version"], r["state"], r["n_events"]) for r in u100] \
+        == [(1, "a", 2), (2, "b", 1), (3, "a", 1)]
+    # valid_to chains to the successor's valid_from; only last is open
+    assert u100[0]["valid_to"] == u100[1]["valid_from"]
+    assert u100[1]["valid_to"] == u100[2]["valid_from"]
+    assert u100[2]["valid_to"] is None and u100[2]["is_current"]
+    assert not u100[0]["is_current"]
+    u200 = [r for r in out if r["user_id"] == 200]
+    assert len(u200) == 1 and u200[0]["is_current"]
