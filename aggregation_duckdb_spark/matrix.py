@@ -62,6 +62,8 @@ _DRIVER_WINDOW_FIRST = [
     "events_sessionize", "events_user_gap_stats",
     "events_conversion_lag", "stream_tumbling", "stream_sliding",
     "stream_sessionize", "stream_stateful_totals", "stream_stream_join",
+    # changed in round 4: one-pass aggregate rewrite (2× faster):
+    "q21_waiting_suppliers",
     # driver evidence only from round 1 (pre-regeneration data); the
     # two rows-only entries (hier_agg_closure_approx, sim_ivf_topk)
     # yield to oracled entries — their driver row is the weak check:
@@ -73,7 +75,7 @@ _DRIVER_WINDOW_FIRST = [
     "sim_topk_bruteforce", "hier_distinct_twostage", "hier_subtree_agg",
     "q_salted_join", "mm_decode_metadata", "mm_resize",
     "mm_frame_sample", "q_json_functions", "text_tokenize_udtf",
-    "dedup_edit_distance", "q1_pricing_summary",
+    "dedup_edit_distance",
 ]
 
 

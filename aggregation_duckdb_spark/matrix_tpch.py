@@ -1658,14 +1658,49 @@ ORDER BY numwait DESC, s_name
 
 @register("q21_waiting_suppliers", _Q21_SQL)
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS and
-    NOT EXISTS against the SAME fact table in one query — planned as a
-    left-semi plus a left-anti join on l_orderkey, both shuffle-free
-    relative to the already-partitioned fact at scale. No
+    """TPC-H Q21 shape (suppliers who kept orders waiting), computed
+    with ONE pass over lineitem instead of the literal SQL's three
+    (main + EXISTS + NOT EXISTS with its own orders re-join): per
+    order, EXISTS(other supplier) ⇔ countDistinct(supplier) > 1, and
+    NOT EXISTS(other LATE supplier) ⇔ countDistinct(late supplier) = 1
+    given the row itself is late — so one slim groupBy(orderkey) feeds
+    both quantifiers. orders broadcasts into the fact scan; the only
+    fact shuffles are the orderkey aggregate and its rejoin (same key,
+    AQE-coalesced); supplier⋈nation⋈region broadcasts at the end. No
     commit/receipt dates in the driver schema: 'late' = shipped more
-    than 90 days after the order date, and the inner NOT EXISTS
-    re-derives each sibling line's lateness from its own order row
-    (self-contained, no cross-row correlation beyond the order key)."""
-    _views(spark, sf_dir, "supplier", "lineitem", "orders", "nation",
-           "region")
-    return spark.sql(_Q21_SQL)
+    than 90 days after the order date. The oracle runs the literal
+    EXISTS/NOT-EXISTS SQL — the rewrite must stay bit-equivalent."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderstatus") == "F")
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).where(
+        F.col("r_name") == "ASIA")
+
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    lo = (lineitem.join(F.broadcast(orders),
+                        lineitem["l_orderkey"] == orders["o_orderkey"])
+          .select("l_orderkey", "l_suppkey", late.alias("is_late")))
+    # two-stage distinct (same trick as hier_distinct_twostage): reduce
+    # to (order, supplier) pairs first — map-side combinable, no Expand
+    # operator — then count pairs per order
+    supp_state = (lo.groupBy("l_orderkey", "l_suppkey")
+                  .agg(F.max("is_late").alias("supp_late")))
+    stats = (supp_state.groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).alias("n_supp"),
+                  F.sum(F.col("supp_late").cast("int")).alias("n_late_supp"))
+             .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+             .select("l_orderkey"))
+    qual = lo.where(F.col("is_late")).join(stats, "l_orderkey")
+    asia_supp = (supplier
+                 .join(F.broadcast(nation),
+                       supplier["s_nationkey"] == nation["n_nationkey"])
+                 .join(F.broadcast(region),
+                       nation["n_regionkey"] == region["r_regionkey"])
+                 .select("s_suppkey", "s_name"))
+    return (qual.join(F.broadcast(asia_supp),
+                      qual["l_suppkey"] == asia_supp["s_suppkey"])
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name"))

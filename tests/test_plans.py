@@ -102,15 +102,20 @@ def test_tpch_subquery_shapes_decorrelate(spark, sf_dir, name):
     assert_no_nested_loop_join(df)
 
 
-def test_q21_exists_pair_plans_semi_plus_anti(spark, sf_dir):
-    """EXISTS → left-semi, NOT EXISTS → left-anti, both against the
-    same fact: the pair must appear as exactly one of each, not as a
-    rewritten aggregate-join (which would double-shuffle lineitem)."""
+def test_q21_one_pass_aggregate_form(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair is computed from one slim per-order
+    aggregate instead of the literal semi+anti joins (measured 2×
+    faster at sf0.1: the literal form scans lineitem three times and
+    re-joins orders inside the NOT EXISTS). Assert the rewrite's
+    shape: no Expand operator (two-stage distinct, not
+    count_distinct), and at most two lineitem scans (the shared slim
+    projection is recomputed once for the rejoin, both map-side under
+    the orders broadcast)."""
     from aggregation_duckdb_spark.plans.inspect import physical_plan
     df = matrix.queries()["q21_waiting_suppliers"](spark, sf_dir)
     plan = physical_plan(df, "simple")
-    assert "LeftSemi" in plan, plan
-    assert "LeftAnti" in plan, plan
+    assert "Expand" not in plan, plan
+    assert plan.count("lineitem") <= 2, plan
 
 
 def test_q8_snowflake_broadcasts_every_dim(spark, sf_dir):
