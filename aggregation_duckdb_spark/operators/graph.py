@@ -38,8 +38,8 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst",
-                         max_iters: int = 25) -> DataFrame:
+                         dst: str = "dst", max_iters: int = 25,
+                         stats: dict | None = None) -> DataFrame:
     """Label every vertex of the undirected graph ``edges`` with the
     minimum vertex id of its connected component.
 
@@ -50,6 +50,10 @@ def connected_components(edges: DataFrame, src: str = "src",
     Raises if ``max_iters`` rounds don't converge — a truncated
     labeling silently merges/splits clusters, which for dedup means
     wrongly kept or dropped documents.
+
+    ``stats``: optional dict that receives ``{"rounds": k}`` on
+    convergence — the scale probe asserts round count stays flat as
+    the graph multiplies (it tracks diameter, not size).
     """
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionByName(edges.select(F.col(dst).alias("a"),
@@ -60,7 +64,7 @@ def connected_components(edges: DataFrame, src: str = "src",
               .distinct()
               .select("id", F.col("id").alias("label"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iters):
+    for rounds in range(1, max_iters + 1):
         msgs = (sym.join(labels, sym["a"] == labels["id"])
                 .select(F.col("b").alias("id"), F.col("label")))
         new_labels = (labels.unionByName(msgs)
@@ -72,6 +76,8 @@ def connected_components(edges: DataFrame, src: str = "src",
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds; "

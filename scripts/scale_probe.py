@@ -175,6 +175,41 @@ def neardup_probe(multiples: list) -> None:
                                  or "CartesianProduct" in plan)}))
 
 
+def cc_probe(multiples: list) -> None:
+    """Connected-components probe: clustering time and propagation
+    rounds as the near-dup pair graph multiplies. Copies are re-keyed,
+    so the component *structure* replicates — diameter is constant —
+    and the pass condition is a FLAT round count with roughly linear
+    time: label propagation cost tracks diameter × edge volume, never
+    graph size × size."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.operators import graph as G
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    base = (D.near_duplicates(docs, threshold=0.6)
+            .select("doc_a", "doc_b").localCheckpoint(eager=True))
+
+    for m in multiples:
+        pairs = base
+        for i in range(m - 1):
+            pairs = pairs.unionByName(base.select(
+                (F.col("doc_a") + (i + 1) * 10_000_000).alias("doc_a"),
+                (F.col("doc_b") + (i + 1) * 10_000_000).alias("doc_b")))
+        stats: dict = {}
+        t0 = time.time()
+        labels = G.connected_components(pairs, src="doc_a", dst="doc_b",
+                                        stats=stats)
+        n_vertices = labels.count()
+        n_clusters = labels.select("label").distinct().count()
+        print(json.dumps({
+            "probe": "connected_components", "multiple": m,
+            "edges": pairs.count(), "vertices": n_vertices,
+            "clusters": n_clusters, "rounds": stats.get("rounds"),
+            "seconds": round(time.time() - t0, 2)}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--hierarchy":
         hierarchy_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
@@ -182,5 +217,7 @@ if __name__ == "__main__":
         dedup_probe([int(a) for a in sys.argv[2:]] or [1, 4, 8])
     elif len(sys.argv) > 1 and sys.argv[1] == "--neardup":
         neardup_probe([int(a) for a in sys.argv[2:]] or [1, 8, 32])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cc":
+        cc_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     else:
         main()
