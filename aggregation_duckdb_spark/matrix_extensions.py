@@ -1370,3 +1370,41 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                   .cast("double").alias("sum_price"))
             .orderBy("bin"))
+
+
+@register("source_python_datasource", """
+WITH g AS (
+    SELECT i AS doc_id, md5(CAST(i AS VARCHAR)) AS h
+    FROM generate_series(0, 1999) t(i)),
+d AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(h, 1, 2))::BIGINT % 10 AS INT) AS bucket,
+           substr(h, 1, 8) AS token_a,
+           substr(h, 9, 8) AS token_b,
+           ('0x' || substr(h, 1, 4))::BIGINT AS weight_int
+    FROM g)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(weight_int) AS DOUBLE) / 65535.0 AS sum_weight,
+       MIN(token_a) AS min_token_a,
+       MAX(token_b) AS max_token_b
+FROM d GROUP BY bucket ORDER BY bucket
+""")
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source connector end-to-end: register the
+    synthdocs source, read 2000 rows over 8 parallel splits, aggregate.
+    Every value is md5-derived from the row id, so DuckDB reproduces
+    the identical relation from generate_series — the oracle checks a
+    custom-connector read like any parquet scan."""
+    from aggregation_duckdb_spark.sources.pydatasource import (
+        register_synthdocs)
+    register_synthdocs(spark)
+    df = (spark.read.format("synthdocs")
+          .option("n_docs", 2000).option("partitions", 8).load())
+    return (df.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.sum("weight_int").cast("double") / 65535.0)
+                 .alias("sum_weight"),
+                 F.min("token_a").alias("min_token_a"),
+                 F.max("token_b").alias("max_token_b"))
+            .orderBy("bucket"))

@@ -1,0 +1,74 @@
+"""Custom connector via Spark 4's Python Data Source API.
+
+The reference's only "connector" is the DuckDB CLI piping a SQL file
+into a database (create_duckdb_database.sh:5-7); real deployments wrap
+external systems — REST feeds, object-store listings, proprietary
+stores — as first-class sources. Spark 4's public
+``pyspark.sql.datasource`` API makes that a pure-Python exercise:
+``partitions()`` declares the parallel split (this is the scale lever
+— one partition per shard/prefix/page of the external system, so a
+1000-executor cluster fans out the ingest), and ``read(partition)``
+streams one split's rows.
+
+``synthdocs`` is a deterministic synthetic-document source used to
+prove the wiring end-to-end: every value derives from md5 of the row
+id, so the SAME rows are reproducible in DuckDB SQL
+(generate_series + md5) and the driver's oracle hash-check applies to
+a custom-connector read exactly like to a parquet scan. Weights are
+carried as exact integers (`weight_int`, the first 4 md5 hex digits)
+so downstream sums stay order-independent; the double form is one
+IEEE division away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition)
+
+SYNTHDOCS_SCHEMA = ("doc_id bigint, bucket int, token_a string, "
+                    "token_b string, weight_int bigint")
+
+
+class SynthDocsDataSource(DataSource):
+    """``spark.read.format("synthdocs")`` — options:
+
+    - ``n_docs`` (default 1000): total rows;
+    - ``partitions`` (default 8): parallel splits (row ``i`` lives in
+      partition ``i % partitions``, so splits are balanced and
+      disjoint by construction).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return SYNTHDOCS_SCHEMA
+
+    def reader(self, schema) -> "SynthDocsReader":
+        return SynthDocsReader(self.options)
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition: InputPartition):
+        import hashlib
+        for doc_id in range(partition.value, self.n_docs, self.n_parts):
+            h = hashlib.md5(str(doc_id).encode()).hexdigest()
+            yield (doc_id,
+                   int(h[:2], 16) % 10,
+                   h[:8],
+                   h[8:16],
+                   int(h[:4], 16))
+
+
+def register_synthdocs(spark) -> None:
+    """Idempotent registration; call before the first format() read in
+    a session."""
+    spark.dataSource.register(SynthDocsDataSource)

@@ -120,3 +120,19 @@ def test_nanos_to_micros_floors_pre_epoch(spark):
                   F.unix_micros(F.expr(_NANOS_TS_TO_MICROS)).alias("us")))
     got = {r["ns"]: r["us"] for r in df.collect()}
     assert got == {-1: -1, -1500: -2, 0: 0, 1500: 1}
+
+
+def test_python_datasource_partitioned_deterministic(spark):
+    import hashlib
+    from aggregation_duckdb_spark.sources.pydatasource import (
+        register_synthdocs)
+    register_synthdocs(spark)
+    df = (spark.read.format("synthdocs")
+          .option("n_docs", 100).option("partitions", 4).load())
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert len(rows) == 100  # splits disjoint and complete
+    h7 = hashlib.md5(b"7").hexdigest()
+    assert rows[7]["token_a"] == h7[:8]
+    assert rows[7]["bucket"] == int(h7[:2], 16) % 10
+    assert rows[7]["weight_int"] == int(h7[:4], 16)
