@@ -1408,3 +1408,83 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("token_a").alias("min_token_a"),
                  F.max("token_b").alias("max_token_b"))
             .orderBy("bucket"))
+
+
+@register("q_rolling_time_window", """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           AS rolling_30d_total,
+       COUNT(*) OVER w AS rolling_30d_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+""")
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day order total per customer via a RANGE frame over
+    days-since-epoch — the time-range window family (ROWS frames are
+    covered by q_window_frames; RANGE frames bound by VALUE distance,
+    so same-day peers aggregate together regardless of row order).
+    Decimal sums keep the frame aggregation order-independent."""
+    from pyspark.sql import Window
+    orders = load_table(spark, "orders", sf_dir)
+    day = F.unix_date(F.col("o_orderdate").cast("date"))
+    w = (Window.partitionBy("o_custkey").orderBy(day.alias("__day"))
+         .rangeBetween(-29, 0))
+    return (orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("rolling_30d_total"),
+        F.count(F.lit(1)).over(w).alias("rolling_30d_orders"))
+        .orderBy("o_custkey", "o_orderkey"))
+
+
+@register("q_merge_upsert", """
+WITH updates AS (
+    SELECT c_custkey, c_acctbal + 100.0 AS new_acctbal
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey + 10000000, 0.0 FROM customer WHERE c_custkey % 11 = 0),
+merged AS (
+    SELECT COALESCE(c.c_custkey, u.c_custkey) AS c_custkey,
+           COALESCE(u.new_acctbal, c.c_acctbal) AS acctbal,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN u.c_custkey IS NULL THEN 'unchanged'
+                ELSE 'update' END AS action
+    FROM customer c FULL OUTER JOIN updates u
+      ON c.c_custkey = u.c_custkey)
+SELECT action, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM merged GROUP BY action ORDER BY action
+""")
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames (no table format
+    needed): full-outer join target↔updates on the key, COALESCE picks
+    the surviving value, and the join-side nullity classifies each row
+    insert/update/unchanged. The updates side derives deterministically
+    from the customer table itself. At scale both sides hash-partition
+    on the key — the same single shuffle a storage-level MERGE pays."""
+    customer = load_table(spark, "customer", sf_dir)
+    updates = (customer.where(F.col("c_custkey") % 7 == 0)
+               .select("c_custkey",
+                       (F.col("c_acctbal") + 100.0).alias("new_acctbal"))
+               .unionByName(
+                   customer.where(F.col("c_custkey") % 11 == 0)
+                   .select((F.col("c_custkey") + 10_000_000)
+                           .alias("c_custkey"),
+                           F.lit(0.0).alias("new_acctbal"))))
+    c, u = customer.alias("c"), updates.alias("u")
+    merged = (c.join(u, F.col("c.c_custkey") == F.col("u.c_custkey"),
+                     "full_outer")
+              .select(
+                  F.coalesce(F.col("u.new_acctbal"), F.col("c.c_acctbal"))
+                   .alias("acctbal"),
+                  F.when(F.col("c.c_custkey").isNull(), "insert")
+                   .when(F.col("u.c_custkey").isNull(), "unchanged")
+                   .otherwise("update").alias("action")))
+    return (merged.groupBy("action")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("acctbal").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_acctbal"))
+            .orderBy("action"))
