@@ -211,7 +211,10 @@ def group_quantile_threshold(scored: DataFrame, score_col: str,
     a map-side-combinable aggregation that collapses 100 TB of rows to
     the score *domain* — then run the cumulative window over that
     compressed table only. No sort or window ever touches full-size
-    data. Returns (group_col, threshold)."""
+    data. ASSUMES a bounded score domain (quality scores here are
+    rounded to 6 decimals); a truly continuous score would defeat the
+    compression and needs iterative selection (binary-search the
+    value against count(≤v)) instead. Returns (group_col, threshold)."""
     from pyspark.sql import Window
     counts = (scored.groupBy(group_col, score_col)
               .agg(F.count(F.lit(1)).alias("__c")))

@@ -139,18 +139,23 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
     combinable); df reduces the same pairs by term (tiny: vocabulary-
     sized); the tf⋈df join is on term — vocabulary tables broadcast;
     the top-k window partitions by doc over rows already co-located by
-    the tf group-by. Ties break on term text ascending so results are
-    deterministic."""
+    the tf group-by. The corpus size N rides along as a broadcast
+    1-row cross join, so the whole operator is one lazy plan — no
+    driver-side action. Ties break on term text ascending so results
+    are deterministic."""
     from pyspark.sql import Window
     pairs = (docs.select(F.col(id_col),
                          F.explode(tokens(F.col(text_col))).alias("term")))
     tf = (pairs.groupBy(id_col, "term")
           .agg(F.count(F.lit(1)).alias("tf")))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.select(F.col(id_col)).distinct().count()
+    n_docs = docs.agg(F.count_distinct(F.col(id_col)).alias("__n"))
     scored = (tf.join(F.broadcast(df_), "term")
+              .crossJoin(F.broadcast(n_docs))
               .withColumn("score",
-                          F.col("tf").cast("double") * n_docs / F.col("df")))
+                          F.col("tf").cast("double") * F.col("__n")
+                          / F.col("df"))
+              .drop("__n"))
     w = (Window.partitionBy(id_col)
          .orderBy(F.col("score").desc(), F.col("term").asc()))
     return (scored.withColumn("rank", F.row_number().over(w))
