@@ -83,3 +83,52 @@ def test_local_equals_distributed_on_generated_trees(parents):
     local = sorted(tuple(r) for r in mk(10_000).flattened().collect())
     dist = sorted(tuple(r) for r in mk(0).flattened().collect())
     assert local == dist
+
+
+# random undirected graphs as edge lists over a small vertex universe:
+# dense enough to form multi-edge components, sparse enough to leave
+# isolated chains — the shapes that break naive label propagation
+graphs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=24),
+              st.integers(min_value=0, max_value=24)),
+    min_size=1, max_size=40)
+
+
+def _union_find_labels(edges):
+    """Reference implementation: path-compressed union-find, label =
+    min vertex id of each component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=graphs)
+def test_connected_components_matches_union_find(edges):
+    from aggregation_duckdb_spark.operators import graph as G
+    spark = _spark()
+    # drop self-loops: they add vertices but no connectivity, and the
+    # operator's contract covers pair edges (a near-dup pair never
+    # pairs a doc with itself)
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["label"]
+           for r in G.connected_components(df).collect()}
+    assert got == _union_find_labels(edges)

@@ -125,3 +125,54 @@ def test_q8_snowflake_broadcasts_every_dim(spark, sf_dir):
     df = matrix.queries()["q8_market_share"](spark, sf_dir)
     assert_broadcast_join(df, at_least=5)
     assert_max_shuffles(df, 4)
+
+
+@pytest.mark.parametrize("name", [
+    "pipeline_decontaminate",
+    "pipeline_quantile_filter", "q_merge_upsert",
+    "pipeline_pack_sequences", "q_rolling_time_window",
+    "events_state_intervals", "q_histogram_totalprice"])
+def test_round4_operators_no_nested_loop(spark, sf_dir, name):
+    """None of the round-4 operators may plan a nested-loop/cartesian
+    join — each is built on equi-joins, windows, and aggregations
+    only. (text_tfidf_topterms is asserted separately: it deliberately
+    carries ONE 1-row scalar attach as a broadcast nested loop.)"""
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    df = matrix.queries()[name](spark, sf_dir)
+    assert_no_nested_loop_join(df)
+
+
+def test_pack_sequences_window_is_bucket_sharded(spark, sf_dir):
+    """The packing cumsum must partition by the md5 bucket — a global
+    (unpartitioned) window would serialize the whole corpus through
+    one task. The reliable plan signal: every windowspecdefinition
+    lists bucket as its partition key."""
+    import re
+    from aggregation_duckdb_spark.plans.inspect import physical_plan
+    df = matrix.queries()["pipeline_pack_sequences"](spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, plan
+    assert all(s.strip().startswith("bucket") for s in specs), specs
+
+
+def test_quantile_filter_broadcasts_thresholds(spark, sf_dir):
+    """The per-group threshold table is group-cardinality-sized; the
+    keep-filter join must broadcast it, never shuffle the scored
+    corpus."""
+    df = matrix.queries()["pipeline_quantile_filter"](spark, sf_dir)
+    assert_broadcast_join(df, at_least=1)
+
+
+def test_tfidf_join_shapes(spark, sf_dir):
+    """tf⋈df rides a broadcast-hash join of the vocabulary-sized df
+    table; the corpus count N attaches as EXACTLY one broadcast nested
+    loop whose build side is a single aggregated row (O(N·1) — the one
+    sanctioned nested-loop shape). More than one means a real
+    cartesian crept in."""
+    from aggregation_duckdb_spark.plans.inspect import physical_plan
+    df = matrix.queries()["text_tfidf_topterms"](spark, sf_dir)
+    assert_broadcast_join(df, at_least=1)
+    plan = physical_plan(df, "simple")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
