@@ -1488,3 +1488,22 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("acctbal").cast("decimal(18,2)"))
                   .cast("double").alias("sum_acctbal"))
             .orderBy("action"))
+
+
+@register("mm_payload_stats_arrow", """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(
+           generate_series(1, length(text)),
+           i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum
+FROM documents ORDER BY doc_id
+""")
+def mm_payload_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native binary-column statistics via ``mapInArrow``: byte
+    length and byte sum reduced zero-copy from the Arrow values buffer
+    (no per-row Python objects — the pandas path would materialize one
+    bytes object per payload). Payloads are the utf-8 of ASCII text,
+    so the DuckDB oracle recomputes both from the text itself."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (M.payload_stats_arrow(M.attach_payload(docs))
+            .orderBy("doc_id"))

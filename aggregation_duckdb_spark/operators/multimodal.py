@@ -142,6 +142,57 @@ def extract_features(with_payload: DataFrame, dim: int = 8,
     return with_payload.mapInPandas(feat_batches, FEATURE_SCHEMA)
 
 
+PAYLOAD_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("byte_sum", LongType()),
+])
+
+
+def payload_stats_arrow(with_payload: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-payload byte statistics via ``mapInArrow`` — the Arrow-level
+    sibling of ``mapInPandas`` and the right path for binary-heavy
+    columns: a pandas conversion materializes one Python ``bytes``
+    object per row, while Arrow record batches expose the payloads as
+    one contiguous buffer + offsets, which numpy reduces zero-copy
+    (``np.add.reduceat`` over the values buffer). At 100 TB of blobs
+    the per-row-object overhead IS the job cost; this path never
+    creates per-row objects."""
+    import numpy as np
+    import pyarrow as pa
+
+    def stats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            pay = batch.column(batch.schema.get_field_index("payload"))
+            # BinaryArray layout: int32 offsets + contiguous data buffer
+            off = np.frombuffer(pay.buffers()[1], dtype=np.int32)[
+                pay.offset:pay.offset + len(pay) + 1].astype(np.int64)
+            # slice the values buffer to THIS batch's byte range (a
+            # sliced array shares the buffer with bytes outside it, and
+            # reduceat's final segment would otherwise run to buffer end)
+            data = np.frombuffer(pay.buffers()[2], dtype=np.uint8)[
+                off[0]:off[-1]].astype(np.int64)
+            off = off - off[0]
+            lengths = np.diff(off)
+            # reduceat misbehaves on zero-length segments (repeats the
+            # next value) — mask empties to 0 explicitly. With empties
+            # removed, the remaining start offsets still partition the
+            # byte range exactly (empty rows occupy zero bytes).
+            sums = np.zeros(len(pay), dtype=np.int64)
+            nonempty = lengths > 0
+            if nonempty.any():
+                sums[nonempty] = np.add.reduceat(data, off[:-1][nonempty])
+            yield pa.RecordBatch.from_arrays(
+                [ids.cast(pa.int64()),
+                 pa.array(lengths, type=pa.int64()),
+                 pa.array(sums, type=pa.int64())],
+                names=["doc_id", "n_bytes", "byte_sum"])
+
+    return with_payload.mapInArrow(stats, PAYLOAD_STATS_SCHEMA)
+
+
 def frame_sample_plan(with_payload: DataFrame, every_n: int = 10,
                       id_col: str = "doc_id") -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: derive a

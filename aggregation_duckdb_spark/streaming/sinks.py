@@ -1,0 +1,62 @@
+"""Streaming sinks: the foreachBatch exactly-once parquet pattern.
+
+Structured Streaming guarantees at-least-once delivery of micro-batches
+to ``foreachBatch`` — after a crash between "sink wrote" and
+"checkpoint committed", the SAME batch id is replayed. The canonical
+production answer is an idempotent sink: make the write a deterministic
+function of (data, batch_id) such that replaying overwrites the
+previous attempt instead of appending next to it. Parquet partitioned
+by ``batch_id`` with dynamic partition overwrite does exactly that —
+replayed batch N rewrites only partition ``batch_id=N``; committed
+partitions from other batches are untouched. Combined with the
+checkpoint (which makes batch contents deterministic per id), this
+yields end-to-end exactly-once without a transactional table format.
+
+Scale notes: one partition directory per micro-batch keeps the
+overwrite scoped (no full-table rewrite); compaction of many small
+batch partitions is a downstream concern, not the sink's.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_batch_idempotent(batch_df: DataFrame, batch_id: int,
+                           path: str) -> None:
+    """The foreachBatch body: write one micro-batch under its
+    ``batch_id=N`` partition with dynamic overwrite, so a replay of the
+    same id replaces (not duplicates) the earlier attempt."""
+    spark = batch_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite").partitionBy("batch_id").parquet(path))
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def run_to_parquet_exactly_once(result: DataFrame, path: str,
+                                checkpoint_dir: str,
+                                output_mode: str = "append") -> None:
+    """Run a (finite-source) streaming DataFrame to completion through
+    the idempotent foreachBatch parquet sink, with a checkpoint so a
+    restarted job resumes (and re-delivers only uncommitted batches)."""
+    q = (result.writeStream
+         .foreachBatch(lambda df, bid: write_batch_idempotent(df, bid, path))
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def read_sink(spark: SparkSession, path: str) -> DataFrame:
+    """Read the sink back (batch), dropping the bookkeeping column."""
+    if not os.path.isdir(path):
+        raise FileNotFoundError(path)
+    return spark.read.parquet(path).drop("batch_id")

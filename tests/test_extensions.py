@@ -300,3 +300,21 @@ def test_state_intervals_scd2_semantics(spark):
     assert not u100[0]["is_current"]
     u200 = [r for r in out if r["user_id"] == 200]
     assert len(u200) == 1 and u200[0]["is_current"]
+
+
+def test_payload_stats_arrow_zero_copy_path(spark):
+    from aggregation_duckdb_spark.operators import multimodal as M
+    from pyspark.sql import functions as F
+    d = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "\x00\xff ok")],
+        "doc_id long, text string")
+    with_payload = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = {r["doc_id"]: r
+           for r in M.payload_stats_arrow(with_payload).collect()}
+    assert out[1]["n_bytes"] == 3 and out[1]["byte_sum"] == 97 + 98 + 99
+    assert out[2]["n_bytes"] == 0 and out[2]["byte_sum"] == 0
+    # '\xff' is 2 bytes in utf-8 (0xc3 0xbf); zero byte counts too:
+    # \x00(1) + \xff(2) + ' o k'(3) = 6 bytes
+    assert out[3]["n_bytes"] == 6
+    assert out[3]["byte_sum"] == 0 + 0xC3 + 0xBF + 32 + 111 + 107
