@@ -56,7 +56,7 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_stratified_sample", "pipeline_quantile_filter",
     "events_state_intervals", "q_histogram_totalprice",
     "source_python_datasource", "q_rolling_time_window",
-    "q_merge_upsert", "mm_payload_stats_arrow",
+    "q_merge_upsert", "mm_payload_stats_arrow", "q_math_functions",
     # changed in round 4: events.ts normalization (nanos→micros-NTZ
     # testdata change broke unix_micros/watermarks) touched every
     # event-time and streaming entry — fresh rows prove the fix:
@@ -75,7 +75,7 @@ _DRIVER_WINDOW_FIRST = [
     "text_fingerprint", "text_rolling_hash", "dedup_exact_survivors",
     "dedup_minhash_lsh", "dedup_jaccard_pairs", "dedup_near_duplicates",
     "sim_topk_bruteforce", "hier_distinct_twostage", "hier_subtree_agg",
-    "mm_decode_metadata", "mm_resize", "mm_frame_sample",
+    "mm_decode_metadata", "mm_resize",
 ]
 
 

@@ -1507,3 +1507,42 @@ def mm_payload_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return (M.payload_stats_arrow(M.attach_payload(docs))
             .orderBy("doc_id"))
+
+
+@register("q_math_functions", """
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS abs_disc_delta,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_disc_delta,
+       sqrt(l_quantity) AS sqrt_qty,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1)
+            AS DOUBLE) AS round_price_1,
+       greatest(l_quantity, 25.0) AS qty_floor25,
+       least(l_quantity, 25.0) AS qty_cap25,
+       l_orderkey % 97 AS key_mod
+FROM lineitem
+WHERE l_orderkey % 1000 = 0
+ORDER BY l_orderkey, l_linenumber
+""")
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-math scalar family: abs/sign/sqrt/floor/ceil/
+    greatest/least/mod, all bit-identical across engines (sqrt is
+    IEEE correctly-rounded; rounding goes through DECIMAL because
+    double round-half rules differ between engines)."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_orderkey") % 1000 == 0)
+    d = F.col("l_discount") - 0.05
+    return (li.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(d).alias("abs_disc_delta"),
+        F.signum(d).alias("sign_disc_delta"),
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        F.floor("l_extendedprice").cast("long").alias("floor_price"),
+        F.ceil("l_extendedprice").cast("long").alias("ceil_price"),
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)"), 1)
+         .cast("double").alias("round_price_1"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_floor25"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_cap25"),
+        (F.col("l_orderkey") % 97).alias("key_mod"))
+        .orderBy("l_orderkey", "l_linenumber"))
