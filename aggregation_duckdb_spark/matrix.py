@@ -57,6 +57,7 @@ _DRIVER_WINDOW_FIRST = [
     "events_state_intervals", "q_histogram_totalprice",
     "source_python_datasource", "q_rolling_time_window",
     "q_merge_upsert", "mm_payload_stats_arrow", "q_math_functions",
+    "pipeline_end_to_end",
     # changed in round 4: events.ts normalization (nanos→micros-NTZ
     # testdata change broke unix_micros/watermarks) touched every
     # event-time and streaming entry — fresh rows prove the fix:
@@ -74,7 +75,7 @@ _DRIVER_WINDOW_FIRST = [
     "text_stats", "text_language_id", "text_quality",
     "text_fingerprint", "text_rolling_hash", "dedup_exact_survivors",
     "dedup_minhash_lsh", "dedup_jaccard_pairs", "dedup_near_duplicates",
-    "sim_topk_bruteforce", "hier_distinct_twostage", "hier_subtree_agg",
+    "sim_topk_bruteforce", "hier_distinct_twostage",
     "mm_decode_metadata", "mm_resize",
 ]
 

@@ -1546,3 +1546,117 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_cap25"),
         (F.col("l_orderkey") % 97).alias("key_mod"))
         .orderBy("l_orderkey", "l_linenumber"))
+
+
+# The whole pre-training corpus pipeline as ONE declarative plan; each
+# stage reuses the fragment its standalone entry verifies.
+_E2E_QUALITY = f"""
+SELECT doc_id,
+       round(0.4 * least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+             + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(
+                   text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                   / greatest(CAST(length(text) AS DOUBLE), 1.0))
+             + 0.3 * least(CAST(len(list_filter(toks, t -> list_contains(
+                   [{", ".join(f"'{w}'" for w in _ALL_STOP)}], t)))
+                   AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0)
+                   * 4, 1.0), 6) AS quality_score
+FROM (SELECT doc_id, text, {_TOKS} AS toks FROM corpus)
+"""
+
+
+@register("pipeline_end_to_end", f"""
+WITH RECURSIVE
+corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
+qm AS ({_E2E_QUALITY}),
+s1 AS (SELECT c.* FROM corpus c JOIN qm ON c.doc_id = qm.doc_id
+       WHERE qm.quality_score >= 0.45),
+ek AS (SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY md5(lower(text))),
+s2 AS (SELECT s1.* FROM s1 JOIN ek ON s1.doc_id = ek.doc_id),
+d2 AS (SELECT doc_id, {_TOKS} AS toks FROM s2),
+sh2 AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM d2),
+hashes2 AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs
+            FROM sh2),
+sigs2 AS (SELECT doc_id, sh, {_minhash_sql(12)} AS sig FROM hashes2),
+buckets2 AS (SELECT doc_id AS doc, UNNEST({_band_sql(4, 3)}) AS bucket
+             FROM sigs2),
+cands2 AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+           FROM buckets2 a JOIN buckets2 b
+             ON a.bucket = b.bucket AND a.doc < b.doc),
+pairs2 AS (
+    SELECT c.doc_a, c.doc_b FROM cands2 c
+    JOIN sh2 sa ON c.doc_a = sa.doc_id
+    JOIN sh2 sb ON c.doc_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+                 AS DOUBLE) >= 0.6),
+edges2 AS (SELECT doc_a AS a, doc_b AS b FROM pairs2
+           UNION SELECT doc_b, doc_a FROM pairs2),
+reach2 AS (
+    SELECT DISTINCT a AS id, a AS r FROM edges2
+    UNION
+    SELECT e.b AS id, reach2.r FROM reach2 JOIN edges2 e ON e.a = reach2.id),
+labels2 AS (SELECT id, MIN(r) AS cluster_id FROM reach2 GROUP BY id),
+s3 AS (SELECT s2.* FROM s2 LEFT JOIN labels2 l ON s2.doc_id = l.id
+       WHERE l.id IS NULL OR l.cluster_id = s2.doc_id),
+d3 AS (SELECT doc_id, {_TOKS} AS toks FROM s3),
+trk3 AS (SELECT doc_id,
+                UNNEST(list_transform({_shingle_sql(6)}, s -> md5(s))) AS key
+         FROM d3),
+be3 AS (SELECT {_TOKS} AS toks FROM documents WHERE source = 'src0'),
+bek3 AS (SELECT DISTINCT
+                UNNEST(list_transform({_shingle_sql(6)}, s -> md5(s))) AS key
+         FROM be3),
+hits3 AS (SELECT DISTINCT doc_id FROM trk3
+          WHERE key IN (SELECT key FROM bek3)),
+s4 AS (SELECT s3.* FROM s3 LEFT JOIN hits3 h ON s3.doc_id = h.doc_id
+       WHERE h.doc_id IS NULL),
+sp AS (SELECT doc_id,
+              CASE WHEN ('0x' || substr(md5('v1|' || CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT % 10000 < 8000
+                        THEN 'train'
+                   WHEN ('0x' || substr(md5('v1|' || CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT % 10000 < 9000
+                        THEN 'val'
+                   ELSE 'test' END AS split
+       FROM s4),
+tc4 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tc
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM s4) x)
+SELECT sp.split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tc4.tc) AS BIGINT) AS sum_tokens
+FROM tc4 JOIN sp ON tc4.doc_id = sp.doc_id
+GROUP BY sp.split ORDER BY sp.split
+""")
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete pre-training corpus pipeline as ONE lazy plan:
+    quality gate (composite score ≥ 0.45) → exact dedup keepers →
+    near-dup CLUSTER keepers (LSH pairs closed by connected
+    components) → 6-gram decontamination against the held-out src0
+    slice → deterministic split assignment → per-split counts. Every
+    stage is the same operator its standalone entry verifies; chaining
+    them stays one declarative composition (the CC labels are the only
+    materialization, inherent to iterative convergence)."""
+    from aggregation_duckdb_spark.operators import graph as G
+    from aggregation_duckdb_spark.operators import pipeline as P
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.where(F.col("source") != "src0")
+    good = (T.quality_score(corpus)
+            .where(F.col("quality_score") >= 0.45).select("doc_id"))
+    s1 = corpus.join(good, "doc_id")
+    s2 = D.exact_dedup(s1)
+    pairs = D.near_duplicates(s2, threshold=0.6, num_hashes=12, num_bands=4)
+    losers = (G.duplicate_clusters(pairs)
+              .where(~F.col("is_keeper")).select("doc_id"))
+    s3 = s2.join(losers, "doc_id", "left_anti")
+    cont = (P.decontaminate(s3, docs.where(F.col("source") == "src0"),
+                            width=6)
+            .where(F.col("contaminated")).select("doc_id"))
+    s4 = s3.join(cont, "doc_id", "left_anti")
+    with_split = (s4.withColumn("tc", T.token_count(F.col("text")))
+                  .join(P.split_assign(s4).select("doc_id", "split"),
+                        "doc_id"))
+    return (with_split.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("tc").cast("long").alias("sum_tokens"))
+            .orderBy("split"))
