@@ -185,3 +185,35 @@ def test_tfidf_topterms_ranks_distinctive_terms(spark):
     # deterministic tie-break: rerun yields identical rows
     again = T.tfidf_top_terms(d, k=2)
     assert out.exceptAll(again).count() == 0
+
+
+def test_end_to_end_pipeline_stages_shrink_monotonically(spark):
+    """Each cleaning stage may only remove documents; the composite's
+    per-stage survivor counts must be monotonically non-increasing,
+    and the final split assignment must cover every survivor exactly
+    once."""
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.operators import graph as G
+    from aggregation_duckdb_spark.operators import text as T
+    sf = "/root/testdata/sf0.001"
+    from aggregation_duckdb_spark.io import load_table
+    docs = load_table(spark, "documents", sf)
+    corpus = docs.where(F.col("source") != "src0")
+    n0 = corpus.count()
+    good = (T.quality_score(corpus)
+            .where(F.col("quality_score") >= 0.45).select("doc_id"))
+    s1 = corpus.join(good, "doc_id"); n1 = s1.count()
+    s2 = D.exact_dedup(s1); n2 = s2.count()
+    pairs = D.near_duplicates(s2, threshold=0.6, num_hashes=12,
+                              num_bands=4)
+    losers = (G.duplicate_clusters(pairs)
+              .where(~F.col("is_keeper")).select("doc_id"))
+    s3 = s2.join(losers, "doc_id", "left_anti"); n3 = s3.count()
+    cont = P.decontaminate(s3, docs.where(F.col("source") == "src0"),
+                           width=6).where(F.col("contaminated"))
+    s4 = s3.join(cont.select("doc_id"), "doc_id", "left_anti")
+    n4 = s4.count()
+    assert n0 >= n1 >= n2 >= n3 >= n4 > 0
+    split = P.split_assign(s4)
+    assert split.count() == n4
+    assert split.select("doc_id").distinct().count() == n4
