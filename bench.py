@@ -46,6 +46,18 @@ HEADLINE = [
     "stream_tumbling",
 ]
 
+# Round-4 operators tracked OUTSIDE the headline total (the headline is
+# the round-over-round comparable; growing it would skew the ratio the
+# driver gates on). Single timed run each, reported under "extended".
+EXTENDED = [
+    "dedup_cc_clusters",
+    "text_tfidf_topterms",
+    "pipeline_pack_sequences",
+    "events_state_intervals",
+    "pipeline_quantile_filter",
+    "pipeline_end_to_end",
+]
+
 
 def main() -> None:
     from aggregation_duckdb_spark import matrix
@@ -81,6 +93,16 @@ def main() -> None:
         timings[name] = round(sorted(runs)[1], 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        extended[name] = round(time.time() - t0, 3)
+        print(f"# extended {name}: {n} rows in {extended[name]}s",
+              file=sys.stderr)
+
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -91,6 +113,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
         "sf": sf,
     }))
 
