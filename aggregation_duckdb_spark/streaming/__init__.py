@@ -16,6 +16,8 @@ from aggregation_duckdb_spark.streaming.event_time import (
     dedup_stream, events_stream, run_available_now,
     session_windows_stream, sliding_counts_stream,
     tumbling_counts_stream)
+from aggregation_duckdb_spark.streaming.near_dedup import (
+    near_dedup_stream, signature_buckets)
 from aggregation_duckdb_spark.streaming.sinks import (
     read_sink, run_to_parquet_exactly_once, write_batch_idempotent)
 from aggregation_duckdb_spark.streaming.stateful import running_user_totals

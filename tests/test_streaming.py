@@ -218,3 +218,56 @@ def test_foreach_batch_sink_idempotent_on_replay(spark, tmp_path):
     # and a DIFFERENT batch id appends rather than clobbering others
     write_batch_idempotent(batch0.limit(5), 999, sink)
     assert read_sink(spark, sink).count() == expected + 5
+
+
+def test_stream_near_dedup_state_survives_restart(spark, tmp_path):
+    """LSH-bucketed streaming near-dedup: a document re-ingested in a
+    LATER run (same checkpoint) is flagged against bucket state
+    restored from the state store — the cross-restart dedup contract a
+    100 TB ingest needs. Distinct documents stay unflagged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from aggregation_duckdb_spark.streaming import near_dedup as ND
+    from aggregation_duckdb_spark.streaming.sinks import (
+        run_to_parquet_exactly_once)
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "and keeps jumping all day long")
+    src = tmp_path / "src"; src.mkdir()
+    sink = str(tmp_path / "sink"); ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string())}),
+            str(src / name))
+
+    def run():
+        stream = (spark.readStream
+                  .schema("doc_id long, text string")
+                  .parquet(str(src)))
+        run_to_parquet_exactly_once(
+            ND.near_dedup_stream(stream), sink, ckpt)
+
+    write_file("f1.parquet",
+               [(1, base),
+                (2, "completely different words entirely unrelated here")])
+    run()
+    out1 = spark.read.parquet(sink)
+    assert out1.where(F.col("is_near_dup")).count() == 0  # all novel
+
+    # second ingest run: doc 3 re-delivers doc 1's content verbatim
+    write_file("f2.parquet",
+               [(3, base),
+                (4, "yet another fully unique document nothing shared")])
+    run()
+    out2 = spark.read.parquet(sink)
+    flagged = out2.where(F.col("is_near_dup"))
+    # doc 3 flagged in every band bucket, matched to doc 1, via state
+    # restored from the checkpoint; doc 4 clean
+    assert {r["doc_id"] for r in flagged.collect()} == {3}
+    assert {r["matched_doc_id"] for r in flagged.collect()} == {1}
+    assert flagged.count() == 4  # one flag per band
+    assert out2.where(F.col("doc_id") == 4)\
+               .where(F.col("is_near_dup")).count() == 0
