@@ -1644,7 +1644,12 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     good = (T.quality_score(corpus)
             .where(F.col("quality_score") >= 0.45).select("doc_id"))
     s1 = corpus.join(good, "doc_id")
-    s2 = D.exact_dedup(s1)
+    # s2 fans out to FOUR consumers (LSH candidates, Jaccard verify via
+    # the shared shingle checkpoint, the cluster anti-join, and
+    # decontamination's re-tokenize) — materialize it once instead of
+    # re-deriving the scan+quality+dedup prefix per consumer. At
+    # cluster scale this is "write the deduped corpus, then fan out".
+    s2 = D.exact_dedup(s1).localCheckpoint(eager=True)
     pairs = D.near_duplicates(s2, threshold=0.6, num_hashes=12, num_bands=4)
     losers = (G.duplicate_clusters(pairs)
               .where(~F.col("is_keeper")).select("doc_id"))

@@ -114,9 +114,14 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     shuffle-light and avoids a global sort."""
     t = F.lower(F.col(text_col)) if normalize else F.col(text_col)
     hashed = docs.withColumn("__h", F.md5(t))
-    keepers = hashed.groupBy("__h").agg(F.min(id_col).alias("__keep"))
-    return (hashed.join(keepers, (hashed["__h"] == keepers["__h"])
-                        & (hashed[id_col] == keepers["__keep"]), "left_semi")
+    # Alias the aggregate's columns so the semi-join condition compares
+    # distinct lineages — joining keepers["__h"] back against its own
+    # parent would be the ambiguous-self-join shape Spark warns about
+    # ("trivially true equals predicate") and resolves by fiat.
+    keepers = (hashed.groupBy("__h").agg(F.min(id_col).alias("__keep_id"))
+               .select(F.col("__h").alias("__keep_h"), "__keep_id"))
+    return (hashed.join(keepers, (hashed["__h"] == keepers["__keep_h"])
+                        & (hashed[id_col] == keepers["__keep_id"]), "left_semi")
             .drop("__h"))
 
 
@@ -230,14 +235,27 @@ def jaccard_for_pairs(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
                     (inter.cast("double") / union.cast("double")).alias("jaccard")))
 
 
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
+
 def near_duplicates(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", threshold: float = 0.6,
                     num_hashes: int = 12, num_bands: int = 4,
                     shingle_width: int = 3,
-                    max_bucket_size: int | None = None) -> DataFrame:
+                    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+                    ) -> DataFrame:
     """The full scale path: LSH candidates → exact Jaccard verify →
     threshold. False positives from banding are filtered here; false
-    negatives are bounded by the (num_hashes, num_bands) S-curve."""
+    negatives are bounded by the (num_hashes, num_bands) S-curve.
+
+    ``max_bucket_size`` defaults FINITE: one boilerplate-heavy band
+    bucket (N identical headers) makes the self-join quadratic in N —
+    at corpus scale that single bucket dominates the whole job. Members
+    of a dropped bucket are near-identical to each other and still pair
+    up through their other (num_bands - 1) band keys unless they
+    collide there too, in which case the exact-dedup pass is the
+    intended catcher. Pass ``None`` only for oracle-exact comparisons
+    at small scale."""
     shingled = doc_shingles(docs, text_col, id_col, shingle_width)
     cands = minhash_lsh_candidates(docs, text_col, id_col, num_hashes,
                                    num_bands, shingle_width, max_bucket_size,

@@ -166,8 +166,17 @@ def payload_stats_arrow(with_payload: DataFrame,
         for batch in batches:
             ids = batch.column(batch.schema.get_field_index(id_col))
             pay = batch.column(batch.schema.get_field_index("payload"))
-            # BinaryArray layout: int32 offsets + contiguous data buffer
-            off = np.frombuffer(pay.buffers()[1], dtype=np.int32)[
+            # offsets are int32 for binary, int64 for large_binary —
+            # reading a LargeBinary buffer as int32 would silently
+            # misparse, so branch on the actual type
+            if pa.types.is_binary(pay.type):
+                off_dtype = np.int32
+            elif pa.types.is_large_binary(pay.type):
+                off_dtype = np.int64
+            else:
+                raise TypeError(
+                    f"payload must be binary/large_binary, got {pay.type}")
+            off = np.frombuffer(pay.buffers()[1], dtype=off_dtype)[
                 pay.offset:pay.offset + len(pay) + 1].astype(np.int64)
             # slice the values buffer to THIS batch's byte range (a
             # sliced array shares the buffer with bytes outside it, and
@@ -184,10 +193,14 @@ def payload_stats_arrow(with_payload: DataFrame,
             nonempty = lengths > 0
             if nonempty.any():
                 sums[nonempty] = np.add.reduceat(data, off[:-1][nonempty])
+            # null payloads have zero-width offset slots — without a
+            # mask they'd surface as 0-byte rows; propagate null instead
+            null_mask = (np.asarray(pay.is_null()) if pay.null_count
+                         else None)
             yield pa.RecordBatch.from_arrays(
                 [ids.cast(pa.int64()),
-                 pa.array(lengths, type=pa.int64()),
-                 pa.array(sums, type=pa.int64())],
+                 pa.array(lengths, type=pa.int64(), mask=null_mask),
+                 pa.array(sums, type=pa.int64(), mask=null_mask)],
                 names=["doc_id", "n_bytes", "byte_sum"])
 
     return with_payload.mapInArrow(stats, PAYLOAD_STATS_SCHEMA)

@@ -165,9 +165,12 @@ def pack_sequences(docs: DataFrame, context_len: int,
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
     return (sized
             .withColumn("start_offset", start)
+            # integer division, not float-divide-then-truncate: double
+            # has 53 mantissa bits, so a float quotient of very large
+            # long offsets can misround before the cast (invisible for
+            # power-of-two context_len, wrong in general)
             .withColumn("seq_idx",
-                        (F.col("start_offset") / context_len)
-                        .cast("long")))
+                        F.expr(f"start_offset div {int(context_len)}")))
 
 
 # ---------------------------------------------------------------------

@@ -26,4 +26,6 @@ __all__ = [
     "dedup_stream", "events_stream", "run_available_now",
     "session_windows_stream", "sliding_counts_stream",
     "tumbling_counts_stream", "running_user_totals",
+    "near_dedup_stream", "signature_buckets",
+    "read_sink", "run_to_parquet_exactly_once", "write_batch_idempotent",
 ]

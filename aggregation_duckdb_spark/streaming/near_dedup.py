@@ -96,21 +96,25 @@ def near_dedup_stream(docs: DataFrame, text_col: str = "text",
         ids, flat = state.get if state.exists else ([], [])
         ids, flat = list(ids), list(flat)
         out_rows = []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("doc").iterrows():
-                sig = [int(s) for s in row["sig"]]
-                matched = None
-                for j in range(len(ids)):
-                    stored = flat[j * num_hashes:(j + 1) * num_hashes]
-                    agree = sum(a == b for a, b in zip(sig, stored))
-                    if agree >= min_slots:
-                        matched = ids[j]
-                        break
-                out_rows.append((key[0], int(row["doc"]), matched is not None,
-                                 matched))
-                if matched is None:
-                    ids.append(int(row["doc"]))
-                    flat.extend(sig)
+        # applyInPandasWithState may deliver one group as several
+        # chunks; sorting per-chunk would make state/match assignment
+        # depend on chunking. Concatenate first so ascending-doc-id
+        # order holds across the whole (bucket, batch) group.
+        merged = pd.concat(list(pdfs), ignore_index=True)
+        for _, row in merged.sort_values("doc").iterrows():
+            sig = [int(s) for s in row["sig"]]
+            matched = None
+            for j in range(len(ids)):
+                stored = flat[j * num_hashes:(j + 1) * num_hashes]
+                agree = sum(a == b for a, b in zip(sig, stored))
+                if agree >= min_slots:
+                    matched = ids[j]
+                    break
+            out_rows.append((key[0], int(row["doc"]), matched is not None,
+                             matched))
+            if matched is None:
+                ids.append(int(row["doc"]))
+                flat.extend(sig)
         if len(ids) > max_state_per_bucket:
             drop = len(ids) - max_state_per_bucket
             ids = ids[drop:]

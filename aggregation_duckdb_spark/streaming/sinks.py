@@ -38,6 +38,11 @@ def write_batch_idempotent(batch_df: DataFrame, batch_id: int,
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            # restore "unset", not "dynamic" — leaving dynamic set would
+            # silently turn later overwrite-with-partitionBy batch
+            # writes into partial (per-partition) overwrites
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
 
 def run_to_parquet_exactly_once(result: DataFrame, path: str,

@@ -318,3 +318,39 @@ def test_payload_stats_arrow_zero_copy_path(spark):
     # \x00(1) + \xff(2) + ' o k'(3) = 6 bytes
     assert out[3]["n_bytes"] == 6
     assert out[3]["byte_sum"] == 0 + 0xC3 + 0xBF + 32 + 111 + 107
+
+
+def test_lsh_bucket_cap_bounds_boilerplate_skew(spark):
+    """One boilerplate bucket must not go quadratic: with a finite
+    max_bucket_size, the pathological all-identical bucket is dropped
+    and candidate count stays linear; uncapped it is N-choose-2."""
+    n = 30
+    boiler = " ".join(f"h{i}" for i in range(40))  # identical header
+    distinct = [(1000 + i, " ".join(f"d{i}_{j}" for j in range(40)))
+                for i in range(5)]
+    d = spark.createDataFrame(
+        [(i, boiler) for i in range(n)] + distinct,
+        "doc_id long, text string")
+    uncapped = D.minhash_lsh_candidates(d, max_bucket_size=None).count()
+    assert uncapped >= n * (n - 1) // 2  # quadratic blowup, the hazard
+    capped = D.minhash_lsh_candidates(d, max_bucket_size=10).count()
+    assert capped == 0  # every band bucket of the clones exceeds cap
+    # near_duplicates defaults to a FINITE cap (the scale-safe path)
+    import inspect
+    default = inspect.signature(D.near_duplicates).parameters[
+        "max_bucket_size"].default
+    assert default is not None and default == D.DEFAULT_MAX_BUCKET_SIZE
+    # dropped-bucket members remain the exact-dedup pass's catch:
+    assert D.exact_dedup(d).count() == 1 + len(distinct)
+
+
+def test_payload_stats_arrow_null_payloads_propagate(spark):
+    d = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, "xy")], "doc_id long, text string")
+    with_payload = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = {r["doc_id"]: r
+           for r in M.payload_stats_arrow(with_payload).collect()}
+    assert out[1]["n_bytes"] == 3
+    assert out[2]["n_bytes"] is None and out[2]["byte_sum"] is None
+    assert out[3]["n_bytes"] == 2 and out[3]["byte_sum"] == 120 + 121
