@@ -439,12 +439,18 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_ivf_topk")  # approximate path: rows-only check (float
 # centroid means differ across engines in the last bits; the exact
-# baseline above is the oracle-checked twin)
+# baseline above is the oracle-checked twin). Accuracy is bounded by
+# tests/test_approx_accuracy.py: recall@10 >= 0.9 vs brute force at
+# THIS entry's parameters. The synthetic embeddings are i.i.d. noise —
+# the IVF worst case, where recall ~= probed fraction — so n_probe is
+# tuned to the recall target here; on clusterable data the same
+# operator reaches >= 0.95 recall probing 2 of 10 cells (also pinned
+# in that test file).
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = S.label_centroids(emb)
+    cents = S.kmeans_fit(emb, k=10, max_iters=8)
     queries = emb.where(F.col("vec_id") < 5)
-    return (S.ivf_topk(emb, queries, cents, k=10, n_probe=3)
+    return (S.ivf_topk(emb, queries, cents, k=10, n_probe=9)
             .select("query_id", "neighbor_id", "cosine_sim", "rank")
             .orderBy("query_id", "rank"))
 

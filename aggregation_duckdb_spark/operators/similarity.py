@@ -60,19 +60,33 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                vec_col: str = "embedding", id_col: str = "vec_id",
                centroid_id: str = "centroid_id",
                centroid_vec: str = "centroid") -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast centroids;
-    one in-row argmax per vector — a map-side pass over the corpus).
-    At scale, write the result partitioned by cell for pruned probes."""
-    cents = centroids.select(F.col(centroid_id).alias("__cid"),
-                             F.col(centroid_vec).alias("__cvec"))
-    scored = (corpus.crossJoin(F.broadcast(cents))
-              .select(F.col(id_col), F.col(vec_col),
-                      F.col("__cid"),
-                      cosine(F.col(vec_col), F.col("__cvec")).alias("__sim")))
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("__cid"))
-    return (scored.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select(id_col, vec_col, F.col("__cid").alias(centroid_id)))
+    """Assign each vector to its nearest centroid — a ZERO-SHUFFLE
+    map-side pass: the codebook is bounded (k·dim values), so it is
+    collected once and folded into the plan as a literal
+    array<struct<cid, cvec>>; the per-vector argmax is
+    transform→array_max in-row. (The alternative — crossJoin +
+    per-id window — shuffles corpus×k rows to rank them; at corpus
+    scale that shuffle IS the job.)  Ties break to the lowest
+    centroid id. At scale, write the result partitioned by cell for
+    pruned probes."""
+    rows = centroids.select(F.col(centroid_id).alias("cid"),
+                            F.col(centroid_vec).alias("cvec")).collect()
+    if not rows:
+        raise ValueError("ivf_assign: empty codebook")
+    lit = F.array(*[
+        F.struct(
+            F.lit(int(r["cid"])).cast("long").alias("cid"),
+            F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"))
+        for r in rows])
+    # one cosine per centroid, staged per element; array_max compares
+    # structs lexicographically → max sim, then max(-cid) = min cid
+    scored = F.transform(
+        lit, lambda c: F.struct(
+            cosine(F.col(vec_col), c["cvec"]).alias("sim"),
+            (-c["cid"]).alias("negcid")))
+    best = F.array_max(scored)
+    return corpus.select(F.col(id_col), F.col(vec_col),
+                         (-best["negcid"]).alias(centroid_id))
 
 
 def label_centroids(corpus: DataFrame, vec_col: str = "embedding",
@@ -125,6 +139,70 @@ def label_centroids_exact(corpus: DataFrame, vec_col: str = "embedding",
             .select("centroid_id", "pos", "n_vectors",
                     ((F.col("__s").cast("double") / F.col("n_vectors"))
                      / CENTROID_SCALE).alias("mean_value")))
+
+
+def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 10,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               min_shift: float = 1e-7) -> DataFrame:
+    """Distributed Lloyd's k-means — the IVF codebook trainer
+    (geometry-driven cells, unlike :func:`label_centroids` which needs
+    a pre-existing clustering column).
+
+    Deterministic end to end: init picks the k vectors with the
+    smallest salted md5(id) (engine- and order-independent), and each
+    update recomputes means in fixed-point int64 (the
+    :func:`label_centroids_exact` trick) so any partitioning yields
+    identical bits — rerunning the fit reproduces the codebook exactly.
+
+    Scale shape per iteration: one zero-shuffle assignment pass
+    (:func:`ivf_assign` folds the codebook literal in-row), then one
+    groupBy(cell, pos) with map-side combine; only k·dim aggregate rows
+    ever reach the driver (like the CC convergence probe — bounded by
+    the model size, not the data). Empty cells keep their previous
+    centroid. Iteration stops at ``max_iters`` or when no component
+    moves more than ``min_shift``."""
+    spark = corpus.sparkSession
+    seed_rows = (corpus
+                 .select(F.col(id_col), F.col(vec_col))
+                 .orderBy(F.md5(F.concat_ws("|", F.lit("kmeans-init"),
+                                            F.col(id_col).cast("string"))),
+                          F.col(id_col))
+                 .limit(k).collect())
+    if not seed_rows:
+        raise ValueError("kmeans_fit: corpus is empty")
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)]
+    for _ in range(max_iters):
+        cdf = spark.createDataFrame(
+            cents, "centroid_id long, centroid array<double>")
+        assigned = ivf_assign(corpus, cdf, vec_col, id_col)
+        stats = (assigned
+                 .select("centroid_id",
+                         F.posexplode(F.col(vec_col)).alias("pos", "comp"))
+                 .groupBy("centroid_id", "pos")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.round(F.col("comp").cast("double")
+                                    * CENTROID_SCALE).cast("long")).alias("s"))
+                 .collect())
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = (
+                (r["s"] / r["n"]) / CENTROID_SCALE)
+        shift = 0.0
+        new_cents = []
+        for cid, old in cents:
+            comps = by_cid.get(cid)
+            if comps:
+                new = [comps[p] for p in sorted(comps)]
+                shift = max(shift, max(abs(a - b) for a, b in zip(old, new)))
+            else:
+                new = old
+            new_cents.append((cid, new))
+        cents = new_cents
+        if shift <= min_shift:
+            break
+    return spark.createDataFrame(
+        cents, "centroid_id long, centroid array<double>")
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
