@@ -132,3 +132,20 @@ def test_connected_components_matches_union_find(edges):
     got = {r["id"]: r["label"]
            for r in G.connected_components(df).collect()}
     assert got == _union_find_labels(edges)
+
+
+def test_connected_components_long_path_converges_log_rounds():
+    """A path graph is the adversarial case plain min-label propagation
+    cannot handle (rounds = diameter, here 60 > any sane max_iters);
+    pointer doubling must converge it in O(log diameter) rounds."""
+    from aggregation_duckdb_spark.operators import graph as G
+    spark = _spark()
+    n = 60
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                               "src long, dst long")
+    stats: dict = {}
+    got = {r["id"]: r["label"]
+           for r in G.connected_components(df, max_iters=12,
+                                           stats=stats).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+    assert stats["rounds"] <= 10  # ~log2(60) + slack, NOT 60
