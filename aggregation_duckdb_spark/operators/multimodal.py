@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
                                LongType, StringType, StructField, StructType)
 
+#: On the stub path fake_width/fake_height derive from the payload md5;
+#: with REAL_CODECS they carry the actual decoded image dimensions
+#: (same schema either way — consumers don't fork on the mode).
 DECODE_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("n_bytes", LongType()),
@@ -35,6 +38,36 @@ DECODE_SCHEMA = StructType([
 ])
 
 REAL_CODECS = False  # flip when PIL/libav land; fake path below is the stub
+
+
+def _pil_decode(payload: bytes) -> tuple[int, str, int, int]:
+    """REAL decode path (active when REAL_CODECS): PIL image open —
+    n_bytes/checksum as in the stub, width/height from the actual
+    image header. Raises NotImplementedError (not ImportError) when
+    the codec library is absent so the boundary stays explicit."""
+    try:
+        import io
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "REAL_CODECS=True but PIL is not installed") from exc
+    with Image.open(io.BytesIO(payload)) as im:
+        return (len(payload), hashlib.md5(payload).hexdigest(),
+                im.width, im.height)
+
+
+def _pil_resize(payload: bytes, tw: int, th: int) -> bytes:
+    """REAL resize path: decode, bilinear resize, re-encode PNG."""
+    try:
+        import io
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "REAL_CODECS=True but PIL is not installed") from exc
+    with Image.open(io.BytesIO(payload)) as im:
+        out = io.BytesIO()
+        im.resize((tw, th)).save(out, "PNG")
+        return out.getvalue()
 
 
 def attach_payload(docs: DataFrame, text_col: str = "text",
@@ -59,13 +92,14 @@ def decode_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFram
     """Decode/inspect payloads via ``mapInPandas`` (Arrow-batched; the
     idiomatic shape for per-row Python work that built-ins can't do)."""
 
+    # captured at plan time on the driver, so the executors see the
+    # mode the plan was built under (module globals re-resolve per
+    # worker import and could silently disagree)
+    decode = _pil_decode if REAL_CODECS else _fake_decode
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if REAL_CODECS:
-            raise NotImplementedError(
-                "real image/audio decode requires codec libraries not in "
-                "this container")
         for pdf in batches:
-            meta = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            meta = [decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "n_bytes": pd.Series([m[0] for m in meta], dtype="int64"),
@@ -95,12 +129,17 @@ def resize_plan(with_payload: DataFrame, target: tuple[int, int] = (224, 224),
     so the checksum is oracle-checkable in DuckDB."""
     tw, th = target
 
+    real = REAL_CODECS  # captured at plan time (see decode_metadata)
+
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if REAL_CODECS:
-            raise NotImplementedError("real resize requires codec libraries")
         for pdf in batches:
-            fake = [(hashlib.md5(bytes(p)).hexdigest() + f"{tw}x{th}").encode()
-                    for p in pdf["payload"]]
+            if real:
+                fake = [_pil_resize(bytes(p), tw, th)
+                        for p in pdf["payload"]]
+            else:
+                fake = [(hashlib.md5(bytes(p)).hexdigest()
+                         + f"{tw}x{th}").encode()
+                        for p in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "target_width": pd.Series([tw] * len(pdf), dtype="int32"),
@@ -125,10 +164,13 @@ def extract_features(with_payload: DataFrame, dim: int = 8,
     over ``dim`` equal-width buckets of the payload's md5 digest bytes
     — deterministic integer math, reproducible in DuckDB SQL."""
 
+    if REAL_CODECS:
+        # unlike decode/resize there is no library that makes this
+        # real — features need a model runtime; fail at plan time
+        raise NotImplementedError(
+            "real feature extraction requires model runtimes")
+
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if REAL_CODECS:
-            raise NotImplementedError(
-                "real feature extraction requires model runtimes")
         for pdf in batches:
             feats = []
             for p in pdf["payload"]:

@@ -354,3 +354,37 @@ def test_payload_stats_arrow_null_payloads_propagate(spark):
     assert out[1]["n_bytes"] == 3
     assert out[2]["n_bytes"] is None and out[2]["byte_sum"] is None
     assert out[3]["n_bytes"] == 2 and out[3]["byte_sum"] == 120 + 121
+
+
+def test_real_codec_smoke_when_pil_available(spark, monkeypatch):
+    """Exercises the REAL_CODECS boundary the day PIL lands in the
+    environment; skips (not passes) until then. Builds a real PNG,
+    decodes its true dimensions, and round-trips a resize."""
+    pytest.importorskip("PIL")
+    import io
+    from PIL import Image
+
+    monkeypatch.setattr(M, "REAL_CODECS", True)
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3), color=(10, 20, 30)).save(buf, "PNG")
+    d = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                              "doc_id long, payload binary")
+    out = M.decode_metadata(d).collect()
+    assert out[0]["fake_width"] == 5 and out[0]["fake_height"] == 3
+    assert out[0]["n_bytes"] == len(buf.getvalue())
+    rz = M.resize_plan(d, target=(4, 2)).collect()
+    with Image.open(io.BytesIO(bytes(rz[0]["resized_payload"]))) as im:
+        assert (im.width, im.height) == (4, 2)
+
+
+def test_real_codecs_off_matches_stub_oracle_shape(spark):
+    """The stub path stays the active default: REAL_CODECS is False in
+    this container and decode output remains md5-derived (the
+    oracle-checked contract of mm_decode_metadata)."""
+    assert M.REAL_CODECS is False
+    d = spark.createDataFrame([(7, "hello")], "doc_id long, text string")
+    out = M.decode_metadata(M.attach_payload(d)).collect()[0]
+    import hashlib
+    digest = hashlib.md5(b"hello").hexdigest()
+    assert out["checksum"] == digest
+    assert out["fake_width"] == 1 + int(digest[0], 16)
