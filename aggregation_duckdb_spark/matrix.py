@@ -42,41 +42,43 @@ def register(name: str, sql: str | None = None):
 # their DuckDB oracles. ALL entries pass the same comparison locally
 # (scripts/oracle_check.py runs the full set — keep it that way); this
 # list only schedules WHICH entries get a driver-recorded row this
-# round: first entries with no driver row through round 3, then entries
-# whose implementation changed this round (they must re-verify), then
-# the entries whose only driver evidence is round 1 — the testdata was
-# regenerated before round 4 (events.ts switched nanos→micros-NTZ), so
-# round-1 rows are both oldest and against different physical data.
-# Round-3-verified entries sit past the cutoff. Exactly 50 names below.
+# round. Round-5 rotation: first the 16 entries whose latest driver
+# evidence (round 2) predates the testdata regeneration — closing the
+# freshness gap to every-entry-current; then every entry whose
+# implementation changed this round; then the oldest (round-3) rows.
+# Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
-    # never driver-checked (new in rounds 3-4; all pass the local oracle):
-    "pipeline_split_assign", "pipeline_pii_scrub", "pipeline_repetition",
-    "pipeline_decontaminate", "emb_label_centroids", "stream_dedup",
-    "dedup_cc_clusters", "pipeline_pack_sequences", "text_tfidf_topterms",
-    "pipeline_stratified_sample", "pipeline_quantile_filter",
-    "events_state_intervals", "q_histogram_totalprice",
-    "source_python_datasource", "q_rolling_time_window",
-    "q_merge_upsert", "mm_payload_stats_arrow", "q_math_functions",
-    "pipeline_end_to_end",
-    # changed in round 4: events.ts normalization (nanos→micros-NTZ
-    # testdata change broke unix_micros/watermarks) touched every
-    # event-time and streaming entry — fresh rows prove the fix:
-    "asof_join_events", "events_tumbling", "events_sliding",
-    "events_sessionize", "events_user_gap_stats",
-    "events_conversion_lag", "stream_tumbling", "stream_sliding",
-    "stream_sessionize", "stream_stateful_totals", "stream_stream_join",
-    # changed in round 4: one-pass aggregate rewrite (2× faster):
-    "q21_waiting_suppliers",
-    # driver evidence only from round 1 (pre-regeneration data); the
-    # two rows-only entries (hier_agg_closure_approx, sim_ivf_topk)
-    # yield to oracled entries — their driver row is the weak check:
-    "hier_agg_closure", "hier_agg_rollup", "hier_reporting_dim",
-    "hier_closure", "hier_closure_recursive", "ref_parity_agg",
-    "text_stats", "text_language_id", "text_quality",
-    "text_fingerprint", "text_rolling_hash", "dedup_exact_survivors",
-    "dedup_minhash_lsh", "dedup_jaccard_pairs", "dedup_near_duplicates",
-    "sim_topk_bruteforce", "hier_distinct_twostage",
-    "mm_decode_metadata", "mm_resize",
+    # last driver evidence round 2 — before the events.ts regeneration;
+    # fresh rows make the whole matrix current-data-verified:
+    "q1_pricing_summary", "q_case_when", "q_count_distinct",
+    "q_cube_grouping", "q_filter_project", "q_grouping_sets",
+    "q_in_subquery", "q_json_functions", "q_rollup_grouping",
+    "q_salted_join", "dedup_edit_distance", "hier_subtree_agg",
+    "mm_frame_sample", "text_tokenize_udtf", "hier_agg_closure_approx",
+    "sim_ivf_topk",
+    # changed in round 5, must re-verify: exact_dedup keeper aliasing +
+    # LSH bucket-cap default (dedup_*, pipeline_clean_corpus), CC
+    # pointer doubling (dedup_cc_clusters), the s2 checkpoint + all of
+    # the above (pipeline_end_to_end), integer-div seq_idx
+    # (pipeline_pack_sequences), Arrow offset/null handling
+    # (mm_payload_stats_arrow), codec-mode capture refactor (mm_*):
+    "dedup_exact_survivors", "dedup_near_duplicates",
+    "dedup_cc_clusters", "pipeline_clean_corpus", "pipeline_end_to_end",
+    "pipeline_pack_sequences", "mm_payload_stats_arrow",
+    "mm_decode_metadata", "mm_resize", "mm_features",
+    # oldest remaining evidence (round 3) — routine refresh:
+    "dedup_simhash", "q10_returned_items", "q11_important_parts",
+    "q12_priority_class", "q13_customer_distribution",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_counts",
+    "q17_small_qty_revenue", "q19_disjunctive_revenue",
+    "q20_promo_suppliers", "q22_dormant_customers",
+    "q2_min_cost_supplier", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_revenue_forecast",
+    "q7_volume_shipping", "q9_profit_by_nation", "q_anti_join",
+    "q_bucketed_join", "q_collections",
+    # new in round 5 (no driver row yet):
+    "dedup_containment_pairs", "pipeline_mixture_weights",
+    "pipeline_rebalance",
 ]
 
 

@@ -16,6 +16,7 @@ from aggregation_duckdb_spark.matrix import register
 from aggregation_duckdb_spark.operators import dedup as D
 from aggregation_duckdb_spark.operators import events as E
 from aggregation_duckdb_spark.operators import multimodal as M
+from aggregation_duckdb_spark.operators import pipeline as P
 from aggregation_duckdb_spark.operators import similarity as S
 from aggregation_duckdb_spark.operators import text as T
 
@@ -1671,3 +1672,106 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("tc").cast("long").alias("sum_tokens"))
             .orderBy("split"))
+
+
+# ---------------------------------------------------------------------
+# sub-document (containment) dedup + corpus mixture rebalancing (r5)
+# ---------------------------------------------------------------------
+
+_CONTAIN = ("CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / "
+            "CAST(len({side}.sh) AS DOUBLE)")
+
+
+@register("dedup_containment_pairs", f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM d),
+ex AS (SELECT doc_id AS doc, UNNEST(sh) AS sg FROM s),
+dfc AS (SELECT sg, COUNT(*) AS df FROM ex GROUP BY sg),
+rare AS (SELECT ex.doc, ex.sg FROM ex JOIN dfc ON ex.sg = dfc.sg
+         WHERE dfc.df <= 20),
+cands AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM rare a JOIN rare b ON a.sg = b.sg AND a.doc < b.doc)
+SELECT c.doc_a, c.doc_b,
+       {_CONTAIN.format(side='sa')} AS containment_a,
+       {_CONTAIN.format(side='sb')} AS containment_b,
+       greatest({_CONTAIN.format(side='sa')},
+                {_CONTAIN.format(side='sb')}) AS max_containment
+FROM cands c
+JOIN s sa ON c.doc_a = sa.doc_id
+JOIN s sb ON c.doc_b = sb.doc_id
+WHERE greatest({_CONTAIN.format(side='sa')},
+               {_CONTAIN.format(side='sb')}) >= 0.8
+ORDER BY doc_a, doc_b
+""")
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: inverted-shingle-index candidates → exact
+    containment (|X∩Y|/|X|) — catches a short doc embedded in a long
+    one, which Jaccard-recall LSH structurally misses."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (D.sub_duplicates(docs, threshold=0.8, max_df=20)
+            .orderBy("doc_a", "doc_b"))
+
+
+# targets name only src0-src9: the other half of the corpus's sources
+# get target share 0 and are dropped by the rebalance — exercising the
+# operator's absent-group semantics, not just the downsampling math
+_MIX_TARGETS = {f"src{i}": 0.1 for i in range(10)}
+
+_MIX_TARGET_SQL = ("CASE WHEN group_key IN ("
+                   + ", ".join(f"'src{i}'" for i in range(10))
+                   + ") THEN CAST(0.1 AS DOUBLE) "
+                   + "ELSE CAST(0.0 AS DOUBLE) END")
+
+_MIX_STATS = f"""
+stats AS (
+    SELECT source AS group_key, COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS sum_tokens
+    FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(sum_tokens) AS BIGINT) AS total FROM stats)
+"""
+
+
+@register("pipeline_mixture_weights", f"""
+WITH {_MIX_STATS}
+SELECT group_key, n_docs, sum_tokens,
+       CAST(sum_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS actual_share,
+       {_MIX_TARGET_SQL} AS target_share,
+       least(CAST(1.0 AS DOUBLE),
+             {_MIX_TARGET_SQL}
+             / (CAST(sum_tokens AS DOUBLE) / CAST(total AS DOUBLE)))
+           AS keep_rate
+FROM stats CROSS JOIN tot ORDER BY group_key
+""")
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rates: per-source token shares vs equal targets;
+    keep_rate = min(1, target/actual). Exact integer token sums; the
+    only doubles are the final divisions (bit-identical cross-engine)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (P.mixture_weights(docs, _MIX_TARGETS).orderBy("group_key"))
+
+
+@register("pipeline_rebalance", f"""
+WITH {_MIX_STATS},
+rates AS (
+    SELECT group_key,
+           least(CAST(1.0 AS DOUBLE),
+                 {_MIX_TARGET_SQL}
+                 / (CAST(sum_tokens AS DOUBLE) / CAST(total AS DOUBLE)))
+               AS keep_rate
+    FROM stats CROSS JOIN tot),
+b AS (SELECT doc_id, source,
+             ('0x' || substr(md5('mix-v1|' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT % 10000 AS bucket
+      FROM documents)
+SELECT b.doc_id, b.source
+FROM b JOIN rates ON b.source = rates.group_key
+WHERE b.bucket < rates.keep_rate * 10000
+ORDER BY doc_id
+""")
+def pipeline_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mixture rates: deterministic md5-bucket Bernoulli keep
+    per source — broadcast rates join, corpus never shuffles, same
+    sample on every run/engine/shard arrival order."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (P.rebalance_sample(docs, _MIX_TARGETS)
+            .select("doc_id", "source").orderBy("doc_id"))

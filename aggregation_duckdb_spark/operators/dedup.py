@@ -265,6 +265,84 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     return scored.where(F.col("jaccard") >= threshold)
 
 
+def shared_shingle_candidates(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              shingle_width: int = 3,
+                              max_df: int = 20,
+                              shingled: DataFrame | None = None) -> DataFrame:
+    """Candidate pairs from an inverted shingle index — the candidate
+    generator for CONTAINMENT dedup, where MinHash-LSH is the wrong
+    tool (LSH recall follows Jaccard, and a short document embedded in
+    a long one has low Jaccard despite full containment).
+
+    explode(shingles) → drop shingles with document frequency >
+    ``max_df`` (stop-shingles would pair everything with everything —
+    the same quadratic-bucket hazard as LSH, same cure) → self-join on
+    shingle → distinct (doc_a < doc_b). Exact for any pair sharing at
+    least one sub-``max_df`` shingle; a fully-contained document whose
+    every shingle is corpus-common is boilerplate by definition and
+    exact/LSH dedup's business."""
+    if shingled is None:
+        shingled = doc_shingles(docs, text_col, id_col, shingle_width,
+                                checkpoint=False)
+    ex = shingled.select("doc", F.explode(F.col("__sh")).alias("s"))
+    df_counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    rare = ex.join(df_counts.where(F.col("__df") <= max_df), "s", "left_semi")
+    rare = rare.localCheckpoint(eager=True)  # shared by both join sides
+    a, b = rare.alias("a"), rare.alias("b")
+    return (a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .select(F.col("a.doc").alias("doc_a"),
+                    F.col("b.doc").alias("doc_b"))
+            .distinct())
+
+
+def containment_for_pairs(pairs: DataFrame, docs: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          shingle_width: int = 3,
+                          shingled: DataFrame | None = None) -> DataFrame:
+    """Asymmetric overlap for candidate pairs: containment(X→Y) =
+    |X∩Y| / |X|. A 50-token quote inside a 5000-token page scores
+    ~1.0 here but ~0.01 Jaccard — this is the sub-document dedup
+    signal. Emits both directions plus ``max_containment`` (the
+    smaller side's score); integer set math then one double division,
+    bit-identical across engines."""
+    if shingled is None:
+        shingled = doc_shingles(docs, text_col, id_col, shingle_width)
+    sh = shingled.withColumnRenamed("doc", "__id")
+    a = sh.alias("ca")
+    b = sh.alias("cb")
+    inter = F.size(F.array_intersect(F.col("ca.__sh"), F.col("cb.__sh")))
+    return (pairs
+            .join(a, pairs["doc_a"] == F.col("ca.__id"))
+            .join(b, pairs["doc_b"] == F.col("cb.__id"))
+            .select(
+                "doc_a", "doc_b",
+                (inter.cast("double")
+                 / F.size(F.col("ca.__sh")).cast("double"))
+                .alias("containment_a"),
+                (inter.cast("double")
+                 / F.size(F.col("cb.__sh")).cast("double"))
+                .alias("containment_b"))
+            .withColumn("max_containment",
+                        F.greatest("containment_a", "containment_b")))
+
+
+def sub_duplicates(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", threshold: float = 0.8,
+                   shingle_width: int = 3, max_df: int = 20) -> DataFrame:
+    """Sub-document (containment) dedup, full path: inverted-index
+    candidates → exact containment verify → threshold on the smaller
+    side. One shared shingle scan feeds both stages."""
+    shingled = doc_shingles(docs, text_col, id_col, shingle_width)
+    cands = shared_shingle_candidates(docs, text_col, id_col,
+                                     shingle_width, max_df,
+                                     shingled=shingled)
+    scored = containment_for_pairs(cands, docs, text_col, id_col,
+                                   shingle_width, shingled=shingled)
+    return scored.where(F.col("max_containment") >= threshold)
+
+
 def simhash_bits(text: Column, bits: int = 16) -> Column:
     """SimHash over tokens as a bit string.
 

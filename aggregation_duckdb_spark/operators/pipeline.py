@@ -278,3 +278,67 @@ def decontaminate(train: DataFrame, bench: DataFrame,
             .select(F.col(id_col),
                     F.coalesce(F.col("contaminated"), F.lit(False))
                     .alias("contaminated")))
+
+
+# ---------------------------------------------------------------------
+# corpus mixture rebalancing
+# ---------------------------------------------------------------------
+
+def mixture_weights(docs: DataFrame, targets: dict[str, float],
+                    by: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Per-group sampling rates that move the corpus toward target
+    token shares — the data-mixing step of a training pipeline
+    (downsample the over-represented crawl, keep all of the small
+    high-quality source).
+
+    For each group g: ``keep_rate_g = min(1, target_share_g /
+    actual_share_g)`` where actual_share is the group's fraction of
+    corpus tokens. Rates are capped at 1 — upsampling is an epoch
+    decision, not a sampling one. Groups absent from ``targets`` get
+    target share 0 (dropped by :func:`rebalance_sample`).
+
+    Scale shape: one groupBy(``by``) with map-side combine reduces the
+    corpus to a handful of group rows; the corpus total then rides
+    along as a 1-row broadcast cross join (the same sanctioned scalar
+    attach as tfidf_top_terms — no driver action, stays one lazy
+    plan). Token shares use exact integer sums; the only doubles are
+    the final divisions, bit-identical across engines."""
+    from aggregation_duckdb_spark.operators.text import token_count
+    stats = (docs.groupBy(F.col(by).alias("group_key"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(token_count(F.col(text_col))).cast("long")
+                  .alias("sum_tokens")))
+    total = stats.agg(F.sum("sum_tokens").cast("long").alias("__total"))
+    target_expr = F.lit(0.0)
+    for name, share in targets.items():
+        target_expr = F.when(F.col("group_key") == name,
+                             F.lit(float(share))).otherwise(target_expr)
+    return (stats.crossJoin(F.broadcast(total))
+            .select(
+                "group_key", "n_docs", "sum_tokens",
+                (F.col("sum_tokens").cast("double")
+                 / F.col("__total").cast("double")).alias("actual_share"),
+                target_expr.alias("target_share"))
+            .withColumn(
+                "keep_rate",
+                F.least(F.lit(1.0),
+                        F.col("target_share") / F.col("actual_share"))))
+
+
+def rebalance_sample(docs: DataFrame, targets: dict[str, float],
+                     by: str = "source", id_col: str = "doc_id",
+                     text_col: str = "text",
+                     salt: str = "mix-v1") -> DataFrame:
+    """Apply :func:`mixture_weights`: keep each document iff its
+    deterministic md5 bucket falls under its group's keep rate.
+    Coordination-free and reproducible (same salt → same sample across
+    runs, engines, and late shards); the weights table is group-sized,
+    so the join broadcasts — the corpus never shuffles."""
+    rates = mixture_weights(docs, targets, by, text_col).select(
+        "group_key", "keep_rate")
+    bucket = split_bucket(F.col(id_col), salt)
+    return (docs.join(F.broadcast(rates),
+                      docs[by] == rates["group_key"])
+            .where(bucket < F.col("keep_rate") * SPLIT_BUCKETS)
+            .drop("group_key", "keep_rate"))

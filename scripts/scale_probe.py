@@ -152,10 +152,9 @@ def neardup_probe(multiples: list) -> None:
                     F.slice("embedding", 2, 63)).alias("embedding")))
         n_vecs = corpus.count()
         mats = S.lsh_sign_matrix(6, 8, 64)
-        bucketed = corpus.select(F.explode(F.array(*[
-            F.concat(F.lit(f"{t}|"),
-                     S._bucket_bits(F.col("embedding"), mats[t]))
-            for t in range(6)])).alias("__bucket"))
+        bucketed = corpus.select(
+            F.explode(S._bucket_keys(F.col("embedding"), mats))
+            .alias("__bucket"))
         cand_per_bucket = (bucketed.groupBy("__bucket")
                            .agg(F.count(F.lit(1)).alias("n"))
                            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)

@@ -388,3 +388,37 @@ def test_real_codecs_off_matches_stub_oracle_shape(spark):
     digest = hashlib.md5(b"hello").hexdigest()
     assert out["checksum"] == digest
     assert out["fake_width"] == 1 + int(digest[0], 16)
+
+
+def test_containment_catches_embedded_subdocument(spark):
+    """A short doc quoted inside a long one: Jaccard is tiny (LSH
+    would miss it) but containment on the smaller side is ~1.0."""
+    quote = " ".join(f"q{i}" for i in range(12))
+    page = " ".join(f"p{i}" for i in range(200)) + " " + quote
+    other = " ".join(f"z{i}" for i in range(50))
+    d = spark.createDataFrame(
+        [(1, quote), (2, page), (3, other)], "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in D.sub_duplicates(d, threshold=0.8).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["containment_a"] >= 0.8  # the quote is inside the page
+    assert r["containment_b"] < 0.2   # the page is not inside the quote
+    assert not any(3 in p for p in out)
+    # and the symmetric-Jaccard path indeed does NOT pair them
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in D.near_duplicates(d, threshold=0.6).collect()}
+    assert (1, 2) not in jac
+
+
+def test_shared_shingle_candidates_df_cap_bounds_common_shingles(spark):
+    """A shingle present in every doc must not pair everything: with
+    max_df below the corpus size the universal shingle is dropped."""
+    common = "the same header words"
+    d = spark.createDataFrame(
+        [(i, common + f" unique tail {i} a b") for i in range(10)],
+        "doc_id long, text string")
+    allpairs = D.shared_shingle_candidates(d, max_df=100).count()
+    assert allpairs == 10 * 9 // 2  # universal shingles pair everyone
+    capped = D.shared_shingle_candidates(d, max_df=5).count()
+    assert capped == 0

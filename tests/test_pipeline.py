@@ -217,3 +217,37 @@ def test_end_to_end_pipeline_stages_shrink_monotonically(spark):
     split = P.split_assign(s4)
     assert split.count() == n4
     assert split.select("doc_id").distinct().count() == n4
+
+
+def test_mixture_weights_and_rebalance(spark):
+    from aggregation_duckdb_spark.operators import pipeline as P
+    from pyspark.sql import functions as F
+    rows = [(i, " ".join(["w"] * (10 if i % 2 == 0 else 30)),
+             "big" if i % 2 == 0 else "small")
+            for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # give the token-heavy source a small target: it must downsample
+    w = {r["group_key"]: r for r in P.mixture_weights(
+        d, {"big": 0.5, "small": 0.25}, by="source").collect()}
+    assert abs(w["big"]["actual_share"] - 0.25) < 0.01
+    assert abs(w["small"]["actual_share"] - 0.75) < 0.01
+    assert w["big"]["keep_rate"] == 1.0           # under target: keep all
+    assert 0.30 < w["small"]["keep_rate"] < 0.37  # 0.25/0.75 = 1/3
+    out = P.rebalance_sample(d, {"big": 0.5, "small": 0.25}, by="source")
+    kept = {r["source"]: r["n"] for r in
+            out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert kept["big"] == 100                # rate 1.0 keeps every doc
+    assert 20 <= kept["small"] <= 46         # ~1/3 of 100, md5-Bernoulli
+    # absent group → dropped entirely
+    none_kept = P.rebalance_sample(d, {"big": 1.0}, by="source")
+    assert none_kept.where(F.col("source") == "small").count() == 0
+
+
+def test_rebalance_sample_deterministic_across_runs(spark):
+    from aggregation_duckdb_spark.operators import pipeline as P
+    rows = [(i, "w " * 20, f"s{i % 3}") for i in range(90)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    t = {"s0": 0.2, "s1": 0.4, "s2": 0.4}
+    a = sorted(r["doc_id"] for r in P.rebalance_sample(d, t).collect())
+    b = sorted(r["doc_id"] for r in P.rebalance_sample(d, t).collect())
+    assert a == b and len(a) > 0
