@@ -193,14 +193,29 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
         F.col("hp"), num_hashes).alias("sig"))
     bucketed = sigged.select(
         "doc", F.explode(band_keys(F.col("sig"), num_bands, band_size)).alias("bucket"))
-    # Materialize before the self-join so the signature pass runs once,
-    # not once per join side. At cluster scale this is "write
-    # signatures, then join" — same idea.
-    bucketed = bucketed.localCheckpoint(eager=True)
     if max_bucket_size is not None:
-        sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
-        bucketed = (bucketed.join(sizes.where(F.col("__n") <= max_bucket_size),
-                                  "bucket", "left_semi"))
+        # capped path: ONE shuffle — each bucket's docs collect into a
+        # sorted array (bounded by the cap, so the row is bounded),
+        # oversize buckets drop, and the pairs generate IN-ROW. No
+        # bucket-sizes pass, no self-join, no checkpoint needed (the
+        # signature pass runs once because the plan is linear).
+        grouped = (bucketed.groupBy("bucket")
+                   .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
+                   .where((F.size("docs") >= 2)
+                          & (F.size("docs") <= max_bucket_size)))
+        pair_arrays = F.flatten(F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + F.lit(2), F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+        return (grouped.select(F.explode(pair_arrays).alias("p"))
+                .select(F.col("p.doc_a"), F.col("p.doc_b"))
+                .distinct())
+    # uncapped (oracle-exact) path: bucket self-join. Materialize
+    # before the join so the signature pass runs once, not once per
+    # join side — at cluster scale this is "write signatures, then
+    # join".
+    bucketed = bucketed.localCheckpoint(eager=True)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))

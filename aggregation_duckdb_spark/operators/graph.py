@@ -40,7 +40,8 @@ from pyspark.sql import DataFrame, functions as F
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iters: int = 25,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         local_threshold: int = 50_000) -> DataFrame:
     """Label every vertex of the undirected graph ``edges`` with the
     minimum vertex id of its connected component.
 
@@ -48,14 +49,51 @@ def connected_components(edges: DataFrame, src: str = "src",
     unions them back with label = own id if needed — for dedup they
     are the non-duplicates).
 
+    Small graphs take a DRIVER-LOCAL fast path: when a bounded probe
+    (``limit(local_threshold + 1)``, two longs per row) shows the edge
+    list fits, a path-compressed union-find labels it in one pass —
+    the iterative Spark loop's per-round fixed latency (shuffle +
+    checkpoint + convergence probe) dwarfs the work at this size. Same
+    applicability-probe pattern as the hierarchy local build
+    (hierarchy/core.py). The distributed path is unchanged and takes
+    over past the threshold; pass ``local_threshold=0`` to force it.
+
     Raises if ``max_iters`` rounds don't converge — a truncated
     labeling silently merges/splits clusters, which for dedup means
     wrongly kept or dropped documents.
 
     ``stats``: optional dict that receives ``{"rounds": k}`` on
-    convergence — the scale probe asserts round count stays flat as
-    the graph multiplies (it tracks diameter, not size).
+    convergence (``{"rounds": 0, "local": True}`` on the local path) —
+    the scale probe asserts round count stays flat as the graph
+    multiplies (it tracks diameter, not size).
     """
+    if local_threshold > 0:
+        probe = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+                 .limit(local_threshold + 1).collect())
+        if len(probe) <= local_threshold:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in probe:
+                ra, rb = find(r["a"]), find(r["b"])
+                if ra != rb:
+                    parent[ra] = rb
+            comp: dict[int, list[int]] = {}
+            for v in parent:
+                comp.setdefault(find(v), []).append(v)
+            rows = [(v, min(members))
+                    for members in comp.values() for v in members]
+            if stats is not None:
+                stats["rounds"] = 0
+                stats["local"] = True
+            return edges.sparkSession.createDataFrame(
+                rows, "id long, label long")
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionByName(edges.select(F.col(dst).alias("a"),
                                      F.col(src).alias("b")))

@@ -46,9 +46,10 @@ HEADLINE = [
     "stream_tumbling",
 ]
 
-# Round-4 operators tracked OUTSIDE the headline total (the headline is
-# the round-over-round comparable; growing it would skew the ratio the
-# driver gates on). Single timed run each, reported under "extended".
+# Round-4/5 operators tracked OUTSIDE the headline total (the headline
+# is the round-over-round comparable; growing it would skew the ratio
+# the driver gates on). Single timed run each, reported under
+# "extended".
 EXTENDED = [
     "dedup_cc_clusters",
     "text_tfidf_topterms",
@@ -56,6 +57,10 @@ EXTENDED = [
     "events_state_intervals",
     "pipeline_quantile_filter",
     "pipeline_end_to_end",
+    # round 5:
+    "dedup_containment_pairs",
+    "pipeline_mixture_weights",
+    "pipeline_rebalance",
 ]
 
 

@@ -199,7 +199,7 @@ def cc_probe(multiples: list) -> None:
         stats: dict = {}
         t0 = time.time()
         labels = G.connected_components(pairs, src="doc_a", dst="doc_b",
-                                        stats=stats)
+                                        stats=stats, local_threshold=0)
         n_vertices = labels.count()
         n_clusters = labels.select("label").distinct().count()
         print(json.dumps({

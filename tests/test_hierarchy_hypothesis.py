@@ -129,9 +129,16 @@ def test_connected_components_matches_union_find(edges):
     if not edges:
         return
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r["id"]: r["label"]
-           for r in G.connected_components(df).collect()}
-    assert got == _union_find_labels(edges)
+    # cover BOTH paths: the driver-local union-find (default threshold)
+    # and the distributed propagation loop (threshold forced to 0)
+    got_local = {r["id"]: r["label"]
+                 for r in G.connected_components(df).collect()}
+    got_dist = {r["id"]: r["label"]
+                for r in G.connected_components(
+                    df, local_threshold=0).collect()}
+    expect = _union_find_labels(edges)
+    assert got_local == expect
+    assert got_dist == expect
 
 
 def test_connected_components_long_path_converges_log_rounds():
@@ -145,7 +152,7 @@ def test_connected_components_long_path_converges_log_rounds():
                                "src long, dst long")
     stats: dict = {}
     got = {r["id"]: r["label"]
-           for r in G.connected_components(df, max_iters=12,
-                                           stats=stats).collect()}
+           for r in G.connected_components(df, max_iters=12, stats=stats,
+                                           local_threshold=0).collect()}
     assert got == {i: 0 for i in range(n + 1)}
     assert stats["rounds"] <= 10  # ~log2(60) + slack, NOT 60
