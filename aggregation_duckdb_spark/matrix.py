@@ -75,10 +75,10 @@ _DRIVER_WINDOW_FIRST = [
     "q2_min_cost_supplier", "q4_order_priority",
     "q5_local_supplier_volume", "q6_revenue_forecast",
     "q7_volume_shipping", "q9_profit_by_nation", "q_anti_join",
-    "q_bucketed_join", "q_collections",
+    "q_bucketed_join",
     # new in round 5 (no driver row yet):
     "dedup_containment_pairs", "pipeline_mixture_weights",
-    "pipeline_rebalance",
+    "pipeline_rebalance", "text_countmin_heavyhitters",
 ]
 
 

@@ -1775,3 +1775,56 @@ def pipeline_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return (P.rebalance_sample(docs, _MIX_TARGETS)
             .select("doc_id", "source").orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------
+# count-min sketch heavy hitters (r5)
+# ---------------------------------------------------------------------
+
+_CMS_GRAMS = f"""list_transform(
+    generate_series(1, greatest(len(toks) - 2, 1)),
+    i -> array_to_string(toks[i:i+2], ' '))"""
+
+_CMS_ROWS = "(SELECT UNNEST([0, 1, 2, 3]) AS r)"
+
+
+def _cms_col_sql(gram_expr: str, width: int = 512) -> str:
+    return (f"('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || "
+            f"{gram_expr}), 1, 8))::BIGINT % {width}")
+
+
+@register("text_countmin_heavyhitters", f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT UNNEST({_CMS_GRAMS}) AS gram FROM d),
+exact AS (SELECT gram, COUNT(*) AS exact_count FROM g GROUP BY gram),
+top AS (SELECT gram, exact_count FROM exact
+        ORDER BY exact_count DESC, gram LIMIT 10),
+coords AS (SELECT {_cms_col_sql('gram')} AS col, r AS row
+           FROM g CROSS JOIN {_CMS_ROWS}),
+sketch AS (SELECT row, col, COUNT(*) AS cnt FROM coords GROUP BY row, col),
+probes AS (SELECT t.gram, r AS row, {_cms_col_sql('t.gram')} AS col
+           FROM top t CROSS JOIN {_CMS_ROWS}),
+est AS (SELECT p.gram, MIN(s.cnt) AS cms_estimate
+        FROM probes p JOIN sketch s ON p.row = s.row AND p.col = s.col
+        GROUP BY p.gram)
+SELECT t.gram AS gram, t.exact_count, e.cms_estimate
+FROM top t JOIN est e ON t.gram = e.gram
+ORDER BY t.exact_count DESC, t.gram
+""")
+def text_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: the corpus's 3-gram counts
+    summarized into a fixed 4×512 counter table (the shuffle carries
+    ≤ depth·width keys no matter the corpus size), point-queried for
+    the exact top-10 grams. cms_estimate ≥ exact_count always
+    (collisions only add) — visible in the result."""
+    docs = load_table(spark, "documents", sf_dir)
+    sketch = T.countmin_build(docs, depth=4, width=512, gram=3)
+    top = (docs.select(F.explode(T.word_ngrams(F.col("text"), 3))
+                       .alias("gram"))
+           .groupBy("gram").agg(F.count(F.lit(1)).alias("exact_count"))
+           .orderBy(F.desc("exact_count"), F.asc("gram")).limit(10))
+    est = T.countmin_estimate(sketch, top.select("gram"),
+                              depth=4, width=512, item_col="gram")
+    return (top.join(est, "gram")
+            .select("gram", "exact_count", "cms_estimate")
+            .orderBy(F.desc("exact_count"), F.asc("gram")))

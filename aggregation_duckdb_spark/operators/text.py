@@ -197,3 +197,71 @@ def rolling_fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col),
                       _poly_hash(codes).alias("doc_hash"),
                       min_gram.alias("min_gram_hash"))
+
+
+# ---------------------------------------------------------------------
+# count-min sketch: bounded-memory n-gram counting
+# ---------------------------------------------------------------------
+
+def _cms_col(item: Column, row: int, width: int) -> Column:
+    """Hash row ``row``'s counter index for ``item``: first 8 hex chars
+    of md5("row|item") mod width — exact integer math, reproducible in
+    DuckDB, independent across rows by salt."""
+    h = F.md5(F.concat(F.lit(f"cms{row}|"), item))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """All word n-grams in order, repeats preserved (unlike
+    ``dedup.shingles``, which distinct-ifies for set semantics);
+    docs shorter than ``n`` tokens yield their single truncated
+    gram."""
+    t = tokens(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+
+
+def countmin_build(docs: DataFrame, depth: int = 4, width: int = 1024,
+                   gram: int = 3, text_col: str = "text") -> DataFrame:
+    """Count-min sketch over word ``gram``-grams: a (depth × width)
+    counter table summarizing corpus n-gram frequencies in FIXED
+    memory — the heavy-hitter primitive for when the exact n-gram
+    group-by's key cardinality (billions at 100 TB) is itself the
+    problem.
+
+    Shape: grams explode in-row to (row, col) coordinate pairs (depth
+    per gram), then ONE groupBy(row, col) with map-side combine — the
+    shuffle carries at most depth × width distinct keys regardless of
+    corpus size. Estimates are biased up only (collisions add), with
+    the standard (eps, delta) bounds from (width, depth).
+    """
+    grams = word_ngrams(F.col(text_col), gram)
+    coords = F.flatten(F.transform(
+        grams,
+        lambda g: F.array(*[
+            F.struct(F.lit(d).alias("row"),
+                     _cms_col(g, d, width).alias("col"))
+            for d in range(depth)])))
+    return (docs.select(F.explode(coords).alias("c"))
+            .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def countmin_estimate(sketch: DataFrame, items: DataFrame,
+                      depth: int = 4, width: int = 1024,
+                      item_col: str = "item") -> DataFrame:
+    """Point-query the sketch: estimate(item) = min over rows of the
+    item's counter. The item set is query-sized — it explodes to
+    (item, row, col) probes and BROADCASTS into the join against the
+    (depth × width)-row sketch; nothing corpus-sized moves."""
+    probes = items.select(
+        F.col(item_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("row"),
+                     _cms_col(F.col(item_col), d, width).alias("col"))
+            for d in range(depth)])).alias("p"))
+    probes = probes.select(item_col, F.col("p.row").alias("row"),
+                           F.col("p.col").alias("col"))
+    return (sketch.join(F.broadcast(probes), ["row", "col"])
+            .groupBy(item_col)
+            .agg(F.min("cnt").alias("cms_estimate")))

@@ -422,3 +422,31 @@ def test_shared_shingle_candidates_df_cap_bounds_common_shingles(spark):
     assert allpairs == 10 * 9 // 2  # universal shingles pair everyone
     capped = D.shared_shingle_candidates(d, max_df=5).count()
     assert capped == 0
+
+
+def test_countmin_overestimates_only_and_tight_at_low_load(spark):
+    """CMS invariants: estimate >= exact for every queried item, and
+    with width >> distinct grams (no collisions) the estimate is
+    EXACTLY the count."""
+    d = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "a b c x y z"), (3, "x y z x y z")],
+        "doc_id long, text string")
+    sketch = T.countmin_build(d, depth=4, width=4096, gram=3)
+    grams = (d.select(F.explode(T.word_ngrams(F.col("text"), 3))
+                      .alias("gram"))
+             .groupBy("gram").agg(F.count(F.lit(1)).alias("exact")))
+    est = T.countmin_estimate(sketch, grams.select("gram"),
+                              depth=4, width=4096, item_col="gram")
+    rows = grams.join(est, "gram").collect()
+    assert rows
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact"]
+        assert r["cms_estimate"] == r["exact"]  # wide sketch: no collisions
+    # narrow sketch: still never underestimates
+    tiny = T.countmin_build(d, depth=2, width=4, gram=3)
+    est2 = {r["gram"]: r["cms_estimate"]
+            for r in T.countmin_estimate(tiny, grams.select("gram"),
+                                         depth=2, width=4,
+                                         item_col="gram").collect()}
+    for r in grams.collect():
+        assert est2[r["gram"]] >= r["exact"]

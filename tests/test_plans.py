@@ -176,3 +176,53 @@ def test_tfidf_join_shapes(spark, sf_dir):
     plan = physical_plan(df, "simple")
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_capped_lsh_single_shuffle_no_selfjoin(spark, sf_dir):
+    """The capped (default) LSH candidate path: one exchange for the
+    bucket group-by, pairs generated in-row — no self-join, so no
+    second/third exchange and no join operator at all."""
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.plans import physical_plan
+    docs = load_table(spark, "documents", sf_dir)
+    cands = D.minhash_lsh_candidates(docs, max_bucket_size=1000)
+    plan = physical_plan(cands, "simple")
+    assert "Join" not in plan, "capped path must not self-join"
+    # bucket groupBy + the final distinct = two exchanges max
+    assert count_shuffles(cands) <= 2
+    assert_no_row_python_udf(cands)
+
+
+def test_containment_candidates_equi_join_only(spark, sf_dir):
+    """Sub-document dedup: the inverted-index candidate join and the
+    per-pair verify joins must all be equi-joins (hash-partitionable) —
+    never a nested-loop all-pairs."""
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.sub_duplicates(docs, threshold=0.8, max_df=20)
+    assert_no_nested_loop_join(pairs)
+    assert_no_row_python_udf(pairs)
+
+
+def test_rebalance_broadcasts_rates_never_shuffles_corpus(spark, sf_dir):
+    """Mixture rebalance: the rates table is group-sized, so the
+    corpus-side join must be broadcast — the documents scan exchanges
+    only inside the rates aggregation, never for the join itself."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+    docs = load_table(spark, "documents", sf_dir)
+    out = P.rebalance_sample(docs, {f"src{i}": 0.1 for i in range(10)})
+    assert_broadcast_join(out, at_least=1)
+    from aggregation_duckdb_spark.plans import physical_plan
+    assert "SortMergeJoin" not in physical_plan(out, "simple")
+
+
+def test_ivf_assign_is_map_only(spark, sf_dir):
+    """Codebook assignment must be a zero-shuffle map pass: the
+    centroid literal folds into the plan, the argmax is in-row."""
+    from aggregation_duckdb_spark.operators import similarity as S
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = S.label_centroids(emb)
+    assigned = S.ivf_assign(emb, cents)
+    assert count_shuffles(assigned) == 0
+    assert_no_row_python_udf(assigned)
