@@ -66,7 +66,9 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_cc_clusters", "pipeline_clean_corpus", "pipeline_end_to_end",
     "pipeline_pack_sequences", "mm_payload_stats_arrow",
     "mm_decode_metadata", "mm_resize", "mm_features",
-    # oldest remaining evidence (round 3) — routine refresh:
+    # oldest remaining evidence (round 3) — routine refresh (the four
+    # swapped out for new round-5 entries stay green in the full local
+    # oracle run and rotate back next round):
     "dedup_simhash", "q10_returned_items", "q11_important_parts",
     "q12_priority_class", "q13_customer_distribution",
     "q14_promo_effect", "q15_top_supplier", "q16_supplier_counts",
@@ -74,11 +76,11 @@ _DRIVER_WINDOW_FIRST = [
     "q20_promo_suppliers", "q22_dormant_customers",
     "q2_min_cost_supplier", "q4_order_priority",
     "q5_local_supplier_volume", "q6_revenue_forecast",
-    "q7_volume_shipping", "q9_profit_by_nation", "q_anti_join",
-    "q_bucketed_join",
     # new in round 5 (no driver row yet):
     "dedup_containment_pairs", "pipeline_mixture_weights",
     "pipeline_rebalance", "text_countmin_heavyhitters",
+    "events_value_bands", "events_session_overlap",
+    "pipeline_chunk_overlap", "dedup_incremental",
 ]
 
 

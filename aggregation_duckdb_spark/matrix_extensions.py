@@ -17,6 +17,7 @@ from aggregation_duckdb_spark.operators import dedup as D
 from aggregation_duckdb_spark.operators import events as E
 from aggregation_duckdb_spark.operators import multimodal as M
 from aggregation_duckdb_spark.operators import pipeline as P
+from aggregation_duckdb_spark.operators import ranges as R
 from aggregation_duckdb_spark.operators import similarity as S
 from aggregation_duckdb_spark.operators import text as T
 
@@ -1828,3 +1829,199 @@ def text_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (top.join(est, "gram")
             .select("gram", "exact_count", "cms_estimate")
             .orderBy(F.desc("exact_count"), F.asc("gram")))
+
+
+# ---------------------------------------------------------------------
+# range / interval joins (r5) — bucketized, never nested-loop
+# ---------------------------------------------------------------------
+
+_VALUE_BANDS = [("micro", 0.0, 1.0), ("small", 1.0, 5.0),
+                ("mid", 5.0, 25.0), ("large", 25.0, 100.0),
+                ("huge", 100.0, 500.0)]
+
+_VALUE_BANDS_SQL = ", ".join(
+    f"('{b}', CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))"
+    for b, lo, hi in _VALUE_BANDS)
+
+
+@register("events_value_bands", f"""
+WITH bands(band_id, lo, hi) AS (VALUES {_VALUE_BANDS_SQL})
+SELECT band_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id ORDER BY band_id
+""")
+def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (value → band), bucketized to an
+    equi-join: the oracle states the intent as the theta-join Spark
+    would plan as a nested loop; the engine runs the rewrite
+    (``ranges.bucketed_range_join``) — plan-asserted no
+    BroadcastNestedLoopJoin."""
+    ev = load_table(spark, "events", sf_dir)
+    bands = spark.createDataFrame(_VALUE_BANDS,
+                                  "band_id string, lo double, hi double")
+    joined = R.bucketed_range_join(ev, bands, "value", bucket_width=5)
+    return (joined.groupBy("band_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,3)")).cast("double")
+                  .alias("sum_value"))
+            .orderBy("band_id"))
+
+
+@register("events_session_overlap", """
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events),
+flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                   THEN 1 ELSE 0 END AS is_new
+    FROM ordered),
+sessions AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+    FROM flagged),
+sess AS (
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_idx),
+hot AS (
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start
+    FROM events GROUP BY window_start
+    HAVING CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) > 1100.0)
+SELECT s.user_id, s.session_idx,
+       COUNT(*) AS n_hot_windows,
+       MIN(h.window_start) AS first_hot_window
+FROM sess s JOIN hot h
+  ON epoch_us(s.session_start) <= epoch_us(h.window_start) + 3599999999
+ AND epoch_us(h.window_start) <= epoch_us(s.session_end)
+GROUP BY s.user_id, s.session_idx
+ORDER BY s.user_id, s.session_idx
+""")
+def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join with NO equi-key: user sessions × global
+    high-traffic hours. The oracle is the plain theta join; the engine
+    buckets both interval sets (15-min buckets on epoch micros) and
+    equi-joins, de-duplicated by the in-row claim filter instead of a
+    distinct (``ranges.interval_overlap_join``)."""
+    ev = load_table(spark, "events", sf_dir)
+    sess = (E.sessionize(ev, gap_minutes=30)
+            .select("user_id", F.col("session_idx").cast("long").alias("session_idx"),
+                    "session_start", "session_end",
+                    F.unix_micros("session_start").alias("s_start"),
+                    F.unix_micros("session_end").alias("s_end")))
+    hot = (ev.groupBy(F.window(F.col("ts"), "1 hour").getField("start")
+                      .alias("window_start"))
+           .agg(F.sum(F.col("value").cast("decimal(18,3)")).cast("double")
+                .alias("hot_value"))
+           .where(F.col("hot_value") > 1100.0)
+           .select("window_start",
+                   F.unix_micros("window_start").alias("w_start"),
+                   (F.unix_micros("window_start") + F.lit(3_599_999_999))
+                   .alias("w_end")))
+    pairs = R.interval_overlap_join(sess, hot, "s_start", "s_end",
+                                    "w_start", "w_end",
+                                    bucket_width=900_000_000,
+                                    broadcast_right=True)
+    return (pairs.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_hot_windows"),
+                 F.min("window_start").alias("first_hot_window"))
+            .orderBy("user_id", "session_idx"))
+
+
+# ---------------------------------------------------------------------
+# overlapping chunking (r5)
+# ---------------------------------------------------------------------
+
+_CHUNK_C, _CHUNK_S = 24, 16
+
+
+@register("pipeline_chunk_overlap", f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM d),
+c AS (SELECT *, CASE WHEN n_tokens <= {_CHUNK_C} THEN 1
+                     ELSE ((n_tokens - {_CHUNK_C} + {_CHUNK_S - 1})
+                           // {_CHUNK_S}) + 1 END AS n_chunks
+      FROM n),
+e AS (SELECT doc_id, toks,
+             UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM c)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {_CHUNK_S} + 1 AS BIGINT) AS start_token,
+       CAST(len(toks[chunk_idx * {_CHUNK_S} + 1 :
+                     chunk_idx * {_CHUNK_S} + {_CHUNK_C}]) AS BIGINT)
+           AS n_chunk_tokens,
+       array_to_string(toks[chunk_idx * {_CHUNK_S} + 1 :
+                            chunk_idx * {_CHUNK_S} + {_CHUNK_C}], ' ')
+           AS chunk_text
+FROM e ORDER BY doc_id, chunk_idx
+""")
+def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token chunking: windows of 24 tokens at
+    stride 16 (8-token overlap). Zero shuffles — tokenize, explode,
+    slice, all in-row."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (P.chunk_overlap(docs, context_len=_CHUNK_C, stride=_CHUNK_S)
+            .orderBy("doc_id", "chunk_idx"))
+
+
+# ---------------------------------------------------------------------
+# incremental (new-batch-vs-corpus) dedup (r5)
+# ---------------------------------------------------------------------
+
+_INC_BKT = ("('0x' || substr(md5('inc-v1|' || CAST(doc_id AS VARCHAR)), "
+            "1, 8))::BIGINT % 10000")
+
+
+@register("dedup_incremental", f"""
+WITH b AS (SELECT doc_id, text, {_INC_BKT} AS bkt FROM documents),
+newd AS (SELECT doc_id, text FROM b WHERE bkt >= 8000),
+oldd AS (SELECT doc_id, text FROM b WHERE bkt < 8000),
+exh AS (SELECT DISTINCT md5(lower(text)) AS h FROM oldd),
+exact AS (SELECT DISTINCT n.doc_id FROM newd n
+          JOIN exh ON md5(lower(n.text)) = exh.h),
+dn AS (SELECT doc_id, {_TOKS} AS toks FROM newd),
+sn AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM dn),
+od AS (SELECT doc_id, {_TOKS} AS toks FROM oldd),
+so AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM od),
+hn AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM sn),
+sgn AS (SELECT doc_id, {_minhash_sql(12)} AS sig FROM hn),
+bn AS (SELECT doc_id AS doc, UNNEST({_band_sql(4, 3)}) AS bucket FROM sgn),
+ho AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM so),
+sgo AS (SELECT doc_id, {_minhash_sql(12)} AS sig FROM ho),
+bo AS (SELECT doc_id AS doc, UNNEST({_band_sql(4, 3)}) AS bucket FROM sgo),
+cand AS (SELECT DISTINCT bo.doc AS old_doc, bn.doc AS doc
+         FROM bo JOIN bn ON bo.bucket = bn.bucket),
+ver AS (SELECT c.doc AS doc_id, COUNT(*) AS n_near
+        FROM cand c
+        JOIN sn ON c.doc = sn.doc_id
+        JOIN so ON c.old_doc = so.doc_id
+        WHERE CAST(len(list_intersect(sn.sh, so.sh)) AS DOUBLE)
+              / CAST(len(sn.sh) + len(so.sh)
+                     - len(list_intersect(sn.sh, so.sh)) AS DOUBLE) >= 0.6
+        GROUP BY c.doc)
+SELECT n.doc_id,
+       (e.doc_id IS NOT NULL) AS exact_dup,
+       COALESCE(v.n_near, 0) AS n_near_matches,
+       COALESCE(v.n_near, 0) > 0 AS near_dup,
+       NOT ((e.doc_id IS NOT NULL) OR COALESCE(v.n_near, 0) > 0) AS is_new
+FROM newd n
+LEFT JOIN exact e ON n.doc_id = e.doc_id
+LEFT JOIN ver v ON n.doc_id = v.doc_id
+ORDER BY n.doc_id
+""")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the md5-bucket top 20% of documents arrive as
+    a 'new batch' checked against the other 80% 'corpus' — exact hash
+    membership + cross-table MinHash-LSH near-dup, flags per new doc
+    (``dedup.incremental_dedup``). The corpus side is touched only via
+    narrow hash/bucket projections; the batch side broadcasts."""
+    docs = load_table(spark, "documents", sf_dir)
+    bkt = P.split_bucket(F.col("doc_id"), salt="inc-v1")
+    new = docs.where(bkt >= 8000)
+    old = docs.where(bkt < 8000)
+    return (D.incremental_dedup(new, old, threshold=0.6)
+            .orderBy("doc_id"))

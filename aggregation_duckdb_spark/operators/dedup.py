@@ -148,6 +148,33 @@ def doc_shingles(docs: DataFrame, text_col: str = "text",
     return sh.localCheckpoint(eager=True) if checkpoint else sh
 
 
+def band_buckets(shingled: DataFrame, num_hashes: int = 12,
+                 num_bands: int = 4) -> DataFrame:
+    """(doc, bucket) LSH band keys from a :func:`doc_shingles` frame.
+
+    md5 staged as its own projection: inside a single higher-order
+    lambda the two 32-bit halves would each evaluate F.md5 (no CSE in
+    HOF bodies) — this keeps the expensive pass at ONE md5 per
+    shingle. Shared by the batch self-join path and the incremental
+    new-vs-corpus path."""
+    if num_bands <= 0 or num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a positive multiple of "
+            f"num_bands={num_bands}")
+    band_size = num_hashes // num_bands
+    hs = shingled.select("doc", F.transform(F.col("__sh"), F.md5).alias("hs"))
+    hp = hs.select("doc", F.transform(
+        F.col("hs"),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"))
+    ).alias("hp"))
+    sigged = hp.select("doc", minhash_signature_from_pairs(
+        F.col("hp"), num_hashes).alias("sig"))
+    return sigged.select(
+        "doc", F.explode(band_keys(F.col("sig"), num_bands, band_size)).alias("bucket"))
+
+
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 12,
                            num_bands: int = 4, shingle_width: int = 3,
@@ -179,20 +206,7 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
         # checkpoint; materializing shingles too would double the work
         shingled = doc_shingles(docs, text_col, id_col, shingle_width,
                                 checkpoint=False)
-    # md5 staged as its own projection: inside a single higher-order
-    # lambda the two 32-bit halves would each evaluate F.md5 (no CSE in
-    # HOF bodies) — this keeps the expensive pass at ONE md5 per shingle
-    hs = shingled.select("doc", F.transform(F.col("__sh"), F.md5).alias("hs"))
-    hp = hs.select("doc", F.transform(
-        F.col("hs"),
-        lambda h: F.struct(
-            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"))
-    ).alias("hp"))
-    sigged = hp.select("doc", minhash_signature_from_pairs(
-        F.col("hp"), num_hashes).alias("sig"))
-    bucketed = sigged.select(
-        "doc", F.explode(band_keys(F.col("sig"), num_bands, band_size)).alias("bucket"))
+    bucketed = band_buckets(shingled, num_hashes, num_bands)
     if max_bucket_size is not None:
         # capped path: ONE shuffle — each bucket's docs collect into a
         # sorted array (bounded by the cap, so the row is bounded),
@@ -400,3 +414,78 @@ def simhash_groups(docs: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("group_size"),
                  F.min(id_col).alias("keeper_id"),
                  F.sort_array(F.collect_list(id_col)).alias("member_ids")))
+
+
+def incremental_dedup(new: DataFrame, existing: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      threshold: float = 0.6, num_hashes: int = 12,
+                      num_bands: int = 4, shingle_width: int = 3,
+                      normalize: bool = True) -> DataFrame:
+    """Dedup an incoming batch AGAINST an existing corpus — the
+    steady-state shape of a production pipeline, where each crawl
+    increment is checked against everything already ingested rather
+    than re-deduping the whole corpus.
+
+    Returns one row per new document:
+    (id, exact_dup, n_near_matches, near_dup, is_new) where
+    ``exact_dup`` = content hash already in the corpus, ``near_dup`` =
+    some existing doc with n-gram Jaccard >= threshold (MinHash-LSH
+    candidates, exact verify — same family as :func:`near_duplicates`
+    but across the two tables, so no self-join), ``is_new`` = neither.
+
+    Scale shape: the existing corpus is touched only through two
+    narrow projections — (content_hash) and (doc, bucket)/(doc,
+    shingles) — which at 100 TB are precomputed once at ingest and
+    stored; the per-batch cost is then proportional to the BATCH, and
+    every join against the corpus side is a hash equi-join where the
+    small (new-batch) side broadcasts. New-vs-new duplicates are NOT
+    flagged here — run :func:`exact_dedup`/:func:`near_duplicates`
+    within the batch for that.
+    """
+    t_new = F.lower(F.col(text_col)) if normalize else F.col(text_col)
+    new_hashed = new.select(F.col(id_col).alias("doc"),
+                            F.md5(t_new).alias("__h"))
+    ex_hashes = existing.select(
+        (F.md5(F.lower(F.col(text_col))) if normalize
+         else F.md5(F.col(text_col))).alias("__h")).distinct()
+    # corpus side streams; the batch side broadcasts
+    exact = (ex_hashes.join(F.broadcast(new_hashed), "__h")
+             .select("doc").distinct()
+             .withColumn("__exact", F.lit(True)))
+
+    new_sh = doc_shingles(new, text_col, id_col, shingle_width,
+                          checkpoint=True)
+    ex_sh = doc_shingles(existing, text_col, id_col, shingle_width,
+                         checkpoint=True)
+    new_b = band_buckets(new_sh, num_hashes, num_bands)
+    ex_b = band_buckets(ex_sh, num_hashes, num_bands)
+    cands = (ex_b.join(F.broadcast(new_b), "bucket")
+             .select(ex_b["doc"].alias("old_doc"),
+                     new_b["doc"].alias("doc"))
+             .distinct())
+    sa = new_sh.select(F.col("doc").alias("__na"),
+                       F.col("__sh").alias("__sha"))
+    sb = ex_sh.select(F.col("doc").alias("__ob"),
+                      F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.col("__sha")) + F.size(F.col("__shb")) - inter
+    verified = (cands
+                .join(sa, cands["doc"] == sa["__na"])
+                .join(sb, cands["old_doc"] == sb["__ob"])
+                .select(cands["doc"],
+                        (inter.cast("double") / union.cast("double"))
+                        .alias("jaccard"))
+                .where(F.col("jaccard") >= threshold)
+                .groupBy("doc")
+                .agg(F.count(F.lit(1)).alias("__n_near")))
+    return (new.select(F.col(id_col).alias("doc"))
+            .join(exact, "doc", "left")
+            .join(verified, "doc", "left")
+            .select(
+                F.col("doc").alias(id_col),
+                F.coalesce(F.col("__exact"), F.lit(False)).alias("exact_dup"),
+                F.coalesce(F.col("__n_near"), F.lit(0)).cast("long")
+                .alias("n_near_matches"),
+                (F.coalesce(F.col("__n_near"), F.lit(0)) > 0).alias("near_dup"))
+            .withColumn("is_new",
+                        ~F.col("exact_dup") & ~F.col("near_dup")))

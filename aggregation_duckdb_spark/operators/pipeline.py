@@ -173,6 +173,47 @@ def pack_sequences(docs: DataFrame, context_len: int,
                         F.expr(f"start_offset div {int(context_len)}")))
 
 
+def chunk_overlap(docs: DataFrame, context_len: int = 64, stride: int = 48,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the RAG-retrieval / long-document-training chunking shape, where
+    ``stride < context_len`` repeats the tail of each chunk at the head
+    of the next so no span falls on a boundary unseen.
+
+    Chunk i covers tokens [i·stride + 1, i·stride + context_len]
+    (1-based); the final chunk may be short; a document with
+    <= context_len tokens yields exactly one chunk. Entirely in-row
+    (tokenize → sequence-explode → slice): zero shuffles, scan-speed,
+    embarrassingly parallel at any corpus size — output volume is the
+    only cost, larger than the input by ~context_len/stride.
+
+    Returns (id, chunk_idx, start_token, n_chunk_tokens, chunk_text).
+    """
+    if not (0 < stride <= context_len):
+        # stride 0 would loop forever in spirit (here: divide by zero);
+        # stride > context_len would silently drop the gap's tokens
+        raise ValueError(
+            f"stride={stride} must be in (0, context_len={context_len}]")
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    sized = toked.withColumn("n_tokens", F.size("__toks"))
+    n_chunks = (F.when(F.col("n_tokens") <= context_len, F.lit(1))
+                .otherwise(F.expr(
+                    f"(n_tokens - {int(context_len)} + {int(stride) - 1}) "
+                    f"div {int(stride)}") + 1))
+    exploded = (sized
+                .withColumn("chunk_idx",
+                            F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+                .withColumn("start_token",
+                            (F.col("chunk_idx") * stride + 1).cast("long")))
+    chunk = F.slice(F.col("__toks"), F.col("start_token").cast("int"),
+                    context_len)
+    return exploded.select(
+        F.col(id_col), F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "start_token",
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))
+
+
 # ---------------------------------------------------------------------
 # stratified sampling
 # ---------------------------------------------------------------------

@@ -61,6 +61,11 @@ EXTENDED = [
     "dedup_containment_pairs",
     "pipeline_mixture_weights",
     "pipeline_rebalance",
+    "text_countmin_heavyhitters",
+    "events_value_bands",
+    "events_session_overlap",
+    "pipeline_chunk_overlap",
+    "dedup_incremental",
 ]
 
 

@@ -226,3 +226,53 @@ def test_ivf_assign_is_map_only(spark, sf_dir):
     assigned = S.ivf_assign(emb, cents)
     assert count_shuffles(assigned) == 0
     assert_no_row_python_udf(assigned)
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The whole point of ranges.bucketed_range_join: the theta
+    predicate (lo <= v < hi) must NOT reach the join operator — the
+    join is an equi-join on the bucket key with the range check as a
+    post-join filter. A BroadcastNestedLoopJoin here is the O(N·B)
+    regression the operator exists to prevent."""
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    df = matrix.queries()["events_value_bands"](spark, sf_dir)
+    assert_no_nested_loop_join(df)
+    assert_no_row_python_udf(df)
+
+
+def test_overlap_join_equi_no_distinct_shuffle(spark, sf_dir):
+    """Interval overlap: equi-join on buckets; pair dedup is the
+    in-row claim filter, so the pairs stage adds NO extra exchange
+    beyond the session/hot-window aggregations themselves."""
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    df = matrix.queries()["events_session_overlap"](spark, sf_dir)
+    assert_no_nested_loop_join(df)
+    # sessionize (1: user shuffle) + hot windows (1: window groupBy)
+    # + final per-session aggregate (1) + orderBy (1); a 5th exchange
+    # would mean a distinct/dedup shuffle crept into the pairs stage
+    assert count_shuffles(df) <= 4
+
+
+def test_chunk_overlap_zero_shuffle(spark, sf_dir):
+    """Chunking is tokenize→explode→slice, entirely in-row."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+    docs = load_table(spark, "documents", sf_dir)
+    out = P.chunk_overlap(docs, context_len=24, stride=16)
+    assert count_shuffles(out) == 0
+    assert_no_row_python_udf(out)
+
+
+def test_incremental_dedup_broadcasts_batch_side(spark, sf_dir):
+    """New-batch-vs-corpus dedup: every join against the corpus-sized
+    side must broadcast the batch side (the corpus never shuffles for
+    a join), and all joins are equi-joins."""
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.operators import pipeline as P
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    docs = load_table(spark, "documents", sf_dir)
+    bkt = P.split_bucket(F.col("doc_id"), salt="inc-v1")
+    out = D.incremental_dedup(docs.where(bkt >= 8000),
+                              docs.where(bkt < 8000))
+    assert_no_nested_loop_join(out)
+    assert_broadcast_join(out, at_least=2)
+    assert_no_row_python_udf(out)
