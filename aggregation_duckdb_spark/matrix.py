@@ -74,13 +74,14 @@ _DRIVER_WINDOW_FIRST = [
     "q14_promo_effect", "q15_top_supplier", "q16_supplier_counts",
     "q17_small_qty_revenue", "q19_disjunctive_revenue",
     "q20_promo_suppliers", "q22_dormant_customers",
-    "q2_min_cost_supplier", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_revenue_forecast",
+    "q2_min_cost_supplier",
     # new in round 5 (no driver row yet):
     "dedup_containment_pairs", "pipeline_mixture_weights",
     "pipeline_rebalance", "text_countmin_heavyhitters",
     "events_value_bands", "events_session_overlap",
     "pipeline_chunk_overlap", "dedup_incremental",
+    "pipeline_group_sample", "pipeline_bloom_decontaminate",
+    "sim_semdedup_keepers",
 ]
 
 

@@ -321,6 +321,125 @@ def decontaminate(train: DataFrame, bench: DataFrame,
                     .alias("contaminated")))
 
 
+def group_sample_fixed(docs: DataFrame, n: int, by: str = "source",
+                       id_col: str = "doc_id",
+                       salt: str = "gs-v1") -> DataFrame:
+    """Exactly min(n, |group|) rows per group — the fixed-SIZE
+    counterpart of :func:`stratified_sample`'s fixed-RATE Bernoulli
+    (rates give binomial size jitter; quota sampling needs exact
+    counts). Selection order is md5(salt|id): deterministic across
+    runs/engines/shard order, uniform over the group, and stable under
+    re-runs — the same ids win every time.
+
+    One shuffle (the group partitioning); rank is row_number over the
+    md5 key. For very hot groups at 100 TB the per-group sort is the
+    cost — pre-filter with an approximate md5-threshold (keep only
+    hash < c·n/|group| quantile) before ranking if a single group's
+    rows overwhelm a task; at ordinary group cardinalities the plain
+    window is the right plan. Returns input columns + sample_rank.
+    """
+    from pyspark.sql import Window
+    h = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col(id_col).asc())
+    return (docs.withColumn("sample_rank",
+                            F.row_number().over(w).cast("long"))
+            .where(F.col("sample_rank") <= n))
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter decontamination
+# ---------------------------------------------------------------------
+
+#: bits used per int64 word — 32, not 64: DuckDB raises on the 1<<63
+#: overflow, and staying in the positive int32 range makes the mask
+#: arithmetic identical (and oracle-checkable) across engines.
+BLOOM_BITS_PER_WORD = 32
+
+
+def _bloom_pos(key: Column, i: int, num_bits: int) -> Column:
+    """Deterministic bit position i for a key: md5-derived, exact
+    integer math — reproduces bit-for-bit in DuckDB."""
+    h = F.md5(F.concat(F.lit(f"bf{i}|"), key))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % num_bits
+
+
+def _bloom_mask() -> Column:
+    # F.shiftleft takes only a literal shift amount; the SQL form
+    # accepts a column
+    return F.expr(f"shiftleft(cast(1 as bigint), "
+                  f"cast(pos % {BLOOM_BITS_PER_WORD} as int))")
+
+
+def bloom_build(keys: DataFrame, key_col: str = "__key",
+                num_words: int = 4096, k: int = 3) -> DataFrame:
+    """Aggregate a key set into a Bloom filter as a (word, bits) table
+    of at most ``num_words`` rows — a fixed-size, broadcastable sketch
+    of an arbitrarily large membership set.
+
+    Map-side: each key contributes k (word, mask) pairs; one
+    ``bit_or`` shuffle over at most num_words·k rows of state
+    collapses them. num_words·32 total bits; size the filter so fill
+    stays under ~10% for a sub-1e-3 false-positive rate at k=3."""
+    num_bits = num_words * BLOOM_BITS_PER_WORD
+    pairs = keys.select(F.explode(F.array(*[
+        _bloom_pos(F.col(key_col), i, num_bits) for i in range(k)
+    ])).alias("pos"))
+    mask = _bloom_mask()
+    return (pairs
+            .select(F.expr(f"pos div {BLOOM_BITS_PER_WORD}").alias("word"),
+                    mask.alias("__mask"))
+            .groupBy("word")
+            .agg(F.bit_or("__mask").alias("bits")))
+
+
+def bloom_decontaminate(train: DataFrame, bench: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        width: int = 6, num_words: int = 4096,
+                        k: int = 3) -> DataFrame:
+    """:func:`decontaminate` with the benchmark key set replaced by a
+    Bloom filter — the 100 TB shape when even the *eval side's* n-gram
+    set is too large to ship: the exact path broadcasts every distinct
+    benchmark key (gigabytes at web scale); this broadcasts a
+    num_words-row sketch (32 KB at the default) no matter how many
+    keys went in.
+
+    One-sided error, deterministically: no false negatives ever (every
+    truly contaminated doc is flagged), and false positives — docs
+    whose grams happen to hit k set bits — are the same on every
+    run/engine because the hash family is md5-derived, so the result
+    still hash-matches its oracle. Returns (id, bloom_contaminated).
+    """
+    num_bits = num_words * BLOOM_BITS_PER_WORD
+    bench_keys = (bench.select(F.explode(ngram_keys(F.col(text_col), width))
+                               .alias("__key"))
+                  .distinct())
+    bloom = bloom_build(bench_keys, "__key", num_words, k)
+
+    train_keys = train.select(F.col(id_col),
+                              F.explode(ngram_keys(F.col(text_col), width))
+                              .alias("__key"))
+    probes = train_keys.select(
+        id_col, "__key",
+        F.explode(F.array(*[
+            _bloom_pos(F.col("__key"), i, num_bits) for i in range(k)
+        ])).alias("pos"))
+    mask = _bloom_mask()
+    hit = (F.col("bits").isNotNull()
+           & (F.col("bits").bitwiseAND(mask) != 0)).cast("int")
+    per_key = (probes
+               .withColumn("word", F.expr(f"pos div {BLOOM_BITS_PER_WORD}"))
+               .join(F.broadcast(bloom), "word", "left")
+               .groupBy(id_col, "__key")
+               .agg(F.min(hit).alias("__allhit")))
+    return (train.select(id_col).distinct()
+            .join(per_key.groupBy(id_col)
+                  .agg(F.max("__allhit").alias("__anykey")),
+                  id_col, "left")
+            .select(F.col(id_col),
+                    (F.coalesce(F.col("__anykey"), F.lit(0)) == 1)
+                    .alias("bloom_contaminated")))
+
+
 # ---------------------------------------------------------------------
 # corpus mixture rebalancing
 # ---------------------------------------------------------------------

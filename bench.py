@@ -66,6 +66,9 @@ EXTENDED = [
     "events_session_overlap",
     "pipeline_chunk_overlap",
     "dedup_incremental",
+    "pipeline_group_sample",
+    "pipeline_bloom_decontaminate",
+    "sim_semdedup_keepers",
 ]
 
 

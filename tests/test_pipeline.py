@@ -251,3 +251,54 @@ def test_rebalance_sample_deterministic_across_runs(spark):
     a = sorted(r["doc_id"] for r in P.rebalance_sample(d, t).collect())
     b = sorted(r["doc_id"] for r in P.rebalance_sample(d, t).collect())
     assert a == b and len(a) > 0
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    """Bloom flags must include every exactly-contaminated doc (no
+    false negatives — the one-sided error guarantee), and at the
+    default sizing the false-positive overhead stays small."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import pipeline as P
+    from pyspark.sql import functions as F
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.where(F.col("source") != "src0")
+    bench = docs.where(F.col("source") == "src0")
+    exact = {r.doc_id: r.contaminated
+             for r in P.decontaminate(train, bench, width=6).collect()}
+    bloom = {r.doc_id: r.bloom_contaminated
+             for r in P.bloom_decontaminate(train, bench, width=6).collect()}
+    assert set(exact) == set(bloom)
+    false_neg = [d for d, c in exact.items() if c and not bloom[d]]
+    assert not false_neg, f"bloom missed contaminated docs: {false_neg}"
+    false_pos = [d for d, c in bloom.items() if c and not exact[d]]
+    # 16384·8 bits, tiny eval key set → FP docs should be rare
+    assert len(false_pos) <= max(2, len(exact) // 20), false_pos
+
+
+def test_bloom_build_is_bounded(spark):
+    from aggregation_duckdb_spark.operators import pipeline as P
+    keys = spark.range(5000).selectExpr("md5(cast(id as string)) AS __key")
+    bloom = P.bloom_build(keys, num_words=64, k=3)
+    rows = bloom.collect()
+    assert len(rows) <= 64          # fixed-size no matter the key count
+    assert all(r.bits != 0 for r in rows)
+
+
+def test_group_sample_fixed_exact_quota_and_deterministic(spark, sf_dir):
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import pipeline as P
+    from pyspark.sql import functions as F
+    docs = load_table(spark, "documents", sf_dir)
+    out1 = P.group_sample_fixed(docs, n=3, by="source")
+    counts = {r["source"]: r["n"] for r in
+              out1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in counts.items():
+        assert n == min(3, totals[src])
+    # deterministic: identical id set on re-run
+    ids1 = sorted(r.doc_id for r in out1.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in
+                  P.group_sample_fixed(docs, n=3, by="source")
+                  .select("doc_id").collect())
+    assert ids1 == ids2

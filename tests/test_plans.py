@@ -276,3 +276,23 @@ def test_incremental_dedup_broadcasts_batch_side(spark, sf_dir):
     assert_no_nested_loop_join(out)
     assert_broadcast_join(out, at_least=2)
     assert_no_row_python_udf(out)
+
+
+def test_bloom_decontaminate_broadcasts_sketch(spark, sf_dir):
+    """The bloom table is <= num_words rows — it must broadcast; the
+    train text never shuffles for the membership check."""
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    df = matrix.queries()["pipeline_bloom_decontaminate"](spark, sf_dir)
+    assert_no_nested_loop_join(df)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_row_python_udf(df)
+
+
+def test_group_sample_single_shuffle(spark, sf_dir):
+    """Fixed-size group sampling = one exchange (the group
+    partitioning for the rank window)."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+    docs = load_table(spark, "documents", sf_dir)
+    out = P.group_sample_fixed(docs, n=5, by="source")
+    assert count_shuffles(out) == 1
+    assert_no_row_python_udf(out)
