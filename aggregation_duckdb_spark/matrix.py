@@ -73,7 +73,6 @@ _DRIVER_WINDOW_FIRST = [
     "q12_priority_class", "q13_customer_distribution",
     "q14_promo_effect", "q15_top_supplier", "q16_supplier_counts",
     "q17_small_qty_revenue", "q19_disjunctive_revenue",
-    "q20_promo_suppliers", "q22_dormant_customers",
     "q2_min_cost_supplier",
     # new in round 5 (no driver row yet):
     "dedup_containment_pairs", "pipeline_mixture_weights",
@@ -81,7 +80,8 @@ _DRIVER_WINDOW_FIRST = [
     "events_value_bands", "events_session_overlap",
     "pipeline_chunk_overlap", "dedup_incremental",
     "pipeline_group_sample", "pipeline_bloom_decontaminate",
-    "sim_semdedup_keepers",
+    "sim_semdedup_keepers", "events_funnel",
+    "events_retention_cohorts",
 ]
 
 

@@ -2163,3 +2163,73 @@ def sim_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").alias("vec_id"), "cluster_id",
                     "cluster_size", "is_keeper")
             .orderBy("vec_id"))
+
+
+# ---------------------------------------------------------------------
+# funnel + retention analytics (r5)
+# ---------------------------------------------------------------------
+
+@register("events_funnel", """
+WITH s0 AS (SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+       FROM events e JOIN s0 ON e.user_id = s0.user_id
+       WHERE e.event_type = 'click' AND e.ts > s0.t_view
+       GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s1.t_click
+       GROUP BY e.user_id)
+SELECT s0.user_id, s0.t_view, s1.t_click, s2.t_purchase,
+       CAST(1 + CASE WHEN s1.t_click IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN s2.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS steps_completed,
+       (s2.t_purchase IS NOT NULL) AS converted
+FROM s0
+LEFT JOIN s1 ON s0.user_id = s1.user_id
+LEFT JOIN s2 ON s0.user_id = s2.user_id
+ORDER BY s0.user_id
+""")
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel with greedy-earliest step
+    times (each step strictly after the previous step's time) — k
+    pushed scans + k user-keyed join rounds, one hash partitioning
+    reused throughout (``events.funnel_steps``)."""
+    ev = load_table(spark, "events", sf_dir)
+    out = E.funnel_steps(ev, ["view", "click", "purchase"])
+    return (out.select("user_id",
+                       F.col("t_0").alias("t_view"),
+                       F.col("t_1").alias("t_click"),
+                       F.col("t_2").alias("t_purchase"),
+                       "steps_completed", "converted")
+            .orderBy("user_id"))
+
+
+@register("events_retention_cohorts", """
+WITH active AS (
+    SELECT DISTINCT user_id,
+           epoch_us(ts) // 604800000000 AS week
+    FROM events),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week
+           FROM active GROUP BY user_id),
+sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size
+          FROM cohort GROUP BY cohort_week),
+cells AS (
+    SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY c.cohort_week, week_offset)
+SELECT ce.cohort_week, ce.week_offset, ce.n_active, s.cohort_size,
+       CAST(ce.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+           AS retention
+FROM cells ce JOIN sizes s ON ce.cohort_week = s.cohort_week
+ORDER BY ce.cohort_week, ce.week_offset
+""")
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle on integer epoch-week keys (neither
+    engine's week-bucketing built-in — their origins disagree; div
+    arithmetic is bit-identical). One distinct pass, user-keyed
+    cohort min, broadcast cohort sizes (``events.retention_cohorts``)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (E.retention_cohorts(ev)
+            .orderBy("cohort_week", "week_offset"))

@@ -209,3 +209,78 @@ def click_to_purchase_lag(clicks: DataFrame, purchases: DataFrame,
             .applyInPandas(
                 match,
                 "user_id long, n_clicks long, n_matched long, mean_lag_s double"))
+
+
+def funnel_steps(events: DataFrame, steps: list[str],
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel completion per user: step i counts only when it
+    happens strictly AFTER the chosen (earliest-greedy) time of step
+    i-1 — the standard product-analytics funnel, not a mere "did all
+    types occur" check.
+
+    Greedy-earliest is well-defined and engine-independent: t_0 =
+    min ts of step 0; t_i = min ts of step i with ts > t_(i-1).
+    Returns (user, t_0..t_{k-1}, steps_completed, converted) for every
+    user who reached step 0.
+
+    Scale shape: k filtered scans (each type predicate pushes to the
+    parquet reader) and k groupBy/join rounds ALL keyed on the user
+    column — one hash partitioning reused end-to-end, no windows, no
+    collect_list state. Funnel depth, not event volume, sets the round
+    count."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    out = (events.where(F.col(type_col) == steps[0])
+           .groupBy(user_col).agg(F.min(ts_col).alias("t_0")))
+    for i, s in enumerate(steps[1:], start=1):
+        nxt = (events.where(F.col(type_col) == s)
+               .select(user_col, F.col(ts_col))
+               .join(out.select(user_col, f"t_{i - 1}"), user_col)
+               .where(F.col(ts_col) > F.col(f"t_{i - 1}"))
+               .groupBy(user_col).agg(F.min(ts_col).alias(f"t_{i}")))
+        out = out.join(nxt, user_col, "left")
+    completed = F.lit(1)
+    for i in range(1, len(steps)):
+        completed = completed + F.col(f"t_{i}").isNotNull().cast("int")
+    return (out
+            .withColumn("steps_completed", completed.cast("long"))
+            .withColumn("converted",
+                        F.col(f"t_{len(steps) - 1}").isNotNull()))
+
+
+#: integer day/week arithmetic on epoch micros — engine-independent
+#: (DuckDB time_bucket's week origin differs from Spark's window
+#: origin, so week cohorts must never go through either built-in).
+_US_PER_DAY = 86_400_000_000
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Weekly retention triangle: users cohorted by first-activity
+    week; each (cohort_week, week_offset) cell counts the distinct
+    cohort members active that many weeks later, with the retention
+    rate against cohort size.
+
+    Weeks are ``epoch_micros div (7 days)`` — pure integer math, so
+    the cohort keys are bit-identical across engines (both Spark's
+    ``F.window`` and DuckDB's ``time_bucket`` have incompatible week
+    origins; neither is used). Shuffle shape: distinct (user, week)
+    with map-side combine, a user-keyed min for cohorts, one
+    broadcast-able cohort-size join — all equi, fact rows shuffle
+    once."""
+    week = F.expr(f"unix_micros({ts_col}) div {_US_PER_DAY * 7}")
+    active = (events.select(F.col(user_col), week.alias("week")).distinct())
+    cohort = active.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    cells = (active.join(cohort, user_col)
+             .groupBy("cohort_week",
+                      (F.col("week") - F.col("cohort_week"))
+                      .alias("week_offset"))
+             .agg(F.count_distinct(user_col).alias("n_active")))
+    return (cells.join(F.broadcast(sizes), "cohort_week")
+            .select("cohort_week", "week_offset", "n_active", "cohort_size",
+                    (F.col("n_active").cast("double")
+                     / F.col("cohort_size").cast("double"))
+                    .alias("retention")))

@@ -69,6 +69,8 @@ EXTENDED = [
     "pipeline_group_sample",
     "pipeline_bloom_decontaminate",
     "sim_semdedup_keepers",
+    "events_funnel",
+    "events_retention_cohorts",
 ]
 
 

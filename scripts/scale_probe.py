@@ -209,6 +209,83 @@ def cc_probe(multiples: list) -> None:
             "seconds": round(time.time() - t0, 2)}))
 
 
+def rangejoin_probe(multiples: list, n_bands: int = 10_000) -> None:
+    """Range-join probe: events × a 10k-band table. The naive theta
+    join is a BroadcastNestedLoopJoin evaluating N·B predicates — at
+    multiple 1 it is timed once as the contrast; the bucketized
+    equi-join rewrite must beat it decisively and keep scaling
+    linearly in N while the naive form's cost is N·B."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import ranges as R
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    base = load_table(spark, "events", SF_DIR).select("event_id", "value")
+    width = 500.0 / n_bands
+    bands = (spark.range(n_bands)
+             .select(F.col("id").alias("band_id"),
+                     (F.col("id") * width).alias("lo"),
+                     ((F.col("id") + 1) * width).alias("hi"))
+             .localCheckpoint(eager=True))
+    R.bucketed_range_join(base, bands, "value",
+                          bucket_width=width).count()  # warmup
+
+    t0 = time.time()
+    n_naive = (base.join(bands, (F.col("value") >= F.col("lo"))
+                         & (F.col("value") < F.col("hi"))).count())
+    naive_s = round(time.time() - t0, 2)
+
+    for m in multiples:
+        facts = base
+        for i in range(m - 1):
+            facts = facts.unionByName(base.select(
+                (F.col("event_id") + (i + 1) * 10_000_000).alias("event_id"),
+                "value"))
+        t0 = time.time()
+        joined = R.bucketed_range_join(facts, bands, "value",
+                                       bucket_width=width)
+        n = joined.count()
+        plan = physical_plan(joined, "simple")
+        print(json.dumps({
+            "probe": "bucketed_range_join", "multiple": m,
+            "facts": facts.count(), "bands": n_bands, "matched": n,
+            "seconds": round(time.time() - t0, 2),
+            "naive_nlj_seconds_at_x1": naive_s if m == multiples[0] else None,
+            "naive_matched": n_naive if m == multiples[0] else None,
+            "nested_loop_join": ("BroadcastNestedLoopJoin" in plan
+                                 or "CartesianProduct" in plan)}))
+
+
+def incremental_probe(multiples: list) -> None:
+    """Incremental-dedup probe: a FIXED 500-doc batch checked against
+    a corpus that multiplies. The claim under test: per-batch cost is
+    dominated by corpus scan (linear, unavoidable) while all join
+    state stays batch-sized — so seconds grow far slower than corpus
+    volume and the candidate count tracks true duplicate structure."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    batch = docs.orderBy("doc_id").limit(500).localCheckpoint(eager=True)
+    base = docs  # the whole sf0.1 corpus is the x1 "existing" side
+    D.incremental_dedup(batch, base).count()  # warmup
+
+    for m in multiples:
+        corpus = base
+        for i in range(m - 1):
+            corpus = corpus.unionByName(base.select(
+                (F.col("doc_id") + (i + 1) * 10_000_000).alias("doc_id"),
+                "text"))
+        t0 = time.time()
+        out = D.incremental_dedup(batch, corpus)
+        flagged = out.where("exact_dup OR near_dup").count()
+        print(json.dumps({
+            "probe": "incremental_dedup", "multiple": m,
+            "corpus_docs": corpus.count(), "batch_docs": 500,
+            "flagged": flagged,
+            "seconds": round(time.time() - t0, 2)}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--hierarchy":
         hierarchy_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
@@ -218,5 +295,9 @@ if __name__ == "__main__":
         neardup_probe([int(a) for a in sys.argv[2:]] or [1, 8, 32])
     elif len(sys.argv) > 1 and sys.argv[1] == "--cc":
         cc_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--rangejoin":
+        rangejoin_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--incremental":
+        incremental_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     else:
         main()

@@ -450,3 +450,64 @@ def test_countmin_overestimates_only_and_tight_at_low_load(spark):
                                          item_col="gram").collect()}
     for r in grams.collect():
         assert est2[r["gram"]] >= r["exact"]
+
+
+def test_funnel_greedy_earliest_order(spark):
+    """Step i counts only strictly after step i-1's chosen time:
+    a click BEFORE the first view must not advance the funnel."""
+    from datetime import datetime
+    from aggregation_duckdb_spark.operators import events as E
+    rows = [
+        # u1: full ordered funnel
+        (1, 1, datetime(2024, 1, 1, 10), "view"),
+        (2, 1, datetime(2024, 1, 1, 11), "click"),
+        (3, 1, datetime(2024, 1, 1, 12), "purchase"),
+        # u2: click precedes the only view -> funnel stalls at view
+        (4, 2, datetime(2024, 1, 1, 9), "click"),
+        (5, 2, datetime(2024, 1, 1, 10), "view"),
+        (6, 2, datetime(2024, 1, 1, 8), "purchase"),
+        # u3: view+click, purchase BETWEEN them -> 2 steps only
+        (7, 3, datetime(2024, 1, 1, 10), "view"),
+        (8, 3, datetime(2024, 1, 1, 10, 30), "purchase"),
+        (9, 3, datetime(2024, 1, 1, 11), "click"),
+        # u4: never viewed -> absent from the result
+        (10, 4, datetime(2024, 1, 1, 10), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = {r.user_id: r for r in
+           E.funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].steps_completed == 3 and out[1].converted
+    assert out[2].steps_completed == 1 and not out[2].converted
+    assert out[3].steps_completed == 2 and not out[3].converted
+    # ties are strict: equal timestamps do NOT advance
+    ev2 = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1, 10), "view"),
+         (2, 1, datetime(2024, 1, 1, 10), "click")],
+        "event_id long, user_id long, ts timestamp, event_type string")
+    r = E.funnel_steps(ev2, ["view", "click"]).collect()[0]
+    assert r.steps_completed == 1
+
+
+def test_retention_cohorts_triangle(spark):
+    from datetime import datetime
+    from aggregation_duckdb_spark.operators import events as E
+    # week boundary: epoch day 0 = 1970-01-01; use two synthetic weeks
+    rows = [
+        # cohort A: users 1,2 first active week w; user 1 returns w+1
+        (1, 1, datetime(2024, 1, 1)), (2, 2, datetime(2024, 1, 2)),
+        (3, 1, datetime(2024, 1, 10)),
+        # cohort B: user 3 first active week w+1
+        (4, 3, datetime(2024, 1, 10)),
+    ]
+    ev = spark.createDataFrame(rows,
+                               "event_id long, user_id long, ts timestamp")
+    out = {(r.cohort_week, r.week_offset): r
+           for r in E.retention_cohorts(ev).collect()}
+    weeks = sorted({w for w, _ in out})
+    w0 = weeks[0]
+    assert out[(w0, 0)].n_active == 2 and out[(w0, 0)].cohort_size == 2
+    assert out[(w0, 1)].n_active == 1
+    assert abs(out[(w0, 1)].retention - 0.5) < 1e-12
+    assert out[(weeks[1], 0)].n_active == 1 and out[(weeks[1], 0)].cohort_size == 1

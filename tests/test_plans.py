@@ -296,3 +296,16 @@ def test_group_sample_single_shuffle(spark, sf_dir):
     out = P.group_sample_fixed(docs, n=5, by="source")
     assert count_shuffles(out) == 1
     assert_no_row_python_udf(out)
+
+
+def test_funnel_and_retention_plan_shapes(spark, sf_dir):
+    """Funnel: user-equi joins only, type filters pushed to the scan.
+    Retention: equi-joins + a broadcast of the cohort-size table."""
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    fun = matrix.queries()["events_funnel"](spark, sf_dir)
+    assert_no_nested_loop_join(fun)
+    assert_no_row_python_udf(fun)
+    assert_pushed_filters(fun, "event_type")
+    ret = matrix.queries()["events_retention_cohorts"](spark, sf_dir)
+    assert_no_nested_loop_join(ret)
+    assert_broadcast_join(ret, at_least=1)
