@@ -72,7 +72,6 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_simhash", "q10_returned_items", "q11_important_parts",
     "q12_priority_class", "q13_customer_distribution",
     "q14_promo_effect", "q15_top_supplier", "q16_supplier_counts",
-    "q17_small_qty_revenue", "q19_disjunctive_revenue",
     "q2_min_cost_supplier",
     # new in round 5 (no driver row yet):
     "dedup_containment_pairs", "pipeline_mixture_weights",
@@ -81,7 +80,8 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_chunk_overlap", "dedup_incremental",
     "pipeline_group_sample", "pipeline_bloom_decontaminate",
     "sim_semdedup_keepers", "events_funnel",
-    "events_retention_cohorts",
+    "events_retention_cohorts", "q_multiformat_roundtrip",
+    "q_partitioned_pruning",
 ]
 
 

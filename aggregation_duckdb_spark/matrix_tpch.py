@@ -1704,3 +1704,81 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.col("numwait").desc(), "s_name"))
+
+
+# ---------------------------------------------------------------------
+# storage formats beyond parquet/CSV (r5)
+# ---------------------------------------------------------------------
+
+@register("q_multiformat_roundtrip", """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+""")
+def q_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-coverage twin of q_io_roundtrip: the same aggregate must
+    survive a JSON-lines round-trip AND an ORC round-trip untouched.
+    The measure stays DECIMAL(18,2) through both serializations (JSON
+    renders decimals as exact numeric strings; an explicit read schema
+    parses them back losslessly) and casts to double only at the end —
+    any drift in either writer/reader breaks the value hash against
+    the straight-from-parquet oracle."""
+    import os
+    import tempfile
+
+    orders = load_table(spark, "orders", sf_dir)
+    agg = (orders.groupBy(F.col("o_orderpriority").alias("priority"))
+           .agg(F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("total_price")))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-multiformat",
+                        spark.sparkContext.applicationId)
+    json_path = os.path.join(base, "agg.jsonl")
+    orc_path = os.path.join(base, "agg.orc")
+    agg.write.mode("overwrite").json(json_path)
+    back_json = (spark.read
+                 .schema("priority string, n_orders bigint, "
+                         "total_price decimal(18,2)")
+                 .json(json_path))
+    back_json.write.mode("overwrite").orc(orc_path)
+    return (spark.read.orc(orc_path)
+            .select("priority", "n_orders",
+                    F.col("total_price").cast("double").alias("total_price"))
+            .orderBy("priority"))
+
+
+@register("q_partitioned_pruning", """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY day
+ORDER BY day
+""")
+def q_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned CTAS + partition-pruned read-back: events
+    land in event_type=... directories; the filtered read must touch
+    ONLY the purchase partition (the plan-shape test asserts the filter
+    lands in PartitionFilters, not as a post-scan predicate). At 100 TB
+    this is the difference between scanning one directory and the whole
+    table — partition layout is the first-line pruning tool before
+    row-group statistics."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-partitioned",
+                        spark.sparkContext.applicationId, "events")
+    (ev.write.mode("overwrite").partitionBy("event_type").parquet(base))
+    back = spark.read.parquet(base).where(F.col("event_type") == "purchase")
+    return (back
+            .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,3)")).cast("double")
+                 .alias("sum_value"))
+            .orderBy("day"))

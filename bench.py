@@ -71,6 +71,8 @@ EXTENDED = [
     "sim_semdedup_keepers",
     "events_funnel",
     "events_retention_cohorts",
+    "q_multiformat_roundtrip",
+    "q_partitioned_pruning",
 ]
 
 

@@ -309,3 +309,14 @@ def test_funnel_and_retention_plan_shapes(spark, sf_dir):
     ret = matrix.queries()["events_retention_cohorts"](spark, sf_dir)
     assert_no_nested_loop_join(ret)
     assert_broadcast_join(ret, at_least=1)
+
+
+def test_partitioned_pruning_filter_reaches_partitions(spark, sf_dir):
+    """The event_type predicate must prune DIRECTORIES (PartitionFilters
+    on the scan), not run as a post-scan filter over all partitions."""
+    from aggregation_duckdb_spark.plans import physical_plan
+    df = matrix.queries()["q_partitioned_pruning"](spark, sf_dir)
+    plan = physical_plan(df, "formatted")
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:2000]
