@@ -419,3 +419,140 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------
+# product quantization (PQ) — compressed ANN for corpus-scale indexes
+# ---------------------------------------------------------------------
+
+def pq_fit(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           dim: int = 64, max_iters: int = 5) -> DataFrame:
+    """Product-quantization codebooks: the vector splits into
+    ``num_subspaces`` contiguous subvectors, each clustered
+    independently by the deterministic :func:`kmeans_fit`. The full
+    codebook is num_subspaces·k centroids — model-sized, broadcastable.
+
+    Why PQ at 100 TB: a 64-dim float vector is 256 bytes; its PQ code
+    is num_subspaces bytes (one centroid id per subspace) — a 32×
+    compression that turns a petabyte of embeddings into terabytes of
+    scannable codes, queried without decompression (see
+    :func:`pq_topk`). Deterministic end to end — same corpus, same
+    codebook bits, any partitioning.
+
+    Returns (subspace, centroid_id, centroid array<double> of
+    dim/num_subspaces)."""
+    if dim % num_subspaces != 0:
+        raise ValueError(f"dim={dim} not divisible by "
+                         f"num_subspaces={num_subspaces}")
+    sub = dim // num_subspaces
+    books = None
+    for j in range(num_subspaces):
+        sliced = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub)
+            .alias(vec_col))
+        cb = (kmeans_fit(sliced, k=k, max_iters=max_iters,
+                         vec_col=vec_col, id_col=id_col)
+              .select(F.lit(j).alias("subspace"), "centroid_id", "centroid"))
+        books = cb if books is None else books.unionByName(cb)
+    return books.localCheckpoint(eager=True)
+
+
+def pq_encode(corpus: DataFrame, codebooks: DataFrame,
+              num_subspaces: int = 8, vec_col: str = "embedding",
+              id_col: str = "vec_id", dim: int = 64) -> DataFrame:
+    """Encode every vector as (id, subspace, code): per subspace, the
+    nearest codebook centroid by L2 — the argmin folds in-row against
+    the broadcast codebook (same zero-shuffle shape as
+    :func:`ivf_assign`, once per subspace). Long form (one row per
+    (id, subspace)) keeps downstream ADC a plain equi-join."""
+    sub = dim // num_subspaces
+    out = None
+    for j in range(num_subspaces):
+        cb_j = codebooks.where(F.col("subspace") == j).select(
+            F.col("centroid_id"), F.col("centroid"))
+        sliced = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub)
+            .alias(vec_col))
+        enc = (ivf_assign(sliced, cb_j, vec_col, id_col)
+               .select(F.col(id_col), F.lit(j).alias("subspace"),
+                       F.col("centroid_id").alias("code")))
+        out = enc if out is None else out.unionByName(enc)
+    return out
+
+
+def pq_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+            k: int = 10, num_subspaces: int = 8,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            dim: int = 64) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes its num_subspaces·K partial dot products against the
+    codebook (a model-sized table that BROADCASTS), then the corpus is
+    scanned only through its code columns — approx_dot(q, x) =
+    Σ_j <q_j, centroid[j][code_j(x)]>. The full vectors never move;
+    the only corpus-sized shuffle is the (query, id) partial-sum
+    aggregate.
+
+    Returns (query_id, neighbor_id, approx_dot, rank ≤ k); ranking
+    quality is bounded by quantization error — see the recall pytest
+    against :func:`brute_force_topk`."""
+    sub = dim // num_subspaces
+    q_parts = None
+    for j in range(num_subspaces):
+        qj = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__q"))
+        cb_j = codebooks.where(F.col("subspace") == j).select(
+            F.lit(j).alias("subspace"), F.col("centroid_id").alias("code"),
+            F.col("centroid"))
+        part = (qj.crossJoin(cb_j)
+                .select("query_id", "subspace", "code",
+                        dot(F.col("__q"), F.col("centroid"))
+                        .alias("partial")))
+        q_parts = part if q_parts is None else q_parts.unionByName(part)
+    scored = (codes
+              .join(F.broadcast(q_parts), ["subspace", "code"])
+              .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+              .agg(F.sum("partial").alias("approx_dot"))
+              .where(F.col("query_id") != F.col("neighbor_id")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k))
+
+
+def pq_topk_rerank(corpus: DataFrame, codes: DataFrame,
+                   codebooks: DataFrame, queries: DataFrame, k: int = 10,
+                   shortlist: int = 200, num_subspaces: int = 8,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   dim: int = 64) -> DataFrame:
+    """PQ-shortlist + exact rerank — the production ANN pattern: the
+    compressed-code scan (:func:`pq_topk`) nominates ``shortlist``
+    candidates per query (cheap: 8-byte codes, broadcast distance
+    table), then ONLY those shortlist·|queries| full vectors are
+    fetched for exact cosine and the final top-k. Quantization error
+    affects which candidates are seen, not their final ranking — on
+    the test embeddings shortlist=200/500 lifts recall@10 from ~0.25
+    (raw ADC order) to ~1.0 (see tests/test_approx_accuracy.py).
+
+    At 100 TB the full-vector fetch is a hash equi-join on the
+    (query, neighbor) shortlist — corpus vectors never scan for
+    ranking, only for the bounded rerank."""
+    short = (pq_topk(codes, codebooks, queries, k=shortlist,
+                     num_subspaces=num_subspaces, vec_col=vec_col,
+                     id_col=id_col, dim=dim)
+             .select("query_id", "neighbor_id"))
+    cvecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("__cv"))
+    qvecs = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("__qv"))
+    scored = (short
+              .join(cvecs, "neighbor_id")
+              .join(F.broadcast(qvecs), "query_id")
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("__qv"), F.col("__cv"))
+                      .alias("cosine_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k))

@@ -100,3 +100,26 @@ def test_closure_approx_within_hll_error_of_exact(spark):
         # (sparse-mode rounding) keeps this deterministic-in-practice
         assert abs(a - e) <= max(5 * rsd * e, 2), (
             f"{key}: approx {a} vs exact {e} outside 5*rsd band")
+
+
+def test_pq_shortlist_rerank_recall(spark, sf_dir):
+    """Product quantization as a candidate generator: raw ADC order is
+    lossy on these hard (unit-norm, weakly clustered) embeddings, but
+    a 200-of-500 PQ shortlist + exact rerank must recover >= 0.9
+    recall@10 vs brute force — the production pattern the operator
+    documents. Also pins codebook shape and the 8-byte code budget."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.orderBy("vec_id").limit(10)
+    books = S.pq_fit(emb, num_subspaces=8, k=16, max_iters=3)
+    assert books.count() == 8 * 16
+    codes = S.pq_encode(emb, books, num_subspaces=8)
+    per_vec = codes.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_vec] == [8]   # 8 bytes per vector
+    approx = S.pq_topk_rerank(emb, codes, books, queries, k=10,
+                              shortlist=200, num_subspaces=8)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    exact = S.brute_force_topk(emb, queries, k=10)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert len(e) > 0
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"shortlist-rerank recall {recall}"

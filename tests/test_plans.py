@@ -320,3 +320,24 @@ def test_partitioned_pruning_filter_reaches_partitions(spark, sf_dir):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1), plan[:2000]
+
+
+def test_pq_scan_broadcasts_distance_table(spark, sf_dir):
+    """ADC ranking: the query×codebook distance table must broadcast
+    to the code scan (corpus vectors never move for ranking), the
+    per-subspace encode is a zero-shuffle map pass."""
+    from aggregation_duckdb_spark.operators import similarity as S
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = S.label_centroids(emb)   # any deterministic codebook shape
+    books = None
+    for j in range(8):
+        cb = cents.limit(16).selectExpr("centroid_id",
+                                        "slice(centroid, %d, 8) AS centroid"
+                                        % (j * 8 + 1),
+                                        f"CAST({j} AS BIGINT) AS subspace")
+        books = cb if books is None else books.unionByName(cb)
+    codes = S.pq_encode(emb, books, num_subspaces=8)
+    assert count_shuffles(codes) == 0
+    top = S.pq_topk(codes, books, emb.limit(5), k=5, num_subspaces=8)
+    assert_broadcast_join(top, at_least=1)
+    assert_no_row_python_udf(top)
