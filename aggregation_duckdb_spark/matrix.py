@@ -66,13 +66,13 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_cc_clusters", "pipeline_clean_corpus", "pipeline_end_to_end",
     "pipeline_pack_sequences", "mm_payload_stats_arrow",
     "mm_decode_metadata", "mm_resize", "mm_features",
-    # oldest remaining evidence (round 3) — routine refresh (the four
-    # swapped out for new round-5 entries stay green in the full local
-    # oracle run and rotate back next round):
+    # oldest remaining evidence (round 3) — routine refresh. The
+    # round-3 slots swapped out for new round-5 entries stay green in
+    # the full local oracle run (scripts/oracle_check.py, 0 failures)
+    # and rotate back next round:
     "dedup_simhash", "q10_returned_items", "q11_important_parts",
     "q12_priority_class", "q13_customer_distribution",
-    "q14_promo_effect", "q15_top_supplier", "q16_supplier_counts",
-    "q2_min_cost_supplier",
+    "q14_promo_effect", "q15_top_supplier",
     # new in round 5 (no driver row yet):
     "dedup_containment_pairs", "pipeline_mixture_weights",
     "pipeline_rebalance", "text_countmin_heavyhitters",
@@ -81,7 +81,8 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_group_sample", "pipeline_bloom_decontaminate",
     "sim_semdedup_keepers", "events_funnel",
     "events_retention_cohorts", "q_multiformat_roundtrip",
-    "q_partitioned_pruning",
+    "q_partitioned_pruning", "q_variant_extract",
+    "text_bpe_token_count",
 ]
 
 

@@ -2233,3 +2233,64 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return (E.retention_cohorts(ev)
             .orderBy("cohort_week", "week_offset"))
+
+
+# ---------------------------------------------------------------------
+# Spark 4 VARIANT semi-structured type (r5)
+# ---------------------------------------------------------------------
+
+@register("q_variant_extract", """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path: ``parse_json`` ingests the props column
+    into the binary semi-structured type once, ``try_variant_get``
+    extracts typed fields without re-parsing per access — the
+    schema-on-read shape for heterogeneous event payloads (vs
+    q_json_functions' per-path string re-parsing). The variant itself
+    is engine-internal, so the oracle compares the typed extraction
+    results."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (ev.select("event_type", k.alias("__k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("__k").cast("long").alias("sum_k"),
+                 F.min("__k").cast("long").alias("min_k"),
+                 F.max("__k").cast("long").alias("max_k"))
+            .orderBy("event_type"))
+
+
+@register("text_bpe_token_count", f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM d ORDER BY doc_id
+""")
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgets both ways: whitespace tokens vs the BPE-ish
+    pre-tokenizer count (letter runs / digit runs / punctuation as
+    separate tokens — the subword convention; ``text.bpe_token_count``).
+    The alternation is unambiguous and lookahead-free so Spark's Java
+    regex and DuckDB's RE2 count identically."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"))
+        .orderBy("doc_id"))

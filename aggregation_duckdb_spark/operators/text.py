@@ -265,3 +265,20 @@ def countmin_estimate(sketch: DataFrame, items: DataFrame,
     return (sketch.join(F.broadcast(probes), ["row", "col"])
             .groupBy(item_col)
             .agg(F.min("cnt").alias("cms_estimate")))
+
+
+#: BPE-style pre-tokenization pattern: letter runs, digit runs, and
+#: single punctuation marks split into separate tokens (the
+#: subword-tokenizer convention), unlike whitespace counting which
+#: glues "word," into one token. Deliberately alternation-unambiguous
+#: and lookahead-free so Java regex (Spark) and RE2 (DuckDB) match
+#: identically.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-style token count via the BPE-ish pre-tokenizer regex —
+    the budget a real tokenizer would charge tracks this far closer
+    than whitespace counting (punctuation and digits become their own
+    tokens). In-row, JVM-side."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("long")

@@ -73,6 +73,8 @@ EXTENDED = [
     "events_retention_cohorts",
     "q_multiformat_roundtrip",
     "q_partitioned_pruning",
+    "q_variant_extract",
+    "text_bpe_token_count",
 ]
 
 
