@@ -50,6 +50,12 @@ def bucketed_range_join(facts: DataFrame, bands: DataFrame,
     False for band tables too large to broadcast (the join then
     shuffles both sides on the bucket key — still an equi-join).
     """
+    common = set(facts.columns) & set(bands.columns)
+    if common:
+        # an overlapping name makes the residual predicate silently
+        # ambiguous (Spark resolves by fiat) — fail loudly instead
+        raise ValueError(f"bucketed_range_join: rename columns present "
+                         f"on both sides first: {sorted(common)}")
     v = F.col(value_col)
     fb = facts.withColumn("__rjb", _bucket_of(v, bucket_width))
     bb = bands.withColumn(
@@ -80,6 +86,10 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     columns must be numeric (cast timestamps with ``unix_micros``
     first); interval ends are inclusive.
     """
+    common = set(left.columns) & set(right.columns)
+    if common:
+        raise ValueError(f"interval_overlap_join: rename columns present "
+                         f"on both sides first: {sorted(common)}")
     ls, le = F.col(left_start), F.col(left_end)
     rs, re_ = F.col(right_start), F.col(right_end)
     lb = left.withColumn(

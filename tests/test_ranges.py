@@ -168,3 +168,15 @@ def test_incremental_dedup_ignores_new_vs_new(spark):
                                 "doc_id long, text string")
     out = {r.doc_id: r for r in D.incremental_dedup(new, existing).collect()}
     assert out[100].is_new and out[101].is_new
+
+
+def test_range_joins_reject_overlapping_column_names(spark):
+    f = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    b = spark.createDataFrame([("x", 0.0, 5.0, 9)],
+                              "band_id string, lo double, hi double, id long")
+    with pytest.raises(ValueError, match="rename"):
+        R.bucketed_range_join(f, b, "v")
+    l = spark.createDataFrame([(1, 0, 5)], "id long, s long, e long")
+    r = spark.createDataFrame([(2, 1, 2)], "id long, rs long, re long")
+    with pytest.raises(ValueError, match="rename"):
+        R.interval_overlap_join(l, r, "s", "e", "rs", "re")
