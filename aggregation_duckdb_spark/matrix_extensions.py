@@ -2294,3 +2294,30 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.bpe_token_count(F.col("text")).alias("bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"))
         .orderBy("doc_id"))
+
+
+@register("dedup_duplicate_spans", f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sp AS (SELECT doc_id, UNNEST(generate_series(1, len(toks) - 19)) AS pos, toks
+       FROM d WHERE len(toks) >= 20),
+h AS (SELECT doc_id, md5(array_to_string(toks[pos:pos+19], ' ')) AS hh
+      FROM sp),
+c AS (SELECT hh, COUNT(*) AS df FROM h GROUP BY hh)
+SELECT h.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN c.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans,
+       CAST(SUM(CASE WHEN c.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+FROM h JOIN c ON h.hh = c.hh
+GROUP BY h.doc_id
+ORDER BY h.doc_id
+""")
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication census: 20-token spans hashed and
+    counted corpus-wide; a span seen twice anywhere is verbatim-
+    repeated text document-level dedup misses
+    (``dedup.duplicate_spans`` — the hash-groupBy stand-in for the
+    suffix-array approach, linear in corpus tokens)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.duplicate_spans(docs, width=20).orderBy("doc_id")

@@ -489,3 +489,40 @@ def incremental_dedup(new: DataFrame, existing: DataFrame,
                 (F.coalesce(F.col("__n_near"), F.lit(0)) > 0).alias("near_dup"))
             .withColumn("is_new",
                         ~F.col("exact_dup") & ~F.col("near_dup")))
+
+
+def duplicate_spans(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", width: int = 20) -> DataFrame:
+    """Exact duplicated-substring census — the hash-based Spark shape
+    of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every ``width``-token
+    span is hashed; a span whose hash occurs more than once
+    corpus-wide is verbatim-repeated text (licenses, boilerplate,
+    templated pages) that document-level dedup cannot see when the
+    surrounding text differs.
+
+    Returns per document (id, n_spans, n_dup_spans, dup_ratio) for
+    documents with >= width tokens. Cost is linear in corpus tokens:
+    one shuffle on the span hash for the global counts, one equi-join
+    back (same key — the partitioning is reused), one per-doc
+    aggregate. No suffix array, no global sort — the md5 groupBy IS
+    the duplicate detector, and at 100 TB it's the same plan with more
+    partitions."""
+    toks = tokens(F.col(text_col))
+    sized = (docs.select(F.col(id_col).alias("doc"), toks.alias("__toks"))
+             .where(F.size("__toks") >= width))
+    spans = (sized.select(
+        "doc",
+        F.explode(F.sequence(F.lit(1), F.size("__toks") - (width - 1)))
+        .alias("pos"), "__toks")
+        .select("doc", "pos",
+                F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), F.col("pos"),
+                                               width))).alias("__h")))
+    counts = spans.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    return (spans.join(counts, "__h")
+            .groupBy(F.col("doc").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum((F.col("__df") > 1).cast("long")).alias("n_dup_spans"))
+            .withColumn("dup_ratio",
+                        F.col("n_dup_spans").cast("double")
+                        / F.col("n_spans").cast("double")))

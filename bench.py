@@ -75,6 +75,7 @@ EXTENDED = [
     "q_partitioned_pruning",
     "q_variant_extract",
     "text_bpe_token_count",
+    "dedup_duplicate_spans",
 ]
 
 

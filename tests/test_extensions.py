@@ -511,3 +511,23 @@ def test_retention_cohorts_triangle(spark):
     assert out[(w0, 1)].n_active == 1
     assert abs(out[(w0, 1)].retention - 0.5) < 1e-12
     assert out[(weeks[1], 0)].n_active == 1 and out[(weeks[1], 0)].cohort_size == 1
+
+
+def test_duplicate_spans_finds_planted_substring(spark):
+    """A 20-token license block pasted into two otherwise-different
+    documents must show up as duplicated spans in BOTH, while a
+    unique-text document reports zero."""
+    from aggregation_duckdb_spark.operators import dedup as D
+    block = " ".join(f"lic{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, block + " " + " ".join(f"a{i}" for i in range(30))),
+         (2, " ".join(f"b{i}" for i in range(30)) + " " + block),
+         (3, " ".join(f"c{i}" for i in range(60)))],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in D.duplicate_spans(docs, width=20).collect()}
+    assert out[1].n_dup_spans >= 1 and out[2].n_dup_spans >= 1
+    assert out[3].n_dup_spans == 0
+    # the planted block is the ONLY shared text: dup spans on each side
+    # can't exceed the block's own span count inside that document
+    assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
+    assert 0 < out[1].dup_ratio < 1

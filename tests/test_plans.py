@@ -341,3 +341,15 @@ def test_pq_scan_broadcasts_distance_table(spark, sf_dir):
     top = S.pq_topk(codes, books, emb.limit(5), k=5, num_subspaces=8)
     assert_broadcast_join(top, at_least=1)
     assert_no_row_python_udf(top)
+
+
+def test_duplicate_spans_two_shuffles_no_sort(spark, sf_dir):
+    """Span census = hash groupBy + same-key join-back + doc aggregate:
+    at most three exchanges, no global sort, no nested loop."""
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    docs = load_table(spark, "documents", sf_dir)
+    out = D.duplicate_spans(docs, width=20)
+    assert_no_nested_loop_join(out)
+    assert count_shuffles(out) <= 3
+    assert_no_row_python_udf(out)
