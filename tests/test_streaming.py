@@ -271,3 +271,68 @@ def test_stream_near_dedup_state_survives_restart(spark, tmp_path):
     assert flagged.count() == 4  # one flag per band
     assert out2.where(F.col("doc_id") == 4)\
                .where(F.col("is_near_dup")).count() == 0
+
+
+def test_stream_funnel_matches_batch_across_restart(spark, sf_dir, tmp_path):
+    """Funnel state machines across a stream RESTART: the first run
+    ingests the early half of events (by time), the second run — same
+    checkpoint — the late half. The final per-user funnel must equal
+    the batch greedy-earliest answer on the full data, which requires
+    step state (e.g. a 'view' from run 1 completed by a 'click' in
+    run 2) to survive the state store round-trip."""
+    from aggregation_duckdb_spark.streaming import funnel_stream
+    from aggregation_duckdb_spark.streaming.sinks import (
+        run_to_parquet_exactly_once)
+
+    ev = load_table(spark, "events", sf_dir)
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    src = tmp_path / "src"; src.mkdir()
+    sink = str(tmp_path / "sink"); ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (spark.readStream.schema(ev.schema).parquet(str(src)))
+        run_to_parquet_exactly_once(
+            funnel_stream(stream, ["view", "click", "purchase"]),
+            sink, ckpt)
+
+    import glob
+    import shutil
+
+    def add_half(df, name):
+        # the file source reads top-level files only — stage the write,
+        # then drop the part file directly into src/
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(glob.glob(stage + "/part-*.parquet")[0],
+                    str(src / f"{name}.parquet"))
+
+    add_half(ev.where(F.col("ts") <= cut), "early")
+    run()
+    add_half(ev.where(F.col("ts") > cut), "late")
+    run()
+
+    out = spark.read.parquet(sink)
+    # last emission per user (2 runs -> up to 2 rows; batch_id column
+    # comes from the exactly-once sink)
+    final = (out.groupBy("user_id")
+             .agg(F.max_by(F.struct("steps_completed", "converted"),
+                           F.col("batch_id")).alias("s"))
+             .select("user_id", "s.steps_completed", "s.converted"))
+    got = {r["user_id"]: (r["steps_completed"], r["converted"])
+           for r in final.collect()}
+
+    batch = E.funnel_steps(ev, ["view", "click", "purchase"])
+    want = {r["user_id"]: (r["steps_completed"], r["converted"])
+            for r in batch.collect()}
+    # stream covers every user (even step-0-less ones, at 0 steps);
+    # batch reports only users who reached step 0
+    for uid, (steps, conv) in want.items():
+        assert got[uid] == (steps, conv), uid
+    # users the batch omits never saw a 'view'
+    for uid, (steps, conv) in got.items():
+        if uid not in want:
+            assert steps == 0 and not conv
+    # cross-restart progress actually happened: some user converted
+    # only with run-2 events
+    run1_cnt = sum(1 for _, (s, c) in want.items() if c)
+    assert run1_cnt > 0
