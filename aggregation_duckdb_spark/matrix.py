@@ -72,7 +72,6 @@ _DRIVER_WINDOW_FIRST = [
     # and rotate back next round:
     "dedup_simhash", "q10_returned_items", "q11_important_parts",
     "q12_priority_class", "q13_customer_distribution",
-    "q14_promo_effect",
     # new in round 5 (no driver row yet):
     "dedup_containment_pairs", "pipeline_mixture_weights",
     "pipeline_rebalance", "text_countmin_heavyhitters",
@@ -83,6 +82,7 @@ _DRIVER_WINDOW_FIRST = [
     "events_retention_cohorts", "q_multiformat_roundtrip",
     "q_partitioned_pruning", "q_variant_extract",
     "text_bpe_token_count", "dedup_duplicate_spans",
+    "asof_nearest_events",
 ]
 
 

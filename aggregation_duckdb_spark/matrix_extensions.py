@@ -2321,3 +2321,39 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-array approach, linear in corpus tokens)."""
     docs = load_table(spark, "documents", sf_dir)
     return D.duplicate_spans(docs, width=20).orderBy("doc_id")
+
+
+@register("asof_nearest_events", """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts AS cts, event_id AS c_id,
+             CAST(value AS DOUBLE) AS cvalue
+      FROM events WHERE event_type = 'click'),
+j AS (SELECT p.event_id, p.user_id, p.ts, c.cts, c.cvalue,
+             abs(epoch_us(p.ts) - epoch_us(c.cts)) AS gap,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                 ORDER BY abs(epoch_us(p.ts) - epoch_us(c.cts)) ASC,
+                          c.cts ASC, c.c_id DESC) AS rn
+      FROM p LEFT JOIN c ON p.user_id = c.user_id)
+SELECT event_id, user_id, ts, cvalue AS value_near, cts AS ts_near,
+       CAST(gap AS BIGINT) AS gap_us
+FROM j WHERE rn = 1 ORDER BY event_id
+""")
+def asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the user's NEAREST click in either
+    direction (``asof.asof_nearest``: two carry-forward window passes +
+    in-row argmin — no inequality join). The oracle states the same
+    semantics as a per-row argmin over the full theta join; equidistant
+    ties go backward, simultaneous clicks to the greatest event id."""
+    from aggregation_duckdb_spark.operators.asof import asof_nearest
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").cast("double").alias("value"),
+        "event_id")
+    out = asof_nearest(purchases, clicks, on="ts", by="user_id",
+                       value_cols=["value", "ts"], tiebreak="event_id")
+    return (out.select("event_id", "user_id", "ts",
+                       "value_near", "ts_near", "gap_us")
+            .orderBy("event_id"))

@@ -82,3 +82,41 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
     for c in value_cols:
         out = out.withColumn(f"{c}{suffix}", F.col("__rstate").getField(c))
     return out.drop("__side", "__rstate")
+
+
+def asof_nearest(left: DataFrame, right: DataFrame, *, on: str, by: str,
+                 value_cols: list[str], suffix: str = "_near",
+                 gap_col: str = "gap_us",
+                 tiebreak: str | None = None) -> DataFrame:
+    """Nearest-event join: for each left row, the right row minimizing
+    ``|right.on - left.on|`` within the key group — EITHER direction
+    (the sensor/log-alignment semantics; plain as-of only looks
+    backward). Equidistant before/after ties go to the earlier
+    (backward) row; simultaneous right rows resolve by ``tiebreak``
+    (greatest wins), matching :func:`asof_join`.
+
+    Two chained :func:`asof_join` window passes — backward on the time
+    axis, forward on its negation — then an in-row argmin. Still ONE
+    logical partitioning by the key (both windows and the final
+    projection share it), no inequality join, no row explosion.
+    ``on`` must be a timestamp (gap is reported in microseconds) and
+    left must not already contain the temporary column names."""
+    aug = value_cols if on in value_cols else [*value_cols, on]
+    back = asof_join(left, right, on=on, by=by, value_cols=aug,
+                     suffix="__b", tiebreak=tiebreak)
+    neg = (-F.unix_micros(F.col(on))).alias("__negus")
+    fwd = asof_join(back.withColumn("__negus", neg),
+                    right.withColumn("__negus", neg),
+                    on="__negus", by=by, value_cols=aug,
+                    suffix="__f", tiebreak=tiebreak).drop("__negus")
+    us = F.unix_micros(F.col(on))
+    d_b = us - F.unix_micros(F.col(f"{on}__b"))
+    d_f = F.unix_micros(F.col(f"{on}__f")) - us
+    choose_b = d_f.isNull() | (d_b.isNotNull() & (d_b <= d_f))
+    out = fwd
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(choose_b, F.col(f"{c}__b")).otherwise(F.col(f"{c}__f")))
+    out = out.withColumn(gap_col, F.when(choose_b, d_b).otherwise(d_f))
+    return out.drop(*[f"{c}__b" for c in aug], *[f"{c}__f" for c in aug])

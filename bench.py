@@ -76,6 +76,7 @@ EXTENDED = [
     "q_variant_extract",
     "text_bpe_token_count",
     "dedup_duplicate_spans",
+    "asof_nearest_events",
 ]
 
 

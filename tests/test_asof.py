@@ -59,3 +59,38 @@ def test_asof_null_keys_and_times_never_match(spark):
     assert out[1] == 3.0    # only the fully non-NULL right row matches
     assert out[2] is None   # NULL left key matches nothing
     assert out[3] is None   # NULL left time matches nothing
+
+
+def test_asof_nearest_directions_and_ties(spark):
+    """Nearest-event semantics: backward-only user, forward-only user,
+    equidistant tie (backward wins), simultaneous rights (greatest
+    tiebreak wins), and a keyless left row (all NULLs)."""
+    from datetime import datetime
+    from aggregation_duckdb_spark.operators.asof import asof_nearest
+    t = lambda m: datetime(2024, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [(1, 10, t(30)),   # user 10: clicks before AND after, after closer
+         (2, 20, t(30)),   # user 20: only a click before
+         (3, 30, t(30)),   # user 30: only a click after
+         (4, 40, t(30)),   # user 40: equidistant before/after -> backward
+         (5, 50, t(30)),   # user 50: two simultaneous nearest clicks
+         (6, 99, t(30))],  # user 99: no clicks at all
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(101, 10, t(10), 1.0), (102, 10, t(35), 2.0),
+         (103, 20, t(0), 3.0),
+         (104, 30, t(59), 4.0),
+         (105, 40, t(20), 5.0), (106, 40, t(40), 6.0),
+         (107, 50, t(25), 7.0), (108, 50, t(25), 8.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    out = {r.event_id: r for r in
+           asof_nearest(left, right.select("user_id", "ts", "value",
+                                           "event_id"),
+                        on="ts", by="user_id", value_cols=["value"],
+                        tiebreak="event_id").collect()}
+    assert out[1].value_near == 2.0 and out[1].gap_us == 5 * 60_000_000
+    assert out[2].value_near == 3.0 and out[2].gap_us == 30 * 60_000_000
+    assert out[3].value_near == 4.0 and out[3].gap_us == 29 * 60_000_000
+    assert out[4].value_near == 5.0   # equidistant -> backward (earlier)
+    assert out[5].value_near == 8.0   # simultaneous -> greatest event_id
+    assert out[6].value_near is None and out[6].gap_us is None
