@@ -2099,7 +2099,7 @@ ORDER BY t.doc_id
 """)
 def pipeline_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination through a Bloom filter instead of the exact key
-    set: the benchmark's 6-gram keys collapse into a 4096-word (16 KB)
+    set: the benchmark's 6-gram keys collapse into a 4096-word (32 KB)
     bit table that broadcasts no matter how many keys went in. False
     positives are md5-deterministic, so even they hash-match the
     oracle; false negatives are impossible (pytest pins the superset

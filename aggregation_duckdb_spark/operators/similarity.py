@@ -59,7 +59,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                vec_col: str = "embedding", id_col: str = "vec_id",
                centroid_id: str = "centroid_id",
-               centroid_vec: str = "centroid") -> DataFrame:
+               centroid_vec: str = "centroid",
+               metric: str = "cosine") -> DataFrame:
     """Assign each vector to its nearest centroid — a ZERO-SHUFFLE
     map-side pass: the codebook is bounded (k·dim values), so it is
     collected once and folded into the plan as a literal
@@ -68,7 +69,14 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     per-id window — shuffles corpus×k rows to rank them; at corpus
     scale that shuffle IS the job.)  Ties break to the lowest
     centroid id. At scale, write the result partitioned by cell for
-    pruned probes."""
+    pruned probes.
+
+    ``metric``: 'cosine' (angular cells — the IVF search default) or
+    'l2' (Euclidean cells — what Lloyd's mean-update step optimizes;
+    REQUIRED for product quantization, where subvector magnitudes
+    carry signal that cosine assignment would discard)."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"ivf_assign: unknown metric {metric!r}")
     rows = centroids.select(F.col(centroid_id).alias("cid"),
                             F.col(centroid_vec).alias("cvec")).collect()
     if not rows:
@@ -78,11 +86,19 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
             F.lit(int(r["cid"])).cast("long").alias("cid"),
             F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"))
         for r in rows])
-    # one cosine per centroid, staged per element; array_max compares
-    # structs lexicographically → max sim, then max(-cid) = min cid
+    # one score per centroid, staged per element; array_max compares
+    # structs lexicographically → best score, then max(-cid) = min cid
+    if metric == "cosine":
+        score = lambda c: cosine(F.col(vec_col), c["cvec"])  # noqa: E731
+    else:
+        # maximize the NEGATED squared L2 distance (exact same argmin)
+        score = lambda c: -F.aggregate(  # noqa: E731
+            F.zip_with(F.col(vec_col), c["cvec"],
+                       lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0), lambda acc, x: acc + x)
     scored = F.transform(
         lit, lambda c: F.struct(
-            cosine(F.col(vec_col), c["cvec"]).alias("sim"),
+            score(c).alias("sim"),
             (-c["cid"]).alias("negcid")))
     best = F.array_max(scored)
     return corpus.select(F.col(id_col), F.col(vec_col),
@@ -143,7 +159,8 @@ def label_centroids_exact(corpus: DataFrame, vec_col: str = "embedding",
 
 def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 10,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               min_shift: float = 1e-7) -> DataFrame:
+               min_shift: float = 1e-7,
+               metric: str = "cosine") -> DataFrame:
     """Distributed Lloyd's k-means — the IVF codebook trainer
     (geometry-driven cells, unlike :func:`label_centroids` which needs
     a pre-existing clustering column).
@@ -175,7 +192,7 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 10,
     for _ in range(max_iters):
         cdf = spark.createDataFrame(
             cents, "centroid_id long, centroid array<double>")
-        assigned = ivf_assign(corpus, cdf, vec_col, id_col)
+        assigned = ivf_assign(corpus, cdf, vec_col, id_col, metric=metric)
         stats = (assigned
                  .select("centroid_id",
                          F.posexplode(F.col(vec_col)).alias("pos", "comp"))
@@ -452,7 +469,7 @@ def pq_fit(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
             F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub)
             .alias(vec_col))
         cb = (kmeans_fit(sliced, k=k, max_iters=max_iters,
-                         vec_col=vec_col, id_col=id_col)
+                         vec_col=vec_col, id_col=id_col, metric="l2")
               .select(F.lit(j).alias("subspace"), "centroid_id", "centroid"))
         books = cb if books is None else books.unionByName(cb)
     return books.localCheckpoint(eager=True)
@@ -462,8 +479,10 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame,
               num_subspaces: int = 8, vec_col: str = "embedding",
               id_col: str = "vec_id", dim: int = 64) -> DataFrame:
     """Encode every vector as (id, subspace, code): per subspace, the
-    nearest codebook centroid by L2 — the argmin folds in-row against
-    the broadcast codebook (same zero-shuffle shape as
+    nearest codebook centroid by L2 (the quantizer objective Lloyd's
+    mean-update optimizes — cosine assignment here would discard
+    subvector magnitude, corrupting the ADC sums) — the argmin folds
+    in-row against the broadcast codebook (same zero-shuffle shape as
     :func:`ivf_assign`, once per subspace). Long form (one row per
     (id, subspace)) keeps downstream ADC a plain equi-join."""
     sub = dim // num_subspaces
@@ -474,7 +493,7 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame,
         sliced = corpus.select(
             F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub)
             .alias(vec_col))
-        enc = (ivf_assign(sliced, cb_j, vec_col, id_col)
+        enc = (ivf_assign(sliced, cb_j, vec_col, id_col, metric="l2")
                .select(F.col(id_col), F.lit(j).alias("subspace"),
                        F.col("centroid_id").alias("code")))
         out = enc if out is None else out.unionByName(enc)

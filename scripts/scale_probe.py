@@ -117,13 +117,15 @@ def dedup_probe(multiples: list) -> None:
             docs = docs.unionByName(base.select(
                 (F.col("doc_id") + (i + 1) * 10_000_000).alias("doc_id"),
                 "text"))
+        n_docs = docs.count()  # outside the timed region
         t0 = time.time()
         cands = D.minhash_lsh_candidates(docs)
         n = cands.count()
+        elapsed = round(time.time() - t0, 2)
         print(json.dumps({
             "probe": "dedup_minhash_lsh", "multiple": m,
-            "docs": docs.count(), "candidate_pairs": n,
-            "seconds": round(time.time() - t0, 2)}))
+            "docs": n_docs, "candidate_pairs": n,
+            "seconds": elapsed}))
 
 
 def neardup_probe(multiples: list) -> None:
@@ -197,16 +199,18 @@ def cc_probe(multiples: list) -> None:
                 (F.col("doc_a") + (i + 1) * 10_000_000).alias("doc_a"),
                 (F.col("doc_b") + (i + 1) * 10_000_000).alias("doc_b")))
         stats: dict = {}
+        n_edges = pairs.count()  # outside the timed region
         t0 = time.time()
         labels = G.connected_components(pairs, src="doc_a", dst="doc_b",
                                         stats=stats, local_threshold=0)
         n_vertices = labels.count()
+        elapsed = round(time.time() - t0, 2)
         n_clusters = labels.select("label").distinct().count()
         print(json.dumps({
             "probe": "connected_components", "multiple": m,
-            "edges": pairs.count(), "vertices": n_vertices,
+            "edges": n_edges, "vertices": n_vertices,
             "clusters": n_clusters, "rounds": stats.get("rounds"),
-            "seconds": round(time.time() - t0, 2)}))
+            "seconds": elapsed}))
 
 
 def rangejoin_probe(multiples: list, n_bands: int = 10_000) -> None:
@@ -240,15 +244,17 @@ def rangejoin_probe(multiples: list, n_bands: int = 10_000) -> None:
             facts = facts.unionByName(base.select(
                 (F.col("event_id") + (i + 1) * 10_000_000).alias("event_id"),
                 "value"))
+        n_facts = facts.count()  # outside the timed region
         t0 = time.time()
         joined = R.bucketed_range_join(facts, bands, "value",
                                        bucket_width=width)
         n = joined.count()
+        elapsed = round(time.time() - t0, 2)
         plan = physical_plan(joined, "simple")
         print(json.dumps({
             "probe": "bucketed_range_join", "multiple": m,
-            "facts": facts.count(), "bands": n_bands, "matched": n,
-            "seconds": round(time.time() - t0, 2),
+            "facts": n_facts, "bands": n_bands, "matched": n,
+            "seconds": elapsed,
             "naive_nlj_seconds_at_x1": naive_s if m == multiples[0] else None,
             "naive_matched": n_naive if m == multiples[0] else None,
             "nested_loop_join": ("BroadcastNestedLoopJoin" in plan
@@ -276,14 +282,16 @@ def incremental_probe(multiples: list) -> None:
             corpus = corpus.unionByName(base.select(
                 (F.col("doc_id") + (i + 1) * 10_000_000).alias("doc_id"),
                 "text"))
+        n_corpus = corpus.count()  # outside the timed region
         t0 = time.time()
         out = D.incremental_dedup(batch, corpus)
         flagged = out.where("exact_dup OR near_dup").count()
+        elapsed = round(time.time() - t0, 2)
         print(json.dumps({
             "probe": "incremental_dedup", "multiple": m,
-            "corpus_docs": corpus.count(), "batch_docs": 500,
+            "corpus_docs": n_corpus, "batch_docs": 500,
             "flagged": flagged,
-            "seconds": round(time.time() - t0, 2)}))
+            "seconds": elapsed}))
 
 
 if __name__ == "__main__":
