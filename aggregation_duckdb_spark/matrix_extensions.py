@@ -2357,3 +2357,38 @@ def asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("event_id", "user_id", "ts",
                        "value_near", "ts_near", "gap_us")
             .orderBy("event_id"))
+
+
+@register("events_hourly_anomalies", """
+WITH hourly AS (
+    SELECT event_type,
+           CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+               AS window_start,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type, window_start),
+stats AS (
+    SELECT event_type, COUNT(*) AS n_hours,
+           SUM(n_events) AS s, SUM(n_events * n_events) AS ss
+    FROM hourly GROUP BY event_type),
+m AS (
+    SELECT event_type,
+           CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_events,
+           sqrt((CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n_hours AS DOUBLE))
+                / (CAST(n_hours AS DOUBLE) - 1.0)) AS sd_events
+    FROM stats)
+SELECT h.event_type, h.window_start, h.n_events, m.mean_events,
+       (CAST(h.n_events AS DOUBLE) - m.mean_events) / m.sd_events AS z
+FROM hourly h JOIN m ON h.event_type = m.event_type
+WHERE abs((CAST(h.n_events AS DOUBLE) - m.mean_events) / m.sd_events) >= 2.0
+ORDER BY h.event_type, h.window_start
+""")
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomalies per event type (|z| >= 2). Moments from
+    exact integer Σc/Σc² — never a float-fold stddev aggregate, so the
+    z-scores (and the threshold cut) are bit-identical cross-engine
+    (``events.hourly_anomalies``)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (E.hourly_anomalies(ev, z_threshold=2.0)
+            .orderBy("event_type", "window_start"))

@@ -284,3 +284,38 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
                     (F.col("n_active").cast("double")
                      / F.col("cohort_size").cast("double"))
                     .alias("retention")))
+
+
+def hourly_anomalies(events: DataFrame, z_threshold: float = 2.0,
+                     ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Volume-anomaly detection: hours whose event count deviates from
+    the event-type's mean by ``z_threshold`` standard deviations.
+
+    Moments come from exact integer sums (Σc and Σc² over int64) with
+    the float division/sqrt applied once at the end — bit-identical
+    across engines, unlike stddev aggregates whose float fold order is
+    engine-specific. Shuffle shape: one (type, hour) groupBy with
+    map-side combine, then a broadcast of the per-type moment table
+    (one row per event type) back onto the hourly counts."""
+    win = F.window(F.col(ts_col), "1 hour").getField("start")
+    hourly = (events
+              .groupBy(F.col(type_col), win.alias("window_start"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    stats = (hourly.groupBy(type_col)
+             .agg(F.count(F.lit(1)).alias("n_hours"),
+                  F.sum("n_events").alias("s"),
+                  F.sum(F.col("n_events") * F.col("n_events")).alias("ss")))
+    mean = F.col("s").cast("double") / F.col("n_hours").cast("double")
+    var = ((F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n_hours").cast("double"))
+           / (F.col("n_hours").cast("double") - F.lit(1.0)))
+    stats = stats.select(type_col, mean.alias("mean_events"),
+                         F.sqrt(var).alias("sd_events"))
+    z = ((F.col("n_events").cast("double") - F.col("mean_events"))
+         / F.col("sd_events"))
+    return (hourly.join(F.broadcast(stats), type_col)
+            .withColumn("z", z)
+            .where(F.abs(F.col("z")) >= z_threshold)
+            .select(type_col, "window_start", "n_events",
+                    "mean_events", "z"))

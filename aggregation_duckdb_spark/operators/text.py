@@ -282,3 +282,42 @@ def bpe_token_count(text: Column) -> Column:
     than whitespace counting (punctuation and digits become their own
     tokens). In-row, JVM-side."""
     return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
+COMPRESSION_SCHEMA = ("doc_id long, n_bytes long, n_compressed long, "
+                      "compression_ratio double")
+
+
+def compression_ratio(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    Gopher/FineWeb-style quality signal: boilerplate and templated text
+    compresses far below ~0.5, near-random text approaches 1.0+; both
+    tails are filter candidates. Complements the token-level
+    repetition filter, which only sees exact token repeats.
+
+    Codec work can't be expressed in pyspark.sql.functions, so this is
+    the sanctioned Arrow path (``mapInPandas``, like the multimodal
+    decoders): zlib runs executor-side per Arrow batch, no driver
+    collect, no row-at-a-time Python UDF in a SQL expression. No
+    DuckDB oracle exists for zlib — correctness is pinned by pytest
+    against direct ``zlib.compress`` on the same rows."""
+    import zlib
+
+    def batches(it):
+        import pandas as pd
+        for pdf in it:
+            raw = [t.encode("utf-8") if isinstance(t, str) else b""
+                   for t in pdf[text_col]]
+            comp = [len(zlib.compress(b, level)) for b in raw]
+            n = [len(b) for b in raw]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "n_bytes": n,
+                "n_compressed": comp,
+                "compression_ratio": [
+                    (c / b) if b else None for c, b in zip(comp, n)],
+            })
+
+    return (docs.select(F.col(id_col), F.col(text_col))
+            .mapInPandas(batches, COMPRESSION_SCHEMA))

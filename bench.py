@@ -77,6 +77,7 @@ EXTENDED = [
     "text_bpe_token_count",
     "dedup_duplicate_spans",
     "asof_nearest_events",
+    "events_hourly_anomalies",
 ]
 
 

@@ -531,3 +531,21 @@ def test_duplicate_spans_finds_planted_substring(spark):
     # can't exceed the block's own span count inside that document
     assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
     assert 0 < out[1].dup_ratio < 1
+
+
+def test_compression_ratio_matches_zlib_and_separates_tails(spark):
+    import zlib
+    from aggregation_duckdb_spark.operators import text as T
+    boiler = "the same sentence again and again. " * 40
+    import random
+    rng = random.Random(7)
+    noisy = " ".join("".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                             for _ in range(8)) for _ in range(150))
+    docs = spark.createDataFrame([(1, boiler), (2, noisy), (3, "")],
+                                 "doc_id long, text string")
+    out = {r.doc_id: r for r in T.compression_ratio(docs).collect()}
+    for did, text in [(1, boiler), (2, noisy)]:
+        want = len(zlib.compress(text.encode(), 6)) / len(text.encode())
+        assert abs(out[did].compression_ratio - want) < 1e-12
+    assert out[1].compression_ratio < 0.1 < out[2].compression_ratio
+    assert out[3].compression_ratio is None and out[3].n_bytes == 0
