@@ -50,6 +50,8 @@ def bucketed_range_join(facts: DataFrame, bands: DataFrame,
     False for band tables too large to broadcast (the join then
     shuffles both sides on the bucket key — still an equi-join).
     """
+    if not bucket_width > 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     common = set(facts.columns) & set(bands.columns)
     if common:
         # an overlapping name makes the residual predicate silently
@@ -86,6 +88,8 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     columns must be numeric (cast timestamps with ``unix_micros``
     first); interval ends are inclusive.
     """
+    if not bucket_width > 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     common = set(left.columns) & set(right.columns)
     if common:
         raise ValueError(f"interval_overlap_join: rename columns present "

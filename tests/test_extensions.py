@@ -549,3 +549,42 @@ def test_compression_ratio_matches_zlib_and_separates_tails(spark):
         assert abs(out[did].compression_ratio - want) < 1e-12
     assert out[1].compression_ratio < 0.1 < out[2].compression_ratio
     assert out[3].compression_ratio is None and out[3].n_bytes == 0
+
+
+def test_funnel_randomized_equivalence_vs_python_reference(spark):
+    """Seeded random event streams vs a direct Python implementation
+    of greedy-earliest funnel semantics — catches any drift between
+    the staged-join formulation and the intended state machine."""
+    import random
+    from datetime import datetime, timedelta
+    from aggregation_duckdb_spark.operators import events as E
+    rng = random.Random(99)
+    steps = ["view", "click", "purchase"]
+    types = steps + ["error", "signup"]
+    rows = []
+    eid = 0
+    for user in range(25):
+        for _ in range(rng.randint(0, 12)):
+            eid += 1
+            rows.append((eid, user,
+                         datetime(2024, 1, 1)
+                         + timedelta(minutes=rng.randint(0, 500)),
+                         rng.choice(types)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r.user_id: (r.steps_completed, r.converted)
+           for r in E.funnel_steps(ev, steps).collect()}
+
+    by_user = {}
+    for eid_, user, ts, typ in rows:
+        by_user.setdefault(user, []).append((ts, eid_, typ))
+    want = {}
+    for user, evs in by_user.items():
+        times = []
+        for ts, _, typ in sorted(evs):
+            if (len(times) < 3 and typ == steps[len(times)]
+                    and (not times or ts > times[-1])):
+                times.append(ts)
+        if times:
+            want[user] = (len(times), len(times) == 3)
+    assert got == want

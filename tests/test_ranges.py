@@ -180,3 +180,66 @@ def test_range_joins_reject_overlapping_column_names(spark):
     r = spark.createDataFrame([(2, 1, 2)], "id long, rs long, re long")
     with pytest.raises(ValueError, match="rename"):
         R.interval_overlap_join(l, r, "s", "e", "rs", "re")
+
+
+def test_overlap_join_randomized_equivalence_with_negatives(spark):
+    """Seeded randomized intervals (including negative coordinates and
+    zero-length points) across several widths: the bucketized join
+    must return exactly the naive theta join's multiset — floor
+    semantics on negatives and the claim filter included."""
+    import random
+    rng = random.Random(42)
+
+    def intervals(n, lo=-500, hi=500):
+        out = []
+        for i in range(n):
+            a = rng.randint(lo, hi)
+            out.append((i, a, a + rng.randint(0, 80)))
+        return out
+
+    left = spark.createDataFrame(intervals(60), "lid long, ls long, le long")
+    right = spark.createDataFrame(intervals(60), "rid long, rs long, re long")
+    naive = sorted(map(tuple, _naive_overlap(left, right)
+                       .select("lid", "rid").collect()))
+    for width in (1, 7, 64, 1000):
+        got = (R.interval_overlap_join(left, right, "ls", "le", "rs", "re",
+                                       bucket_width=width)
+               .select("lid", "rid").collect())
+        assert sorted(map(tuple, got)) == naive, width
+        assert len(got) == len(set(map(tuple, got))), width
+
+
+def test_range_join_randomized_equivalence_with_negatives(spark):
+    import random
+    rng = random.Random(7)
+    facts = spark.createDataFrame(
+        [(i, rng.uniform(-200, 200)) for i in range(200)],
+        "fact_id long, v double")
+    bands = []
+    for b in range(30):
+        lo = rng.uniform(-220, 200)
+        bands.append((f"b{b}", lo, lo + rng.uniform(0, 60)))
+    bdf = spark.createDataFrame(bands, "band_id string, lo double, hi double")
+    naive = sorted(map(tuple,
+                       facts.join(bdf, (F.col("v") >= F.col("lo"))
+                                  & (F.col("v") < F.col("hi")))
+                       .select("fact_id", "band_id").collect()))
+    for width in (0.5, 3, 50):
+        got = sorted(map(tuple,
+                         R.bucketed_range_join(facts, bdf, "v",
+                                               bucket_width=width)
+                         .select("fact_id", "band_id").collect()))
+        assert got == naive, width
+
+
+def test_range_joins_reject_nonpositive_width(spark):
+    f = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    b = spark.createDataFrame([("x", 0.0, 5.0)],
+                              "band_id string, lo double, hi double")
+    with pytest.raises(ValueError, match="positive"):
+        R.bucketed_range_join(f, b, "v", bucket_width=0)
+    l = spark.createDataFrame([(1, 0, 5)], "lid long, ls long, le long")
+    r = spark.createDataFrame([(2, 1, 2)], "rid long, rs long, re long")
+    with pytest.raises(ValueError, match="positive"):
+        R.interval_overlap_join(l, r, "ls", "le", "rs", "re",
+                                bucket_width=-1)
