@@ -2392,3 +2392,68 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return (E.hourly_anomalies(ev, z_threshold=2.0)
             .orderBy("event_type", "window_start"))
+
+
+def _ivf_exact_oracle(k: int = 10, n_probe: int = 3, dim: int = 64) -> str:
+    """Full IVF search reproduced in DuckDB: exact fixed-point
+    centroids (the emb_label_centroids math), cosine assignment with
+    the same (sim DESC, cid ASC) tie rule, n_probe cell pruning, and
+    the in-cell top-k — every float comes from the identical fold, so
+    even this APPROXIMATE search hash-matches bit-for-bit."""
+    cos_a = _cosine_sql("v", "cvec", dim)
+    cos_q = _cosine_sql("qv", "cvec", dim)
+    cos_s = _cosine_sql("qv", "v", dim)
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+cl AS (SELECT label AS centroid_id,
+              CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+              unnest(embedding) AS comp
+       FROM embeddings),
+cm AS (SELECT centroid_id, pos,
+              CAST(SUM(CAST(round(CAST(comp AS DOUBLE) * {S.CENTROID_SCALE})
+                            AS BIGINT)) AS DOUBLE)
+                  / COUNT(*) / {S.CENTROID_SCALE} AS mean_value
+       FROM cl GROUP BY centroid_id, pos),
+cent AS (SELECT centroid_id, list(mean_value ORDER BY pos) AS cvec
+         FROM cm GROUP BY centroid_id),
+aj AS (SELECT e.vec_id, e.v, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                  ORDER BY {cos_a} DESC, c.centroid_id ASC) AS crn
+       FROM e CROSS JOIN cent c),
+cells AS (SELECT vec_id, v, centroid_id FROM aj WHERE crn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+qp AS (SELECT q.query_id, q.qv, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id
+                  ORDER BY {cos_q} DESC, c.centroid_id ASC) AS prn
+       FROM q CROSS JOIN cent c),
+probes AS (SELECT query_id, qv, centroid_id FROM qp WHERE prn <= {n_probe}),
+sc AS (SELECT p.query_id, s.vec_id AS neighbor_id, {cos_s} AS cosine_sim
+       FROM probes p JOIN cells s ON p.centroid_id = s.centroid_id
+       WHERE s.vec_id <> p.query_id),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM sc)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+@register("sim_ivf_topk_exact", _ivf_exact_oracle(10, 3))
+def sim_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search with FULL value verification: codebook from the
+    order-independent fixed-point label centroids, so — unlike the
+    kmeans-trained sim_ivf_topk, which stays rows-only — assignment,
+    probing, and in-cell ranking all reproduce bit-for-bit in the
+    DuckDB oracle. Demonstrates the approximate path's determinism:
+    approximation here is WHICH cells are probed, never nondeterminism
+    in the math."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    long_c = S.label_centroids_exact(emb)
+    cents = (long_c.groupBy("centroid_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct("pos", "mean_value"))),
+                 lambda x: x["mean_value"]).alias("centroid")))
+    queries = emb.where(F.col("vec_id") < 5)
+    return (S.ivf_topk(emb, queries, cents, k=10, n_probe=3)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank")
+            .orderBy("query_id", "rank"))

@@ -78,6 +78,7 @@ EXTENDED = [
     "dedup_duplicate_spans",
     "asof_nearest_events",
     "events_hourly_anomalies",
+    "sim_ivf_topk_exact",
 ]
 
 
