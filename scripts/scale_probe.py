@@ -294,6 +294,36 @@ def incremental_probe(multiples: list) -> None:
             "seconds": elapsed}))
 
 
+def spans_probe(multiples: list) -> None:
+    """Duplicate-span census as the corpus multiplies: cost must stay
+    linear in corpus tokens (one hash shuffle + join-back), and the
+    duplicated-occurrence count grows with real repeated text, not
+    quadratically."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    base = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    D.duplicate_spans(base, width=20).count()  # warmup
+
+    for m in multiples:
+        docs = base
+        for i in range(m - 1):
+            docs = docs.unionByName(base.select(
+                (F.col("doc_id") + (i + 1) * 10_000_000).alias("doc_id"),
+                "text"))
+        n_docs = docs.count()  # outside the timed region
+        t0 = time.time()
+        out = D.duplicate_spans(docs, width=20)
+        agg = out.agg(F.sum("n_spans").alias("s"),
+                      F.sum("n_dup_spans").alias("d")).first()
+        elapsed = round(time.time() - t0, 2)
+        print(json.dumps({
+            "probe": "duplicate_spans", "multiple": m, "docs": n_docs,
+            "total_spans": int(agg["s"]), "dup_spans": int(agg["d"]),
+            "seconds": elapsed}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--hierarchy":
         hierarchy_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
@@ -307,5 +337,7 @@ if __name__ == "__main__":
         rangejoin_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         incremental_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--spans":
+        spans_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     else:
         main()
