@@ -70,7 +70,7 @@ _DRIVER_WINDOW_FIRST = [
     # round-3 slots swapped out for new round-5 entries stay green in
     # the full local oracle run (scripts/oracle_check.py, 0 failures)
     # and rotate back next round:
-    "dedup_simhash", "q10_returned_items", "q11_important_parts",
+    "dedup_simhash",
     # new in round 5 (no driver row yet):
     "dedup_containment_pairs", "pipeline_mixture_weights",
     "pipeline_rebalance", "text_countmin_heavyhitters",
@@ -82,7 +82,8 @@ _DRIVER_WINDOW_FIRST = [
     "q_partitioned_pruning", "q_variant_extract",
     "text_bpe_token_count", "dedup_duplicate_spans",
     "asof_nearest_events", "events_hourly_anomalies",
-    "sim_ivf_topk_exact",
+    "sim_ivf_topk_exact", "pipeline_leakage_free_split",
+    "hier_agg_by_month",
 ]
 
 

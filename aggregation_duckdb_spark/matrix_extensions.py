@@ -2457,3 +2457,96 @@ def sim_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (S.ivf_topk(emb, queries, cents, k=10, n_probe=3)
             .select("query_id", "neighbor_id", "cosine_sim", "rank")
             .orderBy("query_id", "rank"))
+
+
+@register("pipeline_leakage_free_split", f"""
+WITH RECURSIVE {_NEARDUP_PAIRS_CTES},
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+    SELECT DISTINCT a AS id, a AS r FROM edges
+    UNION
+    SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+cl AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       FROM (SELECT doc_id FROM documents) d
+       LEFT JOIN labels l ON d.doc_id = l.id),
+b AS (SELECT doc_id, cluster_id,
+             ('0x' || substr(md5('leak-v1|' || CAST(cluster_id AS VARCHAR)),
+                             1, 8))::BIGINT % 10000 AS bucket
+      FROM cl)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+""")
+def pipeline_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-true splitting: near-dup clusters (LSH pairs closed by
+    connected components) are assigned to train/val/test as UNITS, so
+    a near-copy of an eval document can never sit in train
+    (``pipeline.leakage_free_split``; pytest pins the same-split
+    invariant over every verified pair)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (P.leakage_free_split(docs, threshold=0.6)
+            .orderBy("doc_id"))
+
+
+@register("hier_agg_by_month", f"""
+WITH RECURSIVE nodes AS ({_fs.GEO_NODES_SQL}),
+levels AS (
+    SELECT natural_key, name, 1 AS level_number, [natural_key] AS path
+    FROM nodes WHERE parent_natural_key IS NULL
+    UNION ALL
+    SELECT n.natural_key, n.name, l.level_number + 1,
+           list_append(l.path, n.natural_key)
+    FROM nodes n JOIN levels l ON n.parent_natural_key = l.natural_key),
+closure AS (SELECT UNNEST(path) AS ancestor_key, natural_key AS descendant_key
+            FROM levels),
+an AS (SELECT natural_key, name FROM nodes),
+facts AS (
+    SELECT o.o_custkey, o.o_totalprice,
+           CAST(c.c_nationkey AS BIGINT) AS nation_key,
+           CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT cl.ancestor_key AS node_natural_key, an.name AS node_name, f.month,
+       CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_total_price,
+       COUNT(DISTINCT f.o_custkey) AS distinct_customer_count,
+       COUNT(*) AS n_orders
+FROM facts f
+JOIN closure cl ON f.nation_key = cl.descendant_key
+JOIN an ON cl.ancestor_key = an.natural_key
+GROUP BY ALL
+ORDER BY node_natural_key, month
+""")
+def hier_agg_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-dimension hierarchical aggregation: the closure fan-out up
+    the geo hierarchy × calendar months — the cross-rollup shape a
+    reporting user layers on the flagship. Facts broadcast-join both
+    dims (customer and closure) and shuffle once for the final
+    (ancestor, month) group-by; the exact COUNT(DISTINCT) stays
+    non-additive per cell, which is why the closure re-scan exists."""
+    hier = _fs.geo_hierarchy(spark, sf_dir)
+    closure = hier.closure().select(
+        F.col("ancestor_node_natural_key").alias("node_natural_key"),
+        F.col("ancestor_node_name").alias("node_name"),
+        F.col("descendant_node_natural_key").alias("descendant_key"))
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nation_key"))
+    facts = (orders
+             .join(F.broadcast(customer),
+                   orders["o_custkey"] == customer["c_custkey"])
+             .select("o_custkey", "o_totalprice", "nation_key",
+                     F.trunc(F.col("o_orderdate"), "month").alias("month")))
+    return (facts
+            .join(F.broadcast(closure),
+                  facts["nation_key"] == closure["descendant_key"])
+            .groupBy("node_natural_key", "node_name", "month")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_total_price"),
+                 F.count_distinct(F.col("o_custkey"))
+                 .alias("distinct_customer_count"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("node_natural_key", "month"))

@@ -321,6 +321,46 @@ def decontaminate(train: DataFrame, bench: DataFrame,
                     .alias("contaminated")))
 
 
+def leakage_free_split(docs: DataFrame,
+                       fractions: dict[str, float] | None = None,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       threshold: float = 0.6,
+                       max_bucket_size: int | None = None,
+                       salt: str = "leak-v1") -> DataFrame:
+    """Train/val/test assignment where near-duplicate CLUSTERS move as
+    one unit: the split key is the connected-component label of the
+    verified near-dup graph, so two near-identical documents can never
+    land on opposite sides of the train/eval boundary — the leakage
+    mode a per-document split silently permits (eval docs with a
+    near-copy in train inflate benchmark scores).
+
+    Pipeline: LSH near-dup pairs → connected components → every doc
+    keyed by its cluster id (singletons are their own cluster) → the
+    md5-bucket split applied to the CLUSTER id. Deterministic like
+    :func:`split_assign`; ``max_bucket_size`` defaults to None here
+    because cluster-true splits want the oracle-exact pair set — pass
+    the finite default for adversarial corpora at scale.
+
+    Returns (id, cluster_id, split)."""
+    from aggregation_duckdb_spark.operators import dedup, graph
+    pairs = dedup.near_duplicates(docs, text_col=text_col, id_col=id_col,
+                                  threshold=threshold,
+                                  max_bucket_size=max_bucket_size)
+    labels = graph.connected_components(pairs, src="doc_a", dst="doc_b")
+    clustered = (docs.select(F.col(id_col))
+                 .join(labels.select(F.col("id").alias(id_col), "label"),
+                       id_col, "left")
+                 .select(F.col(id_col),
+                         F.coalesce(F.col("label"), F.col(id_col))
+                         .alias("cluster_id")))
+    csplits = split_assign(clustered.select("cluster_id").distinct(),
+                           id_col="cluster_id", fractions=fractions,
+                           salt=salt)
+    return (clustered
+            .join(csplits.select("cluster_id", "split"), "cluster_id")
+            .select(id_col, "cluster_id", "split"))
+
+
 def group_sample_fixed(docs: DataFrame, n: int, by: str = "source",
                        id_col: str = "doc_id",
                        salt: str = "gs-v1") -> DataFrame:

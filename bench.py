@@ -79,6 +79,8 @@ EXTENDED = [
     "asof_nearest_events",
     "events_hourly_anomalies",
     "sim_ivf_topk_exact",
+    "pipeline_leakage_free_split",
+    "hier_agg_by_month",
 ]
 
 

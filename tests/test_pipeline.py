@@ -302,3 +302,25 @@ def test_group_sample_fixed_exact_quota_and_deterministic(spark, sf_dir):
                   P.group_sample_fixed(docs, n=3, by="source")
                   .select("doc_id").collect())
     assert ids1 == ids2
+
+
+def test_leakage_free_split_keeps_near_dups_together(spark, sf_dir):
+    """Every verified near-dup pair must land in the SAME split — the
+    invariant a per-document split violates whenever a pair's md5
+    buckets straddle a boundary."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.operators import pipeline as P
+    docs = load_table(spark, "documents", sf_dir)
+    out = P.leakage_free_split(docs, threshold=0.6)
+    splits = {r.doc_id: r.split for r in out.collect()}
+    assert set(splits) == {r.doc_id for r in docs.select("doc_id").collect()}
+    pairs = D.near_duplicates(docs, threshold=0.6,
+                              max_bucket_size=None).collect()
+    assert pairs, "fixture corpus should contain near-dups"
+    for p in pairs:
+        assert splits[p.doc_a] == splits[p.doc_b], (p.doc_a, p.doc_b)
+    # the plain per-doc split DOES separate at least one such pair
+    # (otherwise this test proves nothing on this corpus)
+    plain = {r.doc_id: r.split for r in P.split_assign(docs).collect()}
+    assert any(plain[p.doc_a] != plain[p.doc_b] for p in pairs)
