@@ -70,7 +70,6 @@ _DRIVER_WINDOW_FIRST = [
     # round-3 slots swapped out for new round-5 entries stay green in
     # the full local oracle run (scripts/oracle_check.py, 0 failures)
     # and rotate back next round:
-    "dedup_simhash",
     # new in round 5 (no driver row yet):
     "dedup_containment_pairs", "pipeline_mixture_weights",
     "pipeline_rebalance", "text_countmin_heavyhitters",
@@ -83,7 +82,7 @@ _DRIVER_WINDOW_FIRST = [
     "text_bpe_token_count", "dedup_duplicate_spans",
     "asof_nearest_events", "events_hourly_anomalies",
     "sim_ivf_topk_exact", "pipeline_leakage_free_split",
-    "hier_agg_by_month",
+    "hier_agg_by_month", "dedup_prefix_pairs",
 ]
 
 

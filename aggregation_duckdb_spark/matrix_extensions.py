@@ -2550,3 +2550,39 @@ def hier_agg_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("distinct_customer_count"),
                  F.count(F.lit(1)).alias("n_orders"))
             .orderBy("node_natural_key", "month"))
+
+
+@register("dedup_prefix_pairs", f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM d),
+ex AS (SELECT doc_id AS doc, UNNEST(sh) AS sg FROM s),
+dfc AS (SELECT sg, COUNT(*) AS df FROM ex GROUP BY sg),
+exd AS (SELECT ex.doc, ex.sg, dfc.df FROM ex JOIN dfc ON ex.sg = dfc.sg),
+pre AS (SELECT doc, list(sg ORDER BY df, sg) AS ordered, COUNT(*) AS n
+        FROM exd GROUP BY doc),
+pfx AS (SELECT doc,
+               UNNEST(ordered[1 : CAST(n - ceil(0.6 * n) + 1 AS INT)]) AS sg
+        FROM pre),
+cands AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM pfx a JOIN pfx b ON a.sg = b.sg AND a.doc < b.doc)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+                  AS DOUBLE) AS jaccard
+FROM cands c
+JOIN s sa ON c.doc_a = sa.doc_id
+JOIN s sb ON c.doc_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+             AS DOUBLE) >= 0.6
+ORDER BY doc_a, doc_b
+""")
+def dedup_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
+    family): guaranteed-complete Jaccard >= 0.6 pairs — the
+    deterministic complement to the probabilistic MinHash-LSH path
+    (``dedup.prefix_filter_pairs``; exactness vs the naive all-pairs
+    join pinned by pytest)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (D.prefix_filter_pairs(docs, threshold=0.6)
+            .orderBy("doc_a", "doc_b"))

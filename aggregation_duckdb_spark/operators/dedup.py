@@ -526,3 +526,51 @@ def duplicate_spans(docs: DataFrame, text_col: str = "text",
             .withColumn("dup_ratio",
                         F.col("n_dup_spans").cast("double")
                         / F.col("n_spans").cast("double")))
+
+
+def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.6,
+                        shingle_width: int = 3) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (the
+    AllPairs/PPJoin family) — the deterministic complement to
+    MinHash-LSH: where LSH trades recall for speed probabilistically,
+    prefix filtering guarantees EVERY pair with Jaccard >= threshold
+    is found. Theorem: if J(X, Y) >= t then X and Y must share at
+    least one element among each side's first |X| - ceil(t·|X|) + 1
+    elements under any GLOBAL total order — rarest-first ordering
+    makes those prefixes the least-common shingles, so the candidate
+    join stays small.
+
+    Shape: shingle df census (one groupBy), per-doc rarest-first sort
+    (one groupBy — window-free), prefix explode → shingle equi-join →
+    exact Jaccard verify. All shuffles are hash equi-partitions; the
+    df-ordered prefix is why this doesn't degenerate into the full
+    inverted-index join (stop-shingles never enter prefixes of large
+    sets). Returns (doc_a, doc_b, jaccard) with doc_a < doc_b —
+    provably the complete >= threshold pair set.
+    """
+    shingled = doc_shingles(docs, text_col, id_col, shingle_width,
+                            checkpoint=True)
+    ex = shingled.select("doc", F.explode("__sh").alias("sg"))
+    dfc = ex.groupBy("sg").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (ex.join(dfc, "sg")
+               .groupBy("doc")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("df", "sg"))),
+                   lambda x: x["sg"]).alias("ordered"),
+                   F.count(F.lit(1)).alias("n")))
+    # prefix length |X| - ceil(t|X|) + 1; both engines parse the same
+    # double literal for t, so the ceil agrees bit-for-bit
+    plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    pfx = (ordered.select("doc",
+                          F.explode(F.slice("ordered", F.lit(1), plen))
+                          .alias("sg")))
+    cands = (pfx.alias("a").join(pfx.alias("b"),
+                                 (F.col("a.sg") == F.col("b.sg"))
+                                 & (F.col("a.doc") < F.col("b.doc")))
+             .select(F.col("a.doc").alias("doc_a"),
+                     F.col("b.doc").alias("doc_b"))
+             .distinct())
+    return (jaccard_for_pairs(cands, docs, text_col, id_col, shingle_width,
+                              shingled=shingled)
+            .where(F.col("jaccard") >= threshold))

@@ -81,6 +81,7 @@ EXTENDED = [
     "sim_ivf_topk_exact",
     "pipeline_leakage_free_split",
     "hier_agg_by_month",
+    "dedup_prefix_pairs",
 ]
 
 

@@ -588,3 +588,27 @@ def test_funnel_randomized_equivalence_vs_python_reference(spark):
         if times:
             want[user] = (len(times), len(times) == 3)
     assert got == want
+
+
+def test_prefix_filter_is_complete_vs_all_pairs(spark, sf_dir):
+    """Prefix filtering must find EVERY pair with Jaccard >= t — exact
+    set equality with the naive all-pairs join (the guarantee LSH
+    doesn't make)."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+    docs = load_table(spark, "documents", sf_dir)
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in D.prefix_filter_pairs(docs, threshold=0.6).collect()}
+    sh = D.doc_shingles(docs)
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("__sh").alias("sa"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("__sh").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
+    naive = (a.join(b, F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b",
+                     (inter.cast("double") / union.cast("double"))
+                     .alias("jaccard"))
+             .where(F.col("jaccard") >= 0.6))
+    want = {(r.doc_a, r.doc_b): r.jaccard for r in naive.collect()}
+    assert got == want
+    assert want, "fixture corpus should contain >= 0.6 pairs"

@@ -353,3 +353,15 @@ def test_duplicate_spans_two_shuffles_no_sort(spark, sf_dir):
     assert_no_nested_loop_join(out)
     assert count_shuffles(out) <= 3
     assert_no_row_python_udf(out)
+
+
+def test_prefix_filter_equi_joins_only(spark, sf_dir):
+    """Prefix-filter set-similarity join: candidate generation and the
+    verify are hash equi-joins; the naive all-pairs theta join exists
+    only in its completeness TEST, never in the operator's plan."""
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    docs = load_table(spark, "documents", sf_dir)
+    out = D.prefix_filter_pairs(docs, threshold=0.6)
+    assert_no_nested_loop_join(out)
+    assert_no_row_python_udf(out)
