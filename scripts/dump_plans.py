@@ -1,0 +1,70 @@
+"""Dump formatted physical plans of the scale-critical entries to a
+markdown artifact — the in-repo evidence that the plans ARE the shapes
+the 100 TB design claims: broadcast joins on dim sides, pushed filters,
+bucket equi-joins instead of nested loops, partition pruning.
+
+Usage: python scripts/dump_plans.py [out.md]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+#: entry → one-line claim the plan below must visibly support
+ENTRIES = {
+    "hier_agg_closure": (
+        "facts never shuffle for the closure join — BroadcastHashJoin on "
+        "both dim sides; the only exchanges are the final aggregate"),
+    "events_value_bands": (
+        "range join rewritten to an equi-join: BroadcastHashJoin on the "
+        "bucket key, the lo/hi range check is a post-join Filter — no "
+        "BroadcastNestedLoopJoin anywhere"),
+    "dedup_near_duplicates": (
+        "LSH candidates from the capped one-shuffle bucket path; verify "
+        "joins are hash equi-joins on doc ids"),
+    "dedup_incremental": (
+        "corpus side streams, batch side broadcasts: every join against "
+        "the existing corpus is a BroadcastHashJoin of the batch"),
+    "q_partitioned_pruning": (
+        "event_type=purchase lands in PartitionFilters (directory "
+        "pruning), not a post-scan Filter"),
+    "q6_revenue_forecast": (
+        "pure scan-aggregate: every predicate in PushedFilters, "
+        "ReadSchema holds only the referenced columns"),
+}
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANS_r05.md"
+    from aggregation_duckdb_spark import matrix
+    from aggregation_duckdb_spark.plans import physical_plan
+    from aggregation_duckdb_spark.session import get_spark
+
+    spark = get_spark("plan-dump", extra_confs={"spark.ui.enabled": "false"})
+    qs = matrix.queries()
+    lines = [
+        "# Physical plans — round-5 audit",
+        "",
+        f"`df.explain('formatted')` of the scale-critical entries at "
+        f"{SF_DIR} (regenerate: `python scripts/dump_plans.py`). Each "
+        "plan is preceded by the claim it must visibly support; the "
+        "plan-shape pytest suite (tests/test_plans.py) pins the same "
+        "properties against regressions.",
+        "",
+    ]
+    for name, claim in ENTRIES.items():
+        df = qs[name](spark, SF_DIR)
+        plan = physical_plan(df, "formatted")
+        lines += [f"## {name}", "", f"**Claim:** {claim}", "",
+                  "```", plan.rstrip(), "```", ""]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
