@@ -2586,3 +2586,40 @@ def dedup_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return (D.prefix_filter_pairs(docs, threshold=0.6)
             .orderBy("doc_a", "doc_b"))
+
+
+@register("pipeline_corpus_report", f"""
+WITH d AS (SELECT doc_id, lang, source, text, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, lang, source,
+             CAST(len(toks) AS BIGINT) AS tok,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]',
+                                                       '', 'g'))
+                  AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(toks, t -> list_contains(
+                 [{", ".join(f"'{w}'" for w in _ALL_STOP)}], t)))
+                  AS DOUBLE) AS n_stop
+      FROM d),
+qd AS (SELECT doc_id, lang, source, tok,
+              round(0.4 * least(n_tok / 64.0, 1.0)
+                    + 0.3 * (1.0 - n_punct / greatest(n_chars, 1.0))
+                    + 0.3 * least(n_stop / greatest(n_tok, 1.0) * 4, 1.0), 6)
+                  AS q
+       FROM m)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CAST(round(q * 1000000) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000000 AS mean_quality,
+       CAST(SUM(CASE WHEN q >= 0.45 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_above_threshold
+FROM qd GROUP BY lang, source
+ORDER BY lang, source
+""")
+def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card cross-tab (language × source): doc counts,
+    exact token sums, fixed-point mean quality, quality-gate pass
+    counts (``pipeline.corpus_report``) — the summary a corpus ships
+    with and a nightly ingest diffs."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (P.corpus_report(docs).orderBy("lang", "source"))

@@ -321,6 +321,36 @@ def decontaminate(train: DataFrame, bench: DataFrame,
                     .alias("contaminated")))
 
 
+def corpus_report(docs: DataFrame, by: tuple[str, ...] = ("lang", "source"),
+                  quality_threshold: float = 0.45, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """The dataset-card cross-tab: per group (language × source by
+    default) — document counts, exact token sums, mean quality score,
+    and how many docs clear the quality gate. The summary a corpus
+    ships with, and the monitoring query a nightly ingest diffs.
+
+    Mean quality aggregates in FIXED POINT (quality_score is rounded
+    to 6 decimals, so ×1e6 is integral): integer sums commute across
+    any partitioning, then two IEEE divisions at the end — the mean is
+    bit-identical across engines, unlike a float-fold avg(). One
+    shuffle (the group-by)."""
+    from aggregation_duckdb_spark.operators.text import (quality_score,
+                                                         token_count)
+    q = quality_score(docs, text_col, id_col).select(
+        F.col(id_col), "quality_score")
+    base = docs.select(F.col(id_col), *[F.col(c) for c in by],
+                       token_count(F.col(text_col)).alias("__tok"))
+    joined = base.join(q, id_col)
+    qfix = F.round(F.col("quality_score") * 1_000_000).cast("long")
+    return (joined.groupBy(*[F.col(c) for c in by])
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__tok").cast("long").alias("sum_tokens"),
+                 (F.sum(qfix).cast("double") / F.count(F.lit(1))
+                  / 1_000_000).alias("mean_quality"),
+                 F.sum((F.col("quality_score") >= quality_threshold)
+                       .cast("long")).alias("n_above_threshold")))
+
+
 def leakage_free_split(docs: DataFrame,
                        fractions: dict[str, float] | None = None,
                        id_col: str = "doc_id", text_col: str = "text",

@@ -82,6 +82,7 @@ EXTENDED = [
     "pipeline_leakage_free_split",
     "hier_agg_by_month",
     "dedup_prefix_pairs",
+    "pipeline_corpus_report",
 ]
 
 
