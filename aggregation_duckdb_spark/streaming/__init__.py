@@ -16,6 +16,7 @@ from aggregation_duckdb_spark.streaming.event_time import (
     dedup_stream, events_stream, run_available_now,
     session_windows_stream, sliding_counts_stream,
     tumbling_counts_stream)
+from aggregation_duckdb_spark.streaming.anomaly import anomaly_stream
 from aggregation_duckdb_spark.streaming.funnel import funnel_stream
 from aggregation_duckdb_spark.streaming.near_dedup import (
     near_dedup_stream, signature_buckets)
@@ -28,5 +29,6 @@ __all__ = [
     "session_windows_stream", "sliding_counts_stream",
     "tumbling_counts_stream", "running_user_totals",
     "near_dedup_stream", "signature_buckets", "funnel_stream",
+    "anomaly_stream",
     "read_sink", "run_to_parquet_exactly_once", "write_batch_idempotent",
 ]

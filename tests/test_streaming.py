@@ -344,3 +344,71 @@ def test_stream_funnel_matches_batch_across_restart(spark, sf_dir, tmp_path):
     straddlers = batch.where((F.col("t_0") <= F.lit(cut))
                              & (F.col("t_2") > F.lit(cut))).count()
     assert straddlers > 0
+
+
+def test_anomaly_stream_prequential_across_restart(spark, sf_dir, tmp_path):
+    """Prequential z-scores over a metric stream: run 1 ingests the
+    early half of hourly counts, run 2 (same checkpoint) the late
+    half; every emission must match a direct Python fold of the same
+    prequential semantics — which requires the integer moments to
+    survive the state-store round-trip exactly."""
+    import glob
+    import math
+    import shutil
+    from aggregation_duckdb_spark.streaming import anomaly_stream
+    from aggregation_duckdb_spark.streaming.sinks import (
+        run_to_parquet_exactly_once)
+
+    hourly = (load_table(spark, "events", sf_dir)
+              .groupBy("event_type",
+                       F.window("ts", "1 hour").getField("start")
+                       .alias("window_start"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    cut = hourly.agg(F.percentile_approx("window_start", 0.5)).first()[0]
+    src = tmp_path / "src"; src.mkdir()
+    sink = str(tmp_path / "sink"); ckpt = str(tmp_path / "ckpt")
+
+    def add(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(glob.glob(stage + "/part-*.parquet")[0],
+                    str(src / f"{name}.parquet"))
+
+    def run():
+        stream = spark.readStream.schema(hourly.schema).parquet(str(src))
+        run_to_parquet_exactly_once(anomaly_stream(stream), sink, ckpt)
+
+    add(hourly.where(F.col("window_start") <= cut), "early")
+    run()
+    add(hourly.where(F.col("window_start") > cut), "late")
+    run()
+
+    got = {(r.event_type, r.window_start): (r.n_events, r.z, r.flagged)
+           for r in spark.read.parquet(sink).collect()}
+
+    rows = sorted(map(tuple, hourly.collect()))
+    state: dict = {}
+    want = {}
+    for typ, w, c in sorted(rows, key=lambda r: (r[0], r[1])):
+        n, s, ss = state.get(typ, (0, 0, 0))
+        z = None
+        if n >= 2:
+            mean = s / n
+            var = (ss - s * s / n) / (n - 1)
+            if var > 0:
+                z = (c - mean) / math.sqrt(var)
+        want[(typ, w)] = (c, z, z is not None and abs(z) >= 2.0)
+        state[typ] = (n + 1, s + c, ss + c * c)
+    assert set(got) == set(want)
+    for k, (c, z, fl) in want.items():
+        gc, gz, gfl = got[k]
+        assert gc == c and gfl == fl, k
+        if z is None:
+            assert gz is None or (gz != gz), k  # NULL (or NaN) both fine
+        else:
+            assert abs(gz - z) < 1e-12, k
+    # both runs contributed emissions, and some hour was flagged
+    assert any(fl for _, _, fl in want.values())
+    early = {k for k in want if k[1] <= cut}
+    late = {k for k in want if k[1] > cut}
+    assert early and late
