@@ -65,7 +65,7 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_exact_survivors", "dedup_near_duplicates",
     "dedup_cc_clusters", "pipeline_clean_corpus", "pipeline_end_to_end",
     "pipeline_pack_sequences", "mm_payload_stats_arrow",
-    "mm_decode_metadata", "mm_resize",
+    "mm_decode_metadata",
     # oldest remaining evidence (round 3) — routine refresh. The
     # round-3 slots swapped out for new round-5 entries stay green in
     # the full local oracle run (scripts/oracle_check.py, 0 failures)
@@ -83,7 +83,7 @@ _DRIVER_WINDOW_FIRST = [
     "asof_nearest_events", "events_hourly_anomalies",
     "sim_ivf_topk_exact", "pipeline_leakage_free_split",
     "hier_agg_by_month", "dedup_prefix_pairs",
-    "pipeline_corpus_report",
+    "pipeline_corpus_report", "hier_agg_time",
 ]
 
 

@@ -2623,3 +2623,125 @@ def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     with and a nightly ingest diffs."""
     docs = load_table(spark, "documents", sf_dir)
     return (P.corpus_report(docs).orderBy("lang", "source"))
+
+
+# ---------------------------------------------------------------------
+# time-dimension hierarchy (r5) — the engine on a third domain
+# ---------------------------------------------------------------------
+
+_TIME_NODES_SPARK_DOC = """year → quarter → month hierarchy derived
+from order dates; natural keys are collision-free integers (year y,
+quarter y·10+q, month y·100+m)."""
+
+
+@register("hier_agg_time", """
+WITH RECURSIVE nodes AS (
+    SELECT CAST(-1 AS BIGINT) AS natural_key, 'All Time' AS name,
+           'Root' AS level_name, CAST(NULL AS BIGINT) AS parent_natural_key
+    UNION ALL
+    SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT),
+           CAST(year(o_orderdate) AS VARCHAR), 'Year', CAST(-1 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT DISTINCT CAST(year(o_orderdate) * 10 + quarter(o_orderdate)
+                         AS BIGINT),
+           CAST(year(o_orderdate) AS VARCHAR) || '-Q'
+               || CAST(quarter(o_orderdate) AS VARCHAR),
+           'Quarter', CAST(year(o_orderdate) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT DISTINCT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                         AS BIGINT),
+           CAST(year(o_orderdate) AS VARCHAR) || '-'
+               || lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0'),
+           'Month', CAST(year(o_orderdate) * 10 + quarter(o_orderdate)
+                         AS BIGINT)
+    FROM orders),
+levels AS (
+    SELECT natural_key, name, level_name, 1 AS level_number,
+           [natural_key] AS path
+    FROM nodes WHERE parent_natural_key IS NULL
+    UNION ALL
+    SELECT n.natural_key, n.name, n.level_name, l.level_number + 1,
+           list_append(l.path, n.natural_key)
+    FROM nodes n JOIN levels l ON n.parent_natural_key = l.natural_key),
+dim AS (SELECT *, ROW_NUMBER() OVER (ORDER BY path ASC) AS node_sort_order
+        FROM levels),
+closure AS (SELECT UNNEST(path) AS ancestor_key, natural_key AS descendant_key
+            FROM levels),
+facts AS (
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS month_key,
+           o_custkey, o_totalprice
+    FROM orders)
+SELECT d.natural_key AS node_natural_key, d.name AS node_name,
+       d.level_name, d.level_number,
+       CAST(d.node_sort_order AS BIGINT) AS node_sort_order,
+       CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_total_price,
+       COUNT(DISTINCT f.o_custkey) AS distinct_customer_count,
+       COUNT(*) AS count_of_fact_records
+FROM facts f
+JOIN closure cl ON f.month_key = cl.descendant_key
+JOIN dim d ON cl.ancestor_key = d.natural_key
+GROUP BY ALL
+ORDER BY node_sort_order
+""")
+def hier_agg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hierarchy engine on a THIRD domain (after products and
+    geography): a year→quarter→month time dimension derived from the
+    fact dates themselves, flattened and closure-aggregated by the
+    identical machinery — all-time/year/quarter subtotals without
+    ROLLUP, on a ragged-capable path. Natural keys are collision-free
+    integers (y, y·10+q, y·100+m)."""
+    from aggregation_duckdb_spark.hierarchy import Hierarchy
+    from aggregation_duckdb_spark.operators.aggregate import (
+        aggregate_with_closure)
+    orders = load_table(spark, "orders", sf_dir)
+    y = F.year("o_orderdate")
+    q = F.quarter("o_orderdate")
+    m = F.month("o_orderdate")
+    root = spark.createDataFrame(
+        [(-1, "All Time", "Root", None)],
+        "natural_key long, name string, level_name string, "
+        "parent_natural_key long")
+    years = (orders.select(y.cast("long").alias("natural_key"),
+                           y.cast("string").alias("name"),
+                           F.lit("Year").alias("level_name"),
+                           F.lit(-1).cast("long")
+                           .alias("parent_natural_key")).distinct())
+    quarters = (orders.select(
+        (y * 10 + q).cast("long").alias("natural_key"),
+        F.concat(y.cast("string"), F.lit("-Q"), q.cast("string"))
+        .alias("name"),
+        F.lit("Quarter").alias("level_name"),
+        y.cast("long").alias("parent_natural_key")).distinct())
+    months = (orders.select(
+        (y * 100 + m).cast("long").alias("natural_key"),
+        F.concat(y.cast("string"), F.lit("-"),
+                 F.lpad(m.cast("string"), 2, "0")).alias("name"),
+        F.lit("Month").alias("level_name"),
+        (y * 10 + q).cast("long").alias("parent_natural_key")).distinct())
+    nodes = root.unionByName(years).unionByName(quarters).unionByName(months)
+    hier = Hierarchy.from_adjacency(
+        nodes, natural_key="natural_key", name="name",
+        level_name="level_name", parent_natural_key="parent_natural_key")
+    facts = orders.select(
+        (y * 100 + m).cast("long").alias("month_key"),
+        "o_custkey", "o_totalprice")
+    measures = [
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+         .alias("sum_total_price"),
+        F.count_distinct(F.col("o_custkey")).alias("distinct_customer_count"),
+        F.count(F.lit(1)).alias("count_of_fact_records"),
+    ]
+    agg = aggregate_with_closure(facts, hier.closure(), "month_key",
+                                 measures, reporting_dim=hier.reporting_dim())
+    return agg.select(
+        F.col("ancestor_node_natural_key").alias("node_natural_key"),
+        F.col("ancestor_node_name").alias("node_name"),
+        F.col("ancestor_level_name").alias("level_name"),
+        F.col("ancestor_level_number").cast("int").alias("level_number"),
+        F.col("node_sort_order").cast("long").alias("node_sort_order"),
+        "sum_total_price", "distinct_customer_count",
+        "count_of_fact_records")

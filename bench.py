@@ -83,6 +83,7 @@ EXTENDED = [
     "hier_agg_by_month",
     "dedup_prefix_pairs",
     "pipeline_corpus_report",
+    "hier_agg_time",
 ]
 
 
