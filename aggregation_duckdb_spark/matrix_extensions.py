@@ -2745,3 +2745,31 @@ def hier_agg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node_sort_order").cast("long").alias("node_sort_order"),
         "sum_total_price", "distinct_customer_count",
         "count_of_fact_records")
+
+
+@register("events_transition_matrix", """
+WITH steps AS (
+    SELECT user_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS from_type,
+           event_type AS to_type
+    FROM events),
+counts AS (
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM steps WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type),
+totals AS (SELECT from_type, SUM(n_transitions) AS row_total
+           FROM counts GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       CAST(c.n_transitions AS DOUBLE) / CAST(t.row_total AS DOUBLE)
+           AS probability
+FROM counts c JOIN totals t ON c.from_type = t.from_type
+ORDER BY c.from_type, c.to_type
+""")
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences:
+    consecutive-type counts + row-normalized probabilities
+    (``events.transition_matrix``) — the first-order behavior model
+    behind next-action prediction."""
+    ev = load_table(spark, "events", sf_dir)
+    return (E.transition_matrix(ev).orderBy("from_type", "to_type"))

@@ -319,3 +319,31 @@ def hourly_anomalies(events: DataFrame, z_threshold: float = 2.0,
             .where(F.abs(F.col("z")) >= z_threshold)
             .select(type_col, "window_start", "n_events",
                     "mean_events", "z"))
+
+
+def transition_matrix(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      type_col: str = "event_type") -> DataFrame:
+    """First-order behavior model: counts and row-normalized
+    probabilities of consecutive event-type transitions within each
+    user's timeline — the Markov-chain summary behind next-action
+    prediction and session-flow dashboards.
+
+    One shuffle (the per-user ordering window; the two group-bys that
+    follow reuse tiny aggregates). Probabilities divide exact integer
+    counts once at the end — bit-identical cross-engine."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = (events
+             .select(F.col(user_col),
+                     F.lag(F.col(type_col)).over(w).alias("from_type"),
+                     F.col(type_col).alias("to_type"))
+             .where(F.col("from_type").isNotNull()))
+    counts = (steps.groupBy("from_type", "to_type")
+              .agg(F.count(F.lit(1)).alias("n_transitions")))
+    totals = (counts.groupBy("from_type")
+              .agg(F.sum("n_transitions").alias("__row_total")))
+    return (counts.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n_transitions",
+                    (F.col("n_transitions").cast("double")
+                     / F.col("__row_total").cast("double"))
+                    .alias("probability")))

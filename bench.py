@@ -84,6 +84,7 @@ EXTENDED = [
     "dedup_prefix_pairs",
     "pipeline_corpus_report",
     "hier_agg_time",
+    "events_transition_matrix",
 ]
 
 
