@@ -72,3 +72,65 @@ def register_synthdocs(spark) -> None:
     """Idempotent registration; call before the first format() read in
     a session."""
     spark.dataSource.register(SynthDocsDataSource)
+
+
+class SynthTicksStreamReader:
+    """Streaming half of the Python Data Source API
+    (``SimpleDataSourceStreamReader``): a deterministic tick feed.
+    Offsets are plain dicts checkpointed by Spark; each micro-batch
+    covers rows [offset, offset + rows_per_batch) up to ``n_total``,
+    after which read() returns an empty batch with an UNCHANGED offset
+    (the stream quiesces instead of inventing data). Rows derive from
+    md5(row id) exactly like the batch source, so replay
+    (``readBetweenOffsets`` — exactly-once recovery) regenerates
+    byte-identical rows from offsets alone, with no external log."""
+
+    def __init__(self, options) -> None:
+        self.rows_per_batch = int(options.get("rows_per_batch", 50))
+        self.n_total = int(options.get("n_total", 200))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _rows(self, start: int, end: int) -> list:
+        # a LIST, not a generator: the runner pickles prefetched rows
+        # into its cache for exactly-once replay
+        import hashlib
+        out = []
+        for i in range(start, end):
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            out.append((i, h[:8], int(h[:4], 16)))
+        return out
+
+    def read(self, start: dict):
+        s = int(start["offset"])
+        e = min(s + self.rows_per_batch, self.n_total)
+        return self._rows(s, e), {"offset": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["offset"]), int(end["offset"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to acknowledge
+
+
+SYNTHTICKS_SCHEMA = "tick_id bigint, token string, weight_int bigint"
+
+
+class SynthTicksDataSource(DataSource):
+    """``spark.readStream.format("synthticks")`` — options
+    ``rows_per_batch`` (default 50) and ``n_total`` (default 200)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthticks"
+
+    def schema(self) -> str:
+        return SYNTHTICKS_SCHEMA
+
+    def simpleStreamReader(self, schema) -> "SynthTicksStreamReader":
+        return SynthTicksStreamReader(self.options)
+
+
+def register_synthticks(spark) -> None:
+    spark.dataSource.register(SynthTicksDataSource)

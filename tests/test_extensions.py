@@ -612,3 +612,26 @@ def test_prefix_filter_is_complete_vs_all_pairs(spark, sf_dir):
     want = {(r.doc_a, r.doc_b): r.jaccard for r in naive.collect()}
     assert got == want
     assert want, "fixture corpus should contain >= 0.6 pairs"
+
+
+def test_countmin_sketch_is_mergeable(spark):
+    """Count-min is LINEAR: the sketch of A∪B equals the cellwise sum
+    of sketch(A) and sketch(B) — the property that lets per-shard (or
+    per-micro-batch) sketches merge into a corpus sketch without
+    re-scanning anything."""
+    from aggregation_duckdb_spark.operators import text as T
+    a = spark.createDataFrame(
+        [(1, "x y z x y"), (2, "x y q r s")], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(3, "x y z t u"), (4, "m n o p q")], "doc_id long, text string")
+    whole = a.unionByName(b)
+    sk_a = T.countmin_build(a, depth=2, width=32, gram=2)
+    sk_b = T.countmin_build(b, depth=2, width=32, gram=2)
+    merged = {(r["row"], r["col"]): r["cnt"]
+              for r in sk_a.unionByName(sk_b)
+              .groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+              .collect()}
+    direct = {(r["row"], r["col"]): r["cnt"]
+              for r in T.countmin_build(whole, depth=2, width=32,
+                                        gram=2).collect()}
+    assert merged == direct

@@ -136,3 +136,35 @@ def test_python_datasource_partitioned_deterministic(spark):
     assert rows[7]["token_a"] == h7[:8]
     assert rows[7]["bucket"] == int(h7[:2], 16) % 10
     assert rows[7]["weight_int"] == int(h7[:4], 16)
+
+
+def test_synthticks_streaming_python_datasource(spark):
+    """Spark 4 Python Data Source STREAMING reader: the md5 tick feed
+    must deliver exactly rows [0, n_total) across micro-batches —
+    deterministic values, no duplicates, quiescing at the cap."""
+    import hashlib
+    import time
+    import uuid
+    from aggregation_duckdb_spark.sources.pydatasource import (
+        register_synthticks)
+    register_synthticks(spark)
+    name = f"ticks_{uuid.uuid4().hex}"
+    q = (spark.readStream.format("synthticks")
+         .option("rows_per_batch", 40).option("n_total", 120)
+         .load()
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 120:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = {r.tick_id: (r.token, r.weight_int)
+            for r in spark.table(name).collect()}
+    assert len(rows) == 120 and set(rows) == set(range(120))
+    for i in (0, 59, 119):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        assert rows[i] == (h[:8], int(h[:4], 16))
