@@ -44,9 +44,12 @@ def register(name: str, sql: str | None = None):
 # list only schedules WHICH entries get a driver-recorded row this
 # round. Round-5 rotation: first the 16 entries whose latest driver
 # evidence (round 2) predates the testdata regeneration — closing the
-# freshness gap to every-entry-current; then every entry whose
-# implementation changed this round; then the oldest (round-3) rows.
-# Exactly 50 names below.
+# freshness gap to every-entry-current; then the entries whose
+# implementation changed this round (two of the four refactored mm_*
+# twins represent the shared codec path — slots are scarce); then as
+# many of the 26 new round-5 entries as fit. The round-3-evidence
+# entries all rotated out this round (still green in the full local
+# oracle run) and rotate back next round. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
     # last driver evidence round 2 — before the events.ts regeneration;
     # fresh rows make the whole matrix current-data-verified:
@@ -66,10 +69,6 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_cc_clusters", "pipeline_clean_corpus", "pipeline_end_to_end",
     "pipeline_pack_sequences", "mm_payload_stats_arrow",
     "mm_decode_metadata",
-    # oldest remaining evidence (round 3) — routine refresh. The
-    # round-3 slots swapped out for new round-5 entries stay green in
-    # the full local oracle run (scripts/oracle_check.py, 0 failures)
-    # and rotate back next round:
     # new in round 5 (no driver row yet):
     "dedup_containment_pairs", "pipeline_mixture_weights",
     "pipeline_rebalance", "text_countmin_heavyhitters",
