@@ -2773,3 +2773,60 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind next-action prediction."""
     ev = load_table(spark, "events", sf_dir)
     return (E.transition_matrix(ev).orderBy("from_type", "to_type"))
+
+
+@register("pipeline_snapshot_diff", """
+WITH o AS (SELECT doc_id, md5(text) AS ho FROM documents
+           WHERE doc_id % 7 <> 0),
+n AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END)
+                 AS hn
+      FROM documents WHERE doc_id % 5 <> 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.ho IS NULL THEN 'added'
+            WHEN n.hn IS NULL THEN 'removed'
+            WHEN o.ho = n.hn THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+""")
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (``pipeline.snapshot_diff``): two simulated
+    nightly snapshots of the documents table (disjoint id slices, a
+    third of the shared docs re-cased) diffed into
+    added/removed/changed/unchanged by one full-outer md5 equi-join —
+    the ingest-ops primitive behind 'what changed since yesterday'."""
+    docs = load_table(spark, "documents", sf_dir)
+    old = (docs.where(F.col("doc_id") % 7 != 0)
+           .select("doc_id", "text"))
+    new = (docs.where(F.col("doc_id") % 5 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 3 == 0,
+                          F.upper(F.col("text")))
+                   .otherwise(F.col("text")).alias("text")))
+    return P.snapshot_diff(old, new).orderBy("doc_id")
+
+
+@register("events_dau_wau", """
+WITH active AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+    FROM events),
+dau AS (SELECT d AS day, COUNT(DISTINCT user_id) AS dau
+        FROM active GROUP BY d),
+contrib AS (SELECT user_id, UNNEST(generate_series(d, d + 6)) AS day
+            FROM active),
+wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau
+        FROM contrib GROUP BY day)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY dau.day
+""")
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU engagement per epoch day (``events.dau_wau``): the
+    7-day rolling distinct comes from each (user, day) pair exploding
+    into the 7 WAU days it serves — map-side fan-out + distinct count,
+    never a day-range self-join or an unsupported distinct-over-range
+    window."""
+    ev = load_table(spark, "events", sf_dir)
+    return E.dau_wau(ev).orderBy("day")

@@ -347,3 +347,27 @@ def transition_matrix(events: DataFrame, user_col: str = "user_id",
                     (F.col("n_transitions").cast("double")
                      / F.col("__row_total").cast("double"))
                     .alias("probability")))
+
+
+def dau_wau(events: DataFrame, user_col: str = "user_id",
+            ts_col: str = "ts") -> DataFrame:
+    """Daily/weekly active users and stickiness (DAU/WAU) per epoch
+    day — the canonical engagement metric. WAU(d) counts distinct
+    users active in [d-6, d]: rather than a distinct-over-range window
+    (unsupported) or a per-day self-join, each (user, active-day) pair
+    explodes map-side into the 7 WAU days it contributes to, then one
+    distinct count per day — shuffle volume is 7× the (user, day)
+    pairs, never user×day×day. Integer epoch-day keys (div arithmetic,
+    engine-independent); only days with activity are reported."""
+    day = F.expr(f"unix_micros({ts_col}) div {86_400_000_000}")
+    active = events.select(F.col(user_col).alias("u"),
+                           day.alias("d")).distinct()
+    dau = active.groupBy(F.col("d").alias("day")).agg(
+        F.count_distinct("u").alias("dau"))
+    contrib = active.select(
+        "u", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("day"))
+    wau = contrib.groupBy("day").agg(F.count_distinct("u").alias("wau"))
+    return (dau.join(wau, "day")
+            .select("day", "dau", "wau",
+                    (F.col("dau").cast("double") / F.col("wau").cast("double"))
+                    .alias("stickiness")))

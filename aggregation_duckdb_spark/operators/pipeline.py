@@ -572,3 +572,25 @@ def rebalance_sample(docs: DataFrame, targets: dict[str, float],
                       docs[by] == rates["group_key"])
             .where(bucket < F.col("keep_rate") * SPLIT_BUCKETS)
             .drop("group_key", "keep_rate"))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  normalize: bool = False) -> DataFrame:
+    """Corpus snapshot diff — the nightly-ingest ops primitive: which
+    documents were added, removed, changed (same id, different content
+    hash), or unchanged between two snapshots. One full-outer hash
+    equi-join on the id; content compared by md5 so the diff never
+    ships text twice.
+
+    Returns (id, status ∈ {added, removed, changed, unchanged})."""
+    t_old = F.lower(F.col(text_col)) if normalize else F.col(text_col)
+    t_new = t_old
+    o = old.select(F.col(id_col), F.md5(t_old).alias("__ho"))
+    n = new.select(F.col(id_col), F.md5(t_new).alias("__hn"))
+    status = (F.when(F.col("__ho").isNull(), "added")
+              .when(F.col("__hn").isNull(), "removed")
+              .when(F.col("__ho") == F.col("__hn"), "unchanged")
+              .otherwise("changed"))
+    return (o.join(n, id_col, "full_outer")
+            .select(F.col(id_col), status.alias("status")))

@@ -85,6 +85,8 @@ EXTENDED = [
     "pipeline_corpus_report",
     "hier_agg_time",
     "events_transition_matrix",
+    "pipeline_snapshot_diff",
+    "events_dau_wau",
 ]
 
 
