@@ -47,9 +47,12 @@ def register(name: str, sql: str | None = None):
 # freshness gap to every-entry-current; then the entries whose
 # implementation changed this round (two of the four refactored mm_*
 # twins represent the shared codec path — slots are scarce); then as
-# many of the 26 new round-5 entries as fit. The round-3-evidence
-# entries all rotated out this round (still green in the full local
-# oracle run) and rotate back next round. Exactly 50 names below.
+# many of the 29 new round-5 entries as fit (26 listed; the last three
+# added — events_transition_matrix, pipeline_snapshot_diff,
+# events_dau_wau — carry local-oracle evidence only and take driver
+# slots next round). The round-3-evidence entries all rotated out this
+# round (still green in the full local oracle run) and rotate back
+# next round. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
     # last driver evidence round 2 — before the events.ts regeneration;
     # fresh rows make the whole matrix current-data-verified:

@@ -562,9 +562,13 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
     # prefix length |X| - ceil(t|X|) + 1; both engines parse the same
     # double literal for t, so the ceil agrees bit-for-bit
     plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    # materialize before the self-join: the census + per-doc sort +
+    # prefix explode would otherwise recompute once per join side
+    # (same rule as the LSH bucket self-join above)
     pfx = (ordered.select("doc",
                           F.explode(F.slice("ordered", F.lit(1), plen))
-                          .alias("sg")))
+                          .alias("sg"))
+           .localCheckpoint(eager=True))
     cands = (pfx.alias("a").join(pfx.alias("b"),
                                  (F.col("a.sg") == F.col("b.sg"))
                                  & (F.col("a.doc") < F.col("b.doc")))

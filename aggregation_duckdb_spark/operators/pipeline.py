@@ -333,14 +333,15 @@ def corpus_report(docs: DataFrame, by: tuple[str, ...] = ("lang", "source"),
     to 6 decimals, so ×1e6 is integral): integer sums commute across
     any partitioning, then two IEEE divisions at the end — the mean is
     bit-identical across engines, unlike a float-fold avg(). One
-    shuffle (the group-by)."""
-    from aggregation_duckdb_spark.operators.text import (quality_score,
+    shuffle (the group-by): the quality expressions compute in the
+    SAME projection as the token counts — never a second scan joined
+    back on the id."""
+    from aggregation_duckdb_spark.operators.text import (quality_exprs,
                                                          token_count)
-    q = quality_score(docs, text_col, id_col).select(
-        F.col(id_col), "quality_score")
-    base = docs.select(F.col(id_col), *[F.col(c) for c in by],
-                       token_count(F.col(text_col)).alias("__tok"))
-    joined = base.join(q, id_col)
+    q = quality_exprs(F.col(text_col))["quality_score"]
+    joined = docs.select(*[F.col(c) for c in by],
+                         token_count(F.col(text_col)).alias("__tok"),
+                         q.alias("quality_score"))
     qfix = F.round(F.col("quality_score") * 1_000_000).cast("long")
     return (joined.groupBy(*[F.col(c) for c in by])
             .agg(F.count(F.lit(1)).alias("n_docs"),

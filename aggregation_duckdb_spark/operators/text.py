@@ -86,16 +86,15 @@ def language_id(docs: DataFrame, text_col: str = "text",
         F.when(best > 0, pick).otherwise("und").alias("predicted_lang"))
 
 
-def quality_score(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Composite quality score ∈ [0,1] from length, punctuation, and
-    stopword density — the standard pre-training filter trio. All
-    arithmetic from exact integers → deterministic doubles."""
-    t = F.col(text_col)
-    toks = tokens(t)
+def quality_exprs(text: Column) -> dict[str, Column]:
+    """The quality-filter trio as plain Column expressions, so callers
+    (corpus_report, custom gates) can compute them inside their OWN
+    projection — no extra scan, no join back on the id."""
+    toks = tokens(text)
     n_tok = F.size(toks).cast("double")
-    n_chars = F.length(t).cast("double")
-    punct_ratio = punct_count(t).cast("double") / F.greatest(n_chars, F.lit(1.0))
+    n_chars = F.length(text).cast("double")
+    punct_ratio = (punct_count(text).cast("double")
+                   / F.greatest(n_chars, F.lit(1.0)))
     all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
     stop_ratio = (stopword_hits(toks, all_stop).cast("double")
                   / F.greatest(n_tok, F.lit(1.0)))
@@ -103,12 +102,22 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     score = (F.lit(0.4) * length_score
              + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
              + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0)))
-    return docs.select(
-        F.col(id_col),
-        F.round(length_score, 6).alias("length_score"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"))
+    return {
+        "length_score": F.round(length_score, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score ∈ [0,1] from length, punctuation, and
+    stopword density — the standard pre-training filter trio. All
+    arithmetic from exact integers → deterministic doubles."""
+    exprs = quality_exprs(F.col(text_col))
+    return docs.select(F.col(id_col),
+                       *[c.alias(name) for name, c in exprs.items()])
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text",
@@ -284,10 +293,6 @@ def bpe_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("long")
 
 
-COMPRESSION_SCHEMA = ("doc_id long, n_bytes long, n_compressed long, "
-                      "compression_ratio double")
-
-
 def compression_ratio(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", level: int = 6) -> DataFrame:
     """Per-document zlib compression ratio (compressed/raw bytes) — the
@@ -312,12 +317,16 @@ def compression_ratio(docs: DataFrame, text_col: str = "text",
             comp = [len(zlib.compress(b, level)) for b in raw]
             n = [len(b) for b in raw]
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "n_bytes": n,
                 "n_compressed": comp,
                 "compression_ratio": [
                     (c / b) if b else None for c, b in zip(comp, n)],
             })
 
+    # schema follows the caller's id column — a fixed "doc_id" would
+    # silently rename any other id and break the join back
+    schema = (f"{id_col} long, n_bytes long, n_compressed long, "
+              f"compression_ratio double")
     return (docs.select(F.col(id_col), F.col(text_col))
-            .mapInPandas(batches, COMPRESSION_SCHEMA))
+            .mapInPandas(batches, schema))

@@ -93,8 +93,6 @@ class SynthTicksStreamReader:
         return {"offset": 0}
 
     def _rows(self, start: int, end: int) -> list:
-        # a LIST, not a generator: the runner pickles prefetched rows
-        # into its cache for exactly-once replay
         import hashlib
         out = []
         for i in range(start, end):
@@ -103,12 +101,17 @@ class SynthTicksStreamReader:
         return out
 
     def read(self, start: dict):
+        # a LIST ITERATOR, not a bare list and not a generator: the
+        # runner pickles prefetched rows into its replay cache (bare
+        # generators fail to pickle), and on the empty quiesced batch
+        # (end offset == start) it calls next() on the value expecting
+        # StopIteration — which a bare list raises TypeError on
         s = int(start["offset"])
         e = min(s + self.rows_per_batch, self.n_total)
-        return self._rows(s, e), {"offset": e}
+        return iter(self._rows(s, e)), {"offset": e}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._rows(int(start["offset"]), int(end["offset"]))
+        return iter(self._rows(int(start["offset"]), int(end["offset"])))
 
     def commit(self, end: dict) -> None:
         pass  # nothing external to acknowledge

@@ -365,3 +365,14 @@ def test_prefix_filter_equi_joins_only(spark, sf_dir):
     out = D.prefix_filter_pairs(docs, threshold=0.6)
     assert_no_nested_loop_join(out)
     assert_no_row_python_udf(out)
+
+
+def test_corpus_report_single_shuffle(spark, sf_dir):
+    """The dataset-card report computes quality in the same projection
+    as the token counts — exactly ONE exchange (the group-by), never a
+    second scan joined back on the id."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+    docs = load_table(spark, "documents", sf_dir)
+    out = P.corpus_report(docs)
+    assert count_shuffles(out) == 1
+    assert_no_row_python_udf(out)

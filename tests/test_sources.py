@@ -160,6 +160,12 @@ def test_synthticks_streaming_python_datasource(spark):
             if spark.table(name).count() >= 120:
                 break
             time.sleep(0.5)
+        # let the trigger fire PAST the cap: the quiesced empty batch
+        # (end offset == start) must idle the query, not crash it —
+        # the exact path a bare-list read() return breaks
+        time.sleep(2.0)
+        assert q.exception() is None, q.exception()
+        assert q.isActive
     finally:
         q.stop()
     rows = {r.tick_id: (r.token, r.weight_int)
