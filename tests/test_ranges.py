@@ -243,3 +243,31 @@ def test_range_joins_reject_nonpositive_width(spark):
     with pytest.raises(ValueError, match="positive"):
         R.interval_overlap_join(l, r, "ls", "le", "rs", "re",
                                 bucket_width=-1)
+
+
+def test_incremental_dedup_consistent_with_batch_pairs(spark, sf_dir):
+    """Cross-table consistency: a new doc is near-dup-flagged by the
+    incremental pass iff the BATCH near-dup join over the full corpus
+    (same parameters, uncapped) produces a pair linking it to some
+    existing doc — the incremental operator is the batch semantics
+    restricted to cross-table pairs, not a different detector."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import pipeline as P
+    docs = load_table(spark, "documents", sf_dir)
+    bkt = P.split_bucket(F.col("doc_id"), salt="inc-v1")
+    new = docs.where(bkt >= 8000)
+    old = docs.where(bkt < 8000)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+    inc = {r.doc_id: r.near_dup
+           for r in D.incremental_dedup(new, old, threshold=0.6).collect()}
+    pairs = D.near_duplicates(docs, threshold=0.6,
+                              max_bucket_size=None).collect()
+    cross_flagged = set()
+    for p in pairs:
+        if p.doc_a in new_ids and p.doc_b in old_ids:
+            cross_flagged.add(p.doc_a)
+        if p.doc_b in new_ids and p.doc_a in old_ids:
+            cross_flagged.add(p.doc_b)
+    assert {d for d, nd in inc.items() if nd} == cross_flagged
+    assert cross_flagged, "fixture corpus should contain cross pairs"
