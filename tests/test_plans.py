@@ -376,3 +376,45 @@ def test_corpus_report_single_shuffle(spark, sf_dir):
     out = P.corpus_report(docs)
     assert count_shuffles(out) == 1
     assert_no_row_python_udf(out)
+
+
+@pytest.mark.parametrize("name", [
+    "hier_agg_by_month", "hier_agg_time", "events_dau_wau",
+    "events_transition_matrix", "pipeline_snapshot_diff",
+    "dedup_incremental", "pipeline_leakage_free_split",
+    "events_funnel", "events_retention_cohorts",
+    "events_hourly_anomalies",
+    "dedup_duplicate_spans", "pipeline_chunk_overlap",
+    "text_bpe_token_count", "pipeline_corpus_report",
+    "q_multiformat_roundtrip", "q_variant_extract",
+])
+def test_round5_entries_no_nested_loop(spark, sf_dir, name):
+    """Blanket pin for the round-5 entries: none may plan a
+    nested-loop/cartesian join or a row-at-a-time Python UDF — every
+    one is built on equi-joins, windows, broadcasts, and aggregates."""
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    df = matrix.queries()[name](spark, sf_dir)
+    assert_no_nested_loop_join(df)
+    assert_no_row_python_udf(df)
+
+
+def test_ivf_exact_only_bounded_cross_is_the_probe_table(spark, sf_dir):
+    """sim_ivf_topk_exact carries exactly ONE nested-loop join: the
+    queries × codebook probe-table build (model-sized — |Q|·k rows,
+    the same sanctioned scalar-attach class as tfidf). The corpus-side
+    candidate join must stay a broadcast-hash equi-join."""
+    from aggregation_duckdb_spark.plans import physical_plan
+    df = matrix.queries()["sim_ivf_topk_exact"](spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert_broadcast_join(df, at_least=1)
+    assert_no_row_python_udf(df)
+
+
+def test_two_dim_and_time_hierarchies_broadcast_dims(spark, sf_dir):
+    """Both new hierarchy aggregations keep the flagship discipline:
+    every dim side broadcasts; facts shuffle only for the group-by."""
+    for name in ("hier_agg_by_month", "hier_agg_time"):
+        df = matrix.queries()[name](spark, sf_dir)
+        assert_broadcast_join(df, at_least=2)
