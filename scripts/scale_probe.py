@@ -324,6 +324,34 @@ def spans_probe(multiples: list) -> None:
             "seconds": elapsed}))
 
 
+def prefix_probe(multiples: list) -> None:
+    """Prefix-filter exact set-similarity join as the corpus
+    multiplies: wall-clock should track corpus size (census + sort +
+    prefix join, all hash-partitioned) while staying EXACT — the pair
+    count grows with true near-dup structure (replication makes every
+    copy pair with every other copy)."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    base = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    D.prefix_filter_pairs(base, threshold=0.6).count()  # warmup
+
+    for m in multiples:
+        docs = base
+        for i in range(m - 1):
+            docs = docs.unionByName(base.select(
+                (F.col("doc_id") + (i + 1) * 10_000_000).alias("doc_id"),
+                "text"))
+        n_docs = docs.count()  # outside the timed region
+        t0 = time.time()
+        n_pairs = D.prefix_filter_pairs(docs, threshold=0.6).count()
+        elapsed = round(time.time() - t0, 2)
+        print(json.dumps({
+            "probe": "prefix_filter_pairs", "multiple": m, "docs": n_docs,
+            "pairs": n_pairs, "seconds": elapsed}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--hierarchy":
         hierarchy_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
@@ -339,5 +367,7 @@ if __name__ == "__main__":
         incremental_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--spans":
         spans_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--prefix":
+        prefix_probe([int(a) for a in sys.argv[2:]] or [1, 4, 8])
     else:
         main()

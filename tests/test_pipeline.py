@@ -324,3 +324,15 @@ def test_leakage_free_split_keeps_near_dups_together(spark, sf_dir):
     # (otherwise this test proves nothing on this corpus)
     plain = {r.doc_id: r.split for r in P.split_assign(docs).collect()}
     assert any(plain[p.doc_a] != plain[p.doc_b] for p in pairs)
+
+
+def test_snapshot_diff_statuses(spark):
+    from aggregation_duckdb_spark.operators import pipeline as P
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.status for r in P.snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
