@@ -35,6 +35,13 @@ ENTRIES = {
     "q6_revenue_forecast": (
         "pure scan-aggregate: every predicate in PushedFilters, "
         "ReadSchema holds only the referenced columns"),
+    "dedup_prefix_pairs": (
+        "exact set-similarity join: census, rarest-first sort, prefix "
+        "equi-join, verify — hash exchanges only, no nested loop"),
+    "events_dau_wau": (
+        "7-day rolling distinct via map-side explode: two hash "
+        "aggregates and one join on the day key — no day-range "
+        "self-join anywhere"),
 }
 
 
