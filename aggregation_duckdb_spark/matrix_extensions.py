@@ -2830,3 +2830,69 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     window."""
     ev = load_table(spark, "events", sf_dir)
     return E.dau_wau(ev).orderBy("day")
+
+
+@register("dedup_minhash_estimate", f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM d),
+hashes AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs FROM s),
+sigs AS (SELECT doc_id, sh, {_minhash_sql(12)} AS sig FROM hashes),
+buckets AS (
+    SELECT doc_id AS doc, UNNEST({_band_sql(4, 3)}) AS bucket FROM sigs),
+cands AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc < b.doc)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_filter(
+           list_zip(sa.sig, sb.sig),
+           p -> p[1] = p[2])) AS DOUBLE) / 12 AS est_jaccard,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+                  AS DOUBLE) AS exact_jaccard
+FROM cands c
+JOIN sigs sa ON c.doc_a = sa.doc_id
+JOIN sigs sb ON c.doc_b = sb.doc_id
+ORDER BY doc_a, doc_b
+""")
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash estimator made visible: for every LSH candidate
+    pair, the slot-agreement Jaccard ESTIMATE (matching signature
+    slots / 12 — the unbiased MinHash property the streaming dedup
+    relies on) beside the exact shingle Jaccard. Both deterministic
+    md5 math, so even the estimator's sampling error is identical
+    cross-engine and the entry hash-matches."""
+    docs = load_table(spark, "documents", sf_dir)
+    shingled = D.doc_shingles(docs, checkpoint=True)
+    hs = shingled.select("doc", "__sh",
+                         F.transform(F.col("__sh"), F.md5).alias("hs"))
+    hp = hs.select("doc", "__sh", F.transform(
+        F.col("hs"),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"))
+    ).alias("hp"))
+    sigged = (hp.select("doc", "__sh", D.minhash_signature_from_pairs(
+        F.col("hp"), 12).alias("sig"))
+        .localCheckpoint(eager=True))
+    cands = D.minhash_lsh_candidates(docs, num_hashes=12, num_bands=4,
+                                     shingled=shingled)
+    sa = sigged.select(F.col("doc").alias("__da"),
+                       F.col("__sh").alias("__sha"),
+                       F.col("sig").alias("__siga"))
+    sb = sigged.select(F.col("doc").alias("__db"),
+                       F.col("__sh").alias("__shb"),
+                       F.col("sig").alias("__sigb"))
+    est = (F.size(F.filter(
+        F.zip_with(F.col("__siga"), F.col("__sigb"),
+                   lambda a, b: a == b),
+        lambda x: x)).cast("double") / 12)
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.col("__sha")) + F.size(F.col("__shb")) - inter
+    return (cands
+            .join(sa, cands["doc_a"] == sa["__da"])
+            .join(sb, cands["doc_b"] == sb["__db"])
+            .select("doc_a", "doc_b",
+                    est.alias("est_jaccard"),
+                    (inter.cast("double") / union.cast("double"))
+                    .alias("exact_jaccard"))
+            .orderBy("doc_a", "doc_b"))

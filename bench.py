@@ -87,6 +87,7 @@ EXTENDED = [
     "events_transition_matrix",
     "pipeline_snapshot_diff",
     "events_dau_wau",
+    "dedup_minhash_estimate",
 ]
 
 
