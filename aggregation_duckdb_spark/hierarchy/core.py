@@ -26,7 +26,8 @@ portable across engines.
 Scale notes (100 TB discipline): hierarchies are dimension-sized (≤
 millions of nodes) even when facts are huge. The flattening loop joins
 dim × dim with the frontier broadcast, runs depth — not node-count —
-iterations, and localCheckpoints each level to keep lineage flat. The
+iterations, and materializes each level (``runtime.materialize`` —
+pluggable local/reliable/parquet) to keep lineage flat. The
 single global window for ``node_sort_order`` runs on one task by
 design; it is a dim-only operation and never touches facts.
 """
@@ -36,6 +37,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+from aggregation_duckdb_spark.runtime import materialize
 
 NODE_ATTRS = ("node_id", "node_natural_key", "node_name", "level_name",
               "parent_node_id", "is_root", "is_leaf", "level_number")
@@ -105,13 +108,13 @@ class Hierarchy:
                 F.when(pk.isNotNull(), F.md5(pk.cast("string"))).alias("parent_node_id"),
             )
         else:
-            with_ids = df.select(
+            with_ids = materialize(df.select(
                 F.expr("uuid()").alias("node_id"),
                 nk.alias("node_natural_key"),
                 F.col(name).alias("node_name"),
                 F.col(level_name).alias("level_name"),
                 pk.alias("__parent_nk"),
-            ).localCheckpoint(eager=True)  # pin nondeterministic ids before self-join
+            ))  # pin nondeterministic ids before self-join
             parents = with_ids.select(F.col("node_natural_key").alias("__p_nk"),
                                       F.col("node_id").alias("__p_id"))
             nodes = (with_ids
@@ -144,8 +147,8 @@ class Hierarchy:
                         "parent_node_id",
                         F.col("parent_node_id").isNull().alias("is_root"),
                         F.col("__pid").isNull().alias("is_leaf"),
-                    )
-                    .localCheckpoint(eager=True))
+                    ))
+        prepared = materialize(prepared)
         if self.config.validate:
             self._validate(prepared)
         self._prepared = prepared
@@ -321,8 +324,8 @@ class Hierarchy:
         frontier = (nodes.where(F.col("parent_node_id").isNull())  # anchor, :130
                     .withColumn("level_number", F.lit(1))
                     .withColumn("node_json", self._node_struct(F.lit(1)))
-                    .withColumn("node_json_path", F.array(F.col("node_json")))
-                    .localCheckpoint(eager=True))
+                    .withColumn("node_json_path", F.array(F.col("node_json"))))
+        frontier = materialize(frontier)
         levels = [frontier]
         depth = 1
         while True:
@@ -335,11 +338,11 @@ class Hierarchy:
                     .withColumn("node_json", self._node_struct(F.col("level_number")))
                     .withColumn("node_json_path",  # :151-161 array_append
                                 F.array_append(F.col("__p_path"), F.col("node_json")))
-                    .drop("__p_id", "__p_level", "__p_path")
-                    # checkpoint BEFORE the emptiness probe: one
-                    # materialization serves the probe, the next
-                    # iteration's join, and the final union
-                    .localCheckpoint(eager=True))
+                    .drop("__p_id", "__p_level", "__p_path"))
+            # checkpoint BEFORE the emptiness probe: one materialization
+            # serves the probe, the next iteration's join, and the
+            # final union
+            step = materialize(step)
             if step.isEmpty():
                 break
             depth += 1
@@ -372,8 +375,8 @@ class Hierarchy:
                 .withColumn("__sort_key", sort_key)
                 .withColumn("node_sort_order",
                             F.row_number().over(Window.orderBy(F.asc_nulls_last("__sort_key"))))
-                .drop("__sort_key")
-                .localCheckpoint(eager=True))
+                .drop("__sort_key"))
+        flat = materialize(flat)
         self._flat = flat
         self._depth = depth
         return flat

@@ -20,6 +20,7 @@ from aggregation_duckdb_spark.operators import pipeline as P
 from aggregation_duckdb_spark.operators import ranges as R
 from aggregation_duckdb_spark.operators import similarity as S
 from aggregation_duckdb_spark.operators import text as T
+from aggregation_duckdb_spark.runtime import materialize
 
 # ---------------------------------------------------------------------
 # shared DuckDB SQL fragments (mirror the Spark operators exactly)
@@ -1657,7 +1658,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decontamination's re-tokenize) — materialize it once instead of
     # re-deriving the scan+quality+dedup prefix per consumer. At
     # cluster scale this is "write the deduped corpus, then fan out".
-    s2 = D.exact_dedup(s1).localCheckpoint(eager=True)
+    s2 = materialize(D.exact_dedup(s1))
     pairs = D.near_duplicates(s2, threshold=0.6, num_hashes=12, num_bands=4)
     losers = (G.duplicate_clusters(pairs)
               .where(~F.col("is_keeper")).select("doc_id"))
@@ -2744,7 +2745,7 @@ def hier_agg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ancestor_level_number").cast("int").alias("level_number"),
         F.col("node_sort_order").cast("long").alias("node_sort_order"),
         "sum_total_price", "distinct_customer_count",
-        "count_of_fact_records")
+        "count_of_fact_records").orderBy("node_sort_order")
 
 
 @register("events_transition_matrix", """
@@ -2871,9 +2872,9 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
             F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"))
     ).alias("hp"))
-    sigged = (hp.select("doc", "__sh", D.minhash_signature_from_pairs(
-        F.col("hp"), 12).alias("sig"))
-        .localCheckpoint(eager=True))
+    sigged = materialize(
+        hp.select("doc", "__sh", D.minhash_signature_from_pairs(
+            F.col("hp"), 12).alias("sig")))
     cands = D.minhash_lsh_candidates(docs, num_hashes=12, num_bands=4,
                                      shingled=shingled)
     sa = sigged.select(F.col("doc").alias("__da"),

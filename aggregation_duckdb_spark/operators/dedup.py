@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from aggregation_duckdb_spark.operators.text import tokens
+from aggregation_duckdb_spark.runtime import ensure_parallelism, materialize
 
 
 def shingles(text: Column, width: int = 3) -> Column:
@@ -139,13 +140,11 @@ def doc_shingles(docs: DataFrame, text_col: str = "text",
     # BEFORE repartitioning so only those bytes shuffle. On a real
     # cluster the scan already yields >= cores partitions and the
     # repartition is skipped.
-    slim = docs.select(F.col(id_col).alias("doc"), F.col(text_col))
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if slim.rdd.getNumPartitions() < parallelism:
-        slim = slim.repartition(parallelism)
+    slim = ensure_parallelism(
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col)))
     sh = slim.select("doc",
                      shingles(F.col(text_col), shingle_width).alias(out_col))
-    return sh.localCheckpoint(eager=True) if checkpoint else sh
+    return materialize(sh) if checkpoint else sh
 
 
 def band_buckets(shingled: DataFrame, num_hashes: int = 12,
@@ -228,8 +227,9 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     # uncapped (oracle-exact) path: bucket self-join. Materialize
     # before the join so the signature pass runs once, not once per
     # join side — at cluster scale this is "write signatures, then
-    # join".
-    bucketed = bucketed.localCheckpoint(eager=True)
+    # join", which the `parquet` materialization strategy does
+    # literally (runtime.set_materialization).
+    bucketed = materialize(bucketed)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
@@ -317,7 +317,7 @@ def shared_shingle_candidates(docs: DataFrame, text_col: str = "text",
     ex = shingled.select("doc", F.explode(F.col("__sh")).alias("s"))
     df_counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
     rare = ex.join(df_counts.where(F.col("__df") <= max_df), "s", "left_semi")
-    rare = rare.localCheckpoint(eager=True)  # shared by both join sides
+    rare = materialize(rare)  # shared by both join sides
     a, b = rare.alias("a"), rare.alias("b")
     return (a.join(b, (F.col("a.s") == F.col("b.s"))
                    & (F.col("a.doc") < F.col("b.doc")))
@@ -565,10 +565,10 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
     # materialize before the self-join: the census + per-doc sort +
     # prefix explode would otherwise recompute once per join side
     # (same rule as the LSH bucket self-join above)
-    pfx = (ordered.select("doc",
-                          F.explode(F.slice("ordered", F.lit(1), plen))
-                          .alias("sg"))
-           .localCheckpoint(eager=True))
+    pfx = materialize(
+        ordered.select("doc",
+                       F.explode(F.slice("ordered", F.lit(1), plen))
+                       .alias("sg")))
     cands = (pfx.alias("a").join(pfx.alias("b"),
                                  (F.col("a.sg") == F.col("b.sg"))
                                  & (F.col("a.doc") < F.col("b.doc")))

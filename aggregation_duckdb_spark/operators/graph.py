@@ -28,14 +28,19 @@ Scale analysis (100 TB corpus → billions of vertices):
   path converges in a handful of rounds.
 - per-iteration state is (id, label) pairs only — two longs per
   vertex, never the document payload;
-- ``localCheckpoint`` per round keeps the lineage flat (an unrolled
-  loop would re-execute every prior shuffle on each action and
-  overflow the planner at depth).
+- each round materializes via ``runtime.materialize`` — lineage stays
+  flat (an unrolled loop would re-execute every prior shuffle on each
+  action and overflow the planner at depth), and the strategy is
+  pluggable: ``localCheckpoint`` locally, a reliable checkpoint dir or
+  parquet round-trip on a cluster where executor loss mid-job is a
+  certainty, not a tail risk.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from aggregation_duckdb_spark.runtime import materialize
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -94,15 +99,15 @@ def connected_components(edges: DataFrame, src: str = "src",
                 stats["local"] = True
             return edges.sparkSession.createDataFrame(
                 rows, "id long, label long")
-    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .unionByName(edges.select(F.col(dst).alias("a"),
-                                     F.col(src).alias("b")))
-           .distinct()
-           .localCheckpoint(eager=True))
-    labels = (sym.select(F.col("a").alias("id"))
-              .distinct()
-              .select("id", F.col("id").alias("label"))
-              .localCheckpoint(eager=True))
+    sym = materialize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"),
+                                  F.col(src).alias("b")))
+        .distinct())
+    labels = materialize(
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label")))
     for rounds in range(1, max_iters + 1):
         msgs = (sym.join(labels, sym["a"] == labels["id"])
                 .select(F.col("b").alias("id"), F.col("label")))
@@ -115,10 +120,10 @@ def connected_components(edges: DataFrame, src: str = "src",
         # round (O(log diameter) total, vs O(diameter) without).
         hop = prop.select(F.col("id").alias("__pid"),
                           F.col("label").alias("__plabel"))
-        new_labels = (prop.join(hop, prop["label"] == hop["__pid"], "left")
-                      .select("id",
-                              F.coalesce("__plabel", "label").alias("label"))
-                      .localCheckpoint(eager=True))
+        new_labels = materialize(
+            prop.join(hop, prop["label"] == hop["__pid"], "left")
+            .select("id",
+                    F.coalesce("__plabel", "label").alias("label")))
         changed = (labels.alias("o")
                    .join(new_labels.alias("n"), "id")
                    .where(F.col("o.label") != F.col("n.label"))

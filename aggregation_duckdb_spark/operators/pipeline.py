@@ -587,11 +587,16 @@ def snapshot_diff(old: DataFrame, new: DataFrame, text_col: str = "text",
     Returns (id, status ∈ {added, removed, changed, unchanged})."""
     t_old = F.lower(F.col(text_col)) if normalize else F.col(text_col)
     t_new = t_old
-    o = old.select(F.col(id_col), F.md5(t_old).alias("__ho"))
-    n = new.select(F.col(id_col), F.md5(t_new).alias("__hn"))
-    status = (F.when(F.col("__ho").isNull(), "added")
-              .when(F.col("__hn").isNull(), "removed")
-              .when(F.col("__ho") == F.col("__hn"), "unchanged")
+    # presence is tracked by explicit flags, not hash nullness: a NULL
+    # text hashes to NULL, and inferring "added" from a NULL old-side
+    # hash would misclassify a document present in both snapshots
+    o = old.select(F.col(id_col), F.md5(t_old).alias("__ho"),
+                   F.lit(True).alias("__in_old"))
+    n = new.select(F.col(id_col), F.md5(t_new).alias("__hn"),
+                   F.lit(True).alias("__in_new"))
+    status = (F.when(F.col("__in_old").isNull(), "added")
+              .when(F.col("__in_new").isNull(), "removed")
+              .when(F.col("__ho").eqNullSafe(F.col("__hn")), "unchanged")
               .otherwise("changed"))
     return (o.join(n, id_col, "full_outer")
             .select(F.col(id_col), status.alias("status")))

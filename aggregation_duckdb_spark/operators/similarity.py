@@ -18,6 +18,8 @@ import json
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from aggregation_duckdb_spark.runtime import ensure_parallelism, materialize
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision."""
@@ -309,7 +311,7 @@ def embedding_near_duplicates_lsh(corpus: DataFrame, threshold: float = 0.99,
     # Materialize once and self-join: the signature pass runs a single
     # time instead of once per join side (at cluster scale: "write the
     # bucket table, then join" — same shape as the MinHash path).
-    bucketed = bucketed.localCheckpoint(eager=True)
+    bucketed = materialize(bucketed)
     a = bucketed.select(F.col("__id").alias("id_a"),
                         F.col("__v").alias("__va"),
                         F.col("__n").alias("__na"), "__bucket")
@@ -352,10 +354,7 @@ def _fan_out(df: DataFrame) -> DataFrame:
     a small parquet file arrives as one partition that would serialize
     the whole pass on one core. At scale this is a no-op: a 100 TB scan
     already yields far more partitions than cores."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    return ensure_parallelism(df)
 
 
 def _bucket_keys(vec: Column, mats: list) -> Column:
@@ -472,7 +471,7 @@ def pq_fit(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
                          vec_col=vec_col, id_col=id_col, metric="l2")
               .select(F.lit(j).alias("subspace"), "centroid_id", "centroid"))
         books = cb if books is None else books.unionByName(cb)
-    return books.localCheckpoint(eager=True)
+    return materialize(books)
 
 
 def pq_encode(corpus: DataFrame, codebooks: DataFrame,

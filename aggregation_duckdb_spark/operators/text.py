@@ -324,9 +324,10 @@ def compression_ratio(docs: DataFrame, text_col: str = "text",
                     (c / b) if b else None for c, b in zip(comp, n)],
             })
 
-    # schema follows the caller's id column — a fixed "doc_id" would
-    # silently rename any other id and break the join back
-    schema = (f"{id_col} long, n_bytes long, n_compressed long, "
+    # schema follows the caller's id column — name AND type (a fixed
+    # long would Arrow-fail for string doc ids)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, n_bytes long, n_compressed long, "
               f"compression_ratio double")
     return (docs.select(F.col(id_col), F.col(text_col))
             .mapInPandas(batches, schema))

@@ -1,0 +1,109 @@
+"""Execution-runtime policy shared by the operator hot paths.
+
+Two concerns live here, both "how the cluster runs it", not "what is
+computed":
+
+**Materialization.** The iterative/staged operators (LSH dedup,
+connected components, the shingle census) cut lineage and pin shared
+intermediates with ``localCheckpoint`` — the right default on a single
+machine (no replication cost, no filesystem round-trip). But
+``localCheckpoint`` stores blocks on executors WITHOUT replication: on
+a 1000-executor cluster one lost executor kills a multi-hour job. The
+strategy is therefore pluggable:
+
+- ``local`` (default) — ``df.localCheckpoint(eager=True)``.
+- ``reliable`` — ``df.checkpoint(eager=True)`` against a checkpoint
+  directory (HDFS/object store on a real cluster); survives executor
+  loss.
+- ``parquet`` — explicit write-then-read round-trip; additionally
+  survives DRIVER loss (a restarted job can resume from the written
+  signatures — the "write signatures, then join" shape the dedup
+  module docstring describes).
+
+Select via :func:`set_materialization` or the
+``SPARK_GRAFT_MATERIALIZE`` / ``SPARK_GRAFT_MATERIALIZE_DIR``
+environment variables. Every strategy has identical semantics (a
+materialized, lineage-free, nondeterminism-pinned frame) — pinned by
+``tests/test_extensions.py::test_reliable_materialization_same_results``.
+
+**Parallelism flooring.** Small local parquet inputs arrive as one
+split, which would serialize a CPU-bound pass (shingling, LSH
+signatures) on one core; ``ensure_parallelism`` repartitions up to the
+session's parallelism only when the input has fewer partitions. At
+cluster scale the scan already yields >= cores partitions and this is
+a no-op. The partition probe uses the classic ``df.rdd`` API when
+available and degrades gracefully under Spark Connect (no
+``sparkContext``/``rdd`` there): it falls back to
+``spark.sql.shuffle.partitions`` as the target and skips the
+probe-before-repartition optimization rather than crashing.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame
+
+STRATEGIES = ("local", "reliable", "parquet")
+
+_strategy: str = os.environ.get("SPARK_GRAFT_MATERIALIZE", "local")
+_directory: str | None = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
+
+
+def set_materialization(strategy: str, directory: str | None = None) -> None:
+    """Select the materialization strategy for every subsequent
+    :func:`materialize` call. ``directory`` backs the ``reliable`` and
+    ``parquet`` strategies (defaults to a per-application temp dir —
+    fine locally; on a real cluster pass an HDFS/object-store path)."""
+    if strategy not in STRATEGIES:
+        raise ValueError(f"strategy must be one of {STRATEGIES}: {strategy}")
+    global _strategy, _directory
+    _strategy = strategy
+    if directory is not None:
+        _directory = directory
+
+
+def get_materialization() -> str:
+    return _strategy
+
+
+def _base_dir(df: DataFrame) -> str:
+    if _directory:
+        return _directory
+    app_id = df.sparkSession.conf.get("spark.app.id", "app")
+    return os.path.join(tempfile.gettempdir(), "spark-graft-mat", app_id)
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` (cut lineage, pin nondeterministic columns,
+    make it safely shareable by multiple downstream consumers) under
+    the session-wide strategy. See the module docstring for when each
+    strategy is the right call."""
+    if _strategy == "local":
+        return df.localCheckpoint(eager=True)
+    if _strategy == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(os.path.join(_base_dir(df), "checkpoints"))
+        return df.checkpoint(eager=True)
+    path = os.path.join(_base_dir(df), f"mat-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` up to the session's parallelism iff the scan
+    produced fewer partitions (see module docstring). Safe under Spark
+    Connect: without the classic ``rdd`` probe it repartitions to the
+    shuffle-partition setting unconditionally — correct, one extra
+    exchange on an input that was about to be CPU-bound anyway."""
+    spark = df.sparkSession
+    try:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() >= par:
+            return df
+    except Exception:  # Spark Connect: no sparkContext / .rdd
+        par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(par)

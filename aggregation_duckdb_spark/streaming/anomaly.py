@@ -24,7 +24,7 @@ from typing import Any, Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (BooleanType, DoubleType, LongType, StringType,
+from pyspark.sql.types import (BooleanType, DoubleType, LongType,
                                StructField, StructType, TimestampType)
 
 STATE_SCHEMA = StructType([
@@ -33,13 +33,16 @@ STATE_SCHEMA = StructType([
     StructField("ss", LongType()),
 ])
 
-OUTPUT_SCHEMA = StructType([
-    StructField("event_type", StringType()),
-    StructField("window_start", TimestampType()),
-    StructField("n_events", LongType()),
-    StructField("z", DoubleType()),
-    StructField("flagged", BooleanType()),
-])
+def _output_schema(key_type) -> StructType:
+    # key passes through untouched — carry its actual type so non-string
+    # metric keys (long ids, dates) don't crash applyInPandasWithState
+    return StructType([
+        StructField("event_type", key_type),
+        StructField("window_start", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("z", DoubleType()),
+        StructField("flagged", BooleanType()),
+    ])
 
 
 def _make_update(z_threshold: float):
@@ -86,9 +89,10 @@ def anomaly_stream(hourly: DataFrame, z_threshold: float = 2.0,
         F.col(type_col).alias("event_type"),
         F.col(ts_col).alias("window_start"),
         F.col(count_col).cast("long").alias("n_events"))
+    out_schema = _output_schema(hourly.schema[type_col].dataType)
     return (prepared
             .groupBy("event_type")
             .applyInPandasWithState(
-                _make_update(z_threshold), OUTPUT_SCHEMA, STATE_SCHEMA,
+                _make_update(z_threshold), out_schema, STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

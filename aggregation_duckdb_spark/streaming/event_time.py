@@ -19,6 +19,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from aggregation_duckdb_spark.runtime import materialize
+
 # symlink dirs for single-file sources, one per source path per process
 _SYMLINK_DIRS: dict[str, str] = {}
 
@@ -181,6 +183,6 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
     # detach from the memory sink: checkpoint a copy and drop the view,
     # otherwise every invocation pins its full result (plus a dead
     # query handle) in the driver for the session lifetime
-    out = spark.table(name).localCheckpoint(eager=True)
+    out = materialize(spark.table(name))
     spark.catalog.dropTempView(name)
     return out

@@ -34,12 +34,16 @@ STATE_SCHEMA = StructType([
     StructField("step_times", ArrayType(LongType())),
 ])
 
-OUTPUT_SCHEMA = StructType([
-    StructField("user_id", LongType()),
-    StructField("steps_completed", LongType()),
-    StructField("converted", BooleanType()),
-    StructField("step_times", ArrayType(LongType())),
-])
+def _output_schema(user_type) -> StructType:
+    # the key column passes through the state machine untouched, so the
+    # output schema must carry its ACTUAL type — a hardcoded LongType
+    # would crash applyInPandasWithState for string/uuid user keys
+    return StructType([
+        StructField("user_id", user_type),
+        StructField("steps_completed", LongType()),
+        StructField("converted", BooleanType()),
+        StructField("step_times", ArrayType(LongType())),
+    ])
 
 
 def _make_update(steps: list[str]):
@@ -86,9 +90,10 @@ def funnel_stream(events: DataFrame, steps: list[str],
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.col(id_col).alias("event_id"),
         F.col(type_col).alias("event_type"))
+    out_schema = _output_schema(events.schema[user_col].dataType)
     return (prepared
             .groupBy("user_id")
             .applyInPandasWithState(
-                _make_update(steps), OUTPUT_SCHEMA, STATE_SCHEMA,
+                _make_update(steps), out_schema, STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

@@ -3,16 +3,18 @@ markdown artifact — the in-repo evidence that the plans ARE the shapes
 the 100 TB design claims: broadcast joins on dim sides, pushed filters,
 bucket equi-joins instead of nested loops, partition pruning.
 
-Usage: python scripts/dump_plans.py [out.md]
+Usage: python scripts/dump_plans.py [out.md] [sf_dir]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = (sys.argv[2] if len(sys.argv) > 2
+          else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
 
 #: entry → one-line claim the plan below must visibly support
 ENTRIES = {

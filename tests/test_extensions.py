@@ -635,3 +635,35 @@ def test_countmin_sketch_is_mergeable(spark):
               for r in T.countmin_build(whole, depth=2, width=32,
                                         gram=2).collect()}
     assert merged == direct
+
+
+@pytest.mark.parametrize("strategy", ["reliable", "parquet"])
+def test_materialization_strategies_same_results(spark, sf_dir, strategy):
+    """The pluggable materializer is a pure execution-policy knob:
+    near-dup pairs and CC clusters — the two iterative/staged hot paths
+    that materialize intermediates — must be bit-identical under the
+    cluster-durable strategies (reliable checkpoint dir, parquet
+    round-trip) and the localCheckpoint default."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.operators import graph as G
+    from aggregation_duckdb_spark import runtime
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    def run():
+        pairs = D.near_duplicates(docs, threshold=0.6)
+        cc = G.connected_components(pairs, src="doc_a", dst="doc_b",
+                                    local_threshold=0)  # force distributed
+        return (sorted((r.doc_a, r.doc_b) for r in pairs.collect()),
+                sorted((r.id, r.label) for r in cc.collect()))
+
+    base_pairs, base_cc = run()
+    assert base_pairs and base_cc
+    runtime.set_materialization(strategy)
+    try:
+        got_pairs, got_cc = run()
+    finally:
+        runtime.set_materialization("local")
+    assert got_pairs == base_pairs
+    assert got_cc == base_cc

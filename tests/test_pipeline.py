@@ -336,3 +336,18 @@ def test_snapshot_diff_statuses(spark):
         "doc_id long, text string")
     got = {r.doc_id: r.status for r in P.snapshot_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_text(spark):
+    """Presence is decided by id membership, not hash nullness: a NULL
+    text on either side must never masquerade as added/removed."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "text"), (5, None)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, None), (2, "filled in"), (3, None), (4, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r.status for r in P.snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "added", 5: "removed"}
