@@ -27,11 +27,21 @@ def shingles(text: Column, width: int = 3) -> Column:
     """Distinct word n-gram shingles, computed in-row.
 
     Short documents (< width tokens) produce their single truncated
-    shingle rather than none, so every doc has a signature."""
-    toks = tokens(text)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (width - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, width))))
+    shingle rather than none, so every doc has a signature.
+
+    The token array is LET-BOUND via a single-element outer transform:
+    lambda variables hold evaluated values, so the per-start
+    ``F.slice(toks, ...)`` references the bound array instead of
+    re-running the tokenizing regex split once per shingle start (the
+    same no-CSE-inside-HOF-bodies trap as the md5 pass in
+    minhash_lsh_candidates — measured 5.6× on sf0.1 documents)."""
+    def body(toks: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - (width - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(starts,
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, width))))
+    return F.element_at(F.transform(F.array(tokens(text)), body), 1)
 
 
 # Smallest prime > 2^32 — modulus for the double-hashing MinHash family.

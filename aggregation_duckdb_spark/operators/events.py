@@ -350,23 +350,37 @@ def transition_matrix(events: DataFrame, user_col: str = "user_id",
 
 
 def dau_wau(events: DataFrame, user_col: str = "user_id",
-            ts_col: str = "ts") -> DataFrame:
-    """Daily/weekly active users and stickiness (DAU/WAU) per epoch
-    day — the canonical engagement metric. WAU(d) counts distinct
-    users active in [d-6, d]: rather than a distinct-over-range window
+            ts_col: str = "ts", window_days: int = 7,
+            approx: bool = False, rsd: float = 0.02) -> DataFrame:
+    """Daily/rolling-window active users and stickiness (DAU/WAU for
+    the 7-day default) per epoch day — the canonical engagement
+    metric. WAU(d) counts distinct users active in
+    [d-window_days+1, d]: rather than a distinct-over-range window
     (unsupported) or a per-day self-join, each (user, active-day) pair
-    explodes map-side into the 7 WAU days it contributes to, then one
-    distinct count per day — shuffle volume is 7× the (user, day)
-    pairs, never user×day×day. Integer epoch-day keys (div arithmetic,
-    engine-independent); only days with activity are reported."""
+    explodes map-side into the ``window_days`` rolling days it
+    contributes to, then one distinct count per day — shuffle volume
+    is window_days× the (user, day) pairs, never user×day×day.
+    Integer epoch-day keys (div arithmetic, engine-independent); only
+    days with activity are reported.
+
+    ``approx=True`` swaps both distincts for HyperLogLog++
+    (``approx_count_distinct`` at ``rsd``) — same policy as
+    ``hier_agg_closure_approx``: at 100 TB the exact per-day distinct
+    shuffles every (user, day) pair to its day; the sketch merges
+    fixed-size registers map-side instead, and a ±2% DAU is
+    indistinguishable on a dashboard. Exact mode stays the oracle-able
+    default."""
+    cd = ((lambda c: F.approx_count_distinct(c, rsd)) if approx
+          else F.count_distinct)
     day = F.expr(f"unix_micros({ts_col}) div {86_400_000_000}")
     active = events.select(F.col(user_col).alias("u"),
                            day.alias("d")).distinct()
     dau = active.groupBy(F.col("d").alias("day")).agg(
-        F.count_distinct("u").alias("dau"))
+        cd(F.col("u")).alias("dau"))
     contrib = active.select(
-        "u", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("day"))
-    wau = contrib.groupBy("day").agg(F.count_distinct("u").alias("wau"))
+        "u", F.explode(F.sequence(F.col("d"),
+                                  F.col("d") + (window_days - 1))).alias("day"))
+    wau = contrib.groupBy("day").agg(cd(F.col("u")).alias("wau"))
     return (dau.join(wau, "day")
             .select("day", "dau", "wau",
                     (F.col("dau").cast("double") / F.col("wau").cast("double"))

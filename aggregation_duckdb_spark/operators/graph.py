@@ -72,6 +72,15 @@ def connected_components(edges: DataFrame, src: str = "src",
     the scale probe asserts round count stays flat as the graph
     multiplies (it tracks diameter, not size).
     """
+    # materialize the projected edge list ONCE up front: the caller's
+    # edge plan is typically the whole LSH+verify pipeline, and without
+    # this it would re-execute for the local-path probe and then TWICE
+    # more for the symmetrized union (each select scans the plan). Two
+    # ids per row — the copy is cheap at any scale; for 100 TB runs the
+    # parquet strategy makes it the standard "write edges, then
+    # iterate" checkpoint.
+    edges = materialize(edges.select(F.col(src).alias(src),
+                                     F.col(dst).alias(dst)))
     if local_threshold > 0:
         probe = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
                  .limit(local_threshold + 1).collect())

@@ -110,12 +110,15 @@ def main() -> None:
         print(f"# warmup skipped: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
         # median of 3: best-of-2 proved too noisy to distinguish a real
         # 1.5x change from run variance (r01 vs r02 swung 1.12x on
         # identical plans); the median discards one-off JIT/GC hiccups
-        # in either direction
+        # in either direction. The [min, max] spread is emitted so a
+        # round-over-round delta can be read against the run variance
+        # it has to clear before it means anything.
         runs, n = [], 0
         for _ in range(3):
             t0 = time.time()
@@ -123,7 +126,10 @@ def main() -> None:
             n = df.count()  # materialize the full result
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[1], 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        print(f"# {name}: {n} rows in {timings[name]}s "
+              f"(spread {spread[name][0]}-{spread[name][1]})",
+              file=sys.stderr)
 
     extended: dict[str, float] = {}
     for name in EXTENDED:
@@ -145,6 +151,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "extended": extended,
         "sf": sf,
     }))

@@ -123,3 +123,25 @@ def test_pq_shortlist_rerank_recall(spark, sf_dir):
     assert len(e) > 0
     recall = len(a & e) / len(e)
     assert recall >= 0.9, f"shortlist-rerank recall {recall}"
+
+
+def test_dau_wau_window_param_and_approx_band(spark):
+    """window_days is honored (window=1 ⇒ WAU == DAU, stickiness 1)
+    and approx mode tracks the exact counts within the HLL error band
+    — same accuracy policy as hier_agg_closure_approx."""
+    from aggregation_duckdb_spark.operators import events as E
+    ev = load_table(spark, "events", SF01)
+    w1 = E.dau_wau(ev, window_days=1).collect()
+    assert w1 and all(r["dau"] == r["wau"] and r["stickiness"] == 1.0
+                      for r in w1)
+    rsd = 0.02
+    exact = {r["day"]: r for r in E.dau_wau(ev).collect()}
+    approx = {r["day"]: r for r in E.dau_wau(ev, approx=True,
+                                             rsd=rsd).collect()}
+    assert set(exact) == set(approx)
+    for day, ex in exact.items():
+        ap = approx[day]
+        for col in ("dau", "wau"):
+            e, a = ex[col], ap[col]
+            assert abs(a - e) <= max(5 * rsd * e, 2), (
+                f"day {day} {col}: approx {a} vs exact {e}")
