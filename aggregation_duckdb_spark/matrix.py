@@ -42,50 +42,42 @@ def register(name: str, sql: str | None = None):
 # their DuckDB oracles. ALL entries pass the same comparison locally
 # (scripts/oracle_check.py runs the full set — keep it that way); this
 # list only schedules WHICH entries get a driver-recorded row this
-# round. Round-5 rotation: first the 16 entries whose latest driver
-# evidence (round 2) predates the testdata regeneration — closing the
-# freshness gap to every-entry-current; then the entries whose
-# implementation changed this round (two of the four refactored mm_*
-# twins represent the shared codec path — slots are scarce); then as
-# many of the 29 new round-5 entries as fit (26 listed; the last three
-# added — events_transition_matrix, pipeline_snapshot_diff,
-# events_dau_wau — carry local-oracle evidence only and take driver
-# slots next round). The round-3-evidence entries all rotated out this
-# round (still green in the full local oracle run) and rotate back
-# next round. Exactly 50 names below.
+# round. Round-6 rotation: first the 4 entries that landed after the
+# round-5 driver run (local-oracle evidence only until now); then the
+# 4 new round-6 entries; then the entries most affected by this
+# round's code changes (the shingles let-binding rewrite, the
+# pluggable materializer in the CC loop, snapshot_diff presence flags,
+# the hier_agg_time orderBy); then 36 of the 48 entries whose latest
+# driver evidence is round 3, rotating back per the round-5 plan. The
+# 12 round-3 TPC-H entries left out (q2/q8/q9/q11/q12/q13/q15/q16/
+# q17/q19/q20/q22) rotate in next round; every excluded entry still
+# passes the full local oracle run. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
-    # last driver evidence round 2 — before the events.ts regeneration;
-    # fresh rows make the whole matrix current-data-verified:
-    "q1_pricing_summary", "q_case_when", "q_count_distinct",
-    "q_cube_grouping", "q_filter_project", "q_grouping_sets",
-    "q_in_subquery", "q_json_functions", "q_rollup_grouping",
-    "q_salted_join", "dedup_edit_distance", "hier_subtree_agg",
-    "mm_frame_sample", "text_tokenize_udtf", "hier_agg_closure_approx",
-    "sim_ivf_topk",
-    # changed in round 5, must re-verify: exact_dedup keeper aliasing +
-    # LSH bucket-cap default (dedup_*, pipeline_clean_corpus), CC
-    # pointer doubling (dedup_cc_clusters), the s2 checkpoint + all of
-    # the above (pipeline_end_to_end), integer-div seq_idx
-    # (pipeline_pack_sequences), Arrow offset/null handling
-    # (mm_payload_stats_arrow), codec-mode capture refactor (mm_*):
-    "dedup_exact_survivors", "dedup_near_duplicates",
-    "dedup_cc_clusters", "pipeline_clean_corpus", "pipeline_end_to_end",
-    "pipeline_pack_sequences", "mm_payload_stats_arrow",
-    "mm_decode_metadata",
-    # new in round 5 (no driver row yet):
-    "dedup_containment_pairs", "pipeline_mixture_weights",
-    "pipeline_rebalance", "text_countmin_heavyhitters",
-    "events_value_bands", "events_session_overlap",
-    "pipeline_chunk_overlap", "dedup_incremental",
-    "pipeline_group_sample", "pipeline_bloom_decontaminate",
-    "sim_semdedup_keepers", "events_funnel",
-    "events_retention_cohorts", "q_multiformat_roundtrip",
-    "q_partitioned_pruning", "q_variant_extract",
-    "text_bpe_token_count", "dedup_duplicate_spans",
-    "asof_nearest_events", "events_hourly_anomalies",
-    "sim_ivf_topk_exact", "pipeline_leakage_free_split",
-    "hier_agg_by_month", "dedup_prefix_pairs",
-    "pipeline_corpus_report", "hier_agg_time",
+    # committed after the round-5 driver run — restore driver evidence:
+    "dedup_minhash_estimate", "events_dau_wau",
+    "events_transition_matrix", "pipeline_snapshot_diff",
+    # new in round 6 (no driver row yet):
+    "mm_phash_neardup", "pipeline_epoch_shuffle",
+    "dedup_cluster_sizes", "text_ngram_novelty",
+    # changed in round 6, re-verify: shingles let-binding (every
+    # shingle consumer), CC edge materialization + pluggable
+    # materializer (cc/pipeline), hier_agg_time ordering:
+    "dedup_near_duplicates", "dedup_cc_clusters", "pipeline_end_to_end",
+    "hier_agg_time", "dedup_minhash_lsh", "dedup_jaccard_pairs",
+    # round-3-evidence entries rotating back (oldest driver rows):
+    "dedup_simhash", "sim_embedding_neardup", "sim_lsh_topk",
+    "mm_features", "text_topk_ngrams", "q_scalar_subquery",
+    "q_having", "q_join_fact_dims", "q_semi_join", "q_anti_join",
+    "q_outer_join", "q_window_row_number", "q_window_analytics",
+    "q_order_limit", "q_set_ops", "q_scalar_functions",
+    "q_struct_array", "q_date_functions", "q_percentiles",
+    "q_exists_correlated", "q_string_agg", "q_pivot_status",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q10_returned_items", "q18_large_volume_customers",
+    "q7_volume_shipping", "q_unpivot", "q_collections",
+    "q_null_safety", "q_io_roundtrip", "q14_promo_effect",
+    "q_window_frames", "q_bucketed_join", "q4_order_priority",
+    "q6_revenue_forecast",
 ]
 
 

@@ -2897,3 +2897,137 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (inter.cast("double") / union.cast("double"))
                     .alias("exact_jaccard"))
             .orderBy("doc_a", "doc_b"))
+
+
+# ---------------------------------------------------------------------
+# round 6: multimodal phash dedup, epoch shuffle, cluster histogram,
+# n-gram novelty
+# ---------------------------------------------------------------------
+
+@register("mm_phash_neardup", """
+WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+g AS (SELECT doc_id, list_transform(
+          generate_series(1, greatest(len(hx)//2 - 3, 1)),
+          i -> md5(substr(hx, (i-1)*2+1, 8))) AS hs
+      FROM h),
+p AS (SELECT doc_id, (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 31) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 2, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 30) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 3, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 29) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 4, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 28) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 5, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 27) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 6, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 26) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 7, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 25) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 8, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 24) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 9, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 23) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 10, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 22) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 11, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 21) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 12, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 20) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 13, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 19) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 14, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 18) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 15, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 17) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 16, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 16) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 17, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 15) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 18, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 14) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 19, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 13) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 20, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 12) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 21, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 11) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 22, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 10) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 23, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 9) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 24, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 8) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 25, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 7) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 26, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 6) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 27, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 5) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 28, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 4) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 29, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 3) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 30, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 2) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 31, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 1) ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, 32, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << 0) ELSE 0 END) AS phash FROM g),
+bands AS (
+    SELECT doc_id AS doc, phash, i AS band,
+           (phash >> (i * 8)) & 255 AS val
+    FROM p, UNNEST(generate_series(0, 3)) AS t(i)),
+cands AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+           a.phash AS pa, b.phash AS pb
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.val = b.val AND a.doc < b.doc)
+SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+FROM cands WHERE bit_count(xor(pa, pb)) <= 3
+ORDER BY doc_a, doc_b
+""")
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup by perceptual hash
+    (``multimodal.phash_near_duplicates``): band-bucket equi-join on
+    hash bit-bands, exact hamming verify via bit_count(xor) — the
+    image-dedup shape with the codec-dependent fingerprint stubbed on
+    the payload md5 (see perceptual_hash)."""
+    docs = load_table(spark, "documents", sf_dir)
+    payload = M.attach_payload(docs)
+    return (M.phash_near_duplicates(payload, max_hamming=3)
+            .orderBy("doc_a", "doc_b"))
+
+
+@register("pipeline_epoch_shuffle", """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY md5('epoch-0|' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS BIGINT) AS position
+FROM documents
+ORDER BY position
+""")
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (``pipeline.epoch_shuffle``): global
+    md5-rank order computed shard-parallel (hash-prefix shards + local
+    windows + broadcast offsets) yet bit-equal to the one global sort
+    the oracle runs."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (P.epoch_shuffle(docs, seed="epoch-0")
+            .select("doc_id", F.col("position").cast("long").alias("position"))
+            .orderBy("position"))
+
+
+@register("dedup_cluster_sizes", f"""
+WITH RECURSIVE d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM d),
+hashes AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs FROM s),
+sigs AS (SELECT doc_id, sh, {_minhash_sql(12)} AS sig FROM hashes),
+buckets AS (
+    SELECT doc_id AS doc, UNNEST({_band_sql(4, 3)}) AS bucket FROM sigs),
+cands AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc < b.doc),
+pairs AS (
+    SELECT c.doc_a, c.doc_b FROM cands c
+    JOIN s sa ON c.doc_a = sa.doc_id
+    JOIN s sb ON c.doc_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+                 AS DOUBLE) >= 0.6),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+    SELECT DISTINCT a AS id, a AS r FROM edges
+    UNION
+    SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+sizes AS (SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY label)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+ORDER BY cluster_size
+""")
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram
+    (``graph.cluster_size_histogram``): near-dup pairs closed into
+    clusters, then the size distribution — the dataset-card number
+    that separates long-tail duplication from boilerplate blowups."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.near_duplicates(docs, threshold=0.6,
+                              num_hashes=12, num_bands=4)
+    from aggregation_duckdb_spark.operators import graph as G
+    return (G.cluster_size_histogram(pairs)
+            .select(F.col("cluster_size").cast("long").alias("cluster_size"),
+                    "n_clusters", "n_docs")
+            .orderBy("cluster_size"))
+
+
+@register("text_ngram_novelty", f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+           WHERE source <> 'src0'),
+s AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM d),
+g AS (SELECT doc_id, UNNEST(sh) AS g FROM s),
+refd AS (SELECT {_TOKS} AS toks FROM documents WHERE source = 'src0'),
+ref AS (SELECT DISTINCT UNNEST({_shingle_sql(3)}) AS g FROM refd),
+novel AS (SELECT doc_id, COUNT(*) AS n_novel FROM g
+          WHERE g NOT IN (SELECT g FROM ref) GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(len(s.sh) AS BIGINT) AS n_grams,
+       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / CAST(len(s.sh) AS DOUBLE)
+           AS novelty
+FROM s LEFT JOIN novel n ON s.doc_id = n.doc_id
+ORDER BY s.doc_id
+""")
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty vs the held-out src0 slice
+    (``text.ngram_novelty``): what fraction of each document's distinct
+    3-grams the reference has never seen — the per-doc complement of
+    corpus decontamination."""
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.where(F.col("source") != "src0")
+    ref = docs.where(F.col("source") == "src0")
+    return (T.ngram_novelty(corpus, ref, width=3)
+            .select("doc_id",
+                    F.col("n_grams").cast("long").alias("n_grams"),
+                    "n_novel", "novelty")
+            .orderBy("doc_id"))

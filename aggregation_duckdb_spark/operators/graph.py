@@ -165,3 +165,22 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a",
                     F.col("label").alias("cluster_id"),
                     "cluster_size",
                     (F.col("id") == F.col("label")).alias("is_keeper")))
+
+
+def cluster_size_histogram(pairs: DataFrame, id_a: str = "doc_a",
+                           id_b: str = "doc_b") -> DataFrame:
+    """Distribution of near-duplicate cluster sizes — the dataset-card
+    number that tells you whether duplication is a long tail of pairs
+    or a few giant boilerplate clusters (which need the bucket-cap /
+    stop-shingle guards, not pairwise dedup). Transitive closure via
+    :func:`connected_components`, then two tiny aggregates.
+
+    Returns (cluster_size, n_clusters, n_docs) ordered by size."""
+    labels = connected_components(pairs, src=id_a, dst=id_b)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 (F.count(F.lit(1)) * F.col("cluster_size"))
+                 .cast("long").alias("n_docs"))
+            .orderBy("cluster_size"))

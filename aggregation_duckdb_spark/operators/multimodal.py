@@ -22,7 +22,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
                                LongType, StringType, StructField, StructType)
 
@@ -261,3 +261,120 @@ def frame_sample_plan(with_payload: DataFrame, every_n: int = 10,
             .select(id_col, "n_frames",
                     F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1,
                                          F.lit(every_n))).alias("frame_idx")))
+
+
+PHASH_BITS = 32
+
+
+def perceptual_hash(with_payload: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """32-bit locality-sensitive fingerprint per binary payload,
+    JVM-side: SimHash over the payload's byte 4-grams (bit b = sign of
+    the ±1 sum of md5-bit b across grams). Payloads differing by a
+    small edit share most byte-grams, so their hashes land within a
+    small hamming distance — the property perceptual image hashes
+    (pHash/aHash) provide for pixels, computed here on raw bytes
+    because the decode step needs a codec this container lacks. With a
+    real codec only THIS fingerprint expression changes (decode → DCT
+    sign bits); the banding/verify machinery downstream is unchanged.
+
+    The hex encoding of the payload is let-bound through a
+    single-element transform (same no-CSE-inside-HOF-bodies trap as
+    dedup.shingles — otherwise every gram window re-hexes the whole
+    payload)."""
+    def body(hx: Column) -> Column:
+        nbytes = (F.length(hx) / 2).cast("int")
+        starts = F.sequence(F.lit(1), F.greatest(nbytes - 3, F.lit(1)))
+        grams = F.transform(
+            starts, lambda i: hx.substr((i - 1) * 2 + 1, F.lit(8)))
+        hashed = F.transform(grams, F.md5)
+
+        def contribs(h: Column) -> Column:
+            return F.array(*[
+                F.when(F.substring(h, b + 1, 1).isin(*list("89abcdef")), 1)
+                 .otherwise(-1) for b in range(PHASH_BITS)])
+
+        counts = F.aggregate(
+            hashed, F.array(*[F.lit(0)] * PHASH_BITS),
+            lambda acc, h: F.zip_with(acc, contribs(h), lambda a, c: a + c))
+        # pack MSB-first by binary doubling (F.shiftleft takes a plain
+        # int, not a per-element Column, so a shift-and-sum can't fold)
+        return F.aggregate(
+            counts, F.lit(0).cast("long"),
+            lambda a, c: a * 2 + F.when(c > 0, 1).otherwise(0))
+
+    hx = F.lower(F.hex(F.col("payload")))
+    return with_payload.select(
+        F.col(id_col),
+        F.element_at(F.transform(F.array(hx), body), 1).alias("phash"))
+
+
+def phash_near_duplicates(with_payload: DataFrame, id_col: str = "doc_id",
+                          max_hamming: int = 3, num_bands: int = 4,
+                          max_bucket_size: int | None = 1000) -> DataFrame:
+    """Near-duplicate payload pairs by hamming distance on the
+    perceptual hash — the multimodal twin of MinHash-LSH dedup.
+
+    Scale shape (same discipline as the text path): split the hash
+    into ``num_bands`` contiguous bit bands; two payloads within
+    hamming ``h`` of each other agree EXACTLY on at least one band
+    whenever ``h < num_bands`` by pigeonhole (the defaults satisfy
+    this — raise ``num_bands`` with ``max_hamming`` to keep the
+    completeness guarantee) — so candidates come from a hash EQUI-join
+    on (band index, band value), never an all-pairs distance join. The
+    exact ``bit_count(xor)`` hamming check then verifies candidates.
+    One shuffle for the band join, one verify.
+
+    ``max_bucket_size`` guards the self-join the same way the LSH
+    bucket cap does (dedup.DEFAULT_MAX_BUCKET_SIZE): a 32-bit hash has
+    only ``2^band_bits`` distinct values per band, so at corpus scale
+    a popular band value would make the join quadratic — oversize
+    buckets drop, and their members still pair through the other
+    bands. Pass ``None`` for oracle-exact comparisons at small scale.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b,
+    hamming <= max_hamming."""
+    hashed = perceptual_hash(with_payload, id_col)
+    band_bits = PHASH_BITS // num_bands
+    bands = hashed.select(
+        F.col(id_col).alias("doc"), "phash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned(F.col("phash"), i * band_bits)
+                     .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("val"))
+            for i in range(num_bands)])).alias("b"))
+    bands = bands.select("doc", "phash", F.col("b.band").alias("band"),
+                         F.col("b.val").alias("val"))
+    if max_bucket_size is not None:
+        # capped path: one shuffle, in-row pair generation, oversize
+        # buckets dropped (same construction as the LSH capped path)
+        grouped = (bands.groupBy("band", "val")
+                   .agg(F.sort_array(
+                       F.collect_set(F.struct("doc", "phash"))).alias("ds"))
+                   .where((F.size("ds") >= 2)
+                          & (F.size("ds") <= max_bucket_size)))
+        pair_arrays = F.flatten(F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(x["doc"].alias("doc_a"),
+                                   y["doc"].alias("doc_b"),
+                                   x["phash"].alias("__pa"),
+                                   y["phash"].alias("__pb")))))
+        cands = (grouped.select(F.explode(pair_arrays).alias("p"))
+                 .select("p.doc_a", "p.doc_b", "p.__pa", "p.__pb")
+                 .distinct())
+    else:
+        a, b = bands.alias("a"), bands.alias("b")
+        cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.val") == F.col("b.val"))
+                        & (F.col("a.doc") < F.col("b.doc")))
+                 .select(F.col("a.doc").alias("doc_a"),
+                         F.col("b.doc").alias("doc_b"),
+                         F.col("a.phash").alias("__pa"),
+                         F.col("b.phash").alias("__pb"))
+                 .distinct())
+    hamming = F.bit_count(F.col("__pa").bitwiseXOR(F.col("__pb")))
+    return (cands.select("doc_a", "doc_b",
+                         hamming.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

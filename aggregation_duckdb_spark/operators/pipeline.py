@@ -600,3 +600,40 @@ def snapshot_diff(old: DataFrame, new: DataFrame, text_col: str = "text",
               .otherwise("changed"))
     return (o.join(n, id_col, "full_outer")
             .select(F.col(id_col), status.alias("status")))
+
+
+def epoch_shuffle(docs: DataFrame, seed: str = "epoch-0",
+                  id_col: str = "doc_id",
+                  num_shards: int = 256) -> DataFrame:
+    """Deterministic global shuffle order for a training epoch:
+    position = rank of md5(seed|id) — same seed, same order, on any
+    engine, any partitioning, any day (the reproducibility contract a
+    training run needs to resume mid-epoch).
+
+    Scale shape: a single global ROW_NUMBER window would sort the
+    corpus on ONE task. Instead the hash's leading bits pick one of
+    ``num_shards`` shards, rows rank locally within their shard
+    (window partitioned by shard — parallel), and each shard adds the
+    total count of all earlier shards (shard offsets: a shard-count
+    aggregate, num_shards rows, broadcast back). Because the shard is
+    a PREFIX of the sort key, shard-major order IS global hash order —
+    the two-level construction equals the one global sort bit-for-bit.
+
+    Returns (id, position) with position 1..N."""
+    hx = F.md5(F.concat(F.lit(seed), F.lit("|"),
+                        F.col(id_col).cast("string")))
+    keyed = docs.select(F.col(id_col), hx.alias("__hx"),
+                        F.substring(hx, 1, 2).alias("__shard"))
+    from pyspark.sql import Window
+    within = F.row_number().over(
+        Window.partitionBy("__shard").orderBy("__hx", id_col))
+    counts = keyed.groupBy("__shard").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__shard",
+        (F.sum("__n").over(Window.orderBy("__shard")
+                           .rowsBetween(Window.unboundedPreceding, -1)))
+        .alias("__off")).fillna(0, ["__off"])
+    return (keyed.withColumn("__pos", within)
+            .join(F.broadcast(offsets), "__shard")
+            .select(F.col(id_col),
+                    (F.col("__off") + F.col("__pos")).alias("position")))

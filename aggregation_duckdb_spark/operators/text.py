@@ -331,3 +331,39 @@ def compression_ratio(docs: DataFrame, text_col: str = "text",
               f"compression_ratio double")
     return (docs.select(F.col(id_col), F.col(text_col))
             .mapInPandas(batches, schema))
+
+
+def ngram_novelty(docs: DataFrame, reference: DataFrame, width: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document novelty vs a reference corpus: the fraction of the
+    document's distinct word n-grams that appear nowhere in the
+    reference — low novelty means the doc is re-hashed reference
+    content (dedup candidate / low marginal training value), high
+    novelty on a trusted reference flags distribution drift. The
+    per-doc complement of corpus-level decontamination.
+
+    Scale shape: the reference reduces to distinct grams (map-side
+    combinable) and is broadcast when small (eval slices, snapshots);
+    the corpus side ships (id, gram) pairs through one anti-join and
+    one per-id count — the text itself never shuffles. Counts are
+    integers; novelty is one int/int division — bit-identical
+    cross-engine.
+
+    Returns (id, n_grams, n_novel, novelty)."""
+    from aggregation_duckdb_spark.operators.dedup import shingles
+    base = docs.select(F.col(id_col),
+                       shingles(F.col(text_col), width).alias("__sh"))
+    grams = base.select(F.col(id_col), F.size("__sh").alias("n_grams"),
+                        F.explode("__sh").alias("__g"))
+    ref = (reference.select(F.explode(shingles(F.col(text_col), width))
+                            .alias("__g")).distinct())
+    novel = (grams.join(ref, "__g", "left_anti")
+             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_novel")))
+    return (base.select(F.col(id_col), F.size("__sh").alias("n_grams"))
+            .join(novel, id_col, "left")
+            .select(F.col(id_col), "n_grams",
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"))
+            .withColumn("novelty",
+                        F.col("n_novel").cast("double")
+                        / F.col("n_grams").cast("double")))

@@ -12,6 +12,7 @@ scale-critical paths.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -88,6 +89,11 @@ EXTENDED = [
     "pipeline_snapshot_diff",
     "events_dau_wau",
     "dedup_minhash_estimate",
+    # round 6:
+    "mm_phash_neardup",
+    "pipeline_epoch_shuffle",
+    "dedup_cluster_sizes",
+    "text_ngram_novelty",
 ]
 
 
@@ -130,6 +136,8 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s "
               f"(spread {spread[name][0]}-{spread[name][1]})",
               file=sys.stderr)
+        df = None
+        gc.collect()  # see the extended loop note
 
     extended: dict[str, float] = {}
     for name in EXTENDED:
@@ -140,6 +148,12 @@ def main() -> None:
         extended[name] = round(time.time() - t0, 3)
         print(f"# extended {name}: {n} rows in {extended[name]}s",
               file=sys.stderr)
+        # release this entry's materialized blocks before the next one:
+        # localCheckpoint RDDs stay pinned in the block manager while
+        # the Python-side DataFrame is referenced, and 40 entries of
+        # accumulated blocks measurably inflate late entries at sf>=1
+        # (driver-side GC is what lets Spark's ContextCleaner run)
+        gc.collect()
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])

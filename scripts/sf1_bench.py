@@ -1,0 +1,105 @@
+"""One real 10× datapoint for the headline suite: build an
+sf1-equivalent dataset by replicating sf0.1 ten times with re-keyed
+ids, then run the bench harness against it.
+
+The replication probes (scripts/scale_probe.py) argue the asymptotics
+per-operator; this runs the ACTUAL headline suite at 10× the rows so
+the scale claims rest on the measured suite, not only on per-operator
+probes. Replication semantics:
+
+- ``region``/``nation`` are fixed-size dimensions (TPC-H semantics) —
+  copied as-is; every replica's foreign keys still resolve.
+- every scaled table gets its primary AND foreign keys offset by
+  ``replica * 10**9``, so joins stay consistent within a replica and
+  cardinalities (customers, orders, users, docs) genuinely grow 10×.
+- ``documents`` text is replicated verbatim: within-replica duplicate
+  structure is preserved and cross-replica copies are exact dups, so
+  verified-pair counts grow quadratically within duplicate groups BY
+  CONSTRUCTION (10 copies of a g-sized group are one 10g-sized group).
+  Entries whose output is the pair list therefore may grow
+  superlinearly in rows without that implying a plan problem — the
+  probe output records result rows next to seconds so the two effects
+  can be told apart.
+
+Usage: python scripts/sf1_bench.py [--rebuild] [out_dir]
+(default out dir: <repo>/.sf1data — gitignored, ~200 MB)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = "/root/testdata/sf0.1"
+REPLICAS = 10
+OFFSET = 10**9
+
+#: table -> columns to offset per replica (keys that scale with sf)
+KEY_COLS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+FIXED_DIMS = ("region", "nation")
+
+
+def build(out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from aggregation_duckdb_spark.session import get_spark
+
+    spark = get_spark("sf1-build", extra_confs={"spark.ui.enabled": "false"})
+    for table, keys in KEY_COLS.items():
+        src = spark.read.parquet(f"{BASE}/{table}.parquet")
+        if table in FIXED_DIMS:
+            out = src
+        else:
+            parts = [src]
+            for i in range(1, REPLICAS):
+                rep = src
+                for k in keys:
+                    rep = rep.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+                parts.append(rep)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+        print(f"# built {table}", file=sys.stderr)
+    spark.stop()
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--rebuild"]
+    rebuild = "--rebuild" in sys.argv[1:]
+    out_dir = args[0] if args else os.path.join(REPO, ".sf1data")
+    if rebuild or not os.path.isdir(f"{out_dir}/lineitem.parquet"):
+        build(out_dir)
+    # run the bench harness in a FRESH process so its session conf,
+    # warmup, and timing discipline are exactly the driver's
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=out_dir)
+    proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                          env=env, capture_output=True, text=True)
+    sys.stderr.write(proc.stderr)
+    line = proc.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    rec["sf"] = 1.0
+    rec["note"] = ("sf0.1 replicated x10 with re-keyed ids; "
+                   "see scripts/sf1_bench.py for semantics")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -667,3 +667,60 @@ def test_materialization_strategies_same_results(spark, sf_dir, strategy):
         runtime.set_materialization("local")
     assert got_pairs == base_pairs
     assert got_cc == base_cc
+
+
+def test_epoch_shuffle_is_permutation_and_matches_global_sort(spark):
+    """The shard-parallel construction must equal the single global
+    md5 sort bit-for-bit, and positions must be exactly 1..N."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+    docs = spark.createDataFrame([(i,) for i in range(777)], "doc_id long")
+    got = {r.doc_id: r.position
+           for r in P.epoch_shuffle(docs, seed="s1").collect()}
+    assert sorted(got.values()) == list(range(1, 778))
+    want = {r.doc_id: r.position for r in docs.selectExpr(
+        "doc_id",
+        "row_number() over (order by md5(concat('s1','|',cast(doc_id as string))), doc_id) as position"
+    ).collect()}
+    assert got == want
+    # a different seed re-deals the order
+    other = {r.doc_id: r.position
+             for r in P.epoch_shuffle(docs, seed="s2").collect()}
+    assert other != got
+
+
+def test_phash_neardup_finds_exact_payloads_only_under_stub(spark):
+    from aggregation_duckdb_spark.operators import multimodal as M
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta"),
+         (4, "alpha beta"), (5, "unrelated text")],
+        "doc_id long, text string")
+    pairs = M.phash_near_duplicates(M.attach_payload(docs)).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert got == {(1, 2): 0, (1, 4): 0, (2, 4): 0}
+
+
+def test_cluster_size_histogram_triangle_plus_pair(spark):
+    from aggregation_duckdb_spark.operators import graph as G
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)], "doc_a long, doc_b long")
+    got = {r.cluster_size: (r.n_clusters, r.n_docs)
+           for r in G.cluster_size_histogram(pairs).collect()}
+    assert got == {2: (1, 2), 3: (1, 3)}
+
+
+def test_ngram_novelty_bounds(spark):
+    """A doc wholly inside the reference scores 0; a disjoint doc
+    scores 1; counts are the doc's distinct-gram counts."""
+    from aggregation_duckdb_spark.operators import text as T
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "totally novel content here"),
+         (3, "quick brown fox jumps plus something new entirely")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in T.ngram_novelty(docs, ref).collect()}
+    assert got[1].novelty == 0.0
+    assert got[2].novelty == 1.0
+    assert 0.0 < got[3].novelty < 1.0
+    assert got[3].n_grams > got[3].n_novel > 0

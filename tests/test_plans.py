@@ -398,6 +398,20 @@ def test_round5_entries_no_nested_loop(spark, sf_dir, name):
     assert_no_row_python_udf(df)
 
 
+@pytest.mark.parametrize("name", [
+    "mm_phash_neardup", "pipeline_epoch_shuffle",
+    "dedup_cluster_sizes", "text_ngram_novelty",
+])
+def test_round6_entries_no_nested_loop(spark, sf_dir, name):
+    """Same blanket pin for the round-6 entries: band-bucket and gram
+    equi-joins only — the phash candidate join and the novelty
+    anti-join must never degrade to a nested loop."""
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    df = matrix.queries()[name](spark, sf_dir)
+    assert_no_nested_loop_join(df)
+    assert_no_row_python_udf(df)
+
+
 def test_ivf_exact_only_bounded_cross_is_the_probe_table(spark, sf_dir):
     """sim_ivf_topk_exact carries exactly ONE nested-loop join: the
     queries × codebook probe-table build (model-sized — |Q|·k rows,
