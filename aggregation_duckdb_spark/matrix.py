@@ -49,16 +49,16 @@ def register(name: str, sql: str | None = None):
 # pluggable materializer in the CC loop, snapshot_diff presence flags,
 # the hier_agg_time orderBy); then 36 of the 48 entries whose latest
 # driver evidence is round 3, rotating back per the round-5 plan. The
-# 12 round-3 TPC-H entries left out (q2/q8/q9/q11/q12/q13/q15/q16/
-# q17/q19/q20/q22) rotate in next round; every excluded entry still
-# passes the full local oracle run. Exactly 50 names below.
+# 13 round-3 TPC-H entries left out (q2/q6/q8/q9/q11/q12/q13/q15/
+# q16/q17/q19/q20/q22) rotate in next round; every excluded entry
+# still passes the full local oracle run. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
     # committed after the round-5 driver run — restore driver evidence:
     "dedup_minhash_estimate", "events_dau_wau",
     "events_transition_matrix", "pipeline_snapshot_diff",
     # new in round 6 (no driver row yet):
     "mm_phash_neardup", "pipeline_epoch_shuffle",
-    "dedup_cluster_sizes", "text_ngram_novelty",
+    "dedup_cluster_sizes", "text_ngram_novelty", "stream_dau",
     # changed in round 6, re-verify: shingles let-binding (every
     # shingle consumer), CC edge materialization + pluggable
     # materializer (cc/pipeline), hier_agg_time ordering:
@@ -77,7 +77,6 @@ _DRIVER_WINDOW_FIRST = [
     "q7_volume_shipping", "q_unpivot", "q_collections",
     "q_null_safety", "q_io_roundtrip", "q14_promo_effect",
     "q_window_frames", "q_bucketed_join", "q4_order_priority",
-    "q6_revenue_forecast",
 ]
 
 

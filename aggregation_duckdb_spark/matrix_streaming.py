@@ -163,3 +163,24 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.groupBy("event_id", "user_id", "event_type")
             .agg(F.count(F.lit(1)).alias("n_copies_kept"))
             .orderBy("event_id"))
+
+
+@register("stream_dau", """
+WITH active AS (
+    SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+    FROM events)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+FROM active GROUP BY day ORDER BY day
+""")
+def stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-users-per-day (``streaming.dau_stream``):
+    exact per-day DAU held as per-key set state across micro-batches —
+    the streaming twin of the batch ``events.dau_wau`` DAU column. The
+    final row per day (max n_batches) must equal the batch distinct."""
+    from aggregation_duckdb_spark.streaming.dau import dau_stream
+
+    ev = events_stream(spark, sf_dir)
+    out = run_available_now(dau_stream(ev), "update")
+    final = out.groupBy("day").agg(
+        F.max_by(F.col("dau"), F.col("n_batches")).alias("dau"))
+    return final.orderBy("day")

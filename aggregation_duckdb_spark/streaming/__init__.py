@@ -23,12 +23,13 @@ from aggregation_duckdb_spark.streaming.near_dedup import (
 from aggregation_duckdb_spark.streaming.sinks import (
     read_sink, run_to_parquet_exactly_once, write_batch_idempotent)
 from aggregation_duckdb_spark.streaming.stateful import running_user_totals
+from aggregation_duckdb_spark.streaming.dau import dau_stream
 
 __all__ = [
     "dedup_stream", "events_stream", "run_available_now",
     "session_windows_stream", "sliding_counts_stream",
     "tumbling_counts_stream", "running_user_totals",
     "near_dedup_stream", "signature_buckets", "funnel_stream",
-    "anomaly_stream",
+    "anomaly_stream", "dau_stream",
     "read_sink", "run_to_parquet_exactly_once", "write_batch_idempotent",
 ]

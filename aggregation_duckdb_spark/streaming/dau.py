@@ -1,0 +1,73 @@
+"""Streaming DAU: per-day distinct active users across micro-batches.
+
+Distinct aggregations are not supported inside streaming queries, and
+chaining the two stateful operators that could emulate one
+(dropDuplicates → windowed count) constrains output modes; the robust
+form is ONE custom stateful operator keyed by epoch day whose state is
+the day's set of already-seen users — each micro-batch folds its new
+user ids in and emits the updated distinct count (update mode; the
+final row per day is the answer, same contract as
+``running_user_totals``).
+
+Scale shape: the shuffle is on the day key; state per day is the set
+of that day's distinct actives — bounded by the true DAU, which is
+exactly the quantity being computed (you cannot answer exact distincts
+with less state). The 100 TB variant swaps the id set for HLL
+registers (fixed 2^p bytes per day) at the cost of ±rsd accuracy —
+the same exact→sketch policy as ``events.dau_wau(approx=True)``; kept
+exact here so the result is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+STATE_SCHEMA = StructType([
+    StructField("seen", ArrayType(LongType())),
+    StructField("n_batches", LongType()),
+])
+
+OUTPUT_SCHEMA = StructType([
+    StructField("day", LongType()),
+    StructField("dau", LongType()),
+    StructField("n_batches", LongType()),
+])
+
+
+def _update_dau(key: tuple, pdfs: Iterable[pd.DataFrame],
+                state: Any) -> Iterator[pd.DataFrame]:
+    seen_list, b = state.get if state.exists else ([], 0)
+    seen = set(seen_list)
+    for pdf in pdfs:
+        seen.update(int(u) for u in pdf["user_id"])
+    state.update((sorted(seen), b + 1))
+    yield pd.DataFrame({"day": [key[0]], "dau": [len(seen)],
+                        "n_batches": [b + 1]})
+
+
+def dau_stream(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts") -> DataFrame:
+    """Per-epoch-day distinct active users, maintained as streaming
+    state. Same integer epoch-day keys as the batch ``events.dau_wau``
+    so the two agree bit-for-bit on a finite source.
+
+    Timeout: none here (finite availableNow sources); a production
+    stream would expire days older than the lateness SLA via
+    GroupStateTimeout — a day's state is dead weight once its late
+    events can no longer arrive."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepared = events.select(
+        F.expr(f"unix_micros({ts_col}) div {86_400_000_000}").alias("day"),
+        F.col(user_col).alias("user_id"))
+    return (prepared
+            .groupBy("day")
+            .applyInPandasWithState(
+                _update_dau, OUTPUT_SCHEMA, STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

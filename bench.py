@@ -94,6 +94,7 @@ EXTENDED = [
     "pipeline_epoch_shuffle",
     "dedup_cluster_sizes",
     "text_ngram_novelty",
+    "stream_dau",
 ]
 
 

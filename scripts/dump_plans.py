@@ -44,11 +44,20 @@ ENTRIES = {
         "7-day rolling distinct via map-side explode: two hash "
         "aggregates and one join on the day key — no day-range "
         "self-join anywhere"),
+    "mm_phash_neardup": (
+        "phash banding takes the capped one-shuffle path: hash "
+        "aggregate on (band, val) with in-row pair generation — no "
+        "self-join, no nested loop; hamming verify is a post-explode "
+        "filter"),
+    "pipeline_epoch_shuffle": (
+        "global md5 order without a global sort: window partitioned "
+        "by the hash-prefix shard, shard offsets joined back as a "
+        "BroadcastHashJoin — no single-task whole-corpus sort"),
 }
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANS_r05.md"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANS_r06.md"
     from aggregation_duckdb_spark import matrix
     from aggregation_duckdb_spark.plans import physical_plan
     from aggregation_duckdb_spark.session import get_spark
@@ -56,7 +65,7 @@ def main() -> None:
     spark = get_spark("plan-dump", extra_confs={"spark.ui.enabled": "false"})
     qs = matrix.queries()
     lines = [
-        "# Physical plans — round-5 audit",
+        "# Physical plans — round-6 audit",
         "",
         f"`df.explain('formatted')` of the scale-critical entries at "
         f"{SF_DIR} (regenerate: `python scripts/dump_plans.py`). Each "

@@ -412,3 +412,27 @@ def test_anomaly_stream_prequential_across_restart(spark, sf_dir, tmp_path):
     early = {k for k in want if k[1] <= cut}
     late = {k for k in want if k[1] > cut}
     assert early and late
+
+
+def test_stream_dau_matches_batch_distincts(spark, sf_dir,
+                                            multi_file_events):
+    """Per-day DAU folded across micro-batches equals the batch
+    distinct count, and state genuinely crossed batch boundaries."""
+    from aggregation_duckdb_spark.streaming.dau import dau_stream
+    stream = (spark.readStream
+              .schema(spark.read.parquet(multi_file_events).schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(multi_file_events))
+    out = run_available_now(dau_stream(stream), "update")
+    final = (out.groupBy("day")
+             .agg(F.max_by(F.struct("dau", "n_batches"),
+                           F.col("n_batches")).alias("s"))
+             .select("day", "s.dau", "s.n_batches"))
+    got = {r["day"]: r["dau"] for r in final.collect()}
+    batch = (spark.read.parquet(multi_file_events)
+             .select(F.expr("unix_micros(ts) div 86400000000").alias("day"),
+                     "user_id").distinct()
+             .groupBy("day").agg(F.count(F.lit(1)).alias("dau")))
+    want = {r["day"]: r["dau"] for r in batch.collect()}
+    assert got == want and got
+    assert final.agg(F.max("n_batches")).first()[0] > 1
