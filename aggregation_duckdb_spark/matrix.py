@@ -49,9 +49,10 @@ def register(name: str, sql: str | None = None):
 # pluggable materializer in the CC loop, snapshot_diff presence flags,
 # the hier_agg_time orderBy); then 36 of the 48 entries whose latest
 # driver evidence is round 3, rotating back per the round-5 plan. The
-# 13 round-3 TPC-H entries left out (q2/q6/q8/q9/q11/q12/q13/q15/
-# q16/q17/q19/q20/q22) rotate in next round; every excluded entry
-# still passes the full local oracle run. Exactly 50 names below.
+# 15 round-3 entries left out (q2/q4/q6/q8/q9/q11/q12/q13/q15/q16/
+# q17/q19/q20/q22 and q_window_frames) rotate in next round; every
+# excluded entry still passes the full local oracle run. Exactly 50
+# names below.
 _DRIVER_WINDOW_FIRST = [
     # committed after the round-5 driver run — restore driver evidence:
     "dedup_minhash_estimate", "events_dau_wau",
@@ -59,6 +60,7 @@ _DRIVER_WINDOW_FIRST = [
     # new in round 6 (no driver row yet):
     "mm_phash_neardup", "pipeline_epoch_shuffle",
     "dedup_cluster_sizes", "text_ngram_novelty", "stream_dau",
+    "text_token_vocab", "pipeline_leak_report",
     # changed in round 6, re-verify: shingles let-binding (every
     # shingle consumer), CC edge materialization + pluggable
     # materializer (cc/pipeline), hier_agg_time ordering:
@@ -76,7 +78,7 @@ _DRIVER_WINDOW_FIRST = [
     "q10_returned_items", "q18_large_volume_customers",
     "q7_volume_shipping", "q_unpivot", "q_collections",
     "q_null_safety", "q_io_roundtrip", "q14_promo_effect",
-    "q_window_frames", "q_bucketed_join", "q4_order_priority",
+    "q_bucketed_join",
 ]
 
 

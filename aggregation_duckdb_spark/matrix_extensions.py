@@ -3031,3 +3031,69 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_grams").cast("long").alias("n_grams"),
                     "n_novel", "novelty")
             .orderBy("doc_id"))
+
+
+@register("text_token_vocab", f"""
+WITH toks AS (SELECT UNNEST({_TOKS}) AS token FROM documents),
+counts AS (SELECT token, COUNT(*) AS n_occurrences FROM toks GROUP BY token),
+ranked AS (
+    SELECT token, n_occurrences,
+           ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS rank,
+           SUM(n_occurrences) OVER () AS total,
+           SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, token
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+    FROM counts)
+SELECT CAST(rank AS BIGINT) AS rank, token,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(n_occurrences AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+FROM ranked WHERE rank <= 100
+ORDER BY rank
+""")
+def text_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token vocabulary with coverage (``text.token_vocab``):
+    top-100 tokens, per-token corpus share, cumulative coverage —
+    tokenizer-design and corpus-drift primitive."""
+    docs = load_table(spark, "documents", sf_dir)
+    return T.token_vocab(docs, top_k=100).orderBy("rank")
+
+
+@register("pipeline_leak_report", f"""
+WITH tr AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+            WHERE source <> 'src0'),
+be AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+       WHERE source = 'src0'),
+bk AS (SELECT doc_id AS bench_doc_id,
+              UNNEST(list_transform({_shingle_sql(6)}, s -> md5(s))) AS key
+       FROM be),
+tk AS (SELECT doc_id AS tid,
+              UNNEST(list_transform({_shingle_sql(6)}, s -> md5(s))) AS key
+       FROM tr),
+hits AS (SELECT bk.bench_doc_id,
+                COUNT(DISTINCT bk.key) AS n_leaked_grams,
+                COUNT(DISTINCT tk.tid) AS n_leaking_train_docs
+         FROM bk JOIN tk ON bk.key = tk.key
+         GROUP BY bk.bench_doc_id),
+base AS (SELECT doc_id AS bench_doc_id,
+                CAST(len(list_transform({_shingle_sql(6)}, s -> md5(s)))
+                     AS BIGINT) AS n_grams
+         FROM be)
+SELECT base.bench_doc_id, base.n_grams,
+       CAST(COALESCE(h.n_leaked_grams, 0) AS BIGINT) AS n_leaked_grams,
+       CAST(COALESCE(h.n_leaking_train_docs, 0) AS BIGINT)
+           AS n_leaking_train_docs,
+       CAST(COALESCE(h.n_leaked_grams, 0) AS DOUBLE)
+           / CAST(base.n_grams AS DOUBLE) AS leak_share
+FROM base LEFT JOIN hits h ON base.bench_doc_id = h.bench_doc_id
+ORDER BY base.bench_doc_id
+""")
+def pipeline_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity leakage report (``pipeline.leak_report``): per
+    src0 benchmark doc, how many of its 6-grams the training corpus
+    carries and in how many training docs — decontamination's inverse
+    view."""
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.where(F.col("source") != "src0")
+    bench = docs.where(F.col("source") == "src0")
+    return P.leak_report(train, bench, width=6).orderBy("bench_doc_id")

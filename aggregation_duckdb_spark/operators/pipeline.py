@@ -637,3 +637,41 @@ def epoch_shuffle(docs: DataFrame, seed: str = "epoch-0",
             .join(F.broadcast(offsets), "__shard")
             .select(F.col(id_col),
                     (F.col("__off") + F.col("__pos")).alias("position")))
+
+
+def leak_report(train: DataFrame, bench: DataFrame, width: int = 6,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-benchmark-document leakage report — decontamination's
+    inverse view: for each eval document, how many of ITS n-grams
+    appear in the training corpus and how many training documents
+    carry them. 'Which benchmarks are compromised, and how badly' —
+    the number an eval-integrity review asks for, where
+    :func:`decontaminate` only answers 'which training docs to drop'.
+
+    Same join discipline as decontaminate: both sides reduce to
+    (id, md5-gram) pairs, the bench side is small, one hash equi-join.
+
+    Returns (bench_doc_id, n_grams, n_leaked_grams, n_leaking_train_docs,
+    leak_share)."""
+    bench_keys = bench.select(
+        F.col(id_col).alias("bench_doc_id"),
+        F.explode(ngram_keys(F.col(text_col), width)).alias("__key"))
+    train_keys = (train.select(F.col(id_col).alias("__tid"),
+                               F.explode(ngram_keys(F.col(text_col), width))
+                               .alias("__key")))
+    hits = (bench_keys.join(train_keys, "__key")
+            .groupBy("bench_doc_id")
+            .agg(F.count_distinct("__key").alias("n_leaked_grams"),
+                 F.count_distinct("__tid").alias("n_leaking_train_docs")))
+    base = bench.select(F.col(id_col).alias("bench_doc_id"),
+                        F.size(ngram_keys(F.col(text_col), width))
+                        .cast("long").alias("n_grams"))
+    return (base.join(hits, "bench_doc_id", "left")
+            .select("bench_doc_id", "n_grams",
+                    F.coalesce("n_leaked_grams", F.lit(0)).cast("long")
+                    .alias("n_leaked_grams"),
+                    F.coalesce("n_leaking_train_docs", F.lit(0)).cast("long")
+                    .alias("n_leaking_train_docs"))
+            .withColumn("leak_share",
+                        F.col("n_leaked_grams").cast("double")
+                        / F.col("n_grams").cast("double")))

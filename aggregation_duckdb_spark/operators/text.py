@@ -367,3 +367,38 @@ def ngram_novelty(docs: DataFrame, reference: DataFrame, width: int = 3,
             .withColumn("novelty",
                         F.col("n_novel").cast("double")
                         / F.col("n_grams").cast("double")))
+
+
+def token_vocab(docs: DataFrame, top_k: int = 1000,
+                text_col: str = "text") -> DataFrame:
+    """Corpus token vocabulary: the top-``top_k`` tokens by frequency
+    with per-token corpus share and cumulative coverage — the
+    tokenizer-design primitive (what does a k-entry vocab cover?) and
+    a drift monitor between corpus snapshots.
+
+    Scale shape: explode→count is one map-side-combinable shuffle; the
+    rank/cumulative windows then run on the VOCAB (dictionary-sized,
+    orders of magnitude below the corpus), where a single-partition
+    window is the right plan, not a bottleneck. Shares divide exact
+    integer counts — bit-identical cross-engine. Ties rank
+    deterministically by (count desc, token asc).
+
+    Returns (rank, token, n_occurrences, share, cum_share)."""
+    from pyspark.sql import Window
+    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    order = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    whole = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing)
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (counts
+            .withColumn("rank", F.row_number().over(order))
+            .withColumn("__total", F.sum("n_occurrences").over(whole))
+            .withColumn("__cum", F.sum("n_occurrences").over(running))
+            .where(F.col("rank") <= top_k)
+            .select(F.col("rank").cast("long").alias("rank"), "token",
+                    "n_occurrences",
+                    (F.col("n_occurrences").cast("double")
+                     / F.col("__total").cast("double")).alias("share"),
+                    (F.col("__cum").cast("double")
+                     / F.col("__total").cast("double")).alias("cum_share")))

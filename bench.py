@@ -95,6 +95,8 @@ EXTENDED = [
     "dedup_cluster_sizes",
     "text_ngram_novelty",
     "stream_dau",
+    "text_token_vocab",
+    "pipeline_leak_report",
 ]
 
 

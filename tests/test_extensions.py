@@ -724,3 +724,38 @@ def test_ngram_novelty_bounds(spark):
     assert got[2].novelty == 1.0
     assert 0.0 < got[3].novelty < 1.0
     assert got[3].n_grams > got[3].n_novel > 0
+
+
+def test_token_vocab_coverage_math(spark):
+    from aggregation_duckdb_spark.operators import text as T
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], "doc_id long, text string")
+    rows = T.token_vocab(docs, top_k=10).orderBy("rank").collect()
+    assert [r.token for r in rows] == ["a", "b", "c", "d"]
+    assert [r.n_occurrences for r in rows] == [4, 3, 1, 1]
+    assert rows[0].share == 4 / 9
+    assert rows[-1].cum_share == 1.0
+    # cum_share is monotone and rank-consistent
+    assert all(rows[i].cum_share < rows[i + 1].cum_share
+               for i in range(len(rows) - 1))
+    # top_k truncates
+    assert len(T.token_vocab(docs, top_k=2).collect()) == 2
+
+
+def test_leak_report_counts(spark):
+    from aggregation_duckdb_spark.operators import pipeline as P
+    train = spark.createDataFrame(
+        [(1, "one two three four five six seven"),
+         (2, "one two three four five six eight")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(10, "one two three four five six nine"),   # shares 1 6-gram w/ both
+         (11, "totally clean evaluation document nothing shared here")],
+        "doc_id long, text string")
+    got = {r.bench_doc_id: r for r in P.leak_report(train, bench).collect()}
+    assert got[10].n_leaked_grams == 1
+    assert got[10].n_leaking_train_docs == 2
+    assert got[10].leak_share == 1 / got[10].n_grams
+    assert got[11].n_leaked_grams == 0
+    assert got[11].n_leaking_train_docs == 0
+    assert got[11].leak_share == 0.0
