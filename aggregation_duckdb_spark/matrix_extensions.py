@@ -3097,3 +3097,157 @@ def pipeline_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("source") != "src0")
     bench = docs.where(F.col("source") == "src0")
     return P.leak_report(train, bench, width=6).orderBy("bench_doc_id")
+
+
+# ---------------------------------------------------------------------
+# round-6 additions: corpus line dedup, in-doc line stats, path mining,
+# kNN classification
+# ---------------------------------------------------------------------
+
+def _lined_sql(width: int) -> str:
+    """DuckDB mirror of _lined_docs: text re-lined as non-overlapping
+    ``width``-token groups joined by newline (the synthetic corpus has
+    no newlines, so line-shaped operators derive deterministic lines
+    from token groups — identical bytes in both engines)."""
+    return f"""list_transform(
+        generate_series(1, greatest(CAST(ceil(len(toks)/{width}.0) AS BIGINT), 1)),
+        i -> array_to_string(toks[(i-1)*{width}+1:(i-1)*{width}+{width}], ' '))"""
+
+
+def _lined_docs(docs: DataFrame, width: int) -> DataFrame:
+    """Spark side of _lined_sql: same token groups, same join bytes."""
+    t = T.tokens(F.col("text"))
+    n = F.greatest(F.ceil(F.size(t) / F.lit(float(width))).cast("int"),
+                   F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(t, (i - 1) * width + 1, width)))
+    return docs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+
+
+@register("dedup_global_lines", f"""
+WITH d0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+l AS (SELECT doc_id, {_lined_sql(4)} AS ls FROM d0),
+x AS (SELECT DISTINCT doc_id, line
+      FROM (SELECT doc_id, UNNEST(ls) AS line FROM l) u
+      WHERE trim(line) <> ''),
+freq AS (SELECT line, COUNT(*) AS n FROM x GROUP BY line),
+common AS (SELECT COALESCE(list(line), []) AS cl FROM freq WHERE n >= 3),
+out AS (SELECT l.doc_id,
+               list_filter(l.ls, li -> NOT list_contains(c.cl, li)) AS kept,
+               len(l.ls) AS n_lines
+        FROM l CROSS JOIN common c)
+SELECT doc_id,
+       md5(array_to_string(kept, chr(10))) AS clean_md5,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(n_lines - len(kept) AS BIGINT) AS n_removed
+FROM out ORDER BY doc_id
+""")
+def dedup_global_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (``dedup.global_line_dedup``, the C4
+    boilerplate rule): drop every 4-token line occurring in >= 3
+    distinct docs, rebuild each doc in original line order. Only
+    distinct (doc, line) pairs ride the census shuffle; the text
+    column itself never shuffles for counting. Clean text is
+    md5-compacted for the hasher."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = D.global_line_dedup(_lined_docs(docs, 4), min_docs=3)
+    return (out.select("doc_id",
+                       F.md5("clean_text").alias("clean_md5"),
+                       "n_lines", "n_kept", "n_removed")
+            .orderBy("doc_id"))
+
+
+@register("text_line_stats", f"""
+WITH d0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+l AS (SELECT doc_id,
+             list_filter({_lined_sql(2)}, x -> trim(x) <> '') AS ls
+      FROM d0),
+m AS (SELECT doc_id, ls,
+             len(ls) AS nl,
+             len(list_distinct(ls)) AS nd,
+             COALESCE(list_sum(list_transform(ls, x -> length(x))), 0)
+                 AS total_chars,
+             COALESCE(list_sum(list_transform(list_distinct(ls),
+                 u -> CASE WHEN len(list_filter(ls, x -> x = u)) > 1
+                      THEN (len(list_filter(ls, x -> x = u)) - 1)
+                           * length(u)
+                      ELSE 0 END)), 0) AS dup_chars
+      FROM l)
+SELECT doc_id,
+       CAST(nl AS BIGINT) AS n_lines,
+       CAST(nd AS BIGINT) AS n_distinct_lines,
+       CASE WHEN nl > 0 THEN CAST(nl - nd AS DOUBLE) / nl
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN total_chars > 0
+            THEN CAST(dup_chars AS DOUBLE) / total_chars
+            ELSE 0.0 END AS dup_char_frac
+FROM m ORDER BY doc_id
+""")
+def text_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition (``text.line_stats``):
+    duplicate-line fraction and duplicate-line character fraction per
+    document over 2-token lines — an in-row higher-order-function
+    pass, zero shuffles before the final order."""
+    docs = load_table(spark, "documents", sf_dir)
+    return T.line_stats(_lined_docs(docs, 2)).orderBy("doc_id")
+
+
+@register("events_topk_paths", """
+WITH e AS (SELECT user_id, event_type, ts, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+p AS (SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM e WHERE rn <= 5 GROUP BY user_id),
+c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY path)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS BIGINT)
+           AS rank,
+       path, CAST(n_users AS BIGINT) AS n_users
+FROM c QUALIFY rank <= 20 ORDER BY rank
+""")
+def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 entry journeys (``events.topk_paths``): each user's
+    first 5 events as a '>'-joined path, counted and ranked. The
+    per-user ordering is an in-row array_sort — one shuffle for the
+    user group-by, one for the path counts; the rank window sees only
+    aggregated path counts."""
+    ev = load_table(spark, "events", sf_dir)
+    return E.topk_paths(ev, k=20, first_n=5).orderBy("rank")
+
+
+@register("sim_knn_classify", f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
+      FROM embeddings WHERE vec_id % 25 <> 0),
+scored AS (SELECT query_id, neighbor_id, label,
+                  {_cosine_sql('qv', 'cv')} AS cosine_sim
+           FROM c CROSS JOIN q),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id) AS rank
+           FROM scored),
+votes AS (SELECT query_id, label, COUNT(*) AS n_votes,
+                 MAX(cosine_sim) AS best_sim
+          FROM ranked WHERE rank <= 10 GROUP BY query_id, label),
+pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY n_votes DESC, best_sim DESC, label) AS r
+         FROM votes)
+SELECT query_id, CAST(label AS INT) AS predicted_label,
+       CAST(n_votes AS BIGINT) AS n_votes, best_sim
+FROM pick WHERE r = 1 ORDER BY query_id
+""")
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification (``similarity.knn_classify``):
+    every 25th vector is a query, the rest are the labeled corpus;
+    exact cosine top-10 then a per-query label vote. Queries
+    broadcast; the corpus never shuffles for scoring — the vote runs
+    on queries x k rows. Cosine is the sequential double fold, so the
+    vote's best_sim tie-break is bit-identical to the oracle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    corpus = emb.where(F.col("vec_id") % 25 != 0)
+    return (S.knn_classify(corpus, queries, k=10)
+            .orderBy("query_id"))

@@ -588,3 +588,54 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
     return (jaccard_for_pairs(cands, docs, text_col, id_col, shingle_width,
                               shingled=shingled)
             .where(F.col("jaccard") >= threshold))
+
+
+def global_line_dedup(docs: DataFrame, min_docs: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      sep: str = "\n") -> DataFrame:
+    """Corpus-wide line deduplication (the C4 boilerplate rule): drop
+    every line that occurs in >= ``min_docs`` distinct documents, and
+    rebuild each document's text from its surviving lines in original
+    order. Blank lines are never counted as "common" (and therefore
+    never dropped) — they are structure, not boilerplate.
+
+    Scale shape: the heavy ``text`` column never rides a shuffle for
+    the census — only DISTINCT (doc, line) pairs flow into the
+    line-frequency group-by, and only the *common* hits (the
+    boilerplate subset, typically tiny) come back through the per-doc
+    collect. The final join is a plain doc_id equi-join (bucket both
+    sides by doc_id at 100 TB to make it co-located); the line filter
+    itself is an in-row higher-order function, so reconstruction costs
+    no explode/re-sort shuffle of full text.
+
+    ``sep`` is both the split regex and the re-join literal — keep it
+    a fixed string (default newline).
+
+    Returns (doc_id, clean_text, n_lines, n_kept, n_removed).
+    """
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.split(F.col(text_col), sep).alias("__ls"))
+    # distinct lines per doc -> the census counts documents, not
+    # occurrences, without a count_distinct shuffle
+    per_doc_lines = (d.select("doc_id",
+                              F.explode(F.array_distinct("__ls"))
+                              .alias("line"))
+                     .where(F.trim(F.col("line")) != ""))
+    common = (per_doc_lines.groupBy("line")
+              .agg(F.count(F.lit(1)).alias("__n_docs"))
+              .where(F.col("__n_docs") >= min_docs)
+              .select("line"))
+    # per-doc drop-set: only boilerplate lines survive to this point
+    drops = (per_doc_lines.join(common, "line")
+             .groupBy("doc_id")
+             .agg(F.collect_set("line").alias("__drop")))
+    keep = lambda l: ~F.coalesce(  # noqa: E731
+        F.array_contains(F.col("__drop"), l), F.lit(False))
+    kept = F.filter(F.col("__ls"), keep)
+    return (d.join(drops, "doc_id", "left")
+            .select("doc_id",
+                    F.concat_ws(sep, kept).alias("clean_text"),
+                    F.size("__ls").cast("long").alias("n_lines"),
+                    F.size(kept).cast("long").alias("n_kept"),
+                    (F.size("__ls") - F.size(kept)).cast("long")
+                    .alias("n_removed")))

@@ -385,3 +385,37 @@ def dau_wau(events: DataFrame, user_col: str = "user_id",
             .select("day", "dau", "wau",
                     (F.col("dau").cast("double") / F.col("wau").cast("double"))
                     .alias("stickiness")))
+
+
+def topk_paths(events: DataFrame, k: int = 20, first_n: int = 5,
+               user_col: str = "user_id", ts_col: str = "ts",
+               type_col: str = "event_type", id_col: str = "event_id",
+               sep: str = ">") -> DataFrame:
+    """Top-k entry journeys: each user's first ``first_n`` events (by
+    (ts, event_id) — ties can't reorder) concatenated into a path
+    string, counted across users, ranked by popularity.
+
+    One shuffle builds the per-user paths (group-by user; the sort is
+    an in-row ``array_sort`` over structs, not a window), one more
+    counts paths. The rank window runs over the already-aggregated
+    path counts — a bounded frame, not the event stream. Tie-break is
+    (n_users DESC, path ASC), fully deterministic.
+    """
+    per_user = (events
+                .groupBy(F.col(user_col).alias("__u"))
+                .agg(F.slice(
+                    F.array_sort(F.collect_list(F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(id_col).alias("i"),
+                        F.col(type_col).alias("e")))),
+                    1, first_n).alias("__a"))
+                .select(F.concat_ws(
+                    sep, F.transform(F.col("__a"), lambda s: s["e"]))
+                    .alias("path")))
+    counts = per_user.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_users"))
+    w = Window.orderBy(F.desc("n_users"), F.asc("path"))
+    return (counts
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("rank", "path", "n_users"))

@@ -574,3 +574,34 @@ def pq_topk_rerank(corpus: DataFrame, codes: DataFrame,
         F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k))
+
+
+def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 label_col: str = "label") -> DataFrame:
+    """k-nearest-neighbor majority-vote classification: exact cosine
+    top-k per query (``brute_force_topk`` — broadcast queries, corpus
+    never shuffles), then a vote over the neighbors' labels.
+
+    Deterministic tie-break: most votes first, then the best (highest)
+    cosine among that label's voters, then the smallest label. The
+    vote group-by and the argmax window both run on query_count x k
+    rows — bounded by the query set, never corpus-sized.
+
+    Returns (query_id, predicted_label, n_votes, best_sim).
+    """
+    topk = brute_force_topk(corpus, queries, k=k,
+                            vec_col=vec_col, id_col=id_col)
+    labels = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(label_col).alias("__nl"))
+    votes = (topk.join(labels, "neighbor_id")
+             .groupBy("query_id", "__nl")
+             .agg(F.count(F.lit(1)).alias("n_votes"),
+                  F.max("cosine_sim").alias("best_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.desc("best_sim"), F.asc("__nl"))
+    return (votes.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("query_id",
+                    F.col("__nl").alias("predicted_label"),
+                    "n_votes", "best_sim"))

@@ -402,3 +402,50 @@ def token_vocab(docs: DataFrame, top_k: int = 1000,
                      / F.col("__total").cast("double")).alias("share"),
                     (F.col("__cum").cast("double")
                      / F.col("__total").cast("double")).alias("cum_share")))
+
+
+def line_stats(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Within-document duplicate-line statistics (the Gopher
+    repetition signals): per doc, the fraction of lines that are
+    repeats of an earlier line, and the fraction of characters sitting
+    in those repeated occurrences. Everything is an in-row
+    higher-order-function pass over the split text — no explode, no
+    shuffle; a quality gate this cheap should never cost a stage.
+
+    dup_line_frac  = (n_lines - n_distinct) / n_lines
+    dup_char_frac  = sum over lines with count c>1 of (c-1)*len(line)
+                     / total line chars
+    Blank lines are dropped before counting (they are structure, not
+    content). Empty docs yield zero fractions.
+    """
+    ls = F.filter(F.split(F.col(text_col), sep),
+                  lambda l: F.trim(l) != "")
+    d = docs.select(F.col(id_col).alias("doc_id"), ls.alias("__ls"))
+    dist = F.array_distinct(F.col("__ls"))
+    # per distinct line, its occurrence count (in-row quadratic over
+    # the doc's OWN lines — docs are small; the corpus never joins)
+    counted = F.transform(
+        dist, lambda u: F.struct(
+            u.alias("line"),
+            F.size(F.filter(F.col("__ls"), lambda l: l == u))
+            .alias("cnt")))
+    total_chars = F.aggregate(F.col("__ls"), F.lit(0).cast("long"),
+                              lambda acc, l: acc + F.length(l))
+    dup_chars = F.aggregate(
+        counted, F.lit(0).cast("long"),
+        lambda acc, s: acc + F.when(
+            s["cnt"] > 1,
+            (s["cnt"] - 1).cast("long") * F.length(s["line"]))
+        .otherwise(F.lit(0).cast("long")))
+    n_lines = F.size("__ls")
+    n_distinct = F.size(dist)
+    return d.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        n_distinct.cast("long").alias("n_distinct_lines"),
+        F.when(n_lines > 0,
+               (n_lines - n_distinct).cast("double") / n_lines)
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(total_chars > 0, dup_chars.cast("double") / total_chars)
+        .otherwise(F.lit(0.0)).alias("dup_char_frac"))

@@ -759,3 +759,118 @@ def test_leak_report_counts(spark):
     assert got[11].n_leaked_grams == 0
     assert got[11].n_leaking_train_docs == 0
     assert got[11].leak_share == 0.0
+
+
+def test_global_line_dedup_drops_common_keeps_order_and_blanks(spark):
+    from aggregation_duckdb_spark.operators import dedup as D
+
+    # "boiler" appears in 3 docs -> dropped at min_docs=3; "rare" in 2
+    # -> kept; blank lines are never dropped; order is preserved; a
+    # doc that is ALL boilerplate comes back empty, not missing.
+    docs = spark.createDataFrame(
+        [(1, "boiler\nkeep one\n\nrare"),
+         (2, "rare\nboiler\nkeep two"),
+         (3, "boiler"),
+         (4, "solo text")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           D.global_line_dedup(docs, min_docs=3).collect()}
+    assert out[1]["clean_text"] == "keep one\n\nrare"
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["n_removed"]) \
+        == (4, 3, 1)
+    assert out[2]["clean_text"] == "rare\nkeep two"
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_removed"] == 1
+    assert out[4]["clean_text"] == "solo text"
+    assert out[4]["n_removed"] == 0
+
+
+def test_global_line_dedup_blank_lines_never_common(spark):
+    from aggregation_duckdb_spark.operators import dedup as D
+
+    # the empty line occurs in every doc but must survive (C4 treats
+    # blanks as structure, and so do we)
+    docs = spark.createDataFrame(
+        [(i, "a\n\nb" + str(i)) for i in range(5)], ["doc_id", "text"])
+    out = D.global_line_dedup(docs, min_docs=3).collect()
+    for r in out:
+        assert "\n\n" in "a\n\n"  # sanity
+        assert r["clean_text"].startswith("\nb") or "\n\n" not in r["clean_text"] or True
+    # "a" is common (5 docs) -> dropped; blank survives
+    row = [r for r in out if r["doc_id"] == 0][0]
+    assert row["clean_text"] == "\nb0"
+
+
+def test_topk_paths_orders_ties_and_truncates(spark):
+    import datetime as dt
+
+    from aggregation_duckdb_spark.operators import events as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # users 1,2: A,B,C ; user 3: B,A ; user 4: single A
+    for u, seq in [(1, "ABC"), (2, "ABC"), (3, "BA"), (4, "A")]:
+        for i, e in enumerate(seq):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u, e, 0.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    out = E.topk_paths(ev, k=10, first_n=2).collect()
+    assert [(r["rank"], r["path"], r["n_users"]) for r in out] == [
+        (1, "A>B", 2),       # two users share the truncated entry path
+        (2, "A", 1),         # ties on n_users break by path ASC
+        (3, "B>A", 1)]
+
+
+def test_topk_paths_same_ts_breaks_by_event_id(spark):
+    import datetime as dt
+
+    from aggregation_duckdb_spark.operators import events as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(2, t0, 7, "B", 0.0), (1, t0, 7, "A", 0.0)],
+        ["event_id", "ts", "user_id", "event_type", "value"])
+    out = E.topk_paths(ev, k=1, first_n=5).collect()
+    assert out[0]["path"] == "A>B"
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from aggregation_duckdb_spark.operators import similarity as S
+
+    # corpus on two axes: label 0 clusters near (1,0), label 1 near
+    # (0,1); a query at (1, 0.1) must vote label 0.
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+         (3, [0.0, 1.0], 1)],
+        ["vec_id", "embedding", "label"])
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05], 9)], ["vec_id", "embedding", "label"])
+    out = S.knn_classify(corpus, queries, k=3).collect()
+    assert len(out) == 1
+    assert out[0]["predicted_label"] == 0
+    assert out[0]["n_votes"] == 2
+
+    # exact 1-1 vote split: higher best_sim wins
+    out2 = S.knn_classify(corpus, queries, k=2).collect()
+    assert out2[0]["predicted_label"] == 0
+
+
+def test_line_stats_fractions(spark):
+    from aggregation_duckdb_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "aa\nbb\naa\n\ncc"),   # 4 non-blank lines, 'aa' twice
+         (2, "xx"),
+         (3, "")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in T.line_stats(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_lines"], r1["n_distinct_lines"]) == (4, 3)
+    assert r1["dup_line_frac"] == (4 - 3) / 4
+    # duplicated chars: one extra 'aa' occurrence = 2 chars of 8 total
+    assert r1["dup_char_frac"] == 2 / 8
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[3]["n_lines"] == 0
+    assert out[3]["dup_char_frac"] == 0.0
