@@ -281,30 +281,57 @@ def perceptual_hash(with_payload: DataFrame,
     The hex encoding of the payload is let-bound through a
     single-element transform (same no-CSE-inside-HOF-bodies trap as
     dedup.shingles — otherwise every gram window re-hexes the whole
-    payload)."""
+    payload). Bit extraction is integer arithmetic, not per-character
+    string tests: bit b of the fingerprint reads the high bit of md5
+    hex nibble b+1, so each gram's md5 is parsed ONCE into four 32-bit
+    ints (``conv`` of 8 hex chars) and the 32 contributions are
+    shift-and-mask — a ~3x cheaper inner loop than 32
+    substring-isin's, same bits exactly.
+
+    The input is fanned out to the session's parallelism first: the
+    per-payload fold is the expensive part, and a small parquet scan
+    arriving as one partition would serialize it on one core (at 100
+    TB the scan already has more partitions than cores and this is a
+    no-op)."""
     def body(hx: Column) -> Column:
         nbytes = (F.length(hx) / 2).cast("int")
         starts = F.sequence(F.lit(1), F.greatest(nbytes - 3, F.lit(1)))
         grams = F.transform(
             starts, lambda i: hx.substr((i - 1) * 2 + 1, F.lit(8)))
-        hashed = F.transform(grams, F.md5)
+        # per gram: md5 once (let-bound), then four 32-bit chunks via
+        # conv — both bindings go through single-element transforms
+        # because lambda bodies get no CSE
+        chunked = F.transform(
+            grams,
+            lambda g: F.element_at(F.transform(
+                F.array(F.md5(g)),
+                lambda h: F.array(*[
+                    F.conv(F.substring(h, 1 + 8 * c, 8), 16, 10)
+                    .cast("long") for c in range(PHASH_BITS // 8)])), 1))
 
-        def contribs(h: Column) -> Column:
+        def contribs(ch: Column) -> Column:
+            # ch is a BOUND 4-long array value; nibble j's high bit of
+            # chunk c is bit 31-4j — identical to
+            # substring(md5, b+1, 1) IN ('8'..'f') with b = 8c + j
             return F.array(*[
-                F.when(F.substring(h, b + 1, 1).isin(*list("89abcdef")), 1)
-                 .otherwise(-1) for b in range(PHASH_BITS)])
+                (F.shiftrightunsigned(F.element_at(ch, b // 8 + 1),
+                                      31 - 4 * (b % 8))
+                 .bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+                for b in range(PHASH_BITS)])
 
         counts = F.aggregate(
-            hashed, F.array(*[F.lit(0)] * PHASH_BITS),
-            lambda acc, h: F.zip_with(acc, contribs(h), lambda a, c: a + c))
+            chunked, F.array(*[F.lit(0)] * PHASH_BITS),
+            lambda acc, ch: F.zip_with(acc, contribs(ch),
+                                       lambda a, c: a + c))
         # pack MSB-first by binary doubling (F.shiftleft takes a plain
         # int, not a per-element Column, so a shift-and-sum can't fold)
         return F.aggregate(
             counts, F.lit(0).cast("long"),
             lambda a, c: a * 2 + F.when(c > 0, 1).otherwise(0))
 
+    from aggregation_duckdb_spark.runtime import ensure_parallelism
     hx = F.lower(F.hex(F.col("payload")))
-    return with_payload.select(
+    return ensure_parallelism(with_payload).select(
         F.col(id_col),
         F.element_at(F.transform(F.array(hx), body), 1).alias("phash"))
 
