@@ -53,6 +53,22 @@ ENTRIES = {
         "global md5 order without a global sort: window partitioned "
         "by the hash-prefix shard, shard offsets joined back as a "
         "BroadcastHashJoin — no single-task whole-corpus sort"),
+    "dedup_global_lines": (
+        "the line census aggregates on the line value (narrow "
+        "(doc_id, line) pairs), the text column only appears in the "
+        "final doc_id equi-join; reconstruction is an in-row filter, "
+        "no explode/re-sort of full text"),
+    "events_topk_paths": (
+        "per-user ordering is an in-row array_sort inside the user "
+        "group-by — no window over the event stream; the rank window "
+        "sees only aggregated path counts"),
+    "sim_knn_classify": (
+        "one BroadcastNestedLoopJoin only — the bounded query "
+        "broadcast against the corpus scan; label attach and vote "
+        "are hash aggregate / equi-join"),
+    "text_line_stats": (
+        "zero shuffle exchanges before the presentation orderBy — "
+        "every repetition fraction is an in-row higher-order pass"),
 }
 
 

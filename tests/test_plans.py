@@ -433,3 +433,60 @@ def test_two_dim_and_time_hierarchies_broadcast_dims(spark, sf_dir):
     for name in ("hier_agg_by_month", "hier_agg_time"):
         df = matrix.queries()[name](spark, sf_dir)
         assert_broadcast_join(df, at_least=2)
+
+
+@pytest.mark.parametrize("name", [
+    "dedup_global_lines", "text_line_stats", "events_topk_paths",
+])
+def test_round6_late_entries_no_nested_loop(spark, sf_dir, name):
+    """Blanket pin for the second batch of round-6 entries: the line
+    census and path mining pair rows via hash equi-joins and
+    aggregates only."""
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    df = matrix.queries()[name](spark, sf_dir)
+    assert_no_nested_loop_join(df)
+    assert_no_row_python_udf(df)
+
+
+def test_line_stats_is_shuffle_free(spark, sf_dir):
+    """text.line_stats is a pure map: every fraction comes from in-row
+    higher-order functions, so the operator itself must plan ZERO
+    shuffle exchanges (the matrix entry's orderBy is presentation)."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import text as T
+    from aggregation_duckdb_spark.plans.inspect import count_shuffles
+    docs = load_table(spark, "documents", sf_dir)
+    assert count_shuffles(T.line_stats(docs)) == 0
+
+
+def test_global_line_dedup_census_never_shuffles_text(spark, sf_dir):
+    """The line census and drop-set build must ride hash aggregates /
+    equi-joins; the only join touching the full text column is the
+    final doc_id equi-join. No nested loop anywhere, and the heavy
+    text column appears in no Exchange below the reconstruction join
+    (the census legs project (doc_id, line) pairs only)."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.plans import assert_no_nested_loop_join
+    from aggregation_duckdb_spark.plans.inspect import physical_plan
+    docs = load_table(spark, "documents", sf_dir)
+    df = D.global_line_dedup(docs, min_docs=3)
+    assert_no_nested_loop_join(df)
+    plan = physical_plan(df, "formatted")
+    # the census group-by keys on the line value, never the text blob
+    assert "hashpartitioning(line" in plan, plan
+
+
+def test_knn_classify_only_bounded_cross_is_the_query_broadcast(spark,
+                                                                sf_dir):
+    """sim_knn_classify scores via the brute-force probe: exactly ONE
+    BroadcastNestedLoopJoin (the bounded query set against the corpus
+    scan — the sanctioned ANN-baseline shape); the label attach must
+    stay a hash equi-join and the corpus must never cartesian with
+    itself."""
+    from aggregation_duckdb_spark.plans import physical_plan
+    df = matrix.queries()["sim_knn_classify"](spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert_no_row_python_udf(df)
