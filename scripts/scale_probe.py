@@ -352,6 +352,41 @@ def prefix_probe(multiples: list) -> None:
             "pairs": n_pairs, "seconds": elapsed}))
 
 
+def global_lines_probe(multiples: list) -> None:
+    """Corpus line dedup as the corpus multiplies (docs re-keyed per
+    copy, so every line's doc-frequency multiplies and the boilerplate
+    set is stable). Pass = linear wall-clock, shuffle-stable plan, and
+    per-copy results identical to the base run (the census threshold
+    scales with the replication)."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.matrix_extensions import _lined_docs
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.plans import physical_plan
+    from aggregation_duckdb_spark.plans.inspect import count_shuffles
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    base = _lined_docs(
+        load_table(spark, "documents", SF_DIR).select("doc_id", "text"), 4)
+    D.global_line_dedup(base, min_docs=3).count()  # warmup
+
+    for m in multiples:
+        docs = base
+        for i in range(m - 1):
+            docs = docs.unionByName(base.select(
+                (F.col("doc_id") + (i + 1) * 10_000_000).alias("doc_id"),
+                "text"))
+        n_docs = docs.count()  # outside the timed region
+        out = D.global_line_dedup(docs, min_docs=3 * m)
+        t0 = time.time()
+        removed = out.agg(F.sum("n_removed")).collect()[0][0]
+        elapsed = round(time.time() - t0, 2)
+        print(json.dumps({
+            "probe": "global_line_dedup", "multiple": m, "docs": n_docs,
+            "lines_removed": int(removed), "seconds": elapsed,
+            "shuffles": count_shuffles(out),
+            "nested_loop": "NestedLoop" in physical_plan(out, "simple")}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--hierarchy":
         hierarchy_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
@@ -369,5 +404,7 @@ if __name__ == "__main__":
         spans_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--prefix":
         prefix_probe([int(a) for a in sys.argv[2:]] or [1, 4, 8])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--lines":
+        global_lines_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     else:
         main()
