@@ -3251,3 +3251,43 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") % 25 != 0)
     return (S.knn_classify(corpus, queries, k=10)
             .orderBy("query_id"))
+
+
+@register("text_encode_ids", f"""
+WITH toks AS (SELECT UNNEST({_TOKS}) AS token FROM documents),
+counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+vocab AS (SELECT token,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+          FROM counts QUALIFY rank <= 100),
+d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+x AS (SELECT doc_id, UNNEST(toks) AS token,
+             generate_subscripts(toks, 1) AS pos
+      FROM d),
+ids AS (SELECT x.doc_id, x.pos, COALESCE(v.rank, 0) AS tid
+        FROM x LEFT JOIN vocab v ON x.token = v.token),
+agg AS (SELECT doc_id,
+               string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS s,
+               COUNT(*) AS n_tokens,
+               SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov
+        FROM ids GROUP BY doc_id)
+SELECT d.doc_id,
+       md5(COALESCE(a.s, '')) AS ids_md5,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov
+FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+""")
+def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding (``text.encode_ids``): tokens → frequency
+    ranks with a 100-entry vocab, OOV → 0. The vocab folds into the
+    plan as a map literal, so the encode is a zero-shuffle map pass;
+    the oracle takes the explode/join/re-aggregate road to the same
+    arrays. Id arrays are md5-compacted for the hasher."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = T.encode_ids(docs, top_k=100)
+    return (out.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.transform(
+            "token_ids", lambda i: i.cast("string")))).alias("ids_md5"),
+        "n_tokens", "n_oov")
+        .orderBy("doc_id"))

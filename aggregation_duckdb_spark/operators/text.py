@@ -449,3 +449,40 @@ def line_stats(docs: DataFrame, text_col: str = "text",
         .otherwise(F.lit(0.0)).alias("dup_line_frac"),
         F.when(total_chars > 0, dup_chars.cast("double") / total_chars)
         .otherwise(F.lit(0.0)).alias("dup_char_frac"))
+
+
+def encode_ids(docs: DataFrame, vocab: DataFrame | None = None,
+               top_k: int = 1000, text_col: str = "text",
+               id_col: str = "doc_id", oov_id: int = 0) -> DataFrame:
+    """Vocabulary encoding: tokenize each document and map every token
+    to its vocabulary id (= frequency rank from ``token_vocab``),
+    out-of-vocabulary tokens to ``oov_id`` — the tokenize→ids step of
+    a pretraining pipeline.
+
+    Scale shape (the ``ivf_assign`` codebook pattern on text): the
+    vocabulary is MODEL-sized (``top_k`` rows), so it is collected
+    once and folded into the plan as a map literal; the encode itself
+    is a ZERO-SHUFFLE map-side transform — no explode, no per-token
+    join, nothing corpus-sized ever shuffles. The alternative
+    (explode + join + re-aggregate by position) costs two corpus-sized
+    shuffles to produce the same arrays.
+
+    Returns (doc_id, token_ids array<int>, n_tokens, n_oov)."""
+    if vocab is None:
+        vocab = token_vocab(docs, top_k=top_k, text_col=text_col)
+    rows = vocab.select("token", "rank").collect()  # bounded: top_k
+    if rows:
+        mapping = F.create_map(*[
+            lit for r in rows
+            for lit in (F.lit(r["token"]), F.lit(int(r["rank"])))])
+        lookup = lambda t: F.coalesce(  # noqa: E731
+            F.element_at(mapping, t), F.lit(oov_id))
+    else:
+        lookup = lambda t: F.lit(oov_id)  # noqa: E731
+    ids = F.transform(tokens(F.col(text_col)), lookup)
+    return docs.select(
+        F.col(id_col),
+        ids.alias("token_ids"),
+        F.size(ids).cast("long").alias("n_tokens"),
+        F.size(F.filter(ids, lambda i: i == oov_id)).cast("long")
+        .alias("n_oov"))

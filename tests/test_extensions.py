@@ -874,3 +874,23 @@ def test_line_stats_fractions(spark):
     assert out[2]["dup_line_frac"] == 0.0
     assert out[3]["n_lines"] == 0
     assert out[3]["dup_char_frac"] == 0.0
+
+
+def test_encode_ids_oov_order_and_counts(spark):
+    from aggregation_duckdb_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "b a b zzz"), (2, "a")], ["doc_id", "text"])
+    # corpus vocab by frequency: b(x2) rank 1... actually b=2, a=2;
+    # ties rank (count desc, token asc): a->1, b->2; zzz rank 3
+    out = {r["doc_id"]: r for r in
+           T.encode_ids(docs, top_k=2).collect()}
+    assert out[1]["token_ids"] == [2, 1, 2, 0]   # zzz is OOV
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1
+    assert out[2]["token_ids"] == [1]
+
+    # explicit external vocab wins over the corpus-derived one
+    vocab = spark.createDataFrame([("zzz", 7)], ["token", "rank"])
+    out2 = {r["doc_id"]: r for r in
+            T.encode_ids(docs, vocab=vocab).collect()}
+    assert out2[1]["token_ids"] == [0, 0, 0, 7]

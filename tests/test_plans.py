@@ -490,3 +490,16 @@ def test_knn_classify_only_bounded_cross_is_the_query_broadcast(spark,
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan
     assert_no_row_python_udf(df)
+
+
+def test_encode_ids_is_shuffle_free_given_a_vocab(spark, sf_dir):
+    """text.encode_ids with the vocab already built must plan ZERO
+    shuffles — the vocab folds in as a map literal and the encode is
+    a map-side transform (the ivf_assign codebook pattern)."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import text as T
+    from aggregation_duckdb_spark.plans.inspect import count_shuffles
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = T.token_vocab(docs, top_k=50)
+    assert count_shuffles(T.encode_ids(docs, vocab=vocab)) == 0
+    assert_no_row_python_udf(T.encode_ids(docs, vocab=vocab))
