@@ -97,6 +97,11 @@ EXTENDED = [
     "stream_dau",
     "text_token_vocab",
     "pipeline_leak_report",
+    "dedup_global_lines",
+    "text_line_stats",
+    "events_topk_paths",
+    "sim_knn_classify",
+    "text_encode_ids",
 ]
 
 
