@@ -3211,8 +3211,9 @@ FROM c QUALIFY rank <= 20 ORDER BY rank
 def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 entry journeys (``events.topk_paths``): each user's
     first 5 events as a '>'-joined path, counted and ranked. The
-    per-user ordering is an in-row array_sort — one shuffle for the
-    user group-by, one for the path counts; the rank window sees only
+    stream is cut to first-5-per-user by a spillable row_number
+    window before aggregating (skew-safe for bot users); the group-by
+    reuses the window's partitioning, and the rank window sees only
     aggregated path counts."""
     ev = load_table(spark, "events", sf_dir)
     return E.topk_paths(ev, k=20, first_n=5).orderBy("rank")

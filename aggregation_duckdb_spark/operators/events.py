@@ -395,20 +395,27 @@ def topk_paths(events: DataFrame, k: int = 20, first_n: int = 5,
     (ts, event_id) — ties can't reorder) concatenated into a path
     string, counted across users, ranked by popularity.
 
-    One shuffle builds the per-user paths (group-by user; the sort is
-    an in-row ``array_sort`` over structs, not a window), one more
-    counts paths. The rank window runs over the already-aggregated
-    path counts — a bounded frame, not the event stream. Tie-break is
+    Scale shape: the stream is cut to each user's first ``first_n``
+    events with a ``row_number`` window BEFORE anything aggregates —
+    the window sort spills, so a bot user with millions of events
+    costs disk, not executor memory (a collect_list-then-slice would
+    buffer that user's entire history in one array). The per-user
+    group-by reuses the window's hash partitioning (no second
+    event-stream shuffle), and its arrays are ≤ first_n elements by
+    construction. The rank window then runs over the aggregated path
+    counts — a bounded frame, not the event stream. Tie-break is
     (n_users DESC, path ASC), fully deterministic.
     """
-    per_user = (events
+    order = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(id_col))
+    firsts = (events
+              .withColumn("__rn", F.row_number().over(order))
+              .where(F.col("__rn") <= first_n))
+    per_user = (firsts
                 .groupBy(F.col(user_col).alias("__u"))
-                .agg(F.slice(
-                    F.array_sort(F.collect_list(F.struct(
-                        F.col(ts_col).alias("t"),
-                        F.col(id_col).alias("i"),
-                        F.col(type_col).alias("e")))),
-                    1, first_n).alias("__a"))
+                .agg(F.array_sort(F.collect_list(F.struct(
+                    F.col("__rn").alias("r"),
+                    F.col(type_col).alias("e")))).alias("__a"))
                 .select(F.concat_ws(
                     sep, F.transform(F.col("__a"), lambda s: s["e"]))
                     .alias("path")))

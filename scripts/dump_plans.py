@@ -59,9 +59,11 @@ ENTRIES = {
         "final doc_id equi-join; reconstruction is an in-row filter, "
         "no explode/re-sort of full text"),
     "events_topk_paths": (
-        "per-user ordering is an in-row array_sort inside the user "
-        "group-by — no window over the event stream; the rank window "
-        "sees only aggregated path counts"),
+        "the stream is cut to first_n events per user by a spillable "
+        "row_number window BEFORE aggregating (bounded per-user "
+        "arrays, skew-safe); the group-by reuses the window's "
+        "partitioning, and the rank window sees only aggregated path "
+        "counts"),
     "sim_knn_classify": (
         "one BroadcastNestedLoopJoin only — the bounded query "
         "broadcast against the corpus scan; label attach and vote "
