@@ -453,24 +453,31 @@ def line_stats(docs: DataFrame, text_col: str = "text",
 
 def encode_ids(docs: DataFrame, vocab: DataFrame | None = None,
                top_k: int = 1000, text_col: str = "text",
-               id_col: str = "doc_id", oov_id: int = 0) -> DataFrame:
+               id_col: str = "doc_id", oov_id: int = 0,
+               max_map_entries: int = 10_000) -> DataFrame:
     """Vocabulary encoding: tokenize each document and map every token
     to its vocabulary id (= frequency rank from ``token_vocab``),
     out-of-vocabulary tokens to ``oov_id`` — the tokenize→ids step of
     a pretraining pipeline.
 
-    Scale shape (the ``ivf_assign`` codebook pattern on text): the
-    vocabulary is MODEL-sized (``top_k`` rows), so it is collected
-    once and folded into the plan as a map literal; the encode itself
-    is a ZERO-SHUFFLE map-side transform — no explode, no per-token
-    join, nothing corpus-sized ever shuffles. The alternative
-    (explode + join + re-aggregate by position) costs two corpus-sized
-    shuffles to produce the same arrays.
+    Scale shape (the ``ivf_assign`` codebook pattern on text): a
+    MODEL-sized vocabulary (≤ ``max_map_entries`` rows) is collected
+    once and folded into the plan as a map literal; the encode is then
+    a ZERO-SHUFFLE map-side transform — no explode, no per-token
+    join, nothing corpus-sized ever shuffles. A vocabulary too large
+    to fold into the plan (BPE merges at 1M+ entries) must NOT be
+    collected to the driver at all — that path explodes to
+    (doc, pos, token), equi-joins the vocab (AQE broadcasts it if it
+    fits, shuffles it if not), and re-assembles arrays by position;
+    two corpus-sized exchanges, each spillable. Both paths produce
+    identical arrays (pytest-pinned).
 
     Returns (doc_id, token_ids array<int>, n_tokens, n_oov)."""
     if vocab is None:
         vocab = token_vocab(docs, top_k=top_k, text_col=text_col)
-    rows = vocab.select("token", "rank").collect()  # bounded: top_k
+    if vocab.limit(max_map_entries + 1).count() > max_map_entries:
+        return _encode_ids_join(docs, vocab, text_col, id_col, oov_id)
+    rows = vocab.select("token", "rank").collect()  # bounded: checked
     if rows:
         mapping = F.create_map(*[
             lit for r in rows
@@ -486,3 +493,38 @@ def encode_ids(docs: DataFrame, vocab: DataFrame | None = None,
         F.size(ids).cast("long").alias("n_tokens"),
         F.size(F.filter(ids, lambda i: i == oov_id)).cast("long")
         .alias("n_oov"))
+
+
+def _encode_ids_join(docs: DataFrame, vocab: DataFrame, text_col: str,
+                     id_col: str, oov_id: int) -> DataFrame:
+    """encode_ids for vocabularies too large for a plan literal:
+    posexplode → token equi-join → position-ordered re-assembly. The
+    per-doc collect is bounded by document length; empty docs survive
+    through the left join back to the corpus."""
+    ex = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(F.col(text_col)))
+        .alias("__pos", "__tok"))
+    joined = ex.join(vocab.select(F.col("token").alias("__tok"),
+                                  F.col("rank").alias("__rank")),
+                     "__tok", "left")
+    enc = (joined
+           .where(F.col("__pos").isNotNull())
+           .groupBy(id_col)
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct(
+                   F.col("__pos").alias("p"),
+                   F.coalesce(F.col("__rank"), F.lit(oov_id)).cast("int")
+                   .alias("t")))),
+               lambda s: s["t"]).alias("token_ids")))
+    empty = F.array().cast("array<int>")
+    return (docs.select(F.col(id_col))
+            .join(enc, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("token_ids", empty).alias("token_ids"))
+            .select(
+                id_col, "token_ids",
+                F.size("token_ids").cast("long").alias("n_tokens"),
+                F.size(F.filter("token_ids", lambda i: i == oov_id))
+                .cast("long").alias("n_oov")))

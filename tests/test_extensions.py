@@ -894,3 +894,17 @@ def test_encode_ids_oov_order_and_counts(spark):
     out2 = {r["doc_id"]: r for r in
             T.encode_ids(docs, vocab=vocab).collect()}
     assert out2[1]["token_ids"] == [0, 0, 0, 7]
+
+
+def test_encode_ids_join_path_matches_map_path(spark, sf_dir):
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import text as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = T.token_vocab(docs, top_k=30)
+    a = T.encode_ids(docs, vocab=vocab).orderBy("doc_id").collect()
+    # force the big-vocab road with the same 30-entry vocab
+    b = (T.encode_ids(docs, vocab=vocab, max_map_entries=5)
+         .orderBy("doc_id").collect())
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert any(r["n_oov"] > 0 for r in a)  # OOV actually exercised
