@@ -51,9 +51,9 @@ def register(name: str, sql: str | None = None):
 # driver evidence is round 3, rotating back per the round-5 plan. The
 # 20 round-3 entries left out (q2/q4/q6/q8/q9/q11/q12/q13/q15/q16/
 # q17/q19/q20/q22, q_window_frames, q_null_safety, q_io_roundtrip,
-# q14_promo_effect, q_bucketed_join, q_collections) rotate in next
-# round; every excluded entry still passes the full local oracle run.
-# Exactly 50 names below.
+# q14_promo_effect, q_bucketed_join, q_collections, q_unpivot) rotate
+# in next round; every excluded entry still passes the full local
+# oracle run. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
     # committed after the round-5 driver run — restore driver evidence:
     "dedup_minhash_estimate", "events_dau_wau",
@@ -63,7 +63,7 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_cluster_sizes", "text_ngram_novelty", "stream_dau",
     "text_token_vocab", "pipeline_leak_report",
     "dedup_global_lines", "text_line_stats", "events_topk_paths",
-    "sim_knn_classify", "text_encode_ids",
+    "sim_knn_classify", "text_encode_ids", "text_dedup_doc_lines",
     # changed in round 6, re-verify: shingles let-binding (every
     # shingle consumer), CC edge materialization + pluggable
     # materializer (cc/pipeline), hier_agg_time ordering:
@@ -79,7 +79,7 @@ _DRIVER_WINDOW_FIRST = [
     "q_exists_correlated", "q_string_agg", "q_pivot_status",
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q10_returned_items", "q18_large_volume_customers",
-    "q7_volume_shipping", "q_unpivot",
+    "q7_volume_shipping",
 ]
 
 

@@ -3292,3 +3292,30 @@ def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_ids", lambda i: i.cast("string")))).alias("ids_md5"),
         "n_tokens", "n_oov")
         .orderBy("doc_id"))
+
+
+@register("text_dedup_doc_lines", f"""
+WITH d0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+l AS (SELECT doc_id, {_lined_sql(2)} AS ls FROM d0),
+k AS (SELECT doc_id, ls,
+             list_filter(ls, (x, i) -> trim(x) = ''
+                                       OR list_position(ls[1:i-1], x) = 0)
+                 AS kept
+      FROM l)
+SELECT doc_id,
+       md5(array_to_string(kept, chr(10))) AS clean_md5,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept
+FROM k ORDER BY doc_id
+""")
+def text_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc line dedup (``text.dedup_doc_lines``): first
+    occurrence of each repeated 2-token line wins, blanks survive,
+    original order preserved — the rewrite twin of text_line_stats,
+    zero shuffles (indexed higher-order filter in-row)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = T.dedup_doc_lines(_lined_docs(docs, 2))
+    return (out.select("doc_id",
+                       F.md5("clean_text").alias("clean_md5"),
+                       "n_lines", "n_kept")
+            .orderBy("doc_id"))

@@ -528,3 +528,26 @@ def _encode_ids_join(docs: DataFrame, vocab: DataFrame, text_col: str,
                 F.size("token_ids").cast("long").alias("n_tokens"),
                 F.size(F.filter("token_ids", lambda i: i == oov_id))
                 .cast("long").alias("n_oov")))
+
+
+def dedup_doc_lines(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Within-document line dedup: keep the FIRST occurrence of every
+    repeated line (blank lines survive as structure) and rebuild the
+    text in original order — the rewrite twin of ``line_stats``. Pure
+    in-row: the first-occurrence test is an indexed higher-order
+    filter over the doc's own lines (quadratic in lines-per-doc,
+    bounded by document size), so the operator plans ZERO shuffles.
+
+    Returns (doc_id, clean_text, n_lines, n_kept)."""
+    ls = F.split(F.col(text_col), sep)
+    d = docs.select(F.col(id_col).alias("doc_id"), ls.alias("__ls"))
+    kept = F.filter(
+        F.col("__ls"),
+        lambda x, i: (F.trim(x) == "")
+        | (F.array_position(F.slice(F.col("__ls"), 1, i), x) == 0))
+    return d.select(
+        "doc_id",
+        F.concat_ws(sep, kept).alias("clean_text"),
+        F.size("__ls").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"))

@@ -102,6 +102,7 @@ EXTENDED = [
     "events_topk_paths",
     "sim_knn_classify",
     "text_encode_ids",
+    "text_dedup_doc_lines",
 ]
 
 

@@ -908,3 +908,16 @@ def test_encode_ids_join_path_matches_map_path(spark, sf_dir):
          .orderBy("doc_id").collect())
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert any(r["n_oov"] > 0 for r in a)  # OOV actually exercised
+
+
+def test_dedup_doc_lines_first_wins_blanks_survive(spark):
+    from aggregation_duckdb_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na\n\n\na\nc"), (2, "x")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in T.dedup_doc_lines(docs).collect()}
+    # repeated 'a' collapses to its first occurrence; BOTH blank lines
+    # survive; order preserved
+    assert out[1]["clean_text"] == "a\nb\n\n\nc"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (7, 5)
+    assert out[2]["clean_text"] == "x"

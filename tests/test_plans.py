@@ -503,3 +503,12 @@ def test_encode_ids_is_shuffle_free_given_a_vocab(spark, sf_dir):
     vocab = T.token_vocab(docs, top_k=50)
     assert count_shuffles(T.encode_ids(docs, vocab=vocab)) == 0
     assert_no_row_python_udf(T.encode_ids(docs, vocab=vocab))
+
+
+def test_dedup_doc_lines_is_shuffle_free(spark, sf_dir):
+    """text.dedup_doc_lines is pure in-row rewrite — zero shuffles."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import text as T
+    from aggregation_duckdb_spark.plans.inspect import count_shuffles
+    docs = load_table(spark, "documents", sf_dir)
+    assert count_shuffles(T.dedup_doc_lines(docs)) == 0
