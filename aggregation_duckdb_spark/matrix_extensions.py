@@ -3221,9 +3221,9 @@ def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_knn_classify", f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id % 25 = 0),
+           WHERE vec_id % 25 = 0 AND vec_id < 2500),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
-      FROM embeddings WHERE vec_id % 25 <> 0),
+      FROM embeddings WHERE vec_id % 25 <> 0 OR vec_id >= 2500),
 scored AS (SELECT query_id, neighbor_id, label,
                   {_cosine_sql('qv', 'cv')} AS cosine_sim
            FROM c CROSS JOIN q),
@@ -3242,15 +3242,18 @@ FROM pick WHERE r = 1 ORDER BY query_id
 """)
 def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN majority-vote classification (``similarity.knn_classify``):
-    every 25th vector is a query, the rest are the labeled corpus;
+    every 25th vector UNDER id 2500 is a query (a BOUNDED set — ≤ 100
+    regardless of sf, same policy as sim_topk_bruteforce: the
+    brute-force probe is the verification baseline, so its query side
+    must not grow with the corpus), the rest are the labeled corpus;
     exact cosine top-10 then a per-query label vote. Queries
     broadcast; the corpus never shuffles for scoring — the vote runs
     on queries x k rows. Cosine is the sequential double fold, so the
     vote's best_sim tie-break is bit-identical to the oracle."""
     emb = load_table(spark, "embeddings", sf_dir)
-    queries = emb.where(F.col("vec_id") % 25 == 0)
-    corpus = emb.where(F.col("vec_id") % 25 != 0)
-    return (S.knn_classify(corpus, queries, k=10)
+    is_query = (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500)
+    return (S.knn_classify(emb.where(~is_query), emb.where(is_query),
+                           k=10)
             .orderBy("query_id"))
 
 
