@@ -71,6 +71,10 @@ ENTRIES = {
     "text_line_stats": (
         "zero shuffle exchanges before the presentation orderBy — "
         "every repetition fraction is an in-row higher-order pass"),
+    "text_dedup_doc_lines": (
+        "the within-doc rewrite is a pure map: indexed higher-order "
+        "filter in-row, zero shuffles before the presentation "
+        "orderBy"),
 }
 
 
