@@ -44,16 +44,18 @@ def register(name: str, sql: str | None = None):
 # list only schedules WHICH entries get a driver-recorded row this
 # round. Round-6 rotation: first the 4 entries that landed after the
 # round-5 driver run (local-oracle evidence only until now); then the
-# 4 new round-6 entries; then the entries most affected by this
+# round-6 entries (including the late pair, curriculum_order and
+# zorder_pruning); then the entries most affected by this
 # round's code changes (the shingles let-binding rewrite, the
 # pluggable materializer in the CC loop, snapshot_diff presence flags,
 # the hier_agg_time orderBy); then 31 of the 48 entries whose latest
 # driver evidence is round 3, rotating back per the round-5 plan. The
 # 20 round-3 entries left out (q2/q4/q6/q8/q9/q11/q12/q13/q15/q16/
 # q17/q19/q20/q22, q_window_frames, q_null_safety, q_io_roundtrip,
-# q14_promo_effect, q_bucketed_join, q_collections, q_unpivot) rotate
-# in next round; every excluded entry still passes the full local
-# oracle run. Exactly 50 names below.
+# q14_promo_effect, q_bucketed_join, q_collections, q_unpivot, and —
+# bumped for the two late round-6 entries — q5_local_supplier_volume
+# and q7_volume_shipping) rotate in next round; every excluded entry
+# still passes the full local oracle run. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
     # committed after the round-5 driver run — restore driver evidence:
     "dedup_minhash_estimate", "events_dau_wau",
@@ -64,6 +66,7 @@ _DRIVER_WINDOW_FIRST = [
     "text_token_vocab", "pipeline_leak_report",
     "dedup_global_lines", "text_line_stats", "events_topk_paths",
     "sim_knn_classify", "text_encode_ids", "text_dedup_doc_lines",
+    "pipeline_curriculum_order", "q_zorder_pruning",
     # changed in round 6, re-verify: shingles let-binding (every
     # shingle consumer), CC edge materialization + pluggable
     # materializer (cc/pipeline), hier_agg_time ordering:
@@ -77,9 +80,8 @@ _DRIVER_WINDOW_FIRST = [
     "q_order_limit", "q_set_ops", "q_scalar_functions",
     "q_struct_array", "q_date_functions", "q_percentiles",
     "q_exists_correlated", "q_string_agg", "q_pivot_status",
-    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q3_shipping_priority",
     "q10_returned_items", "q18_large_volume_customers",
-    "q7_volume_shipping",
 ]
 
 

@@ -3322,3 +3322,62 @@ def text_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.md5("clean_text").alias("clean_md5"),
                        "n_lines", "n_kept")
             .orderBy("doc_id"))
+
+
+@register("pipeline_curriculum_order", """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS position
+FROM documents
+ORDER BY position
+""")
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length curriculum (``pipeline.curriculum_order``): global rank
+    by (n_chars, doc_id) — the short-to-long schedule a curriculum
+    trainer consumes. The oracle's bare ROW_NUMBER is the one-task
+    global sort; the engine side is the range-sharded two-level
+    construction (score-bin shards + parallel local windows +
+    broadcast offsets), bit-equal by the shard-is-a-prefix argument
+    that epoch_shuffle makes for hash order."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (P.curriculum_order(docs, key_col="n_chars")
+            .select("doc_id",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("position").cast("long").alias("position"))
+            .orderBy("position"))
+
+
+@register("q_zorder_pruning", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value
+FROM events
+WHERE user_id BETWEEN 10 AND 60 AND value BETWEEN 50 AND 200
+ORDER BY event_id
+""")
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout roundtrip (``sources.layout``): events rewritten
+    Morton-clustered on (user_id, value), then a 2-D box read back
+    through the coarse-bucket planner — ``zbucket IN (...)`` prunes
+    partition directories at plan time (PartitionFilters; the
+    plan-shape test pins both the pruning predicate and that the
+    candidate list is a strict subset of the bucket space), while the
+    exact box filter keeps results row-identical to the oracle's
+    full-scan filter. The write runs once per (application, sf) — the
+    layout is the durable artifact, queries only read."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", "user_id", "value"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zorder",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not os.path.exists(os.path.join(base, L.BOUNDS_FILE)):
+        L.write_zordered(ev, base, "user_id", "value",
+                         bits=8, bucket_bits=4)
+    out = L.read_zordered_box(spark, base, 10, 60, 50, 200)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value")
+            .orderBy("event_id"))

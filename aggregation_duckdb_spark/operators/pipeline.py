@@ -639,6 +639,64 @@ def epoch_shuffle(docs: DataFrame, seed: str = "epoch-0",
                     (F.col("__off") + F.col("__pos")).alias("position")))
 
 
+def curriculum_order(docs: DataFrame, key_col: str = "n_chars",
+                     id_col: str = "doc_id",
+                     num_shards: int = 64) -> DataFrame:
+    """Global curriculum position: rank of (key, id) ascending — the
+    short-to-long length curriculum (or any numeric difficulty score)
+    a training scheduler consumes.
+
+    Scale shape: the naive form is ``ROW_NUMBER() OVER (ORDER BY key,
+    id)`` — a window with no PARTITION BY, which Spark plans as an
+    Exchange to ONE partition: the whole corpus sorts on one task, the
+    classic global-ordering scale-killer. This is the range-sharded
+    twin of :func:`epoch_shuffle`'s hash-prefix construction: that one
+    only works because its sort key IS the hash, so an arbitrary
+    numeric key needs order-preserving shards instead. The shard is a
+    linear bin of the key between the corpus min/max (one scalar
+    min/max aggregate, attached as a broadcast 1-row frame — the
+    sanctioned model-sized class), rows rank locally within their
+    shard (parallel window), and broadcast per-shard offsets lift
+    local ranks to global positions. The bin is pure integer
+    arithmetic of (key, min, max) — deliberately NOT
+    ``repartitionByRange``, whose reservoir-sampled boundaries differ
+    run to run; this construction is deterministic and bit-equal to
+    the one global sort on any engine. The min/max is a 2-value
+    scalar collect folded into the plan as literals (the sanctioned
+    model-sized class — same policy as ivf_assign's codebook), which
+    keeps the shard expression a plain map-side projection instead of
+    a 1-row cross join duplicated under every consumer of the keyed
+    frame.
+
+    Skew caveat: heavily clustered keys collapse into few bins; the
+    construction stays correct (a bin is just a window partition), and
+    a near-constant key degrades toward the single-task sort — for
+    such keys compose with a secondary spread key. Returns
+    (id, key, position) with position 1..N.
+    """
+    from pyspark.sql import Window
+    mn, mx = docs.agg(F.min(key_col).cast("long"),
+                      F.max(key_col).cast("long")).collect()[0]
+    # bin arithmetic stays < num_shards by construction:
+    # ((mx-mn)*S) div (mx-mn+1) <= S-1, so no clamp is needed
+    keyed = docs.select(
+        F.col(id_col), F.col(key_col),
+        F.expr(f"(({key_col} - {mn}) * {num_shards}) "
+               f"div {mx - mn + 1}").alias("__shard"))
+    within = F.row_number().over(
+        Window.partitionBy("__shard").orderBy(key_col, id_col))
+    counts = keyed.groupBy("__shard").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__shard",
+        (F.sum("__n").over(Window.orderBy("__shard")
+                           .rowsBetween(Window.unboundedPreceding, -1)))
+        .alias("__off")).fillna(0, ["__off"])
+    return (keyed.withColumn("__pos", within)
+            .join(F.broadcast(offsets), "__shard")
+            .select(F.col(id_col), F.col(key_col),
+                    (F.col("__off") + F.col("__pos")).alias("position")))
+
+
 def leak_report(train: DataFrame, bench: DataFrame, width: int = 6,
                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-benchmark-document leakage report — decontamination's

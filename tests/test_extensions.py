@@ -921,3 +921,28 @@ def test_dedup_doc_lines_first_wins_blanks_survive(spark):
     assert out[1]["clean_text"] == "a\nb\n\n\nc"
     assert (out[1]["n_lines"], out[1]["n_kept"]) == (7, 5)
     assert out[2]["clean_text"] == "x"
+
+
+def test_curriculum_order_matches_global_sort(spark):
+    """The range-sharded construction must equal ROW_NUMBER() OVER
+    (ORDER BY key, id) bit-for-bit — including a constant key (all
+    rows collapse into one shard: degenerate but correct) and a
+    clustered key distribution (empty bins)."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+    import random
+    rnd = random.Random(11)
+    cases = [
+        [(i, rnd.randrange(5, 900)) for i in range(997)],   # spread
+        [(i, 7) for i in range(50)],                        # constant
+        [(i, rnd.choice([3, 4, 880])) for i in range(300)],  # clustered
+    ]
+    for rows in cases:
+        docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        got = {(r.doc_id, r.n_chars): r.position
+               for r in P.curriculum_order(docs).collect()}
+        want = {(r.doc_id, r.n_chars): r.position for r in docs.selectExpr(
+            "doc_id", "n_chars",
+            "row_number() over (order by n_chars, doc_id) as position"
+        ).collect()}
+        assert got == want
+        assert sorted(got.values()) == list(range(1, len(rows) + 1))

@@ -401,7 +401,7 @@ def test_round5_entries_no_nested_loop(spark, sf_dir, name):
 @pytest.mark.parametrize("name", [
     "mm_phash_neardup", "pipeline_epoch_shuffle",
     "dedup_cluster_sizes", "text_ngram_novelty",
-    "text_token_vocab", "pipeline_leak_report",
+    "text_token_vocab", "pipeline_leak_report", "q_zorder_pruning",
 ])
 def test_round6_entries_no_nested_loop(spark, sf_dir, name):
     """Same blanket pin for the round-6 entries: band-bucket and gram
@@ -512,3 +512,20 @@ def test_dedup_doc_lines_is_shuffle_free(spark, sf_dir):
     from aggregation_duckdb_spark.plans.inspect import count_shuffles
     docs = load_table(spark, "documents", sf_dir)
     assert count_shuffles(T.dedup_doc_lines(docs)) == 0
+
+
+def test_curriculum_order_plan_shape(spark, sf_dir):
+    """pipeline_curriculum_order: the min/max bounds fold in as plan
+    literals (a 2-value scalar collect, ivf_assign's codebook policy),
+    so there is NO nested-loop join anywhere; the offsets join is a
+    broadcast HASH join; and the data-sized window partitions by shard
+    (hashpartitioning on __shard) — never a single-partition global
+    sort, which is the construction's whole point."""
+    from aggregation_duckdb_spark.plans import (assert_no_nested_loop_join,
+                                                physical_plan)
+    df = matrix.queries()["pipeline_curriculum_order"](spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert_no_nested_loop_join(df)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_row_python_udf(df)
+    assert "hashpartitioning(__shard" in plan, plan

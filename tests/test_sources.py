@@ -174,3 +174,57 @@ def test_synthticks_streaming_python_datasource(spark):
     for i in (0, 59, 119):
         h = hashlib.md5(str(i).encode()).hexdigest()
         assert rows[i] == (h[:8], int(h[:4], 16))
+
+
+# ---------------------------------------------------------------------
+# Z-order layout (sources.layout)
+# ---------------------------------------------------------------------
+
+def _zorder_frame(spark):
+    return spark.range(0, 8000).select(
+        (F.col("id") % 997).alias("a"),
+        ((F.col("id") * 37) % 613).alias("b"),
+        F.col("id").alias("payload"))
+
+
+def test_zorder_box_read_equals_full_scan_filter(spark, tmp_path):
+    """The bucket predicate is a plan-time superset — every row the
+    box admits must survive the pruned read, for several boxes and
+    for an odd bucket_bits split."""
+    from aggregation_duckdb_spark.sources import layout as L
+    df = _zorder_frame(spark)
+    for kb, sub in ((4, "even"), (5, "odd")):
+        path = str(tmp_path / f"z_{sub}")
+        L.write_zordered(df, path, "a", "b", bits=7, bucket_bits=kb)
+        for box in ((100, 200, 300, 500), (0, 996, 0, 612),
+                    (990, 996, 0, 5), (400, 401, 100, 100)):
+            got = sorted((r.a, r.b, r.payload) for r in
+                         L.read_zordered_box(spark, path, *box).collect())
+            a_lo, a_hi, b_lo, b_hi = box
+            want = sorted((r.a, r.b, r.payload) for r in df.where(
+                (F.col("a").between(a_lo, a_hi)) &
+                (F.col("b").between(b_lo, b_hi))).collect())
+            assert got == want, (kb, box)
+
+
+def test_zorder_box_prunes_partition_directories(spark, tmp_path):
+    """A small 2-D box must (a) plan its bucket list as a partition
+    filter — directories never listed, never read — and (b) choose a
+    strict subset of the bucket space: the point of the layout."""
+    from aggregation_duckdb_spark.sources import layout as L
+    df = _zorder_frame(spark)
+    path = str(tmp_path / "z_prune")
+    spec = L.write_zordered(df, path, "a", "b", bits=8, bucket_bits=4)
+    buckets = L.zbuckets_for_box(spec, 100, 200, 300, 400)
+    assert 0 < len(buckets) < (1 << spec["bucket_bits"])
+    plan = physical_plan(
+        L.read_zordered_box(spark, path, 100, 200, 300, 400), "simple")
+    assert "PartitionFilters" in plan and "zbucket" in plan, plan
+
+
+def test_zorder_entry_plan_prunes(spark, sf_dir):
+    """The matrix entry itself must read through the pruned path."""
+    from aggregation_duckdb_spark import matrix
+    df = matrix.queries()["q_zorder_pruning"](spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "PartitionFilters" in plan and "zbucket" in plan, plan
