@@ -103,6 +103,8 @@ EXTENDED = [
     "sim_knn_classify",
     "text_encode_ids",
     "text_dedup_doc_lines",
+    "pipeline_curriculum_order",
+    "q_zorder_pruning",
 ]
 
 
