@@ -2,15 +2,20 @@
 
 The reference's storage surface is one DuckDB file plus a CSV export
 (SURVEY §2.1 S1–S7). This package carries the Spark-native equivalents
-a production deployment needs: schema-explicit CSV/JSON connectors and
+a production deployment needs: schema-explicit CSV/JSON connectors,
 bucketed tables — the pre-shuffle layout that turns repeated big-big
-joins into zero-exchange joins at 100 TB.
+joins into zero-exchange joins at 100 TB — and Z-order (Morton)
+clustered layouts whose coarse buckets let 2-D box predicates prune
+partition directories at plan time.
 """
 
 from aggregation_duckdb_spark.sources.bucketing import (
     is_shuffle_free_join, write_bucketed)
 from aggregation_duckdb_spark.sources.formats import (
     read_csv, read_json, write_csv_dir, write_json)
+from aggregation_duckdb_spark.sources.layout import (
+    read_zordered_box, write_zordered, zbuckets_for_box)
 
 __all__ = ["read_csv", "read_json", "write_csv_dir", "write_json",
-           "write_bucketed", "is_shuffle_free_join"]
+           "write_bucketed", "is_shuffle_free_join",
+           "write_zordered", "read_zordered_box", "zbuckets_for_box"]

@@ -91,11 +91,18 @@ def numeric_bounds(df: DataFrame, a_col: str, b_col: str) -> dict:
 
 def write_zordered(df: DataFrame, path: str, a_col: str, b_col: str,
                    bits: int = 8, bucket_bits: int = 4,
-                   bounds: dict | None = None) -> dict:
+                   bounds: dict | None = None,
+                   files_per_bucket: int = 1) -> dict:
     """Write ``df`` Z-clustered on (a_col, b_col): one directory per
     coarse Z bucket (top ``bucket_bits`` of the Z value), Z-sorted
     within buckets. Returns the layout spec (also persisted as a
-    sidecar JSON next to the data so readers need no coordination)."""
+    sidecar JSON next to the data so readers need no coordination).
+
+    ``files_per_bucket`` splits each bucket across that many write
+    tasks (salted by the NEXT z bits below the bucket prefix, so each
+    file still covers a contiguous z run): at 100 TB a bucket holds
+    terabytes and cannot funnel through one task; locally 1 keeps
+    file counts sane."""
     if bounds is None:
         bounds = numeric_bounds(df, a_col, b_col)
     spec = {"a_col": a_col, "b_col": b_col, "bits": bits,
@@ -105,10 +112,13 @@ def write_zordered(df: DataFrame, path: str, a_col: str, b_col: str,
                (bounds["b_lo"], bounds["b_hi"]), bits)
     shift = 1 << (2 * bits - bucket_bits)
     zb = ((z - (z % F.lit(shift))) / F.lit(shift)).cast("long")
+    salt_shift = max(shift // max(files_per_bucket, 1), 1)
+    salt = ((z - (z % F.lit(salt_shift))) / F.lit(salt_shift)).cast("long")
     (df.withColumn("__z", z).withColumn("zbucket", zb)
-       .repartition("zbucket")
+       .withColumn("__salt", salt)
+       .repartition("zbucket", "__salt")
        .sortWithinPartitions("zbucket", "__z")
-       .drop("__z")
+       .drop("__z", "__salt")
        .write.mode("overwrite").partitionBy("zbucket").parquet(path))
     with open(os.path.join(path, BOUNDS_FILE), "w") as f:
         json.dump(spec, f)

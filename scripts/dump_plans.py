@@ -75,6 +75,17 @@ ENTRIES = {
         "the within-doc rewrite is a pure map: indexed higher-order "
         "filter in-row, zero shuffles before the presentation "
         "orderBy"),
+    "pipeline_curriculum_order": (
+        "global (key, id) rank with NO single-task data sort: the "
+        "doc-sized window partitions by the range-bin shard "
+        "(hashpartitioning(__shard)), shard offsets join back as a "
+        "BroadcastHashJoin; min/max bounds are folded literals, so no "
+        "nested-loop scalar attach either"),
+    "q_zorder_pruning": (
+        "the 2-D box read plans its coarse Z-bucket list as "
+        "PartitionFilters (directories pruned before listing), with "
+        "the exact box predicate in PushedFilters — never a full "
+        "scan"),
 }
 
 
