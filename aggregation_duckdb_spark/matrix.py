@@ -53,9 +53,10 @@ def register(name: str, sql: str | None = None):
 # 20 round-3 entries left out (q2/q4/q6/q8/q9/q11/q12/q13/q15/q16/
 # q17/q19/q20/q22, q_window_frames, q_null_safety, q_io_roundtrip,
 # q14_promo_effect, q_bucketed_join, q_collections, q_unpivot, and —
-# bumped for the two late round-6 entries — q5_local_supplier_volume
-# and q7_volume_shipping) rotate in next round; every excluded entry
-# still passes the full local oracle run. Exactly 50 names below.
+# bumped for the four late round-6 entries — q5_local_supplier_volume,
+# q7_volume_shipping, q3_shipping_priority, q10_returned_items) rotate
+# in next round; every excluded entry still passes the full local
+# oracle run. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
     # committed after the round-5 driver run — restore driver evidence:
     "dedup_minhash_estimate", "events_dau_wau",
@@ -67,6 +68,7 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_global_lines", "text_line_stats", "events_topk_paths",
     "sim_knn_classify", "text_encode_ids", "text_dedup_doc_lines",
     "pipeline_curriculum_order", "q_zorder_pruning",
+    "text_unigram_quality", "pipeline_dataset_hash",
     # changed in round 6, re-verify: shingles let-binding (every
     # shingle consumer), CC edge materialization + pluggable
     # materializer (cc/pipeline), hier_agg_time ordering:
@@ -80,8 +82,7 @@ _DRIVER_WINDOW_FIRST = [
     "q_order_limit", "q_set_ops", "q_scalar_functions",
     "q_struct_array", "q_date_functions", "q_percentiles",
     "q_exists_correlated", "q_string_agg", "q_pivot_status",
-    "q3_shipping_priority",
-    "q10_returned_items", "q18_large_volume_customers",
+    "q18_large_volume_customers",
 ]
 
 

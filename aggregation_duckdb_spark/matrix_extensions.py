@@ -3381,3 +3381,63 @@ def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("user_id").cast("long").alias("user_id"),
                        "value")
             .orderBy("event_id"))
+
+
+@register("text_unigram_quality", f"""
+WITH tk AS (SELECT UNNEST({_TOKS}) AS token FROM documents),
+cts AS (SELECT token, COUNT(*) AS n FROM tk GROUP BY token),
+vocab AS (SELECT token, n FROM (
+    SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r
+    FROM cts) WHERE r <= 1000),
+tot AS (SELECT COUNT(*) AS nt FROM tk),
+d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+x AS (SELECT doc_id, UNNEST(toks) AS token,
+             generate_subscripts(toks, 1) AS pos FROM d),
+p AS (SELECT x.doc_id, x.pos, COALESCE(v.n, 0) AS c
+      FROM x LEFT JOIN vocab v USING (token)),
+agg AS (SELECT p.doc_id,
+               list((c + 1.0) / (t.nt + 1001.0) ORDER BY p.pos) AS ps,
+               SUM(CASE WHEN c <= 3 THEN 1 ELSE 0 END) AS n_rare
+        FROM p CROSS JOIN tot t GROUP BY p.doc_id)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CASE WHEN len(d.toks) > 0 THEN
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), a.ps),
+                        (acc, x) -> acc + x) / len(d.toks)
+            ELSE 0.0 END AS mean_prob,
+       CASE WHEN len(d.toks) > 0 THEN list_min(a.ps)
+            ELSE 0.0 END AS min_prob,
+       CAST(COALESCE(a.n_rare, 0) AS BIGINT) AS n_rare
+FROM d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+""")
+def text_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (``text.unigram_prob_stats``): mean
+    / min Laplace-smoothed corpus-unigram probability plus a
+    rare-token count per document — the cheap stand-in for a
+    perplexity filter. The vocab and total fold into the plan
+    (model-sized), so scoring is a zero-shuffle in-row pass; the
+    oracle takes the explode/join road and re-folds the SAME
+    probabilities in token order (ordered list + left reduce), so
+    doubles match bit-for-bit with no ln() anywhere."""
+    docs = load_table(spark, "documents", sf_dir)
+    return T.unigram_prob_stats(docs).orderBy("doc_id")
+
+
+@register("pipeline_dataset_hash", """
+WITH h AS (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, ''))
+               AS x FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor(('0x' || substr(x, 1, 8))::BIGINT) AS BIGINT) AS xor_lo,
+       CAST(bit_xor(('0x' || substr(x, 9, 8))::BIGINT) AS BIGINT) AS xor_hi,
+       CAST(SUM(('0x' || substr(x, 1, 8))::BIGINT) AS BIGINT) AS sum_lo
+FROM h
+""")
+def pipeline_dataset_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant corpus checksum
+    (``pipeline.dataset_fingerprint``): certify two corpus copies
+    identical with one row of commutative aggregates (count, xor of
+    md5 halves, sum against xor's duplicate-cancellation blind spot)
+    — relayouts and migrations verify with no corpus-sized compare."""
+    docs = load_table(spark, "documents", sf_dir)
+    return P.dataset_fingerprint(docs)

@@ -733,3 +733,35 @@ def leak_report(train: DataFrame, bench: DataFrame, width: int = 6,
             .withColumn("leak_share",
                         F.col("n_leaked_grams").cast("double")
                         / F.col("n_grams").cast("double")))
+
+
+def dataset_fingerprint(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Order-invariant corpus checksum — the snapshot-integrity
+    primitive for data versioning: two copies of a corpus match
+    byte-for-byte (any partitioning, any row order, any file layout)
+    iff their fingerprints match, and the comparison is one number
+    per side instead of a corpus-sized diff. Use it to certify a
+    migration/compaction/relayout (e.g. a Z-order rewrite) changed
+    NOTHING, where snapshot_diff answers the follow-up question of
+    WHAT changed.
+
+    Shape: one map-side pass (md5 per row, split into 32-bit halves)
+    into a single scalar aggregate — commutative combiners (xor, sum,
+    count), so the plan is a partial/final hash aggregate with a
+    1-row exchange; nothing corpus-sized shuffles. xor catches
+    any single-row difference; sum additionally catches duplicated
+    rows (xor of a row with itself cancels — the classic xor-only
+    blind spot); 32-bit halves summed over < 2^31 rows cannot
+    overflow int64.
+
+    Returns one row: (n_docs, xor_lo, xor_hi, sum_lo)."""
+    x = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|"),
+                       F.coalesce(F.col(text_col), F.lit(""))))
+    h1 = F.conv(F.substring(x, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(x, 9, 8), 16, 10).cast("long")
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.bit_xor(h1).alias("xor_lo"),
+        F.bit_xor(h2).alias("xor_hi"),
+        F.sum(h1).alias("sum_lo"))

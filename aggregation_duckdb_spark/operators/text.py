@@ -551,3 +551,61 @@ def dedup_doc_lines(docs: DataFrame, text_col: str = "text",
         F.concat_ws(sep, kept).alias("clean_text"),
         F.size("__ls").cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"))
+
+
+def unigram_prob_stats(docs: DataFrame, vocab: DataFrame | None = None,
+                       top_k: int = 1000, rare_count: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM quality proxy (the KenLM-style perplexity filter's
+    cheap cousin): score each document by how PROBABLE its tokens are
+    under the corpus's own unigram distribution. Low mean probability
+    = exotic/noisy text; a high rare-token count = OCR junk, code in a
+    prose corpus, wrong-language fragments.
+
+    p(t) = (c_t + 1) / (N + top_k + 1), Laplace-smoothed, where c_t is
+    the corpus count when t is in the top-``top_k`` vocabulary and 0
+    otherwise (outside-vocab tokens are "rare" by definition — at
+    web-corpus scale the tail is exactly what the filter exists to
+    catch), and N is the total corpus token count.
+
+    Scale shape: one explode→count shuffle builds the vocabulary
+    (map-side combinable); the vocab and the scalar N fold into the
+    plan (model-sized, the ivf_assign/encode_ids policy), so scoring
+    is a ZERO-SHUFFLE in-row pass. Float discipline: per-token
+    probabilities are single IEEE divisions of exact integers and the
+    per-doc mean is a sequential left fold in token order — both
+    bit-reproducible cross-engine, no ln() (last-ulp trap, same
+    reason tfidf uses ratio idf).
+
+    Returns (doc_id, n_tokens, mean_prob, min_prob, n_rare) where
+    n_rare counts tokens with effective corpus count <= ``rare_count``
+    (integer comparison, no float edge)."""
+    if vocab is None:
+        vocab = token_vocab(docs, top_k=top_k, text_col=text_col)
+    n_total = docs.agg(
+        F.sum(F.size(tokens(F.col(text_col))))).collect()[0][0] or 0
+    rows = vocab.select("token", "n_occurrences").collect()  # <= top_k
+    denom = float(n_total + top_k + 1)
+    if rows:
+        counts = F.create_map(*[
+            lit for r in rows
+            for lit in (F.lit(r["token"]), F.lit(int(r["n_occurrences"])))])
+        cnt = lambda t: F.coalesce(  # noqa: E731
+            F.element_at(counts, t), F.lit(0)).cast("long")
+    else:
+        cnt = lambda t: F.lit(0).cast("long")  # noqa: E731
+    toks = tokens(F.col(text_col))
+    cnts = F.transform(toks, cnt)
+    probs = F.transform(cnts, lambda c: (c.cast("double") + 1.0) / denom)
+    fold = F.aggregate(probs, F.lit(0.0), lambda acc, p: acc + p)
+    n_tok = F.size(toks)
+    return docs.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.when(n_tok > 0, fold / n_tok).otherwise(F.lit(0.0))
+        .alias("mean_prob"),
+        F.when(n_tok > 0, F.array_min(probs)).otherwise(F.lit(0.0))
+        .alias("min_prob"),
+        F.size(F.filter(cnts, lambda c: c <= rare_count)).cast("long")
+        .alias("n_rare"))

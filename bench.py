@@ -105,6 +105,8 @@ EXTENDED = [
     "text_dedup_doc_lines",
     "pipeline_curriculum_order",
     "q_zorder_pruning",
+    "text_unigram_quality",
+    "pipeline_dataset_hash",
 ]
 
 

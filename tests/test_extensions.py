@@ -946,3 +946,54 @@ def test_curriculum_order_matches_global_sort(spark):
         ).collect()}
         assert got == want
         assert sorted(got.values()) == list(range(1, len(rows) + 1))
+
+
+def test_unigram_prob_stats_values_and_edges(spark):
+    """Hand-checked probabilities on a tiny corpus, plus the empty-doc
+    edge (zero tokens → zero stats, never NULL)."""
+    from aggregation_duckdb_spark.operators import text as T
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")],
+        "doc_id long, text string")
+    # corpus counts: a=3, b=1, c=1; N=5; top_k=1000 -> denom 1006
+    out = {r.doc_id: r for r in
+           T.unigram_prob_stats(docs, top_k=1000, rare_count=1)
+           .collect()}
+    d = 5 + 1000 + 1
+    r1 = out[1]
+    assert r1.n_tokens == 3
+    assert abs(r1.mean_prob - ((4/d + 4/d + 2/d) / 3)) < 1e-15
+    assert abs(r1.min_prob - 2/d) < 1e-15
+    assert r1.n_rare == 1          # b has count 1 <= rare_count
+    r2 = out[2]
+    assert r2.n_rare == 1          # c rare, a not
+    r3 = out[3]
+    assert (r3.n_tokens, r3.mean_prob, r3.min_prob, r3.n_rare) \
+        == (0, 0.0, 0.0, 0)
+
+
+def test_dataset_fingerprint_invariance_and_sensitivity(spark):
+    """Same rows in any order/partitioning → identical fingerprint;
+    one changed row, one dropped row, and one DUPLICATED row (xor's
+    blind spot — the sum component must catch it) each flip it."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+    rows = [(i, f"text number {i}") for i in range(200)]
+    schema = "doc_id long, text string"
+    base = P.dataset_fingerprint(
+        spark.createDataFrame(rows, schema)).collect()[0]
+    shuffled = P.dataset_fingerprint(
+        spark.createDataFrame(list(reversed(rows)), schema)
+        .repartition(7)).collect()[0]
+    assert tuple(base) == tuple(shuffled)
+    changed = P.dataset_fingerprint(
+        spark.createDataFrame(
+            rows[:-1] + [(199, "text number 199!")], schema)).collect()[0]
+    assert tuple(changed) != tuple(base)
+    dropped = P.dataset_fingerprint(
+        spark.createDataFrame(rows[:-1], schema)).collect()[0]
+    assert tuple(dropped) != tuple(base)
+    duped = P.dataset_fingerprint(
+        spark.createDataFrame(rows + [rows[0]], schema)).collect()[0]
+    assert tuple(duped) != tuple(base)
+    assert (duped.xor_lo, duped.xor_hi) != (base.xor_lo, base.xor_hi) \
+        or duped.sum_lo != base.sum_lo
