@@ -530,3 +530,14 @@ def test_curriculum_order_plan_shape(spark, sf_dir):
     assert_broadcast_join(df, at_least=1)
     assert_no_row_python_udf(df)
     assert "hashpartitioning(__shard" in plan, plan
+
+
+def test_unigram_scoring_is_zero_shuffle(spark, sf_dir):
+    """Once the vocab/total literals are folded in, the scoring frame
+    itself must plan ZERO exchanges — a quality gate this cheap should
+    never cost a stage (the one census shuffle runs at build time,
+    model-sized output)."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import text as T
+    docs = load_table(spark, "documents", sf_dir)
+    assert count_shuffles(T.unigram_prob_stats(docs)) == 0

@@ -228,3 +228,21 @@ def test_zorder_entry_plan_prunes(spark, sf_dir):
     df = matrix.queries()["q_zorder_pruning"](spark, sf_dir)
     plan = physical_plan(df, "simple")
     assert "PartitionFilters" in plan and "zbucket" in plan, plan
+
+
+def test_zorder_rewrite_certified_by_dataset_fingerprint(spark, sf_dir,
+                                                         tmp_path):
+    """The advertised workflow: relayout a table with write_zordered,
+    then certify the rewrite changed NOTHING with the order-invariant
+    fingerprint (zbucket is layout metadata, excluded from content)."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+    from aggregation_duckdb_spark.sources import layout as L
+    docs = load_table(spark, "documents", sf_dir) \
+        .select("doc_id", "text", "n_chars")
+    path = str(tmp_path / "docs_z")
+    L.write_zordered(docs, path, "doc_id", "n_chars",
+                     bits=6, bucket_bits=3, files_per_bucket=2)
+    back = spark.read.parquet(path).drop("zbucket")
+    a = P.dataset_fingerprint(docs).collect()[0]
+    b = P.dataset_fingerprint(back).collect()[0]
+    assert tuple(a) == tuple(b)
