@@ -53,10 +53,10 @@ def register(name: str, sql: str | None = None):
 # 20 round-3 entries left out (q2/q4/q6/q8/q9/q11/q12/q13/q15/q16/
 # q17/q19/q20/q22, q_window_frames, q_null_safety, q_io_roundtrip,
 # q14_promo_effect, q_bucketed_join, q_collections, q_unpivot, and —
-# bumped for the four late round-6 entries — q5_local_supplier_volume,
-# q7_volume_shipping, q3_shipping_priority, q10_returned_items) rotate
-# in next round; every excluded entry still passes the full local
-# oracle run. Exactly 50 names below.
+# bumped for the five late round-6 entries — q5_local_supplier_volume,
+# q7_volume_shipping, q3_shipping_priority, q10_returned_items,
+# q_string_agg) rotate in next round; every excluded entry still
+# passes the full local oracle run. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
     # committed after the round-5 driver run — restore driver evidence:
     "dedup_minhash_estimate", "events_dau_wau",
@@ -69,6 +69,7 @@ _DRIVER_WINDOW_FIRST = [
     "sim_knn_classify", "text_encode_ids", "text_dedup_doc_lines",
     "pipeline_curriculum_order", "q_zorder_pruning",
     "text_unigram_quality", "pipeline_dataset_hash",
+    "stream_corpus_hash",
     # changed in round 6, re-verify: shingles let-binding (every
     # shingle consumer), CC edge materialization + pluggable
     # materializer (cc/pipeline), hier_agg_time ordering:
@@ -81,7 +82,7 @@ _DRIVER_WINDOW_FIRST = [
     "q_outer_join", "q_window_row_number", "q_window_analytics",
     "q_order_limit", "q_set_ops", "q_scalar_functions",
     "q_struct_array", "q_date_functions", "q_percentiles",
-    "q_exists_correlated", "q_string_agg", "q_pivot_status",
+    "q_exists_correlated", "q_pivot_status",
     "q18_large_volume_customers",
 ]
 

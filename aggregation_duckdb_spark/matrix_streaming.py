@@ -184,3 +184,27 @@ def stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = out.groupBy("day").agg(
         F.max_by(F.col("dau"), F.col("n_batches")).alias("dau"))
     return final.orderBy("day")
+
+
+@register("stream_corpus_hash", """
+WITH h AS (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, ''))
+               AS x FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor(('0x' || substr(x, 1, 8))::BIGINT) AS BIGINT) AS xor_lo,
+       CAST(bit_xor(('0x' || substr(x, 9, 8))::BIGINT) AS BIGINT) AS xor_hi,
+       CAST(SUM(('0x' || substr(x, 1, 8))::BIGINT) AS BIGINT) AS sum_lo
+FROM h
+""")
+def stream_corpus_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus checksum: the order-invariant fingerprint
+    (``pipeline.dataset_fingerprint``) maintained as a complete-mode
+    streaming aggregate — an always-on ingest keeps a running
+    integrity signature with O(1) state (xor/sum/count are
+    commutative combiners, so micro-batch arrival order is
+    irrelevant). The finished stream must equal the batch fingerprint
+    bit-for-bit; multi-batch state survival is pytest-pinned."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+    from aggregation_duckdb_spark.streaming import (run_available_now,
+                                                    table_stream)
+    docs = table_stream(spark, sf_dir, "documents")
+    return run_available_now(P.dataset_fingerprint(docs), "complete")

@@ -671,8 +671,11 @@ def curriculum_order(docs: DataFrame, key_col: str = "n_chars",
     Skew caveat: heavily clustered keys collapse into few bins; the
     construction stays correct (a bin is just a window partition), and
     a near-constant key degrades toward the single-task sort — for
-    such keys compose with a secondary spread key. Returns
-    (id, key, position) with position 1..N.
+    such keys compose with a secondary spread key. The key must be
+    NON-NULL: engines disagree on where NULLs sort (Spark ASC is
+    NULLS FIRST, DuckDB NULLS LAST), so a null key has no
+    well-defined cross-engine position — filter or coalesce first.
+    Returns (id, key, position) with position 1..N.
     """
     from pyspark.sql import Window
     mn, mx = docs.agg(F.min(key_col).cast("long"),

@@ -14,7 +14,7 @@ DuckDB SQL.
 
 from aggregation_duckdb_spark.streaming.event_time import (
     dedup_stream, events_stream, run_available_now,
-    session_windows_stream, sliding_counts_stream,
+    session_windows_stream, sliding_counts_stream, table_stream,
     tumbling_counts_stream)
 from aggregation_duckdb_spark.streaming.anomaly import anomaly_stream
 from aggregation_duckdb_spark.streaming.funnel import funnel_stream
@@ -27,7 +27,7 @@ from aggregation_duckdb_spark.streaming.dau import dau_stream
 
 __all__ = [
     "dedup_stream", "events_stream", "run_available_now",
-    "session_windows_stream", "sliding_counts_stream",
+    "session_windows_stream", "sliding_counts_stream", "table_stream",
     "tumbling_counts_stream", "running_user_totals",
     "near_dedup_stream", "signature_buckets", "funnel_stream",
     "anomaly_stream", "dau_stream",

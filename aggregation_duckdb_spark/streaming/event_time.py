@@ -25,6 +25,27 @@ from aggregation_duckdb_spark.runtime import materialize
 _SYMLINK_DIRS: dict[str, str] = {}
 
 
+def table_stream(spark: SparkSession, sf_dir: str, table: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over any testdata table directory — the
+    generic form of :func:`events_stream` (no ts normalization).
+    Streaming reads need a declared schema; we take it from a batch
+    probe of the same path (schema-on-read, one footer read)."""
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isfile(path):
+        d = _SYMLINK_DIRS.get(path)
+        if d is None:
+            d = tempfile.mkdtemp(prefix=f"{table}_stream_")
+            os.symlink(path, os.path.join(d, f"{table}.parquet"))
+            _SYMLINK_DIRS[path] = d
+        path = d
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
 def events_stream(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events parquet directory.

@@ -107,6 +107,7 @@ EXTENDED = [
     "q_zorder_pruning",
     "text_unigram_quality",
     "pipeline_dataset_hash",
+    "stream_corpus_hash",
 ]
 
 

@@ -436,3 +436,36 @@ def test_stream_dau_matches_batch_distincts(spark, sf_dir,
     want = {r["day"]: r["dau"] for r in batch.collect()}
     assert got == want and got
     assert final.agg(F.max("n_batches")).first()[0] > 1
+
+
+def test_corpus_hash_state_survives_micro_batches(spark, sf_dir, tmp_path):
+    """The streaming fingerprint must accumulate across micro-batch
+    boundaries: 4 files streamed one per trigger, final complete-mode
+    row equal to the batch fingerprint of the whole corpus."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import pipeline as P
+    from aggregation_duckdb_spark.streaming import (run_available_now,
+                                                    table_stream)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    got = run_available_now(P.dataset_fingerprint(stream),
+                            "complete").collect()
+    want = P.dataset_fingerprint(docs).collect()[0]
+    assert len(got) == 1
+    assert tuple(got[0]) == tuple(want)
+
+
+def test_table_stream_matches_batch_scan(spark, sf_dir):
+    """table_stream must surface the same rows as the batch loader."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.streaming import (run_available_now,
+                                                    table_stream)
+    got = run_available_now(
+        table_stream(spark, sf_dir, "documents").select("doc_id"),
+        "append")
+    assert sorted(r.doc_id for r in got.collect()) == \
+        sorted(r.doc_id for r in
+               load_table(spark, "documents", sf_dir).collect())
