@@ -3441,3 +3441,25 @@ def pipeline_dataset_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     — relayouts and migrations verify with no corpus-sized compare."""
     docs = load_table(spark, "documents", sf_dir)
     return P.dataset_fingerprint(docs)
+
+
+@register("events_key_skew_report", """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       quantile_cont(n, 0.5) AS p50,
+       quantile_cont(n, 0.9) AS p90,
+       quantile_cont(n, 0.99) AS p99,
+       CAST(MAX(n) AS BIGINT) AS max_count,
+       CAST(MAX(n) AS DOUBLE) / SUM(n) AS top1_share
+FROM c
+""")
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (``skew.key_skew_report``): group
+    sizes per user_id summarized into the decision numbers for
+    plain-vs-salted-vs-broadcast joins. Both aggregation stages are
+    map-side combinable; only key-cardinality data reaches the final
+    scalar pass."""
+    from aggregation_duckdb_spark.operators.skew import key_skew_report
+    ev = load_table(spark, "events", sf_dir)
+    return key_skew_report(ev, "user_id")

@@ -56,3 +56,33 @@ def salted_join(facts: DataFrame, dim: DataFrame, fact_key: str | Column,
         (fk_r == dk_r) & (salted_facts["__salt"] == replicated_dim["__salt"]),
         how)
     return out.drop("__salt")
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-distribution diagnostic — the measurement you take BEFORE
+    choosing between a plain shuffle join, :func:`salted_join`, and a
+    broadcast: how many distinct keys exist, how lopsided the group
+    sizes are (continuous p50/p90/p99 — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the interpolation formula), the
+    biggest group, and what share of ALL rows the hottest key owns
+    (``top1_share`` ≈ the fraction of the shuffle that lands on one
+    task if you do nothing).
+
+    Two map-side-combinable aggregations, key-cardinality intermediate
+    (never row-sized): counts per key, then scalars over the counts —
+    the second stage is dictionary-sized, so its single-partition
+    aggregate is the right plan, not a bottleneck.
+
+    Returns one row: (n_keys, n_rows, p50, p90, p99, max_count,
+    top1_share)."""
+    counts = (df.groupBy(F.col(key_col).alias("__k"))
+              .agg(F.count(F.lit(1)).alias("__n")))
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.expr("percentile(__n, 0.5)").alias("p50"),
+        F.expr("percentile(__n, 0.9)").alias("p90"),
+        F.expr("percentile(__n, 0.99)").alias("p99"),
+        F.max("__n").cast("long").alias("max_count"),
+        (F.max("__n").cast("double") / F.sum("__n").cast("double"))
+        .alias("top1_share"))

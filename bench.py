@@ -108,6 +108,7 @@ EXTENDED = [
     "text_unigram_quality",
     "pipeline_dataset_hash",
     "stream_corpus_hash",
+    "events_key_skew_report",
 ]
 
 

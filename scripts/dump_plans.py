@@ -86,6 +86,15 @@ ENTRIES = {
         "PartitionFilters (directories pruned before listing), with "
         "the exact box predicate in PushedFilters — never a full "
         "scan"),
+    "text_unigram_quality": (
+        "vocab and corpus total folded in as plan literals: the "
+        "scoring pass is a pure projection — zero exchanges before "
+        "the presentation orderBy"),
+    "events_key_skew_report": (
+        "two hash aggregates, both partial/final (map-side "
+        "combinable): per-key counts, then scalars over the "
+        "key-cardinality frame — row-sized data shuffles once, as "
+        "narrow (key,count) pairs"),
 }
 
 
