@@ -3463,3 +3463,29 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aggregation_duckdb_spark.operators.skew import key_skew_report
     ev = load_table(spark, "events", sf_dir)
     return key_skew_report(ev, "user_id")
+
+
+@register("pipeline_bucket_fingerprints", """
+WITH h AS (SELECT
+    ('0x' || substr(md5('fp|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 10000 % 64 AS bucket,
+    md5(CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, '')) AS x
+  FROM documents)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor(('0x' || substr(x, 1, 8))::BIGINT) AS BIGINT) AS xor_lo,
+       CAST(bit_xor(('0x' || substr(x, 9, 8))::BIGINT) AS BIGINT) AS xor_hi,
+       CAST(SUM(('0x' || substr(x, 1, 8))::BIGINT) AS BIGINT) AS sum_lo
+FROM h GROUP BY bucket ORDER BY bucket
+""")
+def pipeline_bucket_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style sharded corpus checksums
+    (``pipeline.bucket_fingerprints``): the order-invariant
+    fingerprint per md5 id-bucket, so snapshot diffs localize to
+    1/64th of the corpus per dirty bucket — one map-side-combinable
+    group-by over narrow (bucket, md5-half) pairs."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (P.bucket_fingerprints(docs, num_buckets=64)
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    "n_docs", "xor_lo", "xor_hi", "sum_lo")
+            .orderBy("bucket"))

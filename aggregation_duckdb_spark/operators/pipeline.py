@@ -768,3 +768,51 @@ def dataset_fingerprint(docs: DataFrame, text_col: str = "text",
         F.bit_xor(h1).alias("xor_lo"),
         F.bit_xor(h2).alias("xor_hi"),
         F.sum(h1).alias("sum_lo"))
+
+
+def bucket_fingerprints(docs: DataFrame, num_buckets: int = 64,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Merkle-style per-bucket corpus checksums: the whole-corpus
+    :func:`dataset_fingerprint` sharded over ``num_buckets``
+    deterministic md5 id-buckets, so two snapshots can be compared at
+    bucket granularity and only DIFFERING buckets re-read — the
+    rsync/Merkle idea for corpus sync: at 100 TB, "which 1/64th of
+    the corpus changed" costs two fingerprint scans and a
+    64-row compare, not a corpus-sized diff. The id-hash bucket
+    (not a range) keeps every bucket statistically even, so one
+    changed document dirties exactly one bucket.
+
+    Returns (bucket, n_docs, xor_lo, xor_hi, sum_lo), one row per
+    NON-EMPTY bucket."""
+    x = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|"),
+                       F.coalesce(F.col(text_col), F.lit(""))))
+    h1 = F.conv(F.substring(x, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(x, 9, 8), 16, 10).cast("long")
+    bucket = (split_bucket(F.col(id_col), salt="fp") % num_buckets)
+    return (docs.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.bit_xor(h1).alias("xor_lo"),
+                 F.bit_xor(h2).alias("xor_hi"),
+                 F.sum(h1).alias("sum_lo")))
+
+
+def changed_buckets(old: DataFrame, new: DataFrame,
+                    num_buckets: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Compare two snapshots by bucket fingerprint: returns the
+    buckets whose contents differ in ANY way (membership, text, or
+    duplication — the xor+sum+count triple has no silent collision
+    class short of an md5 break). Each side is one fingerprint scan;
+    the compare is a ``num_buckets``-row full-outer join."""
+    a = bucket_fingerprints(old, num_buckets, text_col, id_col)
+    b = bucket_fingerprints(new, num_buckets, text_col, id_col)
+    cols = ["n_docs", "xor_lo", "xor_hi", "sum_lo"]
+    bn = b.select("bucket", *[F.col(c).alias(f"__n_{c}") for c in cols])
+    same = None
+    for c in cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    return (a.join(bn, "bucket", "full_outer")
+            .where(~same)
+            .select("bucket"))

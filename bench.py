@@ -109,6 +109,7 @@ EXTENDED = [
     "pipeline_dataset_hash",
     "stream_corpus_hash",
     "events_key_skew_report",
+    "pipeline_bucket_fingerprints",
 ]
 
 

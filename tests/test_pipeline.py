@@ -351,3 +351,30 @@ def test_snapshot_diff_null_text(spark):
     got = {r.doc_id: r.status for r in P.snapshot_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "changed",
                    4: "added", 5: "removed"}
+
+
+def test_changed_buckets_localize_edits(spark):
+    """One edited doc, one added doc, one removed doc — each dirties
+    exactly its own md5 bucket; identical snapshots dirty none."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+    rows = [(i, f"doc body {i}") for i in range(300)]
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(rows, schema)
+    assert P.changed_buckets(old, old).count() == 0
+
+    def bucket_of(doc_id):
+        row = (P.bucket_fingerprints(
+            spark.createDataFrame([(doc_id, "x")], schema))
+            .collect())
+        return row[0].bucket
+
+    edited = spark.createDataFrame(
+        rows[:-1] + [(299, "doc body 299 EDITED")], schema)
+    got = [r.bucket for r in P.changed_buckets(old, edited).collect()]
+    assert got == [bucket_of(299)]
+    added = spark.createDataFrame(rows + [(1000, "new doc")], schema)
+    got = [r.bucket for r in P.changed_buckets(old, added).collect()]
+    assert got == [bucket_of(1000)]
+    removed = spark.createDataFrame(rows[1:], schema)
+    got = [r.bucket for r in P.changed_buckets(old, removed).collect()]
+    assert got == [bucket_of(0)]

@@ -403,7 +403,7 @@ def test_round5_entries_no_nested_loop(spark, sf_dir, name):
     "dedup_cluster_sizes", "text_ngram_novelty",
     "text_token_vocab", "pipeline_leak_report", "q_zorder_pruning",
     "text_unigram_quality", "pipeline_dataset_hash",
-    "events_key_skew_report",
+    "events_key_skew_report", "pipeline_bucket_fingerprints",
 ])
 def test_round6_entries_no_nested_loop(spark, sf_dir, name):
     """Same blanket pin for the round-6 entries: band-bucket and gram
