@@ -3489,3 +3489,39 @@ def pipeline_bucket_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("bucket").cast("long").alias("bucket"),
                     "n_docs", "xor_lo", "xor_hi", "sum_lo")
             .orderBy("bucket"))
+
+
+@register("pipeline_pack_greedy", f"""
+WITH RECURSIVE b AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 10000 % 16 AS bucket,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents),
+d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+          ORDER BY n_tokens DESC, doc_id) AS rn FROM b),
+step AS (
+    SELECT bucket, rn, doc_id, n_tokens,
+           CAST(1 AS BIGINT) AS seq_idx, n_tokens AS fill
+    FROM d WHERE rn = 1
+    UNION ALL
+    SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+           CASE WHEN s.fill + d.n_tokens <= 1024
+                THEN s.seq_idx ELSE s.seq_idx + 1 END,
+           CASE WHEN s.fill + d.n_tokens <= 1024
+                THEN s.fill + d.n_tokens ELSE d.n_tokens END
+    FROM step s JOIN d ON d.bucket = s.bucket AND d.rn = s.rn + 1)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+       CAST(seq_idx AS BIGINT) AS seq_idx
+FROM step ORDER BY doc_id
+""")
+def pipeline_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy whole-document bin packing (``pipeline.pack_greedy``):
+    next-fit-decreasing into 1024-token sequences over the same 16
+    md5 buckets pack_sequences shards by. The sequential fill state
+    runs Arrow-batched per bucket; the oracle replays the identical
+    scan as a recursive CTE stepping rank-by-rank with (seq_idx,
+    fill) carried — exact match, no truncated documents."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (P.pack_greedy(docs, context_len=1024, num_buckets=16)
+            .orderBy("doc_id"))

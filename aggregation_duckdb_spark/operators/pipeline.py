@@ -816,3 +816,57 @@ def changed_buckets(old: DataFrame, new: DataFrame,
     return (a.join(bn, "bucket", "full_outer")
             .where(~same)
             .select("bucket"))
+
+
+def pack_greedy(docs: DataFrame, context_len: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int = 16) -> DataFrame:
+    """Greedy bin-packing of documents into fixed-budget training
+    sequences — next-fit-decreasing: within a bucket, docs in
+    (tokens desc, id) order either join the current sequence (if they
+    fit) or open a new one. Where :func:`pack_sequences`
+    (concat-then-chunk) SPLITS documents across sequence boundaries,
+    this keeps every document whole and trades a little padding for
+    it — the packing a no-document-truncation training recipe needs;
+    decreasing order keeps that padding small (big docs first, small
+    docs fill the tails).
+
+    Scale shape: the greedy scan is inherently sequential PER BUCKET
+    (each step needs the previous fill level), so it runs as an
+    Arrow-batched ``applyInPandas`` over the same md5 buckets
+    pack_sequences shards by — ``num_buckets``-way parallel, one
+    shuffle, per-task state bounded by bucket size. Only (id, bucket,
+    n_tokens) rides the shuffle — never text. Semantics are exactly
+    reproducible in recursive SQL (the oracle steps row-rank by
+    row-rank carrying (seq_idx, fill)), so this is the repo's one
+    Python-stateful batch operator with a full DuckDB oracle.
+
+    A doc longer than ``context_len`` gets its own sequence (it must
+    overflow somewhere; flagging beats silent truncation). Returns
+    (id, bucket, n_tokens, seq_idx) with seq_idx 1.. per bucket.
+    """
+    from aggregation_duckdb_spark.operators.text import token_count
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (split_bucket(F.col(id_col), salt="pack") % num_buckets)
+        .alias("bucket"),
+        token_count(F.col(text_col)).alias("n_tokens"))
+
+    def pack(pdf):
+        pdf = pdf.sort_values(["n_tokens", "doc_id"],
+                              ascending=[False, True])
+        seq_col, seq, fill = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if seq > 0 and fill + n <= context_len:
+                fill += n
+            else:
+                seq += 1
+                fill = n
+            seq_col.append(seq)
+        out = pdf.copy()
+        out["seq_idx"] = seq_col
+        return out
+
+    return (sized.groupBy("bucket")
+            .applyInPandas(pack, "doc_id long, bucket long, "
+                                 "n_tokens long, seq_idx long"))

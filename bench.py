@@ -110,6 +110,7 @@ EXTENDED = [
     "stream_corpus_hash",
     "events_key_skew_report",
     "pipeline_bucket_fingerprints",
+    "pipeline_pack_greedy",
 ]
 
 

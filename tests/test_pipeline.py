@@ -378,3 +378,32 @@ def test_changed_buckets_localize_edits(spark):
     removed = spark.createDataFrame(rows[1:], schema)
     got = [r.bucket for r in P.changed_buckets(old, removed).collect()]
     assert got == [bucket_of(0)]
+
+
+def test_pack_greedy_invariants(spark):
+    """Hard packing guarantees: every doc assigned exactly once; no
+    multi-doc sequence exceeds the budget; an oversize doc sits alone;
+    seq indices are dense 1..k per bucket; and the whole thing is
+    deterministic across runs."""
+    from aggregation_duckdb_spark.operators import pipeline as P
+    import random
+    rnd = random.Random(7)
+    rows = [(i, "w " * rnd.randrange(0, 90)) for i in range(400)]
+    rows.append((998, "w " * 150))        # oversize vs C=100
+    rows.append((999, ""))                # empty doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = P.pack_greedy(docs, context_len=100, num_buckets=8).collect()
+    assert sorted(r.doc_id for r in out) == sorted(i for i, _ in rows)
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault((r.bucket, r.seq_idx), []).append(r.n_tokens)
+    for (b, s), sizes in by_seq.items():
+        if len(sizes) > 1:
+            assert sum(sizes) <= 100, (b, s, sizes)
+    big = [r for r in out if r.doc_id == 998][0]
+    assert len(by_seq[(big.bucket, big.seq_idx)]) == 1
+    for b in {r.bucket for r in out}:
+        seqs = sorted({r.seq_idx for r in out if r.bucket == b})
+        assert seqs == list(range(1, len(seqs) + 1)), (b, seqs)
+    again = P.pack_greedy(docs, context_len=100, num_buckets=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
