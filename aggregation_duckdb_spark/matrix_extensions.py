@@ -3525,3 +3525,28 @@ def pipeline_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return (P.pack_greedy(docs, context_len=1024, num_buckets=16)
             .orderBy("doc_id"))
+
+
+@register("text_normalize", r"""
+WITH n AS (SELECT doc_id,
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+    trim(regexp_replace(
+        regexp_replace(lower(text), '[^a-z0-9 \t\n\r]', ' ', 'g'),
+        '\s+', ' ', 'g')) AS match_text,
+    CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents)
+SELECT doc_id, md5(norm_text) AS norm_md5, md5(match_text) AS match_md5,
+       n_chars, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+FROM n ORDER BY doc_id
+""")
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization pass (``text.normalize_text``): lowercase +
+    whitespace collapse + an alnum-only match key, md5-compacted for
+    the hasher — zero-shuffle map projection, dialect-safe regexes."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = T.normalize_text(docs)
+    return (out.select("doc_id",
+                       F.md5("norm_text").alias("norm_md5"),
+                       F.md5("match_text").alias("match_md5"),
+                       "n_chars", "n_chars_norm")
+            .orderBy("doc_id"))

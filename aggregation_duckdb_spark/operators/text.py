@@ -609,3 +609,27 @@ def unigram_prob_stats(docs: DataFrame, vocab: DataFrame | None = None,
         .alias("min_prob"),
         F.size(F.filter(cnts, lambda c: c <= rare_count)).cast("long")
         .alias("n_rare"))
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """First-stage canonicalization — the step every dedup/match key
+    should agree on before anything else runs: lowercase, collapse
+    whitespace runs to single spaces, trim; plus an aggressive
+    alphanumeric-only ``match_text`` (punctuation → space, then the
+    same collapse) for fuzzy match keys. Pure map pass, zero shuffle;
+    every regex is intersection-of-dialects (same meaning to Java
+    regex and RE2, the pii_scrub discipline), so both engines produce
+    identical bytes.
+
+    Returns (id, norm_text, match_text, n_chars, n_chars_norm)."""
+    lowered = F.lower(F.col(text_col))
+    norm = F.trim(F.regexp_replace(lowered, r"\s+", " "))
+    match = F.trim(F.regexp_replace(
+        F.regexp_replace(lowered, "[^a-z0-9 \t\n\r]", " "), r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        match.alias("match_text"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.length(norm).cast("long").alias("n_chars_norm"))

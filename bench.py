@@ -111,6 +111,7 @@ EXTENDED = [
     "events_key_skew_report",
     "pipeline_bucket_fingerprints",
     "pipeline_pack_greedy",
+    "text_normalize",
 ]
 
 
