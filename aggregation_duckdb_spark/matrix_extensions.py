@@ -3550,3 +3550,34 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.md5("match_text").alias("match_md5"),
                        "n_chars", "n_chars_norm")
             .orderBy("doc_id"))
+
+
+@register("sim_ivf_indexed", _ivf_exact_oracle(10, 3))
+def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search through the PERSISTED index
+    (``similarity.write_ivf_index`` / ``ivf_topk_indexed``): the cell
+    assignments live as a centroid-partitioned parquet artifact built
+    once per (application, sf); each query then reads ONLY its probed
+    cell directories (PartitionFilters — plan-pinned). Same
+    deterministic codebook and identical math as sim_ivf_topk_exact,
+    so the same DuckDB oracle verifies the whole persisted path
+    bit-for-bit."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-ivf",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not os.path.exists(os.path.join(base, "codebook")):
+        long_c = S.label_centroids_exact(emb)
+        cents = (long_c.groupBy("centroid_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("pos", "mean_value"))),
+                     lambda x: x["mean_value"]).alias("centroid")))
+        S.write_ivf_index(emb, cents, base)
+    queries = emb.where(F.col("vec_id") < 5)
+    return (S.ivf_topk_indexed(spark, base, queries, k=10, n_probe=3)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank")
+            .orderBy("query_id", "rank"))

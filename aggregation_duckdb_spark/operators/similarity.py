@@ -605,3 +605,70 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id",
                     F.col("__nl").alias("predicted_label"),
                     "n_votes", "best_sim"))
+
+
+# ---------------------------------------------------------------------
+# persisted IVF index (index-as-artifact: build once, query many)
+# ---------------------------------------------------------------------
+
+def write_ivf_index(corpus: DataFrame, centroids: DataFrame, path: str,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Persist an IVF index: cell assignments written PARTITIONED BY
+    centroid_id (one directory per cell) plus the codebook parquet.
+    The 100 TB point: :func:`ivf_topk` re-assigns the whole corpus on
+    every call — fine in one session, absurd across many. The index
+    is the durable artifact; after this, a query probing n_probe of k
+    cells reads n_probe DIRECTORIES (plan-time partition pruning, the
+    same mechanism as the Z-order layout) instead of scanning and
+    re-clustering the corpus."""
+    import os
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    (assigned.withColumn("centroid_id", F.col("centroid_id").cast("int"))
+     .write.mode("overwrite").partitionBy("centroid_id")
+     .parquet(os.path.join(path, "cells")))
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(path, "codebook"))
+
+
+def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
+                     n_probe: int = 2, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """IVF search against a :func:`write_ivf_index` artifact — same
+    semantics (and bit-identical results) as :func:`ivf_topk`, but the
+    corpus side is the persisted cell table: probe cells chosen per
+    query against the stored codebook, then ONLY those cell
+    directories are read (``centroid_id IN (...)`` lands in
+    PartitionFilters; the probed-cell id list is |Q|·n_probe, the
+    sanctioned model-sized collect)."""
+    import os
+    cents = (spark.read.parquet(os.path.join(path, "codebook"))
+             .select(F.col("centroid_id").cast("int").alias("__cid"),
+                     F.col("centroid").alias("__cvec")))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qvec"))
+    qprobe = (q.crossJoin(F.broadcast(cents))
+              .select("query_id", "__qvec", "__cid",
+                      cosine(F.col("__qvec"), F.col("__cvec"))
+                      .alias("__sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"),
+                                               F.asc("__cid"))
+    probes = (qprobe.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= n_probe)
+              .select("query_id", "__qvec",
+                      F.col("__cid").alias("centroid_id")))
+    needed = sorted({r["centroid_id"]
+                     for r in probes.select("centroid_id")
+                     .distinct().collect()})
+    cells = (spark.read.parquet(os.path.join(path, "cells"))
+             .where(F.col("centroid_id").isin(needed)))
+    scored = (cells.join(F.broadcast(probes), "centroid_id")
+              .where(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      cosine(F.col("__qvec"), F.col(vec_col))
+                      .alias("cosine_sim")))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(wk).cast("long"))
+            .where(F.col("rank") <= k))

@@ -112,6 +112,7 @@ EXTENDED = [
     "pipeline_bucket_fingerprints",
     "pipeline_pack_greedy",
     "text_normalize",
+    "sim_ivf_indexed",
 ]
 
 

@@ -997,3 +997,24 @@ def test_dataset_fingerprint_invariance_and_sensitivity(spark):
     assert tuple(duped) != tuple(base)
     assert (duped.xor_lo, duped.xor_hi) != (base.xor_lo, base.xor_hi) \
         or duped.sum_lo != base.sum_lo
+
+
+def test_ivf_indexed_matches_live_ivf(spark, sf_dir, tmp_path):
+    """Persisted-index search must reproduce the live ivf_topk result
+    exactly (same codebook, same ranks, same floats)."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import similarity as S
+    emb = load_table(spark, "embeddings", sf_dir)
+    long_c = S.label_centroids_exact(emb)
+    cents = (long_c.groupBy("centroid_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "mean_value"))),
+                 lambda x: x["mean_value"]).alias("centroid")))
+    queries = emb.where(F.col("vec_id") < 5)
+    live = S.ivf_topk(emb, queries, cents, k=10, n_probe=3)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(emb, cents, path)
+    idx = S.ivf_topk_indexed(spark, path, queries, k=10, n_probe=3)
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)  # noqa: E731
+    assert sorted(map(key, idx.collect())) == \
+        sorted(map(key, live.collect()))

@@ -543,3 +543,21 @@ def test_unigram_scoring_is_zero_shuffle(spark, sf_dir):
     from aggregation_duckdb_spark.operators import text as T
     docs = load_table(spark, "documents", sf_dir)
     assert count_shuffles(T.unigram_prob_stats(docs)) == 0
+
+
+def test_ivf_indexed_prunes_cell_directories(spark, sf_dir):
+    """The persisted-index read must plan its probed-cell list as a
+    PARTITION filter (directories never listed), and the entry's plan
+    must carry no cartesian product — the only nested loop allowed is
+    the model-sized query×codebook probe build."""
+    from aggregation_duckdb_spark.plans import physical_plan
+    df = matrix.queries()["sim_ivf_indexed"](spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "PartitionFilters: [centroid_id" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the model-sized query×codebook probe build appears twice: once
+    # for the join side, once re-planned inside the dynamic-pruning
+    # subquery Spark adds ON TOP of the static IN list (visible as
+    # dynamicpruningexpression in the scan) — both are |Q|×k sized
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert_no_row_python_udf(df)
