@@ -95,6 +95,15 @@ ENTRIES = {
         "combinable): per-key counts, then scalars over the "
         "key-cardinality frame — row-sized data shuffles once, as "
         "narrow (key,count) pairs"),
+    "pipeline_pack_greedy": (
+        "the sequential fill state runs as ONE FlatMapGroupsInPandas "
+        "over md5 buckets — a single shuffle of narrow (id, bucket, "
+        "n_tokens) rows, text never moves; no joins at all"),
+    "sim_ivf_indexed": (
+        "the persisted-index read prunes to probed cells: "
+        "centroid_id IN (...) in PartitionFilters with "
+        "dynamicpruningexpression layered on top; corpus-side joins "
+        "are broadcast-hash on the cell id"),
 }
 
 

@@ -495,6 +495,37 @@ def zorder_probe(multiples: list) -> None:
             "pruned_seconds": round(min(pruned_t), 2),
             "full_filter_seconds": round(min(full_t), 2)}))
 
+def pack_probe(multiples: list) -> None:
+    """Greedy-packing probe: the Arrow-batched per-bucket scan must
+    grow linearly in docs (per-task state is one (seq, fill) pair; the
+    shuffle carries only (id, bucket, n_tokens)) and keep padding
+    waste low — both numbers printed per multiple."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import pipeline as P
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    base = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    C = 1024
+    P.pack_greedy(base, C).count()  # warmup
+    for m in multiples:
+        docs = base
+        for i in range(m - 1):
+            docs = docs.unionByName(base.select(
+                (F.col("doc_id") + (i + 1) * 10_000_000).alias("doc_id"),
+                "text"))
+        n_docs = docs.count()
+        out = P.pack_greedy(docs, C, num_buckets=64)
+        t0 = time.time()
+        stats = (out.groupBy("bucket", "seq_idx")
+                 .agg(F.sum("n_tokens").alias("fill"))
+                 .agg(F.count(F.lit(1)).alias("n_seqs"),
+                      F.sum("fill").alias("tokens")).collect()[0])
+        elapsed = round(time.time() - t0, 2)
+        waste = 1.0 - stats.tokens / (stats.n_seqs * C)
+        print(json.dumps({
+            "probe": "pack_greedy", "multiple": m, "docs": n_docs,
+            "n_seqs": int(stats.n_seqs), "padding_waste": round(waste, 4),
+            "seconds": elapsed}))
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--hierarchy":
@@ -519,5 +550,7 @@ if __name__ == "__main__":
         curriculum_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--zorder":
         zorder_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pack":
+        pack_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     else:
         main()
