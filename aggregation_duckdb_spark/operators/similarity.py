@@ -672,3 +672,23 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rank",
                               F.row_number().over(wk).cast("long"))
             .where(F.col("rank") <= k))
+
+
+def append_ivf_index(new_corpus: DataFrame, path: str,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> None:
+    """Incremental index maintenance — the steady-state production
+    shape (same contract as ``dedup.incremental_dedup``): assign ONLY
+    the new batch against the STORED codebook and append its cell
+    files. One map-side assign + an append write; the existing corpus
+    is never re-read and the codebook never moves (IVF's standard
+    contract — immutable centroids between retrains; retrain and
+    rebuild when drift warrants it, which is a bulk job, not a
+    per-batch one)."""
+    import os
+    spark = new_corpus.sparkSession
+    cents = spark.read.parquet(os.path.join(path, "codebook"))
+    assigned = ivf_assign(new_corpus, cents, vec_col, id_col)
+    (assigned.withColumn("centroid_id", F.col("centroid_id").cast("int"))
+     .write.mode("append").partitionBy("centroid_id")
+     .parquet(os.path.join(path, "cells")))

@@ -1018,3 +1018,26 @@ def test_ivf_indexed_matches_live_ivf(spark, sf_dir, tmp_path):
     key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)  # noqa: E731
     assert sorted(map(key, idx.collect())) == \
         sorted(map(key, live.collect()))
+
+
+def test_ivf_index_append_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """Build the index on half the corpus, append the other half
+    batch-wise: queries against the appended index must equal the live
+    search over the FULL corpus (same codebook) — floats, ranks, all."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import similarity as S
+    emb = load_table(spark, "embeddings", sf_dir)
+    long_c = S.label_centroids_exact(emb)
+    cents = (long_c.groupBy("centroid_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "mean_value"))),
+                 lambda x: x["mean_value"]).alias("centroid")))
+    path = str(tmp_path / "ivf_inc")
+    S.write_ivf_index(emb.where(F.col("vec_id") % 2 == 0), cents, path)
+    S.append_ivf_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    queries = emb.where(F.col("vec_id") < 5)
+    live = S.ivf_topk(emb, queries, cents, k=10, n_probe=3)
+    idx = S.ivf_topk_indexed(spark, path, queries, k=10, n_probe=3)
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)  # noqa: E731
+    assert sorted(map(key, idx.collect())) == \
+        sorted(map(key, live.collect()))
