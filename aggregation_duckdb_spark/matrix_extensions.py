@@ -3581,3 +3581,33 @@ def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (S.ivf_topk_indexed(spark, base, queries, k=10, n_probe=3)
             .select("query_id", "neighbor_id", "cosine_sim", "rank")
             .orderBy("query_id", "rank"))
+
+
+# Same oracle as dedup_incremental: the persisted-index road must
+# produce the identical answer.
+from aggregation_duckdb_spark.matrix import _ORACLES as _OR  # noqa: E402
+
+
+@register("dedup_incremental_indexed", _OR["dedup_incremental"])
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against the PERSISTED corpus index
+    (``dedup.write_dedup_index`` / ``incremental_dedup_indexed``):
+    the same batch-vs-corpus check as dedup_incremental, but the
+    corpus side is three narrow parquet tables (hashes, shingles,
+    band buckets) built once per (application, sf) — the batch never
+    touches raw corpus text. Verified by the same oracle as the live
+    path, bit-for-bit."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, "documents", sf_dir)
+    bkt = P.split_bucket(F.col("doc_id"), salt="inc-v1")
+    new = docs.where(bkt >= 8000)
+    old = docs.where(bkt < 8000)
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-dedupidx",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not os.path.exists(os.path.join(base, "params.json")):
+        D.write_dedup_index(old, base)
+    return (D.incremental_dedup_indexed(new, spark, base, threshold=0.6)
+            .orderBy("doc_id"))

@@ -452,12 +452,43 @@ def incremental_dedup(new: DataFrame, existing: DataFrame,
     flagged here — run :func:`exact_dedup`/:func:`near_duplicates`
     within the batch for that.
     """
-    t_new = F.lower(F.col(text_col)) if normalize else F.col(text_col)
-    new_hashed = new.select(F.col(id_col).alias("doc"),
-                            F.md5(t_new).alias("__h"))
+    ex_hashes, ex_sh, ex_b = corpus_dedup_projections(
+        existing, text_col, id_col, num_hashes, num_bands,
+        shingle_width, normalize)
+    return _incremental_against(new, ex_hashes, ex_sh, ex_b, text_col,
+                                id_col, threshold, num_hashes,
+                                num_bands, shingle_width, normalize)
+
+
+def corpus_dedup_projections(existing: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", num_hashes: int = 12,
+                             num_bands: int = 4, shingle_width: int = 3,
+                             normalize: bool = True):
+    """The three narrow corpus projections incremental dedup joins
+    against — (content_hash), (doc, shingles), (doc, band bucket).
+    Exposed so an ingest pipeline can compute them ONCE and persist
+    them (:func:`write_dedup_index`) instead of re-deriving them from
+    raw corpus text on every batch."""
     ex_hashes = existing.select(
         (F.md5(F.lower(F.col(text_col))) if normalize
          else F.md5(F.col(text_col))).alias("__h")).distinct()
+    ex_sh = doc_shingles(existing, text_col, id_col, shingle_width,
+                         checkpoint=True)
+    ex_b = band_buckets(ex_sh, num_hashes, num_bands)
+    return ex_hashes, ex_sh, ex_b
+
+
+def _incremental_against(new: DataFrame, ex_hashes: DataFrame,
+                         ex_sh: DataFrame, ex_b: DataFrame,
+                         text_col: str, id_col: str, threshold: float,
+                         num_hashes: int, num_bands: int,
+                         shingle_width: int, normalize: bool) -> DataFrame:
+    """incremental_dedup's join core over ALREADY-BUILT corpus
+    projections (live-computed or read back from a persisted index —
+    identical results either way, pytest-pinned)."""
+    t_new = F.lower(F.col(text_col)) if normalize else F.col(text_col)
+    new_hashed = new.select(F.col(id_col).alias("doc"),
+                            F.md5(t_new).alias("__h"))
     # corpus side streams; the batch side broadcasts
     exact = (ex_hashes.join(F.broadcast(new_hashed), "__h")
              .select("doc").distinct()
@@ -465,10 +496,7 @@ def incremental_dedup(new: DataFrame, existing: DataFrame,
 
     new_sh = doc_shingles(new, text_col, id_col, shingle_width,
                           checkpoint=True)
-    ex_sh = doc_shingles(existing, text_col, id_col, shingle_width,
-                         checkpoint=True)
     new_b = band_buckets(new_sh, num_hashes, num_bands)
-    ex_b = band_buckets(ex_sh, num_hashes, num_bands)
     cands = (ex_b.join(F.broadcast(new_b), "bucket")
              .select(ex_b["doc"].alias("old_doc"),
                      new_b["doc"].alias("doc"))
@@ -639,3 +667,68 @@ def global_line_dedup(docs: DataFrame, min_docs: int = 3,
                     F.size(kept).cast("long").alias("n_kept"),
                     (F.size("__ls") - F.size(kept)).cast("long")
                     .alias("n_removed")))
+
+
+def write_dedup_index(existing: DataFrame, path: str,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 12, num_bands: int = 4,
+                      shingle_width: int = 3,
+                      normalize: bool = True) -> None:
+    """Persist the corpus dedup index — the stored form of the
+    projections :func:`incremental_dedup` docstring promises ("at
+    100 TB precomputed once at ingest and stored"): content hashes,
+    per-doc shingle sets, and band buckets as three parquet tables,
+    plus a params sidecar so a reader can't silently join against an
+    index built with different LSH parameters."""
+    import json as _json
+    import os
+    h, sh, b = corpus_dedup_projections(
+        existing, text_col, id_col, num_hashes, num_bands,
+        shingle_width, normalize)
+    h.write.mode("overwrite").parquet(os.path.join(path, "hashes"))
+    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    b.write.mode("overwrite").parquet(os.path.join(path, "buckets"))
+    with open(os.path.join(path, "params.json"), "w") as f:
+        _json.dump({"num_hashes": num_hashes, "num_bands": num_bands,
+                    "shingle_width": shingle_width,
+                    "normalize": normalize}, f)
+
+
+def append_dedup_index(admitted: DataFrame, path: str,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> None:
+    """Grow the index with a batch of ADMITTED documents (the ones
+    incremental dedup let through): compute the same three projections
+    for the batch only and append — per-batch cost proportional to
+    the batch, the corpus never re-read."""
+    import json as _json
+    import os
+    with open(os.path.join(path, "params.json")) as f:
+        p = _json.load(f)
+    h, sh, b = corpus_dedup_projections(
+        admitted, text_col, id_col, p["num_hashes"], p["num_bands"],
+        p["shingle_width"], p["normalize"])
+    h.write.mode("append").parquet(os.path.join(path, "hashes"))
+    sh.write.mode("append").parquet(os.path.join(path, "shingles"))
+    b.write.mode("append").parquet(os.path.join(path, "buckets"))
+
+
+def incremental_dedup_indexed(new: DataFrame, spark, path: str,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float = 0.6) -> DataFrame:
+    """:func:`incremental_dedup` against the PERSISTED index: the
+    batch joins three narrow parquet tables instead of re-shingling
+    the raw corpus — identical output (pytest-pinned and verified by
+    the same DuckDB oracle as the live path)."""
+    import json as _json
+    import os
+    with open(os.path.join(path, "params.json")) as f:
+        p = _json.load(f)
+    ex_hashes = spark.read.parquet(os.path.join(path, "hashes"))
+    ex_sh = spark.read.parquet(os.path.join(path, "shingles"))
+    ex_b = spark.read.parquet(os.path.join(path, "buckets"))
+    return _incremental_against(new, ex_hashes, ex_sh, ex_b, text_col,
+                                id_col, threshold, p["num_hashes"],
+                                p["num_bands"], p["shingle_width"],
+                                p["normalize"])

@@ -113,6 +113,7 @@ EXTENDED = [
     "pipeline_pack_greedy",
     "text_normalize",
     "sim_ivf_indexed",
+    "dedup_incremental_indexed",
 ]
 
 

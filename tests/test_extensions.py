@@ -1041,3 +1041,23 @@ def test_ivf_index_append_matches_full_rebuild(spark, sf_dir, tmp_path):
     key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)  # noqa: E731
     assert sorted(map(key, idx.collect())) == \
         sorted(map(key, live.collect()))
+
+
+def test_dedup_index_append_matches_live(spark, sf_dir, tmp_path):
+    """Build the dedup index on part of the corpus, append the rest
+    batch-wise: the indexed incremental check must equal the live
+    computation against the full corpus, row for row."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.operators import pipeline as P
+    docs = load_table(spark, "documents", sf_dir)
+    bkt = P.split_bucket(F.col("doc_id"), salt="inc-v1")
+    new = docs.where(bkt >= 8000)
+    old = docs.where(bkt < 8000)
+    path = str(tmp_path / "dedup_idx")
+    D.write_dedup_index(old.where(F.col("doc_id") % 2 == 0), path)
+    D.append_dedup_index(old.where(F.col("doc_id") % 2 == 1), path)
+    live = D.incremental_dedup(new, old, threshold=0.6)
+    idx = D.incremental_dedup_indexed(new, spark, path, threshold=0.6)
+    assert sorted(map(tuple, idx.collect())) == \
+        sorted(map(tuple, live.collect()))
