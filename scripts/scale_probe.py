@@ -526,6 +526,42 @@ def pack_probe(multiples: list) -> None:
             "n_seqs": int(stats.n_seqs), "padding_waste": round(waste, 4),
             "seconds": elapsed}))
 
+def dedupindex_probe(multiples: list) -> None:
+    """Persisted-dedup-index payoff: a FIXED 500-doc batch checked
+    against a corpus that multiplies. The live path re-shingles the
+    whole corpus per batch (cost tracks corpus size); the indexed
+    path reads the stored projections — it still scans them (narrow
+    columns), but skips the tokenize/md5/minhash CPU, which is where
+    the live path's time goes."""
+    import tempfile
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    batch = docs.where(F.col("doc_id") < 500)
+    base = docs.where(F.col("doc_id") >= 500)
+    for m in multiples:
+        corpus = base
+        for i in range(m - 1):
+            corpus = corpus.unionByName(base.select(
+                (F.col("doc_id") + (i + 1) * 10_000_000).alias("doc_id"),
+                "text"))
+        n_docs = corpus.count()
+        t0 = time.time()
+        live_rows = D.incremental_dedup(batch, corpus).count()
+        live_s = round(time.time() - t0, 2)
+        path = tempfile.mkdtemp(prefix=f"dedupidx-{m}-")
+        D.write_dedup_index(corpus, path)   # ingest-time cost, not queried
+        t0 = time.time()
+        idx_rows = D.incremental_dedup_indexed(batch, spark, path).count()
+        idx_s = round(time.time() - t0, 2)
+        assert live_rows == idx_rows
+        print(json.dumps({
+            "probe": "incremental_dedup_indexed", "multiple": m,
+            "corpus_docs": n_docs, "batch_docs": 500,
+            "live_seconds": live_s, "indexed_seconds": idx_s,
+            "speedup": round(live_s / idx_s, 2) if idx_s else None}))
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--hierarchy":
@@ -552,5 +588,7 @@ if __name__ == "__main__":
         zorder_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--pack":
         pack_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--dedupindex":
+        dedupindex_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     else:
         main()
