@@ -193,3 +193,71 @@ def read_zordered_box(spark: SparkSession, path: str,
     return (spark.read.parquet(path)
             .where(F.col("zbucket").isin(buckets))
             .where((a >= a_lo) & (a <= a_hi) & (b >= b_lo) & (b <= b_hi)))
+
+
+DELTA_DIR = "_delta"
+
+
+def append_zordered(df: DataFrame, path: str) -> None:
+    """Append a batch WITHOUT re-clustering: rows land in a delta
+    area that box reads scan in full until the next compaction — the
+    standard layered-layout contract (Delta Lake's OPTIMIZE shape):
+    ingest stays cheap and layout quality degrades gracefully with
+    delta size instead of blocking on a rewrite. Out-of-bounds values
+    are fine by construction even after compaction-time rebinning:
+    binning CLAMPS, so an outlier lands in an edge bucket, and a box
+    that could match it always includes that edge bucket (the planner
+    clamps the box the same way)."""
+    import uuid
+    df.write.mode("append").parquet(
+        os.path.join(path, DELTA_DIR, uuid.uuid4().hex))
+
+
+def compact_zordered(spark: SparkSession, path: str,
+                     files_per_bucket: int = 1) -> dict:
+    """Fold the delta area back into the Z-clustered layout: one
+    rewrite of main + delta with bounds recomputed over the union
+    (restoring bin selectivity if the delta stretched the value
+    range), then the delta is cleared. The rewrite goes through a
+    staging directory so a reader never sees a half-compacted
+    table."""
+    import shutil
+    spec = read_spec(path)
+    main = (spark.read.parquet(path).drop("zbucket"))
+    delta_path = os.path.join(path, DELTA_DIR)
+    frames = [main]
+    if os.path.isdir(delta_path):
+        for d in sorted(os.listdir(delta_path)):
+            frames.append(spark.read.parquet(os.path.join(delta_path, d)))
+    full = frames[0]
+    for f in frames[1:]:
+        full = full.unionByName(f)
+    staging = path.rstrip("/") + ".compacting"
+    new_spec = write_zordered(full, staging, spec["a_col"], spec["b_col"],
+                              bits=spec["bits"],
+                              bucket_bits=spec["bucket_bits"],
+                              files_per_bucket=files_per_bucket)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return new_spec
+
+
+def read_zordered_box_with_delta(spark: SparkSession, path: str,
+                                 a_lo: int, a_hi: int, b_lo: int,
+                                 b_hi: int) -> DataFrame:
+    """Box read over the layered table: the clustered main area reads
+    through the pruned-bucket path; any delta batches are filtered by
+    the box alone (they are small between compactions — that is the
+    contract). Results equal a full-scan filter over main ∪ delta."""
+    spec = read_spec(path)
+    out = read_zordered_box(spark, path, a_lo, a_hi, b_lo, b_hi, spec)
+    out = out.drop("zbucket")
+    delta_path = os.path.join(path, DELTA_DIR)
+    if os.path.isdir(delta_path):
+        a, b = F.col(spec["a_col"]), F.col(spec["b_col"])
+        for d in sorted(os.listdir(delta_path)):
+            dd = (spark.read.parquet(os.path.join(delta_path, d))
+                  .where((a >= a_lo) & (a <= a_hi)
+                         & (b >= b_lo) & (b <= b_hi)))
+            out = out.unionByName(dd)
+    return out

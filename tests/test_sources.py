@@ -246,3 +246,48 @@ def test_zorder_rewrite_certified_by_dataset_fingerprint(spark, sf_dir,
     a = P.dataset_fingerprint(docs).collect()[0]
     b = P.dataset_fingerprint(back).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_zorder_delta_append_and_compaction(spark, tmp_path):
+    """The layered-layout contract: appends land in a delta area and
+    box reads stay row-exact over main ∪ delta; compaction folds the
+    delta back in (bounds recomputed over the union — the delta here
+    deliberately stretches both value ranges), restores pruned reads,
+    and loses nothing."""
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_frame(spark)                    # a<997, b<613
+    path = str(tmp_path / "z_layered")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    extra = spark.range(50_000, 52_000).select(
+        (F.col("id") % 1400).alias("a"),           # beyond old a_hi
+        ((F.col("id") * 31) % 900).alias("b"),     # beyond old b_hi
+        F.col("id").alias("payload"))
+    L.append_zordered(extra, path)
+    want_all = base.unionByName(extra)
+
+    def box_want(a_lo, a_hi, b_lo, b_hi):
+        return sorted((r.a, r.b, r.payload) for r in want_all.where(
+            (F.col("a").between(a_lo, a_hi))
+            & (F.col("b").between(b_lo, b_hi))).collect())
+
+    # box crossing both old bounds AND the outlier range
+    for box in ((900, 1300, 500, 800), (0, 100, 0, 100)):
+        got = sorted((r.a, r.b, r.payload) for r in
+                     L.read_zordered_box_with_delta(spark, path, *box)
+                     .collect())
+        assert got == box_want(*box), box
+
+    spec = L.compact_zordered(spark, path)
+    assert spec["a_hi"] >= 1300 and spec["b_hi"] >= 800  # bounds grew
+    assert not __import__("os").path.isdir(
+        __import__("os").path.join(path, L.DELTA_DIR))
+    total = spark.read.parquet(path).count()
+    assert total == want_all.count()
+    for box in ((900, 1300, 500, 800), (0, 100, 0, 100)):
+        got = sorted((r.a, r.b, r.payload) for r in
+                     L.read_zordered_box(spark, path, *box).collect())
+        assert got == box_want(*box), box
+        got2 = sorted((r.a, r.b, r.payload) for r in
+                      L.read_zordered_box_with_delta(spark, path, *box)
+                      .collect())
+        assert got2 == got
