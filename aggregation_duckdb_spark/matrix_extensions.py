@@ -3611,3 +3611,43 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.write_dedup_index(old, base)
     return (D.incremental_dedup_indexed(new, spark, base, threshold=0.6)
             .orderBy("doc_id"))
+
+
+def _bm25_sql(terms: list, k1: str = "1.2", b: str = "0.75",
+              top_k: int = 20) -> str:
+    """Mirror of text.bm25_search: same division-only idf, same
+    left-associative score fold, and LITERAL-ARITHMETIC parity — the
+    Spark side folds Python (k1 + 1.0) into the plan, so the SQL says
+    (1.2 + 1.0) rather than 2.2 (which parses to a different double
+    than the sum rounds to)."""
+    dfs = ", ".join(
+        f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) "
+        f"AS df{i}" for i, t in enumerate(terms))
+    score = "0.0"
+    for i, t in enumerate(terms):
+        tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        idf = f"((st.n - st.df{i} + 0.5) / (st.df{i} + 0.5))"
+        denom = (f"({tf} + {k1} * ((1.0 - {b}) + "
+                 f"(({b} * CAST(len(toks) AS DOUBLE)) / "
+                 f"(CAST(st.tt AS DOUBLE) / st.n))))")
+        score = f"{score} + {idf} * ({tf} * ({k1} + 1.0)) / {denom}"
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+st AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS tt, {dfs} FROM d)
+SELECT doc_id, ({score}) AS score,
+       CAST(len(toks) AS BIGINT) AS n_tokens
+FROM d CROSS JOIN st
+ORDER BY score DESC, doc_id ASC LIMIT {top_k}
+"""
+
+
+@register("text_bm25_search", _bm25_sql(["hash", "customer", "vector"]))
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (``text.bm25_search``): top-20 docs for
+    a fixed 3-term query with the ln-free ratio idf. Corpus stats (N,
+    avgdl, per-term df) come from one conditional-sum scalar pass and
+    fold into the plan; scoring is a zero-shuffle in-row pass with a
+    fixed-order score fold, so even the floats hash-match."""
+    docs = load_table(spark, "documents", sf_dir)
+    return T.bm25_search(docs, ["hash", "customer", "vector"],
+                         top_k=20).orderBy(F.desc("score"), "doc_id")

@@ -633,3 +633,45 @@ def normalize_text(docs: DataFrame, text_col: str = "text",
         match.alias("match_text"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
         F.length(norm).cast("long").alias("n_chars_norm"))
+
+
+def bm25_search(docs: DataFrame, terms: list[str], k1: float = 1.2,
+                b: float = 0.75, top_k: int = 20,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """BM25 keyword retrieval for a FIXED query — the classic lexical
+    relevance baseline a data-mining pipeline uses to pull topical
+    documents out of a web corpus. Uses the division-only idf
+    ``(N - df + 0.5) / (df + 0.5)`` (no ln(), same last-ulp rationale
+    as tfidf's ratio idf).
+
+    Scale shape: corpus statistics (N, avgdl, one df per query term)
+    are ONE scalar aggregate — conditional sums in a single pass —
+    folded into the plan as literals; scoring is then a zero-shuffle
+    in-row pass (per-term tf from the token array, fixed-order sum of
+    per-term scores, so float grouping is deterministic), and only
+    the top-k sort touches an exchange. Query terms are a bounded
+    literal list by construction — this is point lookup, not the
+    inverted-index build (that is tfidf_top_terms' shape).
+
+    Returns top_k rows (id, score, n_tokens) by (score desc, id)."""
+    toks = tokens(F.col(text_col))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(toks)).alias("tok_total"),
+        *[F.sum(F.array_contains(toks, t).cast("int")).alias(f"df_{i}")
+          for i, t in enumerate(terms)]).collect()[0]
+    n_docs = stats["n"]
+    avgdl = stats["tok_total"] / n_docs
+    dl = F.size(toks).cast("double")
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        df_t = stats[f"df_{i}"]
+        idf = (n_docs - df_t + 0.5) / (df_t + 0.5)
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+        score = score + F.lit(idf) * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
+    return (docs.select(F.col(id_col), score.alias("score"),
+                        F.size(toks).cast("long").alias("n_tokens"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(top_k))

@@ -114,6 +114,7 @@ EXTENDED = [
     "text_normalize",
     "sim_ivf_indexed",
     "dedup_incremental_indexed",
+    "text_bm25_search",
 ]
 
 

@@ -404,7 +404,7 @@ def test_round5_entries_no_nested_loop(spark, sf_dir, name):
     "text_token_vocab", "pipeline_leak_report", "q_zorder_pruning",
     "text_unigram_quality", "pipeline_dataset_hash",
     "events_key_skew_report", "pipeline_bucket_fingerprints",
-    "pipeline_pack_greedy", "text_normalize",
+    "pipeline_pack_greedy", "text_normalize", "text_bm25_search",
 ])
 def test_round6_entries_no_nested_loop(spark, sf_dir, name):
     """Same blanket pin for the round-6 entries: band-bucket and gram
