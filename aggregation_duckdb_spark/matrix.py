@@ -56,9 +56,9 @@ def register(name: str, sql: str | None = None):
 # bumped for the five late round-6 entries — q5_local_supplier_volume,
 # q7_volume_shipping, q3_shipping_priority, q10_returned_items,
 # q_string_agg, q_pivot_status, q_exists_correlated, q_percentiles,
-# q_date_functions, q_scalar_functions, q_set_ops, q_order_limit)
-# rotate in next round; every excluded entry still passes the full
-# local oracle run. Exactly 50 names below.
+# q_date_functions, q_scalar_functions, q_set_ops, q_order_limit,
+# q_anti_join) rotate in next round; every excluded entry still passes
+# the full local oracle run. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
     # committed after the round-5 driver run — restore driver evidence:
     "dedup_minhash_estimate", "events_dau_wau",
@@ -74,7 +74,7 @@ _DRIVER_WINDOW_FIRST = [
     "stream_corpus_hash", "events_key_skew_report",
     "pipeline_bucket_fingerprints", "pipeline_pack_greedy",
     "text_normalize", "sim_ivf_indexed", "dedup_incremental_indexed",
-    "text_bm25_search",
+    "text_bm25_search", "text_bm25_indexed",
     # changed in round 6, re-verify: shingles let-binding (every
     # shingle consumer), CC edge materialization + pluggable
     # materializer (cc/pipeline), hier_agg_time ordering:
@@ -83,7 +83,7 @@ _DRIVER_WINDOW_FIRST = [
     # round-3-evidence entries rotating back (oldest driver rows):
     "dedup_simhash", "sim_embedding_neardup", "sim_lsh_topk",
     "mm_features", "text_topk_ngrams", "q_scalar_subquery",
-    "q_having", "q_join_fact_dims", "q_semi_join", "q_anti_join",
+    "q_having", "q_join_fact_dims", "q_semi_join",
     "q_outer_join", "q_window_row_number", "q_window_analytics",
     "q_struct_array",
     "q18_large_volume_customers",

@@ -3651,3 +3651,26 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return T.bm25_search(docs, ["hash", "customer", "vector"],
                          top_k=20).orderBy(F.desc("score"), "doc_id")
+
+
+@register("text_bm25_indexed", _bm25_sql(["hash", "customer", "vector"]))
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the persisted inverted index
+    (``text.write_text_index`` / ``bm25_search_indexed``): the same
+    query as text_bm25_search, but reading only the query terms'
+    posting-list directories (term-bucket partition pruning) instead
+    of scanning corpus text — verified by the SAME oracle, so the
+    indexed road's floats match the full-scan road bit-for-bit."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-textidx",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not os.path.exists(os.path.join(base, "stats.json")):
+        T.write_text_index(docs, base)
+    return (T.bm25_search_indexed(spark, base,
+                                  ["hash", "customer", "vector"],
+                                  top_k=20)
+            .orderBy(F.desc("score"), "doc_id"))

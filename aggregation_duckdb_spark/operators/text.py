@@ -675,3 +675,92 @@ def bm25_search(docs: DataFrame, terms: list[str], k1: float = 1.2,
                         F.size(toks).cast("long").alias("n_tokens"))
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(top_k))
+
+
+def write_text_index(docs: DataFrame, path: str, num_buckets: int = 64,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> None:
+    """Persist the lexical index behind :func:`bm25_search_indexed`:
+    posting lists (term, doc, tf) partitioned by an md5 term bucket,
+    per-doc lengths, and the corpus scalars as a sidecar. A keyword
+    query then reads its terms' posting-list DIRECTORIES instead of
+    scanning corpus text — :func:`bm25_search`'s full-scan scoring is
+    the right shape for one-off queries, this is the right shape for
+    a query WORKLOAD (every search engine's trade)."""
+    import json as _json
+    import os
+    from aggregation_duckdb_spark.operators.pipeline import split_bucket
+    toks = tokens(F.col(text_col))
+    postings = (docs.select(F.col(id_col).alias("doc"),
+                            F.explode(toks).alias("term"))
+                .groupBy("term", "doc")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn("tbucket",
+                            _term_bucket(F.col("term"), num_buckets)))
+    postings.write.mode("overwrite").partitionBy("tbucket").parquet(
+        os.path.join(path, "postings"))
+    (docs.select(F.col(id_col).alias("doc"),
+                 F.size(toks).cast("long").alias("dl"))
+     .write.mode("overwrite").parquet(os.path.join(path, "doclens")))
+    stats = docs.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.size(toks)).alias("tt")).collect()[0]
+    with open(os.path.join(path, "stats.json"), "w") as f:
+        _json.dump({"n_docs": stats["n"], "tok_total": int(stats["tt"]),
+                    "num_buckets": num_buckets}, f)
+
+
+def _term_bucket(term, num_buckets: int):
+    from aggregation_duckdb_spark.operators.pipeline import SPLIT_BUCKETS
+    h = F.md5(F.concat(F.lit("tix|"), term))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % SPLIT_BUCKETS % num_buckets)
+
+
+def _term_bucket_py(term: str, num_buckets: int) -> int:
+    import hashlib
+    h = hashlib.md5(f"tix|{term}".encode()).hexdigest()
+    return int(h[:8], 16) % 10_000 % num_buckets
+
+
+def bm25_search_indexed(spark, path: str, terms: list[str],
+                        k1: float = 1.2, b: float = 0.75,
+                        top_k: int = 20) -> DataFrame:
+    """BM25 against the persisted inverted index: reads ONLY the query
+    terms' posting-list directories (term-bucket partition pruning —
+    the Z-order/IVF mechanism applied to text), joins doc lengths,
+    and reproduces :func:`bm25_search`'s scores bit-for-bit: a term
+    with tf=0 contributes an exact +0.0 to the live fold, so folding
+    only MATCHED terms in the same term order gives the identical
+    double. Returns only documents matching >= 1 term (at top_k below
+    the match count — common terms in any real corpus — this equals
+    the live result exactly; the same oracle verifies it)."""
+    import json as _json
+    import os
+    with open(os.path.join(path, "stats.json")) as f:
+        st = _json.load(f)
+    n_docs, avgdl = st["n_docs"], st["tok_total"] / st["n_docs"]
+    buckets = sorted({_term_bucket_py(t, st["num_buckets"])
+                      for t in terms})
+    posts = (spark.read.parquet(os.path.join(path, "postings"))
+             .where(F.col("tbucket").isin(buckets)
+                    & F.col("term").isin(list(terms))))
+    # per-term df: bounded collect (len(terms) values)
+    dfs = {r["term"]: r["df"] for r in
+           posts.groupBy("term")
+           .agg(F.count_distinct("doc").alias("df")).collect()}
+    wide = posts.groupBy("doc").pivot("term", list(terms)).sum("tf")
+    doclens = spark.read.parquet(os.path.join(path, "doclens"))
+    scored = wide.join(doclens, "doc")
+    dl = F.col("dl").cast("double")
+    score = F.lit(0.0)
+    for t in terms:
+        df_t = dfs.get(t, 0)
+        idf = (n_docs - df_t + 0.5) / (df_t + 0.5)
+        tf = F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("double")
+        score = score + F.lit(idf) * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
+    return (scored.select(F.col("doc").alias("doc_id"),
+                          score.alias("score"),
+                          F.col("dl").alias("n_tokens"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(top_k))

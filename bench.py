@@ -115,6 +115,7 @@ EXTENDED = [
     "sim_ivf_indexed",
     "dedup_incremental_indexed",
     "text_bm25_search",
+    "text_bm25_indexed",
 ]
 
 

@@ -561,3 +561,24 @@ def test_ivf_indexed_prunes_cell_directories(spark, sf_dir):
     # dynamicpruningexpression in the scan) — both are |Q|×k sized
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
     assert_no_row_python_udf(df)
+
+
+def test_bm25_indexed_prunes_term_buckets_and_matches_live(spark, sf_dir,
+                                                           tmp_path):
+    """The inverted-index road must (a) plan the term-bucket list as a
+    partition filter and (b) reproduce the full-scan BM25 result
+    bit-for-bit — scores, ranks, everything."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import text as T
+    from aggregation_duckdb_spark.plans.inspect import physical_plan
+    docs = load_table(spark, "documents", sf_dir)
+    path = str(tmp_path / "tix")
+    T.write_text_index(docs, path)
+    terms = ["hash", "customer", "vector"]
+    idx = T.bm25_search_indexed(spark, path, terms, top_k=20)
+    plan = physical_plan(idx, "simple")
+    assert "PartitionFilters: [tbucket" in plan, plan
+    live = T.bm25_search(docs, terms, top_k=20)
+    key = lambda r: (r.doc_id, r.score, r.n_tokens)  # noqa: E731
+    assert sorted(map(key, idx.collect())) == \
+        sorted(map(key, live.collect()))
