@@ -104,6 +104,16 @@ ENTRIES = {
         "centroid_id IN (...) in PartitionFilters with "
         "dynamicpruningexpression layered on top; corpus-side joins "
         "are broadcast-hash on the cell id"),
+    "text_bm25_indexed": (
+        "the inverted-index road reads only the query terms' "
+        "posting-list directories — tbucket IN (...) in "
+        "PartitionFilters; scoring joins are hash joins on the doc "
+        "id, no corpus text scan anywhere"),
+    "dedup_incremental_indexed": (
+        "the corpus side is three narrow stored projections (hashes, "
+        "shingles, buckets) — scans of those tables, never raw "
+        "corpus text; every join against them broadcasts the batch "
+        "side"),
 }
 
 
