@@ -691,16 +691,22 @@ def write_text_index(docs: DataFrame, path: str, num_buckets: int = 64,
     import os
     from aggregation_duckdb_spark.operators.pipeline import split_bucket
     toks = tokens(F.col(text_col))
-    postings = (docs.select(F.col(id_col).alias("doc"),
-                            F.explode(toks).alias("term"))
-                .groupBy("term", "doc")
+    # dl rides IN the posting row (denormalized at build time, the way
+    # real posting lists carry norms): the query path then reads ONLY
+    # its terms' directories — a doclens join at query time would scan
+    # a corpus-sized table and erase the index's point
+    sized = docs.select(F.col(id_col).alias("doc"),
+                        toks.alias("__toks"),
+                        F.size(toks).cast("long").alias("dl"))
+    postings = (sized.select("doc", "dl",
+                             F.explode("__toks").alias("term"))
+                .groupBy("term", "doc", "dl")
                 .agg(F.count(F.lit(1)).alias("tf"))
                 .withColumn("tbucket",
                             _term_bucket(F.col("term"), num_buckets)))
     postings.write.mode("overwrite").partitionBy("tbucket").parquet(
         os.path.join(path, "postings"))
-    (docs.select(F.col(id_col).alias("doc"),
-                 F.size(toks).cast("long").alias("dl"))
+    (sized.select("doc", "dl")
      .write.mode("overwrite").parquet(os.path.join(path, "doclens")))
     stats = docs.agg(F.count(F.lit(1)).alias("n"),
                      F.sum(F.size(toks)).alias("tt")).collect()[0]
@@ -748,15 +754,17 @@ def bm25_search_indexed(spark, path: str, terms: list[str],
     dfs = {r["term"]: r["df"] for r in
            posts.groupBy("term")
            .agg(F.count_distinct("doc").alias("df")).collect()}
-    wide = posts.groupBy("doc").pivot("term", list(terms)).sum("tf")
-    doclens = spark.read.parquet(os.path.join(path, "doclens"))
-    scored = wide.join(doclens, "doc")
+    scored = posts.groupBy("doc").agg(
+        F.max("dl").alias("dl"),
+        *[F.max(F.when(F.col("term") == t, F.col("tf")))
+          .alias(f"__tf_{i}") for i, t in enumerate(terms)])
     dl = F.col("dl").cast("double")
     score = F.lit(0.0)
     for t in terms:
         df_t = dfs.get(t, 0)
         idf = (n_docs - df_t + 0.5) / (df_t + 0.5)
-        tf = F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("double")
+        tf = F.coalesce(F.col(f"__tf_{terms.index(t)}"),
+                        F.lit(0)).cast("double")
         score = score + F.lit(idf) * (tf * (k1 + 1.0)) / (
             tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
     return (scored.select(F.col("doc").alias("doc_id"),

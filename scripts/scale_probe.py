@@ -562,6 +562,47 @@ def dedupindex_probe(multiples: list) -> None:
             "live_seconds": live_s, "indexed_seconds": idx_s,
             "speedup": round(live_s / idx_s, 2) if idx_s else None}))
 
+def textindex_probe(multiples: list) -> None:
+    """Inverted-index payoff: a fixed 3-term BM25 query as the corpus
+    multiplies. The live path re-tokenizes and scores every document
+    per query; the indexed path reads the query terms' posting-list
+    directories — postings grow with the corpus too, but they are
+    narrow (term, doc, tf) rows for THREE terms, not corpus text."""
+    import tempfile
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import text as T
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    base = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    # 'dup' is the synthetic corpus's ONE selective term (5% df; the
+    # other 30 vocabulary tokens appear in ~77% of docs — stop words,
+    # where posting lists are corpus-sized and no index can help);
+    # both workloads are probed so the stop-word effect is on record
+    for m in multiples:
+        corpus = base
+        for i in range(m - 1):
+            corpus = corpus.unionByName(base.select(
+                (F.col("doc_id") + (i + 1) * 10_000_000).alias("doc_id"),
+                "text"))
+        n_docs = corpus.count()
+        path = tempfile.mkdtemp(prefix=f"textidx-{m}-")
+        T.write_text_index(corpus, path)   # ingest-time cost
+        for label, terms in (("selective", ["dup"]),
+                             ("stopword", ["hash", "customer", "vector"])):
+            t0 = time.time()
+            live = T.bm25_search(corpus, terms, top_k=20).collect()
+            live_s = round(time.time() - t0, 2)
+            t0 = time.time()
+            idx = T.bm25_search_indexed(spark, path, terms,
+                                        top_k=20).collect()
+            idx_s = round(time.time() - t0, 2)
+            assert sorted((r.doc_id, r.score) for r in idx) == \
+                sorted((r.doc_id, r.score) for r in live)
+            print(json.dumps({
+                "probe": "bm25_indexed", "terms": label, "multiple": m,
+                "corpus_docs": n_docs, "live_seconds": live_s,
+                "indexed_seconds": idx_s,
+                "speedup": round(live_s / idx_s, 2) if idx_s else None}))
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--hierarchy":
@@ -590,5 +631,7 @@ if __name__ == "__main__":
         pack_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--dedupindex":
         dedupindex_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--textindex":
+        textindex_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     else:
         main()
