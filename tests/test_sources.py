@@ -291,3 +291,51 @@ def test_zorder_delta_append_and_compaction(spark, tmp_path):
                       L.read_zordered_box_with_delta(spark, path, *box)
                       .collect())
         assert got2 == got
+
+
+def test_zbuckets_superset_property_hypothesis():
+    """Property pin for the planner's core guarantee, randomized over
+    bit widths, odd/even bucket splits, shifted/negative bounds, and
+    arbitrary boxes: every bucket a box's rows can land in is in the
+    planned list (pure Python — no Spark, so hypothesis can hammer
+    it)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from aggregation_duckdb_spark.sources.layout import zbuckets_for_box
+
+    def interleave_py(a, b, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    @settings(max_examples=200, deadline=None)
+    @given(data=st.data())
+    def run(data):
+        bits = data.draw(st.integers(2, 8))
+        kb = data.draw(st.integers(1, 2 * bits))
+        a_lo = data.draw(st.integers(-500, 500))
+        a_hi = a_lo + data.draw(st.integers(0, 1000))
+        b_lo = data.draw(st.integers(-500, 500))
+        b_hi = b_lo + data.draw(st.integers(0, 1000))
+        spec = {"bits": bits, "bucket_bits": kb,
+                "a_lo": a_lo, "a_hi": a_hi, "b_lo": b_lo, "b_hi": b_hi}
+        qa_lo = data.draw(st.integers(a_lo - 50, a_hi + 50))
+        qa_hi = qa_lo + data.draw(st.integers(0, 200))
+        qb_lo = data.draw(st.integers(b_lo - 50, b_hi + 50))
+        qb_hi = qb_lo + data.draw(st.integers(0, 200))
+        planned = set(zbuckets_for_box(spec, qa_lo, qa_hi, qb_lo, qb_hi))
+        n = 1 << bits
+
+        def to_bin(v, lo, hi):
+            return max(0, min(n - 1, ((v - lo) * n) // (hi - lo + 1)))
+        # sample rows inside the box (edges + interior) and check
+        # each one's actual bucket was planned
+        for av in {qa_lo, qa_hi, (qa_lo + qa_hi) // 2}:
+            for bv in {qb_lo, qb_hi, (qb_lo + qb_hi) // 2}:
+                z = interleave_py(to_bin(av, a_lo, a_hi),
+                                  to_bin(bv, b_lo, b_hi), bits)
+                assert (z >> (2 * bits - kb)) in planned, \
+                    (spec, (qa_lo, qa_hi, qb_lo, qb_hi), av, bv)
+    run()
