@@ -3529,10 +3529,11 @@ def pipeline_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("text_normalize", r"""
 WITH n AS (SELECT doc_id,
-    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+    trim(regexp_replace(lower(text), '[ \t\n\r\x0B\f]+', ' ', 'g'))
+        AS norm_text,
     trim(regexp_replace(
         regexp_replace(lower(text), '[^a-z0-9 \t\n\r]', ' ', 'g'),
-        '\s+', ' ', 'g')) AS match_text,
+        '[ \t\n\r\x0B\f]+', ' ', 'g')) AS match_text,
     CAST(length(text) AS BIGINT) AS n_chars
   FROM documents)
 SELECT doc_id, md5(norm_text) AS norm_md5, md5(match_text) AS match_md5,

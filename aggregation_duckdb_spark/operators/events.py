@@ -402,9 +402,13 @@ def topk_paths(events: DataFrame, k: int = 20, first_n: int = 5,
     buffer that user's entire history in one array). The per-user
     group-by reuses the window's hash partitioning (no second
     event-stream shuffle), and its arrays are ≤ first_n elements by
-    construction. The rank window then runs over the aggregated path
-    counts — a bounded frame, not the event stream. Tie-break is
-    (n_users DESC, path ASC), fully deterministic.
+    construction. The top-k cut is an ordered ``limit`` — Spark plans
+    it as TakeOrderedAndProject (per-partition top-k heaps merged on
+    the driver), never a single-task sort — so a high-cardinality
+    ``type_col`` (URLs, not a small event alphabet) cannot funnel the
+    path-count frame through one partition; only the ≤ k survivors see
+    a rank window. Tie-break is (n_users DESC, path ASC), fully
+    deterministic.
     """
     order = Window.partitionBy(user_col).orderBy(
         F.col(ts_col), F.col(id_col))
@@ -421,8 +425,8 @@ def topk_paths(events: DataFrame, k: int = 20, first_n: int = 5,
                     .alias("path")))
     counts = per_user.groupBy("path").agg(
         F.count(F.lit(1)).alias("n_users"))
+    top = counts.orderBy(F.desc("n_users"), F.asc("path")).limit(k)
     w = Window.orderBy(F.desc("n_users"), F.asc("path"))
-    return (counts
+    return (top
             .withColumn("rank", F.row_number().over(w).cast("long"))
-            .where(F.col("rank") <= k)
             .select("rank", "path", "n_users"))

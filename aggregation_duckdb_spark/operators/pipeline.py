@@ -680,6 +680,12 @@ def curriculum_order(docs: DataFrame, key_col: str = "n_chars",
     from pyspark.sql import Window
     mn, mx = docs.agg(F.min(key_col).cast("long"),
                       F.max(key_col).cast("long")).collect()[0]
+    if mn is None:
+        # empty input (or all-null key): the min/max literals the shard
+        # expression interpolates don't exist — fail clearly instead of
+        # building '(key - None)' and dying in an AnalysisException
+        raise ValueError(
+            f"curriculum_order: no non-null '{key_col}' values to rank")
     # bin arithmetic stays < num_shards by construction:
     # ((mx-mn)*S) div (mx-mn+1) <= S-1, so no clamp is needed
     keyed = docs.select(

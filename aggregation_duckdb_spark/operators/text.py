@@ -623,10 +623,14 @@ def normalize_text(docs: DataFrame, text_col: str = "text",
     identical bytes.
 
     Returns (id, norm_text, match_text, n_chars, n_chars_norm)."""
+    # explicit whitespace class, not \s: Java regex's \s includes
+    # vertical tab, RE2's does not — the one dialect divergence in the
+    # repo's regex discipline, spelled out per-engine instead
+    ws = r"[ \t\n\r\x0B\f]+"
     lowered = F.lower(F.col(text_col))
-    norm = F.trim(F.regexp_replace(lowered, r"\s+", " "))
+    norm = F.trim(F.regexp_replace(lowered, ws, " "))
     match = F.trim(F.regexp_replace(
-        F.regexp_replace(lowered, "[^a-z0-9 \t\n\r]", " "), r"\s+", " "))
+        F.regexp_replace(lowered, "[^a-z0-9 \t\n\r]", " "), ws, " "))
     return docs.select(
         F.col(id_col),
         norm.alias("norm_text"),

@@ -582,3 +582,21 @@ def test_bm25_indexed_prunes_term_buckets_and_matches_live(spark, sf_dir,
     key = lambda r: (r.doc_id, r.score, r.n_tokens)  # noqa: E731
     assert sorted(map(key, idx.collect())) == \
         sorted(map(key, live.collect()))
+
+
+def test_topk_paths_rank_is_take_ordered_not_global_window(spark, sf_dir):
+    """The top-k cut over path counts must plan as
+    TakeOrderedAndProject (per-partition heaps), never a
+    single-partition Window over the full path-count frame — with a
+    high-cardinality type_col (URLs) that window is the exact
+    global-sort scale-killer the module elsewhere refuses. The only
+    unpartitioned window allowed is the rank pass over the <= k
+    survivors, which sits strictly ABOVE the TakeOrdered cut."""
+    from aggregation_duckdb_spark.plans.inspect import physical_plan
+    df = matrix.queries()["events_topk_paths"](spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    # the rank window must consume the TakeOrdered output, not feed it:
+    # in EXPLAIN's top-down text the Window's first appearance comes
+    # before (above) the TakeOrderedAndProject node
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
