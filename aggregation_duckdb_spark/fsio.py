@@ -1,0 +1,221 @@
+"""Metadata IO for durable indexes, routed through Hadoop's FileSystem.
+
+The durable artifacts (Z-order layout, IVF cells, dedup projections,
+BM25 postings) write their DATA through Spark writers, which already
+speak every Hadoop filesystem. Their small METADATA files — bounds,
+params, corpus stats, table manifests — previously used bare
+``open()``/``os``/``shutil``, which fail outright on ``hdfs://`` or
+``s3a://`` paths, the only place a 100 TB table lives. This module is
+the one place that bridges that gap: each helper resolves the path's
+own filesystem via ``Path.getFileSystem(hadoopConf)`` (the same
+resolution Spark's writers use), so a ``file:``, ``hdfs:`` or object
+-store URI all behave identically.
+
+Atomicity contract for mutable metadata (:func:`write_json_version` /
+:func:`read_json_latest`): a manifest is never overwritten in place.
+Each update writes a temp file and renames it to the NEXT versioned
+name (``v00000042.json``); create+rename is atomic on HDFS and a
+single visible object on stores without rename, and readers take the
+highest complete version — a crashed writer leaves an invisible temp
+file, never a torn manifest. Concurrent WRITERS are out of scope
+(documented single-writer, the Hive/Delta-without-a-lock-service
+assumption); concurrent readers are always safe.
+
+Spark Connect has no JVM gateway; helpers then fall back to Python
+file IO for local/``file:`` paths (same semantics, local-only reach)
+and raise clearly for remote schemes rather than corrupting anything.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+_VERSION_RE = re.compile(r"^v(\d{8})\.json$")
+
+
+def _gateway(spark):
+    """(jvm, hadoopConf) when the classic JVM gateway exists, else
+    None (Spark Connect)."""
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        if jvm is None or conf is None:
+            return None
+        return jvm, conf
+    except Exception:
+        return None
+
+
+def _fs(spark, path: str):
+    jvm, conf = _gateway(spark)
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(conf), jpath, jvm
+
+
+def _local_path(path: str) -> str:
+    """Local fallback: accept bare and file:-scheme paths only."""
+    if path.startswith("file://"):
+        return path[len("file://"):] or "/"
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+        raise NotImplementedError(
+            f"no JVM gateway (Spark Connect) and non-local scheme: {path}")
+    return path
+
+
+def read_bytes(spark, path: str) -> bytes:
+    if _gateway(spark) is None:
+        with open(_local_path(path), "rb") as f:
+            return f.read()
+    fs, jpath, jvm = _fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, False)
+        return bytes(out.toByteArray())
+    finally:
+        stream.close()
+
+
+def write_bytes(spark, path: str, data: bytes) -> None:
+    """Create (overwrite) ``path`` with ``data``. Not atomic by itself —
+    mutable metadata goes through :func:`write_json_version` instead."""
+    if _gateway(spark) is None:
+        local = _local_path(path)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        with open(local, "wb") as f:
+            f.write(data)
+        return
+    fs, jpath, _ = _fs(spark, path)
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(data))
+    finally:
+        stream.close()
+
+
+def read_text(spark, path: str) -> str:
+    return read_bytes(spark, path).decode("utf-8")
+
+
+def write_text(spark, path: str, text: str) -> None:
+    write_bytes(spark, path, text.encode("utf-8"))
+
+
+def read_json(spark, path: str):
+    return json.loads(read_text(spark, path))
+
+
+def write_json(spark, path: str, obj) -> None:
+    write_text(spark, path, json.dumps(obj))
+
+
+def exists(spark, path: str) -> bool:
+    if _gateway(spark) is None:
+        return os.path.exists(_local_path(path))
+    fs, jpath, _ = _fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def list_names(spark, path: str) -> list[str]:
+    """Sorted child names of a directory ([] if it doesn't exist)."""
+    if _gateway(spark) is None:
+        local = _local_path(path)
+        return sorted(os.listdir(local)) if os.path.isdir(local) else []
+    fs, jpath, _ = _fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(jpath))
+
+
+def delete(spark, path: str) -> None:
+    """Recursive delete; missing paths are a no-op."""
+    if _gateway(spark) is None:
+        local = _local_path(path)
+        if os.path.isdir(local):
+            shutil.rmtree(local)
+        elif os.path.exists(local):
+            os.remove(local)
+        return
+    fs, jpath, _ = _fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def rename(spark, src: str, dst: str) -> bool:
+    if _gateway(spark) is None:
+        try:
+            os.rename(_local_path(src), _local_path(dst))
+            return True
+        except OSError:
+            return False
+    fs, jsrc, jvm = _fs(spark, src)
+    return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def mkdirs(spark, path: str) -> None:
+    if _gateway(spark) is None:
+        os.makedirs(_local_path(path), exist_ok=True)
+        return
+    fs, jpath, _ = _fs(spark, path)
+    fs.mkdirs(jpath)
+
+
+def _join(base: str, *parts: str) -> str:
+    """Scheme-preserving path join (os.path.join would eat 'hdfs://')."""
+    out = base.rstrip("/")
+    for p in parts:
+        out = f"{out}/{p.strip('/')}"
+    return out
+
+
+def latest_version(spark, manifest_dir: str) -> int:
+    """Highest committed manifest version in ``manifest_dir`` (0 if
+    none)."""
+    best = 0
+    for name in list_names(spark, manifest_dir):
+        m = _VERSION_RE.match(name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def read_json_latest(spark, manifest_dir: str):
+    """The newest committed manifest, or None if none exists."""
+    v = latest_version(spark, manifest_dir)
+    if v == 0:
+        return None
+    return read_json(spark, _join(manifest_dir, f"v{v:08d}.json"))
+
+
+def write_json_version(spark, manifest_dir: str, obj) -> int:
+    """Commit ``obj`` as the next manifest version: write a temp file,
+    then rename it to ``v{N+1}.json``. The rename is the commit point —
+    readers only ever see complete versions. Single writer assumed (two
+    concurrent committers would race for the same version name)."""
+    mkdirs(spark, manifest_dir)
+    nxt = latest_version(spark, manifest_dir) + 1
+    tmp = _join(manifest_dir, f".tmp-{uuid.uuid4().hex}")
+    write_json(spark, tmp, obj)
+    final = _join(manifest_dir, f"v{nxt:08d}.json")
+    if not rename(spark, tmp, final):
+        delete(spark, tmp)
+        raise RuntimeError(
+            f"manifest commit lost a rename race (concurrent writer?): "
+            f"{final}")
+    return nxt
+
+
+def prune_versions(spark, manifest_dir: str, keep: int = 5) -> None:
+    """Delete all but the newest ``keep`` manifest versions (each is a
+    few hundred bytes; this only bounds listing growth)."""
+    versions = sorted(
+        int(m.group(1)) for m in
+        (_VERSION_RE.match(n) for n in list_names(spark, manifest_dir)) if m)
+    for v in versions[:-keep] if keep else versions:
+        delete(spark, _join(manifest_dir, f"v{v:08d}.json"))

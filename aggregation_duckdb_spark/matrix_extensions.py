@@ -3373,7 +3373,7 @@ def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(tempfile.gettempdir(), "spark-graft-zorder",
                         spark.sparkContext.applicationId,
                         os.path.basename(os.path.normpath(sf_dir)))
-    if not os.path.exists(os.path.join(base, L.BOUNDS_FILE)):
+    if not L.table_exists(spark, base):
         L.write_zordered(ev, base, "user_id", "value",
                          bits=8, bucket_bits=4)
     out = L.read_zordered_box(spark, base, 10, 60, 50, 200)
@@ -3662,16 +3662,44 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-list directories (term-bucket partition pruning) instead
     of scanning corpus text — verified by the SAME oracle, so the
     indexed road's floats match the full-scan road bit-for-bit."""
-    import os
-    import tempfile
-
     docs = load_table(spark, "documents", sf_dir)
-    base = os.path.join(tempfile.gettempdir(), "spark-graft-textidx",
-                        spark.sparkContext.applicationId,
-                        os.path.basename(os.path.normpath(sf_dir)))
-    if not os.path.exists(os.path.join(base, "stats.json")):
+    base = _text_index_base(spark, sf_dir)
+    if not _fsio().exists(spark, _fsio()._join(base, "stats.json")):
         T.write_text_index(docs, base)
     return (T.bm25_search_indexed(spark, base,
                                   ["hash", "customer", "vector"],
                                   top_k=20)
+            .orderBy(F.desc("score"), "doc_id"))
+
+
+def _fsio():
+    from aggregation_duckdb_spark import fsio
+    return fsio
+
+
+def _text_index_base(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+    return os.path.join(tempfile.gettempdir(), "spark-graft-textidx",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+
+
+@register("text_bm25_stopterm", _bm25_sql(["hash", "dup"]))
+def text_bm25_stopterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the index's STOP-TERM guard
+    (``text.bm25_search_indexed`` with the corpus frame): 'hash' is
+    stop-class in this corpus (df ≈ 0.8N, recorded with its exact df
+    in the sidecar at build time), so its corpus-sized posting
+    directory is never read — the query routes to the shared text
+    fold, reusing the sidecar's N/avgdl/df scalars, while the rare
+    term 'dup' still gets its df from a pruned posting-bucket probe.
+    Verified by the same oracle shape as the live/full-scan road, so
+    the guard's floats are pinned bit-identical."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = _text_index_base(spark, sf_dir)
+    if not _fsio().exists(spark, _fsio()._join(base, "stats.json")):
+        T.write_text_index(docs, base)
+    return (T.bm25_search_indexed(spark, base, ["hash", "dup"],
+                                  top_k=20, docs=docs)
             .orderBy(F.desc("score"), "doc_id"))

@@ -678,20 +678,20 @@ def write_dedup_index(existing: DataFrame, path: str,
     projections :func:`incremental_dedup` docstring promises ("at
     100 TB precomputed once at ingest and stored"): content hashes,
     per-doc shingle sets, and band buckets as three parquet tables,
-    plus a params sidecar so a reader can't silently join against an
-    index built with different LSH parameters."""
-    import json as _json
-    import os
+    plus a params sidecar (written through :mod:`fsio`, so the index
+    lives happily on hdfs://s3a) so a reader can't silently join
+    against an index built with different LSH parameters."""
+    from aggregation_duckdb_spark import fsio
     h, sh, b = corpus_dedup_projections(
         existing, text_col, id_col, num_hashes, num_bands,
         shingle_width, normalize)
-    h.write.mode("overwrite").parquet(os.path.join(path, "hashes"))
-    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
-    b.write.mode("overwrite").parquet(os.path.join(path, "buckets"))
-    with open(os.path.join(path, "params.json"), "w") as f:
-        _json.dump({"num_hashes": num_hashes, "num_bands": num_bands,
-                    "shingle_width": shingle_width,
-                    "normalize": normalize}, f)
+    h.write.mode("overwrite").parquet(fsio._join(path, "hashes"))
+    sh.write.mode("overwrite").parquet(fsio._join(path, "shingles"))
+    b.write.mode("overwrite").parquet(fsio._join(path, "buckets"))
+    fsio.write_json(existing.sparkSession, fsio._join(path, "params.json"),
+                    {"num_hashes": num_hashes, "num_bands": num_bands,
+                     "shingle_width": shingle_width,
+                     "normalize": normalize})
 
 
 def append_dedup_index(admitted: DataFrame, path: str,
@@ -701,16 +701,15 @@ def append_dedup_index(admitted: DataFrame, path: str,
     incremental dedup let through): compute the same three projections
     for the batch only and append — per-batch cost proportional to
     the batch, the corpus never re-read."""
-    import json as _json
-    import os
-    with open(os.path.join(path, "params.json")) as f:
-        p = _json.load(f)
+    from aggregation_duckdb_spark import fsio
+    p = fsio.read_json(admitted.sparkSession,
+                       fsio._join(path, "params.json"))
     h, sh, b = corpus_dedup_projections(
         admitted, text_col, id_col, p["num_hashes"], p["num_bands"],
         p["shingle_width"], p["normalize"])
-    h.write.mode("append").parquet(os.path.join(path, "hashes"))
-    sh.write.mode("append").parquet(os.path.join(path, "shingles"))
-    b.write.mode("append").parquet(os.path.join(path, "buckets"))
+    h.write.mode("append").parquet(fsio._join(path, "hashes"))
+    sh.write.mode("append").parquet(fsio._join(path, "shingles"))
+    b.write.mode("append").parquet(fsio._join(path, "buckets"))
 
 
 def incremental_dedup_indexed(new: DataFrame, spark, path: str,
@@ -721,13 +720,11 @@ def incremental_dedup_indexed(new: DataFrame, spark, path: str,
     batch joins three narrow parquet tables instead of re-shingling
     the raw corpus — identical output (pytest-pinned and verified by
     the same DuckDB oracle as the live path)."""
-    import json as _json
-    import os
-    with open(os.path.join(path, "params.json")) as f:
-        p = _json.load(f)
-    ex_hashes = spark.read.parquet(os.path.join(path, "hashes"))
-    ex_sh = spark.read.parquet(os.path.join(path, "shingles"))
-    ex_b = spark.read.parquet(os.path.join(path, "buckets"))
+    from aggregation_duckdb_spark import fsio
+    p = fsio.read_json(spark, fsio._join(path, "params.json"))
+    ex_hashes = spark.read.parquet(fsio._join(path, "hashes"))
+    ex_sh = spark.read.parquet(fsio._join(path, "shingles"))
+    ex_b = spark.read.parquet(fsio._join(path, "buckets"))
     return _incremental_against(new, ex_hashes, ex_sh, ex_b, text_col,
                                 id_col, threshold, p["num_hashes"],
                                 p["num_bands"], p["shingle_width"],

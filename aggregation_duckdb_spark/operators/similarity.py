@@ -622,13 +622,13 @@ def write_ivf_index(corpus: DataFrame, centroids: DataFrame, path: str,
     cells reads n_probe DIRECTORIES (plan-time partition pruning, the
     same mechanism as the Z-order layout) instead of scanning and
     re-clustering the corpus."""
-    import os
+    from aggregation_duckdb_spark import fsio
     assigned = ivf_assign(corpus, centroids, vec_col, id_col)
     (assigned.withColumn("centroid_id", F.col("centroid_id").cast("int"))
      .write.mode("overwrite").partitionBy("centroid_id")
-     .parquet(os.path.join(path, "cells")))
+     .parquet(fsio._join(path, "cells")))
     centroids.write.mode("overwrite").parquet(
-        os.path.join(path, "codebook"))
+        fsio._join(path, "codebook"))
 
 
 def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
@@ -641,8 +641,8 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
     directories are read (``centroid_id IN (...)`` lands in
     PartitionFilters; the probed-cell id list is |Q|·n_probe, the
     sanctioned model-sized collect)."""
-    import os
-    cents = (spark.read.parquet(os.path.join(path, "codebook"))
+    from aggregation_duckdb_spark import fsio
+    cents = (spark.read.parquet(fsio._join(path, "codebook"))
              .select(F.col("centroid_id").cast("int").alias("__cid"),
                      F.col("centroid").alias("__cvec")))
     q = queries.select(F.col(id_col).alias("query_id"),
@@ -660,7 +660,7 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
     needed = sorted({r["centroid_id"]
                      for r in probes.select("centroid_id")
                      .distinct().collect()})
-    cells = (spark.read.parquet(os.path.join(path, "cells"))
+    cells = (spark.read.parquet(fsio._join(path, "cells"))
              .where(F.col("centroid_id").isin(needed)))
     scored = (cells.join(F.broadcast(probes), "centroid_id")
               .where(F.col(id_col) != F.col("query_id"))
@@ -685,10 +685,10 @@ def append_ivf_index(new_corpus: DataFrame, path: str,
     contract — immutable centroids between retrains; retrain and
     rebuild when drift warrants it, which is a bulk job, not a
     per-batch one)."""
-    import os
+    from aggregation_duckdb_spark import fsio
     spark = new_corpus.sparkSession
-    cents = spark.read.parquet(os.path.join(path, "codebook"))
+    cents = spark.read.parquet(fsio._join(path, "codebook"))
     assigned = ivf_assign(new_corpus, cents, vec_col, id_col)
     (assigned.withColumn("centroid_id", F.col("centroid_id").cast("int"))
      .write.mode("append").partitionBy("centroid_id")
-     .parquet(os.path.join(path, "cells")))
+     .parquet(fsio._join(path, "cells")))

@@ -667,10 +667,24 @@ def bm25_search(docs: DataFrame, terms: list[str], k1: float = 1.2,
           for i, t in enumerate(terms)]).collect()[0]
     n_docs = stats["n"]
     avgdl = stats["tok_total"] / n_docs
+    dfs = {t: stats[f"df_{i}"] for i, t in enumerate(terms)}
+    return _bm25_text_fold(docs, terms, dfs, n_docs, avgdl, k1, b,
+                           top_k, text_col, id_col)
+
+
+def _bm25_text_fold(docs: DataFrame, terms: list[str], dfs: dict,
+                    n_docs: int, avgdl: float, k1: float, b: float,
+                    top_k: int, text_col: str, id_col: str) -> DataFrame:
+    """The zero-shuffle scoring half of :func:`bm25_search`: per-term
+    tf from the token array, fixed-order sum of per-term scores (so
+    float grouping is deterministic), one top-k exchange. Shared with
+    the indexed road's stop-term fallback so the two roads fold the
+    exact same doubles in the exact same order."""
+    toks = tokens(F.col(text_col))
     dl = F.size(toks).cast("double")
     score = F.lit(0.0)
-    for i, t in enumerate(terms):
-        df_t = stats[f"df_{i}"]
+    for t in terms:
+        df_t = dfs[t]
         idf = (n_docs - df_t + 0.5) / (df_t + 0.5)
         tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
         score = score + F.lit(idf) * (tf * (k1 + 1.0)) / (
@@ -682,18 +696,24 @@ def bm25_search(docs: DataFrame, terms: list[str], k1: float = 1.2,
 
 
 def write_text_index(docs: DataFrame, path: str, num_buckets: int = 64,
-                     text_col: str = "text",
-                     id_col: str = "doc_id") -> None:
+                     text_col: str = "text", id_col: str = "doc_id",
+                     max_df_frac: float = 0.25) -> None:
     """Persist the lexical index behind :func:`bm25_search_indexed`:
     posting lists (term, doc, tf) partitioned by an md5 term bucket,
-    per-doc lengths, and the corpus scalars as a sidecar. A keyword
-    query then reads its terms' posting-list DIRECTORIES instead of
-    scanning corpus text — :func:`bm25_search`'s full-scan scoring is
-    the right shape for one-off queries, this is the right shape for
-    a query WORKLOAD (every search engine's trade)."""
-    import json as _json
-    import os
-    from aggregation_duckdb_spark.operators.pipeline import split_bucket
+    per-doc lengths, and the corpus scalars as a sidecar (written
+    through :mod:`fsio`, so the index lives happily on hdfs://s3a).
+
+    The sidecar also records every STOP-CLASS term — df above
+    ``max_df_frac`` of the corpus — with its exact df. That set is
+    provably model-sized: Σ df = total tokens ≤ N·avgdl, so at most
+    ``avgdl / max_df_frac`` terms can each exceed ``max_df_frac·N``
+    (a few hundred at any corpus size — a bounded collect). The query
+    path uses it to refuse corpus-sized posting reads: a stop term's
+    posting directory is the one part of an inverted index that is NOT
+    small, and reading it is slower than the full-scan fold it was
+    meant to replace (measured: SCALE_PROBE_r06 stop-word workload)."""
+    from aggregation_duckdb_spark import fsio
+    spark = docs.sparkSession
     toks = tokens(F.col(text_col))
     # dl rides IN the posting row (denormalized at build time, the way
     # real posting lists carry norms): the query path then reads ONLY
@@ -709,14 +729,24 @@ def write_text_index(docs: DataFrame, path: str, num_buckets: int = 64,
                 .withColumn("tbucket",
                             _term_bucket(F.col("term"), num_buckets)))
     postings.write.mode("overwrite").partitionBy("tbucket").parquet(
-        os.path.join(path, "postings"))
+        fsio._join(path, "postings"))
+    posts_back = spark.read.parquet(fsio._join(path, "postings"))
     (sized.select("doc", "dl")
-     .write.mode("overwrite").parquet(os.path.join(path, "doclens")))
+     .write.mode("overwrite").parquet(fsio._join(path, "doclens")))
     stats = docs.agg(F.count(F.lit(1)).alias("n"),
                      F.sum(F.size(toks)).alias("tt")).collect()[0]
-    with open(os.path.join(path, "stats.json"), "w") as f:
-        _json.dump({"n_docs": stats["n"], "tok_total": int(stats["tt"]),
-                    "num_buckets": num_buckets}, f)
+    n_docs = int(stats["n"])
+    # stop-class dfs: bounded by avgdl/max_df_frac rows (see docstring)
+    stop_rows = (posts_back.groupBy("term")
+                 .agg(F.count(F.lit(1)).alias("df"))
+                 .where(F.col("df") > F.lit(max_df_frac * n_docs))
+                 .collect())
+    fsio.write_json(spark, fsio._join(path, "stats.json"),
+                    {"n_docs": n_docs, "tok_total": int(stats["tt"]),
+                     "num_buckets": num_buckets,
+                     "max_df_frac": max_df_frac,
+                     "stop_dfs": {r["term"]: int(r["df"])
+                                  for r in stop_rows}})
 
 
 def _term_bucket(term, num_buckets: int):
@@ -734,24 +764,57 @@ def _term_bucket_py(term: str, num_buckets: int) -> int:
 
 def bm25_search_indexed(spark, path: str, terms: list[str],
                         k1: float = 1.2, b: float = 0.75,
-                        top_k: int = 20) -> DataFrame:
+                        top_k: int = 20, docs: DataFrame | None = None,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
     """BM25 against the persisted inverted index: reads ONLY the query
     terms' posting-list directories (term-bucket partition pruning —
-    the Z-order/IVF mechanism applied to text), joins doc lengths,
-    and reproduces :func:`bm25_search`'s scores bit-for-bit: a term
-    with tf=0 contributes an exact +0.0 to the live fold, so folding
-    only MATCHED terms in the same term order gives the identical
-    double. Returns only documents matching >= 1 term (at top_k below
-    the match count — common terms in any real corpus — this equals
-    the live result exactly; the same oracle verifies it)."""
-    import json as _json
-    import os
-    with open(os.path.join(path, "stats.json")) as f:
-        st = _json.load(f)
+    the Z-order/IVF mechanism applied to text) and reproduces
+    :func:`bm25_search`'s scores bit-for-bit: a term with tf=0
+    contributes an exact +0.0 to the live fold, so folding only
+    MATCHED terms in the same term order gives the identical double.
+
+    Stop-term guard: a query term recorded in the sidecar's stop set
+    (df above the build-time ``max_df_frac``) has a CORPUS-SIZED
+    posting directory — reading and pivoting it is slower than the
+    full-scan fold it was meant to replace. Such queries route to
+    :func:`_bm25_text_fold` over ``docs`` (pass the corpus frame for
+    workloads that may contain stop terms), reusing the sidecar's
+    N/avgdl and every df — no stats pass, half the live road's work —
+    and never read a stop term's postings. Scores stay bit-identical
+    (same fold, same doubles). Without ``docs`` the guard can only
+    degrade gracefully: it reads the big directory and stays correct.
+
+    Underfull-match padding: when fewer than ``top_k`` documents match
+    any term, the tail is filled from the doclens table with exact
+    +0.0 scores ordered by doc id — the precise tail the live road
+    produces — so the two roads agree at every ``top_k``, not just
+    below the match count. The padding scan only runs when the match
+    count actually falls short (a bounded ``limit`` probe)."""
+    from aggregation_duckdb_spark import fsio
+    st = fsio.read_json(spark, fsio._join(path, "stats.json"))
     n_docs, avgdl = st["n_docs"], st["tok_total"] / st["n_docs"]
+    stop_dfs = st.get("stop_dfs", {})
+    hot = [t for t in terms if t in stop_dfs]
+    if hot and docs is not None:
+        cold = [t for t in terms if t not in stop_dfs]
+        dfs = dict(stop_dfs)
+        if cold:
+            cold_buckets = sorted({_term_bucket_py(t, st["num_buckets"])
+                                   for t in cold})
+            cold_posts = (
+                spark.read.parquet(fsio._join(path, "postings"))
+                .where(F.col("tbucket").isin(cold_buckets)
+                       & F.col("term").isin(cold)))
+            found = {r["term"]: r["df"] for r in
+                     cold_posts.groupBy("term")
+                     .agg(F.count(F.lit(1)).alias("df")).collect()}
+            dfs.update({t: found.get(t, 0) for t in cold})
+        return _bm25_text_fold(docs, terms, dfs, n_docs, avgdl, k1, b,
+                               top_k, text_col, id_col)
     buckets = sorted({_term_bucket_py(t, st["num_buckets"])
                       for t in terms})
-    posts = (spark.read.parquet(os.path.join(path, "postings"))
+    posts = (spark.read.parquet(fsio._join(path, "postings"))
              .where(F.col("tbucket").isin(buckets)
                     & F.col("term").isin(list(terms))))
     # per-term df: bounded collect (len(terms) values)
@@ -762,6 +825,16 @@ def bm25_search_indexed(spark, path: str, terms: list[str],
         F.max("dl").alias("dl"),
         *[F.max(F.when(F.col("term") == t, F.col("tf")))
           .alias(f"__tf_{i}") for i, t in enumerate(terms)])
+    if len(scored.limit(top_k).collect()) < top_k:
+        # underfull match set: give unmatched docs their live-road rows
+        # (tf=0 for every term; the fold below turns that into the
+        # exact +0.0 the live scan computes)
+        doclens = spark.read.parquet(fsio._join(path, "doclens"))
+        pad = (doclens.join(scored.select("doc"), "doc", "left_anti")
+               .select("doc", "dl",
+                       *[F.lit(None).cast("long").alias(f"__tf_{i}")
+                         for i in range(len(terms))]))
+        scored = scored.unionByName(pad)
     dl = F.col("dl").cast("double")
     score = F.lit(0.0)
     for t in terms:

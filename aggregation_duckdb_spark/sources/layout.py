@@ -10,24 +10,51 @@ a small set of Z "buckets" — the same layout trick Delta Lake's
 ``OPTIMIZE ZORDER BY`` and DuckDB/Parquet min-max pruning exploit
 (public knowledge; no proprietary system involved).
 
-Mechanics here, all deterministic and engine-neutral:
+Mechanics, all deterministic and engine-neutral:
 
 - :func:`zvalue` builds the interleaved value as pure integer
   arithmetic on binned coordinates — JVM-side, whole-stage-codegen'd,
   no UDF (the bit picks are ``div``/``%`` with Python-int constants,
   so no shift-by-column limitation applies).
-- :func:`write_zordered` writes the table partitioned by the top
-  ``bucket_bits`` of the Z value (one directory per coarse Z cell) and
-  Z-sorted within each bucket, so engines that read footers also get
-  row-group locality. Dimension bounds ride along in a sidecar JSON.
+- :func:`write_zordered` writes the table under ``data/`` with TWO
+  partition levels — ``zbucket`` (top ``bucket_bits`` of the Z value)
+  and ``gen`` (an opaque generation id) — Z-sorted within each bucket
+  so footer-reading engines also get row-group locality.
 - :func:`zbuckets_for_box` is the planning half: enumerate the coarse
   Z cells (pure Python over 2^bucket_bits candidates — bucket_bits is
   small by design) and keep those whose 2-D cell intersects the query
-  box. :func:`read_zordered_box` attaches the resulting ``zbucket IN
-  (...)`` predicate, which Spark prunes as PARTITION directories at
-  plan time (visible as PartitionFilters in explain) — the box filter
-  itself still applies row-exactly, so results are identical to a
-  full scan with the same box (pinned by tests/test_sources.py).
+  box. :func:`read_zordered_box` attaches the resulting
+  ``(gen, zbucket IN ...)`` predicate, which Spark prunes as PARTITION
+  directories at plan time (visible as PartitionFilters in explain) —
+  the box filter itself still applies row-exactly, so results are
+  identical to a full scan with the same box (pinned by
+  tests/test_sources.py).
+
+Durability model (the part that must survive HDFS/S3, where a 100 TB
+table actually lives): all table state — layout spec, the live
+``gen`` per bucket, the outstanding delta batches — lives in a
+versioned manifest under ``_manifest/`` committed through
+:mod:`aggregation_duckdb_spark.fsio` (write-temp-then-rename; readers
+only ever see complete versions). Compaction writes NEW generation
+directories for the buckets it touches, commits the manifest pointing
+at them (the atomic flip), and only then deletes superseded
+directories — a crash at any step leaves readers on a complete,
+consistent snapshot, never the "rmtree'd but not yet renamed" void of
+a directory-swap scheme. Writers are single-writer by assumption
+(concurrent appends/compactions need an external lock — the standard
+no-lock-service caveat); readers need no coordination ever.
+
+Compaction cost model: :func:`compact_zordered` defaults to
+``mode="incremental"`` — delta rows are routed to their zbuckets
+under the EXISTING spec and only the dirtied buckets are rewritten,
+so folding a 1-file delta costs ~1 bucket, not a 100 TB table.
+Out-of-range delta values are safe by construction: binning CLAMPS,
+so outliers land in edge buckets, and the planner clamps query boxes
+the same way — any box that could match an outlier always probes that
+edge bucket. The trade is bin-selectivity decay if the value range
+drifts far; ``mode="full"`` rebins everything over recomputed bounds
+(the Delta Lake ``OPTIMIZE ZORDER`` analogue) when a probe shows edge
+buckets bloating.
 
 Bucket sizing at scale: 2^bucket_bits directories must each hold many
 files of healthy size (hundreds of MB); bucket_bits 6-10 covers
@@ -37,12 +64,15 @@ file counts sane.
 
 from __future__ import annotations
 
-import json
-import os
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-BOUNDS_FILE = "_zorder_bounds.json"
+from aggregation_duckdb_spark import fsio
+
+MANIFEST_DIR = "_manifest"
+DATA_DIR = "data"
+DELTA_DIR = "_delta"
 
 
 def bin_col(c: Column, lo: int, hi: int, bits: int) -> Column:
@@ -89,40 +119,103 @@ def numeric_bounds(df: DataFrame, a_col: str, b_col: str) -> dict:
     return {"a_lo": r.a_lo, "a_hi": r.a_hi, "b_lo": r.b_lo, "b_hi": r.b_hi}
 
 
+def _zbucket_col(spec: dict) -> Column:
+    z = zvalue(F.col(spec["a_col"]), F.col(spec["b_col"]),
+               (spec["a_lo"], spec["a_hi"]),
+               (spec["b_lo"], spec["b_hi"]), spec["bits"])
+    shift = 1 << (2 * spec["bits"] - spec["bucket_bits"])
+    return ((z - (z % F.lit(shift))) / F.lit(shift)).cast("long"), z
+
+
+def _touched_buckets(df: DataFrame, spec: dict) -> list[int]:
+    zb, _ = _zbucket_col(spec)
+    return sorted(r[0] for r in
+                  df.select(zb.alias("__zb")).distinct().collect())
+
+
+def _new_gen() -> str:
+    return "g" + uuid.uuid4().hex[:12]
+
+
+def _manifest_path(path: str) -> str:
+    return fsio._join(path, MANIFEST_DIR)
+
+
+def read_manifest(spark: SparkSession, path: str) -> dict:
+    m = fsio.read_json_latest(spark, _manifest_path(path))
+    if m is None:
+        raise FileNotFoundError(f"no z-order manifest under {path}")
+    return m
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    return fsio.read_json_latest(spark, _manifest_path(path)) is not None
+
+
+def read_spec(spark_or_path, path: str | None = None) -> dict:
+    """Layout spec from the manifest. Accepts (spark, path)."""
+    if path is None:
+        raise TypeError("read_spec needs (spark, path)")
+    return read_manifest(spark_or_path, path)["spec"]
+
+
 def write_zordered(df: DataFrame, path: str, a_col: str, b_col: str,
                    bits: int = 8, bucket_bits: int = 4,
                    bounds: dict | None = None,
                    files_per_bucket: int = 1) -> dict:
-    """Write ``df`` Z-clustered on (a_col, b_col): one directory per
-    coarse Z bucket (top ``bucket_bits`` of the Z value), Z-sorted
-    within buckets. Returns the layout spec (also persisted as a
-    sidecar JSON next to the data so readers need no coordination).
-
-    ``files_per_bucket`` splits each bucket across that many write
-    tasks (salted by the NEXT z bits below the bucket prefix, so each
-    file still covers a contiguous z run): at 100 TB a bucket holds
-    terabytes and cannot funnel through one task; locally 1 keeps
-    file counts sane."""
+    """Create (or replace) a Z-clustered table at ``path``: data under
+    ``data/zbucket=K/gen=<g>``, state committed as manifest v1 (or the
+    next version when re-laying an existing table — old generations
+    are deleted only AFTER the commit). Returns the layout spec."""
+    spark = df.sparkSession
     if bounds is None:
         bounds = numeric_bounds(df, a_col, b_col)
     spec = {"a_col": a_col, "b_col": b_col, "bits": bits,
             "bucket_bits": bucket_bits, **bounds}
-    z = zvalue(F.col(a_col), F.col(b_col),
-               (bounds["a_lo"], bounds["a_hi"]),
-               (bounds["b_lo"], bounds["b_hi"]), bits)
-    shift = 1 << (2 * bits - bucket_bits)
-    zb = ((z - (z % F.lit(shift))) / F.lit(shift)).cast("long")
+    prev = fsio.read_json_latest(spark, _manifest_path(path))
+    gen = _new_gen()
+    data_root = fsio._join(path, DATA_DIR)
+    _write_clustered(df, data_root, spec, gen, files_per_bucket)
+    buckets = _touched_buckets(df, spec)
+    manifest = {"spec": spec, "gens": {str(k): gen for k in buckets},
+                "deltas": []}
+    fsio.write_json_version(spark, _manifest_path(path), manifest)
+    if prev is not None:
+        _cleanup_superseded(spark, path, prev, manifest)
+    return spec
+
+
+def _write_clustered(df: DataFrame, data_root: str, spec: dict,
+                     gen: str, files_per_bucket: int) -> None:
+    zb, z = _zbucket_col(spec)
+    shift = 1 << (2 * spec["bits"] - spec["bucket_bits"])
     salt_shift = max(shift // max(files_per_bucket, 1), 1)
     salt = ((z - (z % F.lit(salt_shift))) / F.lit(salt_shift)).cast("long")
     (df.withColumn("__z", z).withColumn("zbucket", zb)
        .withColumn("__salt", salt)
+       .withColumn("gen", F.lit(gen))
        .repartition("zbucket", "__salt")
        .sortWithinPartitions("zbucket", "__z")
        .drop("__z", "__salt")
-       .write.mode("overwrite").partitionBy("zbucket").parquet(path))
-    with open(os.path.join(path, BOUNDS_FILE), "w") as f:
-        json.dump(spec, f)
-    return spec
+       .write.mode("append").partitionBy("zbucket", "gen")
+       .parquet(data_root))
+
+
+def _cleanup_superseded(spark: SparkSession, path: str, old: dict,
+                        new: dict) -> None:
+    """Best-effort removal of directories the new manifest no longer
+    references — runs strictly AFTER the commit, so a crash here only
+    leaves orphans (invisible to readers: the live-(bucket, gen) filter
+    never matches them), never a hole."""
+    new_gens = new["gens"]
+    for k, g in old.get("gens", {}).items():
+        if new_gens.get(k) != g:
+            fsio.delete(spark, fsio._join(
+                path, DATA_DIR, f"zbucket={k}", f"gen={g}"))
+    kept = set(new.get("deltas", []))
+    for d in old.get("deltas", []):
+        if d not in kept:
+            fsio.delete(spark, fsio._join(path, DELTA_DIR, d))
 
 
 def _deinterleave(bucket: int, k_a: int, k_b: int) -> tuple[int, int]:
@@ -172,74 +265,147 @@ def zbuckets_for_box(spec: dict, a_lo: int, a_hi: int,
     return out
 
 
-def read_spec(path: str) -> dict:
-    with open(os.path.join(path, BOUNDS_FILE)) as f:
-        return json.load(f)
+def _live_filter(manifest: dict, buckets: list[int] | None = None) -> Column:
+    """Partition predicate selecting exactly the live (zbucket, gen)
+    pairs — grouped by gen so the expression stays compact. Both are
+    partition columns, so the whole disjunction prunes directories at
+    plan time (PartitionFilters). Precise per-bucket pairing (not a
+    bare gen IN list) keeps crash-orphaned old generations invisible."""
+    gens = manifest["gens"]
+    wanted = ({str(b) for b in buckets} if buckets is not None
+              else set(gens))
+    by_gen: dict[str, list[int]] = {}
+    for k, g in gens.items():
+        if k in wanted:
+            by_gen.setdefault(g, []).append(int(k))
+    pred = F.lit(False)
+    for g, ks in sorted(by_gen.items()):
+        pred = pred | ((F.col("gen") == g) & F.col("zbucket").isin(ks))
+    return pred
+
+
+def read_zordered(spark: SparkSession, path: str,
+                  manifest: dict | None = None) -> DataFrame:
+    """Full-scan read of the live table snapshot (every live
+    (zbucket, gen) directory; ``gen`` is internal and dropped)."""
+    if manifest is None:
+        manifest = read_manifest(spark, path)
+    return (spark.read.parquet(fsio._join(path, DATA_DIR))
+            .where(_live_filter(manifest))
+            .drop("gen"))
 
 
 def read_zordered_box(spark: SparkSession, path: str,
                       a_lo: int, a_hi: int, b_lo: int, b_hi: int,
-                      spec: dict | None = None) -> DataFrame:
+                      manifest: dict | None = None) -> DataFrame:
     """Scan a Z-ordered table under a 2-D box predicate: the coarse
-    ``zbucket IN (...)`` list prunes PARTITION DIRECTORIES at plan
+    live-(zbucket, gen) list prunes PARTITION DIRECTORIES at plan
     time (PartitionFilters in explain — never listed, never read);
     the exact box filter keeps row-level semantics identical to a
     full-scan filter (results are provably equal: the bucket list is
     a superset of every bucket the box can touch)."""
-    if spec is None:
-        spec = read_spec(path)
+    if manifest is None:
+        manifest = read_manifest(spark, path)
+    spec = manifest["spec"]
     buckets = zbuckets_for_box(spec, a_lo, a_hi, b_lo, b_hi)
     a, b = F.col(spec["a_col"]), F.col(spec["b_col"])
-    return (spark.read.parquet(path)
-            .where(F.col("zbucket").isin(buckets))
-            .where((a >= a_lo) & (a <= a_hi) & (b >= b_lo) & (b <= b_hi)))
-
-
-DELTA_DIR = "_delta"
+    return (spark.read.parquet(fsio._join(path, DATA_DIR))
+            .where(_live_filter(manifest, buckets))
+            .where((a >= a_lo) & (a <= a_hi) & (b >= b_lo) & (b <= b_hi))
+            .drop("gen"))
 
 
 def append_zordered(df: DataFrame, path: str) -> None:
     """Append a batch WITHOUT re-clustering: rows land in a delta
-    area that box reads scan in full until the next compaction — the
-    standard layered-layout contract (Delta Lake's OPTIMIZE shape):
-    ingest stays cheap and layout quality degrades gracefully with
-    delta size instead of blocking on a rewrite. Out-of-bounds values
-    are fine by construction even after compaction-time rebinning:
-    binning CLAMPS, so an outlier lands in an edge bucket, and a box
-    that could match it always includes that edge bucket (the planner
-    clamps the box the same way)."""
-    import uuid
-    df.write.mode("append").parquet(
-        os.path.join(path, DELTA_DIR, uuid.uuid4().hex))
+    batch directory that box reads scan in full until the next
+    compaction — the standard layered-layout contract (Delta Lake's
+    OPTIMIZE shape): ingest stays cheap and layout quality degrades
+    gracefully with delta size instead of blocking on a rewrite. The
+    batch becomes visible only when the manifest commit lands; a crash
+    mid-write leaves an unreferenced directory, not a torn table."""
+    spark = df.sparkSession
+    manifest = read_manifest(spark, path)
+    name = f"d-{uuid.uuid4().hex}"
+    df.write.mode("errorifexists").parquet(
+        fsio._join(path, DELTA_DIR, name))
+    manifest["deltas"] = list(manifest.get("deltas", [])) + [name]
+    fsio.write_json_version(spark, _manifest_path(path), manifest)
 
 
 def compact_zordered(spark: SparkSession, path: str,
-                     files_per_bucket: int = 1) -> dict:
-    """Fold the delta area back into the Z-clustered layout: one
-    rewrite of main + delta with bounds recomputed over the union
-    (restoring bin selectivity if the delta stretched the value
-    range), then the delta is cleared. The rewrite goes through a
-    staging directory so a reader never sees a half-compacted
-    table."""
-    import shutil
-    spec = read_spec(path)
-    main = (spark.read.parquet(path).drop("zbucket"))
-    delta_path = os.path.join(path, DELTA_DIR)
-    frames = [main]
-    if os.path.isdir(delta_path):
-        for d in sorted(os.listdir(delta_path)):
-            frames.append(spark.read.parquet(os.path.join(delta_path, d)))
-    full = frames[0]
-    for f in frames[1:]:
-        full = full.unionByName(f)
-    staging = path.rstrip("/") + ".compacting"
-    new_spec = write_zordered(full, staging, spec["a_col"], spec["b_col"],
-                              bits=spec["bits"],
-                              bucket_bits=spec["bucket_bits"],
-                              files_per_bucket=files_per_bucket)
-    shutil.rmtree(path)
-    os.rename(staging, path)
+                     files_per_bucket: int = 1,
+                     mode: str = "incremental") -> dict:
+    """Fold the outstanding delta batches back into the Z-clustered
+    layout.
+
+    ``mode="incremental"`` (default): delta rows are routed to their
+    zbuckets under the EXISTING spec and only the DIRTIED buckets are
+    rewritten (old bucket data ∪ that bucket's delta rows, re-sorted,
+    as a new generation). Cost tracks delta size, not table size —
+    folding one small batch into a 100 TB table rewrites a few
+    buckets. Out-of-range values clamp into edge buckets, which the
+    box planner also clamps into: results stay exact (pytest-pinned
+    equal to a full rebuild); only bin selectivity degrades if the
+    value range drifts far.
+
+    ``mode="full"``: bounds recomputed over main ∪ delta and every
+    bucket rewritten — restores bin selectivity after range drift.
+
+    Either way the sequence is write-new-generations → commit manifest
+    (the atomic flip) → delete superseded directories; readers at any
+    instant see a complete snapshot. Single writer assumed."""
+    manifest = read_manifest(spark, path)
+    spec = manifest["spec"]
+    deltas = list(manifest.get("deltas", []))
+    if not deltas and mode != "full":
+        return spec
+    delta_frames = [spark.read.parquet(fsio._join(path, DELTA_DIR, d))
+                    for d in deltas]
+    delta = None
+    for f in delta_frames:
+        delta = f if delta is None else delta.unionByName(f)
+
+    gen = _new_gen()
+    data_root = fsio._join(path, DATA_DIR)
+    if mode == "full":
+        full = read_zordered(spark, path, manifest).drop("zbucket")
+        if delta is not None:
+            full = full.unionByName(delta)
+        new_spec = {"a_col": spec["a_col"], "b_col": spec["b_col"],
+                    "bits": spec["bits"],
+                    "bucket_bits": spec["bucket_bits"],
+                    **numeric_bounds(full, spec["a_col"], spec["b_col"])}
+        _write_clustered(full, data_root, new_spec, gen, files_per_bucket)
+        buckets = _touched_buckets(full, new_spec)
+        new_manifest = {"spec": new_spec,
+                        "gens": {str(k): gen for k in buckets},
+                        "deltas": []}
+    elif mode == "incremental":
+        dirtied = _touched_buckets(delta, spec)
+        old = read_zordered_box_dirs(spark, path, manifest, dirtied) \
+            .drop("zbucket")
+        merged = old.unionByName(delta)
+        _write_clustered(merged, data_root, spec, gen, files_per_bucket)
+        gens = dict(manifest["gens"])
+        for k in dirtied:
+            gens[str(k)] = gen
+        new_manifest = {"spec": spec, "gens": gens, "deltas": []}
+        new_spec = spec
+    else:
+        raise ValueError(f"mode must be 'incremental' or 'full': {mode}")
+    fsio.write_json_version(spark, _manifest_path(path), new_manifest)
+    _cleanup_superseded(spark, path, manifest, new_manifest)
+    fsio.prune_versions(spark, _manifest_path(path))
     return new_spec
+
+
+def read_zordered_box_dirs(spark: SparkSession, path: str,
+                           manifest: dict, buckets: list[int]) -> DataFrame:
+    """The live rows of an explicit bucket list (compaction's read
+    half; same pruning mechanism as the box read)."""
+    existing = [b for b in buckets if str(b) in manifest["gens"]]
+    df = spark.read.parquet(fsio._join(path, DATA_DIR))
+    return df.where(_live_filter(manifest, existing)).drop("gen")
 
 
 def read_zordered_box_with_delta(spark: SparkSession, path: str,
@@ -249,15 +415,14 @@ def read_zordered_box_with_delta(spark: SparkSession, path: str,
     through the pruned-bucket path; any delta batches are filtered by
     the box alone (they are small between compactions — that is the
     contract). Results equal a full-scan filter over main ∪ delta."""
-    spec = read_spec(path)
-    out = read_zordered_box(spark, path, a_lo, a_hi, b_lo, b_hi, spec)
+    manifest = read_manifest(spark, path)
+    spec = manifest["spec"]
+    out = read_zordered_box(spark, path, a_lo, a_hi, b_lo, b_hi, manifest)
     out = out.drop("zbucket")
-    delta_path = os.path.join(path, DELTA_DIR)
-    if os.path.isdir(delta_path):
-        a, b = F.col(spec["a_col"]), F.col(spec["b_col"])
-        for d in sorted(os.listdir(delta_path)):
-            dd = (spark.read.parquet(os.path.join(delta_path, d))
-                  .where((a >= a_lo) & (a <= a_hi)
-                         & (b >= b_lo) & (b <= b_hi)))
-            out = out.unionByName(dd)
+    a, b = F.col(spec["a_col"]), F.col(spec["b_col"])
+    for d in manifest.get("deltas", []):
+        dd = (spark.read.parquet(fsio._join(path, DELTA_DIR, d))
+              .where((a >= a_lo) & (a <= a_hi)
+                     & (b >= b_lo) & (b <= b_hi)))
+        out = out.unionByName(dd)
     return out

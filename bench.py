@@ -116,6 +116,8 @@ EXTENDED = [
     "dedup_incremental_indexed",
     "text_bm25_search",
     "text_bm25_indexed",
+    # round 7:
+    "text_bm25_stopterm",
 ]
 
 

@@ -457,8 +457,8 @@ def zorder_probe(multiples: list) -> None:
         # warm the file-status cache, then alternate min-of-3: a fresh
         # table bills its directory listing to whichever read runs
         # first, and sub-second scans are JIT/scheduling-noisy
-        spark.read.parquet(path).count()
-        full = spark.read.parquet(path).where(
+        L.read_zordered(spark, path).count()
+        full = L.read_zordered(spark, path).where(
             (F.col("user_id").between(box[0], box[1]))
             & (F.col("value").between(box[2], box[3])))
         # build BOTH frames once: re-planning a fresh relation re-lists
@@ -476,7 +476,8 @@ def zorder_probe(multiples: list) -> None:
         assert len(counts) == 1, counts
         import glob
         import os as _os
-        allf = glob.glob(_os.path.join(path, "zbucket=*", "*.parquet"))
+        allf = glob.glob(_os.path.join(path, L.DATA_DIR, "zbucket=*",
+                                       "gen=*", "*.parquet"))
         chosen = [f for f in allf
                   if any(f"zbucket={b}/" in f for b in buckets)]
         # NOTE the honest local reading: wall-clock PARITY is expected

@@ -1061,3 +1061,34 @@ def test_dedup_index_append_matches_live(spark, sf_dir, tmp_path):
     idx = D.incremental_dedup_indexed(new, spark, path, threshold=0.6)
     assert sorted(map(tuple, idx.collect())) == \
         sorted(map(tuple, live.collect()))
+
+
+def test_durable_indexes_work_on_schemed_paths(spark, sf_dir, tmp_path):
+    """The dedup/BM25/IVF index lifecycles against ``file://`` URIs:
+    data goes through Spark writers and every sidecar through fsio's
+    Hadoop FileSystem road, so a scheme prefix must change nothing —
+    the same guarantee the hdfs://s3a deployment needs."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.operators import text as T
+    docs = load_table(spark, "documents", sf_dir)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+
+    dpath = "file://" + str(tmp_path / "dedup_idx_s")
+    D.write_dedup_index(old.where(F.col("doc_id") % 2 == 0), dpath)
+    D.append_dedup_index(old.where(F.col("doc_id") % 2 == 1), dpath)
+    live = D.incremental_dedup(new, old, threshold=0.6)
+    idx = D.incremental_dedup_indexed(new, spark, dpath, threshold=0.6)
+    assert sorted(map(tuple, idx.collect())) == \
+        sorted(map(tuple, live.collect()))
+
+    tpath = "file://" + str(tmp_path / "tix_s")
+    T.write_text_index(docs, tpath)
+    terms = ["hash", "dup"]
+    got = T.bm25_search_indexed(spark, tpath, terms, top_k=10,
+                                docs=docs)
+    want = T.bm25_search(docs, terms, top_k=10)
+    key = lambda r: (r.doc_id, r.score, r.n_tokens)  # noqa: E731
+    assert sorted(map(key, got.collect())) == \
+        sorted(map(key, want.collect()))

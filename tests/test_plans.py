@@ -600,3 +600,49 @@ def test_topk_paths_rank_is_take_ordered_not_global_window(spark, sf_dir):
     # in EXPLAIN's top-down text the Window's first appearance comes
     # before (above) the TakeOrderedAndProject node
     assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_bm25_stop_term_guard_routes_off_postings(spark, sf_dir, tmp_path):
+    """A query containing a stop-class term (df above the build-time
+    max_df_frac) must NOT read that term's corpus-sized posting
+    directory: with the corpus frame supplied, the returned plan scans
+    documents (the shared text fold), zero posting reads — and the
+    scores are bit-identical to the live road."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import text as T
+    from aggregation_duckdb_spark.plans.inspect import physical_plan
+    docs = load_table(spark, "documents", sf_dir)
+    path = str(tmp_path / "tix_stop")
+    T.write_text_index(docs, path)            # 'hash' df ~0.8N -> stop set
+    terms = ["hash", "dup"]                   # hot + cold mix
+    guarded = T.bm25_search_indexed(spark, path, terms, top_k=20,
+                                    docs=docs)
+    plan = physical_plan(guarded, "simple")
+    assert "postings" not in plan, plan       # cold df probed eagerly,
+    # never in the returned scan; the hot posting dir never read at all
+    live = T.bm25_search(docs, terms, top_k=20)
+    key = lambda r: (r.doc_id, r.score, r.n_tokens)  # noqa: E731
+    assert sorted(map(key, guarded.collect())) == \
+        sorted(map(key, live.collect()))
+
+
+def test_bm25_indexed_pads_underfull_matches(spark, sf_dir, tmp_path):
+    """When fewer docs match than top_k, the indexed road must fill
+    the tail with the live road's exact zero-score rows (ordered by
+    doc id), not silently return fewer rows."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import text as T
+    docs = load_table(spark, "documents", sf_dir)
+    path = str(tmp_path / "tix_pad")
+    T.write_text_index(docs, path)
+    # 'dup' matches ~5% of docs; ask for more than that
+    n_matches = docs.where(
+        F.array_contains(T.tokens(F.col("text")), "dup")).count()
+    top_k = n_matches + 15
+    idx = T.bm25_search_indexed(spark, path, ["dup"], top_k=top_k)
+    live = T.bm25_search(docs, ["dup"], top_k=top_k)
+    key = lambda r: (r.doc_id, r.score, r.n_tokens)  # noqa: E731
+    got, want = sorted(map(key, idx.collect())), \
+        sorted(map(key, live.collect()))
+    assert len(got) == top_k
+    assert got == want

@@ -242,7 +242,7 @@ def test_zorder_rewrite_certified_by_dataset_fingerprint(spark, sf_dir,
     path = str(tmp_path / "docs_z")
     L.write_zordered(docs, path, "doc_id", "n_chars",
                      bits=6, bucket_bits=3, files_per_bucket=2)
-    back = spark.read.parquet(path).drop("zbucket")
+    back = L.read_zordered(spark, path).drop("zbucket")
     a = P.dataset_fingerprint(docs).collect()[0]
     b = P.dataset_fingerprint(back).collect()[0]
     assert tuple(a) == tuple(b)
@@ -277,11 +277,12 @@ def test_zorder_delta_append_and_compaction(spark, tmp_path):
                      .collect())
         assert got == box_want(*box), box
 
-    spec = L.compact_zordered(spark, path)
+    spec = L.compact_zordered(spark, path, mode="full")
     assert spec["a_hi"] >= 1300 and spec["b_hi"] >= 800  # bounds grew
-    assert not __import__("os").path.isdir(
-        __import__("os").path.join(path, L.DELTA_DIR))
-    total = spark.read.parquet(path).count()
+    from aggregation_duckdb_spark import fsio
+    assert L.read_manifest(spark, path)["deltas"] == []
+    assert fsio.list_names(spark, fsio._join(path, L.DELTA_DIR)) == []
+    total = L.read_zordered(spark, path).count()
     assert total == want_all.count()
     for box in ((900, 1300, 500, 800), (0, 100, 0, 100)):
         got = sorted((r.a, r.b, r.payload) for r in
@@ -291,6 +292,96 @@ def test_zorder_delta_append_and_compaction(spark, tmp_path):
                       L.read_zordered_box_with_delta(spark, path, *box)
                       .collect())
         assert got2 == got
+
+
+def test_zorder_incremental_compaction_rewrites_only_dirtied_buckets(
+        spark, tmp_path):
+    """The default compaction must (a) produce the same live rows as a
+    full rebuild, (b) leave untouched buckets' generation directories
+    PHYSICALLY untouched (cost tracks delta size, not table size), and
+    (c) route out-of-range delta values into edge buckets that box
+    reads still find (binning clamps on both the write and plan
+    sides)."""
+    import glob
+    import os
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_frame(spark)
+    path = str(tmp_path / "z_incr")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    before = L.read_manifest(spark, path)
+    mtimes_before = {f: os.path.getmtime(f) for f in glob.glob(
+        os.path.join(path, L.DATA_DIR, "zbucket=*", "gen=*", "*.parquet"))}
+    # a small delta: a few in-range rows plus out-of-range outliers
+    extra = spark.createDataFrame(
+        [(5, 5, 90001), (900, 600, 90002), (2000, 1500, 90003)],
+        "a long, b long, payload long")
+    L.append_zordered(extra, path)
+    assert L.read_manifest(spark, path)["deltas"] != []
+    L.compact_zordered(spark, path)          # default: incremental
+    after = L.read_manifest(spark, path)
+    assert after["spec"] == before["spec"]   # no rebin
+    assert after["deltas"] == []
+    dirtied = {k for k, g in after["gens"].items()
+               if before["gens"].get(k) != g}
+    clean = set(after["gens"]) - dirtied
+    assert dirtied and clean, (dirtied, clean)  # partial rewrite happened
+    # untouched buckets: same gen AND same files, byte-level untouched
+    for f, t in mtimes_before.items():
+        b = f.split("zbucket=")[1].split("/")[0]
+        if b in clean:
+            assert os.path.getmtime(f) == t, f
+    # live rows equal base + delta exactly
+    want = sorted((r.a, r.b, r.payload) for r in
+                  base.unionByName(extra).collect())
+    got = sorted((r.a, r.b, r.payload) for r in
+                 L.read_zordered(spark, path).collect())
+    assert got == want
+    # the outlier (2000, 1500) clamped into the edge bucket: a box
+    # covering it must return it through the pruned read
+    got_box = sorted((r.a, r.b, r.payload) for r in
+                     L.read_zordered_box(spark, path, 1900, 2100,
+                                         1400, 1600).collect())
+    assert got_box == [(2000, 1500, 90003)]
+    # and equality with a full rebuild of the same content
+    path2 = str(tmp_path / "z_full")
+    L.write_zordered(base.unionByName(extra), path2, "a", "b",
+                     bits=7, bucket_bits=4,
+                     bounds={k: before["spec"][k]
+                             for k in ("a_lo", "a_hi", "b_lo", "b_hi")})
+    got2 = sorted((r.a, r.b, r.payload) for r in
+                  L.read_zordered(spark, path2).collect())
+    assert got2 == want
+    assert fsio.list_names(spark, fsio._join(path, L.DELTA_DIR)) == []
+
+
+def test_zorder_lifecycle_on_schemed_path_no_posix_io(spark, tmp_path):
+    """The verdict-driven contract: the whole write→append→compact→
+    read lifecycle must run against a ``file://``-prefixed URI — every
+    metadata/bookkeeping touch goes through the Hadoop FileSystem
+    (fsio), none through bare open()/os.listdir/shutil, or this test
+    dies on the scheme prefix exactly the way it would on hdfs://."""
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_frame(spark)
+    path = "file://" + str(tmp_path / "z_schemed")
+    spec = L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    extra = spark.createDataFrame([(10, 10, 777)],
+                                  "a long, b long, payload long")
+    L.append_zordered(extra, path)
+    box = (0, 50, 0, 50)
+    got = sorted((r.a, r.b, r.payload) for r in
+                 L.read_zordered_box_with_delta(spark, path, *box)
+                 .collect())
+    want = sorted((r.a, r.b, r.payload) for r in
+                  base.unionByName(extra).where(
+                      (F.col("a").between(*box[:2]))
+                      & (F.col("b").between(*box[2:]))).collect())
+    assert got == want
+    L.compact_zordered(spark, path)
+    got2 = sorted((r.a, r.b, r.payload) for r in
+                  L.read_zordered_box(spark, path, *box).collect())
+    assert got2 == want
+    assert spec["bucket_bits"] == 4
 
 
 def test_zbuckets_superset_property_hypothesis():
