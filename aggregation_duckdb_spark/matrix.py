@@ -42,51 +42,43 @@ def register(name: str, sql: str | None = None):
 # their DuckDB oracles. ALL entries pass the same comparison locally
 # (scripts/oracle_check.py runs the full set — keep it that way); this
 # list only schedules WHICH entries get a driver-recorded row this
-# round. Round-6 rotation: first the 4 entries that landed after the
-# round-5 driver run (local-oracle evidence only until now); then the
-# round-6 entries (including the late pair, curriculum_order and
-# zorder_pruning); then the entries most affected by this
-# round's code changes (the shingles let-binding rewrite, the
-# pluggable materializer in the CC loop, snapshot_diff presence flags,
-# the hier_agg_time orderBy); then 31 of the 48 entries whose latest
-# driver evidence is round 3, rotating back per the round-5 plan. The
-# 20 round-3 entries left out (q2/q4/q6/q8/q9/q11/q12/q13/q15/q16/
-# q17/q19/q20/q22, q_window_frames, q_null_safety, q_io_roundtrip,
-# q14_promo_effect, q_bucketed_join, q_collections, q_unpivot, and —
-# bumped for the five late round-6 entries — q5_local_supplier_volume,
-# q7_volume_shipping, q3_shipping_priority, q10_returned_items,
-# q_string_agg, q_pivot_status, q_exists_correlated, q_percentiles,
-# q_date_functions, q_scalar_functions, q_set_ops, q_order_limit,
-# q_anti_join) rotate in next round; every excluded entry still passes
-# the full local oracle run. Exactly 50 names below.
+# round. Round-7 rotation, closing the round-6 verdict's item 1: ALL
+# 34 entries whose newest driver evidence is still round 3 (computed
+# from CORRECTNESS_r01..r06; the 14 numbered TPC-H queries named in
+# the verdict plus q8_market_share, q_window_frames, q_null_safety,
+# q_io_roundtrip, q14_promo_effect, q_bucketed_join, q_collections,
+# q_unpivot, and the 12 bumped in rounds 5-6), then the 9 entries
+# whose code paths changed this round (the fsio/manifest layout under
+# q_zorder_pruning, the stop-term-guarded BM25 trio including the NEW
+# text_bm25_stopterm, the fsio-sidecar dedup/IVF indexed roads, the
+# TakeOrdered topk_paths, the explicit-\\s normalize_text, the
+# empty-guarded curriculum_order), then 7 of the 41 round-4-evidence
+# entries (flagship + hierarchy first) to start that cohort rotating.
+# After this round every entry's newest driver row is round 4+; the
+# remaining 34 round-4 entries rotate next. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
-    # committed after the round-5 driver run — restore driver evidence:
-    "dedup_minhash_estimate", "events_dau_wau",
-    "events_transition_matrix", "pipeline_snapshot_diff",
-    # new in round 6 (no driver row yet):
-    "mm_phash_neardup", "pipeline_epoch_shuffle",
-    "dedup_cluster_sizes", "text_ngram_novelty", "stream_dau",
-    "text_token_vocab", "pipeline_leak_report",
-    "dedup_global_lines", "text_line_stats", "events_topk_paths",
-    "sim_knn_classify", "text_encode_ids", "text_dedup_doc_lines",
-    "pipeline_curriculum_order", "q_zorder_pruning",
-    "text_unigram_quality", "pipeline_dataset_hash",
-    "stream_corpus_hash", "events_key_skew_report",
-    "pipeline_bucket_fingerprints", "pipeline_pack_greedy",
-    "text_normalize", "sim_ivf_indexed", "dedup_incremental_indexed",
-    "text_bm25_search", "text_bm25_indexed",
-    # changed in round 6, re-verify: shingles let-binding (every
-    # shingle consumer), CC edge materialization + pluggable
-    # materializer (cc/pipeline), hier_agg_time ordering:
-    "dedup_near_duplicates", "dedup_cc_clusters", "pipeline_end_to_end",
-    "hier_agg_time", "dedup_minhash_lsh", "dedup_jaccard_pairs",
-    # round-3-evidence entries rotating back (oldest driver rows):
-    "dedup_simhash", "sim_embedding_neardup", "sim_lsh_topk",
-    "mm_features", "text_topk_ngrams", "q_scalar_subquery",
-    "q_having", "q_join_fact_dims", "q_semi_join",
-    "q_outer_join", "q_window_row_number", "q_window_analytics",
-    "q_struct_array",
-    "q18_large_volume_customers",
+    # newest driver evidence = round 3 (all 34):
+    "q2_min_cost_supplier", "q4_order_priority", "q6_revenue_forecast",
+    "q8_market_share", "q9_profit_by_nation", "q11_important_parts",
+    "q12_priority_class", "q13_customer_distribution",
+    "q15_top_supplier", "q16_supplier_counts", "q17_small_qty_revenue",
+    "q19_disjunctive_revenue", "q20_promo_suppliers",
+    "q22_dormant_customers", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q7_volume_shipping",
+    "q10_returned_items", "q14_promo_effect", "q_window_frames",
+    "q_null_safety", "q_io_roundtrip", "q_bucketed_join",
+    "q_collections", "q_unpivot", "q_string_agg", "q_pivot_status",
+    "q_exists_correlated", "q_percentiles", "q_date_functions",
+    "q_scalar_functions", "q_set_ops", "q_order_limit", "q_anti_join",
+    # round-7 code changes (re-verify through the driver):
+    "text_bm25_stopterm", "text_bm25_indexed", "text_bm25_search",
+    "q_zorder_pruning", "events_topk_paths", "text_normalize",
+    "pipeline_curriculum_order", "dedup_incremental_indexed",
+    "sim_ivf_indexed",
+    # round-4-evidence cohort starts rotating (flagship first):
+    "hier_agg_closure", "hier_agg_rollup", "hier_reporting_dim",
+    "hier_closure", "hier_closure_recursive", "ref_parity_agg",
+    "text_stats",
 ]
 
 

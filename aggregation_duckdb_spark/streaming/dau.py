@@ -44,7 +44,10 @@ def _update_dau(key: tuple, pdfs: Iterable[pd.DataFrame],
     seen_list, b = state.get if state.exists else ([], 0)
     seen = set(seen_list)
     for pdf in pdfs:
-        seen.update(int(u) for u in pdf["user_id"])
+        # numpy-side unique first: the per-batch Python cost is then
+        # O(distinct) set inserts, not O(rows) int() conversions —
+        # the day's duplicate-heavy traffic never touches Python
+        seen.update(pdf["user_id"].unique().tolist())
     state.update((sorted(seen), b + 1))
     yield pd.DataFrame({"day": [key[0]], "dau": [len(seen)],
                         "n_batches": [b + 1]})

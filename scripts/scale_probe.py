@@ -128,6 +128,63 @@ def dedup_probe(multiples: list) -> None:
             "seconds": elapsed}))
 
 
+def _organic_corpus(spark, n: int):
+    """Generated corpus with CONTROLLED duplicate structure — no
+    replication artifact: ids are grouped in blocks of 20 where role 19
+    is an exact duplicate of the block head, role 18 a one-word-changed
+    near-duplicate of it, and roles 0-17 unique documents (so 5% exact
+    dups, 5% near dups, 90% unique at every size). Text is md5-derived
+    pseudo-words in runs of 3 (shingle structure), 30-69 words per doc,
+    all generated distributed-side as expressions — no driver loop."""
+    role = F.col("id") % 20
+    head = F.col("id") - role
+    src = F.when(role >= 18, head).otherwise(F.col("id"))
+    seed = src.cast("string")
+    length = (F.lit(30) + src % 40).cast("int")
+    mutant = F.substring(
+        F.md5(F.concat(F.col("id").cast("string"), F.lit("!"))), 1, 6)
+    words = F.transform(
+        F.sequence(F.lit(0), length - 1),
+        lambda j: F.when((role == 18) & (j == 4), mutant).otherwise(
+            F.substring(F.md5(F.concat(seed, F.lit("|"),
+                                       (j - j % 3).cast("string"))),
+                        1, 6)))
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", words).alias("text"))
+
+
+def organic_dedup_probe(sizes: list) -> None:
+    """Dedup growth WITHOUT the replication artifact (round-6 verdict
+    'What's missing' #4): the sf1 dedup numbers were dominated by the
+    replicated corpus's verbatim duplicate groups, whose PAIR OUTPUT
+    grows quadratically by construction. This corpus holds the
+    duplicate RATE constant as it grows, so candidate pairs and
+    survivors must both grow ~linearly in docs — any superlinear bend
+    here would be a real plan defect, not an artifact."""
+    from aggregation_duckdb_spark.operators import dedup as D
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    D.minhash_lsh_candidates(_organic_corpus(spark, 2_000)).count()  # warmup
+
+    for n in sizes:
+        docs = _organic_corpus(spark, n)
+        n_docs = docs.count()  # outside the timed region
+        t0 = time.time()
+        n_cands = D.minhash_lsh_candidates(docs).count()
+        t_lsh = round(time.time() - t0, 2)
+        t0 = time.time()
+        n_survivors = D.exact_dedup(docs).count()
+        t_exact = round(time.time() - t0, 2)
+        print(json.dumps({
+            "probe": "organic_dedup", "docs": n_docs,
+            "candidate_pairs": n_cands,
+            "pairs_per_doc": round(n_cands / n_docs, 4),
+            "exact_survivors": n_survivors,
+            "exact_dup_share": round(1 - n_survivors / n_docs, 4),
+            "lsh_seconds": t_lsh, "exact_seconds": t_exact}))
+
+
 def neardup_probe(multiples: list) -> None:
     """Embedding near-dup at growing corpus size: candidate pairs from
     the LSH bucket equi-join versus the N·(N-1)/2 an all-pairs join
@@ -496,6 +553,54 @@ def zorder_probe(multiples: list) -> None:
             "pruned_seconds": round(min(pruned_t), 2),
             "full_filter_seconds": round(min(full_t), 2)}))
 
+def zorder_compaction_probe(multiples: list) -> None:
+    """Per-bucket compaction cost model: append a FIXED-size delta to
+    tables of growing size and time the default (incremental)
+    compaction against a full rebin rewrite. Pass = incremental cost
+    ~flat in table size (it rewrites only the buckets the delta
+    dirties) while the full rewrite grows with the table — the same
+    lifecycle argument append_dedup_index already won."""
+    import tempfile
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.sources import layout as L
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    base = (load_table(spark, "events", SF_DIR)
+            .select("event_id", "user_id", "value"))
+    # fixed delta: 200 rows in a tight (user, value) corner -> few
+    # dirtied buckets regardless of table volume
+    delta = spark.range(200).select(
+        (F.col("id") + 900_000_000).alias("event_id"),
+        (F.col("id") % 5 + 10).alias("user_id"),
+        (F.col("id") % 7 + 60).alias("value"))
+    for m in multiples:
+        ev = base
+        for i in range(m - 1):
+            ev = ev.unionByName(base.select(
+                (F.col("event_id") + (i + 1) * 100_000_000)
+                .alias("event_id"), "user_id", "value"))
+        n_rows = ev.count()
+        for mode in ("incremental", "full"):
+            path = tempfile.mkdtemp(prefix=f"zcomp-{mode}-{m}-")
+            L.write_zordered(ev, path, "user_id", "value",
+                             bits=8, bucket_bits=4, files_per_bucket=8)
+            L.append_zordered(delta, path)
+            before = L.read_manifest(spark, path)
+            t0 = time.time()
+            L.compact_zordered(spark, path, files_per_bucket=8,
+                               mode=mode)
+            elapsed = round(time.time() - t0, 2)
+            after = L.read_manifest(spark, path)
+            dirtied = sum(1 for k, g in after["gens"].items()
+                          if before["gens"].get(k) != g)
+            print(json.dumps({
+                "probe": "zorder_compaction", "multiple": m,
+                "table_rows": n_rows, "delta_rows": 200, "mode": mode,
+                "buckets_rewritten": dirtied,
+                "buckets_total": len(after["gens"]),
+                "seconds": elapsed}))
+
+
 def pack_probe(multiples: list) -> None:
     """Greedy-packing probe: the Arrow-batched per-bucket scan must
     grow linearly in docs (per-task state is one (seq, fill) pair; the
@@ -610,6 +715,9 @@ if __name__ == "__main__":
         hierarchy_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--dedup":
         dedup_probe([int(a) for a in sys.argv[2:]] or [1, 4, 8])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--organicdedup":
+        organic_dedup_probe([int(a) for a in sys.argv[2:]]
+                            or [12_500, 25_000, 50_000])
     elif len(sys.argv) > 1 and sys.argv[1] == "--neardup":
         neardup_probe([int(a) for a in sys.argv[2:]] or [1, 8, 32])
     elif len(sys.argv) > 1 and sys.argv[1] == "--cc":
@@ -626,6 +734,9 @@ if __name__ == "__main__":
         global_lines_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--curriculum":
         curriculum_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--zcompact":
+        zorder_compaction_probe([int(a) for a in sys.argv[2:]]
+                                or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--zorder":
         zorder_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--pack":
