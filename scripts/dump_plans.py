@@ -62,8 +62,9 @@ ENTRIES = {
         "the stream is cut to first_n events per user by a spillable "
         "row_number window BEFORE aggregating (bounded per-user "
         "arrays, skew-safe); the group-by reuses the window's "
-        "partitioning, and the rank window sees only aggregated path "
-        "counts"),
+        "partitioning, and the top-k cut is TakeOrderedAndProject — "
+        "the rank window sees only the <= k survivors, never the "
+        "path-count frame"),
     "sim_knn_classify": (
         "one BroadcastNestedLoopJoin only — the bounded query "
         "broadcast against the corpus scan; label attach and vote "
@@ -82,10 +83,10 @@ ENTRIES = {
         "BroadcastHashJoin; min/max bounds are folded literals, so no "
         "nested-loop scalar attach either"),
     "q_zorder_pruning": (
-        "the 2-D box read plans its coarse Z-bucket list as "
-        "PartitionFilters (directories pruned before listing), with "
-        "the exact box predicate in PushedFilters — never a full "
-        "scan"),
+        "the 2-D box read plans its live (zbucket, gen) list as "
+        "PartitionFilters (directories pruned before listing; stale "
+        "generations invisible by the same filter), with the exact "
+        "box predicate in PushedFilters — never a full scan"),
     "text_unigram_quality": (
         "vocab and corpus total folded in as plan literals: the "
         "scoring pass is a pure projection — zero exchanges before "
@@ -114,11 +115,17 @@ ENTRIES = {
         "shingles, buckets) — scans of those tables, never raw "
         "corpus text; every join against them broadcasts the batch "
         "side"),
+    "text_bm25_stopterm": (
+        "the stop-term guard: a query containing a stop-class term "
+        "routes to the shared text fold — the plan scans documents "
+        "(zero-shuffle projection + TakeOrdered), with NO posting "
+        "directory read anywhere; the rare term's df came from a "
+        "bounded pruned-bucket probe before the plan was built"),
 }
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANS_r06.md"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANS_r07.md"
     from aggregation_duckdb_spark import matrix
     from aggregation_duckdb_spark.plans import physical_plan
     from aggregation_duckdb_spark.session import get_spark
@@ -126,7 +133,7 @@ def main() -> None:
     spark = get_spark("plan-dump", extra_confs={"spark.ui.enabled": "false"})
     qs = matrix.queries()
     lines = [
-        "# Physical plans — round-6 audit",
+        "# Physical plans — round-7 audit",
         "",
         f"`df.explain('formatted')` of the scale-critical entries at "
         f"{SF_DIR} (regenerate: `python scripts/dump_plans.py`). Each "
