@@ -70,15 +70,14 @@ _DRIVER_WINDOW_FIRST = [
     "q_collections", "q_unpivot", "q_string_agg", "q_pivot_status",
     "q_exists_correlated", "q_percentiles", "q_date_functions",
     "q_scalar_functions", "q_set_ops", "q_order_limit", "q_anti_join",
-    # round-7 code changes (re-verify through the driver):
-    "text_bm25_stopterm", "text_bm25_indexed", "text_bm25_search",
-    "q_zorder_pruning", "events_topk_paths", "text_normalize",
-    "pipeline_curriculum_order", "dedup_incremental_indexed",
-    "sim_ivf_indexed",
+    # round-7 code changes / additions (re-verify through the driver):
+    "text_bm25_stopterm", "stream_zorder_ingest", "text_bm25_indexed",
+    "text_bm25_search", "q_zorder_pruning", "events_topk_paths",
+    "text_normalize", "pipeline_curriculum_order",
+    "dedup_incremental_indexed", "sim_ivf_indexed",
     # round-4-evidence cohort starts rotating (flagship first):
     "hier_agg_closure", "hier_agg_rollup", "hier_reporting_dim",
     "hier_closure", "hier_closure_recursive", "ref_parity_agg",
-    "text_stats",
 ]
 
 

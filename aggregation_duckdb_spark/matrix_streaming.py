@@ -208,3 +208,53 @@ def stream_corpus_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                     table_stream)
     docs = table_stream(spark, sf_dir, "documents")
     return run_available_now(P.dataset_fingerprint(docs), "complete")
+
+
+@register("stream_zorder_ingest", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value
+FROM events
+WHERE user_id BETWEEN 20 AND 70 AND value BETWEEN 100 AND 300
+ORDER BY event_id
+""")
+def stream_zorder_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the durable Z-ordered table
+    (``streaming.run_zordered_ingest`` → ``layout.append_zordered``
+    with batch ids): a quarter of the events seed the clustered table,
+    the rest arrive as a Structured Streaming query whose micro-batches
+    land as manifest-committed deltas (replay-safe: at-least-once
+    foreachBatch + highest-ingested-id watermark = exactly-once visible
+    rows), then one incremental compaction folds the streamed deltas
+    into their zbuckets. The 2-D box read over the result must equal a
+    plain filter over ALL events — the oracle can't tell which rows
+    came by stream, which is the point."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.sources import layout as L
+    from aggregation_duckdb_spark.streaming import (events_stream,
+                                                    run_zordered_ingest)
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", "user_id", "value"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zingest",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        seed = ev.where(F.col("event_id") % 4 == 0)
+        # bounds from the SEED only — the streamed remainder may
+        # stretch them; clamped binning routes outliers to edge
+        # buckets the box planner also probes (the layered contract)
+        L.write_zordered(seed, base, "user_id", "value",
+                         bits=8, bucket_bits=4)
+        rest = (events_stream(spark, sf_dir)
+                .select("event_id", "user_id", "value")
+                .where(F.col("event_id") % 4 != 0))
+        run_zordered_ingest(rest, base,
+                            os.path.join(base, "_checkpoint"))
+        L.compact_zordered(spark, base)  # incremental: fold the deltas
+    out = L.read_zordered_box(spark, base, 20, 70, 100, 300)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value")
+            .orderBy("event_id"))

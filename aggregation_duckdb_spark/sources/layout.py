@@ -315,20 +315,36 @@ def read_zordered_box(spark: SparkSession, path: str,
             .drop("gen"))
 
 
-def append_zordered(df: DataFrame, path: str) -> None:
+def append_zordered(df: DataFrame, path: str,
+                    batch_id: int | None = None) -> None:
     """Append a batch WITHOUT re-clustering: rows land in a delta
     batch directory that box reads scan in full until the next
     compaction — the standard layered-layout contract (Delta Lake's
     OPTIMIZE shape): ingest stays cheap and layout quality degrades
     gracefully with delta size instead of blocking on a rewrite. The
     batch becomes visible only when the manifest commit lands; a crash
-    mid-write leaves an unreferenced directory, not a torn table."""
+    mid-write leaves an unreferenced directory, not a torn table.
+
+    ``batch_id`` makes the append REPLAY-SAFE for streaming ingest:
+    Structured Streaming delivers micro-batches to foreachBatch
+    at-least-once (a crash between sink write and checkpoint commit
+    replays the same id), so the manifest records the highest ingested
+    id and a replayed batch is skipped — combined with
+    commit-then-visible delta dirs this yields exactly-once visible
+    rows without a transactional table format. Ids must be monotonic
+    per table (which checkpointed streaming queries guarantee; the
+    single-writer assumption covers the rest)."""
     spark = df.sparkSession
     manifest = read_manifest(spark, path)
+    if batch_id is not None and batch_id <= manifest.get(
+            "last_batch_id", -1):
+        return  # replayed micro-batch: already visible, skip
     name = f"d-{uuid.uuid4().hex}"
     df.write.mode("errorifexists").parquet(
         fsio._join(path, DELTA_DIR, name))
     manifest["deltas"] = list(manifest.get("deltas", [])) + [name]
+    if batch_id is not None:
+        manifest["last_batch_id"] = int(batch_id)
     fsio.write_json_version(spark, _manifest_path(path), manifest)
 
 
@@ -380,6 +396,8 @@ def compact_zordered(spark: SparkSession, path: str,
         new_manifest = {"spec": new_spec,
                         "gens": {str(k): gen for k in buckets},
                         "deltas": []}
+        if "last_batch_id" in manifest:   # streaming-ingest watermark
+            new_manifest["last_batch_id"] = manifest["last_batch_id"]
     elif mode == "incremental":
         dirtied = _touched_buckets(delta, spec)
         old = read_zordered_box_dirs(spark, path, manifest, dirtied) \
@@ -390,6 +408,8 @@ def compact_zordered(spark: SparkSession, path: str,
         for k in dirtied:
             gens[str(k)] = gen
         new_manifest = {"spec": spec, "gens": gens, "deltas": []}
+        if "last_batch_id" in manifest:   # streaming-ingest watermark
+            new_manifest["last_batch_id"] = manifest["last_batch_id"]
         new_spec = spec
     else:
         raise ValueError(f"mode must be 'incremental' or 'full': {mode}")

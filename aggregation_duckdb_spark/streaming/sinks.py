@@ -65,3 +65,24 @@ def read_sink(spark: SparkSession, path: str) -> DataFrame:
     if not os.path.isdir(path):
         raise FileNotFoundError(path)
     return spark.read.parquet(path).drop("batch_id")
+
+
+def run_zordered_ingest(result: DataFrame, path: str,
+                        checkpoint_dir: str) -> None:
+    """Stream (finite source) INTO a Z-ordered table: each micro-batch
+    lands as a manifest-committed delta via
+    :func:`sources.layout.append_zordered` with its batch id, so
+    foreachBatch's at-least-once replays are skipped and visible rows
+    are exactly-once — the streaming half of the layered-layout
+    contract (box reads see main ∪ deltas immediately; the next
+    ``compact_zordered`` folds the streamed deltas per-bucket). The
+    table must exist (``write_zordered``) before ingest starts."""
+    from aggregation_duckdb_spark.sources import layout as L
+    q = (result.writeStream
+         .foreachBatch(lambda df, bid: L.append_zordered(df, path,
+                                                         batch_id=bid))
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -118,6 +118,7 @@ EXTENDED = [
     "text_bm25_indexed",
     # round 7:
     "text_bm25_stopterm",
+    "stream_zorder_ingest",
 ]
 
 

@@ -469,3 +469,67 @@ def test_table_stream_matches_batch_scan(spark, sf_dir):
     assert sorted(r.doc_id for r in got.collect()) == \
         sorted(r.doc_id for r in
                load_table(spark, "documents", sf_dir).collect())
+
+
+def test_zordered_ingest_exactly_once_multi_batch(spark, tmp_path):
+    """Streaming ingest into the Z-ordered table: several micro-batches
+    of appends must land exactly once (restart with the same checkpoint
+    adds nothing; a stale batch id is skipped outright), and the box
+    read over main ∪ streamed-deltas must equal the plain filter."""
+    from aggregation_duckdb_spark.sources import layout as L
+    from aggregation_duckdb_spark.streaming import run_zordered_ingest
+
+    seed = spark.range(0, 4000).select(
+        (F.col("id") % 500).alias("a"), ((F.col("id") * 7) % 300).alias("b"),
+        F.col("id").alias("payload"))
+    path = str(tmp_path / "z_ingest")
+    L.write_zordered(seed, path, "a", "b", bits=7, bucket_bits=4)
+
+    # multi-file source -> maxFilesPerTrigger=1 -> multiple micro-batches
+    src = str(tmp_path / "incoming")
+    extra = spark.range(10_000, 10_900).select(
+        (F.col("id") % 520).alias("a"), ((F.col("id") * 11) % 320).alias("b"),
+        F.col("id").alias("payload"))
+    extra.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    ckpt = str(tmp_path / "ckpt")
+    run_zordered_ingest(stream, path, ckpt)
+
+    m = L.read_manifest(spark, path)
+    assert m["last_batch_id"] >= 1          # really several batches
+    assert len(m["deltas"]) == m["last_batch_id"] + 1
+
+    want_all = seed.unionByName(extra)
+    box = (0, 200, 0, 150)
+    def box_rows():
+        return sorted(
+            (r.a, r.b, r.payload) for r in
+            L.read_zordered_box_with_delta(spark, path, *box).collect())
+    want = sorted((r.a, r.b, r.payload) for r in want_all.where(
+        (F.col("a").between(*box[:2]))
+        & (F.col("b").between(*box[2:]))).collect())
+    assert box_rows() == want
+
+    # restart with the same checkpoint: availableNow re-plans, finds
+    # nothing new, appends nothing
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    run_zordered_ingest(stream2, path, ckpt)
+    assert len(L.read_manifest(spark, path)["deltas"]) == \
+        m["last_batch_id"] + 1
+
+    # a replayed (stale) batch id is skipped before anything writes
+    L.append_zordered(extra.limit(5), path, batch_id=0)
+    assert len(L.read_manifest(spark, path)["deltas"]) == \
+        m["last_batch_id"] + 1
+    assert box_rows() == want
+
+    # compaction folds the streamed deltas and keeps the watermark
+    L.compact_zordered(spark, path)
+    m2 = L.read_manifest(spark, path)
+    assert m2["deltas"] == [] and m2["last_batch_id"] == m["last_batch_id"]
+    got = sorted((r.a, r.b, r.payload) for r in
+                 L.read_zordered_box(spark, path, *box).collect())
+    assert got == want
