@@ -71,13 +71,14 @@ _DRIVER_WINDOW_FIRST = [
     "q_exists_correlated", "q_percentiles", "q_date_functions",
     "q_scalar_functions", "q_set_ops", "q_order_limit", "q_anti_join",
     # round-7 code changes / additions (re-verify through the driver):
-    "text_bm25_stopterm", "stream_zorder_ingest", "text_bm25_indexed",
-    "text_bm25_search", "q_zorder_pruning", "events_topk_paths",
-    "text_normalize", "pipeline_curriculum_order",
+    "text_bm25_stopterm", "stream_zorder_ingest",
+    "pipeline_mixture_order", "events_attribution",
+    "text_bm25_indexed", "text_bm25_search", "q_zorder_pruning",
+    "events_topk_paths", "text_normalize", "pipeline_curriculum_order",
     "dedup_incremental_indexed", "sim_ivf_indexed",
     # round-4-evidence cohort starts rotating (flagship first):
-    "hier_agg_closure", "hier_agg_rollup", "hier_reporting_dim",
-    "hier_closure", "hier_closure_recursive", "ref_parity_agg",
+    "hier_agg_closure", "hier_agg_rollup", "hier_closure",
+    "ref_parity_agg",
 ]
 
 

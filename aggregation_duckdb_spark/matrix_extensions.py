@@ -3324,6 +3324,41 @@ def text_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("pipeline_mixture_order", """
+WITH r AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5('mix-0|' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rnk
+    FROM documents),
+k AS (
+    SELECT doc_id, lang,
+           CAST((rnk - 1) * 10000 // (CASE WHEN lang = 'en' THEN 5000
+                WHEN lang = 'zh' THEN 2500 ELSE 1250 END) AS BIGINT) AS vt
+    FROM r)
+SELECT doc_id, lang, vt,
+       CAST(ROW_NUMBER() OVER (ORDER BY vt, doc_id) AS BIGINT) AS position
+FROM k ORDER BY position
+""")
+def pipeline_mixture_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted global training order
+    (``pipeline.mixture_order``): stride scheduling over sources —
+    en at weight 0.5, zh 0.25, everything else 0.125; doc r of source
+    s fires at integer virtual time (r-1)·denom div w_parts(s), so
+    the blend ratio is exact and the whole schedule reproduces on any
+    engine. Per-source ranks are parallel windows; the global rank
+    rides curriculum_order's range-sharded construction — the
+    oracle's bare ROW_NUMBER is the one-task sort the engine side
+    never runs."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = P.mixture_order(docs, {"en": 0.5, "zh": 0.25},
+                          default_weight=0.125)
+    return (out.select("doc_id", "lang",
+                       F.col("vt").cast("long").alias("vt"),
+                       F.col("position").cast("long").alias("position"))
+            .orderBy("position"))
+
+
 @register("pipeline_curriculum_order", """
 SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
        CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
@@ -3703,3 +3738,42 @@ def text_bm25_stopterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (T.bm25_search_indexed(spark, base, ["hash", "dup"],
                                   top_k=20, docs=docs)
             .orderBy(F.desc("score"), "doc_id"))
+
+
+@register("events_attribution", """
+WITH o AS (
+    SELECT *,
+           LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                           THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS t_ts,
+           LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                           THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS t_ch
+    FROM events),
+c AS (
+    SELECT CASE WHEN t_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(t_ts) <= 604800000000
+                THEN t_ch ELSE 'none' END AS channel,
+           value,
+           CASE WHEN t_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(t_ts) <= 604800000000
+                THEN epoch_us(ts) - epoch_us(t_ts) END AS lag_us
+    FROM o WHERE event_type = 'purchase')
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+       CAST(SUM(lag_us) AS BIGINT) AS sum_lag_us
+FROM c GROUP BY channel ORDER BY channel
+""")
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (``events.attribution``): every purchase
+    credited to the user's most recent click/view within 7 days via a
+    single spillable fill-forward window (last(touch) IGNORE NULLS
+    over an unbounded-preceding frame — no self-join, no as-of
+    shuffle), rolled up per channel with exact integer lag sums and
+    decimal-summed value."""
+    ev = load_table(spark, "events", sf_dir)
+    return E.attribution(ev)

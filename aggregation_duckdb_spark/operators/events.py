@@ -430,3 +430,59 @@ def topk_paths(events: DataFrame, k: int = 20, first_n: int = 5,
     return (top
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .select("rank", "path", "n_users"))
+
+
+def attribution(events: DataFrame, conversion_type: str = "purchase",
+                touch_types: tuple = ("click", "view"),
+                lookback_days: int = 7,
+                user_col: str = "user_id", ts_col: str = "ts",
+                type_col: str = "event_type", id_col: str = "event_id",
+                value_col: str = "value") -> DataFrame:
+    """Last-touch attribution: credit each conversion to the user's
+    most recent preceding touch event (within ``lookback_days``), then
+    roll conversions up per channel — the marketing-analytics question
+    ("which channel drove the purchases") and, in a training-data
+    pipeline, the provenance question ("which acquisition path did
+    this sample's user come through").
+
+    Scale shape: ONE spillable fill-forward window per user — ``last(
+    touch, ignorenulls=True)`` over (ts, id) ``ROWS UNBOUNDED
+    PRECEDING`` carries the latest touch to every row in a single
+    ordered pass (no self-join, no as-of join shuffle; the window's
+    hash partitioning on user is the only event-stream exchange), then
+    conversions filter in-row and a narrow (channel, value, lag)
+    projection feeds one map-side-combinable aggregate. Determinism:
+    window ordered on (ts, id) so same-instant ties can't reorder; a
+    touch at the conversion's own timestamp with a smaller id counts
+    as preceding, in both engines.
+
+    Returns (channel, n_conversions, sum_value, sum_lag_us) ordered by
+    channel, with channel='none' for conversions whose latest touch is
+    missing or older than the lookback. sum_value is DECIMAL-summed
+    then cast (float sum order is engine-dependent); lag is exact
+    integer microseconds."""
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touch = F.last(
+        F.when(is_touch, F.struct(F.col(ts_col).alias("t"),
+                                  F.col(type_col).alias("ch"))),
+        ignorenulls=True).over(w)
+    conv = (events
+            .withColumn("__touch", touch)
+            .where(F.col(type_col) == F.lit(conversion_type)))
+    lag_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.col("__touch.t"))
+    within = (F.col("__touch").isNotNull()
+              & (lag_us <= lookback_days * 86_400_000_000))
+    channel = F.when(within, F.col("__touch.ch")).otherwise(F.lit("none"))
+    return (conv.select(channel.alias("channel"),
+                        F.col(value_col).alias("__v"),
+                        F.when(within, lag_us).alias("__lag"))
+            .groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 F.sum(F.col("__v").cast("decimal(18,3)")).cast("double")
+                 .alias("sum_value"),
+                 F.sum("__lag").cast("long").alias("sum_lag_us"))
+            .orderBy("channel"))

@@ -641,7 +641,8 @@ def epoch_shuffle(docs: DataFrame, seed: str = "epoch-0",
 
 def curriculum_order(docs: DataFrame, key_col: str = "n_chars",
                      id_col: str = "doc_id",
-                     num_shards: int = 64) -> DataFrame:
+                     num_shards: int = 64,
+                     carry: tuple = ()) -> DataFrame:
     """Global curriculum position: rank of (key, id) ascending — the
     short-to-long length curriculum (or any numeric difficulty score)
     a training scheduler consumes.
@@ -689,7 +690,7 @@ def curriculum_order(docs: DataFrame, key_col: str = "n_chars",
     # bin arithmetic stays < num_shards by construction:
     # ((mx-mn)*S) div (mx-mn+1) <= S-1, so no clamp is needed
     keyed = docs.select(
-        F.col(id_col), F.col(key_col),
+        F.col(id_col), F.col(key_col), *[F.col(c) for c in carry],
         F.expr(f"(({key_col} - {mn}) * {num_shards}) "
                f"div {mx - mn + 1}").alias("__shard"))
     within = F.row_number().over(
@@ -703,7 +704,77 @@ def curriculum_order(docs: DataFrame, key_col: str = "n_chars",
     return (keyed.withColumn("__pos", within)
             .join(F.broadcast(offsets), "__shard")
             .select(F.col(id_col), F.col(key_col),
+                    *[F.col(c) for c in carry],
                     (F.col("__off") + F.col("__pos")).alias("position")))
+
+
+def mixture_order(docs: DataFrame, weights: dict[str, float],
+                  default_weight: float = 0.125,
+                  group_col: str = "lang", id_col: str = "doc_id",
+                  seed: str = "mix-0", denom: int = 10_000,
+                  num_shards: int = 64) -> DataFrame:
+    """Deterministic mixture-weighted global training order — the data
+    MIXING schedule a multi-source training run consumes (weights say
+    "1 part code to 4 parts web"), where :func:`epoch_shuffle` gives
+    the uniform order and :func:`curriculum_order` the difficulty
+    order.
+
+    Construction (stride scheduling / weighted fair queueing — the
+    classic deterministic form of weighted sampling): each source's
+    documents are ranked locally by md5(seed|id), and document r of
+    source s is scheduled at virtual time ``vt = (r-1)·denom div
+    w_parts(s)`` with ``w_parts = round(weight·denom)``. A source with
+    twice the weight fires twice as often; every source advances
+    monotonically; the whole schedule is pure integer arithmetic, so
+    it reproduces on any engine, partitioning, or day.
+
+    Scale shape — two single-task sorts refused: (a) the PER-SOURCE
+    rank would be a window with one partition per source (a handful of
+    corpus-sized tasks), so it runs epoch_shuffle's hash-prefix
+    construction WITHIN each source — windows partitioned by (source,
+    hash-prefix shard), per-(source, shard) offsets broadcast back;
+    shard-major order is hash order because the shard is a prefix of
+    the sort key. (b) The GLOBAL position over (vt, id) rides
+    :func:`curriculum_order`'s range-sharded machinery. Both are
+    bit-equal to their one-task forms by the same prefix argument.
+
+    Sources missing from ``weights`` get ``default_weight``; weights
+    need not sum to 1 (only ratios matter). Returns
+    (id, group, vt, position), position 1..N."""
+    parts = {g: int(round(w * denom)) for g, w in weights.items()}
+    if any(p <= 0 for p in parts.values()) or \
+            int(round(default_weight * denom)) <= 0:
+        raise ValueError("mixture_order: every weight must round to "
+                         f">= 1/{denom}")
+    from pyspark.sql import Window
+    hx = F.md5(F.concat(F.lit(seed), F.lit("|"),
+                        F.col(id_col).cast("string")))
+    keyed = docs.select(F.col(id_col), F.col(group_col),
+                        hx.alias("__hx"),
+                        F.substring(hx, 1, 2).alias("__shard"))
+    within = F.row_number().over(
+        Window.partitionBy(group_col, "__shard").orderBy("__hx", id_col))
+    counts = keyed.groupBy(group_col, "__shard").agg(
+        F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        group_col, "__shard",
+        (F.sum("__n").over(Window.partitionBy(group_col)
+                           .orderBy("__shard")
+                           .rowsBetween(Window.unboundedPreceding, -1)))
+        .alias("__off")).fillna(0, ["__off"])
+    ranked = (keyed.withColumn("__pos", within)
+              .join(F.broadcast(offsets), [group_col, "__shard"]))
+    w_parts = F.lit(int(round(default_weight * denom)))
+    for g, p in sorted(parts.items()):
+        w_parts = F.when(F.col(group_col) == g, F.lit(p)) \
+            .otherwise(w_parts)
+    staged = ranked.select(
+        F.col(id_col), F.col(group_col),
+        ((F.col("__off") + F.col("__pos") - 1) * denom).alias("__num"),
+        w_parts.alias("__w")
+    ).select(id_col, group_col, F.expr("__num div __w").alias("vt"))
+    return curriculum_order(staged, key_col="vt", id_col=id_col,
+                            num_shards=num_shards, carry=(group_col,))
 
 
 def leak_report(train: DataFrame, bench: DataFrame, width: int = 6,

@@ -119,6 +119,8 @@ EXTENDED = [
     # round 7:
     "text_bm25_stopterm",
     "stream_zorder_ingest",
+    "pipeline_mixture_order",
+    "events_attribution",
 ]
 
 

@@ -646,3 +646,29 @@ def test_bm25_indexed_pads_underfull_matches(spark, sf_dir, tmp_path):
         sorted(map(key, live.collect()))
     assert len(got) == top_k
     assert got == want
+
+
+def test_mixture_order_no_single_task_sorts(spark, sf_dir):
+    """pipeline_mixture_order refuses BOTH single-task sorts: the
+    per-source rank windows partition by (source, hash-prefix shard)
+    and the global rank by the vt range shard — both DATA-SIZED
+    windows carry a sharded hashpartitioning. The only allowed
+    SinglePartition exchanges feed the cumulative-offset windows,
+    whose input is the per-shard COUNT frame (<= num_shards rows of
+    bookkeeping — the construction's broadcast half, same as
+    epoch_shuffle/curriculum_order). Offsets joins are broadcast hash
+    joins; no nested loop; no row-Python."""
+    from aggregation_duckdb_spark.plans import (assert_no_nested_loop_join,
+                                                physical_plan)
+    df = matrix.queries()["pipeline_mixture_order"](spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert_no_nested_loop_join(df)
+    assert_broadcast_join(df, at_least=2)   # per-source offsets + vt offsets
+    assert_no_row_python_udf(df)
+    assert "hashpartitioning(lang" in plan, plan    # sharded source rank
+    assert "hashpartitioning(__shard" in plan, plan  # sharded global rank
+    # every data-sized row_number window is shard-partitioned: no
+    # row_number window spec without a partition key
+    import re
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)", plan):
+        assert "__shard" in m.group(1), m.group(0)
