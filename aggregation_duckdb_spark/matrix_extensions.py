@@ -3777,3 +3777,34 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-summed value."""
     ev = load_table(spark, "events", sf_dir)
     return E.attribution(ev)
+
+
+@register("sim_pq_indexed")  # rows-only: kmeans codebooks are
+# Lloyd-iterative (not SQL-expressible); index==live equality and
+# recall bounds are pytest-pinned (tests/test_extensions.py,
+# tests/test_approx_accuracy.py)
+def sim_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN served from the PERSISTED index
+    (``similarity.write_pq_index`` / ``pq_topk_rerank_indexed``): the
+    deterministic kmeans codebooks and the corpus's 8-byte codes live
+    as parquet artifacts (params in an fsio sidecar); a query builds
+    its broadcast ADC distance table from the stored books, scans only
+    the code rows for the shortlist, and reranks the bounded shortlist
+    against full vectors from the source table — the fifth durable
+    index family (Z-order, IVF, dedup, BM25, PQ)."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-pq",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not _fsio().exists(spark, _fsio()._join(base, "params.json")):
+        books = S.pq_fit(emb, num_subspaces=8, k=16, max_iters=3)
+        S.write_pq_index(emb, books, base)
+    queries = emb.where(F.col("vec_id") < 5)
+    out = S.pq_topk_rerank_indexed(spark, base, emb, queries, k=10,
+                                   shortlist=200)
+    return (out.select("query_id", "neighbor_id", "cosine_sim",
+                       F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))

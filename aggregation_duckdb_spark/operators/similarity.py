@@ -692,3 +692,75 @@ def append_ivf_index(new_corpus: DataFrame, path: str,
     (assigned.withColumn("centroid_id", F.col("centroid_id").cast("int"))
      .write.mode("append").partitionBy("centroid_id")
      .parquet(fsio._join(path, "cells")))
+
+
+def write_pq_index(corpus: DataFrame, codebooks: DataFrame, path: str,
+                   num_subspaces: int = 8, vec_col: str = "embedding",
+                   id_col: str = "vec_id", dim: int = 64) -> None:
+    """Persist the PQ index — the compressed-ANN counterpart of
+    :func:`write_ivf_index`: the model-sized codebooks and the
+    corpus's (id, subspace, code) rows as parquet, params in an fsio
+    sidecar (hdfs/s3-safe). The codes table is the point at 100 TB —
+    num_subspaces bytes per vector instead of dim·4, scanned directly
+    by ADC without decompression; full vectors stay in the source
+    table and are touched only by the bounded rerank join."""
+    from aggregation_duckdb_spark import fsio
+    codes = pq_encode(corpus, codebooks, num_subspaces, vec_col,
+                      id_col, dim)
+    codebooks.write.mode("overwrite").parquet(
+        fsio._join(path, "codebooks"))
+    codes.write.mode("overwrite").parquet(fsio._join(path, "codes"))
+    fsio.write_json(corpus.sparkSession, fsio._join(path, "params.json"),
+                    {"num_subspaces": num_subspaces, "dim": dim})
+
+
+def append_pq_index(new: DataFrame, path: str,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Encode a NEW batch against the STORED codebooks and append its
+    codes — per-batch cost proportional to the batch (the
+    append_ivf_index contract: the codebook is the trained artifact;
+    re-fitting on every ingest would silently re-key every stored
+    code)."""
+    from aggregation_duckdb_spark import fsio
+    spark = new.sparkSession
+    p = fsio.read_json(spark, fsio._join(path, "params.json"))
+    books = spark.read.parquet(fsio._join(path, "codebooks"))
+    codes = pq_encode(new, books, p["num_subspaces"], vec_col, id_col,
+                      p["dim"])
+    codes.write.mode("append").parquet(fsio._join(path, "codes"))
+
+
+def pq_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """ADC top-k served from the persisted PQ index: the stored
+    codebooks build each query's broadcast distance table, the stored
+    code rows are the only corpus-sized scan. Identical math to
+    :func:`pq_topk` over the same codes (pytest-pinned equal)."""
+    from aggregation_duckdb_spark import fsio
+    p = fsio.read_json(spark, fsio._join(path, "params.json"))
+    books = spark.read.parquet(fsio._join(path, "codebooks"))
+    codes = spark.read.parquet(fsio._join(path, "codes"))
+    return pq_topk(codes, books, queries, k=k,
+                   num_subspaces=p["num_subspaces"], vec_col=vec_col,
+                   id_col=id_col, dim=p["dim"])
+
+
+def pq_topk_rerank_indexed(spark, path: str, corpus: DataFrame,
+                           queries: DataFrame, k: int = 10,
+                           shortlist: int = 200,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Shortlist-from-index + exact rerank: the stored codes nominate,
+    the source table's full vectors re-score only the bounded
+    shortlist — the production serving path over the persisted
+    artifact."""
+    from aggregation_duckdb_spark import fsio
+    p = fsio.read_json(spark, fsio._join(path, "params.json"))
+    books = spark.read.parquet(fsio._join(path, "codebooks"))
+    codes = spark.read.parquet(fsio._join(path, "codes"))
+    return pq_topk_rerank(corpus, codes, books, queries, k=k,
+                          shortlist=shortlist,
+                          num_subspaces=p["num_subspaces"],
+                          vec_col=vec_col, id_col=id_col, dim=p["dim"])

@@ -121,6 +121,7 @@ EXTENDED = [
     "stream_zorder_ingest",
     "pipeline_mixture_order",
     "events_attribution",
+    "sim_pq_indexed",
 ]
 
 

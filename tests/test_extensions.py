@@ -1092,3 +1092,31 @@ def test_durable_indexes_work_on_schemed_paths(spark, sf_dir, tmp_path):
     key = lambda r: (r.doc_id, r.score, r.n_tokens)  # noqa: E731
     assert sorted(map(key, got.collect())) == \
         sorted(map(key, want.collect()))
+
+
+def test_pq_index_matches_live_and_appends(spark, sf_dir, tmp_path):
+    """The persisted PQ index must reproduce the live road's ranking
+    over the same codebooks — including when half the corpus arrived
+    via append_pq_index (encoded against the STORED books, the
+    append_ivf_index contract)."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import similarity as S
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = S.pq_fit(emb, num_subspaces=8, k=16, max_iters=3)
+    path = str(tmp_path / "pq_idx")
+    S.write_pq_index(emb.where(F.col("vec_id") % 2 == 0), books, path)
+    S.append_pq_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    queries = emb.where(F.col("vec_id") < 5)
+    live_codes = S.pq_encode(emb, books, num_subspaces=8)
+    live = S.pq_topk(live_codes, books, queries, k=10)
+    idx = S.pq_topk_indexed(spark, path, queries, k=10)
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id)  # noqa: E731
+    assert sorted(map(key, idx.collect())) == \
+        sorted(map(key, live.collect()))
+    # and the rerank road returns exact cosines for the same shortlist
+    rr = S.pq_topk_rerank_indexed(spark, path, emb, queries, k=5,
+                                  shortlist=100)
+    live_rr = S.pq_topk_rerank(emb, live_codes, books, queries, k=5,
+                               shortlist=100)
+    assert sorted(map(key, rr.collect())) == \
+        sorted(map(key, live_rr.collect()))
