@@ -3800,7 +3800,9 @@ def sim_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                         spark.sparkContext.applicationId,
                         os.path.basename(os.path.normpath(sf_dir)))
     if not _fsio().exists(spark, _fsio()._join(base, "params.json")):
-        books = S.pq_fit(emb, num_subspaces=8, k=16, max_iters=3)
+        # joint fit: one Lloyd job per iteration for ALL subspaces,
+        # bit-identical to the sequential pq_fit (pytest-pinned)
+        books = S.pq_fit_joint(emb, num_subspaces=8, k=16, max_iters=3)
         S.write_pq_index(emb, books, base)
     queries = emb.where(F.col("vec_id") < 5)
     out = S.pq_topk_rerank_indexed(spark, base, emb, queries, k=10,

@@ -474,6 +474,108 @@ def pq_fit(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
     return materialize(books)
 
 
+def pq_fit_joint(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 dim: int = 64, max_iters: int = 5,
+                 min_shift: float = 1e-7) -> DataFrame:
+    """:func:`pq_fit`, restructured for job count: instead of
+    num_subspaces SEQUENTIAL kmeans fits (each its own seed scan plus
+    max_iters assignment jobs — ~4·num_subspaces Spark jobs whose
+    fixed overhead dominates the fit), every subspace trains in the
+    SAME Lloyd iteration over the exploded (id, subspace, subvector)
+    frame: one seed scan, then one assignment+update job per
+    iteration, each row scoring only its own subspace's k centroids
+    from the broadcast joint codebook. Bit-identical output to
+    :func:`pq_fit` (pytest-pinned): the md5 seed order is the same k
+    ids for every subspace, the fixed-point mean update is the same
+    arithmetic, the L2 argmin and tie rule are the same expressions,
+    and a converged subspace freezes exactly where its sequential
+    twin stops."""
+    if dim % num_subspaces != 0:
+        raise ValueError(f"dim={dim} not divisible by "
+                         f"num_subspaces={num_subspaces}")
+    sub = dim // num_subspaces
+    spark = corpus.sparkSession
+    seed_rows = (corpus
+                 .select(F.col(id_col), F.col(vec_col))
+                 .orderBy(F.md5(F.concat_ws("|", F.lit("kmeans-init"),
+                                            F.col(id_col).cast("string"))),
+                          F.col(id_col))
+                 .limit(k).collect())
+    if not seed_rows:
+        raise ValueError("pq_fit_joint: corpus is empty")
+    # cents[j] = [(cid, subvector)] — kmeans_fit's init per subspace is
+    # the SAME k smallest-md5 ids, so one collect seeds all subspaces
+    cents: dict[int, list[tuple[int, list[float]]]] = {
+        j: [(i, [float(x) for x in r[vec_col]][j * sub:(j + 1) * sub])
+            for i, r in enumerate(seed_rows)]
+        for j in range(num_subspaces)}
+    exploded = materialize(corpus.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("subspace"),
+                     F.slice(F.col(vec_col), j * sub + 1, sub)
+                     .alias("sv"))
+            for j in range(num_subspaces)])).alias("__e"))
+        .select(id_col, F.col("__e.subspace").alias("subspace"),
+                F.col("__e.sv").alias("sv")))
+    live = set(range(num_subspaces))
+    for _ in range(max_iters):
+        if not live:
+            break
+        lit = F.array(*[
+            F.struct(F.lit(j).cast("int").alias("sub"),
+                     F.lit(int(cid)).cast("long").alias("cid"),
+                     F.array(*[F.lit(float(x)) for x in cv]).alias("cvec"))
+            for j in sorted(live) for cid, cv in cents[j]])
+        mine = F.filter(lit, lambda c: c["sub"] == F.col("subspace"))
+        # exactly ivf_assign's l2 scoring + max(-cid) tie rule
+        # (named_struct: plain .alias() inside a nested higher-order
+        # lambda loses its name, leaving col1/col2 fields)
+        scored = F.transform(
+            mine, lambda c: F.named_struct(
+                F.lit("sim"),
+                -F.aggregate(
+                    F.zip_with(F.col("sv"), c["cvec"],
+                               lambda a, b: (a.cast("double") - b) ** 2),
+                    F.lit(0.0), lambda acc, x: acc + x),
+                F.lit("negcid"), -c["cid"]))
+        best = F.array_max(scored)
+        stats = (exploded
+                 .where(F.col("subspace").isin(sorted(live)))
+                 .select("subspace", (-best["negcid"]).alias("centroid_id"),
+                         F.posexplode(F.col("sv")).alias("pos", "comp"))
+                 .groupBy("subspace", "centroid_id", "pos")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.round(F.col("comp").cast("double")
+                                    * CENTROID_SCALE).cast("long"))
+                      .alias("s"))
+                 .collect())
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in stats:
+            by_key.setdefault((r["subspace"], r["centroid_id"]), {})[
+                r["pos"]] = (r["s"] / r["n"]) / CENTROID_SCALE
+        for j in sorted(live):
+            shift = 0.0
+            new_cents = []
+            for cid, old in cents[j]:
+                comps = by_key.get((j, cid))
+                if comps:
+                    new = [comps[p] for p in sorted(comps)]
+                    shift = max(shift, max(abs(a - b)
+                                           for a, b in zip(old, new)))
+                else:
+                    new = old
+                new_cents.append((cid, new))
+            cents[j] = new_cents
+            if shift <= min_shift:
+                live.discard(j)  # frozen where the sequential twin stops
+    rows = [(j, cid, cv) for j in range(num_subspaces)
+            for cid, cv in cents[j]]
+    return spark.createDataFrame(
+        rows, "subspace long, centroid_id long, centroid array<double>")
+
+
 def pq_encode(corpus: DataFrame, codebooks: DataFrame,
               num_subspaces: int = 8, vec_col: str = "embedding",
               id_col: str = "vec_id", dim: int = 64) -> DataFrame:

@@ -121,6 +121,23 @@ ENTRIES = {
         "(zero-shuffle projection + TakeOrdered), with NO posting "
         "directory read anywhere; the rare term's df came from a "
         "bounded pruned-bucket probe before the plan was built"),
+    "pipeline_mixture_order": (
+        "stride-scheduled mixture order refuses BOTH single-task "
+        "sorts: per-source rank windows partition by (source, "
+        "hash-prefix shard), the global vt rank by the range-bin "
+        "shard; the only SinglePartition exchanges feed "
+        "cumulative-offset windows over <= num_shards bookkeeping "
+        "rows; offsets join back as broadcast hash joins"),
+    "events_attribution": (
+        "one spillable fill-forward window on the user key (last "
+        "touch, IGNORE NULLS, unbounded-preceding frame) is the only "
+        "event-stream exchange — no self-join, no as-of join; the "
+        "channel rollup is a narrow map-side-combinable aggregate"),
+    "sim_pq_indexed": (
+        "the persisted-PQ serving path: stored codebooks build the "
+        "per-query distance table (broadcast), the corpus-sized scan "
+        "touches ONLY the stored 8-byte code rows, and full vectors "
+        "appear solely in the bounded shortlist rerank joins"),
 }
 
 

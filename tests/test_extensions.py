@@ -1120,3 +1120,19 @@ def test_pq_index_matches_live_and_appends(spark, sf_dir, tmp_path):
                                shortlist=100)
     assert sorted(map(key, rr.collect())) == \
         sorted(map(key, live_rr.collect()))
+
+
+def test_pq_fit_joint_bit_equals_sequential(spark, sf_dir):
+    """pq_fit_joint (one Lloyd job per iteration across ALL subspaces)
+    must reproduce pq_fit's codebooks bit-for-bit: same md5 seed ids,
+    same fixed-point mean updates, same L2 argmin tie rule, same
+    per-subspace freeze point."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import similarity as S
+    emb = load_table(spark, "embeddings", sf_dir)
+    norm = lambda rows: sorted(  # noqa: E731
+        (int(r["subspace"]), int(r["centroid_id"]), tuple(r["centroid"]))
+        for r in rows)
+    a = S.pq_fit(emb, num_subspaces=4, k=8, max_iters=3, dim=64)
+    b = S.pq_fit_joint(emb, num_subspaces=4, k=8, max_iters=3, dim=64)
+    assert norm(a.collect()) == norm(b.collect())
