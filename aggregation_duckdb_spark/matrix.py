@@ -52,13 +52,13 @@ def register(name: str, sql: str | None = None):
 # q_zorder_pruning, the stop-term-guarded BM25 trio including the NEW
 # text_bm25_stopterm, the fsio-sidecar dedup/IVF indexed roads, the
 # TakeOrdered topk_paths, the explicit-\\s normalize_text, the
-# empty-guarded curriculum_order) plus the 4 brand-new round-7 entries
-# (stream_zorder_ingest, text_bm25_stopterm, pipeline_mixture_order,
-# events_attribution, sim_pq_indexed — 5 with the PQ index), then 3 of
-# the 41 round-4-evidence entries (flagship parity first) to start
-# that cohort rotating. After this round every entry's newest driver
-# row is round 4+; the remaining round-4 entries rotate next. Exactly
-# 50 names below.
+# empty-guarded curriculum_order) plus the 5 brand-new round-7 entries
+# (text_bm25_stopterm, stream_zorder_ingest, pipeline_mixture_order,
+# events_attribution, sim_pq_indexed), then 3 of the 41
+# round-4-evidence entries (flagship parity first) to start that
+# cohort rotating. After this round every entry's newest driver row
+# is round 4+; the remaining round-4 entries rotate next. Exactly 50
+# names below.
 _DRIVER_WINDOW_FIRST = [
     # newest driver evidence = round 3 (all 34):
     "q2_min_cost_supplier", "q4_order_priority", "q6_revenue_forecast",

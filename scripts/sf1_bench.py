@@ -93,8 +93,11 @@ def main() -> None:
     proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                           env=env, capture_output=True, text=True)
     sys.stderr.write(proc.stderr)
-    line = proc.stdout.strip().splitlines()[-1]
-    rec = json.loads(line)
+    # bench prints detail-then-compact; keep the DETAIL record here
+    # (this artifact is read from the repo, not a truncated log tail)
+    recs = [json.loads(ln) for ln in proc.stdout.strip().splitlines()
+            if ln.startswith("{")]
+    rec = next((r for r in recs if "extended" in r), recs[-1])
     rec["sf"] = 1.0
     rec["note"] = ("sf0.1 replicated x10 with re-keyed ids; "
                    "see scripts/sf1_bench.py for semantics")
