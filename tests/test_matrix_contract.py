@@ -38,7 +38,8 @@ def test_every_query_has_oracle_or_is_declared_rows_only():
     # the ONLY sanctioned rows-only entries (sketch/float-centroid
     # results are engine-specific by design); growing this set is a
     # deliberate decision, not an accident
-    assert rows_only == {"hier_agg_closure_approx", "sim_ivf_topk"}
+    assert rows_only == {"hier_agg_closure_approx", "sim_ivf_topk",
+                         "sim_pq_indexed"}
     # no orphan oracles
     assert not set(oracles) - set(qs)
 
