@@ -52,10 +52,10 @@ def register(name: str, sql: str | None = None):
 # q_zorder_pruning, the stop-term-guarded BM25 trio including the NEW
 # text_bm25_stopterm, the fsio-sidecar dedup/IVF indexed roads, the
 # TakeOrdered topk_paths, the explicit-\\s normalize_text, the
-# empty-guarded curriculum_order) plus the 5 brand-new round-7 entries
+# empty-guarded curriculum_order) plus the 6 brand-new round-7 entries
 # (text_bm25_stopterm, stream_zorder_ingest, pipeline_mixture_order,
-# events_attribution, sim_pq_indexed), then 3 of the 41
-# round-4-evidence entries (flagship parity first) to start that
+# events_attribution, sim_pq_indexed, q_zorder_upsert), then 2 of the
+# 41 round-4-evidence entries (flagship parity first) to start that
 # cohort rotating. After this round every entry's newest driver row
 # is round 4+; the remaining round-4 entries rotate next. Exactly 50
 # names below.
@@ -76,11 +76,12 @@ _DRIVER_WINDOW_FIRST = [
     # round-7 code changes / additions (re-verify through the driver):
     "text_bm25_stopterm", "stream_zorder_ingest",
     "pipeline_mixture_order", "events_attribution", "sim_pq_indexed",
+    "q_zorder_upsert",
     "text_bm25_indexed", "text_bm25_search", "q_zorder_pruning",
     "events_topk_paths", "text_normalize", "pipeline_curriculum_order",
     "dedup_incremental_indexed", "sim_ivf_indexed",
     # round-4-evidence cohort starts rotating (flagship parity first):
-    "hier_agg_closure", "hier_agg_rollup", "ref_parity_agg",
+    "hier_agg_closure", "ref_parity_agg",
 ]
 
 

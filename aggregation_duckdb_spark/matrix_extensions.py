@@ -3810,3 +3810,57 @@ def sim_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("query_id", "neighbor_id", "cosine_sim",
                        F.col("rank").cast("long").alias("rank"))
             .orderBy("query_id", "rank"))
+
+
+@register("q_zorder_upsert", """
+WITH base AS (
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+           event_type
+    FROM events),
+ups AS (
+    SELECT event_id, user_id, value, 'upserted' AS event_type
+    FROM base WHERE event_id % 11 = 0
+    UNION ALL
+    SELECT event_id + 1000000000, user_id, value, 'inserted'
+    FROM base WHERE event_id % 13 = 0),
+merged AS (
+    SELECT b.* FROM base b
+    WHERE b.event_id NOT IN (SELECT event_id FROM ups)
+    UNION ALL SELECT * FROM ups)
+SELECT event_id, user_id, value, event_type
+FROM merged
+WHERE user_id BETWEEN 15 AND 65 AND value BETWEEN 80 AND 260
+ORDER BY event_id
+""")
+def q_zorder_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE into the Z-ordered table
+    (``layout.upsert_zordered``): every 11th event's type is updated
+    in place and every 13th cloned as a brand-new key, touching only
+    the buckets those rows land in (per-bucket rewrite + atomic
+    manifest flip — the lakehouse merge shape); a 2-D box read over
+    the merged table must equal the oracle's anti-join ∪ upserts over
+    plain parquet. Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", F.col("user_id").cast("long")
+                  .alias("user_id"), "value", "event_type"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zupsert",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev, base, "user_id", "value",
+                         bits=8, bucket_bits=4)
+        ups = (ev.where(F.col("event_id") % 11 == 0)
+               .withColumn("event_type", F.lit("upserted")))
+        ins = (ev.where(F.col("event_id") % 13 == 0)
+               .select((F.col("event_id") + 1_000_000_000)
+                       .alias("event_id"), "user_id", "value",
+                       F.lit("inserted").alias("event_type")))
+        L.upsert_zordered(ups.unionByName(ins), base, ["event_id"])
+    out = L.read_zordered_box(spark, base, 15, 65, 80, 260)
+    return (out.select("event_id", "user_id", "value", "event_type")
+            .orderBy("event_id"))

@@ -446,3 +446,49 @@ def read_zordered_box_with_delta(spark: SparkSession, path: str,
                      & (b >= b_lo) & (b <= b_hi)))
         out = out.unionByName(dd)
     return out
+
+
+def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
+                    files_per_bucket: int = 1) -> dict:
+    """MERGE INTO the Z-clustered table: rows of ``df`` REPLACE
+    same-key rows and new keys INSERT, touching only the buckets the
+    upsert lands in — the lakehouse merge shape on the manifest
+    layout. Mechanics mirror incremental compaction: route the upsert
+    batch to its zbuckets under the current spec, rewrite each dirtied
+    bucket as (old rows anti-joined on key) ∪ (new rows), commit the
+    manifest (atomic flip), then delete superseded generations. Cost
+    tracks the dirtied-bucket fraction, not table size.
+
+    Contract (documented, the per-bucket bound depends on it):
+    - upserted keys must keep their LAYOUT-DIMENSION values — the old
+      row is found in the bucket the new row's dims map to; a key
+      whose (a_col, b_col) changed is a delete+insert, not an upsert
+      (the same rule Delta's file-skipping merge optimizes around);
+    - no outstanding delta batches (raises — run compact_zordered
+      first; deltas are raw unrouted files a keyed rewrite cannot
+      cheaply edit);
+    - single writer, as everywhere in this module."""
+    spark = df.sparkSession
+    manifest = read_manifest(spark, path)
+    if manifest.get("deltas"):
+        raise ValueError(
+            "upsert_zordered: outstanding delta batches — run "
+            "compact_zordered(path) first")
+    spec = manifest["spec"]
+    dirtied = _touched_buckets(df, spec)
+    old = read_zordered_box_dirs(spark, path, manifest, dirtied) \
+        .drop("zbucket")
+    keep = old.join(F.broadcast(df.select(*key_cols).distinct()),
+                    key_cols, "left_anti")
+    merged = keep.unionByName(df.select(*old.columns))
+    gen = _new_gen()
+    _write_clustered(merged, fsio._join(path, DATA_DIR), spec, gen,
+                     files_per_bucket)
+    gens = dict(manifest["gens"])
+    for k in dirtied:
+        gens[str(k)] = gen
+    new_manifest = {**manifest, "gens": gens}
+    fsio.write_json_version(spark, _manifest_path(path), new_manifest)
+    _cleanup_superseded(spark, path, manifest, new_manifest)
+    fsio.prune_versions(spark, _manifest_path(path))
+    return spec

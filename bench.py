@@ -122,6 +122,7 @@ EXTENDED = [
     "pipeline_mixture_order",
     "events_attribution",
     "sim_pq_indexed",
+    "q_zorder_upsert",
 ]
 
 

@@ -430,3 +430,74 @@ def test_zbuckets_superset_property_hypothesis():
                 assert (z >> (2 * bits - kb)) in planned, \
                     (spec, (qa_lo, qa_hi, qb_lo, qb_hi), av, bv)
     run()
+
+
+def test_manifest_versions_ignore_torn_and_stale_writers(spark, tmp_path):
+    """The fsio commit contract under crashes: an unrenamed temp file
+    (writer died mid-commit) is invisible; readers take the highest
+    COMPLETE version; pruning keeps the newest; a lost rename race
+    raises instead of silently clobbering."""
+    from aggregation_duckdb_spark import fsio
+    mdir = "file://" + str(tmp_path / "_manifest")
+    fsio.write_json_version(spark, mdir, {"v": 1})
+    fsio.write_json_version(spark, mdir, {"v": 2})
+    # simulate a crashed writer: a torn temp file left behind
+    fsio.write_json(spark, fsio._join(mdir, ".tmp-deadbeef"), {"v": 99})
+    # and some junk that must not parse as a version
+    fsio.write_text(spark, fsio._join(mdir, "README"), "not a version")
+    assert fsio.read_json_latest(spark, mdir) == {"v": 2}
+    assert fsio.latest_version(spark, mdir) == 2
+    fsio.write_json_version(spark, mdir, {"v": 3})
+    assert fsio.read_json_latest(spark, mdir) == {"v": 3}
+    fsio.prune_versions(spark, mdir, keep=1)
+    names = fsio.list_names(spark, mdir)
+    assert "v00000003.json" in names and "v00000001.json" not in names
+
+
+def test_zorder_upsert_replaces_inserts_and_stays_per_bucket(spark,
+                                                             tmp_path):
+    """MERGE semantics on the layered table: same-key rows replaced,
+    new keys inserted, untouched buckets' generations physically
+    untouched, outstanding deltas refused, box reads row-exact."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_frame(spark).withColumn(
+        "tag", F.lit("orig"))
+    path = str(tmp_path / "z_upsert")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    before = L.read_manifest(spark, path)
+
+    # keys 0..49 updated in place (same a/b layout dims, new payload
+    # tag); keys 100000+ brand new, in a tight corner
+    upd = base.where(F.col("payload") < 50).withColumn(
+        "tag", F.lit("upserted"))
+    new = spark.range(100_000, 100_020).select(
+        (F.col("id") % 7).alias("a"), (F.col("id") % 5).alias("b"),
+        F.col("id").alias("payload"), F.lit("inserted").alias("tag"))
+    L.upsert_zordered(upd.unionByName(new), path, ["payload"])
+
+    after = L.read_manifest(spark, path)
+    dirtied = {k for k, g in after["gens"].items()
+               if before["gens"].get(k) != g}
+    assert dirtied and len(dirtied) < len(after["gens"])  # per-bucket
+
+    got = {r.payload: r.tag for r in L.read_zordered(spark, path).collect()}
+    assert len(got) == 8000 + 20
+    assert got[0] == "upserted" and got[49] == "upserted"
+    assert got[50] == "orig" and got[100_005] == "inserted"
+    # box read over an upserted corner stays row-exact
+    want = sorted(
+        (r.a, r.b, r.payload, r.tag) for r in
+        base.where(F.col("payload") >= 50).unionByName(upd)
+            .unionByName(new)
+            .where((F.col("a").between(0, 10)) & (F.col("b").between(0, 10)))
+            .collect())
+    got_box = sorted(
+        (r.a, r.b, r.payload, r.tag) for r in
+        L.read_zordered_box(spark, path, 0, 10, 0, 10).collect())
+    assert got_box == want
+
+    # outstanding deltas are refused (compact first)
+    L.append_zordered(new.limit(1), path)
+    with _pytest.raises(ValueError, match="compact_zordered"):
+        L.upsert_zordered(upd, path, ["payload"])
