@@ -258,3 +258,52 @@ def stream_zorder_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("user_id").cast("long").alias("user_id"),
                        "value")
             .orderBy("event_id"))
+
+
+@register("stream_attribution", """
+WITH o AS (
+    SELECT *,
+           LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                           THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS t_ts,
+           LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                           THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS t_ch
+    FROM events),
+c AS (
+    SELECT CASE WHEN t_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(t_ts) <= 604800000000
+                THEN t_ch ELSE 'none' END AS channel,
+           value,
+           CASE WHEN t_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(t_ts) <= 604800000000
+                THEN epoch_us(ts) - epoch_us(t_ts) END AS lag_us
+    FROM o WHERE event_type = 'purchase')
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+       CAST(SUM(lag_us) AS BIGINT) AS sum_lag_us
+FROM c GROUP BY channel ORDER BY channel
+""")
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch attribution
+    (``streaming.attribution_stream``): per-user latest-touch state
+    across micro-batches, each conversion emitted exactly once with
+    its attributed channel — the always-on twin of
+    ``events_attribution``, verified by the SAME batch oracle (the
+    finished stream must be indistinguishable from the one-shot
+    window computation)."""
+    from aggregation_duckdb_spark.streaming import (attribution_stream,
+                                                    events_stream,
+                                                    run_available_now)
+    ev = events_stream(spark, sf_dir)
+    rows = run_available_now(attribution_stream(ev), "update")
+    return (rows.groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 F.sum(F.col("value").cast("decimal(18,3)"))
+                 .cast("double").alias("sum_value"),
+                 F.sum("lag_us").cast("long").alias("sum_lag_us"))
+            .orderBy("channel"))

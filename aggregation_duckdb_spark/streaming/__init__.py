@@ -24,6 +24,8 @@ from aggregation_duckdb_spark.streaming.sinks import (
     read_sink, run_to_parquet_exactly_once, run_zordered_ingest,
     write_batch_idempotent)
 from aggregation_duckdb_spark.streaming.stateful import running_user_totals
+from aggregation_duckdb_spark.streaming.attribution import (
+    attribution_stream)
 from aggregation_duckdb_spark.streaming.dau import dau_stream
 
 __all__ = [
@@ -31,7 +33,7 @@ __all__ = [
     "session_windows_stream", "sliding_counts_stream", "table_stream",
     "tumbling_counts_stream", "running_user_totals",
     "near_dedup_stream", "signature_buckets", "funnel_stream",
-    "anomaly_stream", "dau_stream",
+    "anomaly_stream", "attribution_stream", "dau_stream",
     "read_sink", "run_to_parquet_exactly_once", "write_batch_idempotent",
     "run_zordered_ingest",
 ]

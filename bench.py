@@ -123,6 +123,7 @@ EXTENDED = [
     "events_attribution",
     "sim_pq_indexed",
     "q_zorder_upsert",
+    "stream_attribution",
 ]
 
 

@@ -533,3 +533,55 @@ def test_zordered_ingest_exactly_once_multi_batch(spark, tmp_path):
     got = sorted((r.a, r.b, r.payload) for r in
                  L.read_zordered_box(spark, path, *box).collect())
     assert got == want
+
+
+def test_attribution_stream_state_survives_batches(spark, tmp_path):
+    """Touch state must carry BETWEEN micro-batches: a touch in batch
+    1 attributes a conversion in batch 2; the finished multi-batch
+    stream equals the batch fill-forward answer."""
+    from aggregation_duckdb_spark.operators import events as E
+    from aggregation_duckdb_spark.streaming import (attribution_stream,
+                                                    run_available_now)
+    rows = [
+        # (event_id, ts_us, user_id, type, value) — user 1's touch and
+        # conversion land in DIFFERENT time-ordered files
+        (1, 1_000_000, 1, "click", 0.0),
+        (2, 2_000_000, 2, "view", 0.0),
+        (3, 9_000_000, 1, "purchase", 10.0),   # attributed to click
+        (4, 9_500_000, 2, "purchase", 20.0),   # attributed to view
+        (5, 9_600_000, 3, "purchase", 30.0),   # no touch ever: none
+        (6, 99_000_000 + 7 * 86_400_000_000, 1, "purchase", 40.0),
+        # ^ last touch older than the 7-day lookback: none
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, ty, v) for e, t, u, ty, v in rows],
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double").select(
+        "event_id", F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id", "event_type", "value")
+    src = str(tmp_path / "attr_src")
+    # two time-ordered files -> two micro-batches with state between
+    df.where(F.col("event_id") <= 2).coalesce(1).write.parquet(src)
+    df.where(F.col("event_id") > 2).coalesce(1).write.mode(
+        "append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    got = run_available_now(attribution_stream(stream), "update")
+    by_event = {r.event_id: (r.channel, r.value, r.lag_us)
+                for r in got.collect()}
+    assert by_event[3] == ("click", 10.0, 8_000_000)
+    assert by_event[4] == ("view", 20.0, 7_500_000)
+    assert by_event[5] == ("none", 30.0, None)
+    assert by_event[6][0] == "none"
+    assert set(by_event) == {3, 4, 5, 6}
+    # and the channel rollup equals the batch operator's
+    batch = {r.channel: (r.n_conversions, r.sum_value)
+             for r in E.attribution(df).collect()}
+    stream_roll = {r.channel: (r.n_conversions, r.sum_value)
+                   for r in got.groupBy("channel")
+                   .agg(F.count(F.lit(1)).alias("n_conversions"),
+                        F.sum(F.col("value").cast("decimal(18,3)"))
+                        .cast("double").alias("sum_value")).collect()}
+    assert stream_roll == batch
