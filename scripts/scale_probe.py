@@ -601,6 +601,55 @@ def zorder_compaction_probe(multiples: list) -> None:
                 "seconds": elapsed}))
 
 
+def zorder_upsert_probe(multiples: list) -> None:
+    """Keyed-MERGE cost model: upsert a FIXED batch (200 updates + 50
+    inserts in a 2-bucket corner) into tables of growing size. Pass =
+    wall ~flat and buckets_rewritten pinned to the corner's buckets at
+    every table size — merge cost tracks the batch, not the table."""
+    import tempfile
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.sources import layout as L
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    base = (load_table(spark, "events", SF_DIR)
+            .select("event_id", "user_id", "value", "event_type"))
+    for m in multiples:
+        ev = base
+        for i in range(m - 1):
+            ev = ev.unionByName(base.select(
+                (F.col("event_id") + (i + 1) * 100_000_000)
+                .alias("event_id"), "user_id", "value", "event_type"))
+        n_rows = ev.count()
+        path = tempfile.mkdtemp(prefix=f"zups-{m}-")
+        L.write_zordered(ev, path, "user_id", "value",
+                         bits=8, bucket_bits=4, files_per_bucket=8)
+        # updates keep their layout dims (the documented contract);
+        # inserts land in the same tight corner
+        upd = (ev.where((F.col("user_id").between(10, 14))
+                        & (F.col("value").between(60, 66)))
+               .limit(200).withColumn("event_type", F.lit("upserted")))
+        ins = spark.range(50).select(
+            (F.col("id") + 950_000_000).alias("event_id"),
+            (F.col("id") % 5 + 10).alias("user_id"),
+            (F.col("id") % 7 + 60).cast("double").alias("value"),
+            F.lit("inserted").alias("event_type"))
+        batch = upd.unionByName(ins).localCheckpoint(eager=True)
+        before = L.read_manifest(spark, path)
+        t0 = time.time()
+        L.upsert_zordered(batch, path, ["event_id"],
+                          files_per_bucket=8)
+        elapsed = round(time.time() - t0, 2)
+        after = L.read_manifest(spark, path)
+        dirtied = sum(1 for k, g in after["gens"].items()
+                      if before["gens"].get(k) != g)
+        print(json.dumps({
+            "probe": "zorder_upsert", "multiple": m,
+            "table_rows": n_rows, "batch_rows": 250,
+            "buckets_rewritten": dirtied,
+            "buckets_total": len(after["gens"]),
+            "seconds": elapsed}))
+
+
 def pack_probe(multiples: list) -> None:
     """Greedy-packing probe: the Arrow-batched per-bucket scan must
     grow linearly in docs (per-task state is one (seq, fill) pair; the
@@ -734,6 +783,8 @@ if __name__ == "__main__":
         global_lines_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--curriculum":
         curriculum_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--zupsert":
+        zorder_upsert_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--zcompact":
         zorder_compaction_probe([int(a) for a in sys.argv[2:]]
                                 or [1, 4, 16])
