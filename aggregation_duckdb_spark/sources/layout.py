@@ -141,11 +141,51 @@ def _manifest_path(path: str) -> str:
     return fsio._join(path, MANIFEST_DIR)
 
 
-def read_manifest(spark: SparkSession, path: str) -> dict:
-    m = fsio.read_json_latest(spark, _manifest_path(path))
-    if m is None:
-        raise FileNotFoundError(f"no z-order manifest under {path}")
-    return m
+MIN_LIVE_MARKER = "minlive.txt"
+
+
+def _min_live_version(spark: SparkSession, path: str) -> int:
+    """Oldest manifest version whose snapshot's data generations are
+    guaranteed intact (older versions may reference vacuumed dirs)."""
+    marker = fsio._join(_manifest_path(path), MIN_LIVE_MARKER)
+    if not fsio.exists(spark, marker):
+        return 1
+    return int(fsio.read_text(spark, marker).strip())
+
+
+def _set_min_live_version(spark: SparkSession, path: str,
+                          version: int) -> None:
+    fsio.write_text(spark, fsio._join(_manifest_path(path),
+                                      MIN_LIVE_MARKER), str(version))
+
+
+def table_version(spark: SparkSession, path: str) -> int:
+    """The table's current (latest committed) manifest version."""
+    return fsio.latest_version(spark, _manifest_path(path))
+
+
+def read_manifest(spark: SparkSession, path: str,
+                  version: int | None = None) -> dict:
+    """The committed table state — latest by default, or a PINNED
+    snapshot when ``version`` is given (time travel: every committing
+    operation is a new manifest version; snapshots stay readable as
+    long as their data generations haven't been vacuumed — run the
+    mutating ops with ``vacuum=False`` and reclaim space explicitly
+    with :func:`vacuum_zordered` to retain history)."""
+    mdir = _manifest_path(path)
+    if version is None:
+        m = fsio.read_json_latest(spark, mdir)
+        if m is None:
+            raise FileNotFoundError(f"no z-order manifest under {path}")
+        return m
+    if version < _min_live_version(spark, path):
+        raise ValueError(
+            f"snapshot v{version} of {path} was vacuumed (oldest live: "
+            f"v{_min_live_version(spark, path)})")
+    name = fsio._join(mdir, f"v{version:08d}.json")
+    if not fsio.exists(spark, name):
+        raise FileNotFoundError(f"no manifest version {version} at {path}")
+    return fsio.read_json(spark, name)
 
 
 def table_exists(spark: SparkSession, path: str) -> bool:
@@ -162,11 +202,15 @@ def read_spec(spark_or_path, path: str | None = None) -> dict:
 def write_zordered(df: DataFrame, path: str, a_col: str, b_col: str,
                    bits: int = 8, bucket_bits: int = 4,
                    bounds: dict | None = None,
-                   files_per_bucket: int = 1) -> dict:
+                   files_per_bucket: int = 1,
+                   vacuum: bool = True) -> dict:
     """Create (or replace) a Z-clustered table at ``path``: data under
     ``data/zbucket=K/gen=<g>``, state committed as manifest v1 (or the
     next version when re-laying an existing table — old generations
-    are deleted only AFTER the commit). Returns the layout spec."""
+    are deleted only AFTER the commit). ``vacuum=False`` keeps the
+    superseded snapshot's directories so it stays time-travel-readable
+    (reclaim later with :func:`vacuum_zordered`). Returns the layout
+    spec."""
     spark = df.sparkSession
     if bounds is None:
         bounds = numeric_bounds(df, a_col, b_col)
@@ -179,9 +223,10 @@ def write_zordered(df: DataFrame, path: str, a_col: str, b_col: str,
     buckets = _touched_buckets(df, spec)
     manifest = {"spec": spec, "gens": {str(k): gen for k in buckets},
                 "deltas": []}
-    fsio.write_json_version(spark, _manifest_path(path), manifest)
-    if prev is not None:
+    v = fsio.write_json_version(spark, _manifest_path(path), manifest)
+    if prev is not None and vacuum:
         _cleanup_superseded(spark, path, prev, manifest)
+        _set_min_live_version(spark, path, v)
     return spec
 
 
@@ -285,11 +330,13 @@ def _live_filter(manifest: dict, buckets: list[int] | None = None) -> Column:
 
 
 def read_zordered(spark: SparkSession, path: str,
-                  manifest: dict | None = None) -> DataFrame:
-    """Full-scan read of the live table snapshot (every live
+                  manifest: dict | None = None,
+                  version: int | None = None) -> DataFrame:
+    """Full-scan read of the table snapshot — latest by default, a
+    pinned time-travel snapshot with ``version`` (every live
     (zbucket, gen) directory; ``gen`` is internal and dropped)."""
     if manifest is None:
-        manifest = read_manifest(spark, path)
+        manifest = read_manifest(spark, path, version)
     return (spark.read.parquet(fsio._join(path, DATA_DIR))
             .where(_live_filter(manifest))
             .drop("gen"))
@@ -297,15 +344,17 @@ def read_zordered(spark: SparkSession, path: str,
 
 def read_zordered_box(spark: SparkSession, path: str,
                       a_lo: int, a_hi: int, b_lo: int, b_hi: int,
-                      manifest: dict | None = None) -> DataFrame:
+                      manifest: dict | None = None,
+                      version: int | None = None) -> DataFrame:
     """Scan a Z-ordered table under a 2-D box predicate: the coarse
     live-(zbucket, gen) list prunes PARTITION DIRECTORIES at plan
     time (PartitionFilters in explain — never listed, never read);
     the exact box filter keeps row-level semantics identical to a
     full-scan filter (results are provably equal: the bucket list is
-    a superset of every bucket the box can touch)."""
+    a superset of every bucket the box can touch). ``version`` pins
+    a time-travel snapshot."""
     if manifest is None:
-        manifest = read_manifest(spark, path)
+        manifest = read_manifest(spark, path, version)
     spec = manifest["spec"]
     buckets = zbuckets_for_box(spec, a_lo, a_hi, b_lo, b_hi)
     a, b = F.col(spec["a_col"]), F.col(spec["b_col"])
@@ -350,7 +399,8 @@ def append_zordered(df: DataFrame, path: str,
 
 def compact_zordered(spark: SparkSession, path: str,
                      files_per_bucket: int = 1,
-                     mode: str = "incremental") -> dict:
+                     mode: str = "incremental",
+                     vacuum: bool = True) -> dict:
     """Fold the outstanding delta batches back into the Z-clustered
     layout.
 
@@ -369,7 +419,10 @@ def compact_zordered(spark: SparkSession, path: str,
 
     Either way the sequence is write-new-generations → commit manifest
     (the atomic flip) → delete superseded directories; readers at any
-    instant see a complete snapshot. Single writer assumed."""
+    instant see a complete snapshot. Single writer assumed.
+    ``vacuum=False`` keeps superseded directories and manifests so
+    prior versions stay time-travel-readable until
+    :func:`vacuum_zordered`."""
     manifest = read_manifest(spark, path)
     spec = manifest["spec"]
     deltas = list(manifest.get("deltas", []))
@@ -413,9 +466,11 @@ def compact_zordered(spark: SparkSession, path: str,
         new_spec = spec
     else:
         raise ValueError(f"mode must be 'incremental' or 'full': {mode}")
-    fsio.write_json_version(spark, _manifest_path(path), new_manifest)
-    _cleanup_superseded(spark, path, manifest, new_manifest)
-    fsio.prune_versions(spark, _manifest_path(path))
+    v = fsio.write_json_version(spark, _manifest_path(path), new_manifest)
+    if vacuum:
+        _cleanup_superseded(spark, path, manifest, new_manifest)
+        _set_min_live_version(spark, path, v)
+        fsio.prune_versions(spark, _manifest_path(path))
     return new_spec
 
 
@@ -449,7 +504,8 @@ def read_zordered_box_with_delta(spark: SparkSession, path: str,
 
 
 def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
-                    files_per_bucket: int = 1) -> dict:
+                    files_per_bucket: int = 1,
+                    vacuum: bool = True) -> dict:
     """MERGE INTO the Z-clustered table: rows of ``df`` REPLACE
     same-key rows and new keys INSERT, touching only the buckets the
     upsert lands in — the lakehouse merge shape on the manifest
@@ -488,7 +544,59 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
     for k in dirtied:
         gens[str(k)] = gen
     new_manifest = {**manifest, "gens": gens}
-    fsio.write_json_version(spark, _manifest_path(path), new_manifest)
-    _cleanup_superseded(spark, path, manifest, new_manifest)
-    fsio.prune_versions(spark, _manifest_path(path))
+    v = fsio.write_json_version(spark, _manifest_path(path), new_manifest)
+    if vacuum:
+        _cleanup_superseded(spark, path, manifest, new_manifest)
+        _set_min_live_version(spark, path, v)
+        fsio.prune_versions(spark, _manifest_path(path))
     return spec
+
+
+def vacuum_zordered(spark: SparkSession, path: str,
+                    keep_versions: int = 1) -> dict:
+    """Reclaim storage from retained history: keep the newest
+    ``keep_versions`` manifest snapshots, delete every data generation
+    and delta directory no kept snapshot references, advance the
+    min-live marker (so a time-travel read of a reclaimed version
+    fails CLEANLY instead of silently returning partial rows), and
+    prune older manifest files. The Delta VACUUM analogue for the
+    ``vacuum=False`` mutation mode; with the default eager mode this
+    is a no-op beyond marker/manifest tidying. Single writer, like
+    every mutation here. Returns {"kept_versions", "deleted_gens",
+    "deleted_deltas"}."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    mdir = _manifest_path(path)
+    latest = fsio.latest_version(spark, mdir)
+    if latest == 0:
+        raise FileNotFoundError(f"no z-order manifest under {path}")
+    kept = [v for v in range(max(1, latest - keep_versions + 1),
+                             latest + 1)
+            if fsio.exists(spark, fsio._join(mdir, f"v{v:08d}.json"))]
+    manifests = [fsio.read_json(spark, fsio._join(mdir, f"v{v:08d}.json"))
+                 for v in kept]
+    live_pairs = {(k, g) for m in manifests
+                  for k, g in m.get("gens", {}).items()}
+    live_deltas = {d for m in manifests for d in m.get("deltas", [])}
+    deleted_gens = 0
+    data_root = fsio._join(path, DATA_DIR)
+    for bdir in fsio.list_names(spark, data_root):
+        if not bdir.startswith("zbucket="):
+            continue
+        k = bdir.split("=", 1)[1]
+        for gdir in fsio.list_names(spark, fsio._join(data_root, bdir)):
+            if not gdir.startswith("gen="):
+                continue
+            g = gdir.split("=", 1)[1]
+            if (k, g) not in live_pairs:
+                fsio.delete(spark, fsio._join(data_root, bdir, gdir))
+                deleted_gens += 1
+    deleted_deltas = 0
+    for d in fsio.list_names(spark, fsio._join(path, DELTA_DIR)):
+        if d not in live_deltas:
+            fsio.delete(spark, fsio._join(path, DELTA_DIR, d))
+            deleted_deltas += 1
+    _set_min_live_version(spark, path, kept[0])
+    fsio.prune_versions(spark, mdir, keep=len(kept))
+    return {"kept_versions": kept, "deleted_gens": deleted_gens,
+            "deleted_deltas": deleted_deltas}

@@ -501,3 +501,51 @@ def test_zorder_upsert_replaces_inserts_and_stays_per_bucket(spark,
     L.append_zordered(new.limit(1), path)
     with _pytest.raises(ValueError, match="compact_zordered"):
         L.upsert_zordered(upd, path, ["payload"])
+
+
+def test_zorder_time_travel_and_vacuum(spark, tmp_path):
+    """Versioned manifests as snapshots: mutations with vacuum=False
+    keep prior versions readable (pinned reads reproduce each state
+    exactly, including across an upsert and a compaction); vacuum
+    reclaims unreferenced generations and makes reclaimed versions
+    fail CLEANLY, never silently partial."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_frame(spark)
+    path = str(tmp_path / "z_tt")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    v1 = L.table_version(spark, path)
+
+    # same keys, same layout dims (the upsert contract) — the point
+    # here is the version bump, not the payload change
+    upd = base.where(F.col("payload") < 30)
+    L.upsert_zordered(upd, path, ["payload"], vacuum=False)
+    v2 = L.table_version(spark, path)
+    extra = spark.createDataFrame([(3, 3, 777_000)],
+                                  "a long, b long, payload long")
+    L.append_zordered(extra, path)
+    L.compact_zordered(spark, path, vacuum=False)
+    v4 = L.table_version(spark, path)
+    assert v1 < v2 < v4
+
+    want_v1 = sorted((r.a, r.b, r.payload) for r in base.collect())
+    got_v1 = sorted((r.a, r.b, r.payload) for r in
+                    L.read_zordered(spark, path, version=v1).collect())
+    assert got_v1 == want_v1
+    got_v4 = sorted((r.a, r.b, r.payload) for r in
+                    L.read_zordered(spark, path).collect())
+    assert got_v4 == sorted(want_v1 + [(3, 3, 777_000)])
+    # box read against the pinned snapshot excludes the later append
+    got_box_v1 = sorted(
+        (r.a, r.b, r.payload) for r in
+        L.read_zordered_box(spark, path, 0, 10, 0, 10,
+                            version=v1).collect())
+    assert (3, 3, 777_000) not in got_box_v1
+
+    stats = L.vacuum_zordered(spark, path, keep_versions=1)
+    assert stats["deleted_gens"] >= 1
+    with _pytest.raises((ValueError, FileNotFoundError)):
+        L.read_manifest(spark, path, version=v1)
+    got_after = sorted((r.a, r.b, r.payload) for r in
+                       L.read_zordered(spark, path).collect())
+    assert got_after == got_v4
