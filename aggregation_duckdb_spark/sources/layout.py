@@ -42,7 +42,12 @@ directories — a crash at any step leaves readers on a complete,
 consistent snapshot, never the "rmtree'd but not yet renamed" void of
 a directory-swap scheme. Writers are single-writer by assumption
 (concurrent appends/compactions need an external lock — the standard
-no-lock-service caveat); readers need no coordination ever.
+no-lock-service caveat); readers need no coordination ever. Because
+every commit is a manifest version, snapshots double as TIME TRAVEL:
+``read_zordered*(..., version=N)`` pins state N; mutate with
+``vacuum=False`` to retain history and reclaim it explicitly with
+:func:`vacuum_zordered` (a min-live marker makes reads of reclaimed
+versions fail cleanly rather than silently partial).
 
 Compaction cost model: :func:`compact_zordered` defaults to
 ``mode="incremental"`` — delta rows are routed to their zbuckets
