@@ -3864,3 +3864,70 @@ def q_zorder_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = L.read_zordered_box(spark, base, 15, 65, 80, 260)
     return (out.select("event_id", "user_id", "value", "event_type")
             .orderBy("event_id"))
+
+
+@register("q_zorder_timetravel", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value
+FROM events
+WHERE event_id % 3 = 0
+  AND user_id BETWEEN 10 AND 60 AND value BETWEEN 50 AND 200
+ORDER BY event_id
+""")
+def q_zorder_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot pinning (``layout.read_zordered_box(version=...)``):
+    the table is created from a third of the events (manifest v1),
+    then the rest append WITH HISTORY RETAINED (vacuum=False); the
+    query reads the v1 SNAPSHOT through the pruned box path and must
+    reproduce a plain filter over only the original slice — the later
+    append must be invisible to the pinned read. Built once per
+    (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", "user_id", "value"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-ztt",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev.where(F.col("event_id") % 3 == 0), base,
+                         "user_id", "value", bits=8, bucket_bits=4)
+        L.append_zordered(ev.where(F.col("event_id") % 3 != 0), base)
+        L.compact_zordered(spark, base, vacuum=False)
+    out = L.read_zordered_box(spark, base, 10, 60, 50, 200, version=1)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value")
+            .orderBy("event_id"))
+
+
+@register("events_rfm", """
+WITH anchor AS (SELECT MAX(epoch_us(ts)) AS a FROM events),
+p AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+             MAX(epoch_us(ts)) AS last_us,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+m AS (SELECT user_id,
+             ((SELECT a FROM anchor) - last_us) // 86400000000
+                 AS recency_days,
+             frequency, monetary
+      FROM p)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency, monetary,
+       CASE WHEN recency_days <= 7 AND frequency >= 5 THEN 'champion'
+            WHEN frequency >= 5 THEN 'loyal'
+            WHEN recency_days <= 7 THEN 'recent'
+            ELSE 'dormant' END AS segment
+FROM m ORDER BY user_id
+""")
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (``events.rfm_segments``): recency anchored
+    at the corpus max event time (reproducible, not wall-clock), one
+    narrow conversion groupBy, fixed-threshold four-way segments —
+    deliberately not quantile cut-offs, which would need the global
+    rank this module refuses."""
+    ev = load_table(spark, "events", sf_dir)
+    return E.rfm_segments(ev)

@@ -486,3 +486,50 @@ def attribution(events: DataFrame, conversion_type: str = "purchase",
                  .alias("sum_value"),
                  F.sum("__lag").cast("long").alias("sum_lag_us"))
             .orderBy("channel"))
+
+
+def rfm_segments(events: DataFrame, conversion_type: str = "purchase",
+                 recent_days: int = 7, frequent_min: int = 5,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type",
+                 value_col: str = "value") -> DataFrame:
+    """RFM segmentation: per user, Recency (whole days since their
+    last conversion, anchored at the corpus's max event time so the
+    answer is reproducible, not wall-clock-dependent), Frequency
+    (conversion count) and Monetary (decimal-summed value), plus the
+    classic four-way segment by fixed thresholds — champion (recent &
+    frequent), loyal (frequent), recent, dormant. Fixed thresholds,
+    not quantiles, deliberately: quantile cut-offs over a per-user
+    frame would need a global rank (the single-task sort this module
+    refuses) and make every user's label depend on every other user.
+
+    Scale shape: one scalar max (the anchor, folded as a literal) and
+    one map-side-combinable groupBy(user) over conversions only —
+    narrow rows, single shuffle. Integer day arithmetic; no float
+    folds besides the final decimal→double cast.
+
+    Returns (user_id, recency_days, frequency, monetary, segment)."""
+    anchor_us = events.agg(
+        F.max(F.unix_micros(F.col(ts_col)))).collect()[0][0]
+    if anchor_us is None:
+        raise ValueError("rfm_segments: no events")
+    conv = events.where(F.col(type_col) == F.lit(conversion_type))
+    per_user = (conv.groupBy(F.col(user_col).cast("long")
+                             .alias("user_id"))
+                .agg(F.max(F.unix_micros(F.col(ts_col))).alias("__last"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.sum(F.col(value_col).cast("decimal(18,3)"))
+                     .cast("double").alias("monetary")))
+    recency = F.expr(f"({anchor_us} - __last) div 86400000000")
+    recent = recency <= recent_days
+    frequent = F.col("frequency") >= frequent_min
+    segment = (F.when(recent & frequent, "champion")
+               .when(frequent, "loyal")
+               .when(recent, "recent")
+               .otherwise("dormant"))
+    return (per_user.select("user_id",
+                            recency.cast("long").alias("recency_days"),
+                            F.col("frequency").cast("long")
+                            .alias("frequency"),
+                            "monetary", segment.alias("segment"))
+            .orderBy("user_id"))

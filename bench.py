@@ -124,6 +124,8 @@ EXTENDED = [
     "sim_pq_indexed",
     "q_zorder_upsert",
     "stream_attribution",
+    "q_zorder_timetravel",
+    "events_rfm",
 ]
 
 
