@@ -227,7 +227,7 @@ def write_zordered(df: DataFrame, path: str, a_col: str, b_col: str,
     _write_clustered(df, data_root, spec, gen, files_per_bucket)
     buckets = _touched_buckets(df, spec)
     manifest = {"spec": spec, "gens": {str(k): gen for k in buckets},
-                "deltas": []}
+                "deltas": [], "stats": _bucket_stats(df, spec)}
     v = fsio.write_json_version(spark, _manifest_path(path), manifest)
     if prev is not None and vacuum:
         _cleanup_superseded(spark, path, prev, manifest)
@@ -453,7 +453,8 @@ def compact_zordered(spark: SparkSession, path: str,
         buckets = _touched_buckets(full, new_spec)
         new_manifest = {"spec": new_spec,
                         "gens": {str(k): gen for k in buckets},
-                        "deltas": []}
+                        "deltas": [],
+                        "stats": _bucket_stats(full, new_spec)}
         if "last_batch_id" in manifest:   # streaming-ingest watermark
             new_manifest["last_batch_id"] = manifest["last_batch_id"]
     elif mode == "incremental":
@@ -465,7 +466,13 @@ def compact_zordered(spark: SparkSession, path: str,
         gens = dict(manifest["gens"])
         for k in dirtied:
             gens[str(k)] = gen
-        new_manifest = {"spec": spec, "gens": gens, "deltas": []}
+        stats = dict(manifest.get("stats", {}))
+        new_stats = _bucket_stats(merged, spec)
+        for k in dirtied:           # dirtied buckets: fresh zone maps;
+            stats.pop(str(k), None)  # clean buckets keep theirs
+        stats.update(new_stats)
+        new_manifest = {"spec": spec, "gens": gens, "deltas": [],
+                        "stats": stats}
         if "last_batch_id" in manifest:   # streaming-ingest watermark
             new_manifest["last_batch_id"] = manifest["last_batch_id"]
         new_spec = spec
@@ -548,7 +555,12 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
     gens = dict(manifest["gens"])
     for k in dirtied:
         gens[str(k)] = gen
-    new_manifest = {**manifest, "gens": gens}
+    stats = dict(manifest.get("stats", {}))
+    new_stats = _bucket_stats(merged, spec)
+    for k in dirtied:
+        stats.pop(str(k), None)
+    stats.update(new_stats)
+    new_manifest = {**manifest, "gens": gens, "stats": stats}
     v = fsio.write_json_version(spark, _manifest_path(path), new_manifest)
     if vacuum:
         _cleanup_superseded(spark, path, manifest, new_manifest)
@@ -605,3 +617,83 @@ def vacuum_zordered(spark: SparkSession, path: str,
     fsio.prune_versions(spark, mdir, keep=len(kept))
     return {"kept_versions": kept, "deleted_gens": deleted_gens,
             "deleted_deltas": deleted_deltas}
+
+
+_STAT_TYPES = ("long", "integer", "short", "byte", "double", "float",
+               "date", "timestamp")
+
+
+def _bucket_stats(df: DataFrame, spec: dict) -> dict:
+    """Per-bucket zone maps: [min, max] of every stat-typed column,
+    keyed by zbucket — one map-side-combinable aggregate, at most
+    2^bucket_bits rows collected (the sanctioned model-sized class).
+    Values are JSON-serialized (dates/timestamps via isoformat) purely
+    for pruning comparisons, never read back into results."""
+    skip = {spec["a_col"], spec["b_col"], "zbucket", "gen"}
+    cols = [f.name for f in df.schema.fields
+            if f.name not in skip and f.dataType.typeName() in _STAT_TYPES]
+    if not cols:
+        return {}
+    zb, _ = _zbucket_col(spec)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c)).alias(f"mn__{c}"),
+                 F.max(F.col(c)).alias(f"mx__{c}")]
+    def ser(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+    out: dict = {}
+    for r in df.withColumn("__zb", zb).groupBy("__zb").agg(*aggs).collect():
+        out[str(r["__zb"])] = {
+            c: [ser(r[f"mn__{c}"]), ser(r[f"mx__{c}"])] for c in cols}
+    return out
+
+
+def zonemap_buckets(manifest: dict, ranges: dict) -> list[int]:
+    """The buckets a conjunctive range predicate can touch, judged by
+    the manifest's per-bucket [min, max] zone maps: a bucket is
+    SKIPPED only when some requested column's recorded range provably
+    misses the query range; buckets without stats (or columns the
+    stats don't cover) are kept — conservative, so results are always
+    exact."""
+    stats = manifest.get("stats", {})
+    keep = []
+    for k in manifest["gens"]:
+        s = stats.get(k, {})
+        ok = True
+        for c, (lo, hi) in ranges.items():
+            if c in s and s[c][0] is not None:
+                mn, mx = s[c]
+                if mx < lo or mn > hi:
+                    ok = False
+                    break
+        if ok:
+            keep.append(int(k))
+    return sorted(keep)
+
+
+def read_zordered_where(spark: SparkSession, path: str, ranges: dict,
+                        version: int | None = None) -> DataFrame:
+    """Data-skipping read on ARBITRARY stat-covered columns — the
+    zone-map generalization of the 2-D box read: every mutating
+    operation records each bucket's [min, max] per column in the
+    manifest, so a range predicate on a column that is NOT a layout
+    dimension still prunes bucket directories at plan time whenever
+    the physical clustering correlates with it (and degrades to a
+    full live scan, never a wrong answer, when it doesn't).
+    ``ranges`` maps column -> (lo, hi), all conjunctive; outstanding
+    delta batches carry no stats and are scanned with the exact
+    filter only. Results equal a plain filter over the live table."""
+    manifest = read_manifest(spark, path, version)
+    keep = zonemap_buckets(manifest, ranges)
+    out = (spark.read.parquet(fsio._join(path, DATA_DIR))
+           .where(_live_filter(manifest, keep)))
+    for c, (lo, hi) in ranges.items():
+        out = out.where((F.col(c) >= lo) & (F.col(c) <= hi))
+    out = out.drop("gen")
+    for d in manifest.get("deltas", []):
+        dd = spark.read.parquet(fsio._join(path, DELTA_DIR, d))
+        for c, (lo, hi) in ranges.items():
+            dd = dd.where((F.col(c) >= lo) & (F.col(c) <= hi))
+        out = out.drop("zbucket").unionByName(dd) \
+            if "zbucket" in out.columns else out.unionByName(dd)
+    return out

@@ -125,6 +125,7 @@ EXTENDED = [
     "q_zorder_upsert",
     "stream_attribution",
     "q_zorder_timetravel",
+    "q_zorder_zonemap",
     "events_rfm",
 ]
 

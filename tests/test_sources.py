@@ -549,3 +549,51 @@ def test_zorder_time_travel_and_vacuum(spark, tmp_path):
     got_after = sorted((r.a, r.b, r.payload) for r in
                        L.read_zordered(spark, path).collect())
     assert got_after == got_v4
+
+
+def test_zorder_zonemap_skips_correlated_column_buckets(spark, tmp_path):
+    """Zone-map data skipping on a NON-layout column: when the
+    physical clustering correlates with it (payload = 1000·a here),
+    the manifest's per-bucket [min, max] prunes buckets before any
+    listing; when it doesn't, everything is kept (conservative) and
+    results are still exact. Stats must survive per-bucket upsert
+    (dirtied refreshed, clean retained) and remain exact over
+    outstanding deltas (scanned with the filter only)."""
+    from aggregation_duckdb_spark.sources import layout as L
+    df = spark.range(0, 8000).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        ((F.col("id") % 97) * 1000 + F.col("id") % 10).alias("payload"))
+    path = str(tmp_path / "z_zm")
+    L.write_zordered(df, path, "a", "b", bits=7, bucket_bits=4)
+    m = L.read_manifest(spark, path)
+    assert m["stats"]  # zone maps recorded
+    rng = {"payload": (5_000, 9_000)}        # payload ~ a in [5, 9]
+    kept = L.zonemap_buckets(m, rng)
+    assert 0 < len(kept) < len(m["gens"]), kept   # real skipping
+    want = sorted((r.a, r.b, r.payload) for r in df.where(
+        F.col("payload").between(*rng["payload"])).collect())
+    got = sorted((r.a, r.b, r.payload) for r in
+                 L.read_zordered_where(spark, path, rng)
+                 .select("a", "b", "payload").collect())
+    assert got == want
+
+    # upsert refreshes only dirtied buckets' stats
+    up = df.where(F.col("payload") == 5_000).withColumn(
+        "payload", F.col("payload"))  # same keys/dims, version bump
+    L.upsert_zordered(up.select("a", "b", "payload"), path,
+                      ["payload"])
+    m2 = L.read_manifest(spark, path)
+    assert set(m2["stats"]) == set(m["stats"])   # coverage unchanged
+    got2 = sorted((r.a, r.b, r.payload) for r in
+                  L.read_zordered_where(spark, path, rng)
+                  .select("a", "b", "payload").collect())
+    assert got2 == want
+
+    # deltas: no stats, still exact
+    extra = spark.createDataFrame([(5, 5, 5_555)],
+                                  "a long, b long, payload long")
+    L.append_zordered(extra, path)
+    got3 = sorted((r.a, r.b, r.payload) for r in
+                  L.read_zordered_where(spark, path, rng)
+                  .select("a", "b", "payload").collect())
+    assert got3 == sorted(want + [(5, 5, 5_555)])
