@@ -52,15 +52,17 @@ def register(name: str, sql: str | None = None):
 # q_zorder_pruning, the stop-term-guarded BM25 trio including the NEW
 # text_bm25_stopterm, the fsio-sidecar dedup/IVF indexed roads, the
 # TakeOrdered topk_paths, the explicit-\\s normalize_text, the
-# empty-guarded curriculum_order) plus the 10 brand-new round-7
+# empty-guarded curriculum_order) plus the 11 brand-new round-7
 # entries (text_bm25_stopterm, stream_zorder_ingest,
 # pipeline_mixture_order, events_attribution, stream_attribution,
 # sim_pq_indexed, q_zorder_upsert, q_zorder_timetravel,
-# q_zorder_zonemap, events_rfm). sim_ivf_indexed, ref_parity_agg and
-# pipeline_curriculum_order were bumped to fit (driver rows r6/r4/r6;
-# all pass the full local sweep). After this round every entry's
-# newest driver row is round 4+; the round-4 cohort rotates next.
-# Exactly 50 names below.
+# q_zorder_zonemap, q_zorder_delete, events_rfm). sim_ivf_indexed,
+# ref_parity_agg, pipeline_curriculum_order and
+# dedup_incremental_indexed were bumped to fit (driver rows
+# r6/r4/r6/r6; all pass the full local sweep, and the two fsio-touched
+# ones are pinned by the file://-schemed lifecycle pytests). After
+# this round every entry's newest driver row is round 4+; the round-4
+# cohort rotates next. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
     # newest driver evidence = round 3 (all 34):
     "q2_min_cost_supplier", "q4_order_priority", "q6_revenue_forecast",
@@ -79,10 +81,10 @@ _DRIVER_WINDOW_FIRST = [
     "text_bm25_stopterm", "stream_zorder_ingest",
     "pipeline_mixture_order", "events_attribution",
     "stream_attribution", "sim_pq_indexed", "q_zorder_upsert",
-    "q_zorder_timetravel", "q_zorder_zonemap", "events_rfm",
+    "q_zorder_timetravel", "q_zorder_zonemap", "q_zorder_delete",
+    "events_rfm",
     "text_bm25_indexed", "text_bm25_search", "q_zorder_pruning",
     "events_topk_paths", "text_normalize",
-    "dedup_incremental_indexed",
 ]
 
 

@@ -3967,3 +3967,37 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank this module refuses."""
     ev = load_table(spark, "events", sf_dir)
     return E.rfm_segments(ev)
+
+
+@register("q_zorder_delete", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value
+FROM events
+WHERE NOT (user_id BETWEEN 30 AND 45 AND value BETWEEN 120 AND 180)
+  AND user_id BETWEEN 15 AND 65 AND value BETWEEN 80 AND 260
+ORDER BY event_id
+""")
+def q_zorder_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box DELETE on the layered table
+    (``layout.delete_zordered_box``): a (user, value) region is
+    deleted — rewriting only the planner-bounded buckets — and a wider
+    box read afterward must equal the oracle's NOT-box ∧ box filter
+    over plain parquet. Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", "user_id", "value"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zdelete",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev, base, "user_id", "value",
+                         bits=8, bucket_bits=4)
+        L.delete_zordered_box(spark, base, 30, 45, 120, 180)
+    out = L.read_zordered_box(spark, base, 15, 65, 80, 260)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value")
+            .orderBy("event_id"))

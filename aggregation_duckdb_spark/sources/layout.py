@@ -697,3 +697,57 @@ def read_zordered_where(spark: SparkSession, path: str, ranges: dict,
         out = out.drop("zbucket").unionByName(dd) \
             if "zbucket" in out.columns else out.unionByName(dd)
     return out
+
+
+def delete_zordered_box(spark: SparkSession, path: str,
+                        a_lo: int, a_hi: int, b_lo: int, b_hi: int,
+                        files_per_bucket: int = 1,
+                        vacuum: bool = True) -> dict:
+    """DELETE every row inside a 2-D layout-dimension box — the last
+    CRUD verb on the layered table, and deliberately PREDICATE-scoped
+    to the layout dims: the box planner bounds exactly which buckets
+    can hold matches, so the rewrite touches only those (a bare-key
+    delete cannot be bucket-bounded — a key says nothing about where
+    its row lives; route those through :func:`upsert_zordered` with a
+    tombstone column instead). Dirtied buckets are rewritten keeping
+    only rows OUTSIDE the box; a bucket left empty drops out of the
+    manifest entirely. Same commit discipline as every mutation here:
+    new generations → atomic manifest flip → cleanup (or retained
+    history with ``vacuum=False``). No outstanding deltas (raises —
+    compact first); single writer."""
+    manifest = read_manifest(spark, path)
+    if manifest.get("deltas"):
+        raise ValueError(
+            "delete_zordered_box: outstanding delta batches — run "
+            "compact_zordered(path) first")
+    spec = manifest["spec"]
+    candidates = [b for b in zbuckets_for_box(spec, a_lo, a_hi, b_lo, b_hi)
+                  if str(b) in manifest["gens"]]
+    if not candidates:
+        return spec
+    a, b = F.col(spec["a_col"]), F.col(spec["b_col"])
+    old = read_zordered_box_dirs(spark, path, manifest, candidates) \
+        .drop("zbucket")
+    keep = old.where(~((a >= a_lo) & (a <= a_hi)
+                       & (b >= b_lo) & (b <= b_hi)))
+    gen = _new_gen()
+    _write_clustered(keep, fsio._join(path, DATA_DIR), spec, gen,
+                     files_per_bucket)
+    survivors = set(_touched_buckets(keep, spec))
+    gens = dict(manifest["gens"])
+    stats = dict(manifest.get("stats", {}))
+    new_stats = _bucket_stats(keep, spec)
+    for k in candidates:
+        stats.pop(str(k), None)
+        if k in survivors:
+            gens[str(k)] = gen
+        else:
+            gens.pop(str(k), None)   # bucket emptied: drop it outright
+    stats.update(new_stats)
+    new_manifest = {**manifest, "gens": gens, "stats": stats}
+    v = fsio.write_json_version(spark, _manifest_path(path), new_manifest)
+    if vacuum:
+        _cleanup_superseded(spark, path, manifest, new_manifest)
+        _set_min_live_version(spark, path, v)
+        fsio.prune_versions(spark, _manifest_path(path))
+    return spec

@@ -126,6 +126,7 @@ EXTENDED = [
     "stream_attribution",
     "q_zorder_timetravel",
     "q_zorder_zonemap",
+    "q_zorder_delete",
     "events_rfm",
 ]
 

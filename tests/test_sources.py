@@ -597,3 +597,42 @@ def test_zorder_zonemap_skips_correlated_column_buckets(spark, tmp_path):
                   L.read_zordered_where(spark, path, rng)
                   .select("a", "b", "payload").collect())
     assert got3 == sorted(want + [(5, 5, 5_555)])
+
+
+def test_zorder_delete_box_per_bucket_and_empties_drop(spark, tmp_path):
+    """Box DELETE: rows inside the box vanish, only planner-bounded
+    buckets are rewritten, a fully-emptied bucket leaves the manifest,
+    and box reads stay row-exact afterward."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_frame(spark)
+    path = str(tmp_path / "z_del")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    before = L.read_manifest(spark, path)
+    box = (0, 120, 0, 80)
+    L.delete_zordered_box(spark, path, *box)
+    after = L.read_manifest(spark, path)
+    changed = {k for k in set(before["gens"]) | set(after["gens"])
+               if before["gens"].get(k) != after["gens"].get(k)}
+    assert changed and len(changed) < len(before["gens"])  # per-bucket
+    want = sorted((r.a, r.b, r.payload) for r in base.where(
+        ~((F.col("a").between(*box[:2]))
+          & (F.col("b").between(*box[2:])))).collect())
+    got = sorted((r.a, r.b, r.payload) for r in
+                 L.read_zordered(spark, path).collect())
+    assert got == want
+    # a read box overlapping the deleted region is exact too
+    got_box = sorted((r.a, r.b, r.payload) for r in
+                     L.read_zordered_box(spark, path, 0, 200, 0, 200)
+                     .collect())
+    want_box = [t for t in want if t[0] <= 200 and t[1] <= 200]
+    assert got_box == sorted(want_box)
+    # deleting EVERYTHING empties the manifest's bucket map
+    L.delete_zordered_box(spark, path, -10_000, 10_000, -10_000, 10_000)
+    assert L.read_manifest(spark, path)["gens"] == {}
+    # deltas are refused
+    L2 = str(tmp_path / "z_del2")
+    L.write_zordered(base, L2, "a", "b", bits=7, bucket_bits=4)
+    L.append_zordered(base.limit(1), L2)
+    with _pytest.raises(ValueError, match="compact_zordered"):
+        L.delete_zordered_box(spark, L2, 0, 1, 0, 1)
