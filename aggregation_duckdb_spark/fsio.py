@@ -57,9 +57,23 @@ def _fs(spark, path: str):
 
 
 def _local_path(path: str) -> str:
-    """Local fallback: accept bare and file:-scheme paths only."""
+    """Local fallback: accept bare and file:-scheme paths only.
+
+    ``file://`` URIs may carry an authority component
+    (``file://localhost/x``); only the empty and ``localhost``
+    authorities are local — anything else (``file://nas01/x``) names a
+    remote host this fallback cannot reach, so it raises instead of
+    silently treating ``nas01/x`` as a relative path."""
     if path.startswith("file://"):
-        return path[len("file://"):] or "/"
+        rest = path[len("file://"):]
+        if rest and not rest.startswith("/"):
+            authority, sep, tail = rest.partition("/")
+            if authority not in ("", "localhost"):
+                raise NotImplementedError(
+                    f"no JVM gateway (Spark Connect) and non-local "
+                    f"file:// authority {authority!r}: {path}")
+            rest = "/" + tail
+        return rest or "/"
     if path.startswith("file:"):
         return path[len("file:"):]
     if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
@@ -87,7 +101,9 @@ def write_bytes(spark, path: str, data: bytes) -> None:
     mutable metadata goes through :func:`write_json_version` instead."""
     if _gateway(spark) is None:
         local = _local_path(path)
-        os.makedirs(os.path.dirname(local), exist_ok=True)
+        parent = os.path.dirname(local)
+        if parent:  # a bare filename has no parent to create
+            os.makedirs(parent, exist_ok=True)
         with open(local, "wb") as f:
             f.write(data)
         return
@@ -148,12 +164,22 @@ def delete(spark, path: str) -> None:
 
 
 def rename(spark, src: str, dst: str) -> bool:
+    """Rename that FAILS (returns False) when ``dst`` already exists —
+    the HDFS ``FileSystem.rename`` contract :func:`write_json_version`
+    relies on to detect two committers racing for the same version
+    name. The local fallback must match: bare ``os.rename`` silently
+    REPLACES an existing destination on POSIX (both racers would
+    "succeed" and a manifest version would be lost), so it links the
+    source to the destination first — ``os.link`` is atomic and raises
+    ``FileExistsError`` if the destination exists — then unlinks the
+    source."""
     if _gateway(spark) is None:
         try:
-            os.rename(_local_path(src), _local_path(dst))
-            return True
+            os.link(_local_path(src), _local_path(dst))
         except OSError:
             return False
+        os.unlink(_local_path(src))
+        return True
     fs, jsrc, jvm = _fs(spark, src)
     return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
 

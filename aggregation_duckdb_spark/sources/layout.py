@@ -69,6 +69,7 @@ file counts sane.
 
 from __future__ import annotations
 
+import json
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -90,21 +91,32 @@ def bin_col(c: Column, lo: int, hi: int, bits: int) -> Column:
                       F.least(F.lit(n - 1).cast("long"), binned))
 
 
-def interleave(a_bin: Column, b_bin: Column, bits: int) -> Column:
-    """Morton value: bit i of ``a_bin`` lands at position 2i, bit i of
-    ``b_bin`` at 2i+1. Constants are Python ints, so the whole thing
-    is a flat integer expression (no shift-by-column needed)."""
+def interleave_nd(bins: list[Column], bits: int) -> Column:
+    """k-dimensional Morton value, round-robin interleave: bit i of
+    dimension d lands at global position ``i*k + d`` (so for k=2 this
+    is exactly the classic 2-D interleave — a at 2i, b at 2i+1).
+    Constants are Python ints, so the whole thing is a flat integer
+    expression inside whole-stage codegen (no shift-by-column
+    needed)."""
+    k = len(bins)
+    if k * bits > 62:
+        raise ValueError(
+            f"z value would overflow a long: {k} dims x {bits} bits")
     z = F.lit(0).cast("long")
     for i in range(bits):
         p = 1 << i
-        # bit i of x = (x div p) % 2; the subtraction keeps the
-        # double-typed `/` exact (numerator exactly divisible)
-        a_i = (((a_bin - (a_bin % F.lit(p))) / F.lit(p)).cast("long")
-               % F.lit(2))
-        b_i = (((b_bin - (b_bin % F.lit(p))) / F.lit(p)).cast("long")
-               % F.lit(2))
-        z = z + a_i * F.lit(1 << (2 * i)) + b_i * F.lit(1 << (2 * i + 1))
+        for d, b in enumerate(bins):
+            # bit i of x = (x div p) % 2; the subtraction keeps the
+            # double-typed `/` exact (numerator exactly divisible)
+            bit = (((b - (b % F.lit(p))) / F.lit(p)).cast("long")
+                   % F.lit(2))
+            z = z + bit * F.lit(1 << (i * k + d))
     return z.cast("long")
+
+
+def interleave(a_bin: Column, b_bin: Column, bits: int) -> Column:
+    """2-D Morton value — the k=2 case of :func:`interleave_nd`."""
+    return interleave_nd([a_bin, b_bin], bits)
 
 
 def zvalue(a: Column, b: Column, a_range: tuple[int, int],
@@ -114,21 +126,57 @@ def zvalue(a: Column, b: Column, a_range: tuple[int, int],
                       bin_col(b, *b_range, bits), bits)
 
 
+def numeric_bounds_nd(df: DataFrame, cols: list[str]) -> list[list]:
+    """Exact integer min/max of every layout dimension — one scalar
+    aggregate (2k values collected: the sanctioned model-sized class).
+    Returns ``[[col, lo, hi], ...]`` in ``cols`` order."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("long")).alias(f"lo__{c}"),
+                 F.max(F.col(c).cast("long")).alias(f"hi__{c}")]
+    r = df.agg(*aggs).collect()[0]
+    return [[c, r[f"lo__{c}"], r[f"hi__{c}"]] for c in cols]
+
+
 def numeric_bounds(df: DataFrame, a_col: str, b_col: str) -> dict:
-    """Exact integer min/max of both layout dimensions — one scalar
-    aggregate (4 values collected: the sanctioned model-sized class)."""
-    r = df.agg(F.min(F.col(a_col).cast("long")).alias("a_lo"),
-               F.max(F.col(a_col).cast("long")).alias("a_hi"),
-               F.min(F.col(b_col).cast("long")).alias("b_lo"),
-               F.max(F.col(b_col).cast("long")).alias("b_hi")).collect()[0]
-    return {"a_lo": r.a_lo, "a_hi": r.a_hi, "b_lo": r.b_lo, "b_hi": r.b_hi}
+    """2-D bounds in the legacy spec-key shape."""
+    (_, a_lo, a_hi), (_, b_lo, b_hi) = numeric_bounds_nd(
+        df, [a_col, b_col])
+    return {"a_lo": a_lo, "a_hi": a_hi, "b_lo": b_lo, "b_hi": b_hi}
+
+
+def _spec_dims(spec: dict) -> list[tuple[str, int, int]]:
+    """Normalize a layout spec to ``[(col, lo, hi), ...]``: N-D specs
+    carry a ``dims`` list; 2-D specs keep the original flat keys (so
+    every manifest written before the N-D generalization still
+    reads)."""
+    if "dims" in spec:
+        return [tuple(d) for d in spec["dims"]]
+    # planning-only specs (bounds without column names) default the
+    # names — the planner uses them purely as range-dict keys
+    return [(spec.get("a_col", "a"), spec["a_lo"], spec["a_hi"]),
+            (spec.get("b_col", "b"), spec["b_lo"], spec["b_hi"])]
+
+
+def _respec_bounds(spec: dict, df: DataFrame) -> dict:
+    """The same spec shape with bounds recomputed over ``df`` (full
+    compaction's re-bin step)."""
+    dims = _spec_dims(spec)
+    fresh = numeric_bounds_nd(df, [c for c, _, _ in dims])
+    base = {"bits": spec["bits"], "bucket_bits": spec["bucket_bits"]}
+    if "dims" in spec:
+        return {"dims": fresh, **base}
+    (a_col, a_lo, a_hi), (b_col, b_lo, b_hi) = fresh
+    return {"a_col": a_col, "b_col": b_col, "a_lo": a_lo, "a_hi": a_hi,
+            "b_lo": b_lo, "b_hi": b_hi, **base}
 
 
 def _zbucket_col(spec: dict) -> Column:
-    z = zvalue(F.col(spec["a_col"]), F.col(spec["b_col"]),
-               (spec["a_lo"], spec["a_hi"]),
-               (spec["b_lo"], spec["b_hi"]), spec["bits"])
-    shift = 1 << (2 * spec["bits"] - spec["bucket_bits"])
+    dims = _spec_dims(spec)
+    k = len(dims)
+    bins = [bin_col(F.col(c), lo, hi, spec["bits"]) for c, lo, hi in dims]
+    z = interleave_nd(bins, spec["bits"])
+    shift = 1 << (k * spec["bits"] - spec["bucket_bits"])
     return ((z - (z % F.lit(shift))) / F.lit(shift)).cast("long"), z
 
 
@@ -160,6 +208,13 @@ def _min_live_version(spark: SparkSession, path: str) -> int:
 
 def _set_min_live_version(spark: SparkSession, path: str,
                           version: int) -> None:
+    """Advance the min-live marker — MONOTONIC by construction: an
+    eager (vacuum=True) mutation may already have moved it past the
+    version a later ``vacuum_zordered(keep_versions>1)`` computes, and
+    lowering it would let a time-travel read of an already-reclaimed
+    snapshot pass the guard and silently return partial rows — the
+    exact failure the marker exists to prevent."""
+    version = max(version, _min_live_version(spark, path))
     fsio.write_text(spark, fsio._join(_manifest_path(path),
                                       MIN_LIVE_MARKER), str(version))
 
@@ -167,6 +222,38 @@ def _set_min_live_version(spark: SparkSession, path: str,
 def table_version(spark: SparkSession, path: str) -> int:
     """The table's current (latest committed) manifest version."""
     return fsio.latest_version(spark, _manifest_path(path))
+
+
+# Committed manifest versions are IMMUTABLE (write-temp-then-rename;
+# version numbers only ever grow under this module's API), so their
+# text can be cached for the session keyed by (manifest_dir, version)
+# — repeat reads of the same table stop re-fetching and re-listing
+# small JSON files through the Hadoop FS round-trip on every query
+# (the dominant cost of a cold read is those py4j/FS hops, not the
+# bytes). Only the TEXT is cached; each call parses its own dict, so
+# callers stay free to mutate what they get back. Discovery of the
+# LATEST version still lists the directory every time — that is what
+# makes concurrent committers visible. Out-of-band deletion of a
+# table directory and re-creation at the same path within one session
+# is outside the API's single-writer contract (same caveat as vacuum).
+_MANIFEST_TEXT_CACHE: dict[tuple[str, int], str] = {}
+_MANIFEST_CACHE_MAX = 512
+
+
+def _read_manifest_version(spark: SparkSession, path: str,
+                           version: int) -> dict | None:
+    mdir = _manifest_path(path)
+    key = (mdir, version)
+    text = _MANIFEST_TEXT_CACHE.get(key)
+    if text is None:
+        name = fsio._join(mdir, f"v{version:08d}.json")
+        if not fsio.exists(spark, name):
+            return None
+        text = fsio.read_text(spark, name)
+        if len(_MANIFEST_TEXT_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_TEXT_CACHE.clear()
+        _MANIFEST_TEXT_CACHE[key] = text
+    return json.loads(text)
 
 
 def read_manifest(spark: SparkSession, path: str,
@@ -177,9 +264,11 @@ def read_manifest(spark: SparkSession, path: str,
     long as their data generations haven't been vacuumed — run the
     mutating ops with ``vacuum=False`` and reclaim space explicitly
     with :func:`vacuum_zordered` to retain history)."""
-    mdir = _manifest_path(path)
     if version is None:
-        m = fsio.read_json_latest(spark, mdir)
+        version = table_version(spark, path)
+        if version == 0:
+            raise FileNotFoundError(f"no z-order manifest under {path}")
+        m = _read_manifest_version(spark, path, version)
         if m is None:
             raise FileNotFoundError(f"no z-order manifest under {path}")
         return m
@@ -187,14 +276,14 @@ def read_manifest(spark: SparkSession, path: str,
         raise ValueError(
             f"snapshot v{version} of {path} was vacuumed (oldest live: "
             f"v{_min_live_version(spark, path)})")
-    name = fsio._join(mdir, f"v{version:08d}.json")
-    if not fsio.exists(spark, name):
+    m = _read_manifest_version(spark, path, version)
+    if m is None:
         raise FileNotFoundError(f"no manifest version {version} at {path}")
-    return fsio.read_json(spark, name)
+    return m
 
 
 def table_exists(spark: SparkSession, path: str) -> bool:
-    return fsio.read_json_latest(spark, _manifest_path(path)) is not None
+    return table_version(spark, path) > 0
 
 
 def read_spec(spark_or_path, path: str | None = None) -> dict:
@@ -216,18 +305,46 @@ def write_zordered(df: DataFrame, path: str, a_col: str, b_col: str,
     superseded snapshot's directories so it stays time-travel-readable
     (reclaim later with :func:`vacuum_zordered`). Returns the layout
     spec."""
-    spark = df.sparkSession
     if bounds is None:
         bounds = numeric_bounds(df, a_col, b_col)
     spec = {"a_col": a_col, "b_col": b_col, "bits": bits,
             "bucket_bits": bucket_bits, **bounds}
-    prev = fsio.read_json_latest(spark, _manifest_path(path))
+    return _write_table(df, path, spec, files_per_bucket, vacuum)
+
+
+def write_zordered_nd(df: DataFrame, path: str, cols: list[str],
+                      bits: int = 8, bucket_bits: int = 4,
+                      bounds: list[list] | None = None,
+                      files_per_bucket: int = 1,
+                      vacuum: bool = True) -> dict:
+    """:func:`write_zordered` for k layout dimensions (user x time x
+    tenant is routine at 100 TB): the Z value round-robin-interleaves
+    the bits of every column in ``cols``, so a k-D box predicate maps
+    to a small coarse-bucket set exactly as in 2-D (read back with
+    :func:`read_zordered_box_nd`). ``k * bits`` must stay under 63 (a
+    long); planning enumerates 2^bucket_bits candidates as before. The
+    spec is stored as a ``dims`` list — every other verb (append /
+    compact / upsert / vacuum / zone-map reads) works on both shapes
+    through the same normalization."""
+    if bounds is None:
+        bounds = numeric_bounds_nd(df, cols)
+    spec = {"dims": [list(d) for d in bounds], "bits": bits,
+            "bucket_bits": bucket_bits}
+    return _write_table(df, path, spec, files_per_bucket, vacuum)
+
+
+def _write_table(df: DataFrame, path: str, spec: dict,
+                 files_per_bucket: int, vacuum: bool) -> dict:
+    spark = df.sparkSession
+    prev_v = table_version(spark, path)
+    prev = _read_manifest_version(spark, path, prev_v) if prev_v else None
     gen = _new_gen()
     data_root = fsio._join(path, DATA_DIR)
     _write_clustered(df, data_root, spec, gen, files_per_bucket)
-    buckets = _touched_buckets(df, spec)
+    written = _written_generation(spark, path, gen)
+    buckets = _written_buckets(written)
     manifest = {"spec": spec, "gens": {str(k): gen for k in buckets},
-                "deltas": [], "stats": _bucket_stats(df, spec)}
+                "deltas": [], "stats": _bucket_stats(written, spec)}
     v = fsio.write_json_version(spark, _manifest_path(path), manifest)
     if prev is not None and vacuum:
         _cleanup_superseded(spark, path, prev, manifest)
@@ -238,7 +355,8 @@ def write_zordered(df: DataFrame, path: str, a_col: str, b_col: str,
 def _write_clustered(df: DataFrame, data_root: str, spec: dict,
                      gen: str, files_per_bucket: int) -> None:
     zb, z = _zbucket_col(spec)
-    shift = 1 << (2 * spec["bits"] - spec["bucket_bits"])
+    shift = 1 << (len(_spec_dims(spec)) * spec["bits"]
+                  - spec["bucket_bits"])
     salt_shift = max(shift // max(files_per_bucket, 1), 1)
     salt = ((z - (z % F.lit(salt_shift))) / F.lit(salt_shift)).cast("long")
     (df.withColumn("__z", z).withColumn("zbucket", zb)
@@ -268,51 +386,67 @@ def _cleanup_superseded(spark: SparkSession, path: str, old: dict,
             fsio.delete(spark, fsio._join(path, DELTA_DIR, d))
 
 
-def _deinterleave(bucket: int, k_a: int, k_b: int) -> tuple[int, int]:
-    """Split a bucket id back into its (a, b) high-bit prefixes. The
-    bucket is the TOP bucket_bits of the Z value; z bit 2i belongs to
-    a, 2i+1 to b, so within the bucket the parity of the global bit
-    position decides the dimension."""
-    a = b = 0
-    # bucket bits, MSB first, map to global z bits [2*bits-1 .. 2*bits-k]
-    k = k_a + k_b
-    for j in range(k):
-        bit = (bucket >> (k - 1 - j)) & 1
-        if j % 2 == 0:  # highest remaining z bit is the b dimension (2i+1)
-            b = (b << 1) | bit
-        else:
-            a = (a << 1) | bit
-    return a, b
+def _to_bin(v: int, lo: int, hi: int, bits: int) -> int:
+    """Query value -> bin, same arithmetic as :func:`bin_col` (floor
+    division), clamped like the data is."""
+    n = 1 << bits
+    span = hi - lo + 1
+    return max(0, min(n - 1, ((v - lo) * n) // span))
+
+
+def _deinterleave_nd(bucket: int, kb: int, k: int,
+                     bits: int) -> tuple[list[int], list[int]]:
+    """Split a bucket id back into per-dimension high-bit prefixes.
+    The bucket is the TOP ``kb`` bits of the Z value; global z bit
+    position p belongs to dimension ``p % k`` (round-robin interleave),
+    so walking the bucket bits MSB-first assigns each to its dimension.
+    Returns (prefixes, prefix bit-lengths), both length k."""
+    pre = [0] * k
+    kd = [0] * k
+    for j in range(kb):
+        pos = k * bits - 1 - j
+        d = pos % k
+        pre[d] = (pre[d] << 1) | ((bucket >> (kb - 1 - j)) & 1)
+        kd[d] += 1
+    return pre, kd
+
+
+def zbuckets_for_ranges(spec: dict,
+                        ranges: dict[str, tuple[int, int]]) -> list[int]:
+    """Every coarse Z bucket whose k-D cell intersects the query box —
+    pure Python over 2^bucket_bits candidates (the planning-time half
+    of the index; bucket_bits is small by design, so this is a bounded
+    driver-side loop, not a data scan). ``ranges`` maps layout
+    dimension -> (lo, hi); unmentioned dimensions are unconstrained."""
+    dims = _spec_dims(spec)
+    bits, kb, k = spec["bits"], spec["bucket_bits"], len(dims)
+    q = []
+    for c, lo, hi in dims:
+        qlo, qhi = ranges.get(c, (lo, hi))
+        q.append((_to_bin(qlo, lo, hi, bits), _to_bin(qhi, lo, hi, bits)))
+    out = []
+    for bucket in range(1 << kb):
+        pre, kd = _deinterleave_nd(bucket, kb, k, bits)
+        ok = True
+        for d in range(k):
+            # the cell spans full low bits below the prefix
+            cell_lo = pre[d] << (bits - kd[d])
+            cell_hi = ((pre[d] + 1) << (bits - kd[d])) - 1
+            if cell_hi < q[d][0] or cell_lo > q[d][1]:
+                ok = False
+                break
+        if ok:
+            out.append(bucket)
+    return out
 
 
 def zbuckets_for_box(spec: dict, a_lo: int, a_hi: int,
                      b_lo: int, b_hi: int) -> list[int]:
-    """Every coarse Z bucket whose 2-D cell intersects the query box —
-    pure Python over 2^bucket_bits candidates (the planning-time half
-    of the index; bucket_bits is small by design, so this is a bounded
-    driver-side loop, not a data scan)."""
-    bits, kb = spec["bits"], spec["bucket_bits"]
-    k_b = (kb + 1) // 2    # b owns the higher z bit of each pair, so it
-    k_a = kb - k_b         # gets the extra bit when bucket_bits is odd
-    # query box -> bin ranges (same arithmetic as bin_col, floor div)
-    def to_bin(v: int, lo: int, hi: int) -> int:
-        n = 1 << bits
-        span = hi - lo + 1
-        return max(0, min(n - 1, ((v - lo) * n) // span))
-    qa = (to_bin(a_lo, spec["a_lo"], spec["a_hi"]),
-          to_bin(a_hi, spec["a_lo"], spec["a_hi"]))
-    qb = (to_bin(b_lo, spec["b_lo"], spec["b_hi"]),
-          to_bin(b_hi, spec["b_lo"], spec["b_hi"]))
-    out = []
-    for bucket in range(1 << kb):
-        a_pre, b_pre = _deinterleave(bucket, k_a, k_b)
-        # the cell spans full low bits below each prefix
-        a_cell = (a_pre << (bits - k_a), ((a_pre + 1) << (bits - k_a)) - 1)
-        b_cell = (b_pre << (bits - k_b), ((b_pre + 1) << (bits - k_b)) - 1)
-        if a_cell[0] <= qa[1] and qa[0] <= a_cell[1] \
-                and b_cell[0] <= qb[1] and qb[0] <= b_cell[1]:
-            out.append(bucket)
-    return out
+    """2-D box planning — the k=2 case of :func:`zbuckets_for_ranges`
+    (the box binds the spec's first two dimensions)."""
+    dims = _spec_dims(spec)
+    return zbuckets_for_ranges(spec, {dims[0][0]: (a_lo, a_hi),
+                                      dims[1][0]: (b_lo, b_hi)})
 
 
 def _live_filter(manifest: dict, buckets: list[int] | None = None) -> Column:
@@ -360,13 +494,30 @@ def read_zordered_box(spark: SparkSession, path: str,
     a time-travel snapshot."""
     if manifest is None:
         manifest = read_manifest(spark, path, version)
-    spec = manifest["spec"]
-    buckets = zbuckets_for_box(spec, a_lo, a_hi, b_lo, b_hi)
-    a, b = F.col(spec["a_col"]), F.col(spec["b_col"])
-    return (spark.read.parquet(fsio._join(path, DATA_DIR))
-            .where(_live_filter(manifest, buckets))
-            .where((a >= a_lo) & (a <= a_hi) & (b >= b_lo) & (b <= b_hi))
-            .drop("gen"))
+    dims = _spec_dims(manifest["spec"])
+    return read_zordered_box_nd(
+        spark, path, {dims[0][0]: (a_lo, a_hi), dims[1][0]: (b_lo, b_hi)},
+        manifest=manifest)
+
+
+def read_zordered_box_nd(spark: SparkSession, path: str,
+                         ranges: dict[str, tuple[int, int]],
+                         manifest: dict | None = None,
+                         version: int | None = None) -> DataFrame:
+    """k-D box read: like :func:`read_zordered_box` but binding any
+    subset of the layout dimensions — the coarse live-(zbucket, gen)
+    list prunes partition directories at plan time, the exact range
+    filters keep row-level semantics identical to a full-scan filter
+    (the bucket list is a superset of every bucket the box can
+    touch)."""
+    if manifest is None:
+        manifest = read_manifest(spark, path, version)
+    buckets = zbuckets_for_ranges(manifest["spec"], ranges)
+    out = (spark.read.parquet(fsio._join(path, DATA_DIR))
+           .where(_live_filter(manifest, buckets)))
+    for c, (lo, hi) in ranges.items():
+        out = out.where((F.col(c) >= lo) & (F.col(c) <= hi))
+    return out.drop("gen")
 
 
 def append_zordered(df: DataFrame, path: str,
@@ -445,16 +596,14 @@ def compact_zordered(spark: SparkSession, path: str,
         full = read_zordered(spark, path, manifest).drop("zbucket")
         if delta is not None:
             full = full.unionByName(delta)
-        new_spec = {"a_col": spec["a_col"], "b_col": spec["b_col"],
-                    "bits": spec["bits"],
-                    "bucket_bits": spec["bucket_bits"],
-                    **numeric_bounds(full, spec["a_col"], spec["b_col"])}
+        new_spec = _respec_bounds(spec, full)
         _write_clustered(full, data_root, new_spec, gen, files_per_bucket)
-        buckets = _touched_buckets(full, new_spec)
+        written = _written_generation(spark, path, gen)
         new_manifest = {"spec": new_spec,
-                        "gens": {str(k): gen for k in buckets},
+                        "gens": {str(k): gen
+                                 for k in _written_buckets(written)},
                         "deltas": [],
-                        "stats": _bucket_stats(full, new_spec)}
+                        "stats": _bucket_stats(written, new_spec)}
         if "last_batch_id" in manifest:   # streaming-ingest watermark
             new_manifest["last_batch_id"] = manifest["last_batch_id"]
     elif mode == "incremental":
@@ -463,14 +612,17 @@ def compact_zordered(spark: SparkSession, path: str,
             .drop("zbucket")
         merged = old.unionByName(delta)
         _write_clustered(merged, data_root, spec, gen, files_per_bucket)
+        written = _written_generation(spark, path, gen)
+        survivors = set(_written_buckets(written))
         gens = dict(manifest["gens"])
-        for k in dirtied:
-            gens[str(k)] = gen
         stats = dict(manifest.get("stats", {}))
-        new_stats = _bucket_stats(merged, spec)
         for k in dirtied:           # dirtied buckets: fresh zone maps;
             stats.pop(str(k), None)  # clean buckets keep theirs
-        stats.update(new_stats)
+            if k in survivors:
+                gens[str(k)] = gen
+            else:
+                gens.pop(str(k), None)
+        stats.update(_bucket_stats(written, spec))
         new_manifest = {"spec": spec, "gens": gens, "deltas": [],
                         "stats": stats}
         if "last_batch_id" in manifest:   # streaming-ingest watermark
@@ -503,10 +655,10 @@ def read_zordered_box_with_delta(spark: SparkSession, path: str,
     the box alone (they are small between compactions — that is the
     contract). Results equal a full-scan filter over main ∪ delta."""
     manifest = read_manifest(spark, path)
-    spec = manifest["spec"]
+    dims = _spec_dims(manifest["spec"])
     out = read_zordered_box(spark, path, a_lo, a_hi, b_lo, b_hi, manifest)
     out = out.drop("zbucket")
-    a, b = F.col(spec["a_col"]), F.col(spec["b_col"])
+    a, b = F.col(dims[0][0]), F.col(dims[1][0])
     for d in manifest.get("deltas", []):
         dd = (spark.read.parquet(fsio._join(path, DELTA_DIR, d))
               .where((a >= a_lo) & (a <= a_hi)
@@ -552,14 +704,17 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
     gen = _new_gen()
     _write_clustered(merged, fsio._join(path, DATA_DIR), spec, gen,
                      files_per_bucket)
+    written = _written_generation(spark, path, gen)
+    survivors = set(_written_buckets(written))
     gens = dict(manifest["gens"])
-    for k in dirtied:
-        gens[str(k)] = gen
     stats = dict(manifest.get("stats", {}))
-    new_stats = _bucket_stats(merged, spec)
     for k in dirtied:
         stats.pop(str(k), None)
-    stats.update(new_stats)
+        if k in survivors:
+            gens[str(k)] = gen
+        else:
+            gens.pop(str(k), None)
+    stats.update(_bucket_stats(written, spec))
     new_manifest = {**manifest, "gens": gens, "stats": stats}
     v = fsio.write_json_version(spark, _manifest_path(path), new_manifest)
     if vacuum:
@@ -590,8 +745,7 @@ def vacuum_zordered(spark: SparkSession, path: str,
     kept = [v for v in range(max(1, latest - keep_versions + 1),
                              latest + 1)
             if fsio.exists(spark, fsio._join(mdir, f"v{v:08d}.json"))]
-    manifests = [fsio.read_json(spark, fsio._join(mdir, f"v{v:08d}.json"))
-                 for v in kept]
+    manifests = [_read_manifest_version(spark, path, v) for v in kept]
     live_pairs = {(k, g) for m in manifests
                   for k, g in m.get("gens", {}).items()}
     live_deltas = {d for m in manifests for d in m.get("deltas", [])}
@@ -623,28 +777,68 @@ _STAT_TYPES = ("long", "integer", "short", "byte", "double", "float",
                "date", "timestamp")
 
 
-def _bucket_stats(df: DataFrame, spec: dict) -> dict:
+def _ser_stat(v):
+    """JSON-safe zone-map value: dates/timestamps as isoformat strings
+    (which order lexicographically like the values they encode)."""
+    return v.isoformat() if hasattr(v, "isoformat") else v
+
+
+def _written_generation(spark: SparkSession, path: str,
+                        gen: str) -> DataFrame | None:
+    """The rows of the just-written generation, read BACK FROM DISK.
+    Manifest metadata (live buckets, zone-map stats) is always derived
+    from this read-back, never by re-executing the input frame: a
+    nondeterministic input (sampling, a rerun-able shuffle) could
+    produce different rows on a second pass, silently disagreeing with
+    the bytes actually written — and the read-back is also cheaper
+    (one columnar scan of the NEW generation only, partition-pruned by
+    ``gen``, vs two extra executions of an arbitrary plan). Returns
+    None when nothing was written (an empty frame writes no partition
+    directories)."""
+    try:
+        df = spark.read.parquet(fsio._join(path, DATA_DIR))
+    except Exception:
+        return None  # data/ does not exist yet: empty first write
+    if "gen" not in df.columns:
+        return None
+    return df.where(F.col("gen") == gen)
+
+
+def _written_buckets(written: DataFrame | None) -> list[int]:
+    if written is None:
+        return []
+    return sorted(r[0] for r in
+                  written.select("zbucket").distinct().collect())
+
+
+def _bucket_stats(df: DataFrame | None, spec: dict) -> dict:
     """Per-bucket zone maps: [min, max] of every stat-typed column,
     keyed by zbucket — one map-side-combinable aggregate, at most
     2^bucket_bits rows collected (the sanctioned model-sized class).
     Values are JSON-serialized (dates/timestamps via isoformat) purely
-    for pruning comparisons, never read back into results."""
-    skip = {spec["a_col"], spec["b_col"], "zbucket", "gen"}
+    for pruning comparisons, never read back into results. ``df`` is
+    the read-back of a just-written generation (zbucket present as a
+    partition column); computed z-buckets are only a fallback for
+    frames not yet written."""
+    if df is None:
+        return {}
+    skip = {c for c, _, _ in _spec_dims(spec)} | {"zbucket", "gen"}
     cols = [f.name for f in df.schema.fields
             if f.name not in skip and f.dataType.typeName() in _STAT_TYPES]
     if not cols:
         return {}
-    zb, _ = _zbucket_col(spec)
+    zb = F.col("zbucket") if "zbucket" in df.columns \
+        else _zbucket_col(spec)[0]
     aggs = []
     for c in cols:
         aggs += [F.min(F.col(c)).alias(f"mn__{c}"),
                  F.max(F.col(c)).alias(f"mx__{c}")]
-    def ser(v):
-        return v.isoformat() if hasattr(v, "isoformat") else v
     out: dict = {}
-    for r in df.withColumn("__zb", zb).groupBy("__zb").agg(*aggs).collect():
+    for r in (df.withColumn("__zb", zb)
+                .groupBy("__zb").agg(*aggs).collect()):
         out[str(r["__zb"])] = {
-            c: [ser(r[f"mn__{c}"]), ser(r[f"mx__{c}"])] for c in cols}
+            c: [_ser_stat(r[f"mn__{c}"]), _ser_stat(r[f"mx__{c}"])]
+            for c in cols}
     return out
 
 
@@ -661,6 +855,11 @@ def zonemap_buckets(manifest: dict, ranges: dict) -> list[int]:
         s = stats.get(k, {})
         ok = True
         for c, (lo, hi) in ranges.items():
+            # stats store dates/timestamps as isoformat STRINGS (JSON
+            # manifest); serialize the query bounds the same way so the
+            # comparison is string-vs-string (isoformat orders like the
+            # values), never str-vs-date TypeError
+            lo, hi = _ser_stat(lo), _ser_stat(hi)
             if c in s and s[c][0] is not None:
                 mn, mx = s[c]
                 if mx < lo or mn > hi:
@@ -689,13 +888,14 @@ def read_zordered_where(spark: SparkSession, path: str, ranges: dict,
            .where(_live_filter(manifest, keep)))
     for c, (lo, hi) in ranges.items():
         out = out.where((F.col(c) >= lo) & (F.col(c) <= hi))
-    out = out.drop("gen")
+    # internal layout columns never escape, with or without deltas
+    # outstanding — same call, same schema, regardless of table state
+    out = out.drop("gen", "zbucket")
     for d in manifest.get("deltas", []):
         dd = spark.read.parquet(fsio._join(path, DELTA_DIR, d))
         for c, (lo, hi) in ranges.items():
             dd = dd.where((F.col(c) >= lo) & (F.col(c) <= hi))
-        out = out.drop("zbucket").unionByName(dd) \
-            if "zbucket" in out.columns else out.unionByName(dd)
+        out = out.unionByName(dd)
     return out
 
 
@@ -725,7 +925,8 @@ def delete_zordered_box(spark: SparkSession, path: str,
                   if str(b) in manifest["gens"]]
     if not candidates:
         return spec
-    a, b = F.col(spec["a_col"]), F.col(spec["b_col"])
+    dims = _spec_dims(spec)
+    a, b = F.col(dims[0][0]), F.col(dims[1][0])
     old = read_zordered_box_dirs(spark, path, manifest, candidates) \
         .drop("zbucket")
     keep = old.where(~((a >= a_lo) & (a <= a_hi)
@@ -733,17 +934,17 @@ def delete_zordered_box(spark: SparkSession, path: str,
     gen = _new_gen()
     _write_clustered(keep, fsio._join(path, DATA_DIR), spec, gen,
                      files_per_bucket)
-    survivors = set(_touched_buckets(keep, spec))
+    written = _written_generation(spark, path, gen)
+    survivors = set(_written_buckets(written))
     gens = dict(manifest["gens"])
     stats = dict(manifest.get("stats", {}))
-    new_stats = _bucket_stats(keep, spec)
     for k in candidates:
         stats.pop(str(k), None)
         if k in survivors:
             gens[str(k)] = gen
         else:
             gens.pop(str(k), None)   # bucket emptied: drop it outright
-    stats.update(new_stats)
+    stats.update(_bucket_stats(written, spec))
     new_manifest = {**manifest, "gens": gens, "stats": stats}
     v = fsio.write_json_version(spark, _manifest_path(path), new_manifest)
     if vacuum:

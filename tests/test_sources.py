@@ -636,3 +636,215 @@ def test_zorder_delete_box_per_bucket_and_empties_drop(spark, tmp_path):
     L.append_zordered(base.limit(1), L2)
     with _pytest.raises(ValueError, match="compact_zordered"):
         L.delete_zordered_box(spark, L2, 0, 1, 0, 1)
+
+
+def test_vacuum_min_live_marker_is_monotonic(spark, tmp_path):
+    """An eager (vacuum=True) mutation advances the min-live marker;
+    a later vacuum_zordered(keep_versions>1) computes a LOWER kept[0]
+    (the old manifest file still exists) — the marker must not move
+    backward, or a time-travel read of the already-reclaimed snapshot
+    would pass the guard and silently return partial rows."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_frame(spark)
+    path = str(tmp_path / "z_mono")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    # eager upsert: v2 commits, v1's dirtied generations are DELETED
+    # and the marker advances to 2
+    upd = base.where(F.col("payload") < 30)
+    L.upsert_zordered(upd, path, ["payload"], vacuum=True)
+    assert L._min_live_version(spark, path) == 2
+    # keep_versions larger than history: kept[0] == 1 < marker
+    L.vacuum_zordered(spark, path, keep_versions=10)
+    assert L._min_live_version(spark, path) == 2   # monotonic
+    with _pytest.raises(ValueError, match="vacuumed"):
+        L.read_zordered(spark, path, version=1)
+
+
+def test_fsio_local_fallback_rename_refuses_existing_destination(
+        tmp_path, monkeypatch):
+    """The no-gateway (Spark Connect) fallback must keep the HDFS
+    rename contract — fail when the destination exists — or two racing
+    manifest committers would both 'succeed' and a version would be
+    silently lost."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark import fsio
+    a, c, dst = (str(tmp_path / n) for n in ("a.txt", "c.txt", "d.txt"))
+    fsio.write_bytes(None, a, b"one")        # spark=None: no gateway
+    fsio.write_bytes(None, c, b"three")
+    assert fsio.rename(None, a, dst) is True
+    assert fsio.rename(None, c, dst) is False     # dst exists: refuse
+    assert fsio.read_bytes(None, dst) == b"one"   # and is untouched
+    assert fsio.read_bytes(None, c) == b"three"   # src not consumed
+
+    # the committer-level contract: two writers racing for the same
+    # version name -> exactly one succeeds, the other raises
+    mdir = str(tmp_path / "m")
+    fsio.write_json_version(None, mdir, {"x": 1})
+    monkeypatch.setattr(fsio, "latest_version", lambda s, d: 0)
+    with _pytest.raises(RuntimeError, match="rename race"):
+        fsio.write_json_version(None, mdir, {"x": 2})
+    monkeypatch.undo()
+    assert fsio.read_json_latest(None, mdir) == {"x": 1}
+
+
+def test_fsio_local_path_authority_and_bare_filenames(
+        tmp_path, monkeypatch):
+    """file:// URIs with an authority: empty and localhost are local,
+    any other host is a reach this fallback doesn't have (raise, never
+    treat 'host/path' as a relative path). Bare filenames (no parent
+    directory) must write without a makedirs('') crash."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark import fsio
+    assert fsio._local_path("file:///x/y") == "/x/y"
+    assert fsio._local_path("file://localhost/x/y") == "/x/y"
+    assert fsio._local_path("file:/x/y") == "/x/y"
+    with _pytest.raises(NotImplementedError, match="authority"):
+        fsio._local_path("file://nas01/x/y")
+    monkeypatch.chdir(tmp_path)
+    fsio.write_bytes(None, "bare.txt", b"ok")
+    assert fsio.read_bytes(None, "bare.txt") == b"ok"
+
+
+def test_zonemap_accepts_date_bounds(spark, tmp_path):
+    """Zone-map stats serialize dates as isoformat strings in the JSON
+    manifest; a query range given as datetime.date objects must still
+    plan (string-vs-string comparison, same order) instead of raising
+    TypeError — and results stay exact."""
+    import datetime
+    from aggregation_duckdb_spark.sources import layout as L
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        F.date_add(F.lit(datetime.date(1995, 1, 1)),
+                   (F.col("id") % 97).cast("int") * 7).alias("d"))
+    path = str(tmp_path / "z_dates")
+    L.write_zordered(df, path, "a", "b", bits=7, bucket_bits=4)
+    m = L.read_manifest(spark, path)
+    rng = {"d": (datetime.date(1995, 3, 1), datetime.date(1995, 6, 1))}
+    kept = L.zonemap_buckets(m, rng)          # no TypeError
+    assert 0 < len(kept) <= len(m["gens"])
+    want = sorted((r.a, r.b, r.d) for r in df.where(
+        F.col("d").between(*rng["d"])).collect())
+    got = sorted((r.a, r.b, r.d) for r in
+                 L.read_zordered_where(spark, path, rng)
+                 .select("a", "b", "d").collect())
+    assert got == want
+
+
+def test_read_zordered_where_schema_stable_across_deltas(spark, tmp_path):
+    """Same call, same schema, regardless of table state: internal
+    layout columns (zbucket, gen) never leak from read_zordered_where,
+    with or without outstanding delta batches."""
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_frame(spark)
+    path = str(tmp_path / "z_schema")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    rng = {"payload": (0, 1_000_000)}
+    cols_clean = L.read_zordered_where(spark, path, rng).columns
+    assert "zbucket" not in cols_clean and "gen" not in cols_clean
+    L.append_zordered(base.limit(3), path)
+    cols_delta = L.read_zordered_where(spark, path, rng).columns
+    assert cols_delta == cols_clean
+
+
+def _zorder3_frame(spark):
+    return spark.range(0, 8000).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        ((F.col("id") * 11) % 43).alias("c"),
+        F.col("id").alias("payload"))
+
+
+def test_zorder_nd_box_read_equals_full_scan_filter(spark, tmp_path):
+    """3-D layout: a box over all three dimensions reads row-identical
+    to a full-scan filter, and the planner's candidate list is a
+    strict subset of the bucket space (real pruning). The full verb
+    set (append / incremental compact / upsert / zone-map read) keeps
+    working on the dims-shaped spec."""
+    from aggregation_duckdb_spark.sources import layout as L
+    df = _zorder3_frame(spark)
+    path = str(tmp_path / "z_3d")
+    spec = L.write_zordered_nd(df, path, ["a", "b", "c"],
+                               bits=6, bucket_bits=6)
+    assert "dims" in spec and len(spec["dims"]) == 3
+    box = {"a": (10, 40), "b": (5, 30), "c": (0, 20)}
+    planned = L.zbuckets_for_ranges(spec, box)
+    assert 0 < len(planned) < (1 << spec["bucket_bits"])
+    want = sorted(
+        (r.a, r.b, r.c, r.payload) for r in
+        df.where(F.col("a").between(*box["a"])
+                 & F.col("b").between(*box["b"])
+                 & F.col("c").between(*box["c"])).collect())
+    got = sorted((r.a, r.b, r.c, r.payload) for r in
+                 L.read_zordered_box_nd(spark, path, box).collect())
+    assert got == want
+    # a partial box (one dim unconstrained) is exact too
+    part = {"a": (10, 40), "c": (0, 20)}
+    want_p = sorted(
+        (r.a, r.b, r.c, r.payload) for r in
+        df.where(F.col("a").between(*part["a"])
+                 & F.col("c").between(*part["c"])).collect())
+    got_p = sorted((r.a, r.b, r.c, r.payload) for r in
+                   L.read_zordered_box_nd(spark, path, part).collect())
+    assert got_p == want_p
+    # lifecycle on the N-D spec: append -> compact -> upsert
+    extra = spark.createDataFrame([(3, 3, 3, 999_001)],
+                                  "a long, b long, c long, payload long")
+    L.append_zordered(extra, path)
+    L.compact_zordered(spark, path)           # incremental
+    upd = spark.createDataFrame([(3, 3, 3, 999_001)],
+                                "a long, b long, c long, payload long")
+    L.upsert_zordered(upd, path, ["payload"])
+    got_all = sorted((r.a, r.b, r.c, r.payload) for r in
+                     L.read_zordered(spark, path).collect())
+    want_all = sorted([(r.a, r.b, r.c, r.payload)
+                       for r in df.collect()] + [(3, 3, 3, 999_001)])
+    assert got_all == want_all
+
+
+def test_zbuckets_nd_superset_property_hypothesis():
+    """The N-D planning guarantee, brute-forced in pure Python: for
+    arbitrary 3-D boxes, every bucket a box's rows can land in is in
+    the planned list."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from aggregation_duckdb_spark.sources.layout import zbuckets_for_ranges
+
+    def interleave_py(vals, bits):
+        k = len(vals)
+        z = 0
+        for i in range(bits):
+            for d, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * k + d)
+        return z
+
+    @settings(max_examples=150, deadline=None)
+    @given(data=st.data())
+    def run(data):
+        bits = data.draw(st.integers(2, 6))
+        kb = data.draw(st.integers(1, 3 * bits))
+        dims = []
+        q = {}
+        for name in ("x", "y", "w"):
+            lo = data.draw(st.integers(-300, 300))
+            hi = lo + data.draw(st.integers(0, 600))
+            dims.append([name, lo, hi])
+            qlo = data.draw(st.integers(lo - 30, hi + 30))
+            q[name] = (qlo, qlo + data.draw(st.integers(0, 120)))
+        spec = {"dims": dims, "bits": bits, "bucket_bits": kb}
+        planned = set(zbuckets_for_ranges(spec, q))
+        n = 1 << bits
+
+        def to_bin(v, lo, hi):
+            return max(0, min(n - 1, ((v - lo) * n) // (hi - lo + 1)))
+        probes = []
+        for name, lo, hi in dims:
+            qlo, qhi = q[name]
+            probes.append([to_bin(v, lo, hi)
+                           for v in {qlo, qhi, (qlo + qhi) // 2}])
+        for xv in probes[0]:
+            for yv in probes[1]:
+                for wv in probes[2]:
+                    z = interleave_py([xv, yv, wv], bits)
+                    assert (z >> (3 * bits - kb)) in planned, \
+                        (spec, q, xv, yv, wv)
+    run()
