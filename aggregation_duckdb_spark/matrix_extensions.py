@@ -4001,3 +4001,87 @@ def q_zorder_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("user_id").cast("long").alias("user_id"),
                        "value")
             .orderBy("event_id"))
+
+
+@register("q_zorder_delete_keys", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value
+FROM events
+WHERE event_id % 7 <> 3
+  AND user_id BETWEEN 15 AND 65 AND value BETWEEN 80 AND 260
+ORDER BY event_id
+""")
+def q_zorder_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based (GDPR-style) DELETE on the layered table
+    (``layout.delete_zordered_keys``): victim ids are TOMBSTONED — a
+    small key batch plus a manifest commit, no data rewrite — and a
+    compaction folds them away by rewriting only the buckets that
+    physically held victims. The build deletes half the victims and
+    folds them (physical removal), then deletes the other half and
+    leaves the tombstones outstanding (read-path anti-join), so the
+    box read certifies BOTH halves of the contract against the
+    oracle's plain anti-filter. Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", "user_id", "value"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zdelkeys",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev, base, "user_id", "value",
+                         bits=8, bucket_bits=4)
+        victims = ev.where(F.col("event_id") % 7 == 3).select("event_id")
+        L.delete_zordered_keys(
+            victims.where(F.col("event_id") % 2 == 0), base, ["event_id"])
+        L.compact_zordered(spark, base)      # fold: physical removal
+        L.delete_zordered_keys(
+            victims.where(F.col("event_id") % 2 == 1), base, ["event_id"])
+    out = L.read_zordered_box(spark, base, 15, 65, 80, 260)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value")
+            .orderBy("event_id"))
+
+
+@register("q_zorder_box3d", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+       event_id % 97 AS em
+FROM events
+WHERE user_id BETWEEN 10 AND 60 AND value BETWEEN 50 AND 200
+  AND event_id % 97 BETWEEN 20 AND 70
+ORDER BY event_id
+""")
+def q_zorder_box3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D Z-order layout (``layout.write_zordered_nd``): events
+    clustered on (user_id, value, event_id % 97) — the third dimension
+    standing in for the tenant/shard key routine at 100 TB — and a
+    3-D box read back through the k-D coarse-bucket planner
+    (``read_zordered_box_nd``). Partition-directory pruning works
+    exactly as in 2-D (the candidate list is a superset of every
+    bucket the box can touch, pinned by the hypothesis property
+    test); the exact filters keep results row-identical to the
+    oracle's full-scan filter. Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", "user_id", "value",
+                  (F.col("event_id") % 97).alias("em")))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-z3d",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered_nd(ev, base, ["user_id", "value", "em"],
+                            bits=6, bucket_bits=6)
+    out = L.read_zordered_box_nd(
+        spark, base, {"user_id": (10, 60), "value": (50, 200),
+                      "em": (20, 70)})
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value", "em")
+            .orderBy("event_id"))

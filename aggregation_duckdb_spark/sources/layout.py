@@ -79,6 +79,7 @@ from aggregation_duckdb_spark import fsio
 MANIFEST_DIR = "_manifest"
 DATA_DIR = "data"
 DELTA_DIR = "_delta"
+TOMBSTONE_DIR = "_tombstones"
 
 
 def bin_col(c: Column, lo: int, hi: int, bits: int) -> Column:
@@ -384,6 +385,10 @@ def _cleanup_superseded(spark: SparkSession, path: str, old: dict,
     for d in old.get("deltas", []):
         if d not in kept:
             fsio.delete(spark, fsio._join(path, DELTA_DIR, d))
+    kept_t = set(new.get("tombstones", []))
+    for t in old.get("tombstones", []):
+        if t not in kept_t:
+            fsio.delete(spark, fsio._join(path, TOMBSTONE_DIR, t))
 
 
 def _to_bin(v: int, lo: int, hi: int, bits: int) -> int:
@@ -476,9 +481,10 @@ def read_zordered(spark: SparkSession, path: str,
     (zbucket, gen) directory; ``gen`` is internal and dropped)."""
     if manifest is None:
         manifest = read_manifest(spark, path, version)
-    return (spark.read.parquet(fsio._join(path, DATA_DIR))
-            .where(_live_filter(manifest))
-            .drop("gen"))
+    out = (spark.read.parquet(fsio._join(path, DATA_DIR))
+           .where(_live_filter(manifest))
+           .drop("gen"))
+    return _apply_tombstones(spark, path, manifest, out)
 
 
 def read_zordered_box(spark: SparkSession, path: str,
@@ -517,7 +523,7 @@ def read_zordered_box_nd(spark: SparkSession, path: str,
            .where(_live_filter(manifest, buckets)))
     for c, (lo, hi) in ranges.items():
         out = out.where((F.col(c) >= lo) & (F.col(c) <= hi))
-    return out.drop("gen")
+    return _apply_tombstones(spark, path, manifest, out.drop("gen"))
 
 
 def append_zordered(df: DataFrame, path: str,
@@ -553,12 +559,74 @@ def append_zordered(df: DataFrame, path: str,
     fsio.write_json_version(spark, _manifest_path(path), manifest)
 
 
+def delete_zordered_keys(keys_df: DataFrame, path: str,
+                         key_cols: list[str]) -> None:
+    """Key-based DELETE (the GDPR shape) as a TOMBSTONE append: the
+    distinct keys land in a small ``_tombstones/`` batch and the
+    manifest commit makes the deletion visible — NO data rewrite at
+    delete time. A bare key says nothing about where its rows live
+    (keys are not layout dimensions), so an eager delete would have to
+    scan-and-rewrite immediately, per batch; tombstones instead let
+    every read anti-join the outstanding keys (broadcast — tombstone
+    sets are small between compactions, the same contract as deltas)
+    and let :func:`compact_zordered` amortize the physical removal:
+    it finds the victim buckets with ONE column-pruned semi-join scan
+    of the key columns and rewrites only those. Semantics: a
+    tombstoned key is hidden from every snapshot read at or after this
+    commit — including rows for that key appended later but before the
+    next compaction (delete wins until the fold; re-inserting a
+    deleted key needs a compact in between, or :func:`upsert_zordered`
+    which raises while tombstones are outstanding). Single writer, as
+    for every mutation here."""
+    spark = keys_df.sparkSession
+    manifest = read_manifest(spark, path)
+    prior = manifest.get("tombstone_key")
+    if prior is not None and list(prior) != list(key_cols):
+        raise ValueError(
+            f"delete_zordered_keys: outstanding tombstones use key "
+            f"{prior}, got {list(key_cols)} — compact_zordered first")
+    name = f"t-{uuid.uuid4().hex}"
+    (keys_df.select(*key_cols).distinct()
+     .write.mode("errorifexists")
+     .parquet(fsio._join(path, TOMBSTONE_DIR, name)))
+    manifest["tombstones"] = list(manifest.get("tombstones", [])) + [name]
+    manifest["tombstone_key"] = list(key_cols)
+    fsio.write_json_version(spark, _manifest_path(path), manifest)
+
+
+def _tombstone_keys(spark: SparkSession, path: str,
+                    manifest: dict) -> DataFrame | None:
+    """The outstanding tombstoned keys of a snapshot (None if none)."""
+    names = manifest.get("tombstones", [])
+    if not names:
+        return None
+    t = None
+    for name in names:
+        td = spark.read.parquet(fsio._join(path, TOMBSTONE_DIR, name))
+        t = td if t is None else t.unionByName(td)
+    return t.distinct()
+
+
+def _apply_tombstones(spark: SparkSession, path: str, manifest: dict,
+                      df: DataFrame) -> DataFrame:
+    """Hide tombstoned keys from a read — broadcast anti-join; a
+    no-op (the unchanged plan) when no tombstones are outstanding."""
+    keys = _tombstone_keys(spark, path, manifest)
+    if keys is None:
+        return df
+    return df.join(F.broadcast(keys), manifest["tombstone_key"],
+                   "left_anti")
+
+
 def compact_zordered(spark: SparkSession, path: str,
                      files_per_bucket: int = 1,
                      mode: str = "incremental",
                      vacuum: bool = True) -> dict:
-    """Fold the outstanding delta batches back into the Z-clustered
-    layout.
+    """Fold the outstanding delta batches AND key tombstones back into
+    the Z-clustered layout: delta rows are routed to their buckets,
+    tombstoned keys are physically removed (victim buckets found with
+    one column-pruned semi-join scan), and both queues clear in the
+    same manifest commit.
 
     ``mode="incremental"`` (default): delta rows are routed to their
     zbuckets under the EXISTING spec and only the DIRTIED buckets are
@@ -582,17 +650,24 @@ def compact_zordered(spark: SparkSession, path: str,
     manifest = read_manifest(spark, path)
     spec = manifest["spec"]
     deltas = list(manifest.get("deltas", []))
-    if not deltas and mode != "full":
+    tomb_keys = _tombstone_keys(spark, path, manifest)
+    if not deltas and tomb_keys is None and mode != "full":
         return spec
     delta_frames = [spark.read.parquet(fsio._join(path, DELTA_DIR, d))
                     for d in deltas]
     delta = None
     for f in delta_frames:
         delta = f if delta is None else delta.unionByName(f)
+    if delta is not None and tomb_keys is not None:
+        # delta rows for a tombstoned key fold away with the rest
+        delta = delta.join(F.broadcast(tomb_keys),
+                           manifest["tombstone_key"], "left_anti")
 
     gen = _new_gen()
     data_root = fsio._join(path, DATA_DIR)
     if mode == "full":
+        # read_zordered applies this manifest's tombstones, so the
+        # rebuild physically removes every tombstoned row
         full = read_zordered(spark, path, manifest).drop("zbucket")
         if delta is not None:
             full = full.unionByName(delta)
@@ -607,10 +682,27 @@ def compact_zordered(spark: SparkSession, path: str,
         if "last_batch_id" in manifest:   # streaming-ingest watermark
             new_manifest["last_batch_id"] = manifest["last_batch_id"]
     elif mode == "incremental":
-        dirtied = _touched_buckets(delta, spec)
+        dirtied = set(_touched_buckets(delta, spec)) \
+            if delta is not None else set()
+        if tomb_keys is not None:
+            # ONE column-pruned semi-join scan (key columns + the
+            # zbucket partition column only) finds every bucket that
+            # physically holds a tombstoned key — those are the only
+            # extra buckets the fold rewrites
+            kc = manifest["tombstone_key"]
+            victims = (spark.read.parquet(data_root)
+                       .where(_live_filter(manifest))
+                       .select("zbucket", *kc)
+                       .join(F.broadcast(tomb_keys), kc, "semi")
+                       .select("zbucket").distinct())
+            dirtied |= {r[0] for r in victims.collect()}
+        dirtied = sorted(dirtied)
         old = read_zordered_box_dirs(spark, path, manifest, dirtied) \
             .drop("zbucket")
-        merged = old.unionByName(delta)
+        if tomb_keys is not None:
+            old = old.join(F.broadcast(tomb_keys),
+                           manifest["tombstone_key"], "left_anti")
+        merged = old.unionByName(delta) if delta is not None else old
         _write_clustered(merged, data_root, spec, gen, files_per_bucket)
         written = _written_generation(spark, path, gen)
         survivors = set(_written_buckets(written))
@@ -663,7 +755,9 @@ def read_zordered_box_with_delta(spark: SparkSession, path: str,
         dd = (spark.read.parquet(fsio._join(path, DELTA_DIR, d))
               .where((a >= a_lo) & (a <= a_hi)
                      & (b >= b_lo) & (b <= b_hi)))
-        out = out.unionByName(dd)
+        # the box read already hid tombstoned keys in the main area;
+        # delta batches carry them too until the next compaction
+        out = out.unionByName(_apply_tombstones(spark, path, manifest, dd))
     return out
 
 
@@ -690,10 +784,10 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
     - single writer, as everywhere in this module."""
     spark = df.sparkSession
     manifest = read_manifest(spark, path)
-    if manifest.get("deltas"):
+    if manifest.get("deltas") or manifest.get("tombstones"):
         raise ValueError(
-            "upsert_zordered: outstanding delta batches — run "
-            "compact_zordered(path) first")
+            "upsert_zordered: outstanding delta batches or tombstones "
+            "— run compact_zordered(path) first")
     spec = manifest["spec"]
     dirtied = _touched_buckets(df, spec)
     old = read_zordered_box_dirs(spark, path, manifest, dirtied) \
@@ -767,10 +861,17 @@ def vacuum_zordered(spark: SparkSession, path: str,
         if d not in live_deltas:
             fsio.delete(spark, fsio._join(path, DELTA_DIR, d))
             deleted_deltas += 1
+    live_tombs = {t for m in manifests for t in m.get("tombstones", [])}
+    deleted_tombstones = 0
+    for t in fsio.list_names(spark, fsio._join(path, TOMBSTONE_DIR)):
+        if t not in live_tombs:
+            fsio.delete(spark, fsio._join(path, TOMBSTONE_DIR, t))
+            deleted_tombstones += 1
     _set_min_live_version(spark, path, kept[0])
     fsio.prune_versions(spark, mdir, keep=len(kept))
     return {"kept_versions": kept, "deleted_gens": deleted_gens,
-            "deleted_deltas": deleted_deltas}
+            "deleted_deltas": deleted_deltas,
+            "deleted_tombstones": deleted_tombstones}
 
 
 _STAT_TYPES = ("long", "integer", "short", "byte", "double", "float",
@@ -896,7 +997,7 @@ def read_zordered_where(spark: SparkSession, path: str, ranges: dict,
         for c, (lo, hi) in ranges.items():
             dd = dd.where((F.col(c) >= lo) & (F.col(c) <= hi))
         out = out.unionByName(dd)
-    return out
+    return _apply_tombstones(spark, path, manifest, out)
 
 
 def delete_zordered_box(spark: SparkSession, path: str,
@@ -907,19 +1008,20 @@ def delete_zordered_box(spark: SparkSession, path: str,
     CRUD verb on the layered table, and deliberately PREDICATE-scoped
     to the layout dims: the box planner bounds exactly which buckets
     can hold matches, so the rewrite touches only those (a bare-key
-    delete cannot be bucket-bounded — a key says nothing about where
-    its row lives; route those through :func:`upsert_zordered` with a
-    tombstone column instead). Dirtied buckets are rewritten keeping
+    delete cannot be planner-bounded — a key says nothing about where
+    its row lives; use :func:`delete_zordered_keys`, which tombstones
+    the keys and lets compaction find and rewrite the victim
+    buckets). Dirtied buckets are rewritten keeping
     only rows OUTSIDE the box; a bucket left empty drops out of the
     manifest entirely. Same commit discipline as every mutation here:
     new generations → atomic manifest flip → cleanup (or retained
     history with ``vacuum=False``). No outstanding deltas (raises —
     compact first); single writer."""
     manifest = read_manifest(spark, path)
-    if manifest.get("deltas"):
+    if manifest.get("deltas") or manifest.get("tombstones"):
         raise ValueError(
-            "delete_zordered_box: outstanding delta batches — run "
-            "compact_zordered(path) first")
+            "delete_zordered_box: outstanding delta batches or "
+            "tombstones — run compact_zordered(path) first")
     spec = manifest["spec"]
     candidates = [b for b in zbuckets_for_box(spec, a_lo, a_hi, b_lo, b_hi)
                   if str(b) in manifest["gens"]]

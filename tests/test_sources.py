@@ -848,3 +848,108 @@ def test_zbuckets_nd_superset_property_hypothesis():
                     assert (z >> (3 * bits - kb)) in planned, \
                         (spec, q, xv, yv, wv)
     run()
+
+
+def test_zorder_delete_keys_tombstones_then_fold(spark, tmp_path):
+    """Key-based (GDPR-style) DELETE: delete_zordered_keys appends a
+    tombstone batch without rewriting any data; every read verb hides
+    the keys immediately (main area AND outstanding deltas); the next
+    compaction physically removes them — rewriting ONLY the buckets
+    that actually held victims — and clears the tombstone queue."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_frame(spark)
+    path = str(tmp_path / "z_keys")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    before = L.read_manifest(spark, path)
+
+    victims = base.where(F.col("payload") % 117 == 5).select("payload")
+    n_victims = victims.count()
+    assert n_victims > 0
+    L.delete_zordered_keys(victims, path, ["payload"])
+
+    # delete time: NO data rewrite — every (bucket, gen) unchanged
+    m_after_del = L.read_manifest(spark, path)
+    assert m_after_del["gens"] == before["gens"]
+    assert m_after_del["tombstones"] and \
+        m_after_del["tombstone_key"] == ["payload"]
+
+    want = sorted((r.a, r.b, r.payload) for r in base.where(
+        F.col("payload") % 117 != 5).collect())
+    got = sorted((r.a, r.b, r.payload) for r in
+                 L.read_zordered(spark, path).collect())
+    assert got == want                       # hidden immediately
+    # box and zone-map reads hide them too
+    got_box = sorted((r.a, r.b, r.payload) for r in
+                     L.read_zordered_box(spark, path, 0, 400, 0, 300)
+                     .collect())
+    assert got_box == [t for t in want if t[0] <= 400 and t[1] <= 300]
+    got_zm = sorted(
+        (r.a, r.b, r.payload) for r in
+        L.read_zordered_where(spark, path, {"payload": (0, 10_000)})
+        .select("a", "b", "payload").collect())
+    assert got_zm == [t for t in want if t[2] <= 10_000]
+
+    # a delta appended AFTER the delete: its tombstoned rows are
+    # hidden as well (delete wins until the fold)
+    extra = spark.createDataFrame([(1, 1, 5), (2, 2, 900_001)],
+                                  "a long, b long, payload long")
+    L.append_zordered(extra, path)
+    got_d = sorted((r.a, r.b, r.payload) for r in
+                   L.read_zordered_box_with_delta(
+                       spark, path, 0, 2000, 0, 2000).collect())
+    assert (1, 1, 5) not in got_d and (2, 2, 900_001) in got_d
+
+    # upsert refuses while tombstones are outstanding
+    with _pytest.raises(ValueError, match="compact_zordered"):
+        L.upsert_zordered(base.limit(1), path, ["payload"])
+
+    # the fold: only victim/delta buckets rewritten, queues cleared
+    L.compact_zordered(spark, path)
+    m2 = L.read_manifest(spark, path)
+    assert not m2.get("tombstones") and "tombstone_key" not in m2
+    changed = {k for k in set(before["gens"]) | set(m2["gens"])
+               if before["gens"].get(k) != m2["gens"].get(k)}
+    # victims are spread but the rewrite is still bucket-bounded
+    assert changed and len(changed) <= len(before["gens"])
+    got2 = sorted((r.a, r.b, r.payload) for r in
+                  L.read_zordered(spark, path).collect())
+    assert got2 == sorted(want + [(2, 2, 900_001)])
+    # tombstone directories are gone from disk after the eager fold
+    assert fsio.list_names(spark, fsio._join(path, L.TOMBSTONE_DIR)) == []
+
+    # a SECOND delete with a different key set raises until compacted
+    L.delete_zordered_keys(
+        spark.createDataFrame([(2,)], "a long"), path, ["a"])
+    with _pytest.raises(ValueError, match="outstanding tombstones"):
+        L.delete_zordered_keys(
+            spark.createDataFrame([(3,)], "payload long"),
+            path, ["payload"])
+
+
+def test_zorder_delete_keys_rewrites_only_victim_buckets(spark, tmp_path):
+    """The scale contract: folding a key-delete rewrites exactly the
+    buckets that held victim rows — clean buckets keep their old
+    generation directories byte-for-byte."""
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_frame(spark)
+    path = str(tmp_path / "z_keybound")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    before = L.read_manifest(spark, path)
+    # victims confined to one corner of the (a, b) space -> few buckets
+    victims = base.where((F.col("a") < 40) & (F.col("b") < 30)) \
+        .select("payload")
+    assert victims.count() > 0
+    expected_victim_buckets = {
+        str(r[0]) for r in
+        L.read_zordered(spark, path)
+        .join(victims, "payload", "semi")
+        .select("zbucket").distinct().collect()}
+    L.delete_zordered_keys(victims, path, ["payload"])
+    L.compact_zordered(spark, path)
+    after = L.read_manifest(spark, path)
+    changed = {k for k in set(before["gens"]) | set(after["gens"])
+               if before["gens"].get(k) != after["gens"].get(k)}
+    assert changed == expected_victim_buckets
+    assert len(changed) < len(before["gens"])   # strictly bounded
