@@ -4085,3 +4085,105 @@ def q_zorder_box3d(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("user_id").cast("long").alias("user_id"),
                        "value", "em")
             .orderBy("event_id"))
+
+
+def _pq_exact_oracle(k: int = 10, shortlist: int = 200, m: int = 8,
+                     kc: int = 16, dim: int = 64, n_q: int = 5) -> str:
+    """Full PQ search reproduced in DuckDB — the sim_ivf_topk_exact
+    construction for the FIFTH index family: closed-form fixed-point
+    codebooks (pq_codebooks_exact's math), L2 encode with the same
+    multiply-not-pow squares and (d2 ASC, code ASC) tie rule,
+    fixed-order ADC folds (per-subspace partial in component order,
+    then across subspaces in subspace order — matching the Spark
+    side's fixed_order=True in-row fold, never a hash-agg float sum),
+    and the exact-cosine rerank. Every float comes from the identical
+    fold, so the approximate search hash-matches bit-for-bit."""
+    sub = dim // m
+    cos_s = _cosine_sql("qv", "v", dim)
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+comp AS (SELECT vec_id,
+                CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1
+                    AS pos0,
+                unnest(embedding) AS c
+         FROM embeddings),
+cw AS (SELECT pos0 // {sub} AS sub, vec_id % {kc} AS code,
+              pos0 % {sub} AS ip,
+              CAST(SUM(CAST(round(CAST(c AS DOUBLE) * {S.CENTROID_SCALE})
+                            AS BIGINT)) AS DOUBLE)
+                  / COUNT(*) / {S.CENTROID_SCALE} AS w
+       FROM comp GROUP BY sub, code, ip),
+dists AS (SELECT t.vec_id, w.sub, w.code,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list((CAST(t.c AS DOUBLE) - w.w)
+                          * (CAST(t.c AS DOUBLE) - w.w) ORDER BY w.ip)),
+                     (acc, x) -> acc + x) AS d2
+          FROM comp t JOIN cw w
+            ON t.pos0 // {sub} = w.sub AND t.pos0 % {sub} = w.ip
+          GROUP BY t.vec_id, w.sub, w.code),
+enc AS (SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2 ASC, code ASC) AS rn
+            FROM dists) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_q}),
+qpart AS (SELECT qc.vec_id AS query_id, w.sub, w.code,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(CAST(qc.c AS DOUBLE) * w.w ORDER BY w.ip)),
+                     (acc, x) -> acc + x) AS partial
+          FROM comp qc JOIN cw w
+            ON qc.pos0 // {sub} = w.sub AND qc.pos0 % {sub} = w.ip
+          WHERE qc.vec_id < {n_q}
+          GROUP BY qc.vec_id, w.sub, w.code),
+adc AS (SELECT p.query_id, en.vec_id AS neighbor_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(p.partial ORDER BY p.sub)),
+                   (acc, x) -> acc + x) AS approx_dot
+        FROM enc en JOIN qpart p
+          ON p.sub = en.sub AND p.code = en.code
+        WHERE en.vec_id <> p.query_id
+        GROUP BY p.query_id, en.vec_id),
+sl AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY approx_dot DESC, neighbor_id ASC) AS srn
+           FROM adc) WHERE srn <= {shortlist}),
+rr AS (SELECT s.query_id, s.neighbor_id, {cos_s} AS cosine_sim
+       FROM sl s JOIN q ON q.query_id = s.query_id
+                 JOIN e ON e.vec_id = s.neighbor_id),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM rr)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+@register("sim_pq_indexed_exact", _pq_exact_oracle(10, 200))
+def sim_pq_indexed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN through the PERSISTED index with FULL value
+    verification: codebooks from the closed-form fixed-point
+    construction (``similarity.pq_codebooks_exact`` — the
+    label-centroids analogue for product quantization), so — unlike
+    the kmeans-trained sim_pq_indexed, which stays rows-only —
+    encode, ADC shortlist (fixed-order folds, never a hash-agg float
+    sum), and exact rerank all reproduce bit-for-bit in the DuckDB
+    oracle. Approximation is WHICH candidates are shortlisted, never
+    nondeterminism in the math; the serving path is the same
+    write_pq_index / pq_topk_rerank_indexed road as the trained
+    variant."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-pqexact",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not _fsio().exists(spark, _fsio()._join(base, "params.json")):
+        books = S.pq_codebooks_exact(emb, num_subspaces=8, k=16)
+        S.write_pq_index(emb, books, base)
+    queries = emb.where(F.col("vec_id") < 5)
+    out = S.pq_topk_rerank_indexed(spark, base, emb, queries, k=10,
+                                   shortlist=200, fixed_order=True)
+    return (out.select("query_id", "neighbor_id", "cosine_sim",
+                       F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))

@@ -93,10 +93,15 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     if metric == "cosine":
         score = lambda c: cosine(F.col(vec_col), c["cvec"])  # noqa: E731
     else:
-        # maximize the NEGATED squared L2 distance (exact same argmin)
+        # maximize the NEGATED squared L2 distance (exact same argmin).
+        # The square is an explicit multiply, never `** 2`: pow(x, 2.0)
+        # is not guaranteed correctly rounded and differs between libm
+        # implementations, while d*d is one IEEE multiply — identical
+        # bits in any engine, which the DuckDB oracle twins rely on.
         score = lambda c: -F.aggregate(  # noqa: E731
             F.zip_with(F.col(vec_col), c["cvec"],
-                       lambda a, b: (a.cast("double") - b) ** 2),
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
             F.lit(0.0), lambda acc, x: acc + x)
     scored = F.transform(
         lit, lambda c: F.struct(
@@ -537,7 +542,8 @@ def pq_fit_joint(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
                 F.lit("sim"),
                 -F.aggregate(
                     F.zip_with(F.col("sv"), c["cvec"],
-                               lambda a, b: (a.cast("double") - b) ** 2),
+                               lambda a, b: (a.cast("double") - b)
+                               * (a.cast("double") - b)),
                     F.lit(0.0), lambda acc, x: acc + x),
                 F.lit("negcid"), -c["cid"]))
         best = F.array_max(scored)
@@ -576,6 +582,42 @@ def pq_fit_joint(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
         rows, "subspace long, centroid_id long, centroid array<double>")
 
 
+def pq_codebooks_exact(corpus: DataFrame, num_subspaces: int = 8,
+                       k: int = 16, vec_col: str = "embedding",
+                       id_col: str = "vec_id", dim: int = 64) -> DataFrame:
+    """Closed-form PQ codebooks with ORDER-INDEPENDENT math — the
+    product-quantization analogue of :func:`label_centroids_exact`:
+    codeword (j, c) is the fixed-point per-component mean of subspace
+    j's slices over the rows with ``id % k == c``. No Lloyd iteration,
+    so — unlike :func:`pq_fit` — the whole construction is a plain
+    aggregate an oracle engine reproduces bit-for-bit; quantization
+    quality is below a trained codebook's, which is exactly the
+    trade: this codebook exists to make the ENTIRE PQ road
+    (encode → ADC shortlist → rerank) full-value-verifiable, the same
+    role label centroids play for the IVF road. One shuffle keyed on
+    (subspace, code, position); output is the :func:`pq_fit` shape
+    (subspace, centroid_id, centroid)."""
+    if dim % num_subspaces != 0:
+        raise ValueError(f"dim={dim} not divisible by "
+                         f"num_subspaces={num_subspaces}")
+    sub = dim // num_subspaces
+    ex = corpus.select((F.col(id_col) % k).alias("centroid_id"),
+                       F.posexplode(F.col(vec_col)).alias("pos0", "comp"))
+    scaled = F.round(F.col("comp").cast("double") * CENTROID_SCALE) \
+        .cast("long")
+    subspace = ((F.col("pos0") - F.col("pos0") % sub) / sub).cast("long")
+    means = (ex.groupBy(subspace.alias("subspace"), F.col("centroid_id"),
+                        (F.col("pos0") % sub).alias("ip"))
+             .agg(F.count(F.lit(1)).alias("n"), F.sum(scaled).alias("__s"))
+             .select("subspace", "centroid_id", "ip",
+                     ((F.col("__s").cast("double") / F.col("n"))
+                      / CENTROID_SCALE).alias("w")))
+    return (means.groupBy("subspace", "centroid_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("ip", "w"))),
+                lambda x: x["w"]).alias("centroid")))
+
+
 def pq_encode(corpus: DataFrame, codebooks: DataFrame,
               num_subspaces: int = 8, vec_col: str = "embedding",
               id_col: str = "vec_id", dim: int = 64) -> DataFrame:
@@ -604,7 +646,7 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame,
 def pq_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
             k: int = 10, num_subspaces: int = 8,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            dim: int = 64) -> DataFrame:
+            dim: int = 64, fixed_order: bool = False) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query
     precomputes its num_subspaces·K partial dot products against the
     codebook (a model-sized table that BROADCASTS), then the corpus is
@@ -615,26 +657,61 @@ def pq_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
 
     Returns (query_id, neighbor_id, approx_dot, rank ≤ k); ranking
     quality is bounded by quantization error — see the recall pytest
-    against :func:`brute_force_topk`."""
+    against :func:`brute_force_topk`.
+
+    ``fixed_order=True`` computes each approx_dot as a FIXED-ORDER
+    fold — per-subspace partials from the broadcast literal codebook,
+    summed left-to-right in subspace order in-row — instead of the
+    hash-agg ``SUM(partial)``, whose float addition order is
+    partitioning-dependent. Same value up to ulps; choose it when the
+    shortlist must reproduce bit-for-bit against an oracle engine
+    (the sum of 8 doubles decides the shortlist cut)."""
     sub = dim // num_subspaces
-    q_parts = None
-    for j in range(num_subspaces):
-        qj = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__q"))
-        cb_j = codebooks.where(F.col("subspace") == j).select(
-            F.lit(j).alias("subspace"), F.col("centroid_id").alias("code"),
-            F.col("centroid"))
-        part = (qj.crossJoin(cb_j)
-                .select("query_id", "subspace", "code",
-                        dot(F.col("__q"), F.col("centroid"))
-                        .alias("partial")))
-        q_parts = part if q_parts is None else q_parts.unionByName(part)
-    scored = (codes
-              .join(F.broadcast(q_parts), ["subspace", "code"])
-              .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
-              .agg(F.sum("partial").alias("approx_dot"))
-              .where(F.col("query_id") != F.col("neighbor_id")))
+    if fixed_order:
+        rows = codebooks.collect()   # model-sized, like ivf_assign
+        bk = {(int(r["subspace"]), int(r["centroid_id"])):
+              [float(x) for x in r["centroid"]] for r in rows}
+        n_codes = 1 + max(c for _, c in bk)
+        flat = F.array(*[
+            F.array(*[F.lit(v) for v in bk[(j, c)]]) if (j, c) in bk
+            else F.array(*[F.lit(0.0)] * sub)
+            for j in range(num_subspaces) for c in range(n_codes)])
+        wide = codes.groupBy(F.col(id_col).alias("neighbor_id")).agg(*[
+            F.max(F.when(F.col("subspace") == j, F.col("code")))
+            .alias(f"__c{j}") for j in range(num_subspaces)])
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("__qv"))
+        partials = F.array(*[
+            dot(F.slice(F.col("__qv"), j * sub + 1, sub),
+                F.element_at(flat, (F.lit(j * n_codes)
+                                    + F.col(f"__c{j}") + 1).cast("int")))
+            for j in range(num_subspaces)])
+        scored = (wide.crossJoin(F.broadcast(q))
+                  .where(F.col("query_id") != F.col("neighbor_id"))
+                  .select("query_id", "neighbor_id",
+                          F.aggregate(partials, F.lit(0.0),
+                                      lambda acc, x: acc + x)
+                          .alias("approx_dot")))
+    else:
+        q_parts = None
+        for j in range(num_subspaces):
+            qj = queries.select(
+                F.col(id_col).alias("query_id"),
+                F.slice(F.col(vec_col), j * sub + 1, sub).alias("__q"))
+            cb_j = codebooks.where(F.col("subspace") == j).select(
+                F.lit(j).alias("subspace"),
+                F.col("centroid_id").alias("code"),
+                F.col("centroid"))
+            part = (qj.crossJoin(cb_j)
+                    .select("query_id", "subspace", "code",
+                            dot(F.col("__q"), F.col("centroid"))
+                            .alias("partial")))
+            q_parts = part if q_parts is None else q_parts.unionByName(part)
+        scored = (codes
+                  .join(F.broadcast(q_parts), ["subspace", "code"])
+                  .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+                  .agg(F.sum("partial").alias("approx_dot"))
+                  .where(F.col("query_id") != F.col("neighbor_id")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_dot"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -645,7 +722,7 @@ def pq_topk_rerank(corpus: DataFrame, codes: DataFrame,
                    codebooks: DataFrame, queries: DataFrame, k: int = 10,
                    shortlist: int = 200, num_subspaces: int = 8,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   dim: int = 64) -> DataFrame:
+                   dim: int = 64, fixed_order: bool = False) -> DataFrame:
     """PQ-shortlist + exact rerank — the production ANN pattern: the
     compressed-code scan (:func:`pq_topk`) nominates ``shortlist``
     candidates per query (cheap: 8-byte codes, broadcast distance
@@ -660,7 +737,7 @@ def pq_topk_rerank(corpus: DataFrame, codes: DataFrame,
     ranking, only for the bounded rerank."""
     short = (pq_topk(codes, codebooks, queries, k=shortlist,
                      num_subspaces=num_subspaces, vec_col=vec_col,
-                     id_col=id_col, dim=dim)
+                     id_col=id_col, dim=dim, fixed_order=fixed_order)
              .select("query_id", "neighbor_id"))
     cvecs = corpus.select(F.col(id_col).alias("neighbor_id"),
                           F.col(vec_col).alias("__cv"))
@@ -835,7 +912,8 @@ def append_pq_index(new: DataFrame, path: str,
 
 def pq_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> DataFrame:
+                    id_col: str = "vec_id",
+                    fixed_order: bool = False) -> DataFrame:
     """ADC top-k served from the persisted PQ index: the stored
     codebooks build each query's broadcast distance table, the stored
     code rows are the only corpus-sized scan. Identical math to
@@ -846,14 +924,15 @@ def pq_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
     codes = spark.read.parquet(fsio._join(path, "codes"))
     return pq_topk(codes, books, queries, k=k,
                    num_subspaces=p["num_subspaces"], vec_col=vec_col,
-                   id_col=id_col, dim=p["dim"])
+                   id_col=id_col, dim=p["dim"], fixed_order=fixed_order)
 
 
 def pq_topk_rerank_indexed(spark, path: str, corpus: DataFrame,
                            queries: DataFrame, k: int = 10,
                            shortlist: int = 200,
                            vec_col: str = "embedding",
-                           id_col: str = "vec_id") -> DataFrame:
+                           id_col: str = "vec_id",
+                           fixed_order: bool = False) -> DataFrame:
     """Shortlist-from-index + exact rerank: the stored codes nominate,
     the source table's full vectors re-score only the bounded
     shortlist — the production serving path over the persisted
@@ -865,4 +944,5 @@ def pq_topk_rerank_indexed(spark, path: str, corpus: DataFrame,
     return pq_topk_rerank(corpus, codes, books, queries, k=k,
                           shortlist=shortlist,
                           num_subspaces=p["num_subspaces"],
-                          vec_col=vec_col, id_col=id_col, dim=p["dim"])
+                          vec_col=vec_col, id_col=id_col, dim=p["dim"],
+                          fixed_order=fixed_order)
