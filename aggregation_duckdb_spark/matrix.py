@@ -42,49 +42,43 @@ def register(name: str, sql: str | None = None):
 # their DuckDB oracles. ALL entries pass the same comparison locally
 # (scripts/oracle_check.py runs the full set — keep it that way); this
 # list only schedules WHICH entries get a driver-recorded row this
-# round. Round-7 rotation, closing the round-6 verdict's item 1: ALL
-# 34 entries whose newest driver evidence is still round 3 (computed
-# from CORRECTNESS_r01..r06; the 14 numbered TPC-H queries named in
-# the verdict plus q8_market_share, q_window_frames, q_null_safety,
-# q_io_roundtrip, q14_promo_effect, q_bucketed_join, q_collections,
-# q_unpivot, and the 12 bumped in rounds 5-6), then the 9 entries
-# whose code paths changed this round (the fsio/manifest layout under
-# q_zorder_pruning, the stop-term-guarded BM25 trio including the NEW
-# text_bm25_stopterm, the fsio-sidecar dedup/IVF indexed roads, the
-# TakeOrdered topk_paths, the explicit-\\s normalize_text, the
-# empty-guarded curriculum_order) plus the 11 brand-new round-7
-# entries (text_bm25_stopterm, stream_zorder_ingest,
-# pipeline_mixture_order, events_attribution, stream_attribution,
-# sim_pq_indexed, q_zorder_upsert, q_zorder_timetravel,
-# q_zorder_zonemap, q_zorder_delete, events_rfm). sim_ivf_indexed,
-# ref_parity_agg, pipeline_curriculum_order and
-# dedup_incremental_indexed were bumped to fit (driver rows
-# r6/r4/r6/r6; all pass the full local sweep, and the two fsio-touched
-# ones are pinned by the file://-schemed lifecycle pytests). After
-# this round every entry's newest driver row is round 4+; the round-4
-# cohort rotates next. Exactly 50 names below.
+# round. Round-9 rotation, closing the round-7/8 verdicts' item 1:
+# ALL 41 entries whose newest driver evidence is still round 4
+# (computed from CORRECTNESS_r04..r08 — the flagship hier_* family,
+# ref_parity_agg, the text_* quality family, events_* sessionization/
+# windows, six stream_* entries, the pipeline_* scrub/decontaminate/
+# split cohort, q21/q_merge_upsert/q_rolling_time_window etc.), then
+# the 9 round-9 entries: 3 brand-new (q_zorder_delete_keys — tombstone
+# key DELETE, q_zorder_box3d — N-D layout, sim_pq_indexed_exact — the
+# PQ road's full-value oracle) and the 6 z-order entries whose layout/
+# fsio code paths changed this round (manifest cache, read-back stats,
+# monotonic min-live marker, N-D core). sim_pq_indexed also changed
+# (fixed-order ADC plumbing + multiply-not-pow squares) but is
+# rows-only and pytest-pinned equal to the live path, and its math is
+# now driver-verified through sim_pq_indexed_exact; it has an r8 row.
+# After this round every entry's newest driver row is round 5+; the
+# 46-entry round-5 cohort rotates next. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
-    # newest driver evidence = round 3 (all 34):
-    "q2_min_cost_supplier", "q4_order_priority", "q6_revenue_forecast",
-    "q8_market_share", "q9_profit_by_nation", "q11_important_parts",
-    "q12_priority_class", "q13_customer_distribution",
-    "q15_top_supplier", "q16_supplier_counts", "q17_small_qty_revenue",
-    "q19_disjunctive_revenue", "q20_promo_suppliers",
-    "q22_dormant_customers", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q7_volume_shipping",
-    "q10_returned_items", "q14_promo_effect", "q_window_frames",
-    "q_null_safety", "q_io_roundtrip", "q_bucketed_join",
-    "q_collections", "q_unpivot", "q_string_agg", "q_pivot_status",
-    "q_exists_correlated", "q_percentiles", "q_date_functions",
-    "q_scalar_functions", "q_set_ops", "q_order_limit", "q_anti_join",
-    # round-7 code changes / additions (re-verify through the driver):
-    "text_bm25_stopterm", "stream_zorder_ingest",
-    "pipeline_mixture_order", "events_attribution",
-    "stream_attribution", "sim_pq_indexed", "q_zorder_upsert",
-    "q_zorder_timetravel", "q_zorder_zonemap", "q_zorder_delete",
-    "events_rfm",
-    "text_bm25_indexed", "text_bm25_search", "q_zorder_pruning",
-    "events_topk_paths", "text_normalize",
+    # newest driver evidence = round 4 (all 41):
+    "hier_agg_closure", "hier_agg_rollup", "hier_reporting_dim",
+    "hier_closure", "hier_closure_recursive", "ref_parity_agg",
+    "text_stats", "text_language_id", "text_quality",
+    "text_fingerprint", "text_rolling_hash", "sim_topk_bruteforce",
+    "hier_distinct_twostage", "asof_join_events", "events_tumbling",
+    "events_sliding", "events_sessionize", "mm_resize",
+    "events_user_gap_stats", "events_conversion_lag", "stream_tumbling",
+    "stream_sessionize", "stream_sliding", "stream_stream_join",
+    "stream_stateful_totals", "q21_waiting_suppliers",
+    "pipeline_split_assign", "pipeline_pii_scrub", "pipeline_repetition",
+    "pipeline_decontaminate", "emb_label_centroids", "stream_dedup",
+    "text_tfidf_topterms", "pipeline_stratified_sample",
+    "pipeline_quantile_filter", "events_state_intervals",
+    "q_histogram_totalprice", "source_python_datasource",
+    "q_rolling_time_window", "q_merge_upsert", "q_math_functions",
+    # round-9 additions / code changes (verify through the driver):
+    "q_zorder_delete_keys", "q_zorder_box3d", "sim_pq_indexed_exact",
+    "q_zorder_pruning", "q_zorder_upsert", "q_zorder_timetravel",
+    "q_zorder_zonemap", "q_zorder_delete", "stream_zorder_ingest",
 ]
 
 
