@@ -128,6 +128,10 @@ EXTENDED = [
     "q_zorder_zonemap",
     "q_zorder_delete",
     "events_rfm",
+    # round 9:
+    "q_zorder_delete_keys",
+    "q_zorder_box3d",
+    "sim_pq_indexed_exact",
 ]
 
 

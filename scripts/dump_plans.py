@@ -138,19 +138,37 @@ ENTRIES = {
         "per-query distance table (broadcast), the corpus-sized scan "
         "touches ONLY the stored 8-byte code rows, and full vectors "
         "appear solely in the bounded shortlist rerank joins"),
+    "q_zorder_box3d": (
+        "the 3-D box read plans its live (zbucket, gen) list as "
+        "PartitionFilters exactly like the 2-D road — the k-D "
+        "round-robin Morton planner bounds the candidate buckets "
+        "driver-side, the exact range filters land in PushedFilters"),
+    "q_zorder_delete_keys": (
+        "tombstoned keys are hidden by ONE BroadcastHashJoin "
+        "(left-anti) over the pruned box read — the key set "
+        "broadcasts, the data side never reshuffles; no data rewrite "
+        "appears in any read plan"),
+    "sim_pq_indexed_exact": (
+        "the full-value-verified PQ road: codes pivot once on the id "
+        "(one hash aggregate), the ADC fold is an in-row expression "
+        "over the broadcast literal codebook (fixed order, no float "
+        "hash-agg), rerank joins are hash joins on the bounded "
+        "shortlist"),
 }
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANS_r07.md"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANS.md"
     from aggregation_duckdb_spark import matrix
     from aggregation_duckdb_spark.plans import physical_plan
     from aggregation_duckdb_spark.session import get_spark
 
     spark = get_spark("plan-dump", extra_confs={"spark.ui.enabled": "false"})
     qs = matrix.queries()
+    title = os.path.splitext(os.path.basename(out_path))[0] \
+        .replace("PLANS_r0", "round-").replace("PLANS", "audit")
     lines = [
-        "# Physical plans — round-7 audit",
+        f"# Physical plans — {title} audit",
         "",
         f"`df.explain('formatted')` of the scale-critical entries at "
         f"{SF_DIR} (regenerate: `python scripts/dump_plans.py`). Each "

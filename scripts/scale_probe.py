@@ -650,6 +650,59 @@ def zorder_upsert_probe(multiples: list) -> None:
             "seconds": elapsed}))
 
 
+def zorder_keydelete_probe(multiples: list) -> None:
+    """Tombstone key-DELETE cost model: delete a FIXED victim set
+    (300 ids whose rows sit in a 2-bucket layout corner) from tables
+    of growing size. Pass = (a) delete time ~flat — it is a keys-batch
+    write plus a manifest commit, no data rewrite; (b) tombstone-read
+    overhead small — one broadcast anti-join on the scan; (c) the
+    compaction fold rewrites exactly the victim buckets at every table
+    size — physical removal tracks the victims, not the table."""
+    import tempfile
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.sources import layout as L
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    base = (load_table(spark, "events", SF_DIR)
+            .select("event_id", "user_id", "value", "event_type"))
+    for m in multiples:
+        ev = base
+        for i in range(m - 1):
+            ev = ev.unionByName(base.select(
+                (F.col("event_id") + (i + 1) * 100_000_000)
+                .alias("event_id"), "user_id", "value", "event_type"))
+        n_rows = ev.count()
+        path = tempfile.mkdtemp(prefix=f"zdelk-{m}-")
+        L.write_zordered(ev, path, "user_id", "value",
+                         bits=8, bucket_bits=4, files_per_bucket=8)
+        victims = (ev.where((F.col("user_id").between(10, 14))
+                            & (F.col("value").between(60, 66)))
+                   .select("event_id").limit(300)
+                   .localCheckpoint(eager=True))
+        before = L.read_manifest(spark, path)
+        t0 = time.time()
+        L.delete_zordered_keys(victims, path, ["event_id"])
+        t_delete = round(time.time() - t0, 2)
+        t0 = time.time()
+        n_visible = L.read_zordered(spark, path).count()
+        t_read = round(time.time() - t0, 2)
+        t0 = time.time()
+        L.compact_zordered(spark, path, files_per_bucket=8)
+        t_fold = round(time.time() - t0, 2)
+        after = L.read_manifest(spark, path)
+        dirtied = sum(1 for k in set(before["gens"]) | set(after["gens"])
+                      if before["gens"].get(k) != after["gens"].get(k))
+        print(json.dumps({
+            "probe": "zorder_keydelete", "multiple": m,
+            "table_rows": n_rows, "victim_keys": 300,
+            "visible_after_delete": n_visible,
+            "delete_seconds": t_delete,
+            "tombstone_read_seconds": t_read,
+            "fold_seconds": t_fold,
+            "buckets_rewritten": dirtied,
+            "buckets_total": len(after["gens"])}))
+
+
 def pack_probe(multiples: list) -> None:
     """Greedy-packing probe: the Arrow-batched per-bucket scan must
     grow linearly in docs (per-task state is one (seq, fill) pair; the
@@ -788,6 +841,9 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--zcompact":
         zorder_compaction_probe([int(a) for a in sys.argv[2:]]
                                 or [1, 4, 16])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--zkeydelete":
+        zorder_keydelete_probe([int(a) for a in sys.argv[2:]]
+                               or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--zorder":
         zorder_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--pack":

@@ -12,14 +12,17 @@ probes. Replication semantics:
 - every scaled table gets its primary AND foreign keys offset by
   ``replica * 10**9``, so joins stay consistent within a replica and
   cardinalities (customers, orders, users, docs) genuinely grow 10×.
-- ``documents`` text is replicated verbatim: within-replica duplicate
-  structure is preserved and cross-replica copies are exact dups, so
-  verified-pair counts grow quadratically within duplicate groups BY
-  CONSTRUCTION (10 copies of a g-sized group are one 10g-sized group).
-  Entries whose output is the pair list therefore may grow
-  superlinearly in rows without that implying a plan problem — the
-  probe output records result rows next to seconds so the two effects
-  can be told apart.
+- ``documents`` is NOT replicated — it is generated at 10× size by the
+  ORGANIC corpus generator (scripts/scale_probe.py::_organic_corpus):
+  ids in blocks of 20 where one role is an exact duplicate of the
+  block head, one a near-duplicate, and the rest unique — 5% exact /
+  5% near / 90% unique at EVERY size. Verbatim replication made every
+  cross-replica copy an exact dup, so verified-pair counts grew
+  quadratically BY CONSTRUCTION and the sf1 dedup rows measured the
+  artifact, not the operator; with a constant duplicate rate, dedup
+  output and wall time must both grow ~linearly in docs — a
+  superlinear bend here is a real plan defect. lang/source are
+  md5-assigned from the sf0.1 value sets; n_chars = length(text).
 
 Usage: python scripts/sf1_bench.py [--rebuild] [out_dir]
 (default out dir: <repo>/.sf1data — gitignored, ~200 MB)
@@ -56,6 +59,32 @@ KEY_COLS = {
 FIXED_DIMS = ("region", "nation")
 
 
+def _organic_documents(spark, src, n: int):
+    """10x documents with the organic duplicate structure (constant
+    5%/5%/90% exact/near/unique rate), schema-matched to the sf0.1
+    table: lang/source md5-assigned from the source value sets,
+    n_chars recomputed from the generated text."""
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scale_probe import _organic_corpus
+
+    langs = sorted(r[0] for r in src.select("lang").distinct().collect())
+    sources = sorted(r[0] for r in
+                     src.select("source").distinct().collect())
+    docs = _organic_corpus(spark, n)
+    pick = lambda vals, salt: F.element_at(  # noqa: E731
+        F.array(*[F.lit(v) for v in vals]),
+        (F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                           F.lit(salt))), 1, 8),
+                16, 10).cast("long") % len(vals)).cast("int") + 1)
+    return docs.select(
+        "doc_id", "text",
+        pick(langs, "|lang").alias("lang"),
+        pick(sources, "|src").alias("source"),
+        F.length("text").cast("long").alias("n_chars"))
+
+
 def build(out_dir: str) -> None:
     from pyspark.sql import functions as F
 
@@ -66,6 +95,9 @@ def build(out_dir: str) -> None:
         src = spark.read.parquet(f"{BASE}/{table}.parquet")
         if table in FIXED_DIMS:
             out = src
+        elif table == "documents":
+            out = _organic_documents(spark, src,
+                                     src.count() * REPLICAS)
         else:
             parts = [src]
             for i in range(1, REPLICAS):
@@ -99,7 +131,10 @@ def main() -> None:
             if ln.startswith("{")]
     rec = next((r for r in recs if "extended" in r), recs[-1])
     rec["sf"] = 1.0
-    rec["note"] = ("sf0.1 replicated x10 with re-keyed ids; "
+    rec["note"] = ("sf0.1 replicated x10 with re-keyed ids; documents "
+                   "generated organically (constant 5%/5%/90% "
+                   "exact/near/unique duplicate rate — dedup rows "
+                   "measure real growth, not a replication artifact); "
                    "see scripts/sf1_bench.py for semantics")
     print(json.dumps(rec))
 
