@@ -679,6 +679,7 @@ def zorder_keydelete_probe(multiples: list) -> None:
                             & (F.col("value").between(60, 66)))
                    .select("event_id").limit(300)
                    .localCheckpoint(eager=True))
+        n_victims = victims.count()
         before = L.read_manifest(spark, path)
         t0 = time.time()
         L.delete_zordered_keys(victims, path, ["event_id"])
@@ -694,7 +695,7 @@ def zorder_keydelete_probe(multiples: list) -> None:
                       if before["gens"].get(k) != after["gens"].get(k))
         print(json.dumps({
             "probe": "zorder_keydelete", "multiple": m,
-            "table_rows": n_rows, "victim_keys": 300,
+            "table_rows": n_rows, "victim_keys": n_victims,
             "visible_after_delete": n_visible,
             "delete_seconds": t_delete,
             "tombstone_read_seconds": t_read,
