@@ -953,3 +953,68 @@ def test_zorder_delete_keys_rewrites_only_victim_buckets(spark, tmp_path):
                if before["gens"].get(k) != after["gens"].get(k)}
     assert changed == expected_victim_buckets
     assert len(changed) < len(before["gens"])   # strictly bounded
+
+
+def test_zorder_delete_keys_no_match_clears_cleanly(spark, tmp_path):
+    """A tombstone batch that matches NOTHING must fold away without
+    rewriting any bucket, corrupting the manifest, or leaving the
+    queue uncleared."""
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_frame(spark)
+    path = str(tmp_path / "z_nomatch")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    before = L.read_manifest(spark, path)
+    ghosts = spark.createDataFrame([(10**12,), (10**12 + 1,)],
+                                   "payload long")
+    L.delete_zordered_keys(ghosts, path, ["payload"])
+    assert L.read_zordered(spark, path).count() == base.count()
+    L.compact_zordered(spark, path)
+    after = L.read_manifest(spark, path)
+    assert not after.get("tombstones") and "tombstone_key" not in after
+    assert after["gens"] == before["gens"]      # zero buckets rewritten
+    assert L.read_zordered(spark, path).count() == base.count()
+
+
+def test_zorder_nd_zonemap_and_box_delete(spark, tmp_path):
+    """The dims-shaped (N-D) spec drives the SAME verb set: zone-map
+    reads on a non-layout column and the 2-D box DELETE (binding the
+    first two dims) stay row-exact on a 3-D table."""
+    from aggregation_duckdb_spark.sources import layout as L
+    df = spark.range(0, 8000).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        ((F.col("id") * 11) % 43).alias("c"),
+        ((F.col("id") % 97) * 1000 + F.col("id") % 10).alias("payload"))
+    path = str(tmp_path / "z_nd_verbs")
+    L.write_zordered_nd(df, path, ["a", "b", "c"], bits=6, bucket_bits=6)
+    m = L.read_manifest(spark, path)
+    assert m["stats"]                      # zone maps on the N-D spec
+    rng = {"payload": (5_000, 9_000)}
+    kept = L.zonemap_buckets(m, rng)
+    assert 0 < len(kept) < len(m["gens"])  # real skipping, 3-D layout
+    want = sorted((r.a, r.b, r.c, r.payload) for r in df.where(
+        F.col("payload").between(*rng["payload"])).collect())
+    got = sorted((r.a, r.b, r.c, r.payload) for r in
+                 L.read_zordered_where(spark, path, rng)
+                 .select("a", "b", "c", "payload").collect())
+    assert got == want
+    # box DELETE binds the first two dims; c unconstrained
+    L.delete_zordered_box(spark, path, 0, 30, 0, 20)
+    want2 = sorted((r.a, r.b, r.c, r.payload) for r in df.where(
+        ~((F.col("a").between(0, 30)) & (F.col("b").between(0, 20))))
+        .collect())
+    got2 = sorted((r.a, r.b, r.c, r.payload) for r in
+                  L.read_zordered(spark, path).collect())
+    assert got2 == want2
+    # and tombstone key-delete on the N-D table folds per-bucket;
+    # payload is NOT unique here, so the delete removes EVERY row
+    # carrying a victim key value (the key-delete contract)
+    victims = df.where((F.col("a") < 10) & (F.col("b") > 25)
+                       & (F.col("c") < 15)).select("payload")
+    victim_vals = {r[0] for r in victims.distinct().collect()}
+    assert victim_vals
+    L.delete_zordered_keys(victims, path, ["payload"])
+    L.compact_zordered(spark, path)
+    want3 = [t for t in want2 if t[3] not in victim_vals]
+    got3 = sorted((r.a, r.b, r.c, r.payload) for r in
+                  L.read_zordered(spark, path).collect())
+    assert got3 == want3
