@@ -895,11 +895,19 @@ def _written_generation(spark: SparkSession, path: str,
     (one columnar scan of the NEW generation only, partition-pruned by
     ``gen``, vs two extra executions of an arbitrary plan). Returns
     None when nothing was written (an empty frame writes no partition
-    directories)."""
+    directories).
+
+    The read targets ONLY the new generation's directories (glob +
+    basePath keeps zbucket/gen as partition columns): schema inference
+    never touches older generations' footers, so a re-layout that
+    changes the table's columns still derives its metadata from the
+    bytes it just wrote."""
+    data_root = fsio._join(path, DATA_DIR)
     try:
-        df = spark.read.parquet(fsio._join(path, DATA_DIR))
+        df = (spark.read.option("basePath", data_root)
+              .parquet(fsio._join(data_root, "zbucket=*", f"gen={gen}")))
     except Exception:
-        return None  # data/ does not exist yet: empty first write
+        return None  # no matching directories: empty write
     if "gen" not in df.columns:
         return None
     return df.where(F.col("gen") == gen)
