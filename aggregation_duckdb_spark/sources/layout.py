@@ -3,12 +3,16 @@
 The 100 TB problem this solves: a table laid out by ONE key prunes
 scans on that key only — a box predicate over TWO columns (user AND
 time, custkey AND date) still reads every file on the second
-dimension. Interleaving the bits of both keys (the Z / Morton value)
+dimension. Interleaving the bits of the keys (the Z / Morton value)
 and clustering storage by that value gives every coarse Z prefix a
-small bounding box in BOTH dimensions, so a 2-D box predicate maps to
+small bounding box in EVERY dimension, so a k-D box predicate maps to
 a small set of Z "buckets" — the same layout trick Delta Lake's
 ``OPTIMIZE ZORDER BY`` and DuckDB/Parquet min-max pruning exploit
-(public knowledge; no proprietary system involved).
+(public knowledge; no proprietary system involved). The core is
+k-dimensional (round-robin bit interleave, ``k * bits < 63``); the
+original 2-D API is the k=2 case bit-for-bit (:func:`write_zordered`
+vs :func:`write_zordered_nd`, :func:`read_zordered_box` vs
+:func:`read_zordered_box_nd`).
 
 Mechanics, all deterministic and engine-neutral:
 
@@ -46,8 +50,15 @@ no-lock-service caveat); readers need no coordination ever. Because
 every commit is a manifest version, snapshots double as TIME TRAVEL:
 ``read_zordered*(..., version=N)`` pins state N; mutate with
 ``vacuum=False`` to retain history and reclaim it explicitly with
-:func:`vacuum_zordered` (a min-live marker makes reads of reclaimed
-versions fail cleanly rather than silently partial).
+:func:`vacuum_zordered` (a MONOTONIC min-live marker makes reads of
+reclaimed versions fail cleanly rather than silently partial).
+
+Deletes come in two shapes: :func:`delete_zordered_box` is
+predicate-scoped to the layout dims (the planner bounds the rewrite);
+:func:`delete_zordered_keys` is the GDPR shape — keys are TOMBSTONED
+(a small batch plus a manifest commit, no data rewrite), every read
+hides them via a broadcast anti-join, and compaction folds them
+physically by rewriting only the buckets that held victims.
 
 Compaction cost model: :func:`compact_zordered` defaults to
 ``mode="incremental"`` — delta rows are routed to their zbuckets

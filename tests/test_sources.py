@@ -1018,3 +1018,49 @@ def test_zorder_nd_zonemap_and_box_delete(spark, tmp_path):
     got3 = sorted((r.a, r.b, r.c, r.payload) for r in
                   L.read_zordered(spark, path).collect())
     assert got3 == want3
+
+
+def test_zorder_tombstones_respect_time_travel(spark, tmp_path):
+    """Tombstones are manifest state, so they are VERSIONED like
+    everything else: a snapshot pinned BEFORE the delete commit still
+    shows the deleted keys; the post-delete snapshot hides them; a
+    history-preserving vacuum keeps live tombstone batches; and a
+    cached manifest text cannot resurrect a vacuumed version (the
+    min-live guard fires before any cache lookup)."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_frame(spark)
+    path = str(tmp_path / "z_tt_keys")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    v1 = L.table_version(spark, path)
+    victims = base.where(F.col("payload") % 211 == 7).select("payload")
+    n_victims = victims.count()
+    assert n_victims > 0
+    L.delete_zordered_keys(victims, path, ["payload"])
+    v2 = L.table_version(spark, path)
+    assert v2 == v1 + 1
+
+    # pre-delete snapshot: keys visible; post-delete: hidden
+    assert L.read_zordered(spark, path, version=v1).count() == base.count()
+    assert L.read_zordered(spark, path, version=v2).count() \
+        == base.count() - n_victims
+
+    # history-preserving vacuum keeps the tombstone batch alive
+    # (v2 references it), and both snapshots keep answering
+    stats = L.vacuum_zordered(spark, path, keep_versions=2)
+    assert stats["deleted_tombstones"] == 0
+    assert L.read_zordered(spark, path, version=v1).count() == base.count()
+    assert L.read_zordered(spark, path, version=v2).count() \
+        == base.count() - n_victims
+
+    # fold, then vacuum down to the folded snapshot: the tombstone
+    # batch is reclaimed and the pre-fold versions fail CLEANLY even
+    # though their manifest text may still sit in the session cache
+    L.read_manifest(spark, path, version=v2)   # warm the cache
+    L.compact_zordered(spark, path)
+    L.vacuum_zordered(spark, path, keep_versions=1)
+    from aggregation_duckdb_spark import fsio
+    assert fsio.list_names(spark, fsio._join(path, L.TOMBSTONE_DIR)) == []
+    with _pytest.raises(ValueError, match="vacuumed"):
+        L.read_manifest(spark, path, version=v2)
+    assert L.read_zordered(spark, path).count() == base.count() - n_victims
