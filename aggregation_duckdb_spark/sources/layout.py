@@ -465,6 +465,38 @@ def zbuckets_for_box(spec: dict, a_lo: int, a_hi: int,
                                       dims[1][0]: (b_lo, b_hi)})
 
 
+def _live_paths(path: str, manifest: dict,
+                buckets: list[int] | None = None) -> list[str]:
+    """The live (zbucket, gen) DIRECTORIES of a snapshot, optionally
+    restricted to a bucket list."""
+    gens = manifest["gens"]
+    wanted = ({str(b) for b in buckets} if buckets is not None
+              else set(gens))
+    return [fsio._join(path, DATA_DIR, f"zbucket={k}", f"gen={g}")
+            for k, g in sorted(gens.items()) if k in wanted]
+
+
+def _read_live(spark: SparkSession, path: str, manifest: dict,
+               buckets: list[int] | None = None) -> DataFrame:
+    """Scan exactly the snapshot's live generation directories —
+    MANIFEST-DRIVEN file pruning, the Delta/Iceberg mechanism: dead
+    generations (history retained with ``vacuum=False``), superseded
+    buckets, and crash orphans are never LISTED, let alone read, so
+    per-query file-listing cost tracks the live snapshot, not the
+    table's mutation history. ``basePath`` keeps zbucket/gen as
+    partition columns, and the precise live-(zbucket, gen) predicate
+    stays applied on top (defense-in-depth, and it keeps the pruning
+    visible as PartitionFilters in the plan, which the plan-shape
+    tests pin). An empty snapshot falls back to a filtered-false read
+    of the data root purely to carry the schema."""
+    data_root = fsio._join(path, DATA_DIR)
+    paths = _live_paths(path, manifest, buckets)
+    if not paths:
+        return spark.read.parquet(data_root).where(F.lit(False))
+    return (spark.read.option("basePath", data_root).parquet(*paths)
+            .where(_live_filter(manifest, buckets)))
+
+
 def _live_filter(manifest: dict, buckets: list[int] | None = None) -> Column:
     """Partition predicate selecting exactly the live (zbucket, gen)
     pairs — grouped by gen so the expression stays compact. Both are
@@ -492,9 +524,7 @@ def read_zordered(spark: SparkSession, path: str,
     (zbucket, gen) directory; ``gen`` is internal and dropped)."""
     if manifest is None:
         manifest = read_manifest(spark, path, version)
-    out = (spark.read.parquet(fsio._join(path, DATA_DIR))
-           .where(_live_filter(manifest))
-           .drop("gen"))
+    out = _read_live(spark, path, manifest).drop("gen")
     return _apply_tombstones(spark, path, manifest, out)
 
 
@@ -530,8 +560,7 @@ def read_zordered_box_nd(spark: SparkSession, path: str,
     if manifest is None:
         manifest = read_manifest(spark, path, version)
     buckets = zbuckets_for_ranges(manifest["spec"], ranges)
-    out = (spark.read.parquet(fsio._join(path, DATA_DIR))
-           .where(_live_filter(manifest, buckets)))
+    out = _read_live(spark, path, manifest, buckets)
     for c, (lo, hi) in ranges.items():
         out = out.where((F.col(c) >= lo) & (F.col(c) <= hi))
     return _apply_tombstones(spark, path, manifest, out.drop("gen"))
@@ -701,8 +730,7 @@ def compact_zordered(spark: SparkSession, path: str,
             # physically holds a tombstoned key — those are the only
             # extra buckets the fold rewrites
             kc = manifest["tombstone_key"]
-            victims = (spark.read.parquet(data_root)
-                       .where(_live_filter(manifest))
+            victims = (_read_live(spark, path, manifest)
                        .select("zbucket", *kc)
                        .join(F.broadcast(tomb_keys), kc, "semi")
                        .select("zbucket").distinct())
@@ -746,8 +774,7 @@ def read_zordered_box_dirs(spark: SparkSession, path: str,
     """The live rows of an explicit bucket list (compaction's read
     half; same pruning mechanism as the box read)."""
     existing = [b for b in buckets if str(b) in manifest["gens"]]
-    df = spark.read.parquet(fsio._join(path, DATA_DIR))
-    return df.where(_live_filter(manifest, existing)).drop("gen")
+    return _read_live(spark, path, manifest, existing).drop("gen")
 
 
 def read_zordered_box_with_delta(spark: SparkSession, path: str,
@@ -1004,8 +1031,7 @@ def read_zordered_where(spark: SparkSession, path: str, ranges: dict,
     filter only. Results equal a plain filter over the live table."""
     manifest = read_manifest(spark, path, version)
     keep = zonemap_buckets(manifest, ranges)
-    out = (spark.read.parquet(fsio._join(path, DATA_DIR))
-           .where(_live_filter(manifest, keep)))
+    out = _read_live(spark, path, manifest, keep)
     for c, (lo, hi) in ranges.items():
         out = out.where((F.col(c) >= lo) & (F.col(c) <= hi))
     # internal layout columns never escape, with or without deltas
