@@ -353,10 +353,9 @@ def _write_table(df: DataFrame, path: str, spec: dict,
     gen = _new_gen()
     data_root = fsio._join(path, DATA_DIR)
     _write_clustered(df, data_root, spec, gen, files_per_bucket)
-    written = _written_generation(spark, path, gen)
-    buckets = _written_buckets(written)
+    buckets, stats = _written_meta(spark, path, gen, spec)
     manifest = {"spec": spec, "gens": {str(k): gen for k in buckets},
-                "deltas": [], "stats": _bucket_stats(written, spec)}
+                "deltas": [], "stats": stats}
     v = fsio.write_json_version(spark, _manifest_path(path), manifest)
     if prev is not None and vacuum:
         _cleanup_superseded(spark, path, prev, manifest)
@@ -713,12 +712,10 @@ def compact_zordered(spark: SparkSession, path: str,
             full = full.unionByName(delta)
         new_spec = _respec_bounds(spec, full)
         _write_clustered(full, data_root, new_spec, gen, files_per_bucket)
-        written = _written_generation(spark, path, gen)
+        buckets, stats = _written_meta(spark, path, gen, new_spec)
         new_manifest = {"spec": new_spec,
-                        "gens": {str(k): gen
-                                 for k in _written_buckets(written)},
-                        "deltas": [],
-                        "stats": _bucket_stats(written, new_spec)}
+                        "gens": {str(k): gen for k in buckets},
+                        "deltas": [], "stats": stats}
         if "last_batch_id" in manifest:   # streaming-ingest watermark
             new_manifest["last_batch_id"] = manifest["last_batch_id"]
     elif mode == "incremental":
@@ -743,8 +740,8 @@ def compact_zordered(spark: SparkSession, path: str,
                            manifest["tombstone_key"], "left_anti")
         merged = old.unionByName(delta) if delta is not None else old
         _write_clustered(merged, data_root, spec, gen, files_per_bucket)
-        written = _written_generation(spark, path, gen)
-        survivors = set(_written_buckets(written))
+        wb, new_stats = _written_meta(spark, path, gen, spec)
+        survivors = set(wb)
         gens = dict(manifest["gens"])
         stats = dict(manifest.get("stats", {}))
         for k in dirtied:           # dirtied buckets: fresh zone maps;
@@ -753,7 +750,7 @@ def compact_zordered(spark: SparkSession, path: str,
                 gens[str(k)] = gen
             else:
                 gens.pop(str(k), None)
-        stats.update(_bucket_stats(written, spec))
+        stats.update(new_stats)
         new_manifest = {"spec": spec, "gens": gens, "deltas": [],
                         "stats": stats}
         if "last_batch_id" in manifest:   # streaming-ingest watermark
@@ -836,8 +833,8 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
     gen = _new_gen()
     _write_clustered(merged, fsio._join(path, DATA_DIR), spec, gen,
                      files_per_bucket)
-    written = _written_generation(spark, path, gen)
-    survivors = set(_written_buckets(written))
+    wb, new_stats = _written_meta(spark, path, gen, spec)
+    survivors = set(wb)
     gens = dict(manifest["gens"])
     stats = dict(manifest.get("stats", {}))
     for k in dirtied:
@@ -846,7 +843,7 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
             gens[str(k)] = gen
         else:
             gens.pop(str(k), None)
-    stats.update(_bucket_stats(written, spec))
+    stats.update(new_stats)
     new_manifest = {**manifest, "gens": gens, "stats": stats}
     v = fsio.write_json_version(spark, _manifest_path(path), new_manifest)
     if vacuum:
@@ -956,6 +953,20 @@ def _written_buckets(written: DataFrame | None) -> list[int]:
         return []
     return sorted(r[0] for r in
                   written.select("zbucket").distinct().collect())
+
+
+def _written_meta(spark: SparkSession, path: str, gen: str,
+                  spec: dict) -> tuple[list[int], dict]:
+    """(live buckets, zone-map stats) of a just-written generation in
+    ONE read-back job where possible: the stats aggregate already
+    groups by zbucket, so its keys ARE the bucket list; the separate
+    distinct scan only runs when the table has no stat-typed columns
+    (stats empty, buckets still needed)."""
+    written = _written_generation(spark, path, gen)
+    stats = _bucket_stats(written, spec)
+    if stats:
+        return sorted(int(k) for k in stats), stats
+    return _written_buckets(written), stats
 
 
 def _bucket_stats(df: DataFrame | None, spec: dict) -> dict:
@@ -1081,8 +1092,8 @@ def delete_zordered_box(spark: SparkSession, path: str,
     gen = _new_gen()
     _write_clustered(keep, fsio._join(path, DATA_DIR), spec, gen,
                      files_per_bucket)
-    written = _written_generation(spark, path, gen)
-    survivors = set(_written_buckets(written))
+    wb, new_stats = _written_meta(spark, path, gen, spec)
+    survivors = set(wb)
     gens = dict(manifest["gens"])
     stats = dict(manifest.get("stats", {}))
     for k in candidates:
@@ -1091,7 +1102,7 @@ def delete_zordered_box(spark: SparkSession, path: str,
             gens[str(k)] = gen
         else:
             gens.pop(str(k), None)   # bucket emptied: drop it outright
-    stats.update(_bucket_stats(written, spec))
+    stats.update(new_stats)
     new_manifest = {**manifest, "gens": gens, "stats": stats}
     v = fsio.write_json_version(spark, _manifest_path(path), new_manifest)
     if vacuum:
