@@ -853,6 +853,68 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
     return spec
 
 
+def optimize_zordered(spark: SparkSession, path: str,
+                      files_per_bucket: int = 1,
+                      min_files: int | None = None,
+                      vacuum: bool = True) -> dict:
+    """Small-file compaction WITHOUT delta folding — the Delta
+    ``OPTIMIZE`` (bin-packing) half, distinct from
+    :func:`compact_zordered`'s delta fold: streaming ingest folded at
+    ``files_per_bucket=8`` (or many small appends) leaves buckets
+    holding many small files, and at 100 TB small files tax every
+    scan (footer reads, task scheduling) even when the clustering is
+    fine. This verb LISTS each live bucket directory (metadata only),
+    rewrites ONLY the buckets holding more than ``min_files`` data
+    files (default: the ``files_per_bucket`` target), and commits the
+    usual atomic manifest flip — cost tracks the fragmented buckets,
+    never the table. Refuses while deltas or tombstones are
+    outstanding (fold first); single writer; ``vacuum=False`` retains
+    the superseded generations for time travel. Returns
+    {"buckets_rewritten", "buckets_total"}."""
+    manifest = read_manifest(spark, path)
+    if manifest.get("deltas") or manifest.get("tombstones"):
+        raise ValueError(
+            "optimize_zordered: outstanding delta batches or tombstones "
+            "— run compact_zordered(path) first")
+    if min_files is None:
+        min_files = files_per_bucket
+    spec = manifest["spec"]
+    frag = []
+    for k, g in manifest["gens"].items():
+        d = fsio._join(path, DATA_DIR, f"zbucket={k}", f"gen={g}")
+        n = sum(1 for nm in fsio.list_names(spark, d)
+                if nm.endswith(".parquet"))
+        if n > min_files:
+            frag.append(int(k))
+    frag = sorted(frag)
+    if not frag:
+        return {"buckets_rewritten": 0,
+                "buckets_total": len(manifest["gens"])}
+    old = read_zordered_box_dirs(spark, path, manifest, frag) \
+        .drop("zbucket")
+    gen = _new_gen()
+    _write_clustered(old, fsio._join(path, DATA_DIR), spec, gen,
+                     files_per_bucket)
+    wb, new_stats = _written_meta(spark, path, gen, spec)
+    survivors = set(wb)
+    gens = dict(manifest["gens"])
+    stats = dict(manifest.get("stats", {}))
+    for k in frag:
+        stats.pop(str(k), None)
+        if k in survivors:
+            gens[str(k)] = gen
+        else:
+            gens.pop(str(k), None)
+    stats.update(new_stats)
+    new_manifest = {**manifest, "gens": gens, "stats": stats}
+    v = fsio.write_json_version(spark, _manifest_path(path), new_manifest)
+    if vacuum:
+        _cleanup_superseded(spark, path, manifest, new_manifest)
+        _set_min_live_version(spark, path, v)
+        fsio.prune_versions(spark, _manifest_path(path))
+    return {"buckets_rewritten": len(frag), "buckets_total": len(gens)}
+
+
 def vacuum_zordered(spark: SparkSession, path: str,
                     keep_versions: int = 1) -> dict:
     """Reclaim storage from retained history: keep the newest

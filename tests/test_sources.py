@@ -1064,3 +1064,76 @@ def test_zorder_tombstones_respect_time_travel(spark, tmp_path):
     with _pytest.raises(ValueError, match="vacuumed"):
         L.read_manifest(spark, path, version=v2)
     assert L.read_zordered(spark, path).count() == base.count() - n_victims
+
+
+def test_optimize_zordered_rewrites_only_fragmented_buckets(
+        spark, tmp_path):
+    """Standalone small-file compaction (the Delta OPTIMIZE half,
+    distinct from delta folding): only buckets holding more files
+    than the target are rewritten; data stays row-exact; a second
+    pass is a no-op; healthy buckets keep their generations."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+
+    def files_per_bucket(path, m):
+        out = {}
+        for k, g in m["gens"].items():
+            d = fsio._join(path, L.DATA_DIR, f"zbucket={k}", f"gen={g}")
+            out[k] = sum(1 for nm in fsio.list_names(spark, d)
+                         if nm.endswith(".parquet"))
+        return out
+
+    base = _zorder_frame(spark)
+    path = str(tmp_path / "z_opt")
+    # sf-scale data all coalesces into one task under AQE, which
+    # defeats the salt; disable coalescing for the BUILD so the
+    # bucket dirs are genuinely fragmented, as they would be at scale
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    try:
+        spark.conf.set(coalesce_key, "false")
+        L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4,
+                         files_per_bucket=8)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    m0 = L.read_manifest(spark, path)
+    assert max(files_per_bucket(path, m0).values()) > 1  # fragmented
+    want = sorted((r.a, r.b, r.payload) for r in base.collect())
+
+    res = L.optimize_zordered(spark, path, files_per_bucket=1)
+    assert res["buckets_rewritten"] == len(m0["gens"])
+    m1 = L.read_manifest(spark, path)
+    assert max(files_per_bucket(path, m1).values()) == 1  # packed
+    got = sorted((r.a, r.b, r.payload) for r in
+                 L.read_zordered(spark, path).collect())
+    assert got == want
+    # second pass: nothing above target, nothing rewritten
+    res2 = L.optimize_zordered(spark, path, files_per_bucket=1)
+    assert res2["buckets_rewritten"] == 0
+    assert L.read_manifest(spark, path)["gens"] == m1["gens"]
+
+    # fragment a SUBSET via a corner upsert at files_per_bucket=8:
+    # only those buckets exceed the target, only those get rewritten
+    up = (base.where((F.col("a") < 40) & (F.col("b") < 30))
+          .withColumn("payload", F.col("payload")))
+    try:
+        spark.conf.set(coalesce_key, "false")
+        L.upsert_zordered(up, path, ["payload"], files_per_bucket=8)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    m2 = L.read_manifest(spark, path)
+    frag = {k for k, n in files_per_bucket(path, m2).items() if n > 1}
+    assert 0 < len(frag) < len(m2["gens"])
+    res3 = L.optimize_zordered(spark, path, files_per_bucket=1)
+    assert res3["buckets_rewritten"] == len(frag)
+    m3 = L.read_manifest(spark, path)
+    untouched = {k for k in m2["gens"] if k not in frag}
+    assert all(m3["gens"][k] == m2["gens"][k] for k in untouched)
+    got3 = sorted((r.a, r.b, r.payload) for r in
+                  L.read_zordered(spark, path).collect())
+    assert got3 == want
+    # refuses over outstanding queues, like every structural rewrite
+    L.append_zordered(base.limit(1), path)
+    with _pytest.raises(ValueError, match="compact_zordered"):
+        L.optimize_zordered(spark, path)
