@@ -18,9 +18,9 @@ from aggregation_duckdb_spark.sources.layout import (
     delete_zordered_keys, optimize_zordered, read_zordered,
     read_zordered_box, read_zordered_box_nd,
     read_zordered_box_with_delta, read_zordered_where, table_exists,
-    table_version, upsert_zordered, vacuum_zordered, write_zordered,
-    write_zordered_nd, zbuckets_for_box, zbuckets_for_ranges,
-    zonemap_buckets)
+    table_history, table_version, upsert_zordered, vacuum_zordered,
+    write_zordered, write_zordered_nd, zbuckets_for_box,
+    zbuckets_for_ranges, zonemap_buckets)
 
 __all__ = ["read_csv", "read_json", "write_csv_dir", "write_json",
            "write_bucketed", "is_shuffle_free_join",
@@ -31,4 +31,5 @@ __all__ = ["read_csv", "read_json", "write_csv_dir", "write_json",
            "read_zordered_where", "zonemap_buckets",
            "delete_zordered_box", "delete_zordered_keys",
            "write_zordered_nd", "read_zordered_box_nd",
-           "zbuckets_for_ranges", "optimize_zordered"]
+           "zbuckets_for_ranges", "optimize_zordered",
+           "table_history"]

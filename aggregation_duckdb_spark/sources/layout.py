@@ -268,6 +268,37 @@ def _read_manifest_version(spark: SparkSession, path: str,
     return json.loads(text)
 
 
+def _commit(spark: SparkSession, path: str, manifest: dict,
+            op: str) -> int:
+    """Stamp the committing operation into the manifest and write the
+    next version — the provenance :func:`table_history` reads."""
+    manifest["op"] = op
+    return fsio.write_json_version(spark, _manifest_path(path), manifest)
+
+
+def table_history(spark: SparkSession, path: str) -> list[dict]:
+    """The retained commit history, newest first — the audit/lineage
+    view (the DESCRIBE HISTORY analogue): one row per manifest version
+    with the operation that committed it and the snapshot's shape.
+    Versions pruned by :func:`vacuum_zordered` are gone by design;
+    run mutations with ``vacuum=False`` to retain deeper history."""
+    mdir = _manifest_path(path)
+    versions = sorted(
+        (int(m.group(1)) for m in
+         (fsio._VERSION_RE.match(n) for n in fsio.list_names(spark, mdir))
+         if m), reverse=True)
+    out = []
+    for v in versions:
+        m = _read_manifest_version(spark, path, v)
+        if m is None:
+            continue
+        out.append({"version": v, "op": m.get("op", "unknown"),
+                    "buckets": len(m.get("gens", {})),
+                    "deltas": len(m.get("deltas", [])),
+                    "tombstones": len(m.get("tombstones", []))})
+    return out
+
+
 def read_manifest(spark: SparkSession, path: str,
                   version: int | None = None) -> dict:
     """The committed table state — latest by default, or a PINNED
@@ -356,7 +387,7 @@ def _write_table(df: DataFrame, path: str, spec: dict,
     buckets, stats = _written_meta(spark, path, gen, spec)
     manifest = {"spec": spec, "gens": {str(k): gen for k in buckets},
                 "deltas": [], "stats": stats}
-    v = fsio.write_json_version(spark, _manifest_path(path), manifest)
+    v = _commit(spark, path, manifest, "write")
     if prev is not None and vacuum:
         _cleanup_superseded(spark, path, prev, manifest)
         _set_min_live_version(spark, path, v)
@@ -595,7 +626,7 @@ def append_zordered(df: DataFrame, path: str,
     manifest["deltas"] = list(manifest.get("deltas", [])) + [name]
     if batch_id is not None:
         manifest["last_batch_id"] = int(batch_id)
-    fsio.write_json_version(spark, _manifest_path(path), manifest)
+    _commit(spark, path, manifest, "append")
 
 
 def delete_zordered_keys(keys_df: DataFrame, path: str,
@@ -630,7 +661,7 @@ def delete_zordered_keys(keys_df: DataFrame, path: str,
      .parquet(fsio._join(path, TOMBSTONE_DIR, name)))
     manifest["tombstones"] = list(manifest.get("tombstones", [])) + [name]
     manifest["tombstone_key"] = list(key_cols)
-    fsio.write_json_version(spark, _manifest_path(path), manifest)
+    _commit(spark, path, manifest, "delete_keys")
 
 
 def _tombstone_keys(spark: SparkSession, path: str,
@@ -758,7 +789,7 @@ def compact_zordered(spark: SparkSession, path: str,
         new_spec = spec
     else:
         raise ValueError(f"mode must be 'incremental' or 'full': {mode}")
-    v = fsio.write_json_version(spark, _manifest_path(path), new_manifest)
+    v = _commit(spark, path, new_manifest, f"compact_{mode}")
     if vacuum:
         _cleanup_superseded(spark, path, manifest, new_manifest)
         _set_min_live_version(spark, path, v)
@@ -845,7 +876,7 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
             gens.pop(str(k), None)
     stats.update(new_stats)
     new_manifest = {**manifest, "gens": gens, "stats": stats}
-    v = fsio.write_json_version(spark, _manifest_path(path), new_manifest)
+    v = _commit(spark, path, new_manifest, "upsert")
     if vacuum:
         _cleanup_superseded(spark, path, manifest, new_manifest)
         _set_min_live_version(spark, path, v)
@@ -907,7 +938,7 @@ def optimize_zordered(spark: SparkSession, path: str,
             gens.pop(str(k), None)
     stats.update(new_stats)
     new_manifest = {**manifest, "gens": gens, "stats": stats}
-    v = fsio.write_json_version(spark, _manifest_path(path), new_manifest)
+    v = _commit(spark, path, new_manifest, "optimize")
     if vacuum:
         _cleanup_superseded(spark, path, manifest, new_manifest)
         _set_min_live_version(spark, path, v)
@@ -1166,7 +1197,7 @@ def delete_zordered_box(spark: SparkSession, path: str,
             gens.pop(str(k), None)   # bucket emptied: drop it outright
     stats.update(new_stats)
     new_manifest = {**manifest, "gens": gens, "stats": stats}
-    v = fsio.write_json_version(spark, _manifest_path(path), new_manifest)
+    v = _commit(spark, path, new_manifest, "delete_box")
     if vacuum:
         _cleanup_superseded(spark, path, manifest, new_manifest)
         _set_min_live_version(spark, path, v)

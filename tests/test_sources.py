@@ -1137,3 +1137,30 @@ def test_optimize_zordered_rewrites_only_fragmented_buckets(
     L.append_zordered(base.limit(1), path)
     with _pytest.raises(ValueError, match="compact_zordered"):
         L.optimize_zordered(spark, path)
+
+
+def test_zorder_table_history_records_operations(spark, tmp_path):
+    """Every manifest commit is stamped with its operation, and
+    table_history reads the retained lineage newest-first — the
+    DESCRIBE HISTORY analogue; vacuum prunes it by design."""
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_frame(spark)
+    path = str(tmp_path / "z_hist")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    L.append_zordered(base.limit(5), path)
+    L.compact_zordered(spark, path, vacuum=False)
+    L.upsert_zordered(base.limit(3), path, ["payload"], vacuum=False)
+    L.delete_zordered_keys(
+        base.limit(2).select("payload"), path, ["payload"])
+    hist = L.table_history(spark, path)
+    assert [h["op"] for h in hist] == [
+        "delete_keys", "upsert", "compact_incremental", "append",
+        "write"]
+    assert hist[0]["tombstones"] == 1 and hist[1]["tombstones"] == 0
+    assert hist[3]["deltas"] == 1 and hist[2]["deltas"] == 0
+    assert [h["version"] for h in hist] == [5, 4, 3, 2, 1]
+    # vacuum prunes history to the kept tail
+    L.compact_zordered(spark, path)           # fold tombstones first
+    L.vacuum_zordered(spark, path, keep_versions=1)
+    hist2 = L.table_history(spark, path)
+    assert len(hist2) == 1 and hist2[0]["op"] == "compact_incremental"
