@@ -237,6 +237,27 @@ def write_json_version(spark, manifest_dir: str, obj) -> int:
     return nxt
 
 
+INGEST_DIR = "_ingest"
+
+
+def read_ingest_watermark(spark, index_path: str) -> int:
+    """Highest batch id already ingested into a durable index (-1 if
+    none recorded) — the replay guard for at-least-once micro-batch
+    delivery (Structured Streaming's foreachBatch redelivers a batch
+    id after a crash between sink write and checkpoint commit; the
+    watermark lets the index-append verbs skip the replay, the same
+    pattern the Z-ordered table's ``last_batch_id`` uses)."""
+    m = read_json_latest(spark, _join(index_path, INGEST_DIR))
+    return -1 if m is None else int(m.get("last_batch_id", -1))
+
+
+def commit_ingest_watermark(spark, index_path: str,
+                            batch_id: int) -> None:
+    """Record ``batch_id`` as ingested (atomic versioned commit)."""
+    write_json_version(spark, _join(index_path, INGEST_DIR),
+                       {"last_batch_id": int(batch_id)})
+
+
 def prune_versions(spark, manifest_dir: str, keep: int = 5) -> None:
     """Delete all but the newest ``keep`` manifest versions (each is a
     few hundred bytes; this only bounds listing growth)."""

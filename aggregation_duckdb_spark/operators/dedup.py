@@ -696,12 +696,28 @@ def write_dedup_index(existing: DataFrame, path: str,
 
 def append_dedup_index(admitted: DataFrame, path: str,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> None:
+                       id_col: str = "doc_id",
+                       batch_id: int | None = None) -> None:
     """Grow the index with a batch of ADMITTED documents (the ones
     incremental dedup let through): compute the same three projections
     for the batch only and append — per-batch cost proportional to
-    the batch, the corpus never re-read."""
+    the batch, the corpus never re-read.
+
+    ``batch_id`` makes the append REPLAY-GUARDED for streaming ingest
+    (foreachBatch redelivers batch ids at-least-once): ids at or below
+    the recorded watermark are skipped, and the watermark commits
+    AFTER the data lands. The guard covers redelivery of committed
+    batches; a crash in the window between data append and watermark
+    commit still replays into a duplicate — for full exactly-once
+    route ingest through the Z-ordered table's delta road (visible
+    only at manifest commit) and rebuild/append the index from there.
+    Ids must be monotonic per index (checkpointed streaming queries
+    guarantee this); single writer, as for every durable artifact."""
     from aggregation_duckdb_spark import fsio
+    spark = admitted.sparkSession
+    if batch_id is not None and \
+            batch_id <= fsio.read_ingest_watermark(spark, path):
+        return  # replayed micro-batch: already ingested, skip
     p = fsio.read_json(admitted.sparkSession,
                        fsio._join(path, "params.json"))
     h, sh, b = corpus_dedup_projections(
@@ -710,6 +726,8 @@ def append_dedup_index(admitted: DataFrame, path: str,
     h.write.mode("append").parquet(fsio._join(path, "hashes"))
     sh.write.mode("append").parquet(fsio._join(path, "shingles"))
     b.write.mode("append").parquet(fsio._join(path, "buckets"))
+    if batch_id is not None:
+        fsio.commit_ingest_watermark(spark, path, batch_id)
 
 
 def incremental_dedup_indexed(new: DataFrame, spark, path: str,

@@ -855,7 +855,8 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
 
 def append_ivf_index(new_corpus: DataFrame, path: str,
                      vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> None:
+                     id_col: str = "vec_id",
+                     batch_id: int | None = None) -> None:
     """Incremental index maintenance — the steady-state production
     shape (same contract as ``dedup.incremental_dedup``): assign ONLY
     the new batch against the STORED codebook and append its cell
@@ -863,14 +864,22 @@ def append_ivf_index(new_corpus: DataFrame, path: str,
     is never re-read and the codebook never moves (IVF's standard
     contract — immutable centroids between retrains; retrain and
     rebuild when drift warrants it, which is a bulk job, not a
-    per-batch one)."""
+    per-batch one). ``batch_id`` adds the replay guard for streaming
+    ingest (ids at or below the recorded watermark are skipped — see
+    ``dedup.append_dedup_index`` for the exact semantics and the
+    crash-window caveat)."""
     from aggregation_duckdb_spark import fsio
     spark = new_corpus.sparkSession
+    if batch_id is not None and \
+            batch_id <= fsio.read_ingest_watermark(spark, path):
+        return  # replayed micro-batch: already ingested, skip
     cents = spark.read.parquet(fsio._join(path, "codebook"))
     assigned = ivf_assign(new_corpus, cents, vec_col, id_col)
     (assigned.withColumn("centroid_id", F.col("centroid_id").cast("int"))
      .write.mode("append").partitionBy("centroid_id")
      .parquet(fsio._join(path, "cells")))
+    if batch_id is not None:
+        fsio.commit_ingest_watermark(spark, path, batch_id)
 
 
 def write_pq_index(corpus: DataFrame, codebooks: DataFrame, path: str,
@@ -895,19 +904,26 @@ def write_pq_index(corpus: DataFrame, codebooks: DataFrame, path: str,
 
 def append_pq_index(new: DataFrame, path: str,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> None:
+                    id_col: str = "vec_id",
+                    batch_id: int | None = None) -> None:
     """Encode a NEW batch against the STORED codebooks and append its
     codes — per-batch cost proportional to the batch (the
     append_ivf_index contract: the codebook is the trained artifact;
     re-fitting on every ingest would silently re-key every stored
-    code)."""
+    code). ``batch_id`` adds the replay guard for streaming ingest
+    (see ``dedup.append_dedup_index`` for semantics)."""
     from aggregation_duckdb_spark import fsio
     spark = new.sparkSession
+    if batch_id is not None and \
+            batch_id <= fsio.read_ingest_watermark(spark, path):
+        return  # replayed micro-batch: already ingested, skip
     p = fsio.read_json(spark, fsio._join(path, "params.json"))
     books = spark.read.parquet(fsio._join(path, "codebooks"))
     codes = pq_encode(new, books, p["num_subspaces"], vec_col, id_col,
                       p["dim"])
     codes.write.mode("append").parquet(fsio._join(path, "codes"))
+    if batch_id is not None:
+        fsio.commit_ingest_watermark(spark, path, batch_id)
 
 
 def pq_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,

@@ -1136,3 +1136,56 @@ def test_pq_fit_joint_bit_equals_sequential(spark, sf_dir):
     a = S.pq_fit(emb, num_subspaces=4, k=8, max_iters=3, dim=64)
     b = S.pq_fit_joint(emb, num_subspaces=4, k=8, max_iters=3, dim=64)
     assert norm(a.collect()) == norm(b.collect())
+
+
+def test_index_appends_are_replay_guarded(spark, sf_dir, tmp_path):
+    """foreachBatch redelivers batch ids at-least-once: every durable
+    index's append verb must skip a batch id at or below the recorded
+    watermark (the Z-ordered table's last_batch_id pattern) — a
+    replayed append cannot duplicate index rows."""
+    from aggregation_duckdb_spark import fsio
+
+    docs = load_table(spark, "documents", sf_dir).limit(120)
+    old = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    dpath = str(tmp_path / "dedup_idx")
+    D.write_dedup_index(old, dpath)
+    D.append_dedup_index(b1, dpath, batch_id=1)
+    n1 = spark.read.parquet(fsio._join(dpath, "hashes")).count()
+    D.append_dedup_index(b1, dpath, batch_id=1)   # replay: skipped
+    assert spark.read.parquet(
+        fsio._join(dpath, "hashes")).count() == n1
+    D.append_dedup_index(b2, dpath, batch_id=2)   # new id: ingested
+    n2 = spark.read.parquet(fsio._join(dpath, "hashes")).count()
+    assert n2 == n1 + b2.count()
+    D.append_dedup_index(b1, dpath, batch_id=1)   # stale id: skipped
+    assert spark.read.parquet(
+        fsio._join(dpath, "hashes")).count() == n2
+    assert fsio.read_ingest_watermark(spark, dpath) == 2
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = (S.label_centroids_exact(emb.where(F.col("vec_id") % 2 == 0))
+             .groupBy("centroid_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct("pos", "mean_value"))),
+                 lambda x: x["mean_value"]).alias("centroid")))
+    ipath = str(tmp_path / "ivf_idx")
+    S.write_ivf_index(emb.where(F.col("vec_id") % 2 == 0), cents, ipath)
+    newb = emb.where(F.col("vec_id") % 2 == 1)
+    S.append_ivf_index(newb, ipath, batch_id=7)
+    nc = spark.read.parquet(fsio._join(ipath, "cells")).count()
+    S.append_ivf_index(newb, ipath, batch_id=7)   # replay: skipped
+    assert spark.read.parquet(
+        fsio._join(ipath, "cells")).count() == nc
+
+    books = S.pq_codebooks_exact(emb, num_subspaces=4, k=8)
+    ppath = str(tmp_path / "pq_idx")
+    S.write_pq_index(emb.where(F.col("vec_id") % 2 == 0), books, ppath,
+                     num_subspaces=4)
+    S.append_pq_index(newb, ppath, batch_id=3)
+    np_ = spark.read.parquet(fsio._join(ppath, "codes")).count()
+    S.append_pq_index(newb, ppath, batch_id=3)    # replay: skipped
+    assert spark.read.parquet(
+        fsio._join(ppath, "codes")).count() == np_
