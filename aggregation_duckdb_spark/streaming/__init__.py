@@ -21,7 +21,8 @@ from aggregation_duckdb_spark.streaming.funnel import funnel_stream
 from aggregation_duckdb_spark.streaming.near_dedup import (
     near_dedup_stream, signature_buckets)
 from aggregation_duckdb_spark.streaming.sinks import (
-    read_sink, run_to_parquet_exactly_once, run_zordered_ingest,
+    read_sink, run_dedup_ingest, run_to_parquet_exactly_once,
+    run_zordered_ingest,
     write_batch_idempotent)
 from aggregation_duckdb_spark.streaming.stateful import running_user_totals
 from aggregation_duckdb_spark.streaming.attribution import (
@@ -35,5 +36,5 @@ __all__ = [
     "near_dedup_stream", "signature_buckets", "funnel_stream",
     "anomaly_stream", "attribution_stream", "dau_stream",
     "read_sink", "run_to_parquet_exactly_once", "write_batch_idempotent",
-    "run_zordered_ingest",
+    "run_zordered_ingest", "run_dedup_ingest",
 ]

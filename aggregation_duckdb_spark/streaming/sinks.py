@@ -86,3 +86,58 @@ def run_zordered_ingest(result: DataFrame, path: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def run_dedup_ingest(docs: DataFrame, index_path: str,
+                     admitted_path: str, checkpoint_dir: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     threshold: float = 0.6) -> None:
+    """Stream documents through corpus-level dedup ADMISSION — the
+    crawl-ingest composition at 100 TB: each micro-batch is exact-
+    deduped within itself, checked against the PERSISTED dedup index
+    (``dedup.incremental_dedup_indexed`` — the corpus is touched only
+    through its three narrow projections), and only the novel
+    documents land: their text in the idempotent batch-partitioned
+    sink, their projections appended to the index so the NEXT batch
+    dedups against them.
+
+    Exactly-once end to end despite foreachBatch's at-least-once
+    redelivery, by ordering the three effects per batch:
+    (1) skip outright when the batch id is at or below the index's
+    ingest watermark — the whole batch already committed; (2) write
+    the admitted docs under their ``batch_id=N`` partition with
+    dynamic overwrite — a replay of an uncommitted batch recomputes
+    the SAME admitted set (the index is unchanged until step 3 lands,
+    and checkpointed batch contents are deterministic per id) and
+    overwrites its own earlier attempt; (3) append the index and
+    commit the watermark LAST, so a crash anywhere earlier replays
+    into an identical overwrite, never a duplicate. Within-batch NEAR
+    duplicates are admitted together by design (the batch is the
+    admission unit; they collapse at the next corpus-level pass) —
+    exact within-batch copies are dropped here. The index must exist
+    (``dedup.write_dedup_index``) before ingest starts; single writer,
+    as for every durable artifact."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.operators import dedup as D
+
+    def body(batch_df: DataFrame, bid: int) -> None:
+        spark = batch_df.sparkSession
+        if bid <= fsio.read_ingest_watermark(spark, index_path):
+            return  # fully committed earlier: skip every effect
+        batch = D.exact_dedup(batch_df, text_col, id_col)
+        flags = D.incremental_dedup_indexed(
+            batch, spark, index_path, text_col, id_col, threshold)
+        admitted = batch.join(
+            flags.where(F.col("is_new")).select(id_col), id_col,
+            "left_semi")
+        write_batch_idempotent(admitted, bid, admitted_path)
+        D.append_dedup_index(admitted, index_path, text_col, id_col,
+                             batch_id=bid)
+
+    q = (docs.writeStream
+         .foreachBatch(body)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -585,3 +585,81 @@ def test_attribution_stream_state_survives_batches(spark, tmp_path):
                         F.sum(F.col("value").cast("decimal(18,3)"))
                         .cast("double").alias("sum_value")).collect()}
     assert stream_roll == batch
+
+
+def test_dedup_ingest_admits_novel_docs_exactly_once(spark, tmp_path):
+    """Streaming dedup admission over the persisted index: novel docs
+    land exactly once (restart with the same checkpoint adds nothing;
+    a stale batch id is skipped), exact duplicates of the corpus and
+    of earlier batches are refused, and the index grows so LATER
+    batches dedup against EARLIER ones."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.streaming import (read_sink,
+                                                    run_dedup_ingest)
+
+    def mk(ids, dup_of=None):
+        # md5-derived word runs like the organic corpus; dup_of maps
+        # a doc to another id's text (an exact duplicate)
+        src = F.coalesce(F.lit(dup_of), F.col("id")) if dup_of is not None \
+            else F.col("id")
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda j: F.substring(
+                F.md5(F.concat(src.cast("string"), F.lit("|"),
+                               (j - j % 3).cast("string"))), 1, 6))
+        return (spark.range(ids[0], ids[1])
+                .select(F.col("id").alias("doc_id"),
+                        F.concat_ws(" ", words).alias("text")))
+
+    corpus = mk((0, 40))
+    index = str(tmp_path / "idx")
+    D.write_dedup_index(corpus, index)
+
+    # incoming: 3 files -> 3 micro-batches. Batch content: novel docs
+    # 100-139, PLUS exact copies of corpus docs (dup_of=7) and a doc
+    # duplicated ACROSS batches (id text copied from 100)
+    novel = mk((100, 140))
+    dup_corpus = mk((200, 206), dup_of=7)          # exact corpus copies
+    dup_cross = mk((300, 304), dup_of=100)         # dups of batch-1 doc
+    incoming = str(tmp_path / "in")
+    novel.repartition(1).write.mode("append").parquet(incoming)
+    dup_corpus.repartition(1).write.mode("append").parquet(incoming)
+    dup_cross.repartition(1).write.mode("append").parquet(incoming)
+
+    schema = spark.read.parquet(incoming).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(incoming))
+    admitted = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    run_dedup_ingest(stream, index, admitted, ckpt)
+
+    got = {r.doc_id for r in read_sink(spark, admitted).collect()}
+    # all novel docs admitted; every corpus copy refused; the
+    # cross-batch dups refused IF their batch ran after doc 100's
+    # batch (file order is not guaranteed, so assert the invariant
+    # per-content: exactly ONE admitted doc carries each text)
+    texts = [r.text for r in read_sink(spark, admitted).collect()]
+    assert len(texts) == len(set(texts))        # no duplicate content
+    assert not ({r.doc_id for r in dup_corpus.collect()} & got)
+    assert {r.doc_id for r in novel.collect()} <= got | {100}
+    wm = fsio.read_ingest_watermark(spark, index)
+    assert wm >= 1                               # several batches ran
+
+    # restart with the same checkpoint: nothing new, nothing changes
+    n_before = read_sink(spark, admitted).count()
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(incoming))
+    run_dedup_ingest(stream2, index, admitted, ckpt)
+    assert read_sink(spark, admitted).count() == n_before
+    assert fsio.read_ingest_watermark(spark, index) == wm
+
+    # a NEW batch that duplicates an admitted doc is refused by the
+    # grown index; a truly new doc still gets in
+    extra = mk((400, 402)).unionByName(mk((500, 501), dup_of=100))
+    extra.repartition(1).write.mode("append").parquet(incoming)
+    stream3 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(incoming))
+    run_dedup_ingest(stream3, index, admitted, ckpt)
+    got3 = {r.doc_id for r in read_sink(spark, admitted).collect()}
+    assert {400, 401} <= got3 and 500 not in got3
