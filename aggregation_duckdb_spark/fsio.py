@@ -33,8 +33,17 @@ import os
 import re
 import shutil
 import uuid
+from contextlib import contextmanager
 
 _VERSION_RE = re.compile(r"^v(\d{8})\.json$")
+
+
+class CommitCollision(RuntimeError):
+    """Two committers raced for the same manifest version name. The
+    loser's temp file is already cleaned up; retrying is safe —
+    re-read the latest manifest, re-validate the mutation's
+    preconditions against it, and commit again (what
+    ``layout._commit`` does with bounded retries)."""
 
 
 def _gateway(spark):
@@ -172,13 +181,27 @@ def rename(spark, src: str, dst: str) -> bool:
     "succeed" and a manifest version would be lost), so it links the
     source to the destination first — ``os.link`` is atomic and raises
     ``FileExistsError`` if the destination exists — then unlinks the
-    source."""
+    source. Filesystems without hard links (some overlay/NFS/FAT
+    mounts raise EPERM/ENOTSUP/EXDEV) fall back to an
+    ``O_CREAT|O_EXCL`` destination reservation — the exclusive create
+    is the atomic existence check — then a plain rename over the
+    reservation this committer now owns."""
     if _gateway(spark) is None:
+        lsrc, ldst = _local_path(src), _local_path(dst)
         try:
-            os.link(_local_path(src), _local_path(dst))
-        except OSError:
+            os.link(lsrc, ldst)
+        except FileExistsError:
             return False
-        os.unlink(_local_path(src))
+        except OSError:
+            # hard links unsupported on this mount: reserve the
+            # destination name atomically instead
+            try:
+                os.close(os.open(ldst, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            except FileExistsError:
+                return False
+            os.rename(lsrc, ldst)
+            return True
+        os.unlink(lsrc)
         return True
     fs, jsrc, jvm = _fs(spark, src)
     return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
@@ -219,22 +242,64 @@ def read_json_latest(spark, manifest_dir: str):
     return read_json(spark, _join(manifest_dir, f"v{v:08d}.json"))
 
 
-def write_json_version(spark, manifest_dir: str, obj) -> int:
-    """Commit ``obj`` as the next manifest version: write a temp file,
-    then rename it to ``v{N+1}.json``. The rename is the commit point —
-    readers only ever see complete versions. Single writer assumed (two
-    concurrent committers would race for the same version name)."""
+def write_json_at(spark, manifest_dir: str, obj, version: int) -> None:
+    """Commit ``obj`` at EXACTLY the given version name — the
+    optimistic-concurrency primitive: a committer that derived its
+    state from version N attempts N+1 specifically, so an intervening
+    commit (which took N+1) surfaces as :class:`CommitCollision`
+    rather than being silently overwritten-past. Write a temp file,
+    rename-if-absent to ``v{version}.json``; the rename is the commit
+    point — readers only ever see complete versions."""
     mkdirs(spark, manifest_dir)
-    nxt = latest_version(spark, manifest_dir) + 1
     tmp = _join(manifest_dir, f".tmp-{uuid.uuid4().hex}")
     write_json(spark, tmp, obj)
-    final = _join(manifest_dir, f"v{nxt:08d}.json")
+    final = _join(manifest_dir, f"v{version:08d}.json")
     if not rename(spark, tmp, final):
         delete(spark, tmp)
-        raise RuntimeError(
-            f"manifest commit lost a rename race (concurrent writer?): "
+        raise CommitCollision(
+            f"manifest commit lost a rename race (concurrent writer): "
             f"{final}")
-    return nxt
+
+
+def write_json_version(spark, manifest_dir: str, obj,
+                       retries: int = 8) -> int:
+    """Commit ``obj`` as the next manifest version, retrying past
+    collisions — the BLIND-append commit (watermarks, logs): content
+    does not depend on the state it lands on, so losing a race just
+    means committing one version later. State-derived commits (table
+    manifests) must NOT use this — they go through
+    :func:`write_json_at` with their base version so staleness is
+    detected, not papered over."""
+    for _ in range(retries + 1):
+        nxt = latest_version(spark, manifest_dir) + 1
+        try:
+            write_json_at(spark, manifest_dir, obj, nxt)
+            return nxt
+        except CommitCollision:
+            continue
+    raise CommitCollision(
+        f"manifest commit lost a rename race {retries + 1} times: "
+        f"{manifest_dir}")
+
+
+@contextmanager
+def dynamic_partition_overwrite(spark):
+    """Scope ``spark.sql.sources.partitionOverwriteMode=dynamic`` to a
+    block: an overwrite-with-partitionBy write inside it replaces ONLY
+    the partitions present in the data — the idempotent-replay
+    primitive (batch N's rewrite touches batch_id=N alone). The prior
+    setting is restored on exit — crucially restored to UNSET when it
+    was unset, or later overwrite+partitionBy writes would silently
+    become partial overwrites."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        yield
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
 
 INGEST_DIR = "_ingest"

@@ -680,14 +680,22 @@ def write_dedup_index(existing: DataFrame, path: str,
     per-doc shingle sets, and band buckets as three parquet tables,
     plus a params sidecar (written through :mod:`fsio`, so the index
     lives happily on hdfs://s3a) so a reader can't silently join
-    against an index built with different LSH parameters."""
+    against an index built with different LSH parameters.
+
+    Each table is partitioned by ``__ingest_batch`` (-1 for this base
+    build): per-batch appends land under their own partition, which is
+    what makes a replayed streaming append an idempotent OVERWRITE of
+    its earlier attempt instead of a duplicate (see
+    :func:`append_dedup_index`). The column is bookkeeping only —
+    readers drop it."""
     from aggregation_duckdb_spark import fsio
     h, sh, b = corpus_dedup_projections(
         existing, text_col, id_col, num_hashes, num_bands,
         shingle_width, normalize)
-    h.write.mode("overwrite").parquet(fsio._join(path, "hashes"))
-    sh.write.mode("overwrite").parquet(fsio._join(path, "shingles"))
-    b.write.mode("overwrite").parquet(fsio._join(path, "buckets"))
+    for frame, name in ((h, "hashes"), (sh, "shingles"), (b, "buckets")):
+        (frame.withColumn("__ingest_batch", F.lit(-1))
+         .write.mode("overwrite").partitionBy("__ingest_batch")
+         .parquet(fsio._join(path, name)))
     fsio.write_json(existing.sparkSession, fsio._join(path, "params.json"),
                     {"num_hashes": num_hashes, "num_bands": num_bands,
                      "shingle_width": shingle_width,
@@ -703,16 +711,19 @@ def append_dedup_index(admitted: DataFrame, path: str,
     for the batch only and append — per-batch cost proportional to
     the batch, the corpus never re-read.
 
-    ``batch_id`` makes the append REPLAY-GUARDED for streaming ingest
-    (foreachBatch redelivers batch ids at-least-once): ids at or below
-    the recorded watermark are skipped, and the watermark commits
-    AFTER the data lands. The guard covers redelivery of committed
-    batches; a crash in the window between data append and watermark
-    commit still replays into a duplicate — for full exactly-once
-    route ingest through the Z-ordered table's delta road (visible
-    only at manifest commit) and rebuild/append the index from there.
-    Ids must be monotonic per index (checkpointed streaming queries
-    guarantee this); single writer, as for every durable artifact."""
+    ``batch_id`` makes the append EXACTLY-ONCE for streaming ingest
+    (foreachBatch redelivers batch ids at-least-once), by two
+    mechanisms layered: ids at or below the recorded watermark are
+    skipped outright (the batch fully committed earlier), and an
+    UNCOMMITTED replay — a crash landed some projections but not the
+    watermark — rewrites its own ``__ingest_batch=N`` partition via
+    dynamic partition overwrite instead of appending next to the
+    partial attempt. The watermark commits LAST. Ids must be monotonic
+    per index (checkpointed streaming queries guarantee this); single
+    writer, as for every durable artifact. Without a ``batch_id``
+    (ad-hoc growth) the append lands under the base ``-1`` partition
+    in plain append mode — rerunning it duplicates, as any blind
+    append does."""
     from aggregation_duckdb_spark import fsio
     spark = admitted.sparkSession
     if batch_id is not None and \
@@ -723,9 +734,14 @@ def append_dedup_index(admitted: DataFrame, path: str,
     h, sh, b = corpus_dedup_projections(
         admitted, text_col, id_col, p["num_hashes"], p["num_bands"],
         p["shingle_width"], p["normalize"])
-    h.write.mode("append").parquet(fsio._join(path, "hashes"))
-    sh.write.mode("append").parquet(fsio._join(path, "shingles"))
-    b.write.mode("append").parquet(fsio._join(path, "buckets"))
+    part = -1 if batch_id is None else int(batch_id)
+    mode = "append" if batch_id is None else "overwrite"
+    with fsio.dynamic_partition_overwrite(spark):
+        for frame, name in ((h, "hashes"), (sh, "shingles"),
+                            (b, "buckets")):
+            (frame.withColumn("__ingest_batch", F.lit(part))
+             .write.mode(mode).partitionBy("__ingest_batch")
+             .parquet(fsio._join(path, name)))
     if batch_id is not None:
         fsio.commit_ingest_watermark(spark, path, batch_id)
 
@@ -740,9 +756,12 @@ def incremental_dedup_indexed(new: DataFrame, spark, path: str,
     the same DuckDB oracle as the live path)."""
     from aggregation_duckdb_spark import fsio
     p = fsio.read_json(spark, fsio._join(path, "params.json"))
-    ex_hashes = spark.read.parquet(fsio._join(path, "hashes"))
-    ex_sh = spark.read.parquet(fsio._join(path, "shingles"))
-    ex_b = spark.read.parquet(fsio._join(path, "buckets"))
+
+    def rd(name):  # __ingest_batch is write-side bookkeeping only
+        return (spark.read.parquet(fsio._join(path, name))
+                .drop("__ingest_batch"))
+
+    ex_hashes, ex_sh, ex_b = rd("hashes"), rd("shingles"), rd("buckets")
     return _incremental_against(new, ex_hashes, ex_sh, ex_b, text_col,
                                 id_col, threshold, p["num_hashes"],
                                 p["num_bands"], p["shingle_width"],

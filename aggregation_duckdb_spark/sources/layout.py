@@ -44,9 +44,16 @@ directories for the buckets it touches, commits the manifest pointing
 at them (the atomic flip), and only then deletes superseded
 directories — a crash at any step leaves readers on a complete,
 consistent snapshot, never the "rmtree'd but not yet renamed" void of
-a directory-swap scheme. Writers are single-writer by assumption
-(concurrent appends/compactions need an external lock — the standard
-no-lock-service caveat); readers need no coordination ever. Because
+a directory-swap scheme. Concurrent writers use OPTIMISTIC
+concurrency (no lock service, the Delta-style contract): the commit
+is a rename-if-absent for the next version name, the loser of a
+collision re-reads the latest manifest, re-validates what its
+mutation physically read and wrote (touched buckets' generations,
+folded delta/tombstone batches, the spec), merges and recommits —
+blind appends and disjoint bucket rewrites both land with
+consecutive versions; genuinely overlapping rewrites raise
+:class:`CommitConflict` naming the competing operation. Readers need
+no coordination ever. Because
 every commit is a manifest version, snapshots double as TIME TRAVEL:
 ``read_zordered*(..., version=N)`` pins state N; mutate with
 ``vacuum=False`` to retain history and reclaim it explicitly with
@@ -268,12 +275,116 @@ def _read_manifest_version(spark: SparkSession, path: str,
     return json.loads(text)
 
 
-def _commit(spark: SparkSession, path: str, manifest: dict,
-            op: str) -> int:
-    """Stamp the committing operation into the manifest and write the
-    next version — the provenance :func:`table_history` reads."""
-    manifest["op"] = op
-    return fsio.write_json_version(spark, _manifest_path(path), manifest)
+class CommitConflict(RuntimeError):
+    """Optimistic concurrency gave up: a concurrent commit invalidated
+    this mutation's preconditions (the message names the competing
+    operation), or commit collisions persisted past the retry bound.
+    The caller's physical write is orphaned but invisible — rerunning
+    the mutation against the new table state is always safe."""
+
+
+def _conflict(op: str, latest: dict, why: str):
+    raise CommitConflict(
+        f"{op}: concurrent '{latest.get('op', 'unknown')}' commit {why}")
+
+
+def _latest(spark: SparkSession, path: str) -> tuple[int, dict]:
+    """(version, manifest) of the latest committed snapshot — read as
+    a pair so the state is pinned to the version number (committed
+    versions are immutable; listing twice could straddle a commit)."""
+    v = table_version(spark, path)
+    m = _read_manifest_version(spark, path, v) if v else None
+    if m is None:
+        raise FileNotFoundError(f"no z-order manifest under {path}")
+    return v, m
+
+
+def _commit(spark: SparkSession, path: str, manifest: dict | None,
+            op: str, base_version: int, rebase=None,
+            retries: int = 8) -> tuple[int, dict | None]:
+    """Commit ``manifest`` (derived from snapshot ``base_version``),
+    stamped with the operation (the provenance :func:`table_history`
+    reads) — OPTIMISTICALLY: the attempt targets version
+    ``base_version + 1`` SPECIFICALLY, so any intervening commit
+    surfaces as a collision instead of being silently committed past
+    with stale state. On collision the latest manifest is re-read and
+    the mutation re-derived through ``rebase(latest)``, which either
+    merges it onto the new state (validating that what this mutation
+    physically read/wrote is untouched — the Delta/Iceberg conflict
+    rule), returns None (the mutation became a no-op, e.g. a replayed
+    batch id a racer committed first), or raises
+    :class:`CommitConflict` naming the competing operation. Returns
+    ``(version, committed_manifest)`` — ``(0, None)`` for a no-op."""
+    attempt_v = base_version + 1
+    for attempt in range(retries + 1):
+        if manifest is None:
+            return 0, None
+        m = dict(manifest)
+        m["op"] = op
+        try:
+            fsio.write_json_at(spark, _manifest_path(path), m, attempt_v)
+            return attempt_v, m
+        except fsio.CommitCollision:
+            if rebase is None or attempt == retries:
+                raise CommitConflict(
+                    f"{op} on {path}: gave up after {attempt + 1} commit "
+                    f"collisions") from None
+            latest_v, latest = _latest(spark, path)
+            manifest = rebase(latest)
+            attempt_v = latest_v + 1
+    raise AssertionError("unreachable")
+
+
+def _rebase_bucket_rewrite(latest: dict, base: dict, touched,
+                           survivors, gen: str, new_stats: dict,
+                           op: str, folded_deltas=(),
+                           folded_tombstones=(),
+                           require_tombstones_unchanged: bool = False) -> dict:
+    """Merge a bucket-rewrite mutation (its generations computed and
+    written against ``base``) onto ``latest`` after a commit
+    collision. Safe iff everything the rewrite DEPENDED ON is
+    untouched: the spec, the prior generation of every touched
+    bucket, and any delta/tombstone batches it folded; anything else
+    a concurrent committer changed (new deltas, new tombstones,
+    other buckets' generations) carries through unchanged — exactly
+    the WriteSerializable merge rule (blind appends and disjoint
+    rewrites both land; overlapping rewrites conflict)."""
+    if latest.get("spec") != base.get("spec"):
+        _conflict(op, latest, "changed the layout spec")
+    lg, bg = latest.get("gens", {}), base.get("gens", {})
+    for k in touched:
+        if lg.get(str(k)) != bg.get(str(k)):
+            _conflict(op, latest, f"rewrote bucket {k}")
+    for d in folded_deltas:
+        if d not in latest.get("deltas", []):
+            _conflict(op, latest, f"already folded delta batch {d}")
+    for t in folded_tombstones:
+        if t not in latest.get("tombstones", []):
+            _conflict(op, latest, f"already folded tombstone batch {t}")
+    if require_tombstones_unchanged and \
+            latest.get("tombstones", []) != base.get("tombstones", []):
+        _conflict(op, latest, "changed the outstanding tombstone set")
+    out = dict(latest)
+    gens, stats = dict(lg), dict(latest.get("stats", {}))
+    for k in touched:
+        stats.pop(str(k), None)
+        if k in survivors:
+            gens[str(k)] = gen
+        else:
+            gens.pop(str(k), None)
+    stats.update(new_stats)
+    out["gens"], out["stats"] = gens, stats
+    if folded_deltas:
+        fd = set(folded_deltas)
+        out["deltas"] = [d for d in latest.get("deltas", [])
+                         if d not in fd]
+    if folded_tombstones:
+        ft = set(folded_tombstones)
+        tt = [t for t in latest.get("tombstones", []) if t not in ft]
+        out["tombstones"] = tt
+        if not tt:
+            out.pop("tombstone_key", None)
+    return out
 
 
 def table_history(spark: SparkSession, path: str) -> list[dict]:
@@ -387,9 +498,14 @@ def _write_table(df: DataFrame, path: str, spec: dict,
     buckets, stats = _written_meta(spark, path, gen, spec)
     manifest = {"spec": spec, "gens": {str(k): gen for k in buckets},
                 "deltas": [], "stats": stats}
-    v = _commit(spark, path, manifest, "write")
+    # CREATE OR REPLACE is last-writer-wins by declaration: a commit
+    # collision recommits the same snapshot over whatever landed in
+    # between (the loser's directories become invisible orphans — the
+    # crash-orphan class cleanup/vacuum already handles)
+    v, final = _commit(spark, path, manifest, "write", prev_v,
+                       rebase=lambda latest: manifest)
     if prev is not None and vacuum:
-        _cleanup_superseded(spark, path, prev, manifest)
+        _cleanup_superseded(spark, path, prev, final)
         _set_min_live_version(spark, path, v)
     return spec
 
@@ -548,13 +664,23 @@ def _live_filter(manifest: dict, buckets: list[int] | None = None) -> Column:
 
 def read_zordered(spark: SparkSession, path: str,
                   manifest: dict | None = None,
-                  version: int | None = None) -> DataFrame:
+                  version: int | None = None,
+                  include_deltas: bool = True) -> DataFrame:
     """Full-scan read of the table snapshot — latest by default, a
     pinned time-travel snapshot with ``version`` (every live
-    (zbucket, gen) directory; ``gen`` is internal and dropped)."""
+    (zbucket, gen) directory; ``gen`` is internal and dropped). The
+    snapshot's outstanding delta batches are INCLUDED (``zbucket`` is
+    null for their rows — they are unrouted until compaction): a
+    full-table read never silently misses appended rows.
+    ``include_deltas=False`` reads the clustered main area alone (what
+    compaction's own rebuild wants, since it folds deltas itself)."""
     if manifest is None:
         manifest = read_manifest(spark, path, version)
     out = _read_live(spark, path, manifest).drop("gen")
+    if include_deltas:
+        for d in manifest.get("deltas", []):
+            dd = spark.read.parquet(fsio._join(path, DELTA_DIR, d))
+            out = out.unionByName(dd, allowMissingColumns=True)
     return _apply_tombstones(spark, path, manifest, out)
 
 
@@ -613,20 +739,31 @@ def append_zordered(df: DataFrame, path: str,
     id and a replayed batch is skipped — combined with
     commit-then-visible delta dirs this yields exactly-once visible
     rows without a transactional table format. Ids must be monotonic
-    per table (which checkpointed streaming queries guarantee; the
-    single-writer assumption covers the rest)."""
+    per table (which checkpointed streaming queries guarantee).
+
+    Appends are BLIND: a commit collision with any concurrent
+    committer rebases by re-appending the already-written delta name
+    onto the latest manifest — appends never conflict (the
+    WriteSerializable rule)."""
     spark = df.sparkSession
-    manifest = read_manifest(spark, path)
+    base_v, manifest = _latest(spark, path)
     if batch_id is not None and batch_id <= manifest.get(
             "last_batch_id", -1):
         return  # replayed micro-batch: already visible, skip
     name = f"d-{uuid.uuid4().hex}"
     df.write.mode("errorifexists").parquet(
         fsio._join(path, DELTA_DIR, name))
-    manifest["deltas"] = list(manifest.get("deltas", [])) + [name]
-    if batch_id is not None:
-        manifest["last_batch_id"] = int(batch_id)
-    _commit(spark, path, manifest, "append")
+
+    def build(m: dict) -> dict | None:
+        if batch_id is not None and batch_id <= m.get("last_batch_id", -1):
+            return None  # a replay racer committed this id first
+        out = dict(m)
+        out["deltas"] = list(m.get("deltas", [])) + [name]
+        if batch_id is not None:
+            out["last_batch_id"] = int(batch_id)
+        return out
+
+    _commit(spark, path, build(manifest), "append", base_v, rebase=build)
 
 
 def delete_zordered_keys(keys_df: DataFrame, path: str,
@@ -644,12 +781,12 @@ def delete_zordered_keys(keys_df: DataFrame, path: str,
     of the key columns and rewrites only those. Semantics: a
     tombstoned key is hidden from every snapshot read at or after this
     commit — including rows for that key appended later but before the
-    next compaction (delete wins until the fold; re-inserting a
-    deleted key needs a compact in between, or :func:`upsert_zordered`
-    which raises while tombstones are outstanding). Single writer, as
-    for every mutation here."""
+    next compaction (delete wins until the fold; re-insert a deleted
+    key with :func:`upsert_zordered`, which subtracts its keys from
+    the outstanding tombstone set in the same commit, or compact
+    first)."""
     spark = keys_df.sparkSession
-    manifest = read_manifest(spark, path)
+    base_v, manifest = _latest(spark, path)
     prior = manifest.get("tombstone_key")
     if prior is not None and list(prior) != list(key_cols):
         raise ValueError(
@@ -659,9 +796,20 @@ def delete_zordered_keys(keys_df: DataFrame, path: str,
     (keys_df.select(*key_cols).distinct()
      .write.mode("errorifexists")
      .parquet(fsio._join(path, TOMBSTONE_DIR, name)))
-    manifest["tombstones"] = list(manifest.get("tombstones", [])) + [name]
-    manifest["tombstone_key"] = list(key_cols)
-    _commit(spark, path, manifest, "delete_keys")
+
+    def build(m: dict) -> dict:
+        prior = m.get("tombstone_key")
+        if prior is not None and list(prior) != list(key_cols):
+            _conflict("delete_zordered_keys", m,
+                      f"left outstanding tombstones keyed {prior}, "
+                      f"this delete uses {list(key_cols)}")
+        out = dict(m)
+        out["tombstones"] = list(m.get("tombstones", [])) + [name]
+        out["tombstone_key"] = list(key_cols)
+        return out
+
+    _commit(spark, path, build(manifest), "delete_keys", base_v,
+            rebase=build)
 
 
 def _tombstone_keys(spark: SparkSession, path: str,
@@ -713,11 +861,14 @@ def compact_zordered(spark: SparkSession, path: str,
 
     Either way the sequence is write-new-generations → commit manifest
     (the atomic flip) → delete superseded directories; readers at any
-    instant see a complete snapshot. Single writer assumed.
+    instant see a complete snapshot. Commit collisions rebase
+    optimistically (incremental mode merges onto any state that left
+    the dirtied buckets and folded batches untouched; a full rebuild
+    merges only with blind appends).
     ``vacuum=False`` keeps superseded directories and manifests so
     prior versions stay time-travel-readable until
     :func:`vacuum_zordered`."""
-    manifest = read_manifest(spark, path)
+    base_v, manifest = _latest(spark, path)
     spec = manifest["spec"]
     deltas = list(manifest.get("deltas", []))
     tomb_keys = _tombstone_keys(spark, path, manifest)
@@ -738,17 +889,34 @@ def compact_zordered(spark: SparkSession, path: str,
     if mode == "full":
         # read_zordered applies this manifest's tombstones, so the
         # rebuild physically removes every tombstoned row
-        full = read_zordered(spark, path, manifest).drop("zbucket")
+        full = read_zordered(spark, path, manifest,
+                             include_deltas=False).drop("zbucket")
         if delta is not None:
             full = full.unionByName(delta)
         new_spec = _respec_bounds(spec, full)
         _write_clustered(full, data_root, new_spec, gen, files_per_bucket)
         buckets, stats = _written_meta(spark, path, gen, new_spec)
-        new_manifest = {"spec": new_spec,
-                        "gens": {str(k): gen for k in buckets},
-                        "deltas": [], "stats": stats}
-        if "last_batch_id" in manifest:   # streaming-ingest watermark
-            new_manifest["last_batch_id"] = manifest["last_batch_id"]
+
+        def rebase(latest: dict) -> dict:
+            # a full rebuild read EVERY bucket and folded every delta
+            # and tombstone, so only blind appends landed after the
+            # base snapshot can merge; anything else conflicts
+            if latest.get("gens", {}) != manifest.get("gens", {}) \
+                    or latest.get("spec") != manifest.get("spec") \
+                    or latest.get("tombstones", []) != \
+                    manifest.get("tombstones", []):
+                _conflict("compact_full", latest,
+                          "changed table state mid-rebuild")
+            out = {"spec": new_spec,
+                   "gens": {str(k): gen for k in buckets},
+                   "deltas": [d for d in latest.get("deltas", [])
+                              if d not in set(deltas)],
+                   "stats": stats}
+            if "last_batch_id" in latest:  # streaming-ingest watermark
+                out["last_batch_id"] = latest["last_batch_id"]
+            return out
+
+        new_manifest = rebase(manifest)
     elif mode == "incremental":
         dirtied = set(_touched_buckets(delta, spec)) \
             if delta is not None else set()
@@ -773,25 +941,25 @@ def compact_zordered(spark: SparkSession, path: str,
         _write_clustered(merged, data_root, spec, gen, files_per_bucket)
         wb, new_stats = _written_meta(spark, path, gen, spec)
         survivors = set(wb)
-        gens = dict(manifest["gens"])
-        stats = dict(manifest.get("stats", {}))
-        for k in dirtied:           # dirtied buckets: fresh zone maps;
-            stats.pop(str(k), None)  # clean buckets keep theirs
-            if k in survivors:
-                gens[str(k)] = gen
-            else:
-                gens.pop(str(k), None)
-        stats.update(new_stats)
-        new_manifest = {"spec": spec, "gens": gens, "deltas": [],
-                        "stats": stats}
-        if "last_batch_id" in manifest:   # streaming-ingest watermark
-            new_manifest["last_batch_id"] = manifest["last_batch_id"]
+
+        def rebase(latest: dict) -> dict:
+            # dirtied buckets get fresh generations and zone maps;
+            # clean buckets keep theirs — mergeable onto any
+            # concurrent state that left the dirtied buckets and the
+            # folded delta/tombstone batches untouched
+            return _rebase_bucket_rewrite(
+                latest, manifest, dirtied, survivors, gen, new_stats,
+                "compact_incremental", folded_deltas=deltas,
+                folded_tombstones=list(manifest.get("tombstones", [])))
+
+        new_manifest = rebase(manifest)
         new_spec = spec
     else:
         raise ValueError(f"mode must be 'incremental' or 'full': {mode}")
-    v = _commit(spark, path, new_manifest, f"compact_{mode}")
+    v, final = _commit(spark, path, new_manifest, f"compact_{mode}",
+                       base_v, rebase=rebase)
     if vacuum:
-        _cleanup_superseded(spark, path, manifest, new_manifest)
+        _cleanup_superseded(spark, path, manifest, final)
         _set_min_live_version(spark, path, v)
         fsio.prune_versions(spark, _manifest_path(path))
     return new_spec
@@ -846,39 +1014,71 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
       (the same rule Delta's file-skipping merge optimizes around);
     - no outstanding delta batches (raises — run compact_zordered
       first; deltas are raw unrouted files a keyed rewrite cannot
-      cheaply edit);
-    - single writer, as everywhere in this module."""
+      cheaply edit).
+
+    COMPOSES with outstanding key tombstones when they use the SAME
+    key columns (the standard GDPR-delete → re-crawl sequence:
+    ``delete_zordered_keys`` then upsert the fresh rows, no manual
+    compact in between): the upsert's keys are subtracted from the
+    outstanding tombstone set in the same commit — the re-inserted
+    rows are visible immediately, other tombstoned keys stay hidden —
+    and the dirtied buckets' rewrite physically folds their tombstone
+    victims for free. Tombstones keyed DIFFERENTLY still raise (the
+    key anti-join cannot express them; compact first)."""
     spark = df.sparkSession
-    manifest = read_manifest(spark, path)
-    if manifest.get("deltas") or manifest.get("tombstones"):
+    base_v, manifest = _latest(spark, path)
+    if manifest.get("deltas"):
         raise ValueError(
-            "upsert_zordered: outstanding delta batches or tombstones "
+            "upsert_zordered: outstanding delta batches "
             "— run compact_zordered(path) first")
+    old_tombs = list(manifest.get("tombstones", []))
+    if old_tombs and list(manifest.get("tombstone_key", [])) \
+            != list(key_cols):
+        raise ValueError(
+            f"upsert_zordered: outstanding tombstones are keyed "
+            f"{manifest.get('tombstone_key')}, upsert uses "
+            f"{list(key_cols)} — run compact_zordered(path) first")
     spec = manifest["spec"]
+    new_keys = df.select(*key_cols).distinct()
     dirtied = _touched_buckets(df, spec)
     old = read_zordered_box_dirs(spark, path, manifest, dirtied) \
         .drop("zbucket")
-    keep = old.join(F.broadcast(df.select(*key_cols).distinct()),
-                    key_cols, "left_anti")
+    keep = old.join(F.broadcast(new_keys), key_cols, "left_anti")
+    remaining_name = None
+    if old_tombs:
+        tomb = _tombstone_keys(spark, path, manifest)
+        # fold the victims physically while the buckets are being
+        # rewritten anyway (non-dirtied buckets keep theirs hidden by
+        # the remaining tombstone set until the next compaction)
+        keep = keep.join(F.broadcast(tomb), key_cols, "left_anti")
+        remaining = tomb.join(F.broadcast(new_keys), key_cols,
+                              "left_anti")
+        if remaining.count() > 0:   # tombstone sets are broadcast-small
+            remaining_name = f"t-{uuid.uuid4().hex}"
+            remaining.write.mode("errorifexists").parquet(
+                fsio._join(path, TOMBSTONE_DIR, remaining_name))
     merged = keep.unionByName(df.select(*old.columns))
     gen = _new_gen()
     _write_clustered(merged, fsio._join(path, DATA_DIR), spec, gen,
                      files_per_bucket)
     wb, new_stats = _written_meta(spark, path, gen, spec)
     survivors = set(wb)
-    gens = dict(manifest["gens"])
-    stats = dict(manifest.get("stats", {}))
-    for k in dirtied:
-        stats.pop(str(k), None)
-        if k in survivors:
-            gens[str(k)] = gen
-        else:
-            gens.pop(str(k), None)
-    stats.update(new_stats)
-    new_manifest = {**manifest, "gens": gens, "stats": stats}
-    v = _commit(spark, path, new_manifest, "upsert")
+
+    def rebase(latest: dict) -> dict:
+        out = _rebase_bucket_rewrite(
+            latest, manifest, dirtied, survivors, gen, new_stats,
+            "upsert", folded_tombstones=old_tombs,
+            require_tombstones_unchanged=bool(old_tombs))
+        if remaining_name is not None:
+            out["tombstones"] = [remaining_name]
+            out["tombstone_key"] = list(key_cols)
+        return out
+
+    new_manifest = rebase(manifest)
+    v, final = _commit(spark, path, new_manifest, "upsert", base_v,
+                       rebase=rebase)
     if vacuum:
-        _cleanup_superseded(spark, path, manifest, new_manifest)
+        _cleanup_superseded(spark, path, manifest, final)
         _set_min_live_version(spark, path, v)
         fsio.prune_versions(spark, _manifest_path(path))
     return spec
@@ -899,10 +1099,11 @@ def optimize_zordered(spark: SparkSession, path: str,
     files (default: the ``files_per_bucket`` target), and commits the
     usual atomic manifest flip — cost tracks the fragmented buckets,
     never the table. Refuses while deltas or tombstones are
-    outstanding (fold first); single writer; ``vacuum=False`` retains
+    outstanding (fold first); commit collisions rebase like every
+    bucket rewrite; ``vacuum=False`` retains
     the superseded generations for time travel. Returns
     {"buckets_rewritten", "buckets_total"}."""
-    manifest = read_manifest(spark, path)
+    base_v, manifest = _latest(spark, path)
     if manifest.get("deltas") or manifest.get("tombstones"):
         raise ValueError(
             "optimize_zordered: outstanding delta batches or tombstones "
@@ -928,22 +1129,21 @@ def optimize_zordered(spark: SparkSession, path: str,
                      files_per_bucket)
     wb, new_stats = _written_meta(spark, path, gen, spec)
     survivors = set(wb)
-    gens = dict(manifest["gens"])
-    stats = dict(manifest.get("stats", {}))
-    for k in frag:
-        stats.pop(str(k), None)
-        if k in survivors:
-            gens[str(k)] = gen
-        else:
-            gens.pop(str(k), None)
-    stats.update(new_stats)
-    new_manifest = {**manifest, "gens": gens, "stats": stats}
-    v = _commit(spark, path, new_manifest, "optimize")
+
+    def rebase(latest: dict) -> dict:
+        return _rebase_bucket_rewrite(
+            latest, manifest, frag, survivors, gen, new_stats,
+            "optimize")
+
+    new_manifest = rebase(manifest)
+    v, final = _commit(spark, path, new_manifest, "optimize", base_v,
+                       rebase=rebase)
     if vacuum:
-        _cleanup_superseded(spark, path, manifest, new_manifest)
+        _cleanup_superseded(spark, path, manifest, final)
         _set_min_live_version(spark, path, v)
         fsio.prune_versions(spark, _manifest_path(path))
-    return {"buckets_rewritten": len(frag), "buckets_total": len(gens)}
+    return {"buckets_rewritten": len(frag),
+            "buckets_total": len(final["gens"])}
 
 
 def vacuum_zordered(spark: SparkSession, path: str,
@@ -1034,8 +1234,16 @@ def _written_generation(spark: SparkSession, path: str,
     try:
         df = (spark.read.option("basePath", data_root)
               .parquet(fsio._join(data_root, "zbucket=*", f"gen={gen}")))
-    except Exception:
-        return None  # no matching directories: empty write
+    except Exception as e:
+        # ONLY the missing-path shape means "empty write" — a
+        # transient FS/footer failure here must propagate: swallowing
+        # it would commit a manifest with gens={} and (with
+        # vacuum=True) delete every previous generation, silently
+        # turning a rewrite into an empty table
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None  # no matching directories: empty write
+        raise
     if "gen" not in df.columns:
         return None
     return df.where(F.col("gen") == gen)
@@ -1165,8 +1373,9 @@ def delete_zordered_box(spark: SparkSession, path: str,
     manifest entirely. Same commit discipline as every mutation here:
     new generations → atomic manifest flip → cleanup (or retained
     history with ``vacuum=False``). No outstanding deltas (raises —
-    compact first); single writer."""
-    manifest = read_manifest(spark, path)
+    compact first); commit collisions rebase like every bucket
+    rewrite."""
+    base_v, manifest = _latest(spark, path)
     if manifest.get("deltas") or manifest.get("tombstones"):
         raise ValueError(
             "delete_zordered_box: outstanding delta batches or "
@@ -1187,19 +1396,19 @@ def delete_zordered_box(spark: SparkSession, path: str,
                      files_per_bucket)
     wb, new_stats = _written_meta(spark, path, gen, spec)
     survivors = set(wb)
-    gens = dict(manifest["gens"])
-    stats = dict(manifest.get("stats", {}))
-    for k in candidates:
-        stats.pop(str(k), None)
-        if k in survivors:
-            gens[str(k)] = gen
-        else:
-            gens.pop(str(k), None)   # bucket emptied: drop it outright
-    stats.update(new_stats)
-    new_manifest = {**manifest, "gens": gens, "stats": stats}
-    v = _commit(spark, path, new_manifest, "delete_box")
+
+    def rebase(latest: dict) -> dict:
+        # a bucket emptied by the delete drops out of the manifest
+        # outright (candidates not in survivors)
+        return _rebase_bucket_rewrite(
+            latest, manifest, candidates, survivors, gen, new_stats,
+            "delete_box")
+
+    new_manifest = rebase(manifest)
+    v, final = _commit(spark, path, new_manifest, "delete_box", base_v,
+                       rebase=rebase)
     if vacuum:
-        _cleanup_superseded(spark, path, manifest, new_manifest)
+        _cleanup_superseded(spark, path, manifest, final)
         _set_min_live_version(spark, path, v)
         fsio.prune_versions(spark, _manifest_path(path))
     return spec

@@ -29,20 +29,11 @@ def write_batch_idempotent(batch_df: DataFrame, batch_id: int,
     """The foreachBatch body: write one micro-batch under its
     ``batch_id=N`` partition with dynamic overwrite, so a replay of the
     same id replaces (not duplicates) the earlier attempt."""
+    from aggregation_duckdb_spark import fsio
     spark = batch_df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with fsio.dynamic_partition_overwrite(spark):
         (batch_df.withColumn("batch_id", F.lit(int(batch_id)))
          .write.mode("overwrite").partitionBy("batch_id").parquet(path))
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        else:
-            # restore "unset", not "dynamic" — leaving dynamic set would
-            # silently turn later overwrite-with-partitionBy batch
-            # writes into partial (per-partition) overwrites
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
 
 def run_to_parquet_exactly_once(result: DataFrame, path: str,
@@ -102,21 +93,26 @@ def run_dedup_ingest(docs: DataFrame, index_path: str,
     dedups against them.
 
     Exactly-once end to end despite foreachBatch's at-least-once
-    redelivery, by ordering the three effects per batch:
+    redelivery, by ordering the effects per batch:
     (1) skip outright when the batch id is at or below the index's
-    ingest watermark — the whole batch already committed; (2) write
-    the admitted docs under their ``batch_id=N`` partition with
-    dynamic overwrite — a replay of an uncommitted batch recomputes
-    the SAME admitted set (the index is unchanged until step 3 lands,
-    and checkpointed batch contents are deterministic per id) and
-    overwrites its own earlier attempt; (3) append the index and
-    commit the watermark LAST, so a crash anywhere earlier replays
-    into an identical overwrite, never a duplicate. Within-batch NEAR
-    duplicates are admitted together by design (the batch is the
-    admission unit; they collapse at the next corpus-level pass) —
-    exact within-batch copies are dropped here. The index must exist
-    (``dedup.write_dedup_index``) before ingest starts; single writer,
-    as for every durable artifact."""
+    ingest watermark — the whole batch already committed; (2) decide
+    the admitted set: if the INDEX holds any ``__ingest_batch=N``
+    projection partition, an earlier attempt reached step 3, which
+    strictly follows a COMPLETE step-2 write — so reuse the admitted
+    ``batch_id=N`` partition verbatim (recomputing against an index
+    already holding this batch's own projections would shrink the
+    set, and the overwrite would silently drop already-admitted
+    docs); otherwise the index is clean of this batch and the
+    admitted set is recomputed and written under its partition with
+    dynamic overwrite (replacing any partial earlier attempt);
+    (3) append the index — itself an idempotent per-batch partition
+    overwrite (``append_dedup_index``), so a partial earlier attempt
+    is replaced, never doubled — and commit the watermark LAST.
+    Within-batch NEAR duplicates are admitted together by design (the
+    batch is the admission unit; they collapse at the next
+    corpus-level pass) — exact within-batch copies are dropped here.
+    The index must exist (``dedup.write_dedup_index``) before ingest
+    starts; single writer, as for every durable artifact."""
     from aggregation_duckdb_spark import fsio
     from aggregation_duckdb_spark.operators import dedup as D
 
@@ -124,13 +120,27 @@ def run_dedup_ingest(docs: DataFrame, index_path: str,
         spark = batch_df.sparkSession
         if bid <= fsio.read_ingest_watermark(spark, index_path):
             return  # fully committed earlier: skip every effect
-        batch = D.exact_dedup(batch_df, text_col, id_col)
-        flags = D.incremental_dedup_indexed(
-            batch, spark, index_path, text_col, id_col, threshold)
-        admitted = batch.join(
-            flags.where(F.col("is_new")).select(id_col), id_col,
-            "left_semi")
-        write_batch_idempotent(admitted, bid, admitted_path)
+        reached_step3 = any(
+            fsio.exists(spark, fsio._join(index_path, t,
+                                          f"__ingest_batch={int(bid)}"))
+            for t in ("hashes", "shingles", "buckets"))
+        if reached_step3:
+            # uncommitted replay past step 2: the admitted partition
+            # is complete (step 3 only runs after step 2 committed)
+            # and the index may hold this batch's own projections —
+            # reuse, never recompute
+            admitted = (spark.read.option("basePath", admitted_path)
+                        .parquet(fsio._join(admitted_path,
+                                            f"batch_id={int(bid)}"))
+                        .drop("batch_id"))
+        else:
+            batch = D.exact_dedup(batch_df, text_col, id_col)
+            flags = D.incremental_dedup_indexed(
+                batch, spark, index_path, text_col, id_col, threshold)
+            admitted = batch.join(
+                flags.where(F.col("is_new")).select(id_col), id_col,
+                "left_semi")
+            write_batch_idempotent(admitted, bid, admitted_path)
         D.append_dedup_index(admitted, index_path, text_col, id_col,
                              batch_id=bid)
 

@@ -1164,3 +1164,173 @@ def test_zorder_table_history_records_operations(spark, tmp_path):
     L.vacuum_zordered(spark, path, keep_versions=1)
     hist2 = L.table_history(spark, path)
     assert len(hist2) == 1 and hist2[0]["op"] == "compact_incremental"
+
+
+def _zorder_kv_frame(spark):
+    """(a, b, payload, val): payload is the entity key, val observes
+    replacement."""
+    return spark.range(0, 400).select(
+        (F.col("id") % 97).alias("a"),
+        ((F.col("id") * 37) % 61).alias("b"),
+        F.col("id").alias("payload"),
+        (F.col("id") * 10).alias("val"))
+
+
+def test_concurrent_append_and_delete_keys_both_land(
+        spark, tmp_path, monkeypatch):
+    """Optimistic concurrency, the mergeable case: a delete_keys
+    commits BETWEEN an append's base read and its commit — the append
+    targets base+1 specifically, collides, rebases onto the delete's
+    manifest, and both mutations land with consecutive versions and
+    both effects visible."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_cc_merge")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)  # v1
+    extra = spark.range(1000, 1010).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        F.col("id").alias("payload"), (F.col("id") * 10).alias("val"))
+    victims = base.where(F.col("payload") < 5).select("payload")
+
+    real = fsio.write_json_at
+    fired = {}
+
+    def inject(spk, mdir, obj, version):
+        if obj.get("op") == "append" and "x" not in fired:
+            fired["x"] = True
+            # the second committer lands between the appender's base
+            # read and its commit attempt
+            L.delete_zordered_keys(victims, path, ["payload"])
+        return real(spk, mdir, obj, version)
+
+    monkeypatch.setattr(fsio, "write_json_at", inject)
+    L.append_zordered(extra, path)
+    monkeypatch.undo()
+
+    assert L.table_version(spark, path) == 3
+    assert [h["op"] for h in L.table_history(spark, path)] == [
+        "append", "delete_keys", "write"]
+    got = {r.payload for r in L.read_zordered(spark, path).collect()}
+    assert {1000, 1005} <= got          # the append landed
+    assert got.isdisjoint({0, 1, 4})    # and so did the delete
+
+
+def test_conflicting_bucket_rewrites_raise_cleanly(
+        spark, tmp_path, monkeypatch):
+    """Optimistic concurrency, the true-conflict case: two upserts
+    dirtying the same bucket — the loser's rebase sees its touched
+    bucket's generation changed and raises CommitConflict naming the
+    competing operation; the winner's state is untouched."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_cc_conflict")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)  # v1
+    mine = base.where(F.col("payload") < 10) \
+        .withColumn("val", F.lit(-1).cast("long"))
+    theirs = base.where(F.col("payload") < 10) \
+        .withColumn("val", F.lit(-2).cast("long"))
+
+    real = fsio.write_json_at
+    fired = {}
+
+    def inject(spk, mdir, obj, version):
+        if obj.get("op") == "upsert" and "x" not in fired:
+            fired["x"] = True
+            L.upsert_zordered(theirs, path, ["payload"])
+        return real(spk, mdir, obj, version)
+
+    monkeypatch.setattr(fsio, "write_json_at", inject)
+    with _pytest.raises(L.CommitConflict, match="'upsert'.*rewrote bucket"):
+        L.upsert_zordered(mine, path, ["payload"])
+    monkeypatch.undo()
+
+    # the winner's commit is intact and readable
+    assert L.table_version(spark, path) == 2
+    vals = {r.val for r in L.read_zordered(spark, path)
+            .where(F.col("payload") < 10).collect()}
+    assert vals == {-2}
+
+
+def test_upsert_composes_over_outstanding_tombstones(spark, tmp_path):
+    """GDPR delete -> re-crawl upsert with no manual compact between:
+    the upsert subtracts its keys from the outstanding tombstone set
+    in the same commit — re-inserted keys visible immediately, other
+    tombstoned keys stay hidden, and the eventual compaction still
+    folds the remaining victims physically."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_ts_upsert")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    victims = spark.createDataFrame([(3,), (5,), (7,)], "payload long")
+    L.delete_zordered_keys(victims, path, ["payload"])
+    assert {3, 5, 7}.isdisjoint(
+        {r.payload for r in L.read_zordered(spark, path).collect()})
+
+    # a differently-keyed upsert cannot compose — raises, not corrupts
+    with _pytest.raises(ValueError, match="tombstones are keyed"):
+        L.upsert_zordered(base.limit(1), path, ["a", "b"])
+
+    # re-insert key 5 (same layout dims, per the upsert contract) and
+    # a brand-new key in the same batch
+    reins = spark.createDataFrame(
+        [(5 % 97, (5 * 37) % 61, 5, 5555), (9001 % 97, 13, 9001, 1)],
+        "a long, b long, payload long, val long")
+    L.upsert_zordered(reins, path, ["payload"])
+    rows = {r.payload: r.val for r in L.read_zordered(spark, path).collect()}
+    assert rows[5] == 5555 and rows[9001] == 1   # re-inserted + new
+    assert 3 not in rows and 7 not in rows       # still deleted
+    m = L.read_manifest(spark, path)
+    assert len(m["tombstones"]) == 1             # consolidated set
+
+    # compaction folds the remaining victims and clears the queue
+    L.compact_zordered(spark, path)
+    m2 = L.read_manifest(spark, path)
+    assert not m2.get("tombstones") and "tombstone_key" not in m2
+    rows2 = {r.payload: r.val for r in L.read_zordered(spark, path).collect()}
+    assert rows2 == rows
+
+    # upserting ALL remaining tombstoned keys empties the set outright
+    path2 = str(tmp_path / "z_ts_all")
+    L.write_zordered(base, path2, "a", "b", bits=7, bucket_bits=4)
+    L.delete_zordered_keys(victims, path2, ["payload"])
+    allback = base.where(F.col("payload").isin(3, 5, 7)) \
+        .withColumn("val", F.lit(0).cast("long"))
+    L.upsert_zordered(allback, path2, ["payload"])
+    m3 = L.read_manifest(spark, path2)
+    assert not m3.get("tombstones") and "tombstone_key" not in m3
+    assert {r.payload for r in L.read_zordered(spark, path2)
+            .where(F.col("payload").isin(3, 5, 7)).collect()} == {3, 5, 7}
+
+
+def test_fsio_write_json_at_is_exclusive_and_linkless_fallback(
+        tmp_path, monkeypatch):
+    """write_json_at commits at EXACTLY the requested version
+    (collision if taken); the local rename fallback keeps its
+    no-replace contract even on filesystems without hard links
+    (os.link raising EPERM/ENOTSUP falls back to an O_CREAT|O_EXCL
+    reservation, still refusing an existing destination)."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark import fsio
+    mdir = str(tmp_path / "m")
+    fsio.write_json_at(None, mdir, {"x": 1}, 1)
+    with _pytest.raises(fsio.CommitCollision):
+        fsio.write_json_at(None, mdir, {"x": 2}, 1)
+    assert fsio.read_json_latest(None, mdir) == {"x": 1}
+
+    # simulate a mount without hard-link support
+    def no_link(src, dst):
+        raise OSError(95, "Operation not supported")
+    monkeypatch.setattr(fsio.os, "link", no_link)
+    a, c, dst = (str(tmp_path / n) for n in ("a.txt", "c.txt", "d.txt"))
+    fsio.write_bytes(None, a, b"one")
+    fsio.write_bytes(None, c, b"three")
+    assert fsio.rename(None, a, dst) is True      # reservation path
+    assert fsio.rename(None, c, dst) is False     # dst exists: refuse
+    assert fsio.read_bytes(None, dst) == b"one"
+    fsio.write_json_at(None, mdir, {"x": 3}, 2)   # commits linklessly
+    monkeypatch.undo()
+    assert fsio.read_json_latest(None, mdir) == {"x": 3}
