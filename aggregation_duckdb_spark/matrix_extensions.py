@@ -3404,7 +3404,7 @@ def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aggregation_duckdb_spark.sources import layout as L
 
     ev = (load_table(spark, "events", sf_dir)
-          .select("event_id", "user_id", "value"))
+          .select("event_id", "user_id", "value", "event_type"))
     base = os.path.join(tempfile.gettempdir(), "spark-graft-zorder",
                         spark.sparkContext.applicationId,
                         os.path.basename(os.path.normpath(sf_dir)))
@@ -3867,18 +3867,21 @@ def q_zorder_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q_zorder_zonemap", """
-SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value, event_type
 FROM events
 WHERE event_id BETWEEN 2000 AND 4000
+  AND event_type BETWEEN 'click' AND 'purchase'
 ORDER BY event_id
 """)
 def q_zorder_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map data skipping (``layout.read_zordered_where``): a
-    range predicate on event_id — NOT a layout dimension — served
-    through the manifest's per-bucket [min, max] stats. On this table
-    event_id is uncorrelated with the (user_id, value) clustering, so
-    the maps keep every bucket (conservative, exact — the pytest
-    proves real skipping on a correlated column); the entry pins the
+    conjunctive range predicate on event_id AND event_type — neither
+    a layout dimension — served through the manifest's per-bucket
+    [min, max] stats (numeric and STRING zone maps; strings prune
+    lexicographically). On this table both are uncorrelated with the
+    (user_id, value) clustering, so the maps keep every bucket
+    (conservative, exact — the pytest proves real skipping on
+    correlated numeric and string columns); the entry pins the
     zone-map road's CORRECTNESS against a plain filter, sharing
     q_zorder_pruning's cached table build."""
     import os
@@ -3887,18 +3890,19 @@ def q_zorder_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aggregation_duckdb_spark.sources import layout as L
 
     ev = (load_table(spark, "events", sf_dir)
-          .select("event_id", "user_id", "value"))
+          .select("event_id", "user_id", "value", "event_type"))
     base = os.path.join(tempfile.gettempdir(), "spark-graft-zorder",
                         spark.sparkContext.applicationId,
                         os.path.basename(os.path.normpath(sf_dir)))
     if not L.table_exists(spark, base):
         L.write_zordered(ev, base, "user_id", "value",
                          bits=8, bucket_bits=4)
-    out = L.read_zordered_where(spark, base,
-                                {"event_id": (2000, 4000)})
+    out = L.read_zordered_where(
+        spark, base, {"event_id": (2000, 4000),
+                      "event_type": ("click", "purchase")})
     return (out.select("event_id",
                        F.col("user_id").cast("long").alias("user_id"),
-                       "value")
+                       "value", "event_type")
             .orderBy("event_id"))
 
 

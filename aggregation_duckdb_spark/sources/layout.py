@@ -1203,13 +1203,46 @@ def vacuum_zordered(spark: SparkSession, path: str,
 
 
 _STAT_TYPES = ("long", "integer", "short", "byte", "double", "float",
-               "date", "timestamp")
+               "date", "timestamp", "string", "decimal")
+
+_STAT_MAX_STR = 64
 
 
 def _ser_stat(v):
     """JSON-safe zone-map value: dates/timestamps as isoformat strings
     (which order lexicographically like the values they encode)."""
     return v.isoformat() if hasattr(v, "isoformat") else v
+
+
+def _ser_bound(v, is_min: bool):
+    """JSON-safe zone-map BOUND, conservatively WIDENED wherever the
+    serialization could lose order precision (pruning stays a
+    superset, results stay exact):
+
+    - dates/timestamps: isoformat (orders exactly like the values);
+    - decimals: floats rounded OUTWARD (``float()`` rounds to
+      nearest, which could pull a max below the true max and wrongly
+      skip the bucket holding it — one ulp outward can only widen);
+    - strings: min/max of a string column prune lexicographically
+      (Spark compares UTF-8 bytes, Python compares code points — the
+      same total order); long values are truncated to a
+      64-code-point prefix so manifests stay small — a prefix
+      lower-bounds the min as-is, and the max gets the maximum code
+      point appended so it still upper-bounds every string it
+      covers."""
+    import decimal as _dec
+    import math as _math
+    if v is None:
+        return None
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        f = float(v)
+        return _math.nextafter(f, -_math.inf if is_min else _math.inf)
+    if isinstance(v, str) and len(v) > _STAT_MAX_STR:
+        pre = v[:_STAT_MAX_STR]
+        return pre if is_min else pre + "\U0010FFFF"
+    return v
 
 
 def _written_generation(spark: SparkSession, path: str,
@@ -1283,7 +1316,8 @@ def _bucket_stats(df: DataFrame | None, spec: dict) -> dict:
         return {}
     skip = {c for c, _, _ in _spec_dims(spec)} | {"zbucket", "gen"}
     cols = [f.name for f in df.schema.fields
-            if f.name not in skip and f.dataType.typeName() in _STAT_TYPES]
+            if f.name not in skip
+            and f.dataType.typeName().split("(")[0] in _STAT_TYPES]
     if not cols:
         return {}
     zb = F.col("zbucket") if "zbucket" in df.columns \
@@ -1296,7 +1330,8 @@ def _bucket_stats(df: DataFrame | None, spec: dict) -> dict:
     for r in (df.withColumn("__zb", zb)
                 .groupBy("__zb").agg(*aggs).collect()):
         out[str(r["__zb"])] = {
-            c: [_ser_stat(r[f"mn__{c}"]), _ser_stat(r[f"mx__{c}"])]
+            c: [_ser_bound(r[f"mn__{c}"], True),
+                _ser_bound(r[f"mx__{c}"], False)]
             for c in cols}
     return out
 

@@ -1334,3 +1334,53 @@ def test_fsio_write_json_at_is_exclusive_and_linkless_fallback(
     fsio.write_json_at(None, mdir, {"x": 3}, 2)   # commits linklessly
     monkeypatch.undo()
     assert fsio.read_json_latest(None, mdir) == {"x": 3}
+
+
+def test_zorder_zonemap_string_and_decimal_columns(spark, tmp_path):
+    """Zone maps on STRING and DECIMAL columns: strings prune
+    lexicographically (UTF-8 byte order == code-point order — the
+    same total order both engines use); long strings truncate to a
+    prefix with the max widened so pruning stays a superset; decimal
+    bounds round OUTWARD to floats so float()'s round-to-nearest can
+    never shave the true max/min off a bucket's range."""
+    from decimal import Decimal
+
+    from aggregation_duckdb_spark.sources import layout as L
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        F.col("id").alias("payload"),
+        # tenant correlates with a => buckets have tight string ranges
+        F.concat(F.lit("tenant-"),
+                 F.lpad(((F.col("id") % 97) / 10).cast("int")
+                        .cast("string"), 2, "0")).alias("tenant"),
+        (F.col("id").cast("decimal(18,3)") / 7).alias("amt"))
+    path = str(tmp_path / "z_zm_str")
+    L.write_zordered(df, path, "a", "b", bits=7, bucket_bits=4)
+    m = L.read_manifest(spark, path)
+    assert any("tenant" in s and "amt" in s for s in m["stats"].values())
+
+    rng = {"tenant": ("tenant-00", "tenant-01")}   # a in [0, 19]
+    kept = L.zonemap_buckets(m, rng)
+    assert 0 < len(kept) < len(m["gens"]), kept    # real string skipping
+    want = sorted((r.payload, r.tenant) for r in df.where(
+        F.col("tenant").between(*rng["tenant"])).collect())
+    got = sorted((r.payload, r.tenant) for r in
+                 L.read_zordered_where(spark, path, rng)
+                 .select("payload", "tenant").collect())
+    assert got == want
+
+    # decimal range: superset-of-reachable property must hold exactly
+    # even at bucket-boundary values (outward rounding)
+    drng = {"amt": (Decimal("100.000"), Decimal("200.000"))}
+    want_d = sorted(r.payload for r in df.where(
+        F.col("amt").between(*drng["amt"])).collect())
+    got_d = sorted(r.payload for r in
+                   L.read_zordered_where(spark, path, drng)
+                   .select("payload").collect())
+    assert got_d == want_d
+
+    # long-string truncation: min prefix + widened max stay bounds
+    lo = L._ser_bound("x" * 100, True)
+    hi = L._ser_bound("x" * 100 + "zzz", False)
+    assert lo <= "x" * 100 and hi >= "x" * 100 + "zzz"
+    assert len(lo) == L._STAT_MAX_STR and len(hi) == L._STAT_MAX_STR + 1

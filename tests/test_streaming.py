@@ -663,3 +663,74 @@ def test_dedup_ingest_admits_novel_docs_exactly_once(spark, tmp_path):
     run_dedup_ingest(stream3, index, admitted, ckpt)
     got3 = {r.doc_id for r in read_sink(spark, admitted).collect()}
     assert {400, 401} <= got3 and 500 not in got3
+
+
+def test_dedup_ingest_replay_of_uncommitted_batch_drops_nothing(
+        spark, tmp_path):
+    """The crash window the watermark alone cannot cover: batch N's
+    admitted partition AND (some of) its index projections landed,
+    but the crash hit before the watermark commit. The replay must
+    REUSE the admitted partition — recomputing against an index that
+    already holds the batch's own projections would shrink the
+    admitted set and the idempotent overwrite would silently drop
+    already-admitted docs — and the per-batch index partitions must
+    be overwritten, never doubled."""
+    import os
+    import shutil
+
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.streaming.sinks import (read_sink,
+                                                          run_dedup_ingest)
+
+    def mk(lo, hi):
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda j: F.substring(
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("|"),
+                               (j - j % 3).cast("string"))), 1, 6))
+        return (spark.range(lo, hi)
+                .select(F.col("id").alias("doc_id"),
+                        F.concat_ws(" ", words).alias("text")))
+
+    index = str(tmp_path / "idx")
+    D.write_dedup_index(mk(0, 30), index)
+    incoming = str(tmp_path / "in")
+    mk(100, 120).repartition(1).write.mode("append").parquet(incoming)
+    mk(200, 220).repartition(1).write.mode("append").parquet(incoming)
+    schema = spark.read.parquet(incoming).schema
+    admitted = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(incoming))
+    run_dedup_ingest(stream, index, admitted, ckpt)
+
+    before = {r.doc_id for r in read_sink(spark, admitted).collect()}
+    hashes_before = spark.read.parquet(
+        fsio._join(index, "hashes")).count()
+    assert fsio.read_ingest_watermark(spark, index) == 1
+
+    # simulate the crash: batch 1 unacknowledged by the stream
+    # checkpoint, watermark rolled back to 0, and one of its index
+    # projection partitions torn away mid-append
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    wdir = fsio._join(index, fsio.INGEST_DIR)
+    fsio.delete(spark, fsio._join(
+        wdir, f"v{fsio.latest_version(spark, wdir):08d}.json"))
+    assert fsio.read_ingest_watermark(spark, index) == 0
+    shutil.rmtree(fsio._join(index, "buckets", "__ingest_batch=1"))
+
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(incoming))
+    run_dedup_ingest(stream2, index, admitted, ckpt)
+
+    after = {r.doc_id for r in read_sink(spark, admitted).collect()}
+    assert after == before                      # nothing dropped
+    assert spark.read.parquet(
+        fsio._join(index, "hashes")).count() == hashes_before  # no dups
+    assert fsio.exists(spark, fsio._join(       # torn partition healed
+        index, "buckets", "__ingest_batch=1"))
+    assert fsio.read_ingest_watermark(spark, index) == 1
