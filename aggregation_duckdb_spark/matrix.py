@@ -42,43 +42,45 @@ def register(name: str, sql: str | None = None):
 # their DuckDB oracles. ALL entries pass the same comparison locally
 # (scripts/oracle_check.py runs the full set — keep it that way); this
 # list only schedules WHICH entries get a driver-recorded row this
-# round. Round-9 rotation, closing the round-7/8 verdicts' item 1:
-# ALL 41 entries whose newest driver evidence is still round 4
-# (computed from CORRECTNESS_r04..r08 — the flagship hier_* family,
-# ref_parity_agg, the text_* quality family, events_* sessionization/
-# windows, six stream_* entries, the pipeline_* scrub/decontaminate/
-# split cohort, q21/q_merge_upsert/q_rolling_time_window etc.), then
-# the 9 round-9 entries: 3 brand-new (q_zorder_delete_keys — tombstone
-# key DELETE, q_zorder_box3d — N-D layout, sim_pq_indexed_exact — the
-# PQ road's full-value oracle) and the 6 z-order entries whose layout/
-# fsio code paths changed this round (manifest cache, read-back stats,
-# monotonic min-live marker, N-D core). sim_pq_indexed also changed
-# (fixed-order ADC plumbing + multiply-not-pow squares) but is
-# rows-only and pytest-pinned equal to the live path, and its math is
-# now driver-verified through sim_pq_indexed_exact; it has an r8 row.
-# After this round every entry's newest driver row is round 5+; the
-# 46-entry round-5 cohort rotates next. Exactly 50 names below.
+# round. Round-10 rotation, closing the round-9 verdict's item 1: ALL
+# 46 entries whose newest driver evidence is still round 5 (computed
+# from CORRECTNESS_r05..r09 — the ROLLUP/CUBE/GROUPING-SETS surface,
+# the dedup core family, the mm_* trio, events funnel/retention/
+# anomalies/bands/overlap, the pipeline corpus verbs, ivf/semdedup,
+# json/variant/format/partition sources, q1 and friends), then the 4
+# round-10 entries: 2 brand-new (q_zorder_delete_upsert — tombstone→
+# upsert composition; q_zorder_schema_evolution — mixed-generation
+# schema), q_zorder_zonemap (now also a STRING zone-map predicate) and
+# q_zorder_upsert (the upsert verb gained tombstone composition +
+# optimistic-commit rebase). The other z-order entries also sit on
+# this round's commit-protocol changes but hold round-9 rows and were
+# re-verified locally with the driver-identical oracle_check — the
+# window is full; they rotate with the round-6 cohort (45 entries,
+# oldest after this round) next. Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
-    # newest driver evidence = round 4 (all 41):
-    "hier_agg_closure", "hier_agg_rollup", "hier_reporting_dim",
-    "hier_closure", "hier_closure_recursive", "ref_parity_agg",
-    "text_stats", "text_language_id", "text_quality",
-    "text_fingerprint", "text_rolling_hash", "sim_topk_bruteforce",
-    "hier_distinct_twostage", "asof_join_events", "events_tumbling",
-    "events_sliding", "events_sessionize", "mm_resize",
-    "events_user_gap_stats", "events_conversion_lag", "stream_tumbling",
-    "stream_sessionize", "stream_sliding", "stream_stream_join",
-    "stream_stateful_totals", "q21_waiting_suppliers",
-    "pipeline_split_assign", "pipeline_pii_scrub", "pipeline_repetition",
-    "pipeline_decontaminate", "emb_label_centroids", "stream_dedup",
-    "text_tfidf_topterms", "pipeline_stratified_sample",
-    "pipeline_quantile_filter", "events_state_intervals",
-    "q_histogram_totalprice", "source_python_datasource",
-    "q_rolling_time_window", "q_merge_upsert", "q_math_functions",
-    # round-9 additions / code changes (verify through the driver):
-    "q_zorder_delete_keys", "q_zorder_box3d", "sim_pq_indexed_exact",
-    "q_zorder_pruning", "q_zorder_upsert", "q_zorder_timetravel",
-    "q_zorder_zonemap", "q_zorder_delete", "stream_zorder_ingest",
+    # newest driver evidence = round 5 (all 46):
+    "hier_agg_closure_approx", "dedup_exact_survivors", "sim_ivf_topk",
+    "hier_subtree_agg", "q_salted_join", "mm_decode_metadata",
+    "mm_frame_sample", "q_json_functions", "text_tokenize_udtf",
+    "dedup_edit_distance", "q1_pricing_summary", "q_count_distinct",
+    "q_rollup_grouping", "q_cube_grouping", "q_grouping_sets",
+    "q_filter_project", "q_case_when", "q_in_subquery",
+    "pipeline_clean_corpus", "pipeline_pack_sequences",
+    "mm_payload_stats_arrow", "dedup_containment_pairs",
+    "pipeline_mixture_weights", "pipeline_rebalance",
+    "text_countmin_heavyhitters", "events_value_bands",
+    "events_session_overlap", "pipeline_chunk_overlap",
+    "dedup_incremental", "pipeline_group_sample",
+    "pipeline_bloom_decontaminate", "sim_semdedup_keepers",
+    "events_funnel", "events_retention_cohorts",
+    "q_multiformat_roundtrip", "q_partitioned_pruning",
+    "q_variant_extract", "text_bpe_token_count", "dedup_duplicate_spans",
+    "asof_nearest_events", "events_hourly_anomalies",
+    "sim_ivf_topk_exact", "pipeline_leakage_free_split",
+    "hier_agg_by_month", "dedup_prefix_pairs", "pipeline_corpus_report",
+    # round-10 additions / code changes (verify through the driver):
+    "q_zorder_delete_upsert", "q_zorder_schema_evolution",
+    "q_zorder_zonemap", "q_zorder_upsert",
 ]
 
 

@@ -4091,6 +4091,96 @@ def q_zorder_box3d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+@register("q_zorder_delete_upsert", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+       CASE WHEN event_id % 100 = 0 THEN 'restored'
+            ELSE event_type END AS event_type
+FROM events
+WHERE event_id % 50 <> 0 OR event_id % 100 = 0
+ORDER BY event_id
+""")
+def q_zorder_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR delete -> re-crawl upsert with NO manual compact between
+    (``layout.delete_zordered_keys`` then ``layout.upsert_zordered``):
+    every event_id divisible by 50 is tombstoned, then half of them
+    (divisible by 100) are re-inserted with a changed payload — the
+    upsert subtracts its keys from the outstanding tombstone set in
+    the SAME commit, so the re-inserted rows are visible immediately
+    while the other deleted keys stay hidden behind the consolidated
+    tombstones (read-side broadcast anti-join until the next
+    compaction folds them). Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", "user_id", "value", "event_type"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zdu",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev, base, "user_id", "value",
+                         bits=8, bucket_bits=4)
+        L.delete_zordered_keys(
+            ev.where(F.col("event_id") % 50 == 0).select("event_id"),
+            base, ["event_id"])
+        restored = (ev.where(F.col("event_id") % 100 == 0)
+                    .withColumn("event_type", F.lit("restored")))
+        L.upsert_zordered(restored, base, ["event_id"])
+    out = L.read_zordered(spark, base)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value", "event_type")
+            .orderBy("event_id"))
+
+
+@register("q_zorder_schema_evolution", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+       CAST(NULL AS VARCHAR) AS channel
+FROM events WHERE event_id % 10 < 7
+UNION ALL
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+       event_type AS channel
+FROM events WHERE event_id % 10 >= 7
+ORDER BY event_id
+""")
+def q_zorder_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the Z-ordered table: the table is created
+    WITHOUT the ``channel`` column, a later append carries it, and an
+    incremental compaction folds the union schema into the dirtied
+    buckets (the manifest records each generation's column set;
+    mixed-generation reads merge footers only while generations
+    actually disagree — ``layout.py`` ``gen_columns``/``_read_live``).
+    The full-table read returns the evolved schema with the original
+    rows' new column null — exactly the oracle's UNION of the two
+    eras. Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = load_table(spark, "events", sf_dir)
+    old_era = (ev.where(F.col("event_id") % 10 < 7)
+               .select("event_id", "user_id", "value"))
+    new_era = (ev.where(F.col("event_id") % 10 >= 7)
+               .select("event_id", "user_id", "value",
+                       F.col("event_type").alias("channel")))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zevo",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(old_era, base, "user_id", "value",
+                         bits=8, bucket_bits=4)
+        L.append_zordered(new_era, base)
+        L.compact_zordered(spark, base)
+    out = L.read_zordered(spark, base)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value", "channel")
+            .orderBy("event_id"))
+
+
 def _pq_exact_oracle(k: int = 10, shortlist: int = 200, m: int = 8,
                      kc: int = 16, dim: int = 64, n_q: int = 5) -> str:
     """Full PQ search reproduced in DuckDB — the sim_ivf_topk_exact

@@ -339,7 +339,8 @@ def _rebase_bucket_rewrite(latest: dict, base: dict, touched,
                            survivors, gen: str, new_stats: dict,
                            op: str, folded_deltas=(),
                            folded_tombstones=(),
-                           require_tombstones_unchanged: bool = False) -> dict:
+                           require_tombstones_unchanged: bool = False,
+                           gen_cols: list[str] | None = None) -> dict:
     """Merge a bucket-rewrite mutation (its generations computed and
     written against ``base``) onto ``latest`` after a commit
     collision. Safe iff everything the rewrite DEPENDED ON is
@@ -374,6 +375,14 @@ def _rebase_bucket_rewrite(latest: dict, base: dict, touched,
             gens.pop(str(k), None)
     stats.update(new_stats)
     out["gens"], out["stats"] = gens, stats
+    # per-generation column sets (schema evolution): carry entries for
+    # generations still live, record the new generation's
+    gcols = {**base.get("gen_columns", {}),
+             **latest.get("gen_columns", {})}
+    if gen_cols is not None:
+        gcols[gen] = gen_cols
+    live = set(gens.values())
+    out["gen_columns"] = {g: c for g, c in gcols.items() if g in live}
     if folded_deltas:
         fd = set(folded_deltas)
         out["deltas"] = [d for d in latest.get("deltas", [])
@@ -495,9 +504,10 @@ def _write_table(df: DataFrame, path: str, spec: dict,
     gen = _new_gen()
     data_root = fsio._join(path, DATA_DIR)
     _write_clustered(df, data_root, spec, gen, files_per_bucket)
-    buckets, stats = _written_meta(spark, path, gen, spec)
+    buckets, stats, cols = _written_meta(spark, path, gen, spec)
     manifest = {"spec": spec, "gens": {str(k): gen for k in buckets},
-                "deltas": [], "stats": stats}
+                "deltas": [], "stats": stats,
+                "gen_columns": {gen: cols}}
     # CREATE OR REPLACE is last-writer-wins by declaration: a commit
     # collision recommits the same snapshot over whatever landed in
     # between (the loser's directories become invisible orphans — the
@@ -639,7 +649,19 @@ def _read_live(spark: SparkSession, path: str, manifest: dict,
     paths = _live_paths(path, manifest, buckets)
     if not paths:
         return spark.read.parquet(data_root).where(F.lit(False))
-    return (spark.read.option("basePath", data_root).parquet(*paths)
+    reader = spark.read.option("basePath", data_root)
+    gc = manifest.get("gen_columns", {})
+    gens = manifest["gens"]
+    wanted = ({str(b) for b in buckets} if buckets is not None
+              else set(gens))
+    live = {g for k, g in gens.items() if k in wanted}
+    if len({tuple(gc[g]) for g in live if g in gc}) > 1:
+        # generations disagree on schema (incremental folds after a
+        # schema-adding append): merge footers so the union schema
+        # comes back with nulls backfilled — paid only when actually
+        # mixed, never on the uniform fast path
+        reader = reader.option("mergeSchema", "true")
+    return (reader.parquet(*paths)
             .where(_live_filter(manifest, buckets)))
 
 
@@ -731,6 +753,13 @@ def append_zordered(df: DataFrame, path: str,
     gracefully with delta size instead of blocking on a rewrite. The
     batch becomes visible only when the manifest commit lands; a crash
     mid-write leaves an unreferenced directory, not a torn table.
+
+    SCHEMA EVOLUTION rides this path: a batch may carry columns the
+    table doesn't have yet (or omit some). Reads union by name with
+    nulls backfilled; compaction folds the union schema into the
+    dirtied buckets and records each generation's column set in the
+    manifest, so mixed-generation reads merge footers (mergeSchema)
+    only while generations actually disagree.
 
     ``batch_id`` makes the append REPLAY-SAFE for streaming ingest:
     Structured Streaming delivers micro-batches to foreachBatch
@@ -878,7 +907,8 @@ def compact_zordered(spark: SparkSession, path: str,
                     for d in deltas]
     delta = None
     for f in delta_frames:
-        delta = f if delta is None else delta.unionByName(f)
+        delta = f if delta is None else \
+            delta.unionByName(f, allowMissingColumns=True)
     if delta is not None and tomb_keys is not None:
         # delta rows for a tombstoned key fold away with the rest
         delta = delta.join(F.broadcast(tomb_keys),
@@ -892,10 +922,10 @@ def compact_zordered(spark: SparkSession, path: str,
         full = read_zordered(spark, path, manifest,
                              include_deltas=False).drop("zbucket")
         if delta is not None:
-            full = full.unionByName(delta)
+            full = full.unionByName(delta, allowMissingColumns=True)
         new_spec = _respec_bounds(spec, full)
         _write_clustered(full, data_root, new_spec, gen, files_per_bucket)
-        buckets, stats = _written_meta(spark, path, gen, new_spec)
+        buckets, stats, cols = _written_meta(spark, path, gen, new_spec)
 
         def rebase(latest: dict) -> dict:
             # a full rebuild read EVERY bucket and folded every delta
@@ -911,7 +941,7 @@ def compact_zordered(spark: SparkSession, path: str,
                    "gens": {str(k): gen for k in buckets},
                    "deltas": [d for d in latest.get("deltas", [])
                               if d not in set(deltas)],
-                   "stats": stats}
+                   "stats": stats, "gen_columns": {gen: cols}}
             if "last_batch_id" in latest:  # streaming-ingest watermark
                 out["last_batch_id"] = latest["last_batch_id"]
             return out
@@ -937,9 +967,10 @@ def compact_zordered(spark: SparkSession, path: str,
         if tomb_keys is not None:
             old = old.join(F.broadcast(tomb_keys),
                            manifest["tombstone_key"], "left_anti")
-        merged = old.unionByName(delta) if delta is not None else old
+        merged = old.unionByName(delta, allowMissingColumns=True) \
+            if delta is not None else old
         _write_clustered(merged, data_root, spec, gen, files_per_bucket)
-        wb, new_stats = _written_meta(spark, path, gen, spec)
+        wb, new_stats, new_cols = _written_meta(spark, path, gen, spec)
         survivors = set(wb)
 
         def rebase(latest: dict) -> dict:
@@ -950,7 +981,8 @@ def compact_zordered(spark: SparkSession, path: str,
             return _rebase_bucket_rewrite(
                 latest, manifest, dirtied, survivors, gen, new_stats,
                 "compact_incremental", folded_deltas=deltas,
-                folded_tombstones=list(manifest.get("tombstones", [])))
+                folded_tombstones=list(manifest.get("tombstones", [])),
+                gen_cols=new_cols)
 
         new_manifest = rebase(manifest)
         new_spec = spec
@@ -991,7 +1023,8 @@ def read_zordered_box_with_delta(spark: SparkSession, path: str,
                      & (b >= b_lo) & (b <= b_hi)))
         # the box read already hid tombstoned keys in the main area;
         # delta batches carry them too until the next compaction
-        out = out.unionByName(_apply_tombstones(spark, path, manifest, dd))
+        out = out.unionByName(_apply_tombstones(spark, path, manifest, dd),
+                              allowMissingColumns=True)
     return out
 
 
@@ -1057,18 +1090,19 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
             remaining_name = f"t-{uuid.uuid4().hex}"
             remaining.write.mode("errorifexists").parquet(
                 fsio._join(path, TOMBSTONE_DIR, remaining_name))
-    merged = keep.unionByName(df.select(*old.columns))
+    merged = keep.unionByName(df, allowMissingColumns=True)
     gen = _new_gen()
     _write_clustered(merged, fsio._join(path, DATA_DIR), spec, gen,
                      files_per_bucket)
-    wb, new_stats = _written_meta(spark, path, gen, spec)
+    wb, new_stats, new_cols = _written_meta(spark, path, gen, spec)
     survivors = set(wb)
 
     def rebase(latest: dict) -> dict:
         out = _rebase_bucket_rewrite(
             latest, manifest, dirtied, survivors, gen, new_stats,
             "upsert", folded_tombstones=old_tombs,
-            require_tombstones_unchanged=bool(old_tombs))
+            require_tombstones_unchanged=bool(old_tombs),
+            gen_cols=new_cols)
         if remaining_name is not None:
             out["tombstones"] = [remaining_name]
             out["tombstone_key"] = list(key_cols)
@@ -1127,13 +1161,13 @@ def optimize_zordered(spark: SparkSession, path: str,
     gen = _new_gen()
     _write_clustered(old, fsio._join(path, DATA_DIR), spec, gen,
                      files_per_bucket)
-    wb, new_stats = _written_meta(spark, path, gen, spec)
+    wb, new_stats, new_cols = _written_meta(spark, path, gen, spec)
     survivors = set(wb)
 
     def rebase(latest: dict) -> dict:
         return _rebase_bucket_rewrite(
             latest, manifest, frag, survivors, gen, new_stats,
-            "optimize")
+            "optimize", gen_cols=new_cols)
 
     new_manifest = rebase(manifest)
     v, final = _commit(spark, path, new_manifest, "optimize", base_v,
@@ -1290,17 +1324,21 @@ def _written_buckets(written: DataFrame | None) -> list[int]:
 
 
 def _written_meta(spark: SparkSession, path: str, gen: str,
-                  spec: dict) -> tuple[list[int], dict]:
-    """(live buckets, zone-map stats) of a just-written generation in
+                  spec: dict) -> tuple[list[int], dict, list[str]]:
+    """(live buckets, zone-map stats, data columns) of a just-written
+    generation in
     ONE read-back job where possible: the stats aggregate already
     groups by zbucket, so its keys ARE the bucket list; the separate
     distinct scan only runs when the table has no stat-typed columns
     (stats empty, buckets still needed)."""
     written = _written_generation(spark, path, gen)
     stats = _bucket_stats(written, spec)
+    cols = sorted(c for c in written.columns
+                  if c not in ("zbucket", "gen")) if written is not None \
+        else []
     if stats:
-        return sorted(int(k) for k in stats), stats
-    return _written_buckets(written), stats
+        return sorted(int(k) for k in stats), stats, cols
+    return _written_buckets(written), stats, cols
 
 
 def _bucket_stats(df: DataFrame | None, spec: dict) -> dict:
@@ -1388,7 +1426,7 @@ def read_zordered_where(spark: SparkSession, path: str, ranges: dict,
         dd = spark.read.parquet(fsio._join(path, DELTA_DIR, d))
         for c, (lo, hi) in ranges.items():
             dd = dd.where((F.col(c) >= lo) & (F.col(c) <= hi))
-        out = out.unionByName(dd)
+        out = out.unionByName(dd, allowMissingColumns=True)
     return _apply_tombstones(spark, path, manifest, out)
 
 
@@ -1429,7 +1467,7 @@ def delete_zordered_box(spark: SparkSession, path: str,
     gen = _new_gen()
     _write_clustered(keep, fsio._join(path, DATA_DIR), spec, gen,
                      files_per_bucket)
-    wb, new_stats = _written_meta(spark, path, gen, spec)
+    wb, new_stats, new_cols = _written_meta(spark, path, gen, spec)
     survivors = set(wb)
 
     def rebase(latest: dict) -> dict:
@@ -1437,7 +1475,7 @@ def delete_zordered_box(spark: SparkSession, path: str,
         # outright (candidates not in survivors)
         return _rebase_bucket_rewrite(
             latest, manifest, candidates, survivors, gen, new_stats,
-            "delete_box")
+            "delete_box", gen_cols=new_cols)
 
     new_manifest = rebase(manifest)
     v, final = _commit(spark, path, new_manifest, "delete_box", base_v,

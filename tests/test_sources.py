@@ -1384,3 +1384,61 @@ def test_zorder_zonemap_string_and_decimal_columns(spark, tmp_path):
     hi = L._ser_bound("x" * 100 + "zzz", False)
     assert lo <= "x" * 100 and hi >= "x" * 100 + "zzz"
     assert len(lo) == L._STAT_MAX_STR and len(hi) == L._STAT_MAX_STR + 1
+
+
+def test_zorder_schema_evolution_across_generations(spark, tmp_path):
+    """Appending a batch with an ADDED column evolves the table:
+    reads union by name with nulls backfilled; an incremental
+    compaction folds the union schema into only the dirtied buckets
+    (mixed generations on disk), and reads across mixed generations
+    still return the evolved schema with old rows' new column null.
+    Zone maps for the new column exist only on generations that
+    carry it — pruning on it stays a conservative superset."""
+    from aggregation_duckdb_spark.sources import layout as L
+    base = spark.range(0, 2000).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        F.col("id").alias("payload"))
+    path = str(tmp_path / "z_evolve")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+
+    # delta carries a NEW column; routed to few buckets so the fold
+    # leaves most generations on the old schema
+    extra = spark.range(5000, 5020).select(
+        F.lit(3).cast("long").alias("a"), F.lit(7).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+        F.concat(F.lit("src-"), F.col("id").cast("string")).alias("origin"))
+    L.append_zordered(extra, path)
+
+    # pre-compaction: delta visible, old rows' origin is null
+    out = L.read_zordered(spark, path)
+    assert "origin" in out.columns
+    got = {r.payload: r.origin for r in out.collect()}
+    assert got[5001] == "src-5001" and got[10] is None
+    assert len(got) == 2020
+
+    # fold: only dirtied buckets rewritten -> generations now disagree
+    L.compact_zordered(spark, path)
+    m = L.read_manifest(spark, path)
+    colsets = {tuple(c) for c in m["gen_columns"].values()}
+    assert len(colsets) == 2                    # genuinely mixed
+    assert len(set(m["gens"].values())) > 1     # old gens retained
+    out2 = L.read_zordered(spark, path)
+    got2 = {r.payload: r.origin for r in out2.collect()}
+    assert got2 == got                          # nulls backfilled
+
+    # zone maps: origin stats only on the new generation's buckets
+    with_origin = {k for k, s in m["stats"].items() if "origin" in s}
+    assert with_origin and with_origin < set(m["stats"])
+    kept = L.zonemap_buckets(m, {"origin": ("src-", "src-~")})
+    assert set(map(str, kept)) >= with_origin   # superset: conservative
+    rows = L.read_zordered_where(spark, path,
+                                 {"origin": ("src-", "src-~")})
+    assert {r.payload for r in rows.collect()} == set(range(5000, 5020))
+
+    # a full compaction unifies the schema again
+    L.compact_zordered(spark, path, mode="full")
+    m3 = L.read_manifest(spark, path)
+    assert len({tuple(c) for c in m3["gen_columns"].values()}) == 1
+    got3 = {r.payload: r.origin for r in
+            L.read_zordered(spark, path).collect()}
+    assert got3 == got
