@@ -132,7 +132,28 @@ EXTENDED = [
     "q_zorder_delete_keys",
     "q_zorder_box3d",
     "sim_pq_indexed_exact",
+    # round 10:
+    "q_zorder_delete_upsert",
+    "q_zorder_schema_evolution",
 ]
+
+# Entries that build a DURABLE artifact (z-ordered table, ANN/BM25/
+# dedup index) once per (application, sf) and serve every later call
+# from it. One number conflates two different costs — the one-time
+# build and the steady-state read — and the build noise buried the
+# read signal in round-over-round comparisons (r8→r9 headline drift).
+# These report {"build_s", "read_s"}: the FIRST run pays the build,
+# the second run hits the warm artifact and is the pure read;
+# build_s is their difference. read_s is the tracked regression
+# signal (the ~0.2-0.3 s class).
+DURABLE = {
+    "q_zorder_pruning", "q_zorder_upsert", "q_zorder_timetravel",
+    "q_zorder_zonemap", "q_zorder_delete", "q_zorder_delete_keys",
+    "q_zorder_box3d", "q_zorder_delete_upsert",
+    "q_zorder_schema_evolution", "sim_ivf_indexed", "sim_pq_indexed",
+    "sim_pq_indexed_exact", "text_bm25_indexed",
+    "dedup_incremental_indexed",
+}
 
 
 def main() -> None:
@@ -177,15 +198,26 @@ def main() -> None:
         df = None
         gc.collect()  # see the extended loop note
 
-    extended: dict[str, float] = {}
+    extended: dict[str, object] = {}
     for name in EXTENDED:
         if name not in qs:
             continue
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()
-        extended[name] = round(time.time() - t0, 3)
-        print(f"# extended {name}: {n} rows in {extended[name]}s",
-              file=sys.stderr)
+        first = time.time() - t0
+        if name in DURABLE:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()   # warm artifact: pure read
+            read_s = time.time() - t0
+            extended[name] = {"build_s": round(max(first - read_s, 0.0), 3),
+                              "read_s": round(read_s, 3)}
+            print(f"# extended {name}: {n} rows, build "
+                  f"{extended[name]['build_s']}s + read "
+                  f"{extended[name]['read_s']}s", file=sys.stderr)
+        else:
+            extended[name] = round(first, 3)
+            print(f"# extended {name}: {n} rows in {extended[name]}s",
+                  file=sys.stderr)
         # release this entry's materialized blocks before the next one:
         # localCheckpoint RDDs stay pinned in the block manager while
         # the Python-side DataFrame is referenced, and 40 entries of
