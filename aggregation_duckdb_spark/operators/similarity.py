@@ -804,7 +804,8 @@ def write_ivf_index(corpus: DataFrame, centroids: DataFrame, path: str,
     from aggregation_duckdb_spark import fsio
     assigned = ivf_assign(corpus, centroids, vec_col, id_col)
     (assigned.withColumn("centroid_id", F.col("centroid_id").cast("int"))
-     .write.mode("overwrite").partitionBy("centroid_id")
+     .withColumn("__ingest_batch", F.lit(-1))
+     .write.mode("overwrite").partitionBy("centroid_id", "__ingest_batch")
      .parquet(fsio._join(path, "cells")))
     centroids.write.mode("overwrite").parquet(
         fsio._join(path, "codebook"))
@@ -840,6 +841,7 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
                      for r in probes.select("centroid_id")
                      .distinct().collect()})
     cells = (spark.read.parquet(fsio._join(path, "cells"))
+             .drop("__ingest_batch")
              .where(F.col("centroid_id").isin(needed)))
     scored = (cells.join(F.broadcast(probes), "centroid_id")
               .where(F.col(id_col) != F.col("query_id"))
@@ -864,10 +866,12 @@ def append_ivf_index(new_corpus: DataFrame, path: str,
     is never re-read and the codebook never moves (IVF's standard
     contract — immutable centroids between retrains; retrain and
     rebuild when drift warrants it, which is a bulk job, not a
-    per-batch one). ``batch_id`` adds the replay guard for streaming
-    ingest (ids at or below the recorded watermark are skipped — see
-    ``dedup.append_dedup_index`` for the exact semantics and the
-    crash-window caveat)."""
+    per-batch one). ``batch_id`` makes the append EXACTLY-ONCE for
+    streaming ingest: ids at or below the recorded watermark are
+    skipped, and an uncommitted replay rewrites its own
+    ``__ingest_batch=N`` slice of each cell partition via dynamic
+    partition overwrite instead of appending next to the partial
+    attempt — the ``dedup.append_dedup_index`` mechanism."""
     from aggregation_duckdb_spark import fsio
     spark = new_corpus.sparkSession
     if batch_id is not None and \
@@ -875,9 +879,14 @@ def append_ivf_index(new_corpus: DataFrame, path: str,
         return  # replayed micro-batch: already ingested, skip
     cents = spark.read.parquet(fsio._join(path, "codebook"))
     assigned = ivf_assign(new_corpus, cents, vec_col, id_col)
-    (assigned.withColumn("centroid_id", F.col("centroid_id").cast("int"))
-     .write.mode("append").partitionBy("centroid_id")
-     .parquet(fsio._join(path, "cells")))
+    part = -1 if batch_id is None else int(batch_id)
+    mode = "append" if batch_id is None else "overwrite"
+    with fsio.dynamic_partition_overwrite(spark):
+        (assigned
+         .withColumn("centroid_id", F.col("centroid_id").cast("int"))
+         .withColumn("__ingest_batch", F.lit(part))
+         .write.mode(mode).partitionBy("centroid_id", "__ingest_batch")
+         .parquet(fsio._join(path, "cells")))
     if batch_id is not None:
         fsio.commit_ingest_watermark(spark, path, batch_id)
 
@@ -897,7 +906,9 @@ def write_pq_index(corpus: DataFrame, codebooks: DataFrame, path: str,
                       id_col, dim)
     codebooks.write.mode("overwrite").parquet(
         fsio._join(path, "codebooks"))
-    codes.write.mode("overwrite").parquet(fsio._join(path, "codes"))
+    (codes.withColumn("__ingest_batch", F.lit(-1))
+     .write.mode("overwrite").partitionBy("__ingest_batch")
+     .parquet(fsio._join(path, "codes")))
     fsio.write_json(corpus.sparkSession, fsio._join(path, "params.json"),
                     {"num_subspaces": num_subspaces, "dim": dim})
 
@@ -910,8 +921,10 @@ def append_pq_index(new: DataFrame, path: str,
     codes — per-batch cost proportional to the batch (the
     append_ivf_index contract: the codebook is the trained artifact;
     re-fitting on every ingest would silently re-key every stored
-    code). ``batch_id`` adds the replay guard for streaming ingest
-    (see ``dedup.append_dedup_index`` for semantics)."""
+    code). ``batch_id`` makes the append EXACTLY-ONCE for streaming
+    ingest: watermark skip plus per-batch ``__ingest_batch=N``
+    partition overwrite (the ``dedup.append_dedup_index``
+    mechanism)."""
     from aggregation_duckdb_spark import fsio
     spark = new.sparkSession
     if batch_id is not None and \
@@ -921,7 +934,12 @@ def append_pq_index(new: DataFrame, path: str,
     books = spark.read.parquet(fsio._join(path, "codebooks"))
     codes = pq_encode(new, books, p["num_subspaces"], vec_col, id_col,
                       p["dim"])
-    codes.write.mode("append").parquet(fsio._join(path, "codes"))
+    part = -1 if batch_id is None else int(batch_id)
+    mode = "append" if batch_id is None else "overwrite"
+    with fsio.dynamic_partition_overwrite(spark):
+        (codes.withColumn("__ingest_batch", F.lit(part))
+         .write.mode(mode).partitionBy("__ingest_batch")
+         .parquet(fsio._join(path, "codes")))
     if batch_id is not None:
         fsio.commit_ingest_watermark(spark, path, batch_id)
 
@@ -937,7 +955,8 @@ def pq_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
     from aggregation_duckdb_spark import fsio
     p = fsio.read_json(spark, fsio._join(path, "params.json"))
     books = spark.read.parquet(fsio._join(path, "codebooks"))
-    codes = spark.read.parquet(fsio._join(path, "codes"))
+    codes = (spark.read.parquet(fsio._join(path, "codes"))
+             .drop("__ingest_batch"))
     return pq_topk(codes, books, queries, k=k,
                    num_subspaces=p["num_subspaces"], vec_col=vec_col,
                    id_col=id_col, dim=p["dim"], fixed_order=fixed_order)
@@ -956,7 +975,8 @@ def pq_topk_rerank_indexed(spark, path: str, corpus: DataFrame,
     from aggregation_duckdb_spark import fsio
     p = fsio.read_json(spark, fsio._join(path, "params.json"))
     books = spark.read.parquet(fsio._join(path, "codebooks"))
-    codes = spark.read.parquet(fsio._join(path, "codes"))
+    codes = (spark.read.parquet(fsio._join(path, "codes"))
+             .drop("__ingest_batch"))
     return pq_topk_rerank(corpus, codes, books, queries, k=k,
                           shortlist=shortlist,
                           num_subspaces=p["num_subspaces"],
