@@ -148,6 +148,16 @@ ENTRIES = {
         "(left-anti) over the pruned box read — the key set "
         "broadcasts, the data side never reshuffles; no data rewrite "
         "appears in any read plan"),
+    "q_zorder_delete_upsert": (
+        "the delete->re-insert composition reads through the same "
+        "live-(zbucket, gen) PartitionFilters; the consolidated "
+        "remaining-tombstone set is one broadcast left-anti join — "
+        "re-inserted keys cost nothing at read time"),
+    "q_zorder_schema_evolution": (
+        "mixed-generation read: still the manifest-driven "
+        "live-(zbucket, gen) PartitionFilters — schema merge happens "
+        "at footer level, the scan set is identical; old generations "
+        "backfill the new column as null in the scan output"),
     "sim_pq_indexed_exact": (
         "the full-value-verified PQ road: codes pivot once on the id "
         "(one hash aggregate), the ADC fold is an in-row expression "
