@@ -1180,6 +1180,34 @@ def optimize_zordered(spark: SparkSession, path: str,
             "buckets_total": len(final["gens"])}
 
 
+def restore_zordered(spark: SparkSession, path: str,
+                     version: int) -> dict:
+    """RESTORE the table to an earlier snapshot as a NEW forward
+    commit (the Delta ``RESTORE`` analogue, and the undo button the
+    retained history exists for): the target version's manifest is
+    re-committed as the next version, so readers flip back to the old
+    state atomically while history keeps moving forward — nothing is
+    deleted, and the bad mutations stay visible in
+    :func:`table_history` between the two.
+
+    Requires the target snapshot to still be LIVE: reachable versions
+    are bounded below by the vacuum min-live marker (a restore of a
+    reclaimed snapshot raises cleanly, same guard as a time-travel
+    read), so run the mutations you may want to undo with
+    ``vacuum=False``. Restore itself is last-writer-wins under
+    optimistic concurrency — like CREATE OR REPLACE, it declares the
+    whole table state, so a collision simply recommits it on top.
+    After a restore the re-referenced generations are live again:
+    vacuum keeps them, and later mutations build on them normally."""
+    target = read_manifest(spark, path, version)  # raises if vacuumed
+    base_v, _ = _latest(spark, path)
+    manifest = {k: v for k, v in target.items() if k != "op"}
+    manifest["restored_from"] = int(version)
+    v, _final = _commit(spark, path, manifest, "restore", base_v,
+                        rebase=lambda latest: manifest)
+    return {"restored_from": int(version), "version": v}
+
+
 def vacuum_zordered(spark: SparkSession, path: str,
                     keep_versions: int = 1) -> dict:
     """Reclaim storage from retained history: keep the newest

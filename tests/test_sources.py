@@ -1442,3 +1442,85 @@ def test_zorder_schema_evolution_across_generations(spark, tmp_path):
     got3 = {r.payload: r.origin for r in
             L.read_zordered(spark, path).collect()}
     assert got3 == got
+
+
+def test_restore_zordered_rolls_back_as_forward_commit(spark, tmp_path):
+    """RESTORE: re-commit an earlier live snapshot as the next
+    version — readers flip back atomically, history keeps moving
+    forward, later mutations build on the restored state, and vacuum
+    keeps the re-referenced generations. A restore of a vacuumed
+    snapshot raises cleanly (same guard as time travel)."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_restore")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)   # v1
+    want = sorted((r.payload, r.val) for r in
+                  L.read_zordered(spark, path).collect())
+
+    # two regrettable mutations, history retained
+    bad = base.limit(20).withColumn("val", F.lit(-9).cast("long"))
+    L.upsert_zordered(bad, path, ["payload"], vacuum=False)         # v2
+    L.delete_zordered_keys(base.limit(5).select("payload"),
+                           path, ["payload"])                       # v3
+    assert sorted((r.payload, r.val) for r in
+                  L.read_zordered(spark, path).collect()) != want
+
+    out = L.restore_zordered(spark, path, 1)                        # v4
+    assert out == {"restored_from": 1, "version": 4}
+    got = sorted((r.payload, r.val) for r in
+                 L.read_zordered(spark, path).collect())
+    assert got == want
+    assert [h["op"] for h in L.table_history(spark, path)] == [
+        "restore", "delete_keys", "upsert", "write"]
+
+    # later mutations build on the restored state; vacuum keeps the
+    # restored generations and reclaims the undone era
+    L.upsert_zordered(base.limit(3).withColumn(
+        "val", F.lit(7).cast("long")), path, ["payload"],
+        vacuum=False)                                               # v5
+    L.vacuum_zordered(spark, path, keep_versions=1)
+    got2 = {r.payload: r.val for r in
+            L.read_zordered(spark, path).collect()}
+    assert got2[0] == 7 and got2[100] == 1000
+    # the vacuumed pre-restore snapshot is now unreachable — cleanly
+    with _pytest.raises(ValueError, match="vacuumed"):
+        L.restore_zordered(spark, path, 3)
+
+
+def test_concurrent_compact_and_append_merge(spark, tmp_path, monkeypatch):
+    """A blind append landing mid-compaction must survive the fold's
+    commit: the compaction rebases, keeps the new (unfolded) delta
+    outstanding, and clears only the batches it actually folded."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_cc_compact")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)   # v1
+    d1 = spark.createDataFrame([(1, 1, 7001, 1)],
+                               "a long, b long, payload long, val long")
+    d2 = spark.createDataFrame([(2, 2, 7002, 2)],
+                               "a long, b long, payload long, val long")
+    L.append_zordered(d1, path)                                     # v2
+
+    real = fsio.write_json_at
+    fired = {}
+
+    def inject(spk, mdir, obj, version):
+        if obj.get("op", "").startswith("compact") and "x" not in fired:
+            fired["x"] = True
+            L.append_zordered(d2, path)   # lands between read and commit
+        return real(spk, mdir, obj, version)
+
+    monkeypatch.setattr(fsio, "write_json_at", inject)
+    L.compact_zordered(spark, path)
+    monkeypatch.undo()
+
+    m = L.read_manifest(spark, path)
+    assert len(m["deltas"]) == 1          # d2 still outstanding
+    got = {r.payload for r in L.read_zordered(spark, path).collect()}
+    assert {7001, 7002} <= got            # nothing lost either way
+    L.compact_zordered(spark, path)       # folds the survivor
+    assert L.read_manifest(spark, path)["deltas"] == []
+    assert {r.payload for r in
+            L.read_zordered(spark, path).collect()} == got
