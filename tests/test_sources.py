@@ -1524,3 +1524,42 @@ def test_concurrent_compact_and_append_merge(spark, tmp_path, monkeypatch):
     assert L.read_manifest(spark, path)["deltas"] == []
     assert {r.payload for r in
             L.read_zordered(spark, path).collect()} == got
+
+
+def test_ser_bound_widening_property_hypothesis():
+    """Zone-map bound serialization must never NARROW a bucket's
+    range (narrowing could prune a bucket that holds a match): for
+    any decimal, the serialized min is <= the value and the max >=;
+    for any string pair, the serialized bounds bracket both; the
+    comparison order of serialized values matches the source order
+    (pure Python — no Spark, hypothesis hammers it)."""
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aggregation_duckdb_spark.sources.layout import (_STAT_MAX_STR,
+                                                         _ser_bound)
+
+    decimals = st.decimals(allow_nan=False, allow_infinity=False,
+                           min_value=Decimal("-1e18"),
+                           max_value=Decimal("1e18"))
+
+    @settings(max_examples=300, deadline=None)
+    @given(decimals, decimals)
+    def dec_case(a, b):
+        lo, hi = (a, b) if a <= b else (b, a)
+        slo, shi = _ser_bound(lo, True), _ser_bound(hi, False)
+        assert Decimal(str(slo)) <= lo and Decimal(str(shi)) >= hi
+        assert slo <= shi
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=200), st.text(max_size=200))
+    def str_case(a, b):
+        lo, hi = (a, b) if a <= b else (b, a)
+        slo, shi = _ser_bound(lo, True), _ser_bound(hi, False)
+        assert slo <= lo and shi >= hi
+        assert len(slo) <= _STAT_MAX_STR and len(shi) <= _STAT_MAX_STR + 1
+
+    dec_case()
+    str_case()
