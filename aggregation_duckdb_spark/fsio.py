@@ -207,6 +207,19 @@ def rename(spark, src: str, dst: str) -> bool:
     return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
 
 
+def modified_ms(spark, path: str) -> int:
+    """Last-modification time of a path in epoch milliseconds (0 if it
+    doesn't exist) — what vacuum's retention window compares against."""
+    if _gateway(spark) is None:
+        local = _local_path(path)
+        return int(os.path.getmtime(local) * 1000) \
+            if os.path.exists(local) else 0
+    fs, jpath, _ = _fs(spark, path)
+    if not fs.exists(jpath):
+        return 0
+    return int(fs.getFileStatus(jpath).getModificationTime())
+
+
 def mkdirs(spark, path: str) -> None:
     if _gateway(spark) is None:
         os.makedirs(_local_path(path), exist_ok=True)

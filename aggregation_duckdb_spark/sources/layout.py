@@ -1209,7 +1209,8 @@ def restore_zordered(spark: SparkSession, path: str,
 
 
 def vacuum_zordered(spark: SparkSession, path: str,
-                    keep_versions: int = 1) -> dict:
+                    keep_versions: int = 1,
+                    retention_ms: int = 0) -> dict:
     """Reclaim storage from retained history: keep the newest
     ``keep_versions`` manifest snapshots, delete every data generation
     and delta directory no kept snapshot references, advance the
@@ -1217,9 +1218,24 @@ def vacuum_zordered(spark: SparkSession, path: str,
     fails CLEANLY instead of silently returning partial rows), and
     prune older manifest files. The Delta VACUUM analogue for the
     ``vacuum=False`` mutation mode; with the default eager mode this
-    is a no-op beyond marker/manifest tidying. Single writer, like
-    every mutation here. Returns {"kept_versions", "deleted_gens",
-    "deleted_deltas"}."""
+    is a no-op beyond marker/manifest tidying.
+
+    ``retention_ms`` is the CONCURRENT-WRITER guard (Delta's retention
+    window): an in-flight mutation writes its new generation
+    directories BEFORE its manifest commit, so a vacuum running in
+    that window sees them as unreferenced — deleting them would break
+    the mutation's commit. Directories modified within the last
+    ``retention_ms`` are skipped; set it above the longest plausible
+    write-to-commit gap when other writers may be live (the default 0
+    keeps the single-writer behavior: reclaim everything now).
+    Returns {"kept_versions", "deleted_gens", "deleted_deltas",
+    "deleted_tombstones"}."""
+    import time as _time
+    cutoff = int(_time.time() * 1000) - retention_ms
+
+    def _old_enough(p: str) -> bool:
+        return retention_ms <= 0 or fsio.modified_ms(spark, p) <= cutoff
+
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     mdir = _manifest_path(path)
@@ -1243,19 +1259,22 @@ def vacuum_zordered(spark: SparkSession, path: str,
             if not gdir.startswith("gen="):
                 continue
             g = gdir.split("=", 1)[1]
-            if (k, g) not in live_pairs:
-                fsio.delete(spark, fsio._join(data_root, bdir, gdir))
+            full = fsio._join(data_root, bdir, gdir)
+            if (k, g) not in live_pairs and _old_enough(full):
+                fsio.delete(spark, full)
                 deleted_gens += 1
     deleted_deltas = 0
     for d in fsio.list_names(spark, fsio._join(path, DELTA_DIR)):
-        if d not in live_deltas:
-            fsio.delete(spark, fsio._join(path, DELTA_DIR, d))
+        full = fsio._join(path, DELTA_DIR, d)
+        if d not in live_deltas and _old_enough(full):
+            fsio.delete(spark, full)
             deleted_deltas += 1
     live_tombs = {t for m in manifests for t in m.get("tombstones", [])}
     deleted_tombstones = 0
     for t in fsio.list_names(spark, fsio._join(path, TOMBSTONE_DIR)):
-        if t not in live_tombs:
-            fsio.delete(spark, fsio._join(path, TOMBSTONE_DIR, t))
+        full = fsio._join(path, TOMBSTONE_DIR, t)
+        if t not in live_tombs and _old_enough(full):
+            fsio.delete(spark, full)
             deleted_tombstones += 1
     _set_min_live_version(spark, path, kept[0])
     fsio.prune_versions(spark, mdir, keep=len(kept))

@@ -1563,3 +1563,38 @@ def test_ser_bound_widening_property_hypothesis():
 
     dec_case()
     str_case()
+
+
+def test_vacuum_retention_window_spares_inflight_writer_dirs(
+        spark, tmp_path):
+    """Vacuum's concurrent-writer guard: an in-flight mutation's
+    generation directory exists BEFORE its manifest commit, so it
+    looks unreferenced — with a retention window it survives the
+    vacuum (and the mutation can still commit); with the default
+    immediate mode it is reclaimed."""
+    import os
+
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_vac_ret")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+
+    # simulate an in-flight writer: a freshly-written generation dir
+    # under a live bucket, not referenced by any manifest yet
+    m = L.read_manifest(spark, path)
+    k = next(iter(m["gens"]))
+    inflight = os.path.join(path, L.DATA_DIR, f"zbucket={k}",
+                            "gen=ginflight0001")
+    os.makedirs(inflight)
+    open(os.path.join(inflight, "part-0.parquet"), "wb").write(b"x")
+
+    L.vacuum_zordered(spark, path, keep_versions=1,
+                      retention_ms=3_600_000)
+    assert os.path.isdir(inflight)            # young: spared
+    rows = L.read_zordered(spark, path).count()
+    assert rows == base.count()               # orphans stay invisible
+
+    out = L.vacuum_zordered(spark, path, keep_versions=1)
+    assert not os.path.isdir(inflight)        # immediate mode reclaims
+    assert out["deleted_gens"] == 1
