@@ -183,9 +183,14 @@ def rename(spark, src: str, dst: str) -> bool:
     ``FileExistsError`` if the destination exists — then unlinks the
     source. Filesystems without hard links (some overlay/NFS/FAT
     mounts raise EPERM/ENOTSUP/EXDEV) fall back to an
-    ``O_CREAT|O_EXCL`` destination reservation — the exclusive create
-    is the atomic existence check — then a plain rename over the
-    reservation this committer now owns."""
+    ``O_CREAT|O_EXCL`` exclusive create — the atomic existence check —
+    and write the content THROUGH that fd (one write + fsync) rather
+    than reserving an empty name and renaming later: a crash between
+    an empty reservation and its rename would leave a torn (empty)
+    file at a committed version name, which readers treat as loud
+    corruption; a direct write narrows the window to a short file on
+    crash mid-syscall, the same exposure any non-rename filesystem
+    has."""
     if _gateway(spark) is None:
         lsrc, ldst = _local_path(src), _local_path(dst)
         try:
@@ -193,13 +198,18 @@ def rename(spark, src: str, dst: str) -> bool:
         except FileExistsError:
             return False
         except OSError:
-            # hard links unsupported on this mount: reserve the
-            # destination name atomically instead
+            # hard links unsupported on this mount
             try:
-                os.close(os.open(ldst, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                fd = os.open(ldst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 return False
-            os.rename(lsrc, ldst)
+            try:
+                with open(lsrc, "rb") as f:
+                    os.write(fd, f.read())
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            os.unlink(lsrc)
             return True
         os.unlink(lsrc)
         return True

@@ -53,7 +53,27 @@ folded delta/tombstone batches, the spec), merges and recommits —
 blind appends and disjoint bucket rewrites both land with
 consecutive versions; genuinely overlapping rewrites raise
 :class:`CommitConflict` naming the competing operation. Readers need
-no coordination ever. Because
+no coordination ever.
+
+Concurrency contract by verb pair (pytest-pinned where marked *):
+
+- ``append`` vs anything: always merges* (blind — the delta name is
+  re-appended onto whatever latest is).
+- ``delete_keys`` vs append/delete_keys/compact: merges* (tombstone
+  batch re-appended; key compatibility re-checked against latest).
+- bucket rewrites (``compact``/``upsert``/``optimize``/
+  ``delete_box``) vs a concurrent commit: merge iff the spec, the
+  touched buckets' generations, and every folded delta/tombstone
+  batch are untouched in latest* (disjoint-bucket upserts both
+  land*); otherwise CommitConflict* (two upserts dirtying one
+  bucket*). An upsert composing over tombstones additionally
+  requires the outstanding tombstone set unchanged* (a concurrent
+  delete must not be resurrected).
+- ``write`` (CREATE OR REPLACE) and ``restore``: last-writer-wins by
+  declaration — they name the whole table state.
+- ``vacuum_zordered``: not manifest-committed; run it quiesced, or
+  give it a ``retention_ms`` above the longest write-to-commit gap so
+  it cannot reclaim an in-flight writer's pre-commit directories*. Because
 every commit is a manifest version, snapshots double as TIME TRAVEL:
 ``read_zordered*(..., version=N)`` pins state N; mutate with
 ``vacuum=False`` to retain history and reclaim it explicitly with

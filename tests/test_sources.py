@@ -1598,3 +1598,95 @@ def test_vacuum_retention_window_spares_inflight_writer_dirs(
     out = L.vacuum_zordered(spark, path, keep_versions=1)
     assert not os.path.isdir(inflight)        # immediate mode reclaims
     assert out["deleted_gens"] == 1
+
+
+def test_disjoint_bucket_rewrites_merge(spark, tmp_path, monkeypatch):
+    """Two upserts dirtying DISJOINT buckets must both land (the
+    WriteSerializable merge): the loser rebases — its touched
+    buckets' generations are unchanged in the winner's manifest — and
+    the final state carries both rewrites."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_cc_disjoint")
+    spec = L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    # pick two rows that land in different buckets
+    zb, _ = L._zbucket_col(spec)
+    rows = (base.withColumn("__zb", zb)
+            .select("a", "b", "payload", "val", "__zb").collect())
+    r1 = rows[0]
+    r2 = next(r for r in rows if r["__zb"] != r1["__zb"])
+    mk = lambda r, v: spark.createDataFrame(  # noqa: E731
+        [(r["a"], r["b"], r["payload"], v)],
+        "a long, b long, payload long, val long")
+
+    real = fsio.write_json_at
+    fired = {}
+
+    def inject(spk, mdir, obj, version):
+        if obj.get("op") == "upsert" and "x" not in fired:
+            fired["x"] = True
+            L.upsert_zordered(mk(r2, -2), path, ["payload"])
+        return real(spk, mdir, obj, version)
+
+    monkeypatch.setattr(fsio, "write_json_at", inject)
+    L.upsert_zordered(mk(r1, -1), path, ["payload"])
+    monkeypatch.undo()
+
+    assert L.table_version(spark, path) == 3      # both committed
+    got = {r.payload: r.val for r in L.read_zordered(spark, path).collect()}
+    assert got[r1["payload"]] == -1 and got[r2["payload"]] == -2
+
+
+def test_interleaved_tombstone_adds_both_land(spark, tmp_path,
+                                              monkeypatch):
+    """Two delete_keys committers racing: the loser rebases by
+    appending its tombstone batch onto the winner's manifest — both
+    key sets end up hidden, and a same-key upsert during outstanding
+    tombstones CONFLICTS if the tombstone set moved under it."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_cc_tombs")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    k1 = spark.createDataFrame([(1,), (2,)], "payload long")
+    k2 = spark.createDataFrame([(3,), (4,)], "payload long")
+
+    real = fsio.write_json_at
+    fired = {}
+
+    def inject(spk, mdir, obj, version):
+        if obj.get("op") == "delete_keys" and "x" not in fired:
+            fired["x"] = True
+            L.delete_zordered_keys(k2, path, ["payload"])
+        return real(spk, mdir, obj, version)
+
+    monkeypatch.setattr(fsio, "write_json_at", inject)
+    L.delete_zordered_keys(k1, path, ["payload"])
+    monkeypatch.undo()
+    m = L.read_manifest(spark, path)
+    assert len(m["tombstones"]) == 2
+    got = {r.payload for r in L.read_zordered(spark, path).collect()}
+    assert got.isdisjoint({1, 2, 3, 4})
+
+    # upsert-with-tombstones whose base tombstone set moves under it
+    # must conflict, not silently resurrect the concurrent delete
+    reins = base.where(F.col("payload").isin(1, 3)) \
+        .withColumn("val", F.lit(0).cast("long"))
+    k3 = spark.createDataFrame([(5,)], "payload long")
+    fired.clear()
+
+    def inject2(spk, mdir, obj, version):
+        if obj.get("op") == "upsert" and "x" not in fired:
+            fired["x"] = True
+            L.delete_zordered_keys(k3, path, ["payload"])
+        return real(spk, mdir, obj, version)
+
+    monkeypatch.setattr(fsio, "write_json_at", inject2)
+    with _pytest.raises(L.CommitConflict,
+                        match="changed the outstanding tombstone set"):
+        L.upsert_zordered(reins, path, ["payload"])
+    monkeypatch.undo()
+    got2 = {r.payload for r in L.read_zordered(spark, path).collect()}
+    assert got2.isdisjoint({1, 2, 3, 4, 5})   # all deletes intact
