@@ -1690,3 +1690,41 @@ def test_interleaved_tombstone_adds_both_land(spark, tmp_path,
     monkeypatch.undo()
     got2 = {r.payload for r in L.read_zordered(spark, path).collect()}
     assert got2.isdisjoint({1, 2, 3, 4, 5})   # all deletes intact
+
+
+def test_diff_zordered_labels_row_level_changes(spark, tmp_path):
+    """Snapshot diff as the CDC/audit view: insert / delete /
+    update_pre+postimage labeled per key between any two live
+    versions — composing every intermediate commit — and clean
+    failure when an endpoint was vacuumed."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_diff")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)  # v1
+    upd = base.where(F.col("payload") < 3) \
+        .withColumn("val", F.lit(-1).cast("long"))
+    ins = spark.createDataFrame([(9, 9, 9009, 9)],
+                                "a long, b long, payload long, val long")
+    L.upsert_zordered(upd.unionByName(ins), path, ["payload"],
+                      vacuum=False)                                # v2
+    L.delete_zordered_keys(
+        spark.createDataFrame([(10,), (11,)], "payload long"),
+        path, ["payload"])                                         # v3
+
+    d = L.diff_zordered(spark, path, 1, key_cols=["payload"])
+    got = {(r.payload, r._change_type): r.val for r in d.collect()}
+    assert got[(9009, "insert")] == 9
+    assert got[(10, "delete")] == 100 and got[(11, "delete")] == 110
+    assert got[(0, "update_preimage")] == 0
+    assert got[(0, "update_postimage")] == -1
+    assert got[(2, "update_postimage")] == -1
+    assert len(got) == 1 + 2 + 3 * 2          # nothing else changed
+
+    # unchanged endpoints diff to empty; vacuumed endpoint raises
+    assert L.diff_zordered(spark, path, 3, 3,
+                           key_cols=["payload"]).count() == 0
+    L.compact_zordered(spark, path)                                # v4
+    L.vacuum_zordered(spark, path, keep_versions=1)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        L.diff_zordered(spark, path, 1, key_cols=["payload"])
