@@ -1226,6 +1226,15 @@ def diff_zordered(spark: SparkSession, path: str, v_from: int,
         v_to = table_version(spark, path)
     old = read_zordered(spark, path, version=v_from).drop("zbucket")
     new = read_zordered(spark, path, version=v_to).drop("zbucket")
+    # endpoints may straddle a schema evolution: align with nulls, so
+    # an added column reads as NULL -> value (an update) rather than
+    # breaking the projection
+    for c, t in ((f.name, f.dataType) for f in new.schema.fields):
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(t))
+    for c, t in ((f.name, f.dataType) for f in old.schema.fields):
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(t))
     cols = new.columns
     non_key = [c for c in cols if c not in key_cols]
     fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in non_key]))) \

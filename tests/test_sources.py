@@ -1728,3 +1728,26 @@ def test_diff_zordered_labels_row_level_changes(spark, tmp_path):
     L.vacuum_zordered(spark, path, keep_versions=1)
     with _pytest.raises(ValueError, match="vacuumed"):
         L.diff_zordered(spark, path, 1, key_cols=["payload"])
+
+
+def test_diff_zordered_across_schema_evolution(spark, tmp_path):
+    """Diff endpoints straddling a schema evolution align with nulls:
+    an added column surfaces as NULL -> value updates for rows whose
+    other columns are unchanged only when the value actually differs
+    from null."""
+    from aggregation_duckdb_spark.sources import layout as L
+    base = spark.range(0, 50).select(
+        (F.col("id") % 7).alias("a"), (F.col("id") % 5).alias("b"),
+        F.col("id").alias("payload"))
+    path = str(tmp_path / "z_diff_evo")
+    L.write_zordered(base, path, "a", "b", bits=6, bucket_bits=3)  # v1
+    evolved = spark.createDataFrame(
+        [(1, 1, 9001, "fresh")],
+        "a long, b long, payload long, origin string")
+    L.append_zordered(evolved, path)                               # v2
+    L.compact_zordered(spark, path, vacuum=False)                  # v3
+    d = L.diff_zordered(spark, path, 1, key_cols=["payload"])
+    got = {(r.payload, r._change_type): r.origin for r in d.collect()}
+    # only the new row appears: old rows' origin is null at BOTH
+    # endpoints (backfilled on v1, physically null on v3)
+    assert got == {(9001, "insert"): "fresh"}
