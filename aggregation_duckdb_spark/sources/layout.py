@@ -1200,6 +1200,139 @@ def optimize_zordered(spark: SparkSession, path: str,
             "buckets_total": len(final["gens"])}
 
 
+BLOOM_DIR = "_bloom"
+
+
+def _bloom_pos_exprs(c: Column, m: int, k: int) -> list[Column]:
+    """The k Bloom bit positions of a value, as Spark expressions —
+    Kirsch-Mitzenmacher double hashing over two independent 60-bit
+    halves of md5(value-as-string). The same split is reproduced in
+    pure Python by :func:`_bloom_pos_py`, so a driver-side query value
+    probes exactly the bits the executors set (both sides hash the
+    CAST-to-string form; restrict bloom columns to string/integer
+    types, where that canonicalization is unambiguous)."""
+    h = F.md5(c.cast("string"))
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 17, 15), 16, 10).cast("long") \
+        * F.lit(2) + F.lit(1)   # odd => full cycle mod power-of-two m
+    return [((h1 + F.lit(i) * h2) % F.lit(m)).cast("long")
+            for i in range(k)]
+
+
+def _bloom_pos_py(value, m: int, k: int) -> list[int]:
+    import hashlib
+    h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    h1 = int(h[0:15], 16)
+    h2 = int(h[16:31], 16) * 2 + 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def build_bloom_index(spark: SparkSession, path: str, cols: list[str],
+                      m: int = 16384, k: int = 5) -> dict:
+    """Per-bucket BLOOM sidecars for point lookups on high-cardinality
+    NON-layout columns — the skipping class zone maps cannot serve
+    (min/max is useless on an equality predicate over values
+    uncorrelated with the clustering; "find this doc_id in 100 TB" is
+    the motivating query). One pass over the live snapshot computes
+    each row's k bit positions per column; only DISTINCT
+    (bucket, position) pairs are collected, so driver traffic is
+    bounded by buckets·m bits — the index capacity, never the row
+    count. The sidecar commits atomically under ``_manifest/_bloom``
+    (versioned, readers take the newest) and records each bucket's
+    GENERATION at build time: a later rewrite of a bucket makes its
+    entry stale, and stale/missing entries are KEPT by the reader —
+    skipping degrades, results never do. Rebuild after heavy churn;
+    building is one scan.
+
+    Sizing: fpp ≈ (1 - e^(-k·n/m))^k per bucket with n values per
+    bucket; the default 16384·5 holds ~1.1k values/bucket at ~1%
+    fpp — at 100 TB size m to the expected per-bucket cardinality of
+    the indexed column. Returns {"cols", "m", "k", "buckets"}."""
+    import base64
+
+    manifest = read_manifest(spark, path)
+    live = _read_live(spark, path, manifest)
+    out: dict = {"m": int(m), "k": int(k), "cols": {}}
+    for col in cols:
+        pos = F.explode(F.array(*_bloom_pos_exprs(F.col(col), m, k)))
+        pairs = (live.where(F.col(col).isNotNull())
+                 .select(F.col("zbucket").cast("long").alias("__zb"),
+                         pos.alias("__p"))
+                 .distinct().collect())
+        bits: dict[int, bytearray] = {}
+        for r in pairs:
+            b = bits.setdefault(int(r["__zb"]), bytearray((m + 7) // 8))
+            p = int(r["__p"])
+            b[p >> 3] |= 1 << (p & 7)
+        out["cols"][col] = {
+            str(kk): {"gen": manifest["gens"][str(kk)],
+                      "bits": base64.b64encode(bytes(bb)).decode("ascii")}
+            for kk, bb in bits.items() if str(kk) in manifest["gens"]}
+    fsio.write_json_version(spark, fsio._join(_manifest_path(path),
+                                              BLOOM_DIR), out)
+    return {"cols": list(cols), "m": int(m), "k": int(k),
+            "buckets": len(manifest["gens"])}
+
+
+def _bloom_sidecar(spark: SparkSession, path: str) -> dict | None:
+    return fsio.read_json_latest(
+        spark, fsio._join(_manifest_path(path), BLOOM_DIR))
+
+
+def bloom_buckets(manifest: dict, sidecar: dict | None, col: str,
+                  value) -> list[int]:
+    """The live buckets an equality predicate can touch, judged by the
+    Bloom sidecar — CONSERVATIVE: a bucket is skipped only when its
+    sidecar entry matches the bucket's CURRENT generation and every
+    probed bit is clear (no false negatives by Bloom's contract; a
+    bucket rewritten since the build, or never indexed, is kept)."""
+    import base64
+
+    gens = manifest["gens"]
+    entries = (sidecar or {}).get("cols", {}).get(col)
+    if not entries:
+        return sorted(int(x) for x in gens)
+    m, k = int(sidecar["m"]), int(sidecar["k"])
+    pos = _bloom_pos_py(value, m, k)
+    keep = []
+    for kk, g in gens.items():
+        e = entries.get(kk)
+        if e is None or e["gen"] != g:
+            keep.append(int(kk))      # stale or unindexed: keep
+            continue
+        bits = base64.b64decode(e["bits"])
+        if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+            keep.append(int(kk))
+    return sorted(keep)
+
+
+def read_zordered_eq(spark: SparkSession, path: str, eq: dict,
+                     version: int | None = None) -> DataFrame:
+    """Point-lookup read: conjunctive EQUALITY predicates served
+    through the Bloom sidecars (:func:`build_bloom_index`) — bucket
+    directories whose filters provably exclude a value are pruned at
+    plan time, the exact filters keep results identical to a full
+    live-scan filter (outstanding deltas carry no blooms and are
+    scanned with the filter only; tombstones apply as everywhere)."""
+    manifest = read_manifest(spark, path, version)
+    sidecar = _bloom_sidecar(spark, path)
+    keep: set[int] | None = None
+    for c, v in eq.items():
+        bs = set(bloom_buckets(manifest, sidecar, c, v))
+        keep = bs if keep is None else (keep & bs)
+    buckets = sorted(keep) if keep is not None else None
+    out = _read_live(spark, path, manifest, buckets)
+    for c, v in eq.items():
+        out = out.where(F.col(c) == v)
+    out = out.drop("gen", "zbucket")
+    for d in manifest.get("deltas", []):
+        dd = spark.read.parquet(fsio._join(path, DELTA_DIR, d))
+        for c, v in eq.items():
+            dd = dd.where(F.col(c) == v)
+        out = out.unionByName(dd, allowMissingColumns=True)
+    return _apply_tombstones(spark, path, manifest, out)
+
+
 def diff_zordered(spark: SparkSession, path: str, v_from: int,
                   v_to: int | None = None,
                   key_cols: list[str] | None = None) -> DataFrame:

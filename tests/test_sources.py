@@ -1751,3 +1751,57 @@ def test_diff_zordered_across_schema_evolution(spark, tmp_path):
     # only the new row appears: old rows' origin is null at BOTH
     # endpoints (backfilled on v1, physically null on v3)
     assert got == {(9001, "insert"): "fresh"}
+
+
+def test_bloom_index_point_lookup_prunes_and_stays_exact(spark, tmp_path):
+    """Bloom sidecars: an equality predicate on a high-cardinality
+    NON-layout column prunes most bucket directories (the class zone
+    maps can't serve — the values are uncorrelated with the
+    clustering), with zero false negatives: every existing value's
+    bucket is always kept, results always equal the full-scan filter;
+    a bucket rewritten after the build goes conservative (kept), and
+    deltas are scanned with the filter only."""
+    from aggregation_duckdb_spark.sources import layout as L
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        F.md5(F.col("id").cast("string")).alias("doc_key"),
+        F.col("id").alias("payload"))
+    path = str(tmp_path / "z_bloom")
+    L.write_zordered(df, path, "a", "b", bits=7, bucket_bits=4)
+    info = L.build_bloom_index(spark, path, ["doc_key"])
+    assert info["buckets"] == 16
+
+    m = L.read_manifest(spark, path)
+    sidecar = L._bloom_sidecar(spark, path)
+    probe = [r.doc_key for r in
+             df.where(F.col("payload").isin(3, 777, 19_999)).collect()]
+    for v in probe:   # no false negatives, and real pruning
+        kept = L.bloom_buckets(m, sidecar, "doc_key", v)
+        assert 0 < len(kept) < 16, (v, kept)
+        got = {r.payload for r in
+               L.read_zordered_eq(spark, path, {"doc_key": v}).collect()}
+        want = {r.payload for r in
+                df.where(F.col("doc_key") == v).collect()}
+        assert got == want and got
+    # an absent value prunes everything (fpp may keep a few buckets)
+    assert L.read_zordered_eq(spark, path,
+                              {"doc_key": "nope"}).count() == 0
+
+    # a rewritten bucket's entry is stale -> kept, still exact
+    up = df.where(F.col("payload") == 3).withColumn(
+        "payload", F.lit(-3).cast("long"))
+    L.upsert_zordered(
+        df.where(F.col("payload") == 3).withColumn(
+            "payload", F.lit(3).cast("long")), path, ["doc_key"])
+    v3 = probe[0]
+    got = {r.payload for r in
+           L.read_zordered_eq(spark, path, {"doc_key": v3}).collect()}
+    assert got == {3}
+
+    # deltas: no blooms, scanned with the filter -> visible
+    extra = spark.createDataFrame(
+        [(1, 1, "fresh-key", 777_777)],
+        "a long, b long, doc_key string, payload long")
+    L.append_zordered(extra, path)
+    assert {r.payload for r in L.read_zordered_eq(
+        spark, path, {"doc_key": "fresh-key"}).collect()} == {777_777}
