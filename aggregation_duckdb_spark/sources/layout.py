@@ -203,11 +203,27 @@ def _respec_bounds(spec: dict, df: DataFrame) -> dict:
     dims = _spec_dims(spec)
     fresh = numeric_bounds_nd(df, [c for c, _, _ in dims])
     base = {"bits": spec["bits"], "bucket_bits": spec["bucket_bits"]}
+    if "check" in spec:   # constraints survive a full re-bin
+        base["check"] = spec["check"]
     if "dims" in spec:
         return {"dims": fresh, **base}
     (a_col, a_lo, a_hi), (b_col, b_lo, b_hi) = fresh
     return {"a_col": a_col, "b_col": b_col, "a_lo": a_lo, "a_hi": a_hi,
             "b_lo": b_lo, "b_hi": b_hi, **base}
+
+
+def _validate_check(df: DataFrame, spec: dict, op: str) -> None:
+    """Enforce the table's CHECK constraint on an incoming batch —
+    one column-pruned pass counting rows where the predicate does not
+    affirmatively hold (false OR null); raises before any write."""
+    check = spec.get("check")
+    if not check:
+        return
+    bad = df.where(~F.coalesce(F.expr(check), F.lit(False))).count()
+    if bad:
+        raise ValueError(
+            f"{op}: CHECK constraint ({check}) violated by {bad} "
+            f"row(s) — nothing was written")
 
 
 def _zbucket_col(spec: dict) -> Column:
@@ -480,18 +496,29 @@ def write_zordered(df: DataFrame, path: str, a_col: str, b_col: str,
                    bits: int = 8, bucket_bits: int = 4,
                    bounds: dict | None = None,
                    files_per_bucket: int = 1,
-                   vacuum: bool = True) -> dict:
+                   vacuum: bool = True,
+                   check: str | None = None) -> dict:
     """Create (or replace) a Z-clustered table at ``path``: data under
     ``data/zbucket=K/gen=<g>``, state committed as manifest v1 (or the
     next version when re-laying an existing table — old generations
     are deleted only AFTER the commit). ``vacuum=False`` keeps the
     superseded snapshot's directories so it stays time-travel-readable
-    (reclaim later with :func:`vacuum_zordered`). Returns the layout
+    (reclaim later with :func:`vacuum_zordered`).
+
+    ``check`` declares a row-level CHECK CONSTRAINT (a SQL boolean
+    expression, the reference's DDL-constraint shape re-expressed as
+    admission-time validation — SURVEY §2 S2): this write and every
+    later ``append_zordered``/``upsert_zordered`` batch is validated
+    BEFORE anything lands; a violating batch raises with the
+    violation count and commits nothing. Null checks count as
+    violations (a CHECK must affirmatively hold). Returns the layout
     spec."""
     if bounds is None:
         bounds = numeric_bounds(df, a_col, b_col)
     spec = {"a_col": a_col, "b_col": b_col, "bits": bits,
             "bucket_bits": bucket_bits, **bounds}
+    if check is not None:
+        spec["check"] = check
     return _write_table(df, path, spec, files_per_bucket, vacuum)
 
 
@@ -499,7 +526,8 @@ def write_zordered_nd(df: DataFrame, path: str, cols: list[str],
                       bits: int = 8, bucket_bits: int = 4,
                       bounds: list[list] | None = None,
                       files_per_bucket: int = 1,
-                      vacuum: bool = True) -> dict:
+                      vacuum: bool = True,
+                      check: str | None = None) -> dict:
     """:func:`write_zordered` for k layout dimensions (user x time x
     tenant is routine at 100 TB): the Z value round-robin-interleaves
     the bits of every column in ``cols``, so a k-D box predicate maps
@@ -513,12 +541,15 @@ def write_zordered_nd(df: DataFrame, path: str, cols: list[str],
         bounds = numeric_bounds_nd(df, cols)
     spec = {"dims": [list(d) for d in bounds], "bits": bits,
             "bucket_bits": bucket_bits}
+    if check is not None:
+        spec["check"] = check
     return _write_table(df, path, spec, files_per_bucket, vacuum)
 
 
 def _write_table(df: DataFrame, path: str, spec: dict,
                  files_per_bucket: int, vacuum: bool) -> dict:
     spark = df.sparkSession
+    _validate_check(df, spec, "write_zordered")
     prev_v = table_version(spark, path)
     prev = _read_manifest_version(spark, path, prev_v) if prev_v else None
     gen = _new_gen()
@@ -799,6 +830,7 @@ def append_zordered(df: DataFrame, path: str,
     if batch_id is not None and batch_id <= manifest.get(
             "last_batch_id", -1):
         return  # replayed micro-batch: already visible, skip
+    _validate_check(df, manifest["spec"], "append_zordered")
     name = f"d-{uuid.uuid4().hex}"
     df.write.mode("errorifexists").parquet(
         fsio._join(path, DELTA_DIR, name))
@@ -1092,6 +1124,7 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
             f"{manifest.get('tombstone_key')}, upsert uses "
             f"{list(key_cols)} — run compact_zordered(path) first")
     spec = manifest["spec"]
+    _validate_check(df, spec, "upsert_zordered")
     new_keys = df.select(*key_cols).distinct()
     dirtied = _touched_buckets(df, spec)
     old = read_zordered_box_dirs(spark, path, manifest, dirtied) \

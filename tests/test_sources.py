@@ -1805,3 +1805,43 @@ def test_bloom_index_point_lookup_prunes_and_stays_exact(spark, tmp_path):
     L.append_zordered(extra, path)
     assert {r.payload for r in L.read_zordered_eq(
         spark, path, {"doc_key": "fresh-key"}).collect()} == {777_777}
+
+
+def test_zorder_check_constraint_gates_every_admission(spark, tmp_path):
+    """CHECK constraints (the reference's DDL-constraint shape as
+    admission-time validation): a violating create, append, or upsert
+    batch raises with the violation count and commits NOTHING — null
+    predicate results count as violations; the constraint survives a
+    full re-bin compaction."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_check")
+    with _pytest.raises(ValueError, match="CHECK constraint"):
+        L.write_zordered(base.withColumn(
+            "val", F.lit(-1).cast("long")), path, "a", "b",
+            bits=7, bucket_bits=4, check="val >= 0")
+    assert not L.table_exists(spark, path)
+
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4,
+                     check="val >= 0")
+    bad = spark.createDataFrame([(1, 1, 9001, -5)],
+                                "a long, b long, payload long, val long")
+    with _pytest.raises(ValueError, match="violated by 1 row"):
+        L.append_zordered(bad, path)
+    with _pytest.raises(ValueError, match="CHECK constraint"):
+        L.upsert_zordered(bad, path, ["payload"])
+    # null predicate result = violation (CHECK must hold)
+    nullv = spark.createDataFrame(
+        [(1, 1, 9002, None)], "a long, b long, payload long, val long")
+    with _pytest.raises(ValueError, match="CHECK constraint"):
+        L.append_zordered(nullv, path)
+    assert L.read_zordered(spark, path).count() == base.count()
+
+    ok = spark.createDataFrame([(1, 1, 9001, 5)],
+                               "a long, b long, payload long, val long")
+    L.append_zordered(ok, path)
+    spec = L.compact_zordered(spark, path, mode="full")
+    assert spec["check"] == "val >= 0"        # survives the re-bin
+    with _pytest.raises(ValueError, match="CHECK constraint"):
+        L.append_zordered(bad, path)          # still enforced
