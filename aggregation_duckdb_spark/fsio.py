@@ -11,15 +11,34 @@ own filesystem via ``Path.getFileSystem(hadoopConf)`` (the same
 resolution Spark's writers use), so a ``file:``, ``hdfs:`` or object
 -store URI all behave identically.
 
-Atomicity contract for mutable metadata (:func:`write_json_version` /
-:func:`read_json_latest`): a manifest is never overwritten in place.
-Each update writes a temp file and renames it to the NEXT versioned
-name (``v00000042.json``); create+rename is atomic on HDFS and a
-single visible object on stores without rename, and readers take the
-highest complete version — a crashed writer leaves an invisible temp
-file, never a torn manifest. Concurrent WRITERS are out of scope
-(documented single-writer, the Hive/Delta-without-a-lock-service
-assumption); concurrent readers are always safe.
+Atomicity contract for mutable metadata: a manifest is never
+overwritten in place — each update writes a temp file and renames it
+to a versioned name (``v00000042.json``); the rename is the commit
+point and readers take the highest complete version, so a crashed
+writer leaves an invisible temp file, never a torn manifest. Two
+commit primitives split by what the content depends on:
+
+- :func:`write_json_version` — BLIND appends (watermarks, logs,
+  sidecars): content independent of the state it lands on; losing a
+  rename race just means committing one version later (auto-retry).
+- :func:`write_json_at` — STATE-DERIVED commits (table manifests): a
+  committer that derived its state from version N targets N+1
+  SPECIFICALLY; an intervening commit surfaces as
+  :class:`CommitCollision` for the caller to rebase or abort
+  (``layout._commit``'s optimistic-concurrency loop), never to be
+  silently committed past.
+
+Multi-writer safety is scoped to filesystems whose rename is an
+atomic fail-if-destination-exists operation — HDFS (and local paths,
+where the fallback uses ``os.link`` / ``O_CREAT|O_EXCL``, both atomic
+existence checks). On S3A and similar object stores, "rename" is
+copy+delete behind a check-then-act existence test: two racing
+committers can BOTH report success and one version is silently lost —
+the same reason Delta Lake requires a LogStore/conditional-put there.
+:func:`atomic_rename_scheme` classifies a path; on a non-atomic
+scheme the contract degrades to SINGLE-WRITER (still crash-safe:
+readers only see complete versions). Concurrent readers are always
+safe everywhere.
 
 Spark Connect has no JVM gateway; helpers then fall back to Python
 file IO for local/``file:`` paths (same semantics, local-only reach)
@@ -36,6 +55,28 @@ import uuid
 from contextlib import contextmanager
 
 _VERSION_RE = re.compile(r"^v(\d{8})\.json$")
+
+# Object-store schemes whose FileSystem.rename is copy+delete behind a
+# check-then-act existence test — NOT atomic, so the CommitCollision
+# protocol cannot detect two racing committers there (one manifest
+# version would be silently lost). Azure ADLS Gen2 (abfs/abfss) and
+# HDFS do have atomic rename and are not listed.
+_NON_ATOMIC_RENAME_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb", "wasbs"})
+
+
+_WARNED_NON_ATOMIC: set[str] = set()
+
+
+def atomic_rename_scheme(path: str) -> bool:
+    """Whether ``path``'s filesystem gives the atomic
+    fail-if-destination-exists rename the multi-writer commit
+    protocol needs. False => run SINGLE-WRITER against this table (or
+    front it with a conditional-put LogStore); crash-safety and
+    reader correctness hold either way."""
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
+    scheme = m.group(1).lower() if m else "file"
+    return scheme not in _NON_ATOMIC_RENAME_SCHEMES
 
 
 class CommitCollision(RuntimeError):
@@ -205,7 +246,14 @@ def rename(spark, src: str, dst: str) -> bool:
                 return False
             try:
                 with open(lsrc, "rb") as f:
-                    os.write(fd, f.read())
+                    view = memoryview(f.read())
+                # os.write may write fewer bytes than asked (pipes,
+                # some network mounts, large buffers): loop until the
+                # whole manifest is down before the name is treated as
+                # committed — a short single write would commit a
+                # truncated manifest at a final version name.
+                while view:
+                    view = view[os.write(fd, view):]
                 os.fsync(fd)
             finally:
                 os.close(fd)
@@ -272,7 +320,19 @@ def write_json_at(spark, manifest_dir: str, obj, version: int) -> None:
     commit (which took N+1) surfaces as :class:`CommitCollision`
     rather than being silently overwritten-past. Write a temp file,
     rename-if-absent to ``v{version}.json``; the rename is the commit
-    point — readers only ever see complete versions."""
+    point — readers only ever see complete versions. Collision
+    DETECTION requires atomic rename (module docstring): on an object
+    store without it this warns once and the caller must guarantee a
+    single writer."""
+    if not atomic_rename_scheme(manifest_dir) \
+            and manifest_dir not in _WARNED_NON_ATOMIC:
+        _WARNED_NON_ATOMIC.add(manifest_dir)
+        import warnings
+        warnings.warn(
+            f"{manifest_dir}: this filesystem's rename is not atomic —"
+            f" concurrent-writer collisions CANNOT be detected here; "
+            f"run single-writer (crash-safety is unaffected)",
+            RuntimeWarning, stacklevel=2)
     mkdirs(spark, manifest_dir)
     tmp = _join(manifest_dir, f".tmp-{uuid.uuid4().hex}")
     write_json(spark, tmp, obj)

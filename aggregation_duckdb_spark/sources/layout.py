@@ -53,12 +53,23 @@ folded delta/tombstone batches, the spec), merges and recommits —
 blind appends and disjoint bucket rewrites both land with
 consecutive versions; genuinely overlapping rewrites raise
 :class:`CommitConflict` naming the competing operation. Readers need
-no coordination ever.
+no coordination ever. SCOPE: collision detection rides
+rename-if-absent atomicity, so the multi-writer guarantee holds on
+filesystems that have it — HDFS, ADLS Gen2, local — and NOT on
+S3-style object stores, where rename is check-then-act copy+delete
+(``fsio.atomic_rename_scheme`` classifies; there, run single-writer
+or front the manifest dir with a conditional-put LogStore, exactly
+Delta Lake's requirement). Crash-safety and reader correctness hold
+on every filesystem regardless.
 
 Concurrency contract by verb pair (pytest-pinned where marked *):
 
-- ``append`` vs anything: always merges* (blind — the delta name is
-  re-appended onto whatever latest is).
+- ``append`` vs append/delete_keys/compact/optimize: merges* (blind —
+  the delta name is re-appended onto whatever latest is). vs a SPEC
+  change (CREATE OR REPLACE, full re-bin with new bounds/CHECK):
+  CommitConflict* — the batch was CHECK-validated against the old
+  table; if ONLY the ``check`` clause changed the batch is
+  re-validated against it and merges iff it still passes*.
 - ``delete_keys`` vs append/delete_keys/compact: merges* (tombstone
   batch re-appended; key compatibility re-checked against latest).
 - bucket rewrites (``compact``/``upsert``/``optimize``/
@@ -683,6 +694,23 @@ def _live_paths(path: str, manifest: dict,
             for k, g in sorted(gens.items()) if k in wanted]
 
 
+def _needs_merge_schema(gen_columns: dict, live: set) -> bool:
+    """Whether a read over the ``live`` generations must merge parquet
+    footers. True when recorded column sets genuinely differ — and
+    ALSO when any live generation has NO recorded set while another
+    does: a table created before per-generation column tracking has
+    unrecorded generations, and after a schema-adding append plus
+    incremental fold only the new generation is recorded — treating
+    the unknowns as "agreeing" would let Spark infer the schema from
+    one arbitrary footer and silently, nondeterministically drop the
+    evolved column. Unknown counts as a DISTINCT schema; all-unknown
+    (a purely legacy table, necessarily uniform — evolution is what
+    creates the records) stays on the fast path."""
+    recorded = {tuple(gen_columns[g]) for g in live if g in gen_columns}
+    unknown = any(g not in gen_columns for g in live)
+    return len(recorded) > 1 or (bool(recorded) and unknown)
+
+
 def _read_live(spark: SparkSession, path: str, manifest: dict,
                buckets: list[int] | None = None) -> DataFrame:
     """Scan exactly the snapshot's live generation directories —
@@ -706,7 +734,7 @@ def _read_live(spark: SparkSession, path: str, manifest: dict,
     wanted = ({str(b) for b in buckets} if buckets is not None
               else set(gens))
     live = {g for k, g in gens.items() if k in wanted}
-    if len({tuple(gc[g]) for g in live if g in gc}) > 1:
+    if _needs_merge_schema(gc, live):
         # generations disagree on schema (incremental folds after a
         # schema-adding append): merge footers so the union schema
         # comes back with nulls backfilled — paid only when actually
@@ -821,16 +849,22 @@ def append_zordered(df: DataFrame, path: str,
     rows without a transactional table format. Ids must be monotonic
     per table (which checkpointed streaming queries guarantee).
 
-    Appends are BLIND: a commit collision with any concurrent
-    committer rebases by re-appending the already-written delta name
-    onto the latest manifest — appends never conflict (the
-    WriteSerializable rule)."""
+    Appends are BLIND against other appends/deletes/compactions: a
+    commit collision rebases by re-appending the already-written
+    delta name onto the latest manifest (the WriteSerializable rule).
+    They are NOT blind against a concurrent spec change: the batch
+    was CHECK-validated against the base spec, so a racing CREATE OR
+    REPLACE / full re-spec conflicts (like Delta's metadata-change
+    rule) — unless only the ``check`` clause changed, in which case
+    the batch is re-validated against the new constraint and merges
+    iff it still passes."""
     spark = df.sparkSession
     base_v, manifest = _latest(spark, path)
     if batch_id is not None and batch_id <= manifest.get(
             "last_batch_id", -1):
         return  # replayed micro-batch: already visible, skip
-    _validate_check(df, manifest["spec"], "append_zordered")
+    base_spec = manifest["spec"]
+    _validate_check(df, base_spec, "append_zordered")
     name = f"d-{uuid.uuid4().hex}"
     df.write.mode("errorifexists").parquet(
         fsio._join(path, DELTA_DIR, name))
@@ -838,6 +872,20 @@ def append_zordered(df: DataFrame, path: str,
     def build(m: dict) -> dict | None:
         if batch_id is not None and batch_id <= m.get("last_batch_id", -1):
             return None  # a replay racer committed this id first
+        if m["spec"] != base_spec:
+            only_check = ({k: v for k, v in m["spec"].items()
+                           if k != "check"}
+                          == {k: v for k, v in base_spec.items()
+                              if k != "check"})
+            if not only_check:
+                _conflict("append_zordered", m, "changed the layout "
+                          "spec (batch was validated against the old "
+                          "table)")
+            try:
+                _validate_check(df, m["spec"], "append_zordered")
+            except ValueError as e:
+                _conflict("append_zordered", m,
+                          f"tightened the CHECK constraint ({e})")
         out = dict(m)
         out["deltas"] = list(m.get("deltas", [])) + [name]
         if batch_id is not None:
@@ -1248,7 +1296,12 @@ def _bloom_pos_exprs(c: Column, m: int, k: int) -> list[Column]:
     h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(h, 17, 15), 16, 10).cast("long") \
         * F.lit(2) + F.lit(1)   # odd => full cycle mod power-of-two m
-    return [((h1 + F.lit(i) * h2) % F.lit(m)).cast("long")
+    # Reduce BOTH hashes mod m BEFORE the multiply-add: h1 + i*h2 on
+    # raw 60/61-bit halves overflows signed 64-bit from i=4, and the
+    # wrap only cancels against the exact-arithmetic Python probe when
+    # m divides 2^64 — reduced operands stay < 5m, exact for ANY m.
+    h1m, h2m = F.pmod(h1, F.lit(m)), F.pmod(h2, F.lit(m))
+    return [F.pmod(h1m + F.lit(i) * h2m, F.lit(m)).cast("long")
             for i in range(k)]
 
 

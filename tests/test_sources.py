@@ -1845,3 +1845,218 @@ def test_zorder_check_constraint_gates_every_admission(spark, tmp_path):
     assert spec["check"] == "val >= 0"        # survives the re-bin
     with _pytest.raises(ValueError, match="CHECK constraint"):
         L.append_zordered(bad, path)          # still enforced
+
+
+def test_merge_schema_unknown_generation_counts_as_distinct(
+        spark, tmp_path):
+    """A table created BEFORE per-generation column tracking has no
+    gen_columns entries; after a schema-adding append + incremental
+    fold only the new generation is recorded. Unknown must count as a
+    distinct schema (mergeSchema ON) — else Spark infers from one
+    arbitrary footer and the evolved column is silently,
+    nondeterministically dropped. All-unknown (purely legacy, uniform
+    by construction) stays on the fast path."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+
+    # decision table, pure
+    assert not L._needs_merge_schema({}, {"g1", "g2"})       # legacy
+    assert not L._needs_merge_schema({"g1": ["a"], "g2": ["a"]},
+                                     {"g1", "g2"})           # uniform
+    assert L._needs_merge_schema({"g1": ["a"], "g2": ["a", "o"]},
+                                 {"g1", "g2"})               # mixed
+    assert L._needs_merge_schema({"g2": ["a", "o"]},
+                                 {"g1", "g2"})               # unknown+known
+
+    # end-to-end: simulate the legacy table by stripping gen_columns
+    base = spark.range(0, 2000).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        F.col("id").alias("payload"))
+    path = str(tmp_path / "z_legacy_evolve")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    v, m = L._latest(spark, path)
+    legacy = {k: val for k, val in m.items() if k != "gen_columns"}
+    fsio.write_json_at(spark, L._manifest_path(path), legacy, v + 1)
+
+    extra = spark.range(5000, 5020).select(
+        F.lit(3).cast("long").alias("a"), F.lit(7).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+        F.concat(F.lit("src-"), F.col("id").cast("string")).alias("origin"))
+    L.append_zordered(extra, path)
+    L.compact_zordered(spark, path)   # incremental: dirtied buckets only
+
+    m2 = L.read_manifest(spark, path)
+    live = set(m2["gens"].values())
+    gc = m2.get("gen_columns", {})
+    assert any(g not in gc for g in live) and gc   # genuinely mixed-unknown
+    assert L._needs_merge_schema(gc, live)
+    out = L.read_zordered(spark, path)
+    assert "origin" in out.columns                 # never dropped
+    got = {r.payload: r.origin for r in out.collect()}
+    assert got[5001] == "src-5001" and got[10] is None
+    assert len(got) == 2020
+
+
+def test_bloom_index_non_power_of_two_m_stays_exact(spark, tmp_path):
+    """Builder (Spark expressions) and prober (pure Python) must set
+    and probe THE SAME bit positions for ANY m, not only powers of two
+    that happen to divide 2^64 — h1 + i*h2 on raw 60-bit halves
+    overflows signed 64-bit from i=4, which a non-power-of-two m turns
+    into Bloom FALSE NEGATIVES (silently missing rows)."""
+    from aggregation_duckdb_spark.sources import layout as L
+    m, k = 10_007, 5   # prime: any builder/prober divergence surfaces
+    vals = spark.range(0, 500).select(
+        F.md5(F.col("id").cast("string")).alias("v"))
+    spark_pos = {r.v: [r[f"p{i}"] for i in range(k)]
+                 for r in vals.select(
+                     "v", *[e.alias(f"p{i}") for i, e in
+                            enumerate(L._bloom_pos_exprs(F.col("v"), m, k))]
+                 ).collect()}
+    for v, got in spark_pos.items():
+        assert got == L._bloom_pos_py(v, m, k), v
+
+    # end-to-end: no false negatives through the index at prime m
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        F.md5(F.col("id").cast("string")).alias("doc_key"),
+        F.col("id").alias("payload"))
+    path = str(tmp_path / "z_bloom_prime")
+    L.write_zordered(df, path, "a", "b", bits=7, bucket_bits=4)
+    L.build_bloom_index(spark, path, ["doc_key"], m=m, k=k)
+    mf = L.read_manifest(spark, path)
+    sc = L._bloom_sidecar(spark, path)
+    probe = df.where(F.col("payload").isin(1, 999, 4_321)).collect()
+    for r in probe:
+        kept = L.bloom_buckets(mf, sc, "doc_key", r.doc_key)
+        assert 0 < len(kept) < 16
+        got = {x.payload for x in L.read_zordered_eq(
+            spark, path, {"doc_key": r.doc_key}).collect()}
+        assert got == {r.payload}
+
+
+def test_append_conflicts_with_concurrent_spec_change(
+        spark, tmp_path, monkeypatch):
+    """An append's batch was CHECK-validated against the BASE spec; a
+    CREATE OR REPLACE landing between its base read and its commit
+    replaces the table (new spec) — the rebase must CONFLICT, not
+    admit old-table rows onto the new table."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_cc_spec")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)  # v1
+    extra = spark.createDataFrame(
+        [(1, 1, 9001, 5)], "a long, b long, payload long, val long")
+
+    real = fsio.write_json_at
+    fired = {}
+
+    def inject(spk, mdir, obj, version):
+        if obj.get("op") == "append" and "x" not in fired:
+            fired["x"] = True
+            L.write_zordered(base, path, "a", "b",
+                             bits=6, bucket_bits=3)  # replace, new spec
+        return real(spk, mdir, obj, version)
+
+    monkeypatch.setattr(fsio, "write_json_at", inject)
+    with _pytest.raises(L.CommitConflict,
+                        match="'write'.*changed the layout spec"):
+        L.append_zordered(extra, path)
+    monkeypatch.undo()
+    # the replacement won; the append admitted nothing
+    got = {r.payload for r in L.read_zordered(spark, path).collect()}
+    assert 9001 not in got and len(got) == base.count()
+
+
+def test_append_revalidates_check_only_change(spark, tmp_path,
+                                              monkeypatch):
+    """When ONLY the CHECK clause changed under a racing append, the
+    batch is re-validated against the NEW constraint: a passing batch
+    merges; a now-violating batch conflicts instead of being admitted
+    on the strength of the old, looser check."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_cc_check")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4,
+                     check="val >= 0")                            # v1
+
+    def tighten():
+        v, m = L._latest(spark, path)
+        m2 = dict(m)
+        m2["spec"] = {**m["spec"], "check": "val >= 100"}
+        m2["op"] = "alter_check"
+        fsio.write_json_at(spark, L._manifest_path(path), m2, v + 1)
+
+    real = fsio.write_json_at
+    fired = {}
+
+    def inject(spk, mdir, obj, version):
+        if obj.get("op") == "append" and "x" not in fired:
+            fired["x"] = True
+            tighten()
+        return real(spk, mdir, obj, version)
+
+    ok = spark.createDataFrame(
+        [(1, 1, 9001, 500)], "a long, b long, payload long, val long")
+    monkeypatch.setattr(fsio, "write_json_at", inject)
+    L.append_zordered(ok, path)       # passes the NEW check: merges
+    monkeypatch.undo()
+    got = {r.payload for r in L.read_zordered(spark, path).collect()}
+    assert 9001 in got
+
+    # passes the current check (val >= 100) but not the tightened one
+    bad = spark.createDataFrame(
+        [(1, 1, 9002, 500)], "a long, b long, payload long, val long")
+    fired2 = {}
+
+    def tighten2():
+        v, m = L._latest(spark, path)
+        m2 = dict(m)
+        m2["spec"] = {**m["spec"], "check": "val >= 1000"}
+        m2["op"] = "alter_check"
+        fsio.write_json_at(spark, L._manifest_path(path), m2, v + 1)
+
+    def inject2(spk, mdir, obj, version):
+        if obj.get("op") == "append" and "x" not in fired2:
+            fired2["x"] = True
+            tighten2()
+        return real(spk, mdir, obj, version)
+
+    monkeypatch.setattr(fsio, "write_json_at", inject2)
+    with _pytest.raises(L.CommitConflict,
+                        match="tightened the CHECK constraint"):
+        L.append_zordered(bad, path)
+    monkeypatch.undo()
+    assert 9002 not in {r.payload for r in
+                        L.read_zordered(spark, path).collect()}
+
+
+def test_atomic_rename_scheme_scopes_multi_writer_claim(monkeypatch):
+    """Collision detection rides rename-if-absent atomicity: HDFS,
+    ADLS Gen2 and local paths have it; S3-style object stores do not
+    (copy+delete behind check-then-act) — there the committer warns
+    once and the caller must run single-writer."""
+    import warnings as W
+
+    import pytest as _pytest
+
+    from aggregation_duckdb_spark import fsio
+    assert fsio.atomic_rename_scheme("/tmp/t")
+    assert fsio.atomic_rename_scheme("file:///tmp/t")
+    assert fsio.atomic_rename_scheme("hdfs://nn/warehouse/t")
+    assert fsio.atomic_rename_scheme("abfss://c@a.dfs.example/t")
+    for s in ("s3://b/t", "s3a://b/t", "gs://b/t", "wasbs://c@a/t"):
+        assert not fsio.atomic_rename_scheme(s)
+
+    monkeypatch.setattr(fsio, "mkdirs", lambda *a: None)
+    monkeypatch.setattr(fsio, "write_json", lambda *a: None)
+    monkeypatch.setattr(fsio, "rename", lambda *a: True)
+    with _pytest.warns(RuntimeWarning, match="rename is not atomic"):
+        fsio.write_json_at(None, "s3a://b/t/_manifest", {}, 1)
+    with W.catch_warnings():
+        W.simplefilter("error")       # second call: warned once only
+        fsio.write_json_at(None, "s3a://b/t/_manifest", {}, 2)
+        fsio.write_json_at(None, "hdfs://nn/t/_manifest", {}, 1)
