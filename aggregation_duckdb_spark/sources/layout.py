@@ -1323,72 +1323,94 @@ def build_bloom_index(spark: SparkSession, path: str, cols: list[str],
     each row's k bit positions per column; only DISTINCT
     (bucket, position) pairs are collected, so driver traffic is
     bounded by buckets·m bits — the index capacity, never the row
-    count. The sidecar commits atomically under ``_manifest/_bloom``
-    (versioned, readers take the newest) and records each bucket's
-    GENERATION at build time: a later rewrite of a bucket makes its
-    entry stale, and stale/missing entries are KEPT by the reader —
-    skipping degrades, results never do. Rebuild after heavy churn;
-    building is one scan.
+    count.
+
+    STORAGE IS INVERTED AND SHARDED so lookup metadata IO tracks the
+    probe, not the table: a parquet table under ``_manifest/_bloom``,
+    partitioned by indexed column, one row per (column, bit position)
+    holding a BUCKET BITMAP (bit b set = bucket b has that filter bit
+    set). A probe then reads exactly its k positions of its one column
+    (partition pruning + a ``pos IN`` pushdown) — k·buckets/8 bytes,
+    ~40 KB at 64k buckets — where a per-bucket blob would read
+    buckets·m/8 bytes (~1 GiB) per lookup. A small versioned meta JSON
+    (same dir) is the atomic commit point: it names the parquet shard
+    and records every bucket's GENERATION at build time; a later
+    rewrite of a bucket makes it stale, and stale/unindexed buckets
+    are KEPT by the reader — skipping degrades, results never do.
+    Rebuild after heavy churn; building is one scan. Positions no
+    value hashed to have no row — all-clear, reads as prunable.
 
     Sizing: fpp ≈ (1 - e^(-k·n/m))^k per bucket with n values per
     bucket; the default 16384·5 holds ~1.1k values/bucket at ~1%
     fpp — at 100 TB size m to the expected per-bucket cardinality of
-    the indexed column. Returns {"cols", "m", "k", "buckets"}."""
-    import base64
-
+    the indexed column (any m works; hashing is exact-mod, not
+    power-of-two-wrap). Returns {"cols", "m", "k", "buckets"}."""
     manifest = read_manifest(spark, path)
     live = _read_live(spark, path, manifest)
-    out: dict = {"m": int(m), "k": int(k), "cols": {}}
+    nb = 1 << int(manifest["spec"]["bucket_bits"])
+    rows: list[tuple[str, int, bytes]] = []
     for col in cols:
         pos = F.explode(F.array(*_bloom_pos_exprs(F.col(col), m, k)))
         pairs = (live.where(F.col(col).isNotNull())
                  .select(F.col("zbucket").cast("long").alias("__zb"),
                          pos.alias("__p"))
                  .distinct().collect())
-        bits: dict[int, bytearray] = {}
+        maps: dict[int, bytearray] = {}
         for r in pairs:
-            b = bits.setdefault(int(r["__zb"]), bytearray((m + 7) // 8))
-            p = int(r["__p"])
-            b[p >> 3] |= 1 << (p & 7)
-        out["cols"][col] = {
-            str(kk): {"gen": manifest["gens"][str(kk)],
-                      "bits": base64.b64encode(bytes(bb)).decode("ascii")}
-            for kk, bb in bits.items() if str(kk) in manifest["gens"]}
-    fsio.write_json_version(spark, fsio._join(_manifest_path(path),
-                                              BLOOM_DIR), out)
+            bmp = maps.setdefault(int(r["__p"]), bytearray((nb + 7) // 8))
+            b = int(r["__zb"])
+            bmp[b >> 3] |= 1 << (b & 7)
+        rows.extend((col, p, bytes(bmp)) for p, bmp in maps.items())
+    data_name = f"b-{uuid.uuid4().hex}"
+    bloom_dir = fsio._join(_manifest_path(path), BLOOM_DIR)
+    (spark.createDataFrame(rows, "col string, pos long, buckets binary")
+     .repartition(1).sortWithinPartitions("pos")
+     .write.mode("errorifexists").partitionBy("col")
+     .parquet(fsio._join(bloom_dir, data_name)))
+    meta = {"m": int(m), "k": int(k), "cols": list(cols),
+            "data": data_name, "nbuckets": nb,
+            "built_gens": dict(manifest["gens"])}
+    fsio.write_json_version(spark, bloom_dir, meta)
     return {"cols": list(cols), "m": int(m), "k": int(k),
             "buckets": len(manifest["gens"])}
 
 
 def _bloom_sidecar(spark: SparkSession, path: str) -> dict | None:
+    """The newest committed Bloom META (names the parquet shard; tiny —
+    never the bitsets themselves)."""
     return fsio.read_json_latest(
         spark, fsio._join(_manifest_path(path), BLOOM_DIR))
 
 
-def bloom_buckets(manifest: dict, sidecar: dict | None, col: str,
-                  value) -> list[int]:
+def bloom_buckets(spark: SparkSession, path: str, manifest: dict,
+                  sidecar: dict | None, col: str, value) -> list[int]:
     """The live buckets an equality predicate can touch, judged by the
     Bloom sidecar — CONSERVATIVE: a bucket is skipped only when its
-    sidecar entry matches the bucket's CURRENT generation and every
-    probed bit is clear (no false negatives by Bloom's contract; a
-    bucket rewritten since the build, or never indexed, is kept)."""
-    import base64
-
+    build-time generation matches the bucket's CURRENT generation and
+    any probed bit is clear (no false negatives by Bloom's contract; a
+    bucket rewritten since the build, or never indexed, is kept).
+    Reads exactly the probe's k (column, position) bitmap rows from
+    the sharded parquet sidecar."""
     gens = manifest["gens"]
-    entries = (sidecar or {}).get("cols", {}).get(col)
-    if not entries:
+    if not sidecar or col not in sidecar.get("cols", []):
         return sorted(int(x) for x in gens)
     m, k = int(sidecar["m"]), int(sidecar["k"])
     pos = _bloom_pos_py(value, m, k)
+    shard = fsio._join(_manifest_path(path), BLOOM_DIR, sidecar["data"])
+    hit = {int(r["pos"]): bytes(r["buckets"]) for r in
+           (spark.read.parquet(shard)
+            .where((F.col("col") == col) & F.col("pos").isin(pos))
+            .select("pos", "buckets").collect())}
+    built = sidecar.get("built_gens", {})
     keep = []
     for kk, g in gens.items():
-        e = entries.get(kk)
-        if e is None or e["gen"] != g:
+        if built.get(kk) != g:
             keep.append(int(kk))      # stale or unindexed: keep
             continue
-        bits = base64.b64decode(e["bits"])
-        if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
-            keep.append(int(kk))
+        b = int(kk)
+        if all(p in hit and hit[p][b >> 3] & (1 << (b & 7))
+               for p in pos):
+            keep.append(b)
     return sorted(keep)
 
 
@@ -1404,7 +1426,7 @@ def read_zordered_eq(spark: SparkSession, path: str, eq: dict,
     sidecar = _bloom_sidecar(spark, path)
     keep: set[int] | None = None
     for c, v in eq.items():
-        bs = set(bloom_buckets(manifest, sidecar, c, v))
+        bs = set(bloom_buckets(spark, path, manifest, sidecar, c, v))
         keep = bs if keep is None else (keep & bs)
     buckets = sorted(keep) if keep is not None else None
     out = _read_live(spark, path, manifest, buckets)
@@ -1578,11 +1600,28 @@ def vacuum_zordered(spark: SparkSession, path: str,
         if t not in live_tombs and _old_enough(full):
             fsio.delete(spark, full)
             deleted_tombstones += 1
+    # Bloom sidecar shards: keep the newest meta's parquet shard,
+    # reclaim superseded b-* dirs (rebuilds) and older metas. The
+    # retention window applies — a builder writes its shard BEFORE its
+    # meta commit, same exposure as data generations.
+    bloom_dir = fsio._join(mdir, BLOOM_DIR)
+    bmeta = fsio.read_json_latest(spark, bloom_dir)
+    live_shard = {bmeta["data"]} if bmeta and "data" in bmeta else set()
+    deleted_bloom = 0
+    for name in fsio.list_names(spark, bloom_dir):
+        full = fsio._join(bloom_dir, name)
+        if name.startswith("b-") and name not in live_shard \
+                and _old_enough(full):
+            fsio.delete(spark, full)
+            deleted_bloom += 1
+    if fsio.latest_version(spark, bloom_dir):
+        fsio.prune_versions(spark, bloom_dir, keep=1)
     _set_min_live_version(spark, path, kept[0])
     fsio.prune_versions(spark, mdir, keep=len(kept))
     return {"kept_versions": kept, "deleted_gens": deleted_gens,
             "deleted_deltas": deleted_deltas,
-            "deleted_tombstones": deleted_tombstones}
+            "deleted_tombstones": deleted_tombstones,
+            "deleted_bloom_shards": deleted_bloom}
 
 
 _STAT_TYPES = ("long", "integer", "short", "byte", "double", "float",

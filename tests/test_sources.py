@@ -1776,7 +1776,7 @@ def test_bloom_index_point_lookup_prunes_and_stays_exact(spark, tmp_path):
     probe = [r.doc_key for r in
              df.where(F.col("payload").isin(3, 777, 19_999)).collect()]
     for v in probe:   # no false negatives, and real pruning
-        kept = L.bloom_buckets(m, sidecar, "doc_key", v)
+        kept = L.bloom_buckets(spark, path, m, sidecar, "doc_key", v)
         assert 0 < len(kept) < 16, (v, kept)
         got = {r.payload for r in
                L.read_zordered_eq(spark, path, {"doc_key": v}).collect()}
@@ -1927,7 +1927,8 @@ def test_bloom_index_non_power_of_two_m_stays_exact(spark, tmp_path):
     sc = L._bloom_sidecar(spark, path)
     probe = df.where(F.col("payload").isin(1, 999, 4_321)).collect()
     for r in probe:
-        kept = L.bloom_buckets(mf, sc, "doc_key", r.doc_key)
+        kept = L.bloom_buckets(spark, path, mf, sc, "doc_key",
+                               r.doc_key)
         assert 0 < len(kept) < 16
         got = {x.payload for x in L.read_zordered_eq(
             spark, path, {"doc_key": r.doc_key}).collect()}
@@ -2060,3 +2061,56 @@ def test_atomic_rename_scheme_scopes_multi_writer_claim(monkeypatch):
         W.simplefilter("error")       # second call: warned once only
         fsio.write_json_at(None, "s3a://b/t/_manifest", {}, 2)
         fsio.write_json_at(None, "hdfs://nn/t/_manifest", {}, 1)
+
+
+def test_bloom_sidecar_is_sharded_and_vacuumed(spark, tmp_path):
+    """The Bloom sidecar is an INVERTED parquet table (one row per
+    (column, bit position) holding a bucket bitmap, partitioned by
+    column) with a tiny meta JSON as the commit point — a probe reads
+    exactly its k rows, never cols x buckets x m bits; a rebuild
+    supersedes the shard and vacuum reclaims it."""
+    import os as _os
+
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        F.md5(F.col("id").cast("string")).alias("doc_key"),
+        F.col("id").alias("payload"))
+    path = str(tmp_path / "z_bloom_shard")
+    L.write_zordered(df, path, "a", "b", bits=7, bucket_bits=4)
+    L.build_bloom_index(spark, path, ["doc_key"], m=4096, k=5)
+
+    bloom_dir = _os.path.join(path, "_manifest", "_bloom")
+    meta = fsio.read_json_latest(spark, bloom_dir)
+    assert "bits" not in str(meta)[:200] and len(str(meta)) < 4096
+    shard = _os.path.join(bloom_dir, meta["data"])
+    assert _os.path.isdir(_os.path.join(shard, "col=doc_key"))
+    rows = spark.read.parquet(shard)
+    assert rows.count() <= 4096            # one row per set position
+    assert {f.name for f in rows.schema.fields} == {"col", "pos",
+                                                    "buckets"}
+
+    # probe correctness through the sharded layout
+    mf = L.read_manifest(spark, path)
+    sc = L._bloom_sidecar(spark, path)
+    v = df.where(F.col("payload") == 777).collect()[0].doc_key
+    kept = L.bloom_buckets(spark, path, mf, sc, "doc_key", v)
+    assert 0 < len(kept) < 16
+    got = {r.payload for r in
+           L.read_zordered_eq(spark, path, {"doc_key": v}).collect()}
+    assert got == {777}
+
+    # rebuild supersedes; vacuum reclaims the old shard, keeps newest
+    L.build_bloom_index(spark, path, ["doc_key"], m=4096, k=5)
+    names = [n for n in fsio.list_names(spark, bloom_dir)
+             if n.startswith("b-")]
+    assert len(names) == 2
+    out = L.vacuum_zordered(spark, path)
+    assert out["deleted_bloom_shards"] == 1
+    live = [n for n in fsio.list_names(spark, bloom_dir)
+            if n.startswith("b-")]
+    meta2 = fsio.read_json_latest(spark, bloom_dir)
+    assert live == [meta2["data"]]
+    assert L.read_zordered_eq(spark, path,
+                              {"doc_key": v}).count() == 1
