@@ -4181,6 +4181,164 @@ def q_zorder_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+@register("q_zorder_restore", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value, event_type
+FROM events
+ORDER BY event_id
+""")
+def q_zorder_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE (``layout.restore_zordered`` — the Delta RESTORE
+    analogue): the table takes an upsert (every 7th event's type
+    clobbered, history retained) and a GDPR key-delete (every 5th
+    tombstoned), then restores to the pre-mutation snapshot as a NEW
+    forward commit — the full read must flip back to EXACTLY the
+    original rows (the oracle is the untouched events selection)
+    while both bad mutations stay visible in table_history between
+    the endpoints. Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", "user_id", "value", "event_type"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zrestore",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev, base, "user_id", "value",
+                         bits=8, bucket_bits=4)                 # v1
+        L.upsert_zordered(
+            ev.where(F.col("event_id") % 7 == 0)
+            .withColumn("event_type", F.lit("clobbered")),
+            base, ["event_id"], vacuum=False)                   # v2
+        L.delete_zordered_keys(
+            ev.where(F.col("event_id") % 5 == 0).select("event_id"),
+            base, ["event_id"])                                 # v3
+        L.restore_zordered(spark, base, 1)                      # v4
+    out = L.read_zordered(spark, base)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value", "event_type")
+            .orderBy("event_id"))
+
+
+@register("q_zorder_diff", """
+WITH v1 AS (
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+           event_type
+    FROM events),
+v3 AS (
+    SELECT event_id, user_id, value,
+           CASE WHEN event_id % 11 = 0 THEN 'upserted'
+                ELSE event_type END AS event_type
+    FROM v1 WHERE event_id % 17 <> 0
+    UNION ALL
+    SELECT event_id + 1000000000, user_id, value, 'inserted'
+    FROM v1 WHERE event_id % 13 = 0),
+dels AS (
+    SELECT o.*, 'delete' AS _change_type
+    FROM v1 o WHERE o.event_id NOT IN (SELECT event_id FROM v3)),
+ins AS (
+    SELECT n.*, 'insert' AS _change_type
+    FROM v3 n WHERE n.event_id NOT IN (SELECT event_id FROM v1)),
+chg AS (
+    SELECT o.event_id
+    FROM v1 o JOIN v3 n USING (event_id)
+    WHERE o.user_id IS DISTINCT FROM n.user_id
+       OR o.value IS DISTINCT FROM n.value
+       OR o.event_type IS DISTINCT FROM n.event_type),
+pre AS (
+    SELECT o.*, 'update_preimage' AS _change_type
+    FROM v1 o WHERE o.event_id IN (SELECT event_id FROM chg)),
+post AS (
+    SELECT n.*, 'update_postimage' AS _change_type
+    FROM v3 n WHERE n.event_id IN (SELECT event_id FROM chg))
+SELECT * FROM dels UNION ALL SELECT * FROM ins
+UNION ALL SELECT * FROM pre UNION ALL SELECT * FROM post
+ORDER BY event_id, _change_type
+""")
+def q_zorder_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between snapshots (``layout.diff_zordered``):
+    after an upsert (every 11th type replaced, every 13th cloned as a
+    new key) and a key-delete (every 17th), the diff from the
+    pre-mutation snapshot tags every changed row insert / delete /
+    update_preimage / update_postimage — exactly the oracle's keyed
+    full-outer classification over the two reconstructed eras
+    (endpoint-proportional: two snapshot scans + a keyed join, never
+    history-proportional). Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", F.col("user_id").cast("long")
+                  .alias("user_id"), "value", "event_type"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zdiff",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev, base, "user_id", "value",
+                         bits=8, bucket_bits=4)                 # v1
+        ups = (ev.where(F.col("event_id") % 11 == 0)
+               .withColumn("event_type", F.lit("upserted")))
+        ins = (ev.where(F.col("event_id") % 13 == 0)
+               .select((F.col("event_id") + 1_000_000_000)
+                       .alias("event_id"), "user_id", "value",
+                       F.lit("inserted").alias("event_type")))
+        L.upsert_zordered(ups.unionByName(ins), base, ["event_id"],
+                          vacuum=False)                         # v2
+        L.delete_zordered_keys(
+            ev.where(F.col("event_id") % 17 == 0).select("event_id"),
+            base, ["event_id"])                                 # v3
+    d = L.diff_zordered(spark, base, 1, key_cols=["event_id"])
+    return (d.select("event_id",
+                     F.col("user_id").cast("long").alias("user_id"),
+                     "value", "event_type", "_change_type")
+            .orderBy("event_id", "_change_type"))
+
+
+@register("q_zorder_bloom_eq", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value, event_type
+FROM events
+WHERE event_id IN (3, 377, 999)
+ORDER BY event_id
+""")
+def q_zorder_bloom_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom point lookups (``layout.build_bloom_index`` +
+    ``layout.read_zordered_eq``): equality probes on event_id — a
+    high-cardinality column that is NOT a layout dimension and is
+    uncorrelated with the (user_id, value) clustering, so zone maps
+    cannot skip anything — served through the sharded per-bucket
+    Bloom sidecar (each probe reads its k (column, position) bucket
+    bitmaps, prunes directories, and must return exactly the plain
+    equality filter's rows; no false negatives by Bloom's contract).
+    Built once per (application, sf)."""
+    import functools
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", "user_id", "value", "event_type"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zbloom",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev, base, "user_id", "value",
+                         bits=8, bucket_bits=4)
+        L.build_bloom_index(spark, base, ["event_id"])
+    probes = [L.read_zordered_eq(spark, base, {"event_id": v})
+              for v in (3, 377, 999)]
+    out = functools.reduce(lambda a, b: a.unionByName(b), probes)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value", "event_type")
+            .orderBy("event_id"))
+
+
 def _pq_exact_oracle(k: int = 10, shortlist: int = 200, m: int = 8,
                      kc: int = 16, dim: int = 64, n_q: int = 5) -> str:
     """Full PQ search reproduced in DuckDB — the sim_ivf_topk_exact
