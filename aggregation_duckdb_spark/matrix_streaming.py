@@ -307,3 +307,84 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_value"),
                  F.sum("lag_us").cast("long").alias("sum_lag_us"))
             .orderBy("channel"))
+
+
+@register("stream_change_feed", """
+WITH v1 AS (
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+           event_type
+    FROM events)
+SELECT event_id, user_id, value, event_type,
+       'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+FROM v1
+UNION ALL
+SELECT event_id, user_id, value, event_type,
+       'update_preimage', 2
+FROM v1 WHERE event_id % 11 = 0
+UNION ALL
+SELECT event_id, user_id, value, 'upserted',
+       'update_postimage', 2
+FROM v1 WHERE event_id % 11 = 0
+UNION ALL
+SELECT event_id + 1000000000, user_id, value, 'inserted',
+       'insert', 2
+FROM v1 WHERE event_id % 13 = 0
+UNION ALL
+SELECT event_id, user_id, value,
+       CASE WHEN event_id % 11 = 0 THEN 'upserted'
+            ELSE event_type END,
+       'delete', 3
+FROM v1 WHERE event_id % 17 = 0
+ORDER BY _commit_version, event_id, _change_type
+""")
+def stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change-data feed off the Z-ordered manifest (the
+    Delta CDF analogue — ``streaming.run_change_feed``): a zhistory
+    source tails the commit log with manifest versions as checkpointed
+    offsets; foreachBatch materializes each commit's
+    ``diff_zordered`` rows (v1 = the created snapshot as inserts)
+    into per-commit partitions with dynamic overwrite — exactly-once
+    visible change rows across restarts and replays. The collected
+    feed over a create → upsert (every 11th updated, every 13th
+    cloned) → key-delete (every 17th) history must equal the oracle's
+    reconstruction of all three commits' change sets. Built once per
+    (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.sources import layout as L
+    from aggregation_duckdb_spark.streaming import (read_change_feed,
+                                                    run_change_feed)
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", F.col("user_id").cast("long")
+                  .alias("user_id"), "value", "event_type"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zcdf",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    sink = os.path.join(base, "_feed")
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev, base, "user_id", "value",
+                         bits=8, bucket_bits=4)                 # v1
+        ups = (ev.where(F.col("event_id") % 11 == 0)
+               .withColumn("event_type", F.lit("upserted")))
+        ins = (ev.where(F.col("event_id") % 13 == 0)
+               .select((F.col("event_id") + 1_000_000_000)
+                       .alias("event_id"), "user_id", "value",
+                       F.lit("inserted").alias("event_type")))
+        L.upsert_zordered(ups.unionByName(ins), base, ["event_id"],
+                          vacuum=False)                         # v2
+        L.delete_zordered_keys(
+            ev.where(F.col("event_id") % 17 == 0).select("event_id"),
+            base, ["event_id"])                                 # v3
+        run_change_feed(spark, base, sink,
+                        os.path.join(base, "_feed_checkpoint"),
+                        key_cols=["event_id"])
+    out = read_change_feed(spark, sink)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value", "event_type", "_change_type",
+                       F.col("_commit_version").cast("long")
+                       .alias("_commit_version"))
+            .orderBy("_commit_version", "event_id", "_change_type"))

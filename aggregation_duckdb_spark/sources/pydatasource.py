@@ -137,3 +137,94 @@ class SynthTicksDataSource(DataSource):
 
 def register_synthticks(spark) -> None:
     spark.dataSource.register(SynthTicksDataSource)
+
+
+ZHISTORY_SCHEMA = ("version bigint, op string, n_gens bigint, "
+                   "n_deltas bigint, n_tombstones bigint")
+
+
+class ZHistoryStreamReader:
+    """Tail a Z-ordered table's manifest log as a stream — the commit
+    feed the change-data capture rides (offsets ARE manifest versions,
+    so Spark's checkpoint makes delivery exactly-once: a replayed
+    range re-reads the same immutable, versioned manifests and
+    regenerates identical rows). Rate-limited: at most
+    ``max_commits_per_batch`` commits advance per micro-batch, so a
+    backlogged table drains in bounded steps instead of one giant
+    batch. Requires the covered versions to still be retained (run
+    mutations with ``vacuum=False`` / a retention window — the same
+    contract as Delta's change feed); a pruned version raises cleanly.
+
+    Listing/reads go through :mod:`fsio`'s sessionless local path (the
+    reader runs in a Python worker with no JVM gateway); remote
+    schemes raise NotImplementedError there — wiring a real object
+    store needs its SDK in the worker, which this environment can't
+    install."""
+
+    def __init__(self, options) -> None:
+        self.table_path = options["tablepath"]
+        self.max_commits = int(options.get("max_commits_per_batch", 10))
+        self.start_version = int(options.get("starting_version", 1))
+
+    def _mdir(self) -> str:
+        from aggregation_duckdb_spark import fsio
+        return fsio._join(self.table_path, "_manifest")
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version - 1}
+
+    def _rows(self, lo: int, hi: int) -> list:
+        """One row per commit version in (lo, hi]."""
+        from aggregation_duckdb_spark import fsio
+        out = []
+        for v in range(lo + 1, hi + 1):
+            p = fsio._join(self._mdir(), f"v{v:08d}.json")
+            if not fsio.exists(None, p):
+                raise FileNotFoundError(
+                    f"change feed needs manifest version {v} of "
+                    f"{self.table_path}, but it was vacuumed — retain "
+                    f"history (vacuum=False / keep_versions) while a "
+                    f"feed is live")
+            m = fsio.read_json(None, p)
+            out.append((v, m.get("op", "unknown"),
+                        len(m.get("gens", {})),
+                        len(m.get("deltas", [])),
+                        len(m.get("tombstones", []))))
+        return out
+
+    def read(self, start: dict):
+        from aggregation_duckdb_spark import fsio
+        s = int(start["version"])
+        latest = fsio.latest_version(None, self._mdir())
+        e = min(latest, s + self.max_commits)
+        if e <= s:
+            return iter([]), {"version": s}
+        return iter(self._rows(s, e)), {"version": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(int(start["version"]),
+                               int(end["version"])))
+
+    def commit(self, end: dict) -> None:
+        pass  # the manifest log is the external system's own record
+
+
+class ZHistoryDataSource(DataSource):
+    """``spark.readStream.format("zhistory").option("tablePath", p)``
+    — one row per NEW manifest commit of the Z-ordered table at ``p``.
+    Options: ``tablePath`` (required), ``max_commits_per_batch``
+    (default 10), ``starting_version`` (default 1)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zhistory"
+
+    def schema(self) -> str:
+        return ZHISTORY_SCHEMA
+
+    def simpleStreamReader(self, schema) -> "ZHistoryStreamReader":
+        return ZHistoryStreamReader(self.options)
+
+
+def register_zhistory(spark) -> None:
+    spark.dataSource.register(ZHistoryDataSource)

@@ -24,6 +24,8 @@ from aggregation_duckdb_spark.streaming.sinks import (
     read_sink, run_dedup_ingest, run_to_parquet_exactly_once,
     run_zordered_ingest,
     write_batch_idempotent)
+from aggregation_duckdb_spark.streaming.change_feed import (
+    read_change_feed, run_change_feed)
 from aggregation_duckdb_spark.streaming.stateful import running_user_totals
 from aggregation_duckdb_spark.streaming.attribution import (
     attribution_stream)
@@ -37,4 +39,5 @@ __all__ = [
     "anomaly_stream", "attribution_stream", "dau_stream",
     "read_sink", "run_to_parquet_exactly_once", "write_batch_idempotent",
     "run_zordered_ingest", "run_dedup_ingest",
+    "run_change_feed", "read_change_feed",
 ]

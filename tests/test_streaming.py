@@ -734,3 +734,89 @@ def test_dedup_ingest_replay_of_uncommitted_batch_drops_nothing(
     assert fsio.exists(spark, fsio._join(       # torn partition healed
         index, "buckets", "__ingest_batch=1"))
     assert fsio.read_ingest_watermark(spark, index) == 1
+
+
+def test_change_feed_tails_commits_exactly_once(spark, tmp_path):
+    """The streaming change feed (Delta CDF analogue): a zhistory
+    source tails the manifest with versions as offsets; foreachBatch
+    materializes each commit's diff into a per-commit partition. The
+    collected rows equal the batch diffs; a SECOND drain from the same
+    checkpoint after more commits processes only the new versions; a
+    replay from a fresh checkpoint rewrites partitions idempotently
+    (exactly-once visible rows)."""
+    from aggregation_duckdb_spark.sources import layout as L
+    from aggregation_duckdb_spark.streaming import (read_change_feed,
+                                                    run_change_feed)
+
+    base = spark.range(0, 400).select(
+        (F.col("id") % 97).alias("a"),
+        ((F.col("id") * 37) % 61).alias("b"),
+        F.col("id").alias("payload"),
+        (F.col("id") * 10).alias("val"))
+    path = str(tmp_path / "z_cdf")
+    sink = str(tmp_path / "cdf_sink")
+    ckpt = str(tmp_path / "cdf_ckpt")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)  # v1
+    L.upsert_zordered(base.where(F.col("payload") % 10 == 0)
+                      .withColumn("val", F.lit(-1).cast("long")),
+                      path, ["payload"], vacuum=False)             # v2
+
+    run_change_feed(spark, path, sink, ckpt, key_cols=["payload"])
+    got = read_change_feed(spark, sink)
+    assert set(r._commit_version for r in
+               got.select("_commit_version").distinct().collect()) \
+        == {1, 2}
+    # v1 = the created snapshot as inserts
+    v1 = got.where(F.col("_commit_version") == 1)
+    assert v1.count() == 400
+    assert {r._change_type for r in
+            v1.select("_change_type").distinct().collect()} == {"insert"}
+    # v2 equals the batch diff
+    want2 = {(r.payload, r.val, r._change_type) for r in
+             L.diff_zordered(spark, path, 1, 2,
+                             key_cols=["payload"]).collect()}
+    got2 = {(r.payload, r.val, r._change_type) for r in
+            got.where(F.col("_commit_version") == 2).collect()}
+    assert got2 == want2 and len(got2) == 80   # 40 pre + 40 post
+
+    # more commits; resumed drain processes ONLY the new versions
+    L.delete_zordered_keys(base.where(F.col("payload") < 5)
+                           .select("payload"), path, ["payload"])  # v3
+    run_change_feed(spark, path, sink, ckpt, key_cols=["payload"])
+    got3 = read_change_feed(spark, sink, from_version=3)
+    assert {(r.payload, r._change_type) for r in got3.collect()} == \
+        {(p, "delete") for p in range(5)}
+    assert read_change_feed(spark, sink).count() == 400 + 80 + 5
+
+    # replay from a FRESH checkpoint: partitions rewritten, not doubled
+    run_change_feed(spark, path, sink, str(tmp_path / "cdf_ckpt2"),
+                    key_cols=["payload"])
+    assert read_change_feed(spark, sink).count() == 400 + 80 + 5
+
+    # rate limit: a 1-commit-per-batch feed drains the same 3 commits
+    sink2 = str(tmp_path / "cdf_sink2")
+    run_change_feed(spark, path, sink2, str(tmp_path / "cdf_ckpt3"),
+                    key_cols=["payload"], max_commits_per_batch=1)
+    assert read_change_feed(spark, sink2).count() == 400 + 80 + 5
+
+
+def test_change_feed_requires_retained_history(spark, tmp_path):
+    """A feed over a table whose covered versions were vacuumed raises
+    cleanly (the retention contract), instead of emitting partial
+    change rows."""
+    import pytest as _pytest
+
+    from aggregation_duckdb_spark.sources import layout as L
+    from aggregation_duckdb_spark.streaming import run_change_feed
+
+    base = spark.range(0, 100).select(
+        (F.col("id") % 7).alias("a"), (F.col("id") % 5).alias("b"),
+        F.col("id").alias("payload"))
+    path = str(tmp_path / "z_cdf_vac")
+    L.write_zordered(base, path, "a", "b", bits=6, bucket_bits=3)  # v1
+    L.upsert_zordered(base.where(F.col("payload") < 3), path,
+                      ["payload"])        # v2, vacuum=True: v1 pruned?
+    L.vacuum_zordered(spark, path, keep_versions=1)
+    with _pytest.raises(Exception, match="vacuumed|min-live|retain"):
+        run_change_feed(spark, path, str(tmp_path / "s"),
+                        str(tmp_path / "c"), key_cols=["payload"])
