@@ -42,45 +42,42 @@ def register(name: str, sql: str | None = None):
 # their DuckDB oracles. ALL entries pass the same comparison locally
 # (scripts/oracle_check.py runs the full set — keep it that way); this
 # list only schedules WHICH entries get a driver-recorded row this
-# round. Round-10 rotation, closing the round-9 verdict's item 1: ALL
-# 46 entries whose newest driver evidence is still round 5 (computed
-# from CORRECTNESS_r05..r09 — the ROLLUP/CUBE/GROUPING-SETS surface,
-# the dedup core family, the mm_* trio, events funnel/retention/
-# anomalies/bands/overlap, the pipeline corpus verbs, ivf/semdedup,
-# json/variant/format/partition sources, q1 and friends), then the 4
-# round-10 entries: 2 brand-new (q_zorder_delete_upsert — tombstone→
-# upsert composition; q_zorder_schema_evolution — mixed-generation
-# schema), q_zorder_zonemap (now also a STRING zone-map predicate) and
-# q_zorder_upsert (the upsert verb gained tombstone composition +
-# optimistic-commit rebase). The other z-order entries also sit on
-# this round's commit-protocol changes but hold round-9 rows and were
-# re-verified locally with the driver-identical oracle_check — the
-# window is full; they rotate with the round-6 cohort (45 entries,
-# oldest after this round) next. Exactly 50 names below.
+# round. Round-11 rotation, closing the round-10 verdict's item 1: ALL
+# 45 entries whose newest driver evidence is still round 6 (computed
+# from CORRECTNESS_r06..r10 — the dedup verify family, the durable
+# text/IVF index roads, the pipeline corpus/ordering verbs, the
+# events DAU/skew/transition trio, the window/join/subquery TPC-H
+# shapes, stream_dau/corpus_hash, mm_features/phash), then the 5
+# round-11 entries: 4 brand-new (q_zorder_restore, q_zorder_diff,
+# q_zorder_bloom_eq — the round-10 lakehouse verbs now driver-oracled
+# — and stream_change_feed, the manifest-tailing CDC stream) plus
+# q_zorder_schema_evolution, whose read path changed this round
+# (unknown-generation mergeSchema rule). The other z-order entries
+# hold round-9/10 rows and are re-verified locally in the seal sweep.
+# Next stale cohort after this round: the 44 round-8-evidence entries
+# (schedule them for round 12). Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
-    # newest driver evidence = round 5 (all 46):
-    "hier_agg_closure_approx", "dedup_exact_survivors", "sim_ivf_topk",
-    "hier_subtree_agg", "q_salted_join", "mm_decode_metadata",
-    "mm_frame_sample", "q_json_functions", "text_tokenize_udtf",
-    "dedup_edit_distance", "q1_pricing_summary", "q_count_distinct",
-    "q_rollup_grouping", "q_cube_grouping", "q_grouping_sets",
-    "q_filter_project", "q_case_when", "q_in_subquery",
-    "pipeline_clean_corpus", "pipeline_pack_sequences",
-    "mm_payload_stats_arrow", "dedup_containment_pairs",
-    "pipeline_mixture_weights", "pipeline_rebalance",
-    "text_countmin_heavyhitters", "events_value_bands",
-    "events_session_overlap", "pipeline_chunk_overlap",
-    "dedup_incremental", "pipeline_group_sample",
-    "pipeline_bloom_decontaminate", "sim_semdedup_keepers",
-    "events_funnel", "events_retention_cohorts",
-    "q_multiformat_roundtrip", "q_partitioned_pruning",
-    "q_variant_extract", "text_bpe_token_count", "dedup_duplicate_spans",
-    "asof_nearest_events", "events_hourly_anomalies",
-    "sim_ivf_topk_exact", "pipeline_leakage_free_split",
-    "hier_agg_by_month", "dedup_prefix_pairs", "pipeline_corpus_report",
-    # round-10 additions / code changes (verify through the driver):
-    "q_zorder_delete_upsert", "q_zorder_schema_evolution",
-    "q_zorder_zonemap", "q_zorder_upsert",
+    # newest driver evidence = round 6 (all 45):
+    "dedup_minhash_lsh", "dedup_jaccard_pairs", "dedup_near_duplicates",
+    "dedup_simhash", "sim_embedding_neardup", "sim_lsh_topk",
+    "mm_features", "q_scalar_subquery", "q_having", "q_join_fact_dims",
+    "q_semi_join", "q_outer_join", "q_window_row_number",
+    "q_window_analytics", "q_struct_array",
+    "q18_large_volume_customers", "text_topk_ngrams",
+    "dedup_cc_clusters", "pipeline_end_to_end", "hier_agg_time",
+    "dedup_minhash_estimate", "events_dau_wau",
+    "events_transition_matrix", "pipeline_snapshot_diff",
+    "mm_phash_neardup", "pipeline_epoch_shuffle", "dedup_cluster_sizes",
+    "text_ngram_novelty", "stream_dau", "text_token_vocab",
+    "pipeline_leak_report", "dedup_global_lines", "text_line_stats",
+    "sim_knn_classify", "text_encode_ids", "text_dedup_doc_lines",
+    "pipeline_curriculum_order", "text_unigram_quality",
+    "pipeline_dataset_hash", "stream_corpus_hash",
+    "events_key_skew_report", "pipeline_bucket_fingerprints",
+    "pipeline_pack_greedy", "sim_ivf_indexed", "dedup_incremental_indexed",
+    # round-11 additions / code changes (verify through the driver):
+    "q_zorder_restore", "q_zorder_diff", "q_zorder_bloom_eq",
+    "stream_change_feed", "q_zorder_schema_evolution",
 ]
 
 

@@ -135,6 +135,12 @@ EXTENDED = [
     # round 10:
     "q_zorder_delete_upsert",
     "q_zorder_schema_evolution",
+    # round 11: the pruning-machinery reads as tracked signals —
+    # Bloom point lookup and restore/CDC snapshot reads
+    "q_zorder_bloom_eq",
+    "q_zorder_restore",
+    "q_zorder_diff",
+    "stream_change_feed",
 ]
 
 # Entries that build a DURABLE artifact (z-ordered table, ANN/BM25/
@@ -153,6 +159,8 @@ DURABLE = {
     "q_zorder_schema_evolution", "sim_ivf_indexed", "sim_pq_indexed",
     "sim_pq_indexed_exact", "text_bm25_indexed",
     "dedup_incremental_indexed",
+    "q_zorder_bloom_eq", "q_zorder_restore", "q_zorder_diff",
+    "stream_change_feed",
 }
 
 

@@ -5,6 +5,12 @@ accuracy/cost trade-off (round-9 verdict item 8); results recorded in
 SCALE_PROBE_r10.md.
 
 Usage: python scripts/ann_curve.py [sf_dir]   (default: repo/.sf1data)
+       python scripts/ann_curve.py --synth N  (deterministic synthetic
+           corpus of N vectors — the CROSSOVER probe: the organic sf1
+           corpus (20k) sits below the point where index pruning beats
+           brute force; a 200k run locates the crossover itself,
+           completing SCALE_PROBE_r10 §1's reading. Round-10 verdict
+           item 8; results in SCALE_PROBE_r11.md.)
 """
 
 from __future__ import annotations
@@ -40,16 +46,36 @@ def timed(fn):
     return out, round(time.time() - t0, 2)
 
 
+def synth_corpus(spark, n: int, dim: int):
+    """Deterministic synthetic embeddings, JVM-side (no Python in the
+    generation path): component j of vector i is a fixed mixing of
+    (i, j) folded into [-1, 1] — reproducible across runs, no RNG, and
+    clustered enough (low-frequency term) that IVF cells are
+    non-degenerate."""
+    from pyspark.sql import functions as F
+    cols = [((F.pmod(F.col("id") * (2654435761 + 7 * j) + 13 * j,
+                     F.lit(997)) / F.lit(498.0)) - F.lit(1.0)
+             + (F.pmod(F.col("id"), F.lit(8)) == (j % 8)).cast("int")
+             ).cast("float")
+            for j in range(dim)]
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*cols).alias("embedding"))
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
     from aggregation_duckdb_spark.operators import similarity as S
     from aggregation_duckdb_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 \
-        else os.path.join(REPO, ".sf1data")
     spark = get_spark("ann-curve", extra_confs={"spark.ui.enabled": "false"})
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if len(sys.argv) > 2 and sys.argv[1] == "--synth":
+        emb = synth_corpus(spark, int(sys.argv[2]), DIM).localCheckpoint()
+        sf_dir = f"synth-{sys.argv[2]}"
+    else:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 \
+            else os.path.join(REPO, ".sf1data")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
     queries = emb.orderBy("vec_id").limit(N_QUERIES)
     print(f"# corpus {n} vectors, {N_QUERIES} queries, k={K}",
@@ -61,13 +87,17 @@ def main() -> None:
                  "seconds": t_bf})
 
     t0 = time.time()
-    cents = S.kmeans_fit(emb, k=32, max_iters=4)
+    # cells scale with the corpus (~sqrt rule, floored at the organic
+    # run's 32 for comparability): fixed 32 cells at 200k would leave
+    # 6k-vector cells and understate the index
+    n_cells = max(32, min(256, int(n ** 0.5 // 16 * 16)))
+    cents = S.kmeans_fit(emb, k=n_cells, max_iters=4)
     cents = spark.createDataFrame(cents.collect(), cents.schema)  # pin fit
     fit_ivf = round(time.time() - t0, 2)
     for probe in (1, 2, 4):
         got, t = timed(lambda p=probe: S.ivf_topk(emb, queries, cents,
                                                   k=K, n_probe=p))
-        rows.append({"method": f"ivf_probe{probe}",
+        rows.append({"method": f"ivf_probe{probe}", "cells": n_cells,
                      "recall_at_10": recall(got, truth), "seconds": t,
                      "fit_seconds": fit_ivf})
 
