@@ -1363,9 +1363,15 @@ def build_bloom_index(spark: SparkSession, path: str, cols: list[str],
         rows.extend((col, p, bytes(bmp)) for p, bmp in maps.items())
     data_name = f"b-{uuid.uuid4().hex}"
     bloom_dir = fsio._join(_manifest_path(path), BLOOM_DIR)
+    # sorted by pos + bounded row groups: a probe's `pos IN` pushdown
+    # prunes ROW GROUPS by their min/max, so per-lookup bytes track the
+    # k probed positions even when the per-column shard is large (64k
+    # buckets x m=2^17 => ~1 GiB/column; 4 MiB groups => a probe touches
+    # at most k of ~256 groups, not the whole chunk)
     (spark.createDataFrame(rows, "col string, pos long, buckets binary")
      .repartition(1).sortWithinPartitions("pos")
      .write.mode("errorifexists").partitionBy("col")
+     .option("parquet.block.size", 4 * 1024 * 1024)
      .parquet(fsio._join(bloom_dir, data_name)))
     meta = {"m": int(m), "k": int(k), "cols": list(cols),
             "data": data_name, "nbuckets": nb,

@@ -101,6 +101,26 @@ def main() -> None:
                      "recall_at_10": recall(got, truth), "seconds": t,
                      "fit_seconds": fit_ivf})
 
+    # the INDEXED road — where the crossover actually lives: the
+    # live ivf_topk re-assigns the whole corpus to cells per call
+    # (n_cells x corpus distances, dwarfing the query), while the
+    # durable index pays assignment once at build and each query scans
+    # only its probed cells' partitions
+    import tempfile
+    t0 = time.time()
+    ivf_path = os.path.join(tempfile.mkdtemp(prefix="ann-curve-"),
+                            "ivf_idx")
+    S.write_ivf_index(emb, cents, ivf_path)
+    build_ivf = round(time.time() - t0, 2)
+    for probe in (1, 2, 4):
+        got, t = timed(lambda p=probe: S.ivf_topk_indexed(
+            spark, ivf_path, queries, k=K, n_probe=p))
+        rows.append({"method": f"ivf_indexed_probe{probe}",
+                     "cells": n_cells,
+                     "recall_at_10": recall(got, truth), "seconds": t,
+                     "build_seconds": build_ivf,
+                     "fit_seconds": fit_ivf})
+
     t0 = time.time()
     books = S.pq_fit(emb, num_subspaces=8, k=16, max_iters=3, dim=DIM)
     books = spark.createDataFrame(books.collect(), books.schema)

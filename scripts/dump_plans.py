@@ -164,6 +164,22 @@ ENTRIES = {
         "over the broadcast literal codebook (fixed order, no float "
         "hash-agg), rerank joins are hash joins on the bounded "
         "shortlist"),
+    "q_zorder_bloom_eq": (
+        "the Bloom point lookup scans ONLY the buckets the sharded "
+        "sidecar could not exclude — live-(zbucket, gen) "
+        "PartitionFilters over the pruned set, the equality predicate "
+        "in PushedFilters; the sidecar probe itself read k bitmap "
+        "rows before this plan was built, never the whole index"),
+    "q_zorder_diff": (
+        "row-level CDC is endpoint-proportional: two manifest-pruned "
+        "snapshot scans joined on the key — hash/broadcast joins "
+        "only, the fingerprint is an in-row md5(to_json(struct)) "
+        "projection, no history walk and no nested loop"),
+    "q_zorder_restore": (
+        "a read after RESTORE plans exactly like any snapshot read — "
+        "the restored manifest's live-(zbucket, gen) PartitionFilters; "
+        "restoring moved METADATA only, so no rewritten data appears "
+        "anywhere in the plan"),
 }
 
 
