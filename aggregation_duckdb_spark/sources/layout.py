@@ -1219,6 +1219,146 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
     return spec
 
 
+def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
+                   when_matched_update: dict[str, str] | None = None,
+                   update_condition: str | None = None,
+                   when_matched_delete: bool | str = False,
+                   when_not_matched_insert: bool = True,
+                   insert_condition: str | None = None,
+                   files_per_bucket: int = 1,
+                   vacuum: bool = True) -> dict:
+    """Conditional MERGE INTO — the full Delta ``MERGE`` clause shape
+    on the manifest layout (``WHEN MATCHED [AND cond] THEN UPDATE SET
+    ... / DELETE``, ``WHEN NOT MATCHED [AND cond] THEN INSERT *``),
+    generalizing :func:`upsert_zordered` (which is the
+    replace-whole-row special case):
+
+    - ``when_matched_update``: {target column -> SQL expression};
+      expressions may reference the target row as ``t.<col>`` and the
+      source row as ``s.<col>`` (e.g. ``{"cnt": "t.cnt + s.cnt"}`` —
+      the aggregate-merge shape). Applied to matched rows passing
+      ``update_condition`` (a t/s-scoped boolean SQL expression;
+      default all matched).
+    - ``when_matched_delete``: True, or a t/s-scoped condition —
+      matched rows passing it are deleted. Evaluated BEFORE the
+      update clause (a row matches at most one clause, delete wins;
+      documented order, as Delta's clause ordering).
+    - ``when_not_matched_insert``: source rows with no target match
+      insert (optionally gated by ``insert_condition`` over ``s.``).
+
+    Contract, same bucket-bound reasoning as upsert:
+    - the source carries the layout-dimension columns with the TARGET
+      row's values for matched keys (dims are how the old row's
+      bucket is found); a key whose dims changed is a delete+insert;
+    - updates may not SET a key or layout-dimension column (raises —
+      a moved row belongs to another bucket; delete+insert instead);
+    - source keys must be unique (multiple matches per target row
+      raise, Delta's multiple-source-rows-matched error);
+    - no outstanding deltas or tombstones (compact first; upsert's
+      tombstone composition covers the replace case — the general
+      expression case refuses rather than guessing).
+
+    Only the buckets the source touches are rewritten; the commit is
+    the usual atomic manifest flip with bucket-rewrite rebase on
+    collision. CHECK constraints validate the updated and inserted
+    rows before anything is written. Cost tracks the dirtied-bucket
+    fraction, never table size. Reference lifecycle shape:
+    aggregation_example.sql's staged re-loads (seed INSERT + corrected
+    re-INSERT) are one conditional merge here."""
+    import functools as _ft
+    import operator as _op
+
+    spark = source.sparkSession
+    base_v, manifest = _latest(spark, path)
+    if manifest.get("deltas"):
+        raise ValueError("merge_zordered: outstanding delta batches "
+                         "— run compact_zordered(path) first")
+    if manifest.get("tombstones"):
+        raise ValueError("merge_zordered: outstanding tombstones "
+                         "— run compact_zordered(path) first")
+    spec = manifest["spec"]
+    dims = [c for c, _, _ in _spec_dims(spec)]
+    if when_matched_update:
+        frozen = set(when_matched_update) & (set(dims) | set(key_cols))
+        if frozen:
+            raise ValueError(
+                f"merge_zordered: UPDATE SET on key/layout-dimension "
+                f"column(s) {sorted(frozen)} — a moved row belongs in "
+                f"another bucket; express it as delete + insert")
+    if source.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n")) \
+            .where(F.col("__n") > 1).limit(1).count():
+        raise ValueError(
+            "merge_zordered: multiple source rows share a merge key — "
+            "each target row may match at most one source row")
+
+    dirtied = _touched_buckets(source, spec)
+    old = read_zordered_box_dirs(spark, path, manifest, dirtied) \
+        .drop("zbucket")
+    cols = old.columns
+    # __src marks matches null-safely (a null source KEY value could
+    # not otherwise be told apart from "no match")
+    t = old.alias("t")
+    s = F.broadcast(source.withColumn("__src", F.lit(1)).alias("s"))
+    on = _ft.reduce(_op.and_, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                               for k in key_cols])
+    joined = t.join(s, on, "left")
+    matched = F.col("s.__src").isNotNull()
+    if when_matched_delete is True:
+        del_cond = matched
+    elif when_matched_delete:
+        del_cond = matched & F.coalesce(F.expr(when_matched_delete),
+                                        F.lit(False))
+    else:
+        del_cond = F.lit(False)
+    if when_matched_update:
+        upd_cond = matched & ~del_cond
+        if update_condition:
+            upd_cond = upd_cond & F.coalesce(F.expr(update_condition),
+                                             F.lit(False))
+    else:
+        upd_cond = F.lit(False)
+    out_cols = [
+        (F.when(upd_cond, F.expr(when_matched_update[c]))
+         .otherwise(F.col(f"t.{c}")).alias(c)
+         if when_matched_update and c in when_matched_update
+         else F.col(f"t.{c}").alias(c))
+        for c in cols]
+    kept = joined.where(~del_cond).select(*out_cols)
+
+    ins = None
+    if when_not_matched_insert:
+        ins = source.join(F.broadcast(old.select(*key_cols)),
+                          key_cols, "left_anti")
+        if insert_condition:
+            ins = ins.alias("s").where(
+                F.coalesce(F.expr(insert_condition), F.lit(False)))
+    changed = joined.where(upd_cond).select(*out_cols)
+    if ins is not None:
+        changed = changed.unionByName(ins, allowMissingColumns=True)
+    _validate_check(changed, spec, "merge_zordered")
+
+    merged = kept if ins is None \
+        else kept.unionByName(ins, allowMissingColumns=True)
+    gen = _new_gen()
+    _write_clustered(merged, fsio._join(path, DATA_DIR), spec, gen,
+                     files_per_bucket)
+    wb, new_stats, new_cols = _written_meta(spark, path, gen, spec)
+    survivors = set(wb)
+
+    def rebase(latest: dict) -> dict:
+        return _rebase_bucket_rewrite(
+            latest, manifest, dirtied, survivors, gen, new_stats,
+            "merge", gen_cols=new_cols)
+
+    v, final = _commit(spark, path, rebase(manifest), "merge", base_v,
+                       rebase=rebase)
+    if vacuum:
+        _cleanup_superseded(spark, path, manifest, final)
+        _set_min_live_version(spark, path, v)
+        fsio.prune_versions(spark, _manifest_path(path))
+    return {"buckets_rewritten": len(dirtied), "version": v}
+
+
 def optimize_zordered(spark: SparkSession, path: str,
                       files_per_bucket: int = 1,
                       min_files: int | None = None,

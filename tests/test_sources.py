@@ -2114,3 +2114,91 @@ def test_bloom_sidecar_is_sharded_and_vacuumed(spark, tmp_path):
     assert live == [meta2["data"]]
     assert L.read_zordered_eq(spark, path,
                               {"doc_key": v}).count() == 1
+
+
+def test_merge_zordered_conditional_clauses(spark, tmp_path):
+    """Conditional MERGE (the full Delta clause shape): WHEN MATCHED
+    AND cond THEN UPDATE SET expr (t./s.-scoped, e.g. additive
+    counters), WHEN MATCHED AND cond THEN DELETE (delete wins over
+    update, documented order), WHEN NOT MATCHED [AND cond] THEN
+    INSERT — touching only the buckets the source lands in, atomic
+    manifest flip, CHECK validated on the changed rows."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)          # payload key, val = 10*id
+    path = str(tmp_path / "z_merge")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4,
+                     check="val >= -100")
+    n0 = base.count()
+
+    # source: keys 0-9 matched (5 to delete, 5 to update-add), keys
+    # 1000-1004 new (3 pass the insert gate)
+    matched = base.where(F.col("payload") < 10) \
+        .withColumn("val", F.col("payload") + 1)  # s.val = payload+1
+    fresh = spark.range(1000, 1005).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        F.col("id").alias("payload"), (F.col("id") - 1002).alias("val"))
+    out = L.merge_zordered(
+        matched.unionByName(fresh), path, ["payload"],
+        when_matched_update={"val": "t.val + s.val"},
+        update_condition="t.payload % 2 = 1",   # odd keys: add
+        when_matched_delete="t.payload % 2 = 0",  # even keys: delete
+        when_not_matched_insert=True,
+        insert_condition="s.val >= 0")
+    assert out["buckets_rewritten"] >= 1
+    got = {r.payload: r.val for r in
+           L.read_zordered(spark, path).collect()}
+    # deletes: even keys 0,2,4,6,8 gone
+    assert all(p not in got for p in (0, 2, 4, 6, 8))
+    # updates: odd keys 1..9 -> old 10*p + source (p+1)
+    assert all(got[p] == 10 * p + p + 1 for p in (1, 3, 5, 7, 9))
+    # inserts: only s.val >= 0 (payload 1002..1004)
+    assert 1000 not in got and 1001 not in got
+    assert got[1002] == 0 and got[1004] == 2
+    # untouched rows intact, total arithmetic holds
+    assert got[123] == 1230
+    assert len(got) == n0 - 5 + 3
+
+    # guards: SET on key/layout columns refused; duplicate source
+    # keys refused; CHECK gates the updated rows
+    with _pytest.raises(ValueError, match="key/layout-dimension"):
+        L.merge_zordered(matched, path, ["payload"],
+                         when_matched_update={"a": "t.a + 1"})
+    with _pytest.raises(ValueError, match="multiple source rows"):
+        L.merge_zordered(matched.unionByName(matched), path,
+                         ["payload"],
+                         when_matched_update={"val": "s.val"})
+    with _pytest.raises(ValueError, match="CHECK constraint"):
+        L.merge_zordered(
+            base.where(F.col("payload") == 11), path, ["payload"],
+            when_matched_update={"val": "t.val - 100000"})
+    # nothing half-applied after the failures
+    assert {r.payload: r.val for r in
+            L.read_zordered(spark, path).collect()} == got
+
+
+def test_merge_zordered_replaces_upsert_semantics(spark, tmp_path):
+    """merge with update=all-columns + unconditional insert must equal
+    upsert_zordered on the same input (the replace special case), and
+    refuse outstanding deltas/tombstones like the docstring says."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    p1, p2 = str(tmp_path / "z_m1"), str(tmp_path / "z_m2")
+    src = base.where(F.col("payload") % 9 == 0) \
+        .withColumn("val", F.lit(-7).cast("long"))
+    for p in (p1, p2):
+        L.write_zordered(base, p, "a", "b", bits=7, bucket_bits=4)
+    L.upsert_zordered(src, p1, ["payload"])
+    L.merge_zordered(src, p2, ["payload"],
+                     when_matched_update={"val": "s.val"})
+    a = sorted((r.payload, r.val) for r in
+               L.read_zordered(spark, p1).collect())
+    b = sorted((r.payload, r.val) for r in
+               L.read_zordered(spark, p2).collect())
+    assert a == b
+
+    L.append_zordered(base.where(F.col("payload") == 1), p2)
+    with _pytest.raises(ValueError, match="outstanding delta"):
+        L.merge_zordered(src, p2, ["payload"],
+                         when_matched_delete=True)
