@@ -430,6 +430,15 @@ def _rebase_bucket_rewrite(latest: dict, base: dict, touched,
         gcols[gen] = gen_cols
     live = set(gens.values())
     out["gen_columns"] = {g: c for g, c in gcols.items() if g in live}
+    # foreign data roots (shallow clones): entries follow their
+    # generations — a rewritten bucket's new generation is local, so
+    # its old root entry dies with the old generation
+    groots = {**base.get("gen_roots", {}), **latest.get("gen_roots", {})}
+    groots = {g: r for g, r in groots.items() if g in live}
+    if groots:
+        out["gen_roots"] = groots
+    else:
+        out.pop("gen_roots", None)
     if folded_deltas:
         fd = set(folded_deltas)
         out["deltas"] = [d for d in latest.get("deltas", [])
@@ -686,12 +695,32 @@ def zbuckets_for_box(spec: dict, a_lo: int, a_hi: int,
 def _live_paths(path: str, manifest: dict,
                 buckets: list[int] | None = None) -> list[str]:
     """The live (zbucket, gen) DIRECTORIES of a snapshot, optionally
-    restricted to a bucket list."""
+    restricted to a bucket list (gen_roots-aware: a shallow clone's
+    foreign generations resolve to the source's data root)."""
+    return [p for _, ps in
+            _live_paths_by_root(path, manifest, buckets) for p in ps]
+
+
+def _live_paths_by_root(path: str, manifest: dict,
+                        buckets: list[int] | None = None
+                        ) -> list[tuple[str, list[str]]]:
+    """Live directories grouped by their DATA ROOT. Generations named
+    in ``gen_roots`` (shallow clones) live under another table's data
+    root; everything else under this table's. Grouping matters because
+    each root needs its own ``basePath`` for the zbucket/gen partition
+    columns to parse."""
     gens = manifest["gens"]
+    roots = manifest.get("gen_roots", {})
+    default_root = fsio._join(path, DATA_DIR)
     wanted = ({str(b) for b in buckets} if buckets is not None
               else set(gens))
-    return [fsio._join(path, DATA_DIR, f"zbucket={k}", f"gen={g}")
-            for k, g in sorted(gens.items()) if k in wanted]
+    by_root: dict[str, list[str]] = {}
+    for k, g in sorted(gens.items()):
+        if k in wanted:
+            r = roots.get(g, default_root)
+            by_root.setdefault(r, []).append(
+                fsio._join(r, f"zbucket={k}", f"gen={g}"))
+    return sorted(by_root.items())
 
 
 def _needs_merge_schema(gen_columns: dict, live: set) -> bool:
@@ -725,23 +754,29 @@ def _read_live(spark: SparkSession, path: str, manifest: dict,
     tests pin). An empty snapshot falls back to a filtered-false read
     of the data root purely to carry the schema."""
     data_root = fsio._join(path, DATA_DIR)
-    paths = _live_paths(path, manifest, buckets)
-    if not paths:
+    grouped = _live_paths_by_root(path, manifest, buckets)
+    if not grouped:
         return spark.read.parquet(data_root).where(F.lit(False))
-    reader = spark.read.option("basePath", data_root)
     gc = manifest.get("gen_columns", {})
     gens = manifest["gens"]
     wanted = ({str(b) for b in buckets} if buckets is not None
               else set(gens))
     live = {g for k, g in gens.items() if k in wanted}
-    if _needs_merge_schema(gc, live):
-        # generations disagree on schema (incremental folds after a
-        # schema-adding append): merge footers so the union schema
-        # comes back with nulls backfilled — paid only when actually
-        # mixed, never on the uniform fast path
-        reader = reader.option("mergeSchema", "true")
-    return (reader.parquet(*paths)
-            .where(_live_filter(manifest, buckets)))
+    merge = _needs_merge_schema(gc, live)
+    parts = []
+    for root, paths in grouped:
+        reader = spark.read.option("basePath", root)
+        if merge:
+            # generations disagree on schema (incremental folds after
+            # a schema-adding append): merge footers so the union
+            # schema comes back with nulls backfilled — paid only when
+            # actually mixed, never on the uniform fast path
+            reader = reader.option("mergeSchema", "true")
+        parts.append(reader.parquet(*paths))
+    out = parts[0]
+    for p in parts[1:]:   # >1 root only for shallow clones mid-rewrite
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out.where(_live_filter(manifest, buckets))
 
 
 def _live_filter(manifest: dict, buckets: list[int] | None = None) -> Column:
@@ -1676,6 +1711,60 @@ def restore_zordered(spark: SparkSession, path: str,
     v, _final = _commit(spark, path, manifest, "restore", base_v,
                         rebase=lambda latest: manifest)
     return {"restored_from": int(version), "version": v}
+
+
+def clone_zordered(spark: SparkSession, src: str, dst: str,
+                   version: int | None = None) -> dict:
+    """SHALLOW CLONE (the Delta ``CREATE TABLE ... SHALLOW CLONE``
+    analogue): a new, independently-mutable table at ``dst`` whose v1
+    manifest REFERENCES the source snapshot's generation directories
+    instead of copying them — zero data movement, so a 100 TB table
+    clones in one metadata commit (the dev/test-against-production
+    shape). The clone's manifest records each foreign generation's
+    data root (``gen_roots``); reads resolve through them, and every
+    later mutation writes NEW generations under the clone's own root —
+    rewritten buckets shed their foreign reference, so a clone
+    naturally "materializes" as it churns. The clone's own vacuum can
+    never touch source data (it only lists its own data root).
+
+    Contracts:
+    - the source snapshot must be CLEAN (no outstanding deltas or
+      tombstones — compact first): the clone carries generation
+      references only, not batch files;
+    - clones pin NOTHING on the source — vacuuming or full-compacting
+      the source reclaims directories the clone still references, and
+      the clone's reads then fail LOUDLY (missing paths), exactly
+      Delta's documented shallow-clone + VACUUM hazard; retain source
+      history (``vacuum=False`` / keep_versions) while clones live;
+    - the Bloom sidecar is not cloned (rebuild on the clone if point
+      lookups matter there); zone-map stats ride the manifest and
+      clone for free."""
+    src_m = read_manifest(spark, src, version)
+    if src_m.get("deltas") or src_m.get("tombstones"):
+        raise ValueError("clone_zordered: source snapshot has "
+                         "outstanding deltas/tombstones — run "
+                         "compact_zordered(src) first")
+    if table_exists(spark, dst):
+        raise ValueError(f"clone_zordered: {dst} already exists")
+    src_data = fsio._join(src, DATA_DIR)
+    src_roots = src_m.get("gen_roots", {})   # clone-of-clone carries
+    live = set(src_m["gens"].values())
+    manifest = {
+        "spec": src_m["spec"],
+        "gens": dict(src_m["gens"]),
+        "stats": dict(src_m.get("stats", {})),
+        "gen_columns": dict(src_m.get("gen_columns", {})),
+        "gen_roots": {g: src_roots.get(g, src_data) for g in live},
+        "cloned_from": {"path": src,
+                        "version": int(version) if version is not None
+                        else table_version(spark, src)},
+    }
+    if "last_batch_id" in src_m:
+        manifest["last_batch_id"] = src_m["last_batch_id"]
+    fsio.mkdirs(spark, fsio._join(dst, DATA_DIR))
+    v, _ = _commit(spark, dst, manifest, "clone", 0)
+    return {"version": v, "gens": len(manifest["gens"]),
+            "cloned_from": manifest["cloned_from"]}
 
 
 def vacuum_zordered(spark: SparkSession, path: str,

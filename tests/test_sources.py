@@ -2202,3 +2202,100 @@ def test_merge_zordered_replaces_upsert_semantics(spark, tmp_path):
     with _pytest.raises(ValueError, match="outstanding delta"):
         L.merge_zordered(src, p2, ["payload"],
                          when_matched_delete=True)
+
+
+def test_clone_zordered_shallow_and_divergent(spark, tmp_path):
+    """SHALLOW CLONE: one metadata commit, zero data copied — the
+    clone reads the source's generation directories through
+    gen_roots; mutations diverge independently (rewritten buckets go
+    local and shed the foreign reference, untouched buckets stay
+    foreign), the source never changes; a full compaction
+    materializes the clone completely; clone-of-clone carries the
+    ORIGINAL roots."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    src = str(tmp_path / "z_src")
+    dst = str(tmp_path / "z_dst")
+    L.write_zordered(base, src, "a", "b", bits=7, bucket_bits=4)
+    want = sorted((r.payload, r.val) for r in
+                  L.read_zordered(spark, src).collect())
+
+    info = L.clone_zordered(spark, src, dst)
+    assert info["version"] == 1 and info["cloned_from"]["path"] == src
+    # zero data under the clone
+    assert fsio.list_names(spark, _os.path.join(dst, "data")) == []
+    got = sorted((r.payload, r.val) for r in
+                 L.read_zordered(spark, dst).collect())
+    assert got == want
+    # pruned reads resolve through the foreign root too
+    box = L.read_zordered_box(spark, dst, 10, 40, 5, 30)
+    assert box.count() == base.where(
+        (F.col("a").between(10, 40)) & (F.col("b").between(5, 30))
+    ).count()
+
+    # diverge: upsert the CLONE; source untouched, dirtied buckets
+    # local, clean buckets still foreign
+    ups = base.where(F.col("payload") < 10) \
+        .withColumn("val", F.lit(-1).cast("long"))
+    L.upsert_zordered(ups, dst, ["payload"])
+    m = L.read_manifest(spark, dst)
+    assert m.get("gen_roots")                     # some still foreign
+    local = [k for k, g in m["gens"].items()
+             if g not in m["gen_roots"]]
+    assert local                                  # some went local
+    got2 = {r.payload: r.val for r in
+            L.read_zordered(spark, dst).collect()}
+    assert all(got2[p] == -1 for p in range(10))
+    assert sorted((r.payload, r.val) for r in
+                  L.read_zordered(spark, src).collect()) == want
+
+    # clone-of-clone points at the ORIGINAL data for foreign gens
+    dst2 = str(tmp_path / "z_dst2")
+    L.clone_zordered(spark, dst, dst2)
+    m2 = L.read_manifest(spark, dst2)
+    assert any(r.endswith("z_src/data") for r in
+               m2["gen_roots"].values())
+    got3 = {r.payload: r.val for r in
+            L.read_zordered(spark, dst2).collect()}
+    assert got3 == got2
+
+    # full compaction materializes: no foreign roots left, and the
+    # source can now vacuum/churn freely without breaking the clone
+    L.compact_zordered(spark, dst, mode="full")
+    m3 = L.read_manifest(spark, dst)
+    assert "gen_roots" not in m3
+    L.upsert_zordered(base.withColumn("val", F.lit(7).cast("long")),
+                      src, ["payload"])   # vacuum=True reclaims src gens
+    assert {r.payload: r.val for r in
+            L.read_zordered(spark, dst).collect()} == got2
+
+    # guards
+    with _pytest.raises(ValueError, match="already exists"):
+        L.clone_zordered(spark, src, dst)
+    L.append_zordered(base.where(F.col("payload") == 1), src)
+    with _pytest.raises(ValueError, match="deltas/tombstones"):
+        L.clone_zordered(spark, src, str(tmp_path / "z_dst3"))
+
+
+def test_clone_zordered_source_vacuum_breaks_loudly(spark, tmp_path):
+    """Clones pin NOTHING on the source (Delta's shallow-clone +
+    VACUUM hazard): a source rewrite that reclaims referenced
+    generations makes the clone's read fail LOUDLY (missing paths),
+    never silently partial."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    src = str(tmp_path / "z_src_v")
+    dst = str(tmp_path / "z_dst_v")
+    L.write_zordered(base, src, "a", "b", bits=7, bucket_bits=4)
+    L.clone_zordered(spark, src, dst)
+    # rewrite EVERY bucket on the source with eager vacuum
+    L.upsert_zordered(base.withColumn("val", F.lit(0).cast("long")),
+                      src, ["payload"])
+    with _pytest.raises(Exception):
+        L.read_zordered(spark, dst).collect()
