@@ -265,6 +265,17 @@ def rename(spark, src: str, dst: str) -> bool:
     return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
 
 
+def size_of(spark, path: str) -> int:
+    """File size in bytes (0 if it doesn't exist)."""
+    if _gateway(spark) is None:
+        local = _local_path(path)
+        return os.path.getsize(local) if os.path.exists(local) else 0
+    fs, jpath, _ = _fs(spark, path)
+    if not fs.exists(jpath):
+        return 0
+    return int(fs.getFileStatus(jpath).getLen())
+
+
 def modified_ms(spark, path: str) -> int:
     """Last-modification time of a path in epoch milliseconds (0 if it
     doesn't exist) — what vacuum's retention window compares against."""

@@ -55,7 +55,10 @@ def register(name: str, sql: str | None = None):
 # (unknown-generation mergeSchema rule). The other z-order entries
 # hold round-9/10 rows and are re-verified locally in the seal sweep.
 # Next stale cohort after this round: the 44 round-8-evidence entries
-# (schedule them for round 12). Exactly 50 names below.
+# (schedule them for round 12, plus entries for this round's
+# pytest-pinned library verbs: merge_zordered, clone_zordered —
+# 44 + those + any round-12 changes must stay within the 50-slot
+# window). Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
     # newest driver evidence = round 6 (all 45):
     "dedup_minhash_lsh", "dedup_jaccard_pairs", "dedup_near_duplicates",

@@ -1523,19 +1523,27 @@ def build_bloom_index(spark: SparkSession, path: str, cols: list[str],
     manifest = read_manifest(spark, path)
     live = _read_live(spark, path, manifest)
     nb = 1 << int(manifest["spec"]["bucket_bits"])
-    rows: list[tuple[str, int, bytes]] = []
-    for col in cols:
-        pos = F.explode(F.array(*_bloom_pos_exprs(F.col(col), m, k)))
-        pairs = (live.where(F.col(col).isNotNull())
-                 .select(F.col("zbucket").cast("long").alias("__zb"),
-                         pos.alias("__p"))
-                 .distinct().collect())
-        maps: dict[int, bytearray] = {}
-        for r in pairs:
-            bmp = maps.setdefault(int(r["__p"]), bytearray((nb + 7) // 8))
-            b = int(r["__zb"])
-            bmp[b >> 3] |= 1 << (b & 7)
-        rows.extend((col, p, bytes(bmp)) for p, bmp in maps.items())
+    # ONE pass over the live snapshot for ALL indexed columns: every
+    # row contributes its cols*k (column, position) structs through a
+    # single explode (a null value's md5 folds to null positions,
+    # filtered below — the per-column isNotNull prefilter, fused)
+    tagged = F.explode(F.flatten(F.array(*[
+        F.array(*[F.struct(F.lit(c).alias("c"), e.alias("p"))
+                  for e in _bloom_pos_exprs(F.col(c), m, k)])
+        for c in cols])))
+    pairs = (live.select(F.col("zbucket").cast("long").alias("__zb"),
+                         tagged.alias("__cp"))
+             .select("__zb", F.col("__cp.c").alias("__c"),
+                     F.col("__cp.p").alias("__p"))
+             .where(F.col("__p").isNotNull())
+             .distinct().collect())
+    maps: dict[tuple[str, int], bytearray] = {}
+    for r in pairs:
+        bmp = maps.setdefault((r["__c"], int(r["__p"])),
+                              bytearray((nb + 7) // 8))
+        b = int(r["__zb"])
+        bmp[b >> 3] |= 1 << (b & 7)
+    rows = [(c, p, bytes(bmp)) for (c, p), bmp in maps.items()]
     data_name = f"b-{uuid.uuid4().hex}"
     bloom_dir = fsio._join(_manifest_path(path), BLOOM_DIR)
     # sorted by pos + bounded row groups: a probe's `pos IN` pushdown
@@ -1765,6 +1773,54 @@ def clone_zordered(spark: SparkSession, src: str, dst: str,
     v, _ = _commit(spark, dst, manifest, "clone", 0)
     return {"version": v, "gens": len(manifest["gens"]),
             "cloned_from": manifest["cloned_from"]}
+
+
+def describe_zordered(spark: SparkSession, path: str) -> dict:
+    """DESCRIBE DETAIL — one metadata-only report of the table's
+    state: current version and op, the layout spec (dims, bits, CHECK),
+    bucket/generation counts (and how many generations are FOREIGN —
+    shallow-clone references), outstanding delta/tombstone batches,
+    the streaming-ingest watermark, history depth and the min live
+    (time-travelable) version, file/byte totals per the table's OWN
+    data root (one listing; foreign roots are not walked — the clone
+    may not even have list rights there). No data is read."""
+    v, m = _latest(spark, path)
+    mdir = _manifest_path(path)
+    versions = sorted(
+        int(x.group(1)) for x in
+        (fsio._VERSION_RE.match(n) for n in fsio.list_names(spark, mdir))
+        if x)
+    roots = m.get("gen_roots", {})
+    n_files = total_bytes = 0
+    data_root = fsio._join(path, DATA_DIR)
+    for bdir in fsio.list_names(spark, data_root):
+        if not bdir.startswith("zbucket="):
+            continue
+        for gdir in fsio.list_names(spark, fsio._join(data_root, bdir)):
+            gd = fsio._join(data_root, bdir, gdir)
+            for f in fsio.list_names(spark, gd):
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    total_bytes += fsio.size_of(spark, fsio._join(gd, f))
+    spec = m["spec"]
+    return {
+        "path": path, "version": v, "op": m.get("op"),
+        "dims": [c for c, _, _ in _spec_dims(spec)],
+        "bits": spec["bits"], "bucket_bits": spec["bucket_bits"],
+        "check": spec.get("check"),
+        "buckets": len(m["gens"]),
+        "generations": len(set(m["gens"].values())),
+        "foreign_generations": len({g for g in set(m["gens"].values())
+                                    if g in roots}),
+        "cloned_from": m.get("cloned_from"),
+        "outstanding_deltas": len(m.get("deltas", [])),
+        "outstanding_tombstones": len(m.get("tombstones", [])),
+        "last_batch_id": m.get("last_batch_id"),
+        "history_versions": len(versions),
+        "min_live_version": _min_live_version(spark, path),
+        "local_data_files": n_files,
+        "local_data_bytes": total_bytes,
+    }
 
 
 def vacuum_zordered(spark: SparkSession, path: str,

@@ -2299,3 +2299,64 @@ def test_clone_zordered_source_vacuum_breaks_loudly(spark, tmp_path):
                       src, ["payload"])
     with _pytest.raises(Exception):
         L.read_zordered(spark, dst).collect()
+
+
+def test_describe_zordered_reports_metadata_only(spark, tmp_path):
+    """DESCRIBE DETAIL: one metadata-only report — version/op, spec,
+    bucket/generation/foreign counts, outstanding batches, history
+    depth, local file/byte totals; correct across clone and mutation."""
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    src = str(tmp_path / "z_desc")
+    L.write_zordered(base, src, "a", "b", bits=7, bucket_bits=4,
+                     check="val >= 0")
+    d = L.describe_zordered(spark, src)
+    assert d["version"] == 1 and d["op"] == "write"
+    assert d["dims"] == ["a", "b"] and d["check"] == "val >= 0"
+    assert d["buckets"] == 16 and d["generations"] == 1
+    assert d["foreign_generations"] == 0
+    assert d["local_data_files"] >= 16 and d["local_data_bytes"] > 0
+    assert d["outstanding_deltas"] == 0
+
+    L.append_zordered(base.where(F.col("payload") == 1), src)
+    d2 = L.describe_zordered(spark, src)
+    assert d2["version"] == 2 and d2["op"] == "append"
+    assert d2["outstanding_deltas"] == 1
+
+    dst = str(tmp_path / "z_desc_clone")
+    L.compact_zordered(spark, src)
+    L.clone_zordered(spark, src, dst)
+    dc = L.describe_zordered(spark, dst)
+    assert dc["op"] == "clone" and dc["cloned_from"]["path"] == src
+    assert dc["foreign_generations"] == dc["generations"] > 0
+    assert dc["local_data_files"] == 0 and dc["local_data_bytes"] == 0
+
+
+def test_bloom_multi_column_single_pass(spark, tmp_path):
+    """Multi-column Bloom builds fuse into ONE snapshot pass; each
+    column probes independently and both stay exact."""
+    from aggregation_duckdb_spark.sources import layout as L
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        F.md5(F.col("id").cast("string")).alias("doc_key"),
+        F.concat(F.lit("u"), (F.col("id") % 631).cast("string"))
+        .alias("owner"),
+        F.col("id").alias("payload"))
+    path = str(tmp_path / "z_bloom_multi")
+    L.write_zordered(df, path, "a", "b", bits=7, bucket_bits=4)
+    info = L.build_bloom_index(spark, path, ["doc_key", "owner"],
+                               m=8192, k=5)
+    assert info["cols"] == ["doc_key", "owner"]
+    r = df.where(F.col("payload") == 1234).collect()[0]
+    got = {x.payload for x in L.read_zordered_eq(
+        spark, path, {"doc_key": r.doc_key}).collect()}
+    assert got == {1234}
+    got2 = {x.payload for x in L.read_zordered_eq(
+        spark, path, {"owner": r.owner}).collect()}
+    want2 = {x.payload for x in
+             df.where(F.col("owner") == r.owner).collect()}
+    assert got2 == want2 and 1234 in got2
+    # conjunctive multi-column eq intersects both columns' buckets
+    got3 = {x.payload for x in L.read_zordered_eq(
+        spark, path, {"doc_key": r.doc_key, "owner": r.owner}).collect()}
+    assert got3 == {1234}
