@@ -34,14 +34,65 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _commit_changes(spark: SparkSession, table_path: str, version: int,
-                    key_cols: list[str]) -> DataFrame:
-    """The change rows of ONE commit: v1 = the created snapshot as
-    inserts; later versions = the row-level diff against v-1."""
+                    key_cols: list[str]) -> DataFrame | None:
+    """The change rows of ONE commit, derived per OPERATION so the
+    cost tracks the change, not the snapshot (the Delta-CDF cost
+    model, reconstructed from the manifest instead of change files):
+
+    - v1 (create/clone): the snapshot tagged ``insert``;
+    - ``compact_*`` / ``optimize``: None — physical rewrites are
+      logically INVISIBLE (deltas and tombstones were already applied
+      by every read before the fold), so the feed skips them for
+      free instead of paying two scans to diff nothing;
+    - ``append``: the commit's NEW delta batch read directly (one
+      batch-sized scan), tagged ``insert`` — with the snapshot's
+      outstanding tombstones applied, exactly as reads would;
+    - ``delete_keys``: the prior snapshot semi-joined against the
+      commit's NEW tombstone batch (one pruned scan + a broadcast
+      semi-join), tagged ``delete`` with full preimages;
+    - anything else (upsert / merge / delete_box / restore /
+      replace): the general endpoint diff, ``diff_zordered``.
+    """
+    from aggregation_duckdb_spark import fsio
     from aggregation_duckdb_spark.sources import layout as L
+    m_v = L.read_manifest(spark, table_path, version)
+    op = m_v.get("op")
     if version == 1:
         return (L.read_zordered(spark, table_path, version=1)
                 .drop("zbucket")
                 .withColumn("_change_type", F.lit("insert")))
+    if op in ("compact_incremental", "compact_full", "optimize"):
+        return None
+    m_prev = L.read_manifest(spark, table_path, version - 1)
+    if op == "append":
+        new = [d for d in m_v.get("deltas", [])
+               if d not in m_prev.get("deltas", [])]
+        if not new:
+            return None   # replayed batch id landed as a no-op commit
+        out = None
+        for d in new:
+            dd = spark.read.parquet(fsio._join(table_path,
+                                               L.DELTA_DIR, d))
+            out = dd if out is None else out.unionByName(
+                dd, allowMissingColumns=True)
+        out = L._apply_tombstones(spark, table_path, m_v, out)
+        return out.withColumn("_change_type", F.lit("insert"))
+    if op == "delete_keys":
+        new_t = [t for t in m_v.get("tombstones", [])
+                 if t not in m_prev.get("tombstones", [])]
+        if new_t:
+            keys = None
+            for t in new_t:
+                kk = spark.read.parquet(fsio._join(table_path,
+                                                   L.TOMBSTONE_DIR, t))
+                keys = kk if keys is None else keys.unionByName(kk)
+            kc = m_v.get("tombstone_key", key_cols)
+            victims = (L.read_zordered(spark, table_path,
+                                       version=version - 1)
+                       .drop("zbucket")
+                       .join(F.broadcast(keys.distinct()), list(kc),
+                             "left_semi"))
+            return victims.withColumn("_change_type", F.lit("delete"))
     return L.diff_zordered(spark, table_path, version - 1, version,
                            key_cols=key_cols)
 
@@ -74,11 +125,13 @@ def run_change_feed(spark: SparkSession, table_path: str,
         commits = sorted(r["version"] for r in
                          batch_df.select("version").collect())
         for v in commits:
-            rows = (_commit_changes(spark, table_path, v, key_cols)
-                    .withColumn("_commit_version", F.lit(int(v))))
-            with fsio.dynamic_partition_overwrite(spark):
-                (rows.write.mode("overwrite")
-                 .partitionBy("_commit_version").parquet(sink_path))
+            changes = _commit_changes(spark, table_path, v, key_cols)
+            if changes is not None:
+                rows = changes.withColumn("_commit_version",
+                                          F.lit(int(v)))
+                with fsio.dynamic_partition_overwrite(spark):
+                    (rows.write.mode("overwrite")
+                     .partitionBy("_commit_version").parquet(sink_path))
             done.add(int(v))
 
     mdir = fsio._join(table_path, "_manifest")

@@ -820,3 +820,48 @@ def test_change_feed_requires_retained_history(spark, tmp_path):
     with _pytest.raises(Exception, match="vacuumed|min-live|retain"):
         run_change_feed(spark, path, str(tmp_path / "s"),
                         str(tmp_path / "c"), key_cols=["payload"])
+
+
+def test_change_feed_per_op_derivation(spark, tmp_path):
+    """Change rows are derived per OPERATION: an append commit reads
+    only its delta batch (inserts), a key-delete commit one semi-join
+    (full preimages), and compaction emits NOTHING (physical rewrites
+    are logically invisible — deltas/tombstones were already applied
+    by every read); the derived rows equal the general endpoint
+    diff."""
+    from aggregation_duckdb_spark.sources import layout as L
+    from aggregation_duckdb_spark.streaming import (read_change_feed,
+                                                    run_change_feed)
+
+    base = spark.range(0, 200).select(
+        (F.col("id") % 31).alias("a"), ((F.col("id") * 7) % 23).alias("b"),
+        F.col("id").alias("payload"), (F.col("id") * 10).alias("val"))
+    path = str(tmp_path / "z_cdf_ops")
+    L.write_zordered(base, path, "a", "b", bits=6, bucket_bits=3)   # v1
+    extra = spark.range(1000, 1005).select(
+        (F.col("id") % 31).alias("a"), ((F.col("id") * 7) % 23).alias("b"),
+        F.col("id").alias("payload"), (F.col("id") * 10).alias("val"))
+    L.append_zordered(extra, path)                                  # v2
+    L.compact_zordered(spark, path, vacuum=False)                   # v3
+    L.delete_zordered_keys(base.where(F.col("payload") < 3)
+                           .select("payload"), path, ["payload"])   # v4
+
+    sink = str(tmp_path / "sink")
+    run_change_feed(spark, path, sink, str(tmp_path / "ckpt"),
+                    key_cols=["payload"])
+    feed = read_change_feed(spark, sink)
+    # compaction (v3) emitted nothing; every other commit did
+    assert {r._commit_version for r in
+            feed.select("_commit_version").distinct().collect()} \
+        == {1, 2, 4}
+    # append derivation: exactly the batch rows, tagged insert
+    v2 = {(r.payload, r.val, r._change_type) for r in
+          feed.where(F.col("_commit_version") == 2).collect()}
+    assert v2 == {(p, p * 10, "insert") for p in range(1000, 1005)}
+    # delete derivation: full preimages, equal to the endpoint diff
+    v4 = {(r.payload, r.val, r._change_type) for r in
+          feed.where(F.col("_commit_version") == 4).collect()}
+    want = {(r.payload, r.val, r._change_type) for r in
+            L.diff_zordered(spark, path, 3, 4,
+                            key_cols=["payload"]).collect()}
+    assert v4 == want == {(p, p * 10, "delete") for p in range(3)}
