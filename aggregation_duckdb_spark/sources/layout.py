@@ -176,14 +176,69 @@ def zvalue(a: Column, b: Column, a_range: tuple[int, int],
                       bin_col(b, *b_range, bits), bits)
 
 
-def numeric_bounds_nd(df: DataFrame, cols: list[str]) -> list[list]:
+def _dim_expr(col: str, kind: str | None) -> Column:
+    """The layout-dimension BINNING expression: numerics (and
+    timestamps — epoch seconds, monotonic and exact) cast to long;
+    dates via ``unix_date`` (a bare long cast of a date is null)."""
+    if kind == "date":
+        return F.unix_date(F.col(col)).cast("long")
+    return F.col(col).cast("long")
+
+
+def _dim_kinds(df: DataFrame, cols: list[str]) -> dict[str, str]:
+    """Layout dimensions needing a non-trivial long conversion, by
+    column dtype — recorded in the spec so readers/planners coerce
+    query bounds identically forever after."""
+    kinds = {}
+    for f in df.schema.fields:
+        if f.name in cols:
+            t = f.dataType.typeName()
+            if t.startswith("timestamp"):
+                kinds[f.name] = "timestamp"
+            elif t == "date":
+                kinds[f.name] = "date"
+    return kinds
+
+
+def _coerce_ranges(spark: SparkSession, spec: dict,
+                   ranges: dict) -> dict:
+    """Query bounds on timestamp/date layout dimensions, converted to
+    the PLANNER's integer domain BY SPARK ITSELF (one 1-row job) — the
+    same cast the write-side binning used, so session-timezone and
+    parsing semantics can never diverge between writer and planner.
+    Integer bounds pass through untouched; exactness never depends on
+    this (row filters keep the original values — coercion only shapes
+    the pruned-bucket superset)."""
+    kinds = spec.get("kinds", {})
+    exprs = []
+    for c, (lo, hi) in ranges.items():
+        k = kinds.get(c)
+        if k and not isinstance(lo, int):
+            tgt = "timestamp" if k == "timestamp" else "date"
+            for tag, v in (("lo", lo), ("hi", hi)):
+                e = F.lit(v).cast(tgt)
+                e = F.unix_date(e) if k == "date" else e.cast("long")
+                exprs.append(e.alias(f"{c}__{tag}"))
+    if not exprs:
+        return ranges
+    r = spark.range(1).select(*exprs).collect()[0]
+    out = dict(ranges)
+    for c in ranges:
+        if f"{c}__lo" in r.asDict():
+            out[c] = (int(r[f"{c}__lo"]), int(r[f"{c}__hi"]))
+    return out
+
+
+def numeric_bounds_nd(df: DataFrame, cols: list[str],
+                      kinds: dict[str, str] | None = None) -> list[list]:
     """Exact integer min/max of every layout dimension — one scalar
     aggregate (2k values collected: the sanctioned model-sized class).
     Returns ``[[col, lo, hi], ...]`` in ``cols`` order."""
+    kinds = kinds if kinds is not None else _dim_kinds(df, cols)
     aggs = []
     for c in cols:
-        aggs += [F.min(F.col(c).cast("long")).alias(f"lo__{c}"),
-                 F.max(F.col(c).cast("long")).alias(f"hi__{c}")]
+        e = _dim_expr(c, kinds.get(c))
+        aggs += [F.min(e).alias(f"lo__{c}"), F.max(e).alias(f"hi__{c}")]
     r = df.agg(*aggs).collect()[0]
     return [[c, r[f"lo__{c}"], r[f"hi__{c}"]] for c in cols]
 
@@ -212,10 +267,13 @@ def _respec_bounds(spec: dict, df: DataFrame) -> dict:
     """The same spec shape with bounds recomputed over ``df`` (full
     compaction's re-bin step)."""
     dims = _spec_dims(spec)
-    fresh = numeric_bounds_nd(df, [c for c, _, _ in dims])
+    fresh = numeric_bounds_nd(df, [c for c, _, _ in dims],
+                              spec.get("kinds", {}))
     base = {"bits": spec["bits"], "bucket_bits": spec["bucket_bits"]}
     if "check" in spec:   # constraints survive a full re-bin
         base["check"] = spec["check"]
+    if "kinds" in spec:   # dim conversions survive a re-bin too
+        base["kinds"] = spec["kinds"]
     if "dims" in spec:
         return {"dims": fresh, **base}
     (a_col, a_lo, a_hi), (b_col, b_lo, b_hi) = fresh
@@ -239,8 +297,10 @@ def _validate_check(df: DataFrame, spec: dict, op: str) -> None:
 
 def _zbucket_col(spec: dict) -> Column:
     dims = _spec_dims(spec)
+    kinds = spec.get("kinds", {})
     k = len(dims)
-    bins = [bin_col(F.col(c), lo, hi, spec["bits"]) for c, lo, hi in dims]
+    bins = [bin_col(_dim_expr(c, kinds.get(c)), lo, hi, spec["bits"])
+            for c, lo, hi in dims]
     z = interleave_nd(bins, spec["bits"])
     shift = 1 << (k * spec["bits"] - spec["bucket_bits"])
     return ((z - (z % F.lit(shift))) / F.lit(shift)).cast("long"), z
@@ -533,10 +593,15 @@ def write_zordered(df: DataFrame, path: str, a_col: str, b_col: str,
     violation count and commits nothing. Null checks count as
     violations (a CHECK must affirmatively hold). Returns the layout
     spec."""
+    kinds = _dim_kinds(df, [a_col, b_col])
     if bounds is None:
-        bounds = numeric_bounds(df, a_col, b_col)
+        (_, a_lo, a_hi), (_, b_lo, b_hi) = numeric_bounds_nd(
+            df, [a_col, b_col], kinds)
+        bounds = {"a_lo": a_lo, "a_hi": a_hi, "b_lo": b_lo, "b_hi": b_hi}
     spec = {"a_col": a_col, "b_col": b_col, "bits": bits,
             "bucket_bits": bucket_bits, **bounds}
+    if kinds:
+        spec["kinds"] = kinds
     if check is not None:
         spec["check"] = check
     return _write_table(df, path, spec, files_per_bucket, vacuum)
@@ -557,10 +622,13 @@ def write_zordered_nd(df: DataFrame, path: str, cols: list[str],
     spec is stored as a ``dims`` list — every other verb (append /
     compact / upsert / vacuum / zone-map reads) works on both shapes
     through the same normalization."""
+    kinds = _dim_kinds(df, cols)
     if bounds is None:
-        bounds = numeric_bounds_nd(df, cols)
+        bounds = numeric_bounds_nd(df, cols, kinds)
     spec = {"dims": [list(d) for d in bounds], "bits": bits,
             "bucket_bits": bucket_bits}
+    if kinds:
+        spec["kinds"] = kinds
     if check is not None:
         spec["check"] = check
     return _write_table(df, path, spec, files_per_bucket, vacuum)
@@ -851,7 +919,11 @@ def read_zordered_box_nd(spark: SparkSession, path: str,
     touch)."""
     if manifest is None:
         manifest = read_manifest(spark, path, version)
-    buckets = zbuckets_for_ranges(manifest["spec"], ranges)
+    # planning coerces timestamp/date bounds to the binning's integer
+    # domain; the row filters below keep the ORIGINAL values, so
+    # results never depend on the coercion (only the pruning superset)
+    planned = _coerce_ranges(spark, manifest["spec"], ranges)
+    buckets = zbuckets_for_ranges(manifest["spec"], planned)
     out = _read_live(spark, path, manifest, buckets)
     for c, (lo, hi) in ranges.items():
         out = out.where((F.col(c) >= lo) & (F.col(c) <= hi))

@@ -2360,3 +2360,66 @@ def test_bloom_multi_column_single_pass(spark, tmp_path):
     got3 = {x.payload for x in L.read_zordered_eq(
         spark, path, {"doc_key": r.doc_key, "owner": r.owner}).collect()}
     assert got3 == {1234}
+
+
+def test_zorder_timestamp_and_date_dimensions(spark, tmp_path, sf_dir):
+    """Time is THE canonical layout dimension at 100 TB: timestamp
+    (and date) columns are first-class Z-order dims — binning uses the
+    epoch-long conversion, the spec records the dim kind, planners
+    coerce datetime query bounds through Spark itself (writer and
+    planner can never disagree on timezone/parsing), and the exact row
+    filters keep the original values so results equal a plain filter
+    regardless."""
+    import datetime as _dt
+
+    from aggregation_duckdb_spark.sources import layout as L
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", "ts", "user_id", "value")
+          .withColumn("day", F.to_date("ts")))
+
+    # timestamp x numeric layout
+    path = str(tmp_path / "z_ts")
+    spec = L.write_zordered(ev, path, "ts", "user_id",
+                            bits=7, bucket_bits=4)
+    assert spec["kinds"] == {"ts": "timestamp"}
+    bounds = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    t0, t1 = bounds[0], bounds[1]
+    mid = t0 + (t1 - t0) / 2
+    lo, hi = t0 + (t1 - t0) / 8, mid
+    out = L.read_zordered_box_nd(spark, path,
+                                 {"ts": (lo, hi), "user_id": (10, 50)})
+    want = ev.where((F.col("ts") >= lo) & (F.col("ts") <= hi)
+                    & (F.col("user_id").between(10, 50)))
+    assert sorted(r.event_id for r in out.collect()) == \
+        sorted(r.event_id for r in want.collect()) and want.count() > 0
+    # the datetime box genuinely prunes buckets
+    planned = L._coerce_ranges(
+        spark, spec, {"ts": (lo, hi), "user_id": (10, 50)})
+    assert isinstance(planned["ts"][0], int)
+    kept = L.zbuckets_for_ranges(spec, planned)
+    assert 0 < len(kept) < 16
+
+    # mutations keep routing through the kind-aware binning
+    fresh = ev.where(F.col("event_id") % 97 == 0) \
+        .withColumn("value", F.lit(-5.0))
+    L.upsert_zordered(fresh, path, ["event_id"])
+    got = {r.event_id for r in L.read_zordered(spark, path)
+           .where(F.col("value") == -5.0).collect()}
+    assert got == {r.event_id for r in fresh.collect()}
+    # full re-bin preserves the kinds
+    spec2 = L.compact_zordered(spark, path, mode="full")
+    assert spec2["kinds"] == {"ts": "timestamp"}
+    assert L.read_zordered(spark, path).count() == ev.count()
+
+    # date x numeric layout (unix_date conversion; a bare long cast
+    # of a date is null — pinned by the bounds being real)
+    path2 = str(tmp_path / "z_date")
+    spec_d = L.write_zordered_nd(ev, path2, ["day", "user_id"],
+                                 bits=6, bucket_bits=4)
+    dd = dict((c, (l, h)) for c, l, h in spec_d["dims"])
+    assert spec_d["kinds"] == {"day": "date"} and dd["day"][0] > 0
+    d_lo = t0.date() + _dt.timedelta(days=2)
+    d_hi = d_lo + _dt.timedelta(days=3)
+    out_d = L.read_zordered_box_nd(spark, path2, {"day": (d_lo, d_hi)})
+    want_d = ev.where(F.col("day").between(d_lo, d_hi))
+    assert out_d.count() == want_d.count() > 0
