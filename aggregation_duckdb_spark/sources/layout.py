@@ -2205,11 +2205,13 @@ def delete_zordered_box(spark: SparkSession, path: str,
             "delete_zordered_box: outstanding delta batches or "
             "tombstones — run compact_zordered(path) first")
     spec = manifest["spec"]
-    candidates = [b for b in zbuckets_for_box(spec, a_lo, a_hi, b_lo, b_hi)
+    dims = _spec_dims(spec)
+    planned = _coerce_ranges(spark, spec, {dims[0][0]: (a_lo, a_hi),
+                                           dims[1][0]: (b_lo, b_hi)})
+    candidates = [b for b in zbuckets_for_ranges(spec, planned)
                   if str(b) in manifest["gens"]]
     if not candidates:
         return spec
-    dims = _spec_dims(spec)
     a, b = F.col(dims[0][0]), F.col(dims[1][0])
     old = read_zordered_box_dirs(spark, path, manifest, candidates) \
         .drop("zbucket")

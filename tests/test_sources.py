@@ -2423,3 +2423,12 @@ def test_zorder_timestamp_and_date_dimensions(spark, tmp_path, sf_dir):
     out_d = L.read_zordered_box_nd(spark, path2, {"day": (d_lo, d_hi)})
     want_d = ev.where(F.col("day").between(d_lo, d_hi))
     assert out_d.count() == want_d.count() > 0
+
+    # predicate DELETE over a datetime box (planner coerces, filter
+    # keeps the original values)
+    n_before = ev.count()
+    L.delete_zordered_box(spark, path, lo, hi, 10, 50)
+    left = L.read_zordered(spark, path)
+    assert left.count() == n_before - want.count()
+    assert left.where((F.col("ts") >= lo) & (F.col("ts") <= hi)
+                      & (F.col("user_id").between(10, 50))).count() == 0
