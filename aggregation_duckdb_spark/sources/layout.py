@@ -1847,6 +1847,36 @@ def clone_zordered(spark: SparkSession, src: str, dst: str,
             "cloned_from": manifest["cloned_from"]}
 
 
+def _clustered_rows(manifest: dict) -> int | None:
+    """Sum of the recorded per-bucket row counts — None when any live
+    generation predates the ``__rows`` stat (unknowable without IO)."""
+    counts = [manifest.get("stats", {}).get(k, {}).get("__rows")
+              for k in manifest["gens"]]
+    if any(c is None for c in counts):
+        return None
+    return int(sum(counts))
+
+
+def count_zordered(spark: SparkSession, path: str,
+                   version: int | None = None) -> int:
+    """Exact COUNT(*) from the manifest when the metadata can prove
+    it: every mutating verb records each bucket's row count in its
+    zone-map aggregate (``__rows``), so a clean snapshot's count is a
+    SUM over at most 2^bucket_bits integers — zero data IO, the
+    count-star pushdown every table format ships. Outstanding delta
+    batches add their (small, footer-counted) scans. Falls back to
+    the real read — still exact, never approximate — when outstanding
+    TOMBSTONES hide rows (the anti-join decides visibility, metadata
+    can't) or when a pre-``__rows`` generation has no recorded count."""
+    manifest = read_manifest(spark, path, version)
+    n = _clustered_rows(manifest)
+    if manifest.get("tombstones") or n is None:
+        return read_zordered(spark, path, manifest).count()
+    for d in manifest.get("deltas", []):
+        n += spark.read.parquet(fsio._join(path, DELTA_DIR, d)).count()
+    return int(n)
+
+
 def describe_zordered(spark: SparkSession, path: str) -> dict:
     """DESCRIBE DETAIL — one metadata-only report of the table's
     state: current version and op, the layout spec (dims, bits, CHECK),
@@ -1888,6 +1918,7 @@ def describe_zordered(spark: SparkSession, path: str) -> dict:
         "outstanding_deltas": len(m.get("deltas", [])),
         "outstanding_tombstones": len(m.get("tombstones", [])),
         "last_batch_id": m.get("last_batch_id"),
+        "clustered_rows": _clustered_rows(m),
         "history_versions": len(versions),
         "min_live_version": _min_live_version(spark, path),
         "local_data_files": n_files,
@@ -2111,17 +2142,21 @@ def _bucket_stats(df: DataFrame | None, spec: dict) -> dict:
         return {}
     zb = F.col("zbucket") if "zbucket" in df.columns \
         else _zbucket_col(spec)[0]
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [F.min(F.col(c)).alias(f"mn__{c}"),
                  F.max(F.col(c)).alias(f"mx__{c}")]
     out: dict = {}
     for r in (df.withColumn("__zb", zb)
                 .groupBy("__zb").agg(*aggs).collect()):
-        out[str(r["__zb"])] = {
-            c: [_ser_bound(r[f"mn__{c}"], True),
-                _ser_bound(r[f"mx__{c}"], False)]
-            for c in cols}
+        entry = {c: [_ser_bound(r[f"mn__{c}"], True),
+                     _ser_bound(r[f"mx__{c}"], False)]
+                 for c in cols}
+        # per-bucket row count rides the same aggregate: COUNT(*)
+        # pushdown (count_zordered) and DESCRIBE detail read it;
+        # zone-map pruning only ever looks up queried COLUMN keys
+        entry["__rows"] = int(r["__n"])
+        out[str(r["__zb"])] = entry
     return out
 
 

@@ -672,3 +672,39 @@ def test_mixture_order_no_single_task_sorts(spark, sf_dir):
     import re
     for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)", plan):
         assert "__shard" in m.group(1), m.group(0)
+
+
+def test_merge_and_clone_plan_shapes(spark, tmp_path):
+    """Plan pins for the round-11 verbs: a shallow clone's pruned box
+    read keeps live-(zbucket, gen) PartitionFilters while scanning the
+    SOURCE's directories (foreign root resolved, no data copied), and
+    a clone read after local divergence unions per-root scans without
+    any nested-loop join anywhere."""
+    from pyspark.sql import functions as F
+
+    from aggregation_duckdb_spark.plans.inspect import physical_plan
+    from aggregation_duckdb_spark.sources import layout as L
+
+    base = spark.range(0, 400).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        F.col("id").alias("payload"), (F.col("id") * 10).alias("val"))
+    src = str(tmp_path / "p_src")
+    dst = str(tmp_path / "p_dst")
+    L.write_zordered(base, src, "a", "b", bits=7, bucket_bits=4)
+    L.clone_zordered(spark, src, dst)
+
+    box = L.read_zordered_box(spark, dst, 10, 40, 5, 30)
+    plan = physical_plan(box, "formatted")
+    assert "PartitionFilters" in plan
+    assert "p_src/data" in plan          # foreign root, not a copy
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # diverge, then the read unions local + foreign scans
+    L.upsert_zordered(base.where(F.col("payload") < 5)
+                      .withColumn("val", F.lit(-1).cast("long")),
+                      dst, ["payload"])
+    full = L.read_zordered(spark, dst)
+    plan2 = physical_plan(full, "formatted")
+    assert "p_src/data" in plan2 and "p_dst/data" in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
+    assert full.count() == 400

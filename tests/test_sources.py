@@ -2432,3 +2432,42 @@ def test_zorder_timestamp_and_date_dimensions(spark, tmp_path, sf_dir):
     assert left.count() == n_before - want.count()
     assert left.where((F.col("ts") >= lo) & (F.col("ts") <= hi)
                       & (F.col("user_id").between(10, 50))).count() == 0
+
+
+def test_count_zordered_metadata_pushdown(spark, tmp_path):
+    """COUNT(*) from the manifest: every mutation records per-bucket
+    row counts in its zone-map aggregate, so a clean snapshot's count
+    is a metadata sum (zero data IO); deltas add footer counts;
+    tombstones and pre-__rows generations fall back to the real read —
+    exact in every state."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_count")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    assert L.count_zordered(spark, path) == 400
+    assert L.describe_zordered(spark, path)["clustered_rows"] == 400
+
+    L.append_zordered(base.where(F.col("payload") < 7), path)
+    assert L.count_zordered(spark, path) == 407
+    L.delete_zordered_keys(base.where(F.col("payload") < 3)
+                           .select("payload"), path, ["payload"])
+    assert L.count_zordered(spark, path) == 407 - 3 - 3  # both copies
+    L.compact_zordered(spark, path)
+    assert L.count_zordered(spark, path) == 401
+    assert L.read_zordered(spark, path).count() == 401
+
+    # a rewritten-bucket mutation keeps clean buckets' counts valid
+    L.upsert_zordered(base.where(F.col("payload") == 50)
+                      .withColumn("val", F.lit(-1).cast("long")),
+                      path, ["payload"])
+    assert L.count_zordered(spark, path) == 401
+
+    # legacy manifest without __rows: exact fallback
+    v, m = L._latest(spark, path)
+    legacy = dict(m)
+    legacy["stats"] = {k: {c: b for c, b in s.items() if c != "__rows"}
+                       for k, s in m["stats"].items()}
+    fsio.write_json_at(spark, L._manifest_path(path), legacy, v + 1)
+    assert L._clustered_rows(legacy) is None
+    assert L.count_zordered(spark, path) == 401
