@@ -55,10 +55,25 @@ def register(name: str, sql: str | None = None):
 # (unknown-generation mergeSchema rule). The other z-order entries
 # hold round-9/10 rows and are re-verified locally in the seal sweep.
 # Next stale cohort after this round: the 44 round-8-evidence entries
-# (schedule them for round 12, plus entries for this round's
-# pytest-pinned library verbs: merge_zordered, clone_zordered —
-# 44 + those + any round-12 changes must stay within the 50-slot
-# window). Exactly 50 names below.
+# — schedule them for round 12 together with q_zorder_merge and
+# q_zorder_clone (registered this round, locally PASS at sf0.001 and
+# sf0.01, awaiting their first driver rows); 44 + 2 leaves 4 slots
+# for round-12 changes. The r8 cohort, computed from
+# CORRECTNESS_r06..r11 newest-evidence: q_anti_join q_order_limit
+# q_set_ops q_scalar_functions q_date_functions q_percentiles
+# q_exists_correlated q_string_agg q_pivot_status
+# q3_shipping_priority q5_local_supplier_volume q10_returned_items
+# q7_volume_shipping q_unpivot q_collections q_null_safety
+# q_io_roundtrip q14_promo_effect q_window_frames q_bucketed_join
+# q4_order_priority q6_revenue_forecast q9_profit_by_nation
+# q12_priority_class q13_customer_distribution q16_supplier_counts
+# q19_disjunctive_revenue q22_dormant_customers q2_min_cost_supplier
+# q8_market_share q11_important_parts q15_top_supplier
+# q17_small_qty_revenue q20_promo_suppliers events_topk_paths
+# text_normalize text_bm25_search text_bm25_indexed
+# text_bm25_stopterm pipeline_mixture_order events_attribution
+# stream_attribution sim_pq_indexed events_rfm.
+# Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
     # newest driver evidence = round 6 (all 45):
     "dedup_minhash_lsh", "dedup_jaccard_pairs", "dedup_near_duplicates",

@@ -4339,6 +4339,105 @@ def q_zorder_bloom_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+@register("q_zorder_merge", """
+WITH base AS (
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+           event_type
+    FROM events)
+SELECT event_id, user_id, value,
+       CASE WHEN event_id % 11 = 0 AND value >= 100 THEN 'merged'
+            ELSE event_type END AS event_type
+FROM base
+WHERE NOT (event_id % 11 = 0 AND value < 100)
+UNION ALL
+SELECT event_id + 1000000000, user_id, value, 'inserted'
+FROM base
+WHERE event_id % 13 = 0 AND value >= 50
+ORDER BY event_id
+""")
+def q_zorder_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE INTO (``layout.merge_zordered`` — the full
+    Delta clause shape): matched keys (every 11th event) DELETE when
+    the target's value < 100 and otherwise UPDATE event_type, while
+    unmatched clone keys (every 13th, +1e9) INSERT only when the
+    source's value >= 50 — all in one bucket-bounded commit. The full
+    read must equal the oracle's clause-by-clause reconstruction.
+    Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", F.col("user_id").cast("long")
+                  .alias("user_id"), "value", "event_type"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zmerge",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev, base, "user_id", "value",
+                         bits=8, bucket_bits=4)
+        matched = ev.where(F.col("event_id") % 11 == 0)
+        clones = (ev.where(F.col("event_id") % 13 == 0)
+                  .select((F.col("event_id") + 1_000_000_000)
+                          .alias("event_id"), "user_id", "value",
+                          F.lit("inserted").alias("event_type")))
+        L.merge_zordered(
+            matched.unionByName(clones), base, ["event_id"],
+            when_matched_update={"event_type": "'merged'"},
+            when_matched_delete="t.value < 100",
+            when_not_matched_insert=True,
+            insert_condition="s.value >= 50")
+    out = L.read_zordered(spark, base)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value", "event_type")
+            .orderBy("event_id"))
+
+
+@register("q_zorder_clone", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+       CASE WHEN event_id % 7 = 0 THEN 'cloned'
+            ELSE event_type END AS event_type
+FROM events
+ORDER BY event_id
+""")
+def q_zorder_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (``layout.clone_zordered``): the clone is created
+    by one metadata commit referencing the source's generation
+    directories (zero data copied), then an upsert mutates only the
+    CLONE (every 7th event's type) — the clone's full read spans
+    foreign (source-root) and local (diverged) generations and must
+    equal the oracle's mutated view, while the source table stays
+    bit-identical to plain events (pinned in pytest; the driver row
+    pins the clone side). Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", F.col("user_id").cast("long")
+                  .alias("user_id"), "value", "event_type"))
+    root = os.path.join(tempfile.gettempdir(), "spark-graft-zclone",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    src, dst = os.path.join(root, "src"), os.path.join(root, "dst")
+    if not L.table_exists(spark, dst):
+        L.write_zordered(ev, src, "user_id", "value",
+                         bits=8, bucket_bits=4)
+        L.clone_zordered(spark, src, dst)
+        L.upsert_zordered(
+            ev.where(F.col("event_id") % 7 == 0)
+            .withColumn("event_type", F.lit("cloned")),
+            dst, ["event_id"])
+    out = L.read_zordered(spark, dst)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value", "event_type")
+            .orderBy("event_id"))
+
+
 def _pq_exact_oracle(k: int = 10, shortlist: int = 200, m: int = 8,
                      kc: int = 16, dim: int = 64, n_q: int = 5) -> str:
     """Full PQ search reproduced in DuckDB — the sim_ivf_topk_exact

@@ -141,6 +141,8 @@ EXTENDED = [
     "q_zorder_restore",
     "q_zorder_diff",
     "stream_change_feed",
+    "q_zorder_merge",
+    "q_zorder_clone",
 ]
 
 # Entries that build a DURABLE artifact (z-ordered table, ANN/BM25/
@@ -160,7 +162,7 @@ DURABLE = {
     "sim_pq_indexed_exact", "text_bm25_indexed",
     "dedup_incremental_indexed",
     "q_zorder_bloom_eq", "q_zorder_restore", "q_zorder_diff",
-    "stream_change_feed",
+    "stream_change_feed", "q_zorder_merge", "q_zorder_clone",
 }
 
 
