@@ -129,6 +129,7 @@ MANIFEST_DIR = "_manifest"
 DATA_DIR = "data"
 DELTA_DIR = "_delta"
 TOMBSTONE_DIR = "_tombstones"
+CHANGES_DIR = "_changes"
 
 
 def bin_col(c: Column, lo: int, hi: int, bits: int) -> Column:
@@ -473,6 +474,7 @@ def _rebase_bucket_rewrite(latest: dict, base: dict, touched,
             latest.get("tombstones", []) != base.get("tombstones", []):
         _conflict(op, latest, "changed the outstanding tombstone set")
     out = dict(latest)
+    out.pop("change_file", None)   # per-commit field, never inherited
     gens, stats = dict(lg), dict(latest.get("stats", {}))
     for k in touched:
         stats.pop(str(k), None)
@@ -994,6 +996,7 @@ def append_zordered(df: DataFrame, path: str,
                 _conflict("append_zordered", m,
                           f"tightened the CHECK constraint ({e})")
         out = dict(m)
+        out.pop("change_file", None)   # per-commit, never inherited
         out["deltas"] = list(m.get("deltas", [])) + [name]
         if batch_id is not None:
             out["last_batch_id"] = int(batch_id)
@@ -1040,6 +1043,7 @@ def delete_zordered_keys(keys_df: DataFrame, path: str,
                       f"left outstanding tombstones keyed {prior}, "
                       f"this delete uses {list(key_cols)}")
         out = dict(m)
+        out.pop("change_file", None)   # per-commit, never inherited
         out["tombstones"] = list(m.get("tombstones", [])) + [name]
         out["tombstone_key"] = list(key_cols)
         return out
@@ -1237,7 +1241,8 @@ def read_zordered_box_with_delta(spark: SparkSession, path: str,
 
 def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
                     files_per_bucket: int = 1,
-                    vacuum: bool = True) -> dict:
+                    vacuum: bool = True,
+                    emit_changes: bool = False) -> dict:
     """MERGE INTO the Z-clustered table: rows of ``df`` REPLACE
     same-key rows and new keys INSERT, touching only the buckets the
     upsert lands in — the lakehouse merge shape on the manifest
@@ -1264,7 +1269,14 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
     rows are visible immediately, other tombstoned keys stay hidden —
     and the dirtied buckets' rewrite physically folds their tombstone
     victims for free. Tombstones keyed DIFFERENTLY still raise (the
-    key anti-join cannot express them; compact first)."""
+    key anti-join cannot express them; compact first).
+
+    ``emit_changes=True`` additionally stores the commit's exact
+    change rows (insert / update pre+post images, classified against
+    the VISIBLE old rows) under ``_changes/`` and records the name in
+    the manifest — the Delta Change-Data-Feed write path: the change
+    feed then reads them directly instead of diffing snapshot
+    endpoints, with no retention requirement."""
     spark = df.sparkSession
     base_v, manifest = _latest(spark, path)
     if manifest.get("deltas"):
@@ -1299,6 +1311,17 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
             remaining.write.mode("errorifexists").parquet(
                 fsio._join(path, TOMBSTONE_DIR, remaining_name))
     merged = keep.unionByName(df, allowMissingColumns=True)
+    change_name = None
+    if emit_changes:
+        # writer-side CDF: classify against the VISIBLE old rows (a
+        # physically-present tombstoned key was already deleted, so
+        # its re-insert is an insert) — one bounded pass over the
+        # dirtied buckets, stored before the commit that references it
+        visible_old = old if not old_tombs else old.join(
+            F.broadcast(_tombstone_keys(spark, path, manifest)),
+            key_cols, "left_anti")
+        change_name = _write_change_file(
+            _classify_diff(visible_old, merged, key_cols), path)
     gen = _new_gen()
     _write_clustered(merged, fsio._join(path, DATA_DIR), spec, gen,
                      files_per_bucket)
@@ -1314,6 +1337,8 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
         if remaining_name is not None:
             out["tombstones"] = [remaining_name]
             out["tombstone_key"] = list(key_cols)
+        if emit_changes:
+            out["change_file"] = change_name
         return out
 
     new_manifest = rebase(manifest)
@@ -1333,7 +1358,8 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
                    when_not_matched_insert: bool = True,
                    insert_condition: str | None = None,
                    files_per_bucket: int = 1,
-                   vacuum: bool = True) -> dict:
+                   vacuum: bool = True,
+                   emit_changes: bool = False) -> dict:
     """Conditional MERGE INTO — the full Delta ``MERGE`` clause shape
     on the manifest layout (``WHEN MATCHED [AND cond] THEN UPDATE SET
     ... / DELETE``, ``WHEN NOT MATCHED [AND cond] THEN INSERT *``),
@@ -1446,6 +1472,10 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
 
     merged = kept if ins is None \
         else kept.unionByName(ins, allowMissingColumns=True)
+    change_name = None
+    if emit_changes:
+        change_name = _write_change_file(
+            _classify_diff(old, merged, key_cols), path)
     gen = _new_gen()
     _write_clustered(merged, fsio._join(path, DATA_DIR), spec, gen,
                      files_per_bucket)
@@ -1453,9 +1483,12 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
     survivors = set(wb)
 
     def rebase(latest: dict) -> dict:
-        return _rebase_bucket_rewrite(
+        out = _rebase_bucket_rewrite(
             latest, manifest, dirtied, survivors, gen, new_stats,
             "merge", gen_cols=new_cols)
+        if emit_changes:
+            out["change_file"] = change_name
+        return out
 
     v, final = _commit(spark, path, rebase(manifest), "merge", base_v,
                        rebase=rebase)
@@ -1731,6 +1764,17 @@ def diff_zordered(spark: SparkSession, path: str, v_from: int,
     # endpoints may straddle a schema evolution: align with nulls, so
     # an added column reads as NULL -> value (an update) rather than
     # breaking the projection
+    return _classify_diff(old, new, key_cols)
+
+
+def _classify_diff(old: DataFrame, new: DataFrame,
+                   key_cols: list[str]) -> DataFrame:
+    """The change-classification core shared by :func:`diff_zordered`
+    (snapshot endpoints) and the writer-side change emission
+    (bounded dirtied-bucket frames): keyed full-outer comparison over
+    schema-aligned frames, updates detected via a null-safe JSON
+    fingerprint of the non-key struct — one definition, so stored
+    change files and reconstructed diffs can never disagree."""
     for c, t in ((f.name, f.dataType) for f in new.schema.fields):
         if c not in old.columns:
             old = old.withColumn(c, F.lit(None).cast(t))
@@ -1765,6 +1809,25 @@ def diff_zordered(spark: SparkSession, path: str, v_from: int,
         .unionByName(post)
 
 
+def _write_change_file(changes: DataFrame, path: str) -> str | None:
+    """Persist a commit's change rows under ``_changes/`` and return
+    the directory name the committing manifest records as
+    ``change_file`` — the Delta CDF write path: the feed then reads
+    the stored rows instead of diffing snapshot endpoints (O(changes),
+    and independent of whether the endpoints stay retained). The dir
+    is unreferenced until its manifest commit lands (the usual
+    crash-orphan class). An empty change set stores nothing and
+    records ``change_file: None`` — still an explicit marker that the
+    commit's changes are KNOWN (the feed emits nothing rather than
+    falling back to a diff)."""
+    if not changes.limit(1).count():
+        return None
+    name = f"c-{uuid.uuid4().hex}"
+    changes.write.mode("errorifexists").parquet(
+        fsio._join(path, CHANGES_DIR, name))
+    return name
+
+
 def restore_zordered(spark: SparkSession, path: str,
                      version: int) -> dict:
     """RESTORE the table to an earlier snapshot as a NEW forward
@@ -1786,7 +1849,10 @@ def restore_zordered(spark: SparkSession, path: str,
     vacuum keeps them, and later mutations build on them normally."""
     target = read_manifest(spark, path, version)  # raises if vacuumed
     base_v, _ = _latest(spark, path)
-    manifest = {k: v for k, v in target.items() if k != "op"}
+    # op and change_file are PER-COMMIT fields: the restore commit's
+    # changes are not the target commit's
+    manifest = {k: v for k, v in target.items()
+                if k not in ("op", "change_file")}
     manifest["restored_from"] = int(version)
     v, _final = _commit(spark, path, manifest, "restore", base_v,
                         rebase=lambda latest: manifest)
@@ -1994,6 +2060,12 @@ def vacuum_zordered(spark: SparkSession, path: str,
         if t not in live_tombs and _old_enough(full):
             fsio.delete(spark, full)
             deleted_tombstones += 1
+    # stored change files (writer-side CDF) of pruned commits
+    live_changes = {m.get("change_file") for m in manifests} - {None}
+    for c in fsio.list_names(spark, fsio._join(path, CHANGES_DIR)):
+        full = fsio._join(path, CHANGES_DIR, c)
+        if c not in live_changes and _old_enough(full):
+            fsio.delete(spark, full)
     # Bloom sidecar shards: keep the newest meta's parquet shard,
     # reclaim superseded b-* dirs (rebuilds) and older metas. The
     # retention window applies — a builder writes its shard BEFORE its
@@ -2219,7 +2291,8 @@ def read_zordered_where(spark: SparkSession, path: str, ranges: dict,
 def delete_zordered_box(spark: SparkSession, path: str,
                         a_lo: int, a_hi: int, b_lo: int, b_hi: int,
                         files_per_bucket: int = 1,
-                        vacuum: bool = True) -> dict:
+                        vacuum: bool = True,
+                        emit_changes: bool = False) -> dict:
     """DELETE every row inside a 2-D layout-dimension box — the last
     CRUD verb on the layered table, and deliberately PREDICATE-scoped
     to the layout dims: the box planner bounds exactly which buckets
@@ -2250,8 +2323,13 @@ def delete_zordered_box(spark: SparkSession, path: str,
     a, b = F.col(dims[0][0]), F.col(dims[1][0])
     old = read_zordered_box_dirs(spark, path, manifest, candidates) \
         .drop("zbucket")
-    keep = old.where(~((a >= a_lo) & (a <= a_hi)
-                       & (b >= b_lo) & (b <= b_hi)))
+    in_box = ((a >= a_lo) & (a <= a_hi) & (b >= b_lo) & (b <= b_hi))
+    keep = old.where(~in_box)
+    change_name = None
+    if emit_changes:
+        change_name = _write_change_file(
+            old.where(in_box).withColumn("_change_type",
+                                         F.lit("delete")), path)
     gen = _new_gen()
     _write_clustered(keep, fsio._join(path, DATA_DIR), spec, gen,
                      files_per_bucket)
@@ -2261,9 +2339,12 @@ def delete_zordered_box(spark: SparkSession, path: str,
     def rebase(latest: dict) -> dict:
         # a bucket emptied by the delete drops out of the manifest
         # outright (candidates not in survivors)
-        return _rebase_bucket_rewrite(
+        out = _rebase_bucket_rewrite(
             latest, manifest, candidates, survivors, gen, new_stats,
             "delete_box", gen_cols=new_cols)
+        if emit_changes:
+            out["change_file"] = change_name
+        return out
 
     new_manifest = rebase(manifest)
     v, final = _commit(spark, path, new_manifest, "delete_box", base_v,

@@ -55,15 +55,39 @@ def _commit_changes(spark: SparkSession, table_path: str, version: int,
     """
     from aggregation_duckdb_spark import fsio
     from aggregation_duckdb_spark.sources import layout as L
-    m_v = L.read_manifest(spark, table_path, version)
+    # raw manifest reads (no min-live guard): this function needs the
+    # commit's METADATA; the paths that actually read snapshot data
+    # (v1 inserts, delete preimages, the diff fallback) enforce the
+    # retention guard themselves via read_zordered/diff_zordered
+    m_v = L._read_manifest_version(spark, table_path, version)
+    if m_v is None:
+        raise FileNotFoundError(
+            f"change feed needs manifest version {version} of "
+            f"{table_path}, but it was pruned — retain history while "
+            f"a feed is live")
     op = m_v.get("op")
     if version == 1:
         return (L.read_zordered(spark, table_path, version=1)
                 .drop("zbucket")
                 .withColumn("_change_type", F.lit("insert")))
+    if "change_file" in m_v:
+        # writer-side CDF (emit_changes=True): the commit stored its
+        # exact change rows — read them back, no endpoint scans at
+        # all, and no retention requirement on the endpoints. A null
+        # marker means the commit PROVED it changed nothing.
+        name = m_v["change_file"]
+        if name is None:
+            return None
+        return spark.read.parquet(
+            fsio._join(table_path, L.CHANGES_DIR, name))
     if op in ("compact_incremental", "compact_full", "optimize"):
         return None
-    m_prev = L.read_manifest(spark, table_path, version - 1)
+    m_prev = L._read_manifest_version(spark, table_path, version - 1)
+    if m_prev is None:
+        raise FileNotFoundError(
+            f"change feed needs manifest version {version - 1} of "
+            f"{table_path}, but it was pruned — retain history while "
+            f"a feed is live (or emit_changes=True on mutations)")
     if op == "append":
         new = [d for d in m_v.get("deltas", [])
                if d not in m_prev.get("deltas", [])]

@@ -865,3 +865,73 @@ def test_change_feed_per_op_derivation(spark, tmp_path):
             L.diff_zordered(spark, path, 3, 4,
                             key_cols=["payload"]).collect()}
     assert v4 == want == {(p, p * 10, "delete") for p in range(3)}
+
+
+def test_change_feed_reads_writer_side_change_files(spark, tmp_path):
+    """Writer-side CDF (emit_changes=True): mutations store their
+    exact change rows in the same commit; the feed reads them back
+    with ZERO endpoint scans and NO retention requirement — the
+    mutated table here vacuums eagerly (old snapshots unreadable), yet
+    the feed reproduces exactly the diffs a retention-keeping twin
+    yields; a provably-empty change set is an explicit null marker
+    (feed emits nothing); the per-commit field never leaks into later
+    commits' manifests."""
+    import pytest as _pytest
+
+    from aggregation_duckdb_spark.sources import layout as L
+    from aggregation_duckdb_spark.streaming import (read_change_feed,
+                                                    run_change_feed)
+
+    base = spark.range(0, 300).select(
+        (F.col("id") % 31).alias("a"), ((F.col("id") * 7) % 23).alias("b"),
+        F.col("id").alias("payload"), (F.col("id") * 10).alias("val"))
+    t1, t2 = str(tmp_path / "z_cdf_w"), str(tmp_path / "z_cdf_ref")
+    ups = base.where(F.col("payload") % 10 == 0) \
+        .withColumn("val", F.lit(-1).cast("long"))
+    for p in (t1, t2):
+        L.write_zordered(base, p, "a", "b", bits=6, bucket_bits=3)  # v1
+    L.upsert_zordered(ups, t1, ["payload"], emit_changes=True)      # v2
+    L.merge_zordered(base.where(F.col("payload") < 20), t1,
+                     ["payload"], when_matched_delete="t.val >= 100",
+                     when_not_matched_insert=False,
+                     emit_changes=True)                             # v3
+    L.upsert_zordered(ups, t2, ["payload"], vacuum=False)
+    L.merge_zordered(base.where(F.col("payload") < 20), t2,
+                     ["payload"], when_matched_delete="t.val >= 100",
+                     when_not_matched_insert=False, vacuum=False)
+
+    # eager vacuum made t1's old snapshots unreadable — diffs would be
+    # impossible; the stored change rows carry the feed anyway
+    with _pytest.raises(Exception):
+        L.read_zordered(spark, t1, version=1).collect()
+    sink = str(tmp_path / "sink")
+    run_change_feed(spark, t1, sink, str(tmp_path / "ckpt"),
+                    key_cols=["payload"], starting_version=2)
+    feed = read_change_feed(spark, sink)
+    for v in (2, 3):
+        got = {(r.payload, r.val, r._change_type) for r in
+               feed.where(F.col("_commit_version") == v).collect()}
+        want = {(r.payload, r.val, r._change_type) for r in
+                L.diff_zordered(spark, t2, v - 1, v,
+                                key_cols=["payload"]).collect()}
+        assert got == want and got, v
+
+    # an IDENTICAL upsert changes nothing: explicit null marker, no
+    # partition, and the next commit does not inherit the field
+    after = L.read_zordered(spark, t1).select("a", "b", "payload",
+                                              "val")
+    L.upsert_zordered(after.where(F.col("payload") % 50 == 1), t1,
+                      ["payload"], emit_changes=True)               # v4
+    m4 = L.read_manifest(spark, t1, 4)
+    assert "change_file" in m4 and m4["change_file"] is None
+    L.append_zordered(base.where(F.col("payload") == 299)
+                      .withColumn("payload", F.lit(5000).cast("long")),
+                      t1)                                           # v5
+    assert "change_file" not in L.read_manifest(spark, t1, 5)
+    run_change_feed(spark, t1, sink, str(tmp_path / "ckpt"),
+                    key_cols=["payload"])
+    feed2 = read_change_feed(spark, sink)
+    assert feed2.where(F.col("_commit_version") == 4).count() == 0
+    assert {r.payload for r in
+            feed2.where(F.col("_commit_version") == 5).collect()} \
+        == {5000}
