@@ -72,7 +72,7 @@ Concurrency contract by verb pair (pytest-pinned where marked *):
   re-validated against it and merges iff it still passes*.
 - ``delete_keys`` vs append/delete_keys/compact: merges* (tombstone
   batch re-appended; key compatibility re-checked against latest).
-- bucket rewrites (``compact``/``upsert``/``optimize``/
+- bucket rewrites (``compact``/``upsert``/``merge``/``optimize``/
   ``delete_box``) vs a concurrent commit: merge iff the spec, the
   touched buckets' generations, and every folded delta/tombstone
   batch are untouched in latest* (disjoint-bucket upserts both
@@ -1941,6 +1941,34 @@ def count_zordered(spark: SparkSession, path: str,
     for d in manifest.get("deltas", []):
         n += spark.read.parquet(fsio._join(path, DELTA_DIR, d)).count()
     return int(n)
+
+
+def maintain_zordered(spark: SparkSession, path: str,
+                      max_deltas: int = 8,
+                      files_per_bucket: int = 1,
+                      min_files: int | None = None,
+                      vacuum: bool = True) -> dict:
+    """One-call table maintenance policy — what a scheduled job runs
+    against every table (the auto-OPTIMIZE shape): fold outstanding
+    delta/tombstone batches once they pile past ``max_deltas`` (an
+    incremental compaction — dirtied buckets only), then bin-pack any
+    bucket fragmented past the file target. Metadata decides both
+    steps; a healthy table costs two metadata reads and does nothing.
+    Returns what ran: {"compacted", "optimized"}."""
+    _, manifest = _latest(spark, path)
+    n_pending = len(manifest.get("deltas", [])) \
+        + len(manifest.get("tombstones", []))
+    compacted = False
+    if n_pending > max_deltas:
+        compact_zordered(spark, path, files_per_bucket=files_per_bucket,
+                         vacuum=vacuum)
+        compacted = True
+    opt = optimize_zordered(spark, path,
+                            files_per_bucket=files_per_bucket,
+                            min_files=min_files, vacuum=vacuum) \
+        if compacted or n_pending == 0 else {"buckets_rewritten": 0}
+    return {"compacted": compacted,
+            "optimized": opt["buckets_rewritten"]}
 
 
 def describe_zordered(spark: SparkSession, path: str) -> dict:

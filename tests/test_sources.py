@@ -2471,3 +2471,31 @@ def test_count_zordered_metadata_pushdown(spark, tmp_path):
     fsio.write_json_at(spark, L._manifest_path(path), legacy, v + 1)
     assert L._clustered_rows(legacy) is None
     assert L.count_zordered(spark, path) == 401
+
+
+def test_maintain_zordered_policy(spark, tmp_path):
+    """maintain_zordered: a healthy table is a metadata no-op; piled
+    deltas past the threshold trigger ONE incremental fold; a bucket
+    fragmented past the file target gets bin-packed afterwards."""
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_maint")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    out = L.maintain_zordered(spark, path)
+    assert out == {"compacted": False, "optimized": 0}
+
+    for i in range(3):   # below threshold: folding deferred
+        L.append_zordered(spark.createDataFrame(
+            [(1, 1, 9000 + i, i)],
+            "a long, b long, payload long, val long"), path)
+    assert L.maintain_zordered(spark, path, max_deltas=8) \
+        == {"compacted": False, "optimized": 0}
+    for i in range(6):
+        L.append_zordered(spark.createDataFrame(
+            [(1, 1, 9100 + i, i)],
+            "a long, b long, payload long, val long"), path)
+    out = L.maintain_zordered(spark, path, max_deltas=8)
+    assert out["compacted"] is True
+    m = L.read_manifest(spark, path)
+    assert not m.get("deltas")
+    assert L.count_zordered(spark, path) == 409
