@@ -180,6 +180,16 @@ ENTRIES = {
         "the restored manifest's live-(zbucket, gen) PartitionFilters; "
         "restoring moved METADATA only, so no rewritten data appears "
         "anywhere in the plan"),
+    "q_zorder_merge": (
+        "a read after conditional MERGE is an ordinary pruned snapshot "
+        "scan — the clause evaluation happened once at write time over "
+        "only the source-touched buckets; no merge machinery, no "
+        "nested loop, survives in any read plan"),
+    "q_zorder_clone": (
+        "the mutated shallow clone's read unions per-root scans — "
+        "foreign (source-root) generations and local diverged ones, "
+        "each with live-(zbucket, gen) PartitionFilters under its own "
+        "basePath; zero copied data anywhere"),
 }
 
 
