@@ -2499,3 +2499,84 @@ def test_maintain_zordered_policy(spark, tmp_path):
     m = L.read_manifest(spark, path)
     assert not m.get("deltas")
     assert L.count_zordered(spark, path) == 409
+
+
+def test_zbucket_planner_superset_property():
+    """Property pin (pure Python, hypothesis): for ANY spec shape and
+    ANY query box, every point matching the box lands in a bucket the
+    planner kept — the superset invariant every pruned read's
+    exactness rests on, including CLAMPED out-of-bounds points (they
+    land in edge buckets the planner must also probe)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    def py_bucket(point, dims, bits, bucket_bits):
+        k = len(dims)
+        bins = [L._to_bin(v, lo, hi, bits)
+                for v, (_, lo, hi) in zip(point, dims)]
+        z = 0
+        for i in range(bits):
+            for d in range(k):
+                z |= ((bins[d] >> i) & 1) << (i * k + d)
+        return z >> (k * bits - bucket_bits)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def prop(data):
+        k = data.draw(st.integers(2, 3))
+        bits = data.draw(st.integers(2, 7))
+        bucket_bits = data.draw(st.integers(1, min(6, k * bits - 1)))
+        dims = []
+        for d in range(k):
+            lo = data.draw(st.integers(-1000, 1000))
+            hi = data.draw(st.integers(lo, lo + 2000))
+            dims.append((f"c{d}", lo, hi))
+        spec = {"dims": [list(t) for t in dims], "bits": bits,
+                "bucket_bits": bucket_bits}
+        ranges = {}
+        for c, lo, hi in dims:
+            if data.draw(st.booleans()):
+                qlo = data.draw(st.integers(lo - 300, hi + 300))
+                qhi = data.draw(st.integers(qlo, hi + 300))
+                ranges[c] = (qlo, qhi)
+        kept = set(L.zbuckets_for_ranges(spec, ranges))
+        # sample points inside the box (post-clamp membership checked
+        # against the ORIGINAL predicate, like the read's row filter)
+        for _ in range(5):
+            pt = []
+            for c, lo, hi in dims:
+                qlo, qhi = ranges.get(c, (lo, hi))
+                pt.append(data.draw(st.integers(qlo, qhi)))
+            assert py_bucket(pt, dims, bits, bucket_bits) in kept, \
+                (pt, spec, ranges)
+
+    prop()
+
+
+def test_bloom_builder_prober_parity_property():
+    """Property pin: the pure-Python prober computes exactly the
+    builder expression's bit positions for ANY m (not only powers of
+    two) and any value — the invariant the no-false-negatives
+    contract rests on. The Spark expression was pinned equal to the
+    Python form at prime m in test_bloom_index_non_power_of_two_m;
+    here hypothesis sweeps the Python form's arithmetic domain."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(min_size=0, max_size=40) | st.integers(),
+           st.integers(8, 1 << 20), st.integers(1, 8))
+    def prop(value, m, k):
+        pos = L._bloom_pos_py(value, m, k)
+        assert len(pos) == k and all(0 <= p < m for p in pos)
+        # deterministic and decomposable as h1 + i*h2 mod m
+        import hashlib
+        h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+        h1, h2 = int(h[0:15], 16), int(h[16:31], 16) * 2 + 1
+        assert pos == [(h1 + i * h2) % m for i in range(k)]
+
+    prop()
