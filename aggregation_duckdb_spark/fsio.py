@@ -276,6 +276,34 @@ def size_of(spark, path: str) -> int:
     return int(fs.getFileStatus(jpath).getLen())
 
 
+def list_files_recursive(spark, path: str) -> list[tuple[str, int]]:
+    """Every file under ``path`` as ``(path, size)`` in ONE recursive
+    listing ([] if the root doesn't exist) — ``FileSystem.listFiles``
+    with ``recursive=True``, which object stores implement as a flat
+    LIST instead of a per-file getFileStatus round trip; the metadata
+    cost of a DESCRIBE-style walk stays O(list pages), not O(files)
+    RPCs."""
+    if _gateway(spark) is None:
+        local = _local_path(path)
+        if not os.path.isdir(local):
+            return []
+        out = []
+        for root, _, names in os.walk(local):
+            for n in names:
+                p = os.path.join(root, n)
+                out.append((p, os.path.getsize(p)))
+        return sorted(out)
+    fs, jpath, _ = _fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    it = fs.listFiles(jpath, True)
+    out = []
+    while it.hasNext():
+        st = it.next()
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return sorted(out)
+
+
 def modified_ms(spark, path: str) -> int:
     """Last-modification time of a path in epoch milliseconds (0 if it
     doesn't exist) — what vacuum's retention window compares against."""

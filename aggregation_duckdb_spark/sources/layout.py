@@ -212,21 +212,36 @@ def _coerce_ranges(spark: SparkSession, spec: dict,
     the pruned-bucket superset)."""
     kinds = spec.get("kinds", {})
     exprs = []
+    originals: dict[str, tuple] = {}
     for c, (lo, hi) in ranges.items():
         k = kinds.get(c)
-        if k and not isinstance(lo, int):
+        if k and not (isinstance(lo, int) and isinstance(hi, int)):
             tgt = "timestamp" if k == "timestamp" else "date"
+            originals[c] = (lo, hi)
             for tag, v in (("lo", lo), ("hi", hi)):
-                e = F.lit(v).cast(tgt)
-                e = F.unix_date(e) if k == "date" else e.cast("long")
+                if isinstance(v, int):
+                    # an already-integer endpoint of a mixed range is
+                    # in the planner domain; pass it through unchanged
+                    e = F.lit(v).cast("long")
+                else:
+                    e = F.lit(v).cast(tgt)
+                    e = F.unix_date(e) if k == "date" else e.cast("long")
                 exprs.append(e.alias(f"{c}__{tag}"))
     if not exprs:
         return ranges
     r = spark.range(1).select(*exprs).collect()[0]
     out = dict(ranges)
-    for c in ranges:
-        if f"{c}__lo" in r.asDict():
-            out[c] = (int(r[f"{c}__lo"]), int(r[f"{c}__hi"]))
+    for c, (olo, ohi) in originals.items():
+        vals = r[f"{c}__lo"], r[f"{c}__hi"]
+        for got, tag, orig in zip(vals, ("lo", "hi"), (olo, ohi)):
+            # a malformed literal casts to NULL, not to an error —
+            # surface it as the named bound, never a bare TypeError
+            if got is None:
+                raise ValueError(
+                    f"_coerce_ranges: {tag} bound {orig!r} of layout "
+                    f"dimension {c!r} does not parse as a "
+                    f"{kinds.get(c)}")
+        out[c] = (int(vals[0]), int(vals[1]))
     return out
 
 
@@ -1386,16 +1401,37 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
     - updates may not SET a key or layout-dimension column (raises —
       a moved row belongs to another bucket; delete+insert instead);
     - source keys must be unique (multiple matches per target row
-      raise, Delta's multiple-source-rows-matched error);
-    - no outstanding deltas or tombstones (compact first; upsert's
-      tombstone composition covers the replace case — the general
-      expression case refuses rather than guessing).
+      raise, Delta's multiple-source-rows-matched error). Null key
+      values match NULL-SAFELY on every clause path: a null-key
+      source row that matched a null-key target row fires its matched
+      clause and is NOT also inserted (the anti-join uses the same
+      eqNullSafe predicate as the match).
 
-    Only the buckets the source touches are rewritten; the commit is
-    the usual atomic manifest flip with bucket-rewrite rebase on
-    collision. CHECK constraints validate the updated and inserted
-    rows before anything is written. Cost tracks the dirtied-bucket
-    fraction, never table size. Reference lifecycle shape:
+    COMPOSES over outstanding delta batches and key tombstones —
+    Delta's MERGE works on any table state, so does this one (no
+    manual compact required; the GDPR-delete → conditional-merge
+    sequence is one call):
+    - delta batches are folded in the SAME commit (their rows join
+      the matched-row search as live rows, route into their buckets,
+      and the batch list clears — an implicit incremental compaction
+      riding the rewrite that was happening anyway);
+    - tombstoned keys are invisible to the match (so a tombstoned
+      key in the source takes the NOT MATCHED path), their physical
+      victims in dirtied buckets fold away for free, and keys the
+      merge actually INSERTS are subtracted from the outstanding
+      tombstone set in the same commit (re-insert wins, other
+      tombstoned keys stay hidden). Tombstones keyed on DIFFERENT
+      columns than the merge still raise (the key anti-join cannot
+      express them; compact first). Like upsert, a re-inserted key
+      relies on the dims contract above — its old physical row must
+      live in a bucket this merge dirties.
+
+    Only the buckets the source (plus any folded deltas) touches are
+    rewritten; the commit is the usual atomic manifest flip with
+    bucket-rewrite rebase on collision. CHECK constraints validate
+    the updated and inserted rows before anything is written. Cost
+    tracks the dirtied-bucket fraction plus outstanding delta size,
+    never table size. Reference lifecycle shape:
     aggregation_example.sql's staged re-loads (seed INSERT + corrected
     re-INSERT) are one conditional merge here."""
     import functools as _ft
@@ -1403,12 +1439,14 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
 
     spark = source.sparkSession
     base_v, manifest = _latest(spark, path)
-    if manifest.get("deltas"):
-        raise ValueError("merge_zordered: outstanding delta batches "
-                         "— run compact_zordered(path) first")
-    if manifest.get("tombstones"):
-        raise ValueError("merge_zordered: outstanding tombstones "
-                         "— run compact_zordered(path) first")
+    deltas = list(manifest.get("deltas", []))
+    old_tombs = list(manifest.get("tombstones", []))
+    if old_tombs and list(manifest.get("tombstone_key", [])) \
+            != list(key_cols):
+        raise ValueError(
+            f"merge_zordered: outstanding tombstones are keyed "
+            f"{manifest.get('tombstone_key')}, merge uses "
+            f"{list(key_cols)} — run compact_zordered(path) first")
     spec = manifest["spec"]
     dims = [c for c, _, _ in _spec_dims(spec)]
     if when_matched_update:
@@ -1424,9 +1462,31 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
             "merge_zordered: multiple source rows share a merge key — "
             "each target row may match at most one source row")
 
-    dirtied = _touched_buckets(source, spec)
+    # fold any outstanding delta batches in this commit: their rows
+    # are live (the matched-row search must see them) and the dirtied
+    # set grows to cover the buckets they route into
+    delta = None
+    for d in deltas:
+        dd = spark.read.parquet(fsio._join(path, DELTA_DIR, d))
+        delta = dd if delta is None else \
+            delta.unionByName(dd, allowMissingColumns=True)
+    tomb = _tombstone_keys(spark, path, manifest)
+    if delta is not None and tomb is not None:
+        # delta rows for a tombstoned key were never visible — they
+        # fold away exactly as compact_zordered folds them
+        delta = delta.join(F.broadcast(tomb), key_cols, "left_anti")
+    dirtied = set(_touched_buckets(source, spec))
+    if delta is not None:
+        dirtied |= set(_touched_buckets(delta, spec))
+    dirtied = sorted(dirtied)
     old = read_zordered_box_dirs(spark, path, manifest, dirtied) \
         .drop("zbucket")
+    if tomb is not None:
+        # the match sees only VISIBLE rows; the rewrite physically
+        # removes the dirtied buckets' tombstone victims for free
+        old = old.join(F.broadcast(tomb), key_cols, "left_anti")
+    if delta is not None:
+        old = old.unionByName(delta, allowMissingColumns=True)
     cols = old.columns
     # __src marks matches null-safely (a null source KEY value could
     # not otherwise be told apart from "no match")
@@ -1460,8 +1520,16 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
 
     ins = None
     if when_not_matched_insert:
-        ins = source.join(F.broadcast(old.select(*key_cols)),
-                          key_cols, "left_anti")
+        # same null-safe key predicate as the match: a null-key source
+        # row that fired a matched clause must NOT also insert (a
+        # plain column-name anti-join would let it through — null
+        # never equals null there)
+        anti_on = _ft.reduce(
+            _op.and_, [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+                       for k in key_cols])
+        ins = source.alias("s").join(
+            F.broadcast(old.select(*key_cols).alias("t")),
+            anti_on, "left_anti")
         if insert_condition:
             ins = ins.alias("s").where(
                 F.coalesce(F.expr(insert_condition), F.lit(False)))
@@ -1472,6 +1540,17 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
 
     merged = kept if ins is None \
         else kept.unionByName(ins, allowMissingColumns=True)
+    # keys the merge actually INSERTED stop being tombstoned (their
+    # visible row is the new one); every other tombstoned key stays
+    # hidden via a rewritten (smaller) tombstone batch
+    remaining_name = None
+    if old_tombs:
+        remaining = tomb if ins is None else tomb.join(
+            F.broadcast(ins.select(*key_cols)), key_cols, "left_anti")
+        if remaining.count() > 0:  # tombstone sets are broadcast-small
+            remaining_name = f"t-{uuid.uuid4().hex}"
+            remaining.write.mode("errorifexists").parquet(
+                fsio._join(path, TOMBSTONE_DIR, remaining_name))
     change_name = None
     if emit_changes:
         change_name = _write_change_file(
@@ -1485,7 +1564,13 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
     def rebase(latest: dict) -> dict:
         out = _rebase_bucket_rewrite(
             latest, manifest, dirtied, survivors, gen, new_stats,
-            "merge", gen_cols=new_cols)
+            "merge", folded_deltas=deltas,
+            folded_tombstones=old_tombs,
+            require_tombstones_unchanged=bool(old_tombs),
+            gen_cols=new_cols)
+        if remaining_name is not None:
+            out["tombstones"] = [remaining_name]
+            out["tombstone_key"] = list(key_cols)
         if emit_changes:
             out["change_file"] = change_name
         return out
@@ -1989,15 +2074,10 @@ def describe_zordered(spark: SparkSession, path: str) -> dict:
     roots = m.get("gen_roots", {})
     n_files = total_bytes = 0
     data_root = fsio._join(path, DATA_DIR)
-    for bdir in fsio.list_names(spark, data_root):
-        if not bdir.startswith("zbucket="):
-            continue
-        for gdir in fsio.list_names(spark, fsio._join(data_root, bdir)):
-            gd = fsio._join(data_root, bdir, gdir)
-            for f in fsio.list_names(spark, gd):
-                if f.endswith(".parquet"):
-                    n_files += 1
-                    total_bytes += fsio.size_of(spark, fsio._join(gd, f))
+    for fname, fsize in fsio.list_files_recursive(spark, data_root):
+        if fname.endswith(".parquet"):
+            n_files += 1
+            total_bytes += fsize
     spec = m["spec"]
     return {
         "path": path, "version": v, "op": m.get("op"),

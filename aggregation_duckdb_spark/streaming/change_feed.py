@@ -184,7 +184,16 @@ def read_change_feed(spark: SparkSession, sink_path: str,
                      to_version: int | None = None) -> DataFrame:
     """Read the materialized change rows back (batch) — optionally a
     version range; ``mergeSchema`` because commits may straddle a
-    schema evolution."""
+    schema evolution. A feed whose history produced NO change rows
+    (only compactions / no-op replays) never creates the sink — that
+    reads as an EMPTY frame carrying just the feed-management columns
+    (the table columns are unknowable without a commit), not an
+    AnalysisException."""
+    from aggregation_duckdb_spark import fsio
+    if not any(n.endswith(".parquet") or n.startswith("_commit_version=")
+               for n in fsio.list_names(spark, sink_path)):
+        return spark.createDataFrame(
+            [], "_change_type string, _commit_version int")
     out = (spark.read.option("mergeSchema", "true").parquet(sink_path))
     if from_version is not None:
         out = out.where(F.col("_commit_version") >= from_version)

@@ -2179,8 +2179,9 @@ def test_merge_zordered_conditional_clauses(spark, tmp_path):
 
 def test_merge_zordered_replaces_upsert_semantics(spark, tmp_path):
     """merge with update=all-columns + unconditional insert must equal
-    upsert_zordered on the same input (the replace special case), and
-    refuse outstanding deltas/tombstones like the docstring says."""
+    upsert_zordered on the same input (the replace special case);
+    tombstones keyed on DIFFERENT columns than the merge still
+    refuse."""
     import pytest as _pytest
     from aggregation_duckdb_spark.sources import layout as L
     base = _zorder_kv_frame(spark)
@@ -2198,10 +2199,110 @@ def test_merge_zordered_replaces_upsert_semantics(spark, tmp_path):
                L.read_zordered(spark, p2).collect())
     assert a == b
 
-    L.append_zordered(base.where(F.col("payload") == 1), p2)
-    with _pytest.raises(ValueError, match="outstanding delta"):
+    L.delete_zordered_keys(base.where(F.col("payload") == 1)
+                           .select("val"), p2, ["val"])
+    with _pytest.raises(ValueError, match="tombstones are keyed"):
         L.merge_zordered(src, p2, ["payload"],
                          when_matched_delete=True)
+
+
+def test_merge_zordered_composes_over_deltas_and_tombstones(
+        spark, tmp_path):
+    """Delta's MERGE works on ANY table state — so does this one: a
+    GDPR key-delete (tombstones) plus an un-compacted append (delta
+    batch) followed by a conditional merge, with NO manual compact,
+    must equal the compact-first sequence exactly; the merge commit
+    folds both queues (manifest clean afterwards), and a tombstoned
+    key the merge re-inserts becomes visible again while other
+    tombstoned keys stay hidden."""
+    from aggregation_duckdb_spark.sources import layout as L
+
+    def build(path: str, compact_first: bool) -> list[tuple]:
+        base = _zorder_kv_frame(spark)
+        L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+        # GDPR delete keys 0..19; append keys 400..409 as a raw delta
+        L.delete_zordered_keys(
+            base.where(F.col("payload") < 20).select("payload"),
+            path, ["payload"])
+        late = spark.range(400, 410).select(
+            (F.col("id") % 97).alias("a"),
+            ((F.col("id") * 37) % 61).alias("b"),
+            F.col("id").alias("payload"),
+            (F.col("id") * 10).alias("val"))
+        L.append_zordered(late, path)
+        if compact_first:
+            L.compact_zordered(spark, path)
+        # source: re-insert tombstoned key 3 (takes the NOT MATCHED
+        # path — the tombstone hid it), update delta-resident key 405,
+        # delete key 30, insert brand-new key 999
+        src = spark.createDataFrame(
+            [(3 % 97, (3 * 37) % 61, 3, 111),
+             (405 % 97, (405 * 37) % 61, 405, 222),
+             (30 % 97, (30 * 37) % 61, 30, 0),
+             (999 % 97, (999 * 37) % 61, 999, 333)],
+            "a long, b long, payload long, val long")
+        L.merge_zordered(
+            src, path, ["payload"],
+            when_matched_update={"val": "s.val"},
+            when_matched_delete="t.payload = 30",
+            when_not_matched_insert=True)
+        return sorted((r.payload, r.val) for r in
+                      L.read_zordered(spark, path).collect())
+
+    composed = build(str(tmp_path / "z_c1"), compact_first=False)
+    compacted = build(str(tmp_path / "z_c2"), compact_first=True)
+    assert composed == compacted
+    got = dict(composed)
+    assert got[3] == 111            # re-inserted tombstoned key
+    assert got[405] == 222          # delta row was matched + updated
+    assert 30 not in got            # conditional delete fired
+    assert got[999] == 333          # fresh insert
+    assert 5 not in got             # other tombstoned keys stay hidden
+    assert got[401] == 4010         # non-matched delta rows survive
+    # the delta queue folded in the same commit; the tombstone set was
+    # rewritten as ONE batch that no longer contains the re-inserted
+    # key (the other keys MUST stay — their physical rows may live in
+    # buckets this merge never dirtied)
+    m = L.read_manifest(spark, str(tmp_path / "z_c1"))
+    assert m.get("deltas", []) == []
+    assert len(m.get("tombstones", [])) == 1
+    import os as _os
+    left = spark.read.parquet(_os.path.join(
+        str(tmp_path / "z_c1"), "_tombstones", m["tombstones"][0]))
+    keys = {r.payload for r in left.collect()}
+    assert 3 not in keys and keys == set(range(20)) - {3}
+
+
+def test_merge_zordered_null_key_fires_one_clause(spark, tmp_path):
+    """A null merge-key source row must fire AT MOST ONE clause: the
+    matched join is null-safe, so the insert anti-join must be
+    null-safe too — the same row matching a null-key target row and
+    ALSO inserting would duplicate the key (round-11 advisor
+    finding)."""
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark).unionByName(
+        spark.createDataFrame([(50, 50, None, 77)],
+                              "a long, b long, payload long, val long"))
+    path = str(tmp_path / "z_nullkey")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    src = spark.createDataFrame([(50, 50, None, -1)],
+                                "a long, b long, payload long, val long")
+    L.merge_zordered(src, path, ["payload"],
+                     when_matched_update={"val": "s.val"},
+                     when_not_matched_insert=True)
+    nulls = [r.val for r in L.read_zordered(spark, path)
+             .where(F.col("payload").isNull()).collect()]
+    assert nulls == [-1]    # updated in place, NOT also inserted
+    # and a null key with no null-key target row still inserts once
+    p2 = str(tmp_path / "z_nullkey2")
+    L.write_zordered(_zorder_kv_frame(spark), p2, "a", "b",
+                     bits=7, bucket_bits=4)
+    L.merge_zordered(src, p2, ["payload"],
+                     when_matched_update={"val": "s.val"},
+                     when_not_matched_insert=True)
+    nulls = [r.val for r in L.read_zordered(spark, p2)
+             .where(F.col("payload").isNull()).collect()]
+    assert nulls == [-1]
 
 
 def test_clone_zordered_shallow_and_divergent(spark, tmp_path):
@@ -2432,6 +2533,74 @@ def test_zorder_timestamp_and_date_dimensions(spark, tmp_path, sf_dir):
     assert left.count() == n_before - want.count()
     assert left.where((F.col("ts") >= lo) & (F.col("ts") <= hi)
                       & (F.col("user_id").between(10, 50))).count() == 0
+
+
+def test_coerce_ranges_names_unparseable_bound(spark):
+    """A malformed datetime bound surfaces as a ValueError naming the
+    column and the bad literal (Spark's cast yields NULL, not an
+    error — the planner must not let that become a bare TypeError);
+    mixed int/datetime ranges coerce the datetime endpoint only
+    (round-11 advisor finding)."""
+    import pytest as _pytest
+    from aggregation_duckdb_spark.sources import layout as L
+    spec = {"dims": [["day", 19000, 19400], ["user_id", 0, 100]],
+            "bits": 6, "bucket_bits": 4, "kinds": {"day": "date"}}
+    with _pytest.raises(ValueError, match="not-a-date.*'day'|'day'.*not-a-date"):
+        L._coerce_ranges(spark, spec,
+                         {"day": ("not-a-date", "2023-01-02")})
+    with _pytest.raises(ValueError, match="hi bound"):
+        L._coerce_ranges(spark, spec,
+                         {"day": ("2023-01-01", "2023-99-99")})
+    # mixed: the int endpoint is already planner-domain, passes through
+    got = L._coerce_ranges(spark, spec, {"day": (19100, "2023-01-02")})
+    assert got["day"][0] == 19100 and isinstance(got["day"][1], int)
+
+
+def test_read_change_feed_empty_sink_returns_typed_empty(spark, tmp_path):
+    """A drained feed whose history produced no change rows (only
+    compactions / no-op replays) never creates the parquet sink — the
+    batch read must return an EMPTY typed frame, not raise
+    AnalysisException (round-11 advisor finding)."""
+    from aggregation_duckdb_spark.streaming import change_feed as CF
+    out = CF.read_change_feed(spark, str(tmp_path / "never_written"),
+                              from_version=1, to_version=5)
+    assert out.count() == 0
+    assert set(out.columns) >= {"_change_type", "_commit_version"}
+
+
+def test_describe_zordered_single_recursive_listing(spark, tmp_path,
+                                                    monkeypatch):
+    """DESCRIBE DETAIL's file/byte totals come from ONE recursive
+    listing of the data root — never a per-file size_of RPC
+    (round-11 advisor finding: O(files) round trips on a remote
+    store)."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)
+    path = str(tmp_path / "z_desc_list")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+
+    calls = {"size_of": 0}
+    real = fsio.size_of
+
+    def spy(spark_, p):
+        calls["size_of"] += 1
+        return real(spark_, p)
+
+    monkeypatch.setattr(fsio, "size_of", spy)
+    d = L.describe_zordered(spark, path)
+    assert calls["size_of"] == 0
+    assert d["local_data_files"] > 0 and d["local_data_bytes"] > 0
+    # the listing agrees with a hand walk
+    import os as _os
+    want_files = want_bytes = 0
+    for root, _, names in _os.walk(_os.path.join(path, "data")):
+        for n in names:
+            if n.endswith(".parquet"):
+                want_files += 1
+                want_bytes += _os.path.getsize(_os.path.join(root, n))
+    assert (d["local_data_files"], d["local_data_bytes"]) == \
+        (want_files, want_bytes)
 
 
 def test_count_zordered_metadata_pushdown(spark, tmp_path):
