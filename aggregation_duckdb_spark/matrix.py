@@ -42,60 +42,54 @@ def register(name: str, sql: str | None = None):
 # their DuckDB oracles. ALL entries pass the same comparison locally
 # (scripts/oracle_check.py runs the full set — keep it that way); this
 # list only schedules WHICH entries get a driver-recorded row this
-# round. Round-11 rotation, closing the round-10 verdict's item 1: ALL
-# 45 entries whose newest driver evidence is still round 6 (computed
-# from CORRECTNESS_r06..r10 — the dedup verify family, the durable
-# text/IVF index roads, the pipeline corpus/ordering verbs, the
-# events DAU/skew/transition trio, the window/join/subquery TPC-H
-# shapes, stream_dau/corpus_hash, mm_features/phash), then the 5
-# round-11 entries: 4 brand-new (q_zorder_restore, q_zorder_diff,
-# q_zorder_bloom_eq — the round-10 lakehouse verbs now driver-oracled
-# — and stream_change_feed, the manifest-tailing CDC stream) plus
-# q_zorder_schema_evolution, whose read path changed this round
-# (unknown-generation mergeSchema rule). The other z-order entries
-# hold round-9/10 rows and are re-verified locally in the seal sweep.
-# Next stale cohort after this round: the 44 round-8-evidence entries
-# — schedule them for round 12 together with q_zorder_merge and
-# q_zorder_clone (registered this round, locally PASS at sf0.001 and
-# sf0.01, awaiting their first driver rows); 44 + 2 leaves 4 slots
-# for round-12 changes. The r8 cohort, computed from
-# CORRECTNESS_r06..r11 newest-evidence: q_anti_join q_order_limit
-# q_set_ops q_scalar_functions q_date_functions q_percentiles
-# q_exists_correlated q_string_agg q_pivot_status
-# q3_shipping_priority q5_local_supplier_volume q10_returned_items
-# q7_volume_shipping q_unpivot q_collections q_null_safety
-# q_io_roundtrip q14_promo_effect q_window_frames q_bucketed_join
-# q4_order_priority q6_revenue_forecast q9_profit_by_nation
-# q12_priority_class q13_customer_distribution q16_supplier_counts
-# q19_disjunctive_revenue q22_dormant_customers q2_min_cost_supplier
-# q8_market_share q11_important_parts q15_top_supplier
-# q17_small_qty_revenue q20_promo_suppliers events_topk_paths
-# text_normalize text_bm25_search text_bm25_indexed
-# text_bm25_stopterm pipeline_mixture_order events_attribution
-# stream_attribution sim_pq_indexed events_rfm.
+# round. Round-12 rotation, closing the round-11 verdict's items 1-2:
+# the 44 entries whose newest driver evidence is round 8 (computed
+# from CORRECTNESS_r06..r11 — the TPC-H family, the BM25 road,
+# sim_pq_indexed, the events attribution/RFM/paths trio, the IO/
+# bucketing/window-frame shapes), then q_zorder_merge and
+# q_zorder_clone (registered round 11, first driver rows now — merge's
+# code ALSO changed this round: null-safe insert anti-join + delta/
+# tombstone composition), then the 4 round-12 entries for the
+# round-11 library verbs: q_zorder_cdf_write (writer-side CDF,
+# emit_changes=True + eager vacuum), q_zorder_time_layout
+# (timestamp x key layout, datetime box read), q_zorder_count
+# (metadata COUNT(*) across retained versions), q_zorder_maintain
+# (auto-maintenance policy fold + no-op path).
+# Next stale cohort after this round (schedule for round 13): the 48
+# round-9-evidence entries — hier_closure hier_closure_recursive
+# hier_agg_closure hier_agg_rollup hier_reporting_dim ref_parity_agg
+# hier_agg_closure_approx(rows-only) hier_distinct_twostage
+# hier_subtree_agg hier_agg_by_month q1_pricing_summary
+# q21_waiting_suppliers q_count_distinct q_rollup_grouping
+# q_cube_grouping q_grouping_sets q_filter_project q_case_when
+# q_in_subquery q_scalar_functions... (recompute the exact list from
+# CORRECTNESS_r06..r12 newest-evidence at round-13 start; ~48 names
+# + 2 free slots).
 # Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
-    # newest driver evidence = round 6 (all 45):
-    "dedup_minhash_lsh", "dedup_jaccard_pairs", "dedup_near_duplicates",
-    "dedup_simhash", "sim_embedding_neardup", "sim_lsh_topk",
-    "mm_features", "q_scalar_subquery", "q_having", "q_join_fact_dims",
-    "q_semi_join", "q_outer_join", "q_window_row_number",
-    "q_window_analytics", "q_struct_array",
-    "q18_large_volume_customers", "text_topk_ngrams",
-    "dedup_cc_clusters", "pipeline_end_to_end", "hier_agg_time",
-    "dedup_minhash_estimate", "events_dau_wau",
-    "events_transition_matrix", "pipeline_snapshot_diff",
-    "mm_phash_neardup", "pipeline_epoch_shuffle", "dedup_cluster_sizes",
-    "text_ngram_novelty", "stream_dau", "text_token_vocab",
-    "pipeline_leak_report", "dedup_global_lines", "text_line_stats",
-    "sim_knn_classify", "text_encode_ids", "text_dedup_doc_lines",
-    "pipeline_curriculum_order", "text_unigram_quality",
-    "pipeline_dataset_hash", "stream_corpus_hash",
-    "events_key_skew_report", "pipeline_bucket_fingerprints",
-    "pipeline_pack_greedy", "sim_ivf_indexed", "dedup_incremental_indexed",
-    # round-11 additions / code changes (verify through the driver):
-    "q_zorder_restore", "q_zorder_diff", "q_zorder_bloom_eq",
-    "stream_change_feed", "q_zorder_schema_evolution",
+    # newest driver evidence = round 8 (all 44):
+    "q_anti_join", "q_order_limit", "q_set_ops", "q_scalar_functions",
+    "q_date_functions", "q_percentiles", "q_exists_correlated",
+    "q_string_agg", "q_pivot_status", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q10_returned_items",
+    "q7_volume_shipping", "q_unpivot", "q_collections",
+    "q_null_safety", "q_io_roundtrip", "q14_promo_effect",
+    "q_window_frames", "q_bucketed_join", "q4_order_priority",
+    "q6_revenue_forecast", "q9_profit_by_nation", "q12_priority_class",
+    "q13_customer_distribution", "q16_supplier_counts",
+    "q19_disjunctive_revenue", "q22_dormant_customers",
+    "q2_min_cost_supplier", "q8_market_share", "q11_important_parts",
+    "q15_top_supplier", "q17_small_qty_revenue", "q20_promo_suppliers",
+    "events_topk_paths", "text_normalize", "text_bm25_search",
+    "text_bm25_indexed", "text_bm25_stopterm",
+    "pipeline_mixture_order", "events_attribution",
+    "stream_attribution", "sim_pq_indexed", "events_rfm",
+    # round-11 verbs awaiting first driver rows (merge also changed
+    # this round: null-safe anti-join + delta/tombstone composition):
+    "q_zorder_merge", "q_zorder_clone",
+    # round-12 additions (driver rows for the round-11 library verbs):
+    "q_zorder_cdf_write", "q_zorder_time_layout", "q_zorder_count",
+    "q_zorder_maintain",
 ]
 
 

@@ -4538,3 +4538,204 @@ def sim_pq_indexed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("query_id", "neighbor_id", "cosine_sim",
                        F.col("rank").cast("long").alias("rank"))
             .orderBy("query_id", "rank"))
+
+
+@register("q_zorder_cdf_write", """
+WITH v1 AS (
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+           event_type
+    FROM events)
+SELECT event_id, user_id, value, event_type,
+       'update_preimage' AS _change_type,
+       CAST(2 AS BIGINT) AS _commit_version
+FROM v1 WHERE event_id % 11 = 0
+UNION ALL
+SELECT event_id, user_id, value, 'upserted',
+       'update_postimage', 2
+FROM v1 WHERE event_id % 11 = 0
+UNION ALL
+SELECT event_id + 1000000000, user_id, value, 'inserted',
+       'insert', 2
+FROM v1 WHERE event_id % 13 = 0
+ORDER BY event_id, _change_type
+""")
+def q_zorder_cdf_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITER-side Change Data Feed (``emit_changes=True`` — the
+    Delta ``delta.enableChangeDataFeed`` write path): the upsert
+    commit stores its exact change rows under ``_changes/`` and the
+    feed reads them back DIRECTLY — zero endpoint snapshot scans and
+    NO retention requirement, proven by running the mutation with
+    eager vacuum (the superseded v1 generations are already deleted
+    when the feed drains; the snapshot-diff fallback would raise).
+    The feed's v2 rows must equal the oracle's classification of the
+    upsert (every 11th update pre+post, every 13th clone insert).
+    Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+    from aggregation_duckdb_spark.streaming import (read_change_feed,
+                                                    run_change_feed)
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", F.col("user_id").cast("long")
+                  .alias("user_id"), "value", "event_type"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zcdfw",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    sink = os.path.join(base, "_feed")
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev, base, "user_id", "value",
+                         bits=8, bucket_bits=4)                 # v1
+        ups = (ev.where(F.col("event_id") % 11 == 0)
+               .withColumn("event_type", F.lit("upserted")))
+        ins = (ev.where(F.col("event_id") % 13 == 0)
+               .select((F.col("event_id") + 1_000_000_000)
+                       .alias("event_id"), "user_id", "value",
+                       F.lit("inserted").alias("event_type")))
+        L.upsert_zordered(ups.unionByName(ins), base, ["event_id"],
+                          emit_changes=True)    # v2, EAGER vacuum
+        run_change_feed(spark, base, sink,
+                        os.path.join(base, "_feed_checkpoint"),
+                        key_cols=["event_id"], starting_version=2)
+    out = read_change_feed(spark, sink)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value", "event_type", "_change_type",
+                       F.col("_commit_version").cast("long")
+                       .alias("_commit_version"))
+            .orderBy("event_id", "_change_type"))
+
+
+@register("q_zorder_time_layout", """
+SELECT event_id, ts, CAST(user_id AS BIGINT) AS user_id, value
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+             AND TIMESTAMP '2024-01-15 00:00:00'
+  AND user_id BETWEEN 10 AND 60
+ORDER BY event_id
+""")
+def q_zorder_time_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp layout dimension — THE canonical 100 TB partitioning
+    (time x key): the table Z-orders on (ts, user_id) directly (the
+    writer bins the epoch-long conversion, the spec records the dim
+    kind), and a datetime box read coerces its bounds through Spark
+    itself at plan time, prunes bucket directories, then applies the
+    ORIGINAL timestamp literals as row filters — results provably
+    equal the oracle's plain range filter regardless of the pruning.
+    Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", "ts", F.col("user_id").cast("long")
+                  .alias("user_id"), "value"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-ztime",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev, base, "ts", "user_id",
+                         bits=8, bucket_bits=4)
+    out = L.read_zordered_box_nd(
+        spark, base,
+        {"ts": ("2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+         "user_id": (10, 60)})
+    return (out.select("event_id", "ts", "user_id", "value")
+            .orderBy("event_id"))
+
+
+@register("q_zorder_count", """
+SELECT (SELECT COUNT(*) FROM events) AS cnt_v1,
+       (SELECT COUNT(*) FROM events)
+       + (SELECT COUNT(*) FROM events WHERE event_id % 13 = 0)
+           AS cnt_v2,
+       (SELECT COUNT(*) FROM events)
+       + (SELECT COUNT(*) FROM events WHERE event_id % 13 = 0)
+       + (SELECT COUNT(*) FROM events WHERE event_id % 11 = 0)
+           AS cnt_v3
+""")
+def q_zorder_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata COUNT(*) (``count_zordered`` — the count-star
+    pushdown every table format ships): after an upsert (every 7th
+    replaced in place, every 13th cloned as a new key) and a raw
+    delta append (every 11th cloned), the count at each retained
+    version is a manifest sum plus footer-counted delta batches —
+    zero data IO on clean snapshots, still exact across history.
+    The three counts must equal the oracle's plain COUNT(*)
+    arithmetic. Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", F.col("user_id").cast("long")
+                  .alias("user_id"), "value", "event_type"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zcount",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev, base, "user_id", "value",
+                         bits=8, bucket_bits=4)                 # v1
+        ups = (ev.where(F.col("event_id") % 7 == 0)
+               .withColumn("event_type", F.lit("replaced")))
+        ins = (ev.where(F.col("event_id") % 13 == 0)
+               .select((F.col("event_id") + 1_000_000_000)
+                       .alias("event_id"), "user_id", "value",
+                       F.lit("cloned").alias("event_type")))
+        L.upsert_zordered(ups.unionByName(ins), base, ["event_id"],
+                          vacuum=False)                         # v2
+        L.append_zordered(
+            ev.where(F.col("event_id") % 11 == 0)
+            .select((F.col("event_id") + 2_000_000_000)
+                    .alias("event_id"), "user_id", "value",
+                    F.lit("appended").alias("event_type")),
+            base)                                               # v3
+    counts = [L.count_zordered(spark, base, version=v)
+              for v in (1, 2, 3)]
+    return spark.createDataFrame(
+        [tuple(counts)], "cnt_v1 long, cnt_v2 long, cnt_v3 long")
+
+
+@register("q_zorder_maintain", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value, event_type
+FROM events
+ORDER BY event_id
+""")
+def q_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-maintenance policy (``maintain_zordered`` — the scheduled
+    OPTIMIZE job every lakehouse runs): nine small streaming-style
+    appends pile up past the ``max_deltas`` threshold, one maintain
+    call folds them (incremental compaction — dirtied buckets only)
+    and bin-packs fragmented buckets; a second call on the now-healthy
+    table proves the no-op path (metadata decides, nothing rewrites).
+    The full read afterwards must equal the oracle's plain events
+    selection — maintenance never changes visible rows. Built once
+    per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", F.col("user_id").cast("long")
+                  .alias("user_id"), "value", "event_type"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zmaint",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev.where(F.col("event_id") % 10 == 0),
+                         base, "user_id", "value",
+                         bits=8, bucket_bits=4)
+        for i in range(1, 10):   # nine un-compacted delta batches
+            L.append_zordered(ev.where(F.col("event_id") % 10 == i),
+                              base)
+        ran = L.maintain_zordered(spark, base, max_deltas=8)
+        assert ran["compacted"]
+        ran2 = L.maintain_zordered(spark, base, max_deltas=8)
+        assert not ran2["compacted"] and ran2["optimized"] == 0
+    out = L.read_zordered(spark, base)
+    return (out.select("event_id", "user_id", "value", "event_type")
+            .orderBy("event_id"))

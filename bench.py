@@ -143,6 +143,11 @@ EXTENDED = [
     "stream_change_feed",
     "q_zorder_merge",
     "q_zorder_clone",
+    # round 12: the round-11 library verbs as tracked entries
+    "q_zorder_cdf_write",
+    "q_zorder_time_layout",
+    "q_zorder_count",
+    "q_zorder_maintain",
 ]
 
 # Entries that build a DURABLE artifact (z-ordered table, ANN/BM25/
@@ -163,12 +168,47 @@ DURABLE = {
     "dedup_incremental_indexed",
     "q_zorder_bloom_eq", "q_zorder_restore", "q_zorder_diff",
     "stream_change_feed", "q_zorder_merge", "q_zorder_clone",
+    "q_zorder_cdf_write", "q_zorder_time_layout", "q_zorder_count",
+    "q_zorder_maintain",
 }
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return []
+
+
+def _wait_for_idle() -> float:
+    """Two of the last three driver-recorded benches were inflated
+    1.3-1.5x uniformly by co-resident load (pytest/oracle JVMs still
+    draining, host-level steal) and needed manual idle re-runs to
+    interpret. Wait — bounded — for the 1-minute loadavg to drop
+    below SPARK_GRAFT_LOAD_MAX (default 0.5) before timing anything;
+    returns seconds waited. The recorded loadavg fields make the
+    artifact self-certifying either way."""
+    limit = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "0.5"))
+    budget = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "300"))
+    waited = 0.0
+    while waited < budget:
+        la = _loadavg()
+        if not la or la[0] < limit:
+            break
+        print(f"# loadavg {la[0]} >= {limit}: waiting for an idle box "
+              f"({int(waited)}/{int(budget)}s)", file=sys.stderr)
+        time.sleep(15)
+        waited += 15
+    return waited
 
 
 def main() -> None:
     from aggregation_duckdb_spark import matrix
     from aggregation_duckdb_spark.session import get_spark
+
+    idle_wait_s = _wait_for_idle()
+    load_before = _loadavg()
 
     spark = get_spark("bench", master=f"local[{CPUS}]",
                       extra_confs={"spark.ui.enabled": "false"})
@@ -240,6 +280,12 @@ def main() -> None:
     except ValueError:
         sf = None
     total = round(sum(timings.values()), 3)
+    # Load context makes the number self-certifying: a headline taken
+    # at loadavg ~0 is comparable round-over-round; one taken under
+    # co-resident load (or host steal) is flagged by its own artifact
+    # instead of needing a manual idle re-run to interpret.
+    load = {"loadavg_before": load_before, "loadavg_after": _loadavg(),
+            "idle_wait_s": round(idle_wait_s, 1)}
     # Two JSON lines, detail first and the compact headline LAST: the
     # driver's bench artifact keeps only the tail of stdout, and the
     # extended map has grown past that window — the line that must
@@ -252,6 +298,7 @@ def main() -> None:
         "spread": spread,
         "extended": extended,
         "sf": sf,
+        **load,
     }))
     print(json.dumps({
         "metric": "headline_suite_seconds",
@@ -259,6 +306,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        **load,
     }))
 
 
