@@ -164,10 +164,31 @@ def label_centroids_exact(corpus: DataFrame, vec_col: str = "embedding",
                      / CENTROID_SCALE).alias("mean_value")))
 
 
+def md5_sample(corpus: DataFrame, cap: int, id_col: str = "vec_id",
+               salt: str = "fit-sample") -> DataFrame:
+    """Deterministic ~``cap``-row sample: keep rows whose salted
+    md5(id) — read as a uniform fraction in [0, 1) from the first 60
+    hash bits — falls below cap/count. Engine- and partitioning-
+    independent (the same ids survive on any cluster), unlike
+    ``DataFrame.sample``'s partition-seeded RNG. One column-pruned
+    COUNT decides the threshold; corpora at or under the cap pass
+    through UNCHANGED (bit-identical downstream results at test
+    scale)."""
+    n = corpus.count()
+    if n <= cap:
+        return corpus
+    frac = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt),
+                          F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("double") / float(1 << 60))
+    return corpus.where(frac < cap / n)
+
+
 def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 10,
                vec_col: str = "embedding", id_col: str = "vec_id",
                min_shift: float = 1e-7,
-               metric: str = "cosine") -> DataFrame:
+               metric: str = "cosine",
+               fit_sample_cap: int | None = 50_000) -> DataFrame:
     """Distributed Lloyd's k-means — the IVF codebook trainer
     (geometry-driven cells, unlike :func:`label_centroids` which needs
     a pre-existing clustering column).
@@ -184,8 +205,20 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 10,
     ever reach the driver (like the CC convergence probe — bounded by
     the model size, not the data). Empty cells keep their previous
     centroid. Iteration stops at ``max_iters`` or when no component
-    moves more than ``min_shift``."""
+    moves more than ``min_shift``.
+
+    ``fit_sample_cap`` bounds the FIT cost independently of corpus
+    size: Lloyd iterations run on a deterministic :func:`md5_sample`
+    of at most that many vectors (codebook quality needs a
+    representative sample, not the population — the FAISS train-on-
+    subset rule), and the FULL corpus is then assigned against the
+    sampled codebook by the caller (:func:`ivf_assign` /
+    :func:`write_ivf_index`) exactly as before. Corpora at or under
+    the cap fit on everything — bit-identical to the uncapped fit.
+    ``None`` disables the cap."""
     spark = corpus.sparkSession
+    if fit_sample_cap is not None:
+        corpus = md5_sample(corpus, fit_sample_cap, id_col)
     seed_rows = (corpus
                  .select(F.col(id_col), F.col(vec_col))
                  .orderBy(F.md5(F.concat_ws("|", F.lit("kmeans-init"),
@@ -448,7 +481,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def pq_fit(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
            vec_col: str = "embedding", id_col: str = "vec_id",
-           dim: int = 64, max_iters: int = 5) -> DataFrame:
+           dim: int = 64, max_iters: int = 5,
+           fit_sample_cap: int | None = 50_000) -> DataFrame:
     """Product-quantization codebooks: the vector splits into
     ``num_subspaces`` contiguous subvectors, each clustered
     independently by the deterministic :func:`kmeans_fit`. The full
@@ -467,13 +501,18 @@ def pq_fit(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
         raise ValueError(f"dim={dim} not divisible by "
                          f"num_subspaces={num_subspaces}")
     sub = dim // num_subspaces
+    # one shared sample so every subspace trains on the same vectors
+    # (and one COUNT, not one per subspace — the inner cap is disabled)
+    if fit_sample_cap is not None:
+        corpus = md5_sample(corpus, fit_sample_cap, id_col)
     books = None
     for j in range(num_subspaces):
         sliced = corpus.select(
             F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub)
             .alias(vec_col))
         cb = (kmeans_fit(sliced, k=k, max_iters=max_iters,
-                         vec_col=vec_col, id_col=id_col, metric="l2")
+                         vec_col=vec_col, id_col=id_col, metric="l2",
+                         fit_sample_cap=None)
               .select(F.lit(j).alias("subspace"), "centroid_id", "centroid"))
         books = cb if books is None else books.unionByName(cb)
     return materialize(books)
@@ -482,7 +521,8 @@ def pq_fit(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
 def pq_fit_joint(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  dim: int = 64, max_iters: int = 5,
-                 min_shift: float = 1e-7) -> DataFrame:
+                 min_shift: float = 1e-7,
+                 fit_sample_cap: int | None = 50_000) -> DataFrame:
     """:func:`pq_fit`, restructured for job count: instead of
     num_subspaces SEQUENTIAL kmeans fits (each its own seed scan plus
     max_iters assignment jobs — ~4·num_subspaces Spark jobs whose
@@ -501,6 +541,10 @@ def pq_fit_joint(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
                          f"num_subspaces={num_subspaces}")
     sub = dim // num_subspaces
     spark = corpus.sparkSession
+    # same deterministic sample as pq_fit (same salt, same threshold)
+    # — the bit-identity pin between the two holds at ANY corpus size
+    if fit_sample_cap is not None:
+        corpus = md5_sample(corpus, fit_sample_cap, id_col)
     seed_rows = (corpus
                  .select(F.col(id_col), F.col(vec_col))
                  .orderBy(F.md5(F.concat_ws("|", F.lit("kmeans-init"),

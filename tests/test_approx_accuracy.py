@@ -145,3 +145,53 @@ def test_dau_wau_window_param_and_approx_band(spark):
             e, a = ex[col], ap[col]
             assert abs(a - e) <= max(5 * rsd * e, 2), (
                 f"day {day} {col}: approx {a} vs exact {e}")
+
+
+def test_kmeans_fit_sample_cap_bounds_fit_cost_not_quality(spark):
+    """Sampled codebook fit (the FAISS train-on-subset rule): Lloyd
+    runs on a deterministic md5 sample capped at ``fit_sample_cap``;
+    the full corpus is assigned against the sampled codebook. Pins:
+    (a) md5_sample is deterministic and partitioning-independent,
+    (b) corpora at/under the cap pass through UNCHANGED (the capped
+    fit is bit-identical to the uncapped one there — every existing
+    oracle entry is unaffected), and (c) on clustered geometry a fit
+    trained on <=1/4 of the corpus still serves n_probe=2 queries at
+    recall >= 0.95 over the FULL corpus."""
+    import random
+    rnd = random.Random(11)
+    centers = [[rnd.gauss(0, 1) for _ in range(32)] for _ in range(10)]
+    rows = [(i, [x + rnd.gauss(0, 0.05) for x in centers[i % 10]])
+            for i in range(1600)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+    # (a) deterministic + partitioning-independent sample
+    s1 = sorted(r.vec_id for r in
+                S.md5_sample(corpus, 400).select("vec_id").collect())
+    s2 = sorted(r.vec_id for r in
+                S.md5_sample(corpus.repartition(13), 400)
+                .select("vec_id").collect())
+    assert s1 == s2 and 0 < len(s1) < 1600
+    assert abs(len(s1) - 400) < 120   # ~cap rows (binomial tolerance)
+
+    # (b) at/under the cap the sample IS the corpus
+    assert S.md5_sample(corpus, 1600) is corpus
+    capped = {r["centroid_id"]: r["centroid"] for r in
+              S.kmeans_fit(corpus, k=10, max_iters=4,
+                           fit_sample_cap=1600).collect()}
+    uncapped = {r["centroid_id"]: r["centroid"] for r in
+                S.kmeans_fit(corpus, k=10, max_iters=4,
+                             fit_sample_cap=None).collect()}
+    assert capped == uncapped
+
+    # (c) quality: fit on <=400 of 1600, serve the full corpus
+    cents = S.kmeans_fit(corpus, k=10, max_iters=8,
+                         fit_sample_cap=400)
+    queries = corpus.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(corpus, queries, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in S.ivf_topk(corpus, queries, cents, k=10,
+                                  n_probe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"sampled-fit recall = {recall:.3f} < 0.95"

@@ -935,3 +935,96 @@ def test_change_feed_reads_writer_side_change_files(spark, tmp_path):
     assert {r.payload for r in
             feed2.where(F.col("_commit_version") == 5).collect()} \
         == {5000}
+
+
+def test_change_feed_processing_time_trigger_tails_live(spark, tmp_path):
+    """A LONG-LIVED feed: with a processing-time trigger the zhistory
+    source keeps polling the manifest inside ONE running query, so
+    commits that land while the stream is up surface without
+    run_change_feed's re-start loop (that loop exists only because
+    the Python micro-batch source downgrades Trigger.AvailableNow to
+    single-batch execution — change_feed.py docstring). Exactly-once
+    still holds: each commit's rows land once, in its own partition."""
+    import time
+
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    from aggregation_duckdb_spark.sources.pydatasource import (
+        register_zhistory)
+    from aggregation_duckdb_spark.streaming import change_feed as CF
+
+    base = spark.range(0, 300).select(
+        (F.col("id") % 97).alias("a"),
+        ((F.col("id") * 37) % 61).alias("b"),
+        F.col("id").alias("payload"),
+        (F.col("id") * 10).alias("val"))
+    path = str(tmp_path / "z_live")
+    sink = str(tmp_path / "live_sink")
+    ckpt = str(tmp_path / "live_ckpt")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)  # v1
+    register_zhistory(spark)
+
+    def fold(batch_df, batch_id):
+        commits = sorted(r["version"] for r in
+                         batch_df.select("version").collect())
+        for v in commits:
+            changes = CF._commit_changes(spark, path, v, ["payload"])
+            if changes is not None:
+                rows = changes.withColumn("_commit_version",
+                                          F.lit(int(v)))
+                with fsio.dynamic_partition_overwrite(spark):
+                    (rows.write.mode("overwrite")
+                     .partitionBy("_commit_version").parquet(sink))
+
+    def landed() -> set[int]:
+        got = CF.read_change_feed(spark, sink)
+        return {r._commit_version for r in
+                got.select("_commit_version").distinct().collect()}
+
+    def wait_for(versions: set[int], timeout_s: float = 90.0):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if versions <= landed():
+                return
+            time.sleep(0.5)
+        raise AssertionError(
+            f"feed never surfaced {versions - landed()} "
+            f"(have {landed()})")
+
+    q = (spark.readStream.format("zhistory")
+         .option("tablePath", path)
+         .option("max_commits_per_batch", 10)
+         .option("starting_version", 1)
+         .load()
+         .writeStream
+         .foreachBatch(fold)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(processingTime="500 milliseconds")
+         .start())
+    try:
+        wait_for({1})
+        # commits land WHILE the stream stays up — no re-start loop
+        L.upsert_zordered(base.where(F.col("payload") % 10 == 0)
+                          .withColumn("val", F.lit(-1).cast("long")),
+                          path, ["payload"], vacuum=False)       # v2
+        wait_for({2})
+        L.delete_zordered_keys(base.where(F.col("payload") < 5)
+                               .select("payload"), path, ["payload"])
+        wait_for({3})                                            # v3
+    finally:
+        q.stop()
+
+    got = CF.read_change_feed(spark, sink)
+    assert got.where(F.col("_commit_version") == 1).count() == 300
+    # v2: 30 upserted keys -> 30 pre + 30 post, exactly once
+    v2 = got.where(F.col("_commit_version") == 2)
+    assert v2.count() == 60
+    assert v2.groupBy("payload", "_change_type").count() \
+        .where(F.col("count") > 1).count() == 0
+    # v3: the 5 deleted keys with full preimages (payload 0 was
+    # upserted to -1 in v2 — the preimage reflects it), exactly once
+    v3 = {(r.payload, r.val, r._change_type) for r in
+          got.where(F.col("_commit_version") == 3).collect()}
+    assert v3 == {(0, -1, "delete")} | \
+        {(p, p * 10, "delete") for p in range(1, 5)}
