@@ -448,9 +448,24 @@ class Hierarchy:
         SQL recursion would have to rebuild."""
         import uuid as _uuid
         nodes = self.prepared()
+        spark = nodes.sparkSession
+        # Spark 4 caps recursive-CTE output at
+        # spark.sql.cteRecursionRowLimit rows (default 1M) and FAILS
+        # past it — the lvl CTE emits exactly one row per node, so a
+        # 1M-node dim hits the cap (found by the depth-12/1M probe).
+        # Nodes are dim-sized by contract: one cheap count sizes the
+        # limit up front instead of letting the query die mid-run.
+        n = nodes.count()
+        try:
+            cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
+        except Exception:
+            cur = -1
+        if 0 <= cur <= n:
+            spark.conf.set("spark.sql.cteRecursionRowLimit",
+                           str(n + 1000))
         view = f"__hier_nodes_{_uuid.uuid4().hex}"
         nodes.createOrReplaceTempView(view)
-        return nodes.sparkSession.sql(f"""
+        return spark.sql(f"""
             WITH RECURSIVE lvl AS (
                 SELECT node_id, node_natural_key, node_name, level_name,
                        1 AS level_number,

@@ -233,3 +233,30 @@ def test_forest_multiple_roots(spark, path):
     levels = {r["node_natural_key"]: r["level_number"] for r in flat}
     assert levels == {0: 1, 1: 2, 10: 1, 11: 2, 12: 3}
     assert h.closure().count() == 1 + 2 + 1 + 2 + 3
+
+
+def test_closure_recursive_sql_raises_cte_row_limit(spark):
+    """Spark 4 fails a recursive CTE past spark.sql.cteRecursionRowLimit
+    (default 1M rows — one per node here, found by the depth-12/1M
+    probe): closure_recursive_sql must size the limit up from the
+    node count instead of dying mid-query on large dims."""
+    from aggregation_duckdb_spark.hierarchy.core import Hierarchy
+
+    rows = [("n0", None, "k0", "root", "L1")] + [
+        (f"n{i}", "n0", f"k{i}", f"node {i}", "L2")
+        for i in range(1, 60)]
+    nodes = spark.createDataFrame(
+        rows, "node_id string, parent_node_id string, "
+              "node_natural_key string, node_name string, "
+              "level_name string")
+    old = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "50")  # < 60 nodes
+    try:
+        got = Hierarchy(nodes).closure_recursive_sql().count()
+        assert got == 1 + 59 * 2           # root self + per-child (self, root)
+        assert int(spark.conf.get("spark.sql.cteRecursionRowLimit")) > 60
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", old)
+        else:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
