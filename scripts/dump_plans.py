@@ -190,6 +190,25 @@ ENTRIES = {
         "foreign (source-root) generations and local diverged ones, "
         "each with live-(zbucket, gen) PartitionFilters under its own "
         "basePath; zero copied data anywhere"),
+    "q_zorder_cdf_write": (
+        "the feed read is a plain scan of the stored change-file "
+        "partitions (_commit_version directory pruning) — NO snapshot "
+        "endpoint scans, no keyed diff join anywhere: the writer "
+        "already classified the rows"),
+    "q_zorder_time_layout": (
+        "the datetime box read prunes live-(zbucket, gen) directories "
+        "via PartitionFilters exactly like an integer layout; the "
+        "original timestamp range lands in PushedFilters on the "
+        "surviving files"),
+    "q_zorder_count": (
+        "COUNT(*) on clean snapshots never scans data — the counts "
+        "come from manifest arithmetic; only the delta batch "
+        "contributes a (footer-counted) scan, so the plan is a "
+        "one-row local relation"),
+    "q_zorder_maintain": (
+        "a read after maintenance is an ordinary pruned snapshot scan "
+        "— the deltas are folded into live-(zbucket, gen) directories; "
+        "no delta-batch unions survive in the plan"),
 }
 
 

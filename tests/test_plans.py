@@ -708,3 +708,58 @@ def test_merge_and_clone_plan_shapes(spark, tmp_path):
     assert "p_src/data" in plan2 and "p_dst/data" in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
     assert full.count() == 400
+
+
+def test_time_layout_and_cdf_write_plan_shapes(spark, tmp_path):
+    """Plan pins for the round-12 verbs: a datetime box read prunes
+    live-(zbucket, gen) directories via PartitionFilters with the
+    original timestamp range in PushedFilters (the time x key layout
+    plans exactly like an integer one), and the writer-CDF feed read
+    is a plain scan of the stored change-file rows — no snapshot
+    endpoint scans, no keyed diff join in the plan."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from aggregation_duckdb_spark.plans.inspect import physical_plan
+    from aggregation_duckdb_spark.sources import layout as L
+    from aggregation_duckdb_spark.streaming import change_feed as CF
+
+    base = spark.range(0, 500).select(
+        F.col("id").alias("payload"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(mins=F.col("id") * 7)).alias("ts"),
+        (F.col("id") % 61).alias("b"),
+        (F.col("id") * 10).alias("val"))
+    path = str(tmp_path / "p_time")
+    L.write_zordered(base, path, "ts", "b", bits=7, bucket_bits=4)
+    box = L.read_zordered_box_nd(
+        spark, path,
+        {"ts": ("2024-01-01 06:00:00", "2024-01-01 18:00:00"),
+         "b": (5, 40)})
+    plan = physical_plan(box, "formatted")
+    assert "PartitionFilters" in plan
+    assert "PushedFilters" in plan and "ts" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    lo = _dt.datetime(2024, 1, 1, 6)
+    hi = _dt.datetime(2024, 1, 1, 18)
+    want = base.where((F.col("ts") >= lo) & (F.col("ts") <= hi)
+                      & F.col("b").between(5, 40)).count()
+    assert box.count() == want > 0
+
+    # writer-CDF: the feed read scans stored change rows, joins nothing
+    tpath = str(tmp_path / "p_cdfw")
+    sink = str(tmp_path / "p_cdfw_sink")
+    L.write_zordered(base.drop("ts"), tpath, "b", "payload",
+                     bits=7, bucket_bits=4)
+    L.upsert_zordered(base.drop("ts").where(F.col("payload") % 10 == 0)
+                      .withColumn("val", F.lit(-1).cast("long")),
+                      tpath, ["payload"], emit_changes=True)
+    CF.run_change_feed(spark, tpath, sink,
+                       str(tmp_path / "p_cdfw_ckpt"),
+                       key_cols=["payload"], starting_version=2)
+    feed = CF.read_change_feed(spark, sink, from_version=2)
+    plan2 = physical_plan(feed, "formatted")
+    assert "Join" not in plan2           # no diff machinery at read
+    assert "_commit_version" in plan2    # partition column present
+    assert feed.count() == 100           # 50 pre + 50 post
