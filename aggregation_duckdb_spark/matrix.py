@@ -56,15 +56,25 @@ def register(name: str, sql: str | None = None):
 # (metadata COUNT(*) across retained versions), q_zorder_maintain
 # (auto-maintenance policy fold + no-op path).
 # Next stale cohort after this round (schedule for round 13): the 48
-# round-9-evidence entries — hier_closure hier_closure_recursive
-# hier_agg_closure hier_agg_rollup hier_reporting_dim ref_parity_agg
-# hier_agg_closure_approx(rows-only) hier_distinct_twostage
-# hier_subtree_agg hier_agg_by_month q1_pricing_summary
-# q21_waiting_suppliers q_count_distinct q_rollup_grouping
-# q_cube_grouping q_grouping_sets q_filter_project q_case_when
-# q_in_subquery q_scalar_functions... (recompute the exact list from
-# CORRECTNESS_r06..r12 newest-evidence at round-13 start; ~48 names
-# + 2 free slots).
+# round-9-evidence entries, computed exactly from CORRECTNESS_r06..r11
+# newest-green-evidence minus this window: asof_join_events
+# emb_label_centroids events_conversion_lag events_sessionize
+# events_sliding events_state_intervals events_tumbling
+# events_user_gap_stats hier_agg_closure hier_agg_rollup hier_closure
+# hier_closure_recursive hier_distinct_twostage hier_reporting_dim
+# mm_resize pipeline_decontaminate pipeline_pii_scrub
+# pipeline_quantile_filter pipeline_repetition pipeline_split_assign
+# pipeline_stratified_sample q21_waiting_suppliers
+# q_histogram_totalprice q_math_functions q_merge_upsert
+# q_rolling_time_window q_zorder_box3d q_zorder_delete
+# q_zorder_delete_keys q_zorder_pruning q_zorder_timetravel
+# ref_parity_agg sim_pq_indexed_exact sim_topk_bruteforce
+# source_python_datasource stream_dedup stream_sessionize
+# stream_sliding stream_stateful_totals stream_stream_join
+# stream_tumbling stream_zorder_ingest text_fingerprint
+# text_language_id text_quality text_rolling_hash text_stats
+# text_tfidf_topterms. 48 names + 2 free slots for round-13 changes
+# (re-verify the list against CORRECTNESS_r12 at round-13 start).
 # Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
     # newest driver evidence = round 8 (all 44):
