@@ -218,7 +218,13 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 10,
     ``None`` disables the cap."""
     spark = corpus.sparkSession
     if fit_sample_cap is not None:
-        corpus = md5_sample(corpus, fit_sample_cap, id_col)
+        sampled = md5_sample(corpus, fit_sample_cap, id_col)
+        if sampled is not corpus:
+            # pin the sample: a lazy where() would re-scan the FULL
+            # corpus every Lloyd iteration — the flat-fit claim needs
+            # iterations to touch only the ~cap sampled rows
+            corpus = materialize(sampled.select(F.col(id_col),
+                                                F.col(vec_col)))
     seed_rows = (corpus
                  .select(F.col(id_col), F.col(vec_col))
                  .orderBy(F.md5(F.concat_ws("|", F.lit("kmeans-init"),
@@ -502,9 +508,14 @@ def pq_fit(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
                          f"num_subspaces={num_subspaces}")
     sub = dim // num_subspaces
     # one shared sample so every subspace trains on the same vectors
-    # (and one COUNT, not one per subspace — the inner cap is disabled)
+    # (and one COUNT, not one per subspace — the inner cap is
+    # disabled); pinned so the 8 sequential fits' iterations never
+    # re-scan the full corpus through the lazy sample filter
     if fit_sample_cap is not None:
-        corpus = md5_sample(corpus, fit_sample_cap, id_col)
+        sampled = md5_sample(corpus, fit_sample_cap, id_col)
+        if sampled is not corpus:
+            corpus = materialize(sampled.select(F.col(id_col),
+                                                F.col(vec_col)))
     books = None
     for j in range(num_subspaces):
         sliced = corpus.select(
