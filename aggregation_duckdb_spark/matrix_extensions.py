@@ -4181,6 +4181,63 @@ def q_zorder_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+@register("q_zorder_alter", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+       value AS amount, 'web' AS channel
+FROM events WHERE event_id % 10 < 8
+UNION ALL
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+       value AS amount,
+       CASE WHEN event_id % 3 = 0 THEN NULL
+            ELSE event_type END AS channel
+FROM events WHERE event_id % 10 >= 8
+ORDER BY event_id
+""")
+def q_zorder_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ALTER TABLE (``layout.alter_zordered`` — the
+    Delta column-mapping verbs, mode=name): the table is created with
+    (value, event_type), then ONE manifest commit renames
+    ``value -> amount``, drops ``event_type``, and adds ``channel``
+    with default ``'web'`` — zero data movement (data files keep
+    frozen physical names; reads translate). A post-alter append
+    writes real ``channel`` values INCLUDING explicit NULLs (every
+    3rd), and the fold into clustered storage must preserve the
+    distinction: pre-alter rows read the default, post-alter rows
+    read their stored values — the added-column fill is resolved per
+    GENERATION, never a blanket coalesce. The oracle is the plain
+    two-era UNION. Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = load_table(spark, "events", sf_dir)
+    old_era = (ev.where(F.col("event_id") % 10 < 8)
+               .select("event_id", F.col("user_id").cast("long")
+                       .alias("user_id"), "value", "event_type"))
+    new_era = (ev.where(F.col("event_id") % 10 >= 8)
+               .select("event_id", F.col("user_id").cast("long")
+                       .alias("user_id"),
+                       F.col("value").alias("amount"),
+                       F.when(F.col("event_id") % 3 != 0,
+                              F.col("event_type")).alias("channel")))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zalter",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(old_era, base, "user_id", "value",
+                         bits=8, bucket_bits=4)
+        L.alter_zordered(spark, base, renames={"value": "amount"},
+                         drops=["event_type"],
+                         adds={"channel": {"type": "string",
+                                           "default": "web"}})
+        L.append_zordered(new_era, base)
+        L.compact_zordered(spark, base)
+    out = L.read_zordered(spark, base)
+    return (out.select("event_id", "user_id", "amount", "channel")
+            .orderBy("event_id"))
+
+
 @register("q_zorder_restore", """
 SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value, event_type
 FROM events

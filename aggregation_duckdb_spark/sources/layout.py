@@ -841,7 +841,9 @@ def _read_live(spark: SparkSession, path: str, manifest: dict,
     data_root = fsio._join(path, DATA_DIR)
     grouped = _live_paths_by_root(path, manifest, buckets)
     if not grouped:
-        return spark.read.parquet(data_root).where(F.lit(False))
+        return _map_stored(manifest,
+                           spark.read.parquet(data_root)
+                           .where(F.lit(False)))
     gc = manifest.get("gen_columns", {})
     gens = manifest["gens"]
     wanted = ({str(b) for b in buckets} if buckets is not None
@@ -861,7 +863,7 @@ def _read_live(spark: SparkSession, path: str, manifest: dict,
     out = parts[0]
     for p in parts[1:]:   # >1 root only for shallow clones mid-rewrite
         out = out.unionByName(p, allowMissingColumns=True)
-    return out.where(_live_filter(manifest, buckets))
+    return _map_stored(manifest, out.where(_live_filter(manifest, buckets)))
 
 
 def _live_filter(manifest: dict, buckets: list[int] | None = None) -> Column:
@@ -883,10 +885,224 @@ def _live_filter(manifest: dict, buckets: list[int] | None = None) -> Column:
     return pred
 
 
+# --- column mapping (metadata-only ALTER TABLE) -----------------------
+#
+# The Delta Lake column-mapping design (mode=name), re-expressed on the
+# manifest: data files keep their ORIGINAL column names forever (the
+# "physical" schema), and three optional manifest fields describe the
+# user-facing ("logical") schema as a pure view over them —
+#
+#   column_map:   {physical -> logical}   renamed columns
+#   dropped_cols: [physical, ...]         columns hidden from every read
+#   added_cols:   {name -> {type, default}}  metadata-only ADD COLUMN
+#
+# so RENAME / DROP / ADD COLUMN are each ONE manifest commit — zero
+# data movement at any table size. Drop + add are resolved at the
+# storage choke points (`_read_live` for the clustered area,
+# `_read_delta_batch` for append batches) in PHYSICAL name space, so
+# every internal verb (compaction, upsert, merge, bloom build) sees the
+# post-drop/post-fill rows and physical rewrites MATERIALIZE added
+# columns / shed dropped ones as buckets churn. Renames are applied at
+# the public API boundary only: the LAST step of every public read, the
+# FIRST step of every public write — internals never see logical names,
+# so stored stats, bloom sidecars, tombstone keys, CHECK expressions
+# and the layout spec all stay keyed by stable physical names (the same
+# reason Delta freezes physical names under column mapping).
+
+
+def _col_mapping(manifest: dict) -> tuple[dict, set, dict]:
+    """(physical→logical renames, dropped physicals, added columns)."""
+    return (dict(manifest.get("column_map", {})),
+            set(manifest.get("dropped_cols", [])),
+            dict(manifest.get("added_cols", {})))
+
+
+def _map_stored(manifest: dict, df: DataFrame) -> DataFrame:
+    """Resolve DROP + ADD against a stored frame, in PHYSICAL names:
+    dropped columns vanish; an added column reads its DEFAULT for rows
+    of generations that predate the add and its stored value for rows
+    of generations written after it (decided per row via the ``gen``
+    partition column against the manifest's per-generation column
+    sets — exact even for mixed-generation scans, where a bare
+    coalesce would turn an explicitly-written NULL into the default).
+    Frames without ``gen`` (the empty-snapshot schema carrier) fill
+    unconditionally. Renames are NOT applied here — internals stay
+    physical."""
+    _, dropped, added = _col_mapping(manifest)
+    if not (dropped or added):
+        return df
+    hide = [c for c in dropped if c in df.columns]
+    if hide:
+        df = df.drop(*hide)
+    gc = manifest.get("gen_columns", {})
+    live = set(manifest.get("gens", {}).values())
+    for name, meta in added.items():
+        d = F.lit(meta.get("default")).cast(meta["type"])
+        if name not in df.columns:
+            df = df.withColumn(name, d)
+        elif "gen" in df.columns:
+            has = [g for g in live if name in gc.get(g, ())]
+            if set(has) != live:
+                df = df.withColumn(
+                    name, F.when(F.col("gen").isin(has),
+                                 F.col(name)).otherwise(d))
+    return df
+
+
+def _read_delta_batch(spark: SparkSession, path: str, manifest: dict,
+                      name: str) -> DataFrame:
+    """Read one outstanding append batch with the snapshot's DROP +
+    ADD resolved (physical names): a batch written before an ADD lacks
+    the column entirely and fills the default; one written after
+    carries it (explicit NULLs stay NULL)."""
+    df = spark.read.parquet(fsio._join(path, DELTA_DIR, name))
+    _, dropped, added = _col_mapping(manifest)
+    hide = [c for c in dropped if c in df.columns]
+    if hide:
+        df = df.drop(*hide)
+    for n, meta in added.items():
+        if n not in df.columns:
+            df = df.withColumn(
+                n, F.lit(meta.get("default")).cast(meta["type"]))
+    return df
+
+
+def _rename_logical(manifest: dict, df: DataFrame) -> DataFrame:
+    """physical → logical names: the LAST step of every public read."""
+    ren, _, _ = _col_mapping(manifest)
+    present = {p: l for p, l in ren.items() if p in df.columns}
+    return df.withColumnsRenamed(present) if present else df
+
+
+def _phys_name(manifest: dict, name: str) -> str:
+    """One logical column name → its physical name (identity when the
+    column was never renamed; an already-physical name of a renamed
+    column passes through too, so internal callers that hold physical
+    names keep working)."""
+    ren, _, _ = _col_mapping(manifest)
+    return {l: p for p, l in ren.items()}.get(name, name)
+
+
+def _phys_names(manifest: dict, names, op: str) -> list[str]:
+    """Map user-supplied column names (logical) to physical, refusing
+    names that no longer exist in the logical schema (dropped, or the
+    pre-rename spelling of a renamed column)."""
+    ren, dropped, _ = _col_mapping(manifest)
+    stale = set(dropped) | {p for p, l in ren.items() if p != l}
+    bad = [n for n in names if n in stale]
+    if bad:
+        raise ValueError(
+            f"{op}: column(s) {sorted(bad)} are not in the table's "
+            f"current schema (dropped or renamed — use the current "
+            f"names)")
+    inv = {l: p for p, l in ren.items()}
+    return [inv.get(n, n) for n in names]
+
+
+def _phys_ranges(manifest: dict, ranges: dict, op: str) -> dict:
+    """Range/equality predicate dicts keyed by logical names →
+    physical keys (values untouched)."""
+    keys = _phys_names(manifest, list(ranges), op)
+    return {k: ranges[c] for k, c in zip(keys, ranges)}
+
+
+def _batch_to_physical(manifest: dict, df: DataFrame, op: str) -> DataFrame:
+    """An incoming user batch (logical names) → storage names: the
+    FIRST step of every public write. Refuses columns spelled by a
+    dropped or pre-rename physical name — silently storing them would
+    resurrect a dropped column or write past a rename."""
+    _phys_names(manifest, df.columns, op)   # stale-name guard
+    ren, _, _ = _col_mapping(manifest)
+    back = {l: p for p, l in ren.items() if l in df.columns and l != p}
+    return df.withColumnsRenamed(back) if back else df
+
+
+def _expr_physical(manifest: dict, expr: str | None) -> str | None:
+    """Rewrite a user SQL expression (merge clauses) from logical to
+    physical column names — whole-word identifier substitution, the
+    same contract Delta applies when it re-analyzes clause expressions
+    against the logical schema. Caveat (documented): a renamed
+    column's logical name occurring as a bare word inside a string
+    literal would be rewritten too; avoid literal text that collides
+    with renamed column names."""
+    if not expr:
+        return expr
+    import re as _re
+    ren, _, _ = _col_mapping(manifest)
+    for p, l in ren.items():
+        if p != l:
+            expr = _re.sub(rf"\b{_re.escape(l)}\b", p, expr)
+    return expr
+
+
+def _expr_logical(manifest: dict, expr: str | None) -> str | None:
+    """The inverse of :func:`_expr_physical`: rewrite a stored SQL
+    expression (the CHECK constraint) from physical to logical names —
+    used when a full rebuild MATERIALIZES the mapping."""
+    if not expr:
+        return expr
+    import re as _re
+    ren, _, _ = _col_mapping(manifest)
+    for p, l in ren.items():
+        if p != l:
+            expr = _re.sub(rf"\b{_re.escape(p)}\b", l, expr)
+    return expr
+
+
+def _spec_logical(manifest: dict) -> dict:
+    """The layout spec re-keyed under LOGICAL column names (dims,
+    kinds, CHECK) — what a materializing full rebuild writes, since
+    its data files carry logical names from then on."""
+    spec = manifest["spec"]
+    ren, _, _ = _col_mapping(manifest)
+    if not ren:
+        return spec
+    out = dict(spec)
+    if "dims" in out:
+        out["dims"] = [[ren.get(c, c), lo, hi]
+                       for c, lo, hi in _spec_dims(spec)]
+    else:
+        out["a_col"] = ren.get(spec.get("a_col", "a"),
+                               spec.get("a_col", "a"))
+        out["b_col"] = ren.get(spec.get("b_col", "b"),
+                               spec.get("b_col", "b"))
+    if "kinds" in out:
+        out["kinds"] = {ren.get(c, c): k
+                        for c, k in out["kinds"].items()}
+    if "check" in out:
+        out["check"] = _expr_logical(manifest, out["check"])
+    return out
+
+
+def _logical_columns(spark: SparkSession, path: str,
+                     manifest: dict) -> set[str]:
+    """The table's current LOGICAL column set — from manifest metadata
+    alone when every live generation's column set is recorded
+    (gen_columns), falling back to a schema-only read for
+    pre-tracking generations; outstanding append batches contribute
+    their footer schemas (a schema-evolving append may carry columns
+    no clustered generation has yet)."""
+    gc = manifest.get("gen_columns", {})
+    live = set(manifest.get("gens", {}).values())
+    if all(g in gc for g in live):
+        phys = {c for g in live for c in gc[g]}
+    else:
+        phys = set(_read_live(spark, path, manifest).columns) \
+            - {"zbucket", "gen"}
+    for d in manifest.get("deltas", []):
+        phys |= set(_read_delta_batch(spark, path, manifest, d)
+                    .schema.names)
+    ren, dropped, added = _col_mapping(manifest)
+    phys -= dropped
+    phys |= set(added)
+    return {ren.get(c, c) for c in phys}
+
+
 def read_zordered(spark: SparkSession, path: str,
                   manifest: dict | None = None,
                   version: int | None = None,
-                  include_deltas: bool = True) -> DataFrame:
+                  include_deltas: bool = True,
+                  _logical: bool = True) -> DataFrame:
     """Full-scan read of the table snapshot — latest by default, a
     pinned time-travel snapshot with ``version`` (every live
     (zbucket, gen) directory; ``gen`` is internal and dropped). The
@@ -894,15 +1110,20 @@ def read_zordered(spark: SparkSession, path: str,
     null for their rows — they are unrouted until compaction): a
     full-table read never silently misses appended rows.
     ``include_deltas=False`` reads the clustered main area alone (what
-    compaction's own rebuild wants, since it folds deltas itself)."""
+    compaction's own rebuild wants, since it folds deltas itself).
+    Columns come back under the snapshot's LOGICAL names (renames
+    from :func:`alter_zordered` applied; ``_logical=False`` is the
+    internal physical-name view rewrites and diffs use)."""
     if manifest is None:
         manifest = read_manifest(spark, path, version)
     out = _read_live(spark, path, manifest).drop("gen")
     if include_deltas:
         for d in manifest.get("deltas", []):
-            dd = spark.read.parquet(fsio._join(path, DELTA_DIR, d))
-            out = out.unionByName(dd, allowMissingColumns=True)
-    return _apply_tombstones(spark, path, manifest, out)
+            out = out.unionByName(
+                _read_delta_batch(spark, path, manifest, d),
+                allowMissingColumns=True)
+    out = _apply_tombstones(spark, path, manifest, out)
+    return _rename_logical(manifest, out) if _logical else out
 
 
 def read_zordered_box(spark: SparkSession, path: str,
@@ -919,8 +1140,10 @@ def read_zordered_box(spark: SparkSession, path: str,
     if manifest is None:
         manifest = read_manifest(spark, path, version)
     dims = _spec_dims(manifest["spec"])
+    ren, _, _ = _col_mapping(manifest)   # dims live in physical names
     return read_zordered_box_nd(
-        spark, path, {dims[0][0]: (a_lo, a_hi), dims[1][0]: (b_lo, b_hi)},
+        spark, path, {ren.get(dims[0][0], dims[0][0]): (a_lo, a_hi),
+                      ren.get(dims[1][0], dims[1][0]): (b_lo, b_hi)},
         manifest=manifest)
 
 
@@ -936,6 +1159,9 @@ def read_zordered_box_nd(spark: SparkSession, path: str,
     touch)."""
     if manifest is None:
         manifest = read_manifest(spark, path, version)
+    # range keys may be logical (post-rename) names; planning and row
+    # filters run on the physical frame
+    ranges = _phys_ranges(manifest, ranges, "read_zordered_box_nd")
     # planning coerces timestamp/date bounds to the binning's integer
     # domain; the row filters below keep the ORIGINAL values, so
     # results never depend on the coercion (only the pruning superset)
@@ -944,7 +1170,8 @@ def read_zordered_box_nd(spark: SparkSession, path: str,
     out = _read_live(spark, path, manifest, buckets)
     for c, (lo, hi) in ranges.items():
         out = out.where((F.col(c) >= lo) & (F.col(c) <= hi))
-    return _apply_tombstones(spark, path, manifest, out.drop("gen"))
+    out = _apply_tombstones(spark, path, manifest, out.drop("gen"))
+    return _rename_logical(manifest, out)
 
 
 def append_zordered(df: DataFrame, path: str,
@@ -987,6 +1214,7 @@ def append_zordered(df: DataFrame, path: str,
     if batch_id is not None and batch_id <= manifest.get(
             "last_batch_id", -1):
         return  # replayed micro-batch: already visible, skip
+    df = _batch_to_physical(manifest, df, "append_zordered")
     base_spec = manifest["spec"]
     _validate_check(df, base_spec, "append_zordered")
     name = f"d-{uuid.uuid4().hex}"
@@ -1041,6 +1269,9 @@ def delete_zordered_keys(keys_df: DataFrame, path: str,
     first)."""
     spark = keys_df.sparkSession
     base_v, manifest = _latest(spark, path)
+    keys_df = _batch_to_physical(manifest, keys_df,
+                                 "delete_zordered_keys")
+    key_cols = _phys_names(manifest, key_cols, "delete_zordered_keys")
     prior = manifest.get("tombstone_key")
     if prior is not None and list(prior) != list(key_cols):
         raise ValueError(
@@ -1129,7 +1360,7 @@ def compact_zordered(spark: SparkSession, path: str,
     tomb_keys = _tombstone_keys(spark, path, manifest)
     if not deltas and tomb_keys is None and mode != "full":
         return spec
-    delta_frames = [spark.read.parquet(fsio._join(path, DELTA_DIR, d))
+    delta_frames = [_read_delta_batch(spark, path, manifest, d)
                     for d in deltas]
     delta = None
     for f in delta_frames:
@@ -1144,12 +1375,18 @@ def compact_zordered(spark: SparkSession, path: str,
     data_root = fsio._join(path, DATA_DIR)
     if mode == "full":
         # read_zordered applies this manifest's tombstones, so the
-        # rebuild physically removes every tombstoned row
+        # rebuild physically removes every tombstoned row. The read is
+        # LOGICAL and the spec is re-keyed to match: a full rebuild
+        # MATERIALIZES any column mapping (renames become the stored
+        # names, drops/adds are already resolved by the storage layer)
+        # — the fresh manifest below carries no mapping fields, which
+        # is exactly right once the data is rewritten
         full = read_zordered(spark, path, manifest,
                              include_deltas=False).drop("zbucket")
         if delta is not None:
-            full = full.unionByName(delta, allowMissingColumns=True)
-        new_spec = _respec_bounds(spec, full)
+            full = full.unionByName(_rename_logical(manifest, delta),
+                                    allowMissingColumns=True)
+        new_spec = _respec_bounds(_spec_logical(manifest), full)
         _write_clustered(full, data_root, new_spec, gen, files_per_bucket)
         buckets, stats, cols = _written_meta(spark, path, gen, new_spec)
 
@@ -1242,14 +1479,15 @@ def read_zordered_box_with_delta(spark: SparkSession, path: str,
     dims = _spec_dims(manifest["spec"])
     out = read_zordered_box(spark, path, a_lo, a_hi, b_lo, b_hi, manifest)
     out = out.drop("zbucket")
-    a, b = F.col(dims[0][0]), F.col(dims[1][0])
+    a, b = F.col(dims[0][0]), F.col(dims[1][0])   # deltas are physical
     for d in manifest.get("deltas", []):
-        dd = (spark.read.parquet(fsio._join(path, DELTA_DIR, d))
+        dd = (_read_delta_batch(spark, path, manifest, d)
               .where((a >= a_lo) & (a <= a_hi)
                      & (b >= b_lo) & (b <= b_hi)))
         # the box read already hid tombstoned keys in the main area;
         # delta batches carry them too until the next compaction
-        out = out.unionByName(_apply_tombstones(spark, path, manifest, dd),
+        dd = _apply_tombstones(spark, path, manifest, dd)
+        out = out.unionByName(_rename_logical(manifest, dd),
                               allowMissingColumns=True)
     return out
 
@@ -1294,6 +1532,8 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
     endpoints, with no retention requirement."""
     spark = df.sparkSession
     base_v, manifest = _latest(spark, path)
+    df = _batch_to_physical(manifest, df, "upsert_zordered")
+    key_cols = _phys_names(manifest, key_cols, "upsert_zordered")
     if manifest.get("deltas"):
         raise ValueError(
             "upsert_zordered: outstanding delta batches "
@@ -1439,6 +1679,21 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
 
     spark = source.sparkSession
     base_v, manifest = _latest(spark, path)
+    # logical → physical at the boundary: the source batch, the merge
+    # key, the SET-clause targets, and every clause expression (whole-
+    # word identifier rewrite) — internals below run purely physical
+    source = _batch_to_physical(manifest, source, "merge_zordered")
+    key_cols = _phys_names(manifest, key_cols, "merge_zordered")
+    if when_matched_update:
+        when_matched_update = {
+            _phys_names(manifest, [c], "merge_zordered UPDATE SET")[0]:
+            _expr_physical(manifest, e)
+            for c, e in when_matched_update.items()}
+    update_condition = _expr_physical(manifest, update_condition)
+    insert_condition = _expr_physical(manifest, insert_condition)
+    if isinstance(when_matched_delete, str):
+        when_matched_delete = _expr_physical(manifest,
+                                             when_matched_delete)
     deltas = list(manifest.get("deltas", []))
     old_tombs = list(manifest.get("tombstones", []))
     if old_tombs and list(manifest.get("tombstone_key", [])) \
@@ -1467,7 +1722,7 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
     # set grows to cover the buckets they route into
     delta = None
     for d in deltas:
-        dd = spark.read.parquet(fsio._join(path, DELTA_DIR, d))
+        dd = _read_delta_batch(spark, path, manifest, d)
         delta = dd if delta is None else \
             delta.unionByName(dd, allowMissingColumns=True)
     tomb = _tombstone_keys(spark, path, manifest)
@@ -1711,6 +1966,7 @@ def build_bloom_index(spark: SparkSession, path: str, cols: list[str],
     the indexed column (any m works; hashing is exact-mod, not
     power-of-two-wrap). Returns {"cols", "m", "k", "buckets"}."""
     manifest = read_manifest(spark, path)
+    cols = _phys_names(manifest, cols, "build_bloom_index")
     live = _read_live(spark, path, manifest)
     nb = 1 << int(manifest["spec"]["bucket_bits"])
     # ONE pass over the live snapshot for ALL indexed columns: every
@@ -1802,6 +2058,7 @@ def read_zordered_eq(spark: SparkSession, path: str, eq: dict,
     live-scan filter (outstanding deltas carry no blooms and are
     scanned with the filter only; tombstones apply as everywhere)."""
     manifest = read_manifest(spark, path, version)
+    eq = _phys_ranges(manifest, eq, "read_zordered_eq")
     sidecar = _bloom_sidecar(spark, path)
     keep: set[int] | None = None
     for c, v in eq.items():
@@ -1813,11 +2070,12 @@ def read_zordered_eq(spark: SparkSession, path: str, eq: dict,
         out = out.where(F.col(c) == v)
     out = out.drop("gen", "zbucket")
     for d in manifest.get("deltas", []):
-        dd = spark.read.parquet(fsio._join(path, DELTA_DIR, d))
+        dd = _read_delta_batch(spark, path, manifest, d)
         for c, v in eq.items():
             dd = dd.where(F.col(c) == v)
         out = out.unionByName(dd, allowMissingColumns=True)
-    return _apply_tombstones(spark, path, manifest, out)
+    out = _apply_tombstones(spark, path, manifest, out)
+    return _rename_logical(manifest, out)
 
 
 def diff_zordered(spark: SparkSession, path: str, v_from: int,
@@ -1844,12 +2102,21 @@ def diff_zordered(spark: SparkSession, path: str, v_from: int,
         raise ValueError("diff_zordered needs key_cols")
     if v_to is None:
         v_to = table_version(spark, path)
-    old = read_zordered(spark, path, version=v_from).drop("zbucket")
-    new = read_zordered(spark, path, version=v_to).drop("zbucket")
+    m_to = read_manifest(spark, path, v_to)
+    # compare in PHYSICAL name space: physical names are stable across
+    # renames (column mapping), so a pure RENAME between the endpoints
+    # produces zero spurious changes; drops/adds still surface as the
+    # visible row-image change they are. The result maps to the NEWER
+    # endpoint's logical names.
+    key_cols = _phys_names(m_to, key_cols, "diff_zordered")
+    old = read_zordered(spark, path, version=v_from,
+                        _logical=False).drop("zbucket")
+    new = read_zordered(spark, path, manifest=m_to,
+                        _logical=False).drop("zbucket")
     # endpoints may straddle a schema evolution: align with nulls, so
     # an added column reads as NULL -> value (an update) rather than
     # breaking the projection
-    return _classify_diff(old, new, key_cols)
+    return _rename_logical(m_to, _classify_diff(old, new, key_cols))
 
 
 def _classify_diff(old: DataFrame, new: DataFrame,
@@ -1990,12 +2257,147 @@ def clone_zordered(spark: SparkSession, src: str, dst: str,
                         "version": int(version) if version is not None
                         else table_version(spark, src)},
     }
+    for mk in ("column_map", "dropped_cols", "added_cols"):
+        if src_m.get(mk):   # the logical view travels with the clone
+            manifest[mk] = src_m[mk]
     if "last_batch_id" in src_m:
         manifest["last_batch_id"] = src_m["last_batch_id"]
     fsio.mkdirs(spark, fsio._join(dst, DATA_DIR))
     v, _ = _commit(spark, dst, manifest, "clone", 0)
     return {"version": v, "gens": len(manifest["gens"]),
             "cloned_from": manifest["cloned_from"]}
+
+
+def alter_zordered(spark: SparkSession, path: str,
+                   renames: dict[str, str] | None = None,
+                   drops: list[str] | None = None,
+                   adds: dict[str, dict] | None = None) -> dict:
+    """Metadata-only ``ALTER TABLE`` — RENAME COLUMN / DROP COLUMN /
+    ADD COLUMN as ONE manifest commit, zero data movement at any table
+    size (the Delta column-mapping feature, mode=name): data files
+    keep their original ("physical") column names forever; the commit
+    edits the logical view every public read/write translates through.
+
+    - ``renames``: {current name -> new name}. Applies to ANY column,
+      including layout dimensions and tombstone keys (the spec and
+      stored keys stay physical — nothing breaks). Renaming a column
+      back to its original name clears its mapping entry.
+    - ``drops``: [current name, ...]. The column disappears from every
+      read (column pruning means it is never even scanned) and is
+      refused in incoming batches; physical rewrites shed it bucket by
+      bucket as the table churns. Refused for layout dimensions, for
+      tombstone-key columns while tombstones are outstanding, and for
+      columns the CHECK constraint references.
+    - ``adds``: {name -> {"type": sql_type, "default": value}}. Old
+      rows read the default (resolved per GENERATION, so later writes
+      that store the column — including explicit NULLs — read back
+      exactly); refused for names any stored file ever used
+      (resurrecting old bytes under a new logical column would be
+      silent corruption — the same reason Delta freezes physical
+      names).
+
+    A full ``compact_zordered(mode="full")`` MATERIALIZES the mapping:
+    everything is rewritten under the logical names and the mapping
+    fields clear. Time travel is exact: the mapping is part of each
+    snapshot, so a read at a pre-alter version shows the old schema,
+    and :func:`restore_zordered` reverts names with the data.
+    Concurrency: pure metadata — rebases over any concurrent commit by
+    re-validating against the latest state; incompatible concurrent
+    alters surface as validation errors, bucket rewrites merge
+    untouched (their rebase carries the mapping fields through)."""
+    from pyspark.sql.types import _parse_datatype_string
+    renames = dict(renames or {})
+    drops = list(drops or [])
+    adds = dict(adds or {})
+    if not (renames or drops or adds):
+        raise ValueError("alter_zordered: nothing to do")
+    for name, meta in adds.items():
+        if "type" not in meta:
+            raise ValueError(
+                f"alter_zordered: ADD COLUMN {name!r} needs a 'type'")
+        _parse_datatype_string(meta["type"])   # fail fast, not at read
+    base_v, manifest = _latest(spark, path)
+
+    def build(m: dict) -> dict:
+        ren, dropped, added = _col_mapping(m)
+        inv = {l: p for p, l in ren.items()}
+        logical = _logical_columns(spark, path, m)
+        # every physical name any live file may still carry: the
+        # resurrection guard for adds and rename targets
+        gc = m.get("gen_columns", {})
+        live = set(m.get("gens", {}).values())
+        phys_all = {c for g in live for c in gc.get(g, ())} \
+            | set(ren) | dropped | set(added)
+        spec_dims = {c for c, _, _ in _spec_dims(m["spec"])}
+        check = m["spec"].get("check") or ""
+        tkey = set(m.get("tombstone_key", [])) \
+            if m.get("tombstones") else set()
+        import re as _re
+        for old, new in renames.items():
+            if old not in logical:
+                raise ValueError(
+                    f"alter_zordered: RENAME {old!r} — no such column")
+            p = inv.get(old, old)
+            if new != p and (new in logical or new in phys_all):
+                raise ValueError(
+                    f"alter_zordered: RENAME {old!r} -> {new!r} — the "
+                    f"new name collides with a current column or a "
+                    f"name stored files still carry")
+            # uniform for every column class — including added ones,
+            # whose added_cols entry stays keyed by the physical name
+            # so the per-generation default fill keeps resolving
+            if new == p:
+                ren.pop(p, None)     # renamed back: identity again
+            else:
+                ren[p] = new
+            inv = {l: pp for pp, l in ren.items()}
+            logical = (logical - {old}) | {new}
+        for name in drops:
+            if name not in logical:
+                raise ValueError(
+                    f"alter_zordered: DROP {name!r} — no such column")
+            p = inv.get(name, name)
+            if p in spec_dims:
+                raise ValueError(
+                    f"alter_zordered: DROP {name!r} — it is a layout "
+                    f"dimension; re-layout with write_zordered instead")
+            if p in tkey:
+                raise ValueError(
+                    f"alter_zordered: DROP {name!r} — outstanding "
+                    f"tombstones are keyed on it; compact first")
+            if check and _re.search(rf"\b{_re.escape(p)}\b", check):
+                raise ValueError(
+                    f"alter_zordered: DROP {name!r} — the CHECK "
+                    f"constraint ({check}) references it")
+            added.pop(p, None)
+            dropped.add(p)           # harmless no-op if never stored
+            ren.pop(p, None)
+            inv = {l: pp for pp, l in ren.items()}
+            logical -= {name}
+        for name, meta in adds.items():
+            if name in logical or name in phys_all:
+                raise ValueError(
+                    f"alter_zordered: ADD {name!r} — the name is in "
+                    f"use, or stored files still carry bytes under it "
+                    f"(dropped names are never reusable)")
+            added[name] = {"type": meta["type"],
+                           "default": meta.get("default")}
+            logical |= {name}
+        out = dict(m)
+        out.pop("change_file", None)   # per-commit, never inherited
+        for key, val in (("column_map", ren),
+                         ("dropped_cols", sorted(dropped)),
+                         ("added_cols", added)):
+            if val:
+                out[key] = val if key != "column_map" else dict(val)
+            else:
+                out.pop(key, None)
+        return out
+
+    v, _final = _commit(spark, path, build(manifest), "alter", base_v,
+                        rebase=build)
+    return {"version": v, "renamed": renames, "dropped": drops,
+            "added": sorted(adds)}
 
 
 def _clustered_rows(manifest: dict) -> int | None:
@@ -2079,9 +2481,15 @@ def describe_zordered(spark: SparkSession, path: str) -> dict:
             n_files += 1
             total_bytes += fsize
     spec = m["spec"]
+    ren, dropped, added = _col_mapping(m)
     return {
         "path": path, "version": v, "op": m.get("op"),
         "dims": [c for c, _, _ in _spec_dims(spec)],
+        # the logical view over the physical schema (ALTER TABLE):
+        "logical_dims": [ren.get(c, c) for c, _, _ in _spec_dims(spec)],
+        "column_renames": ren,
+        "dropped_columns": sorted(dropped),
+        "added_columns": added,
         "bits": spec["bits"], "bucket_bits": spec["bucket_bits"],
         "check": spec.get("check"),
         "buckets": len(m["gens"]),
@@ -2381,6 +2789,7 @@ def read_zordered_where(spark: SparkSession, path: str, ranges: dict,
     delta batches carry no stats and are scanned with the exact
     filter only. Results equal a plain filter over the live table."""
     manifest = read_manifest(spark, path, version)
+    ranges = _phys_ranges(manifest, ranges, "read_zordered_where")
     keep = zonemap_buckets(manifest, ranges)
     out = _read_live(spark, path, manifest, keep)
     for c, (lo, hi) in ranges.items():
@@ -2389,11 +2798,12 @@ def read_zordered_where(spark: SparkSession, path: str, ranges: dict,
     # outstanding — same call, same schema, regardless of table state
     out = out.drop("gen", "zbucket")
     for d in manifest.get("deltas", []):
-        dd = spark.read.parquet(fsio._join(path, DELTA_DIR, d))
+        dd = _read_delta_batch(spark, path, manifest, d)
         for c, (lo, hi) in ranges.items():
             dd = dd.where((F.col(c) >= lo) & (F.col(c) <= hi))
         out = out.unionByName(dd, allowMissingColumns=True)
-    return _apply_tombstones(spark, path, manifest, out)
+    out = _apply_tombstones(spark, path, manifest, out)
+    return _rename_logical(manifest, out)
 
 
 def delete_zordered_box(spark: SparkSession, path: str,

@@ -78,9 +78,14 @@ def _commit_changes(spark: SparkSession, table_path: str, version: int,
         name = m_v["change_file"]
         if name is None:
             return None
-        return spark.read.parquet(
-            fsio._join(table_path, L.CHANGES_DIR, name))
-    if op in ("compact_incremental", "compact_full", "optimize"):
+        # stored change rows carry physical names; surface them under
+        # the commit's logical schema like every other feed row
+        return L._rename_logical(m_v, spark.read.parquet(
+            fsio._join(table_path, L.CHANGES_DIR, name)))
+    if op in ("compact_incremental", "compact_full", "optimize",
+              "alter"):
+        # physical rewrites and metadata-only schema changes move no
+        # rows — logically invisible to the feed (the Delta CDF rule)
         return None
     m_prev = L._read_manifest_version(spark, table_path, version - 1)
     if m_prev is None:
@@ -95,11 +100,11 @@ def _commit_changes(spark: SparkSession, table_path: str, version: int,
             return None   # replayed batch id landed as a no-op commit
         out = None
         for d in new:
-            dd = spark.read.parquet(fsio._join(table_path,
-                                               L.DELTA_DIR, d))
+            dd = L._read_delta_batch(spark, table_path, m_v, d)
             out = dd if out is None else out.unionByName(
                 dd, allowMissingColumns=True)
         out = L._apply_tombstones(spark, table_path, m_v, out)
+        out = L._rename_logical(m_v, out)
         return out.withColumn("_change_type", F.lit("insert"))
     if op == "delete_keys":
         new_t = [t for t in m_v.get("tombstones", [])
@@ -111,6 +116,11 @@ def _commit_changes(spark: SparkSession, table_path: str, version: int,
                                                    L.TOMBSTONE_DIR, t))
                 keys = kk if keys is None else keys.unionByName(kk)
             kc = m_v.get("tombstone_key", key_cols)
+            # tombstone batches and their key names are physical;
+            # the preimage read below is logical — align the keys
+            keys = L._rename_logical(m_v, keys)
+            ren, _, _ = L._col_mapping(m_v)
+            kc = [ren.get(c, c) for c in kc]
             victims = (L.read_zordered(spark, table_path,
                                        version=version - 1)
                        .drop("zbucket")

@@ -1,0 +1,201 @@
+"""Metadata-only ALTER TABLE (column mapping) on the Z-ordered layout.
+
+Pins the Delta column-mapping semantics `alter_zordered` implements
+(reference parity target: Delta Lake RENAME/DROP/ADD COLUMN under
+column mapping mode=name — the reference repo itself has no ALTER, so
+this is part of the beyond-reference lakehouse surface, SURVEY §2
+pipeline/lakehouse):
+
+- rename/drop/add are each ONE manifest commit, zero data movement;
+- data files keep frozen physical names; every public read maps to
+  logical names last, every public write maps from them first;
+- ADD COLUMN defaults resolve per GENERATION (explicitly-written
+  NULLs in post-add data stay NULL — never swallowed by a coalesce);
+- time travel / restore / clone carry each snapshot's mapping;
+- a full compaction MATERIALIZES the mapping and clears it;
+- renames are invisible to diff/CDC (physical comparison space).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aggregation_duckdb_spark.sources import layout as L
+
+
+def _base(spark, n=600):
+    return spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).alias("a"),
+        (F.col("id") % 37).alias("b"),
+        (F.col("id") * 2).alias("val"),
+        F.concat(F.lit("doc"), F.col("id")).alias("txt"))
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    p = str(tmp_path / "t")
+    L.write_zordered(_base(spark), p, "a", "b", bits=6, bucket_bits=3)
+    return p
+
+
+def test_rename_is_metadata_only_and_round_trips(spark, table):
+    gens_before = L.read_manifest(spark, table)["gens"]
+    L.alter_zordered(spark, table, renames={"val": "value"})
+    m = L.read_manifest(spark, table)
+    assert m["gens"] == gens_before          # no data moved
+    out = L.read_zordered(spark, table)
+    assert "value" in out.columns and "val" not in out.columns
+    assert out.agg(F.sum("value")).collect()[0][0] == \
+        sum(i * 2 for i in range(600))
+    # rename back clears the mapping entry entirely
+    L.alter_zordered(spark, table, renames={"value": "val"})
+    assert "column_map" not in L.read_manifest(spark, table)
+    assert "val" in L.read_zordered(spark, table).columns
+
+
+def test_layout_dim_rename_keeps_box_pruning(spark, table):
+    L.alter_zordered(spark, table, renames={"a": "alpha"})
+    exp = sum(1 for i in range(600) if 0 <= i % 50 <= 10)
+    assert L.read_zordered_box(spark, table, 0, 10, 0, 36).count() == exp
+    nd = L.read_zordered_box_nd(spark, table, {"alpha": (0, 10)})
+    assert "alpha" in nd.columns and nd.count() == exp
+    # the spec itself stays keyed by the frozen physical name
+    assert L.read_spec(spark, table).get("a_col") == "a"
+
+
+def test_drop_add_and_generation_aware_defaults(spark, table):
+    L.alter_zordered(spark, table, drops=["txt"],
+                     adds={"lang": {"type": "string", "default": "en"}})
+    out = L.read_zordered(spark, table)
+    assert "txt" not in out.columns
+    assert out.where(F.col("lang") == "en").count() == 600
+    # post-add append writes real values INCLUDING explicit nulls
+    app = spark.range(600, 610).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("a"),
+        (F.col("id") % 37).alias("b"), (F.col("id") * 2).alias("val"),
+        F.when(F.col("id") % 2 == 0, F.lit("fr")).alias("lang"))
+    L.append_zordered(app, table)
+    out = L.read_zordered(spark, table)
+    assert out.where(F.col("lang").isNull()).count() == 5
+    assert out.where(F.col("lang") == "fr").count() == 5
+    # ...and the distinction SURVIVES the fold into clustered storage
+    L.compact_zordered(spark, table)
+    out = L.read_zordered(spark, table)
+    assert out.where(F.col("lang").isNull()).count() == 5
+    assert out.where(F.col("lang") == "en").count() == 600
+
+
+def test_writes_translate_logical_names_and_refuse_stale(spark, table):
+    L.alter_zordered(spark, table, renames={"val": "value"})
+    up = spark.createDataFrame(
+        [(0, 0, 0, 999, "z")],
+        "k long, a long, b long, value long, txt string")
+    L.upsert_zordered(up, table, ["k"])
+    assert L.read_zordered(spark, table).where(F.col("k") == 0) \
+        .collect()[0]["value"] == 999
+    L.merge_zordered(
+        spark.createDataFrame([(0, 0, 0, 1, "z")],
+                              "k long, a long, b long, value long, "
+                              "txt string"),
+        table, ["k"], when_matched_update={"value": "t.value + s.value"})
+    assert L.read_zordered(spark, table).where(F.col("k") == 0) \
+        .collect()[0]["value"] == 1000
+    L.delete_zordered_keys(spark.createDataFrame([(5,)], "k long"),
+                           table, ["k"])
+    assert L.read_zordered(spark, table).where(F.col("k") == 5) \
+        .count() == 0
+    with pytest.raises(ValueError, match="val"):
+        L.append_zordered(up.withColumnRenamed("value", "val"), table)
+    with pytest.raises(ValueError, match="read_zordered_where"):
+        L.read_zordered_where(spark, table, {"val": (0, 1)})
+
+
+def test_time_travel_restore_and_clone_carry_mapping(spark, tmp_path):
+    p = str(tmp_path / "t")
+    L.write_zordered(_base(spark, 100), p, "a", "b", bits=4,
+                     bucket_bits=2, vacuum=False)
+    L.alter_zordered(spark, p, renames={"val": "v2"})
+    assert "val" in L.read_zordered(spark, p, version=1).columns
+    assert "v2" in L.read_zordered(spark, p).columns
+    c = str(tmp_path / "c")
+    L.clone_zordered(spark, p, c)
+    assert "v2" in L.read_zordered(spark, c).columns
+    L.restore_zordered(spark, p, 1)
+    assert "val" in L.read_zordered(spark, p).columns
+
+
+def test_rename_is_invisible_to_diff(spark, tmp_path):
+    p = str(tmp_path / "t")
+    L.write_zordered(_base(spark, 100), p, "a", "b", bits=4,
+                     bucket_bits=2, vacuum=False)
+    L.alter_zordered(spark, p, renames={"val": "v2"})
+    d = L.diff_zordered(spark, p, v_from=1, v_to=2, key_cols=["k"])
+    assert d.count() == 0                 # physical comparison space
+    assert "v2" in d.columns              # schema maps to the NEW names
+
+
+def test_full_compaction_materializes_the_mapping(spark, table):
+    L.alter_zordered(spark, table, renames={"val": "value", "a": "alpha"},
+                     drops=["txt"],
+                     adds={"lang": {"type": "string", "default": "en"}})
+    L.compact_zordered(spark, table, mode="full")
+    m = L.read_manifest(spark, table)
+    for k in ("column_map", "dropped_cols", "added_cols"):
+        assert k not in m
+    out = L.read_zordered(spark, table)
+    assert {"value", "alpha", "lang"} <= set(out.columns)
+    assert "txt" not in out.columns
+    assert out.where(F.col("lang") == "en").count() == 600
+    # the rewritten spec is keyed by the logical dim name now
+    assert L.read_zordered_box_nd(spark, table,
+                                  {"alpha": (0, 10)}).count() > 0
+
+
+def test_bloom_lookup_through_a_rename(spark, table):
+    L.alter_zordered(spark, table, renames={"val": "value"})
+    L.build_bloom_index(spark, table, ["value"], m=4096, k=3)
+    got = L.read_zordered_eq(spark, table, {"value": 84})
+    assert {r["k"] for r in got.collect()} == {42}
+
+
+def test_alter_validation_refusals(spark, table):
+    with pytest.raises(ValueError, match="layout"):
+        L.alter_zordered(spark, table, drops=["a"])
+    with pytest.raises(ValueError, match="in use|carry"):
+        L.alter_zordered(spark, table, adds={"txt": {"type": "string"}})
+    with pytest.raises(ValueError, match="collides"):
+        L.alter_zordered(spark, table, renames={"val": "b"})
+    with pytest.raises(ValueError, match="no such column"):
+        L.alter_zordered(spark, table, renames={"nope": "x"})
+    L.alter_zordered(spark, table, drops=["txt"])
+    with pytest.raises(ValueError, match="never reusable"):
+        L.alter_zordered(spark, table, adds={"txt": {"type": "int"}})
+    L.delete_zordered_keys(spark.createDataFrame([(1,)], "k long"),
+                           table, ["k"])
+    with pytest.raises(ValueError, match="tombstones"):
+        L.alter_zordered(spark, table, drops=["k"])
+    with pytest.raises(ValueError, match="CHECK"):
+        p2 = str(table) + "_chk"
+        L.write_zordered(_base(spark, 50), p2, "a", "b", bits=4,
+                         bucket_bits=2, check="val >= 0")
+        L.alter_zordered(spark, p2, drops=["val"])
+
+
+def test_change_feed_skips_alter_and_maps_names(spark, tmp_path):
+    from aggregation_duckdb_spark.streaming.change_feed import \
+        _commit_changes
+    p = str(tmp_path / "t")
+    L.write_zordered(_base(spark, 50), p, "a", "b", bits=4,
+                     bucket_bits=2, vacuum=False)
+    L.alter_zordered(spark, p, renames={"val": "value"})          # v2
+    app = spark.range(50, 55).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("a"),
+        (F.col("id") % 37).alias("b"), (F.col("id") * 2).alias("value"),
+        F.concat(F.lit("doc"), F.col("id")).alias("txt"))
+    L.append_zordered(app, p)                                     # v3
+    assert _commit_changes(spark, p, 2, ["k"]) is None            # alter
+    ch = _commit_changes(spark, p, 3, ["k"])                      # append
+    assert "value" in ch.columns and "val" not in ch.columns
+    assert ch.count() == 5
