@@ -75,6 +75,10 @@ def register(name: str, sql: str | None = None):
 # text_language_id text_quality text_rolling_hash text_stats
 # text_tfidf_topterms. 48 names + 2 free slots for round-13 changes
 # (re-verify the list against CORRECTNESS_r12 at round-13 start).
+# Claim the free slots for q_zorder_alter (metadata-only ALTER TABLE
+# via column mapping) and stream_table_read (the Delta readStream
+# analogue) — both registered round 12 after the window froze; if a
+# round-13 code change needs a slot, it outranks these two.
 # Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
     # newest driver evidence = round 8 (all 44):

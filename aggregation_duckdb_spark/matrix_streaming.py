@@ -388,3 +388,60 @@ def stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("_commit_version").cast("long")
                        .alias("_commit_version"))
             .orderBy("_commit_version", "event_id", "_change_type"))
+
+
+@register("stream_table_read", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+       CAST(1 AS BIGINT) AS _commit_version
+FROM events WHERE event_id % 3 = 0
+UNION ALL
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value, 2
+FROM events WHERE event_id % 3 = 1
+UNION ALL
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value, 4
+FROM events WHERE event_id % 3 = 2
+ORDER BY _commit_version, event_id
+""")
+def stream_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ROW read of the Z-ordered table
+    (``streaming.run_table_stream`` — the Delta
+    ``spark.readStream.format("delta")`` analogue, distinct from the
+    change feed's CDC stream): the first commit emits the SNAPSHOT,
+    each later append emits exactly its new rows, and the compaction
+    between them emits NOTHING (physical rewrites move no rows) — so
+    the drained sink over create(⅓) → append(⅓) → compact →
+    append(⅓) is the three eras under commit versions 1/2/4, which is
+    the oracle's plain UNION. Mutations would fail the stream
+    (Delta's contract) — exercised in pytest, not here. Built once
+    per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.sources import layout as L
+    from aggregation_duckdb_spark.streaming import (read_table_stream,
+                                                    run_table_stream)
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", F.col("user_id").cast("long")
+                  .alias("user_id"), "value"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zrstream",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    sink = os.path.join(base, "_rows")
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev.where(F.col("event_id") % 3 == 0), base,
+                         "user_id", "value", bits=8, bucket_bits=4,
+                         vacuum=False)                          # v1
+        L.append_zordered(ev.where(F.col("event_id") % 3 == 1), base)
+        L.compact_zordered(spark, base, vacuum=False)           # v3
+        L.append_zordered(ev.where(F.col("event_id") % 3 == 2), base)
+        run_table_stream(spark, base, sink,
+                         os.path.join(base, "_rows_checkpoint"))
+    out = read_table_stream(spark, sink)
+    return (out.select("event_id", "user_id", "value",
+                       F.col("_commit_version").cast("long")
+                       .alias("_commit_version"))
+            .orderBy("_commit_version", "event_id"))
+
+

@@ -26,6 +26,8 @@ from aggregation_duckdb_spark.streaming.sinks import (
     write_batch_idempotent)
 from aggregation_duckdb_spark.streaming.change_feed import (
     read_change_feed, run_change_feed)
+from aggregation_duckdb_spark.streaming.stream_read import (
+    read_table_stream, run_table_stream)
 from aggregation_duckdb_spark.streaming.stateful import running_user_totals
 from aggregation_duckdb_spark.streaming.attribution import (
     attribution_stream)
@@ -40,4 +42,5 @@ __all__ = [
     "read_sink", "run_to_parquet_exactly_once", "write_batch_idempotent",
     "run_zordered_ingest", "run_dedup_ingest",
     "run_change_feed", "read_change_feed",
+    "run_table_stream", "read_table_stream",
 ]

@@ -1,0 +1,86 @@
+"""Streaming table READ (`streaming.stream_read` — the Delta
+readStream-on-a-table analogue): snapshot first, appends tail through,
+rewrites/metadata commits are invisible, mutations fail the stream
+unless skipped (Delta's skipChangeCommits), renames surface logically.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aggregation_duckdb_spark.sources import layout as L
+from aggregation_duckdb_spark.streaming import (read_table_stream,
+                                                run_table_stream)
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).alias("a"),
+        (F.col("id") % 13).alias("b"),
+        (F.col("id") * 3).alias("val"))
+
+
+def test_table_stream_snapshot_then_appends(spark, tmp_path):
+    p = str(tmp_path / "t")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    L.write_zordered(_rows(spark, 0, 200), p, "a", "b", bits=5,
+                     bucket_bits=3, vacuum=False)                   # v1
+    run_table_stream(spark, p, sink, ckpt)
+    got = read_table_stream(spark, sink)
+    assert got.count() == 200
+    assert got.agg(F.max("_commit_version")).collect()[0][0] == 1
+
+    L.append_zordered(_rows(spark, 200, 250), p)                    # v2
+    L.compact_zordered(spark, p, vacuum=False)                      # v3
+    L.append_zordered(_rows(spark, 250, 260), p)                    # v4
+    run_table_stream(spark, p, sink, ckpt)                 # resume
+    got = read_table_stream(spark, sink)
+    assert got.count() == 260                   # compact emitted nothing
+    assert set(r[0] for r in
+               got.select("_commit_version").distinct().collect()) \
+        == {1, 2, 4}
+    # exactly the appended rows in their commit's partition
+    assert read_table_stream(spark, sink, from_version=4).count() == 10
+    # the sink equals a batch read of the final snapshot
+    assert got.select("k").exceptAll(
+        L.read_zordered(spark, p).select("k")).count() == 0
+
+
+def test_table_stream_fails_on_mutations_unless_skipped(spark,
+                                                        tmp_path):
+    p = str(tmp_path / "t")
+    L.write_zordered(_rows(spark, 0, 100), p, "a", "b", bits=5,
+                     bucket_bits=3, vacuum=False)                   # v1
+    up = _rows(spark, 0, 1).withColumn("val", F.lit(-1))
+    L.upsert_zordered(up, p, ["k"], vacuum=False)                   # v2
+    sink, ckpt = str(tmp_path / "s1"), str(tmp_path / "c1")
+    with pytest.raises(ValueError, match="skip_change_commits"):
+        run_table_stream(spark, p, sink, ckpt)
+    sink2, ckpt2 = str(tmp_path / "s2"), str(tmp_path / "c2")
+    run_table_stream(spark, p, sink2, ckpt2, skip_change_commits=True)
+    assert read_table_stream(spark, sink2).count() == 100
+
+
+def test_table_stream_maps_renamed_columns(spark, tmp_path):
+    p = str(tmp_path / "t")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    L.write_zordered(_rows(spark, 0, 50), p, "a", "b", bits=4,
+                     bucket_bits=2, vacuum=False)                   # v1
+    L.alter_zordered(spark, p, renames={"val": "value"})            # v2
+    L.append_zordered(
+        _rows(spark, 50, 60).withColumnRenamed("val", "value"), p)  # v3
+    run_table_stream(spark, p, sink, ckpt)
+    got = read_table_stream(spark, sink)
+    # the snapshot (v1) was emitted under v1's logical schema (val);
+    # post-rename appends surface as value — both eras present, the
+    # same union a schema evolution produces
+    assert got.count() == 60
+    assert got.where(F.col("value").isNotNull()).count() == 10
+
+
+def test_empty_sink_reads_as_typed_empty_frame(spark, tmp_path):
+    got = read_table_stream(spark, str(tmp_path / "nope"))
+    assert got.count() == 0 and "_commit_version" in got.columns
