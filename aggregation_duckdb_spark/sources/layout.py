@@ -1612,12 +1612,19 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
                    when_matched_delete: bool | str = False,
                    when_not_matched_insert: bool = True,
                    insert_condition: str | None = None,
+                   when_not_matched_by_source_update:
+                       dict[str, str] | None = None,
+                   when_not_matched_by_source_update_condition:
+                       str | None = None,
+                   when_not_matched_by_source_delete:
+                       bool | str = False,
                    files_per_bucket: int = 1,
                    vacuum: bool = True,
                    emit_changes: bool = False) -> dict:
     """Conditional MERGE INTO — the full Delta ``MERGE`` clause shape
     on the manifest layout (``WHEN MATCHED [AND cond] THEN UPDATE SET
-    ... / DELETE``, ``WHEN NOT MATCHED [AND cond] THEN INSERT *``),
+    ... / DELETE``, ``WHEN NOT MATCHED [AND cond] THEN INSERT *``,
+    ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE``),
     generalizing :func:`upsert_zordered` (which is the
     replace-whole-row special case):
 
@@ -1633,6 +1640,19 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
       documented order, as Delta's clause ordering).
     - ``when_not_matched_insert``: source rows with no target match
       insert (optionally gated by ``insert_condition`` over ``s.``).
+    - ``when_not_matched_by_source_update`` / ``..._delete``: TARGET
+      rows with no source match take these (Delta's third clause
+      family — the sync-to-snapshot shape: ``DELETE`` makes the table
+      equal the source for the keyed universe, ``UPDATE SET`` marks
+      stale rows). Conditions are t-scoped only (there is no source
+      row); delete wins over update, mirroring the matched ordering.
+      COST, stated honestly: "rows with no source match" can live in
+      ANY bucket, so these clauses add ONE column-pruned scan of the
+      live table (keys + condition columns + the zbucket partition
+      column) to find the affected buckets — the dirtied set then
+      covers them, and only they are rewritten. Delta pays the same
+      full-scan price for this clause; bound it with a condition when
+      you can.
 
     Contract, same bucket-bound reasoning as upsert:
     - the source carries the layout-dimension columns with the TARGET
@@ -1694,6 +1714,17 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
     if isinstance(when_matched_delete, str):
         when_matched_delete = _expr_physical(manifest,
                                              when_matched_delete)
+    if when_not_matched_by_source_update:
+        when_not_matched_by_source_update = {
+            _phys_names(manifest, [c],
+                        "merge_zordered NOT MATCHED BY SOURCE SET")[0]:
+            _expr_physical(manifest, e)
+            for c, e in when_not_matched_by_source_update.items()}
+    when_not_matched_by_source_update_condition = _expr_physical(
+        manifest, when_not_matched_by_source_update_condition)
+    if isinstance(when_not_matched_by_source_delete, str):
+        when_not_matched_by_source_delete = _expr_physical(
+            manifest, when_not_matched_by_source_delete)
     deltas = list(manifest.get("deltas", []))
     old_tombs = list(manifest.get("tombstones", []))
     if old_tombs and list(manifest.get("tombstone_key", [])) \
@@ -1704,8 +1735,9 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
             f"{list(key_cols)} — run compact_zordered(path) first")
     spec = manifest["spec"]
     dims = [c for c, _, _ in _spec_dims(spec)]
-    if when_matched_update:
-        frozen = set(when_matched_update) & (set(dims) | set(key_cols))
+    for clause in (when_matched_update,
+                   when_not_matched_by_source_update):
+        frozen = set(clause or ()) & (set(dims) | set(key_cols))
         if frozen:
             raise ValueError(
                 f"merge_zordered: UPDATE SET on key/layout-dimension "
@@ -1733,6 +1765,42 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
     dirtied = set(_touched_buckets(source, spec))
     if delta is not None:
         dirtied |= set(_touched_buckets(delta, spec))
+    if when_not_matched_by_source_update or \
+            when_not_matched_by_source_delete:
+        # NOT MATCHED BY SOURCE can hit any bucket: ONE column-pruned
+        # scan (keys + condition columns + the zbucket partition
+        # column) finds every bucket holding a VISIBLE row with no
+        # source match that passes some clause condition — only those
+        # join the dirtied set. Exactness of the bucket bound relies
+        # on the same predicates the clause logic applies below.
+        live_t = _read_live(spark, path, manifest)
+        if tomb is not None:
+            live_t = live_t.join(F.broadcast(tomb), key_cols,
+                                 "left_anti")
+        live_t = live_t.alias("t")
+        anti_on = _ft.reduce(
+            _op.and_, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                       for k in key_cols])
+        miss = live_t.join(
+            F.broadcast(source.select(*key_cols).alias("s")),
+            anti_on, "left_anti")
+        unconditional = (when_not_matched_by_source_delete is True) or \
+            (bool(when_not_matched_by_source_update) and
+             when_not_matched_by_source_update_condition is None)
+        if not unconditional:
+            preds = []
+            if when_not_matched_by_source_delete:
+                preds.append(F.coalesce(
+                    F.expr(when_not_matched_by_source_delete),
+                    F.lit(False)))
+            if when_not_matched_by_source_update:
+                preds.append(F.coalesce(
+                    F.expr(when_not_matched_by_source_update_condition),
+                    F.lit(False)))
+            miss = miss.where(_ft.reduce(_op.or_, preds))
+        dirtied |= {int(r[0]) for r in
+                    miss.select("zbucket").distinct().collect()
+                    if r[0] is not None}
     dirtied = sorted(dirtied)
     old = read_zordered_box_dirs(spark, path, manifest, dirtied) \
         .drop("zbucket")
@@ -1765,13 +1833,37 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
                                              F.lit(False))
     else:
         upd_cond = F.lit(False)
-    out_cols = [
-        (F.when(upd_cond, F.expr(when_matched_update[c]))
-         .otherwise(F.col(f"t.{c}")).alias(c)
-         if when_matched_update and c in when_matched_update
-         else F.col(f"t.{c}").alias(c))
-        for c in cols]
-    kept = joined.where(~del_cond).select(*out_cols)
+    # WHEN NOT MATCHED BY SOURCE mirrors the matched family on the
+    # other side of the join: delete first, update second, conditions
+    # t-scoped (there is no source row to reference)
+    if when_not_matched_by_source_delete is True:
+        nmbs_del = ~matched
+    elif when_not_matched_by_source_delete:
+        nmbs_del = ~matched & F.coalesce(
+            F.expr(when_not_matched_by_source_delete), F.lit(False))
+    else:
+        nmbs_del = F.lit(False)
+    if when_not_matched_by_source_update:
+        nmbs_upd = ~matched & ~nmbs_del
+        if when_not_matched_by_source_update_condition:
+            nmbs_upd = nmbs_upd & F.coalesce(
+                F.expr(when_not_matched_by_source_update_condition),
+                F.lit(False))
+    else:
+        nmbs_upd = F.lit(False)
+    out_cols = []
+    for c in cols:
+        e = F.col(f"t.{c}")
+        if when_not_matched_by_source_update and \
+                c in when_not_matched_by_source_update:
+            e = F.when(nmbs_upd,
+                       F.expr(when_not_matched_by_source_update[c])) \
+                .otherwise(e)
+        if when_matched_update and c in when_matched_update:
+            e = F.when(upd_cond, F.expr(when_matched_update[c])) \
+                .otherwise(e)
+        out_cols.append(e.alias(c))
+    kept = joined.where(~del_cond & ~nmbs_del).select(*out_cols)
 
     ins = None
     if when_not_matched_insert:
@@ -1788,7 +1880,7 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
         if insert_condition:
             ins = ins.alias("s").where(
                 F.coalesce(F.expr(insert_condition), F.lit(False)))
-    changed = joined.where(upd_cond).select(*out_cols)
+    changed = joined.where(upd_cond | nmbs_upd).select(*out_cols)
     if ins is not None:
         changed = changed.unionByName(ins, allowMissingColumns=True)
     _validate_check(changed, spec, "merge_zordered")

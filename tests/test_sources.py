@@ -2305,6 +2305,61 @@ def test_merge_zordered_null_key_fires_one_clause(spark, tmp_path):
     assert nulls == [-1]
 
 
+def test_merge_zordered_not_matched_by_source(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE (Delta's third clause family — the
+    sync-to-snapshot shape): target rows with no source match delete
+    or update under t-scoped conditions; the bucket bound comes from
+    ONE column-pruned victim scan using the SAME predicates, so rows
+    failing the condition stay untouched even in never-dirtied
+    buckets, and the result equals a full recompute."""
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_kv_frame(spark)          # payload 0..399, val=10*p
+    path = str(tmp_path / "z_nmbs")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+
+    # source: keys 0..199 (replace val), keys 400..404 fresh inserts
+    src = spark.range(0, 200).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        F.col("id").alias("payload"), (F.col("id") + 1).alias("val")) \
+        .unionByName(spark.range(400, 405).select(
+            (F.col("id") % 97).alias("a"),
+            ((F.col("id") * 37) % 61).alias("b"),
+            F.col("id").alias("payload"), F.lit(-7).alias("val")))
+    # conditional: stale rows with odd key delete, even-key stale rows
+    # get marked (val = -1); matched rows replace val from the source
+    L.merge_zordered(
+        src, path, ["payload"],
+        when_matched_update={"val": "s.val"},
+        when_not_matched_by_source_update={"val": "-1"},
+        when_not_matched_by_source_update_condition="t.payload % 2 = 0",
+        when_not_matched_by_source_delete="t.payload % 2 = 1")
+    got = {r.payload: r.val for r in
+           L.read_zordered(spark, path).collect()}
+    expected = {p: p + 1 for p in range(200)}           # matched
+    expected.update({p: -7 for p in range(400, 405)})   # inserted
+    expected.update({p: -1 for p in range(200, 400, 2)})  # marked
+    # odd stale keys (201, 203, ... 399) deleted
+    assert got == expected
+
+    # unconditional delete syncs the table to the source's universe
+    p2 = str(tmp_path / "z_sync")
+    L.write_zordered(base, p2, "a", "b", bits=7, bucket_bits=4)
+    small = base.where(F.col("payload") < 50) \
+        .withColumn("val", F.lit(0))
+    L.merge_zordered(small, p2, ["payload"],
+                     when_matched_update={"val": "s.val"},
+                     when_not_matched_by_source_delete=True)
+    got2 = {r.payload: r.val for r in
+            L.read_zordered(spark, p2).collect()}
+    assert got2 == {p: 0 for p in range(50)}
+    # SET on key/layout columns refused for this clause family too
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="key/layout-dimension"):
+        L.merge_zordered(small, p2, ["payload"],
+                         when_not_matched_by_source_update={
+                             "a": "t.a + 1"})
+
+
 def test_clone_zordered_shallow_and_divergent(spark, tmp_path):
     """SHALLOW CLONE: one metadata commit, zero data copied — the
     clone reads the source's generation directories through
