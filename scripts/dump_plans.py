@@ -209,6 +209,17 @@ ENTRIES = {
         "a read after maintenance is an ordinary pruned snapshot scan "
         "— the deltas are folded into live-(zbucket, gen) directories; "
         "no delta-batch unions survive in the plan"),
+    "q_zorder_alter": (
+        "a read through the column mapping is the SAME pruned snapshot "
+        "scan plus a Project: renames are aliases, the dropped column "
+        "never appears in ReadSchema (column pruning), the added "
+        "column's generation-aware default is a when(gen IN ...) "
+        "expression — no extra scan, join, or shuffle anywhere"),
+    "stream_table_read": (
+        "reading the drained row stream is a plain scan of the "
+        "_commit_version-partitioned sink — snapshot and append "
+        "batches landed once; no manifest walks or diff joins at "
+        "read time"),
 }
 
 

@@ -763,3 +763,45 @@ def test_time_layout_and_cdf_write_plan_shapes(spark, tmp_path):
     assert "Join" not in plan2           # no diff machinery at read
     assert "_commit_version" in plan2    # partition column present
     assert feed.count() == 100           # 50 pre + 50 post
+
+
+def test_column_mapping_plan_shapes(spark, tmp_path):
+    """Plan pins for metadata-only ALTER (column mapping): a read
+    through the mapping is the SAME pruned snapshot scan plus a
+    Project — the dropped column never reaches ReadSchema (column
+    pruning composes through the rename aliases), the box read keeps
+    its live-(zbucket, gen) PartitionFilters AND its PushedFilters on
+    the renamed dimension's physical name, and no join or extra scan
+    appears anywhere."""
+    from pyspark.sql import functions as F
+
+    from aggregation_duckdb_spark.plans.inspect import physical_plan
+    from aggregation_duckdb_spark.sources import layout as L
+
+    base = spark.range(0, 400).select(
+        (F.col("id") % 97).alias("a"), ((F.col("id") * 37) % 61).alias("b"),
+        F.col("id").alias("payload"), (F.col("id") * 10).alias("val"),
+        F.concat(F.lit("x"), F.col("id")).alias("txt"))
+    path = str(tmp_path / "p_alter")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    L.alter_zordered(spark, path, renames={"a": "alpha", "val": "value"},
+                     drops=["txt"],
+                     adds={"lang": {"type": "string", "default": "en"}})
+
+    # projection through the mapping prunes to the PHYSICAL columns
+    # the logical selection needs — the dropped column is never read
+    sel = L.read_zordered(spark, path).select("payload", "value")
+    plan = physical_plan(sel, "formatted")
+    assert "txt" not in plan, plan       # dropped: pruned everywhere
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m and "val" in m[0] and "payload" in m[0]
+    assert "Join" not in plan and "Exchange" not in plan
+
+    # box read on the RENAMED dim: same pruning as the unmapped table
+    box = L.read_zordered_box_nd(spark, path, {"alpha": (10, 40)})
+    plan2 = physical_plan(box, "formatted")
+    assert "PartitionFilters" in plan2
+    assert "PushedFilters" in plan2      # range on the physical name
+    assert "BroadcastNestedLoopJoin" not in plan2
+    want = sum(1 for i in range(400) if 10 <= i % 97 <= 40)
+    assert box.count() == want
