@@ -4396,6 +4396,58 @@ def q_zorder_bloom_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+@register("q_zorder_merge_sync", """
+WITH base AS (
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+           event_type
+    FROM events)
+SELECT event_id, user_id, value, 'synced' AS event_type
+FROM base WHERE event_id % 4 = 0
+UNION ALL
+SELECT event_id, user_id, value, 'stale' AS event_type
+FROM base WHERE event_id % 4 <> 0 AND value >= 100
+ORDER BY event_id
+""")
+def q_zorder_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN NOT MATCHED BY SOURCE (``layout.merge_zordered`` — the
+    Delta sync-to-snapshot clause family): the source carries every
+    4th event; matched rows UPDATE to 'synced', target rows with no
+    source match DELETE when value < 100 and otherwise UPDATE to
+    'stale' — conditions t-scoped, delete-before-update ordering, the
+    rewrite bounded to victim buckets by one column-pruned scan. The
+    full read must equal the oracle's two-clause reconstruction.
+    Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", F.col("user_id").cast("long")
+                  .alias("user_id"), "value", "event_type"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zmsync",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev, base, "user_id", "value",
+                         bits=8, bucket_bits=4)
+        src = ev.where(F.col("event_id") % 4 == 0)
+        L.merge_zordered(
+            src, base, ["event_id"],
+            when_matched_update={"event_type": "'synced'"},
+            when_not_matched_by_source_update={
+                "event_type": "'stale'"},
+            when_not_matched_by_source_update_condition=
+            "t.value >= 100",
+            when_not_matched_by_source_delete="t.value < 100",
+            when_not_matched_insert=False)
+    out = L.read_zordered(spark, base)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value", "event_type")
+            .orderBy("event_id"))
+
+
 @register("q_zorder_merge", """
 WITH base AS (
     SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
