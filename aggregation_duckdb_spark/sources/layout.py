@@ -406,6 +406,28 @@ class CommitConflict(RuntimeError):
     the mutation against the new table state is always safe."""
 
 
+def _stats_rows(stats: dict) -> int | None:
+    """Total rows across a stats dict's buckets — None when any
+    bucket predates the ``__rows`` stat (unknowable without IO)."""
+    vals = [s.get("__rows") for s in stats.values()]
+    if not vals or any(v is None for v in vals):
+        return None
+    return int(sum(vals))
+
+
+def _rewrite_metrics(dirtied, new_stats: dict, **extra) -> dict:
+    """The operation-metrics record every bucket rewrite stamps into
+    its commit (surfaced by :func:`table_history` — the Delta
+    DESCRIBE HISTORY operationMetrics analogue): all values are
+    already at hand, no extra jobs."""
+    out = {"buckets_rewritten": len(dirtied)}
+    rows = _stats_rows(new_stats)
+    if rows is not None:
+        out["rows_written"] = rows
+    out.update({k: v for k, v in extra.items() if v})
+    return out
+
+
 def _conflict(op: str, latest: dict, why: str):
     raise CommitConflict(
         f"{op}: concurrent '{latest.get('op', 'unknown')}' commit {why}")
@@ -424,7 +446,8 @@ def _latest(spark: SparkSession, path: str) -> tuple[int, dict]:
 
 def _commit(spark: SparkSession, path: str, manifest: dict | None,
             op: str, base_version: int, rebase=None,
-            retries: int = 8) -> tuple[int, dict | None]:
+            retries: int = 8,
+            metrics: dict | None = None) -> tuple[int, dict | None]:
     """Commit ``manifest`` (derived from snapshot ``base_version``),
     stamped with the operation (the provenance :func:`table_history`
     reads) — OPTIMISTICALLY: the attempt targets version
@@ -444,6 +467,11 @@ def _commit(spark: SparkSession, path: str, manifest: dict | None,
             return 0, None
         m = dict(manifest)
         m["op"] = op
+        # op and metrics are PER-COMMIT fields: stale ones a rebase
+        # builder copied from the latest snapshot never leak through
+        m.pop("metrics", None)
+        if metrics:
+            m["metrics"] = metrics
         try:
             fsio.write_json_at(spark, _manifest_path(path), m, attempt_v)
             return attempt_v, m
@@ -548,7 +576,11 @@ def table_history(spark: SparkSession, path: str) -> list[dict]:
         out.append({"version": v, "op": m.get("op", "unknown"),
                     "buckets": len(m.get("gens", {})),
                     "deltas": len(m.get("deltas", [])),
-                    "tombstones": len(m.get("tombstones", []))})
+                    "tombstones": len(m.get("tombstones", [])),
+                    # per-commit operation metrics (the DESCRIBE
+                    # HISTORY operationMetrics analogue) — {} for
+                    # commits from before the feature
+                    "op_metrics": m.get("metrics", {})})
     return out
 
 
@@ -669,7 +701,8 @@ def _write_table(df: DataFrame, path: str, spec: dict,
     # between (the loser's directories become invisible orphans — the
     # crash-orphan class cleanup/vacuum already handles)
     v, final = _commit(spark, path, manifest, "write", prev_v,
-                       rebase=lambda latest: manifest)
+                       rebase=lambda latest: manifest,
+                       metrics=_rewrite_metrics(buckets, stats))
     if prev is not None and vacuum:
         _cleanup_superseded(spark, path, prev, final)
         _set_min_live_version(spark, path, v)
@@ -1245,7 +1278,9 @@ def append_zordered(df: DataFrame, path: str,
             out["last_batch_id"] = int(batch_id)
         return out
 
-    _commit(spark, path, build(manifest), "append", base_v, rebase=build)
+    _commit(spark, path, build(manifest), "append", base_v, rebase=build,
+            metrics={"rows_appended": spark.read.parquet(
+                fsio._join(path, DELTA_DIR, name)).count()})
 
 
 def delete_zordered_keys(keys_df: DataFrame, path: str,
@@ -1295,7 +1330,9 @@ def delete_zordered_keys(keys_df: DataFrame, path: str,
         return out
 
     _commit(spark, path, build(manifest), "delete_keys", base_v,
-            rebase=build)
+            rebase=build,
+            metrics={"keys_tombstoned": spark.read.parquet(
+                fsio._join(path, TOMBSTONE_DIR, name)).count()})
 
 
 def _tombstone_keys(spark: SparkSession, path: str,
@@ -1410,6 +1447,9 @@ def compact_zordered(spark: SparkSession, path: str,
             return out
 
         new_manifest = rebase(manifest)
+        commit_metrics = _rewrite_metrics(
+            buckets, stats, deltas_folded=len(deltas),
+            tombstones_folded=len(manifest.get("tombstones", [])))
     elif mode == "incremental":
         dirtied = set(_touched_buckets(delta, spec)) \
             if delta is not None else set()
@@ -1449,10 +1489,13 @@ def compact_zordered(spark: SparkSession, path: str,
 
         new_manifest = rebase(manifest)
         new_spec = spec
+        commit_metrics = _rewrite_metrics(
+            dirtied, new_stats, deltas_folded=len(deltas),
+            tombstones_folded=len(manifest.get("tombstones", [])))
     else:
         raise ValueError(f"mode must be 'incremental' or 'full': {mode}")
     v, final = _commit(spark, path, new_manifest, f"compact_{mode}",
-                       base_v, rebase=rebase)
+                       base_v, rebase=rebase, metrics=commit_metrics)
     if vacuum:
         _cleanup_superseded(spark, path, manifest, final)
         _set_min_live_version(spark, path, v)
@@ -1598,7 +1641,10 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
 
     new_manifest = rebase(manifest)
     v, final = _commit(spark, path, new_manifest, "upsert", base_v,
-                       rebase=rebase)
+                       rebase=rebase,
+                       metrics=_rewrite_metrics(
+                           dirtied, new_stats,
+                           tombstones_folded=len(old_tombs)))
     if vacuum:
         _cleanup_superseded(spark, path, manifest, final)
         _set_min_live_version(spark, path, v)
@@ -1923,7 +1969,11 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
         return out
 
     v, final = _commit(spark, path, rebase(manifest), "merge", base_v,
-                       rebase=rebase)
+                       rebase=rebase,
+                       metrics=_rewrite_metrics(
+                           dirtied, new_stats,
+                           deltas_folded=len(deltas),
+                           tombstones_folded=len(old_tombs)))
     if vacuum:
         _cleanup_superseded(spark, path, manifest, final)
         _set_min_live_version(spark, path, v)
@@ -1984,7 +2034,8 @@ def optimize_zordered(spark: SparkSession, path: str,
 
     new_manifest = rebase(manifest)
     v, final = _commit(spark, path, new_manifest, "optimize", base_v,
-                       rebase=rebase)
+                       rebase=rebase,
+                       metrics=_rewrite_metrics(frag, new_stats))
     if vacuum:
         _cleanup_superseded(spark, path, manifest, final)
         _set_min_live_version(spark, path, v)
@@ -2296,10 +2347,11 @@ def restore_zordered(spark: SparkSession, path: str,
     # op and change_file are PER-COMMIT fields: the restore commit's
     # changes are not the target commit's
     manifest = {k: v for k, v in target.items()
-                if k not in ("op", "change_file")}
+                if k not in ("op", "change_file", "metrics")}
     manifest["restored_from"] = int(version)
     v, _final = _commit(spark, path, manifest, "restore", base_v,
-                        rebase=lambda latest: manifest)
+                        rebase=lambda latest: manifest,
+                        metrics={"restored_from": int(version)})
     return {"restored_from": int(version), "version": v}
 
 
@@ -2355,7 +2407,9 @@ def clone_zordered(spark: SparkSession, src: str, dst: str,
     if "last_batch_id" in src_m:
         manifest["last_batch_id"] = src_m["last_batch_id"]
     fsio.mkdirs(spark, fsio._join(dst, DATA_DIR))
-    v, _ = _commit(spark, dst, manifest, "clone", 0)
+    v, _ = _commit(spark, dst, manifest, "clone", 0,
+                   metrics={"generations_referenced":
+                            len(manifest["gen_roots"])})
     return {"version": v, "gens": len(manifest["gens"]),
             "cloned_from": manifest["cloned_from"]}
 
@@ -2487,7 +2541,10 @@ def alter_zordered(spark: SparkSession, path: str,
         return out
 
     v, _final = _commit(spark, path, build(manifest), "alter", base_v,
-                        rebase=build)
+                        rebase=build,
+                        metrics={"columns_renamed": len(renames),
+                                 "columns_dropped": len(drops),
+                                 "columns_added": len(adds)})
     return {"version": v, "renamed": renames, "dropped": drops,
             "added": sorted(adds)}
 
@@ -2958,7 +3015,8 @@ def delete_zordered_box(spark: SparkSession, path: str,
 
     new_manifest = rebase(manifest)
     v, final = _commit(spark, path, new_manifest, "delete_box", base_v,
-                       rebase=rebase)
+                       rebase=rebase,
+                       metrics=_rewrite_metrics(candidates, new_stats))
     if vacuum:
         _cleanup_superseded(spark, path, manifest, final)
         _set_min_live_version(spark, path, v)

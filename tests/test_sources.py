@@ -1159,6 +1159,18 @@ def test_zorder_table_history_records_operations(spark, tmp_path):
     assert hist[0]["tombstones"] == 1 and hist[1]["tombstones"] == 0
     assert hist[3]["deltas"] == 1 and hist[2]["deltas"] == 0
     assert [h["version"] for h in hist] == [5, 4, 3, 2, 1]
+    # every commit carries its operation metrics (the DESCRIBE
+    # HISTORY operationMetrics analogue) — values the verbs already
+    # had at hand, no extra jobs beyond footer counts
+    m = {h["op"]: h["op_metrics"] for h in hist}
+    n0 = base.count()
+    assert m["write"]["rows_written"] == n0
+    assert m["write"]["buckets_rewritten"] >= 1
+    assert m["append"]["rows_appended"] == 5
+    assert m["compact_incremental"]["deltas_folded"] == 1
+    assert m["upsert"]["buckets_rewritten"] >= 1
+    assert m["upsert"]["rows_written"] >= 3
+    assert m["delete_keys"]["keys_tombstoned"] == 2
     # vacuum prunes history to the kept tail
     L.compact_zordered(spark, path)           # fold tombstones first
     L.vacuum_zordered(spark, path, keep_versions=1)
