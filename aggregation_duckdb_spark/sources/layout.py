@@ -950,17 +950,27 @@ def _col_mapping(manifest: dict) -> tuple[dict, set, dict]:
             dict(manifest.get("added_cols", {})))
 
 
+def _added_fill(meta: dict) -> Column:
+    """What an added column reads as for rows that predate it: the
+    GENERATED expression when one is declared (computed per row over
+    the physical columns — Delta's generated columns), else the
+    constant default."""
+    e = F.expr(meta["expr"]) if meta.get("expr") \
+        else F.lit(meta.get("default"))
+    return e.cast(meta["type"])
+
+
 def _map_stored(manifest: dict, df: DataFrame) -> DataFrame:
     """Resolve DROP + ADD against a stored frame, in PHYSICAL names:
-    dropped columns vanish; an added column reads its DEFAULT for rows
-    of generations that predate the add and its stored value for rows
-    of generations written after it (decided per row via the ``gen``
-    partition column against the manifest's per-generation column
-    sets — exact even for mixed-generation scans, where a bare
-    coalesce would turn an explicitly-written NULL into the default).
-    Frames without ``gen`` (the empty-snapshot schema carrier) fill
-    unconditionally. Renames are NOT applied here — internals stay
-    physical."""
+    dropped columns vanish; an added column reads its DEFAULT (or
+    computes its GENERATED expression) for rows of generations that
+    predate the add and its stored value for rows of generations
+    written after it (decided per row via the ``gen`` partition
+    column against the manifest's per-generation column sets — exact
+    even for mixed-generation scans, where a bare coalesce would turn
+    an explicitly-written NULL into the default). Frames without
+    ``gen`` (the empty-snapshot schema carrier) fill unconditionally.
+    Renames are NOT applied here — internals stay physical."""
     _, dropped, added = _col_mapping(manifest)
     if not (dropped or added):
         return df
@@ -970,7 +980,7 @@ def _map_stored(manifest: dict, df: DataFrame) -> DataFrame:
     gc = manifest.get("gen_columns", {})
     live = set(manifest.get("gens", {}).values())
     for name, meta in added.items():
-        d = F.lit(meta.get("default")).cast(meta["type"])
+        d = _added_fill(meta)
         if name not in df.columns:
             df = df.withColumn(name, d)
         elif "gen" in df.columns:
@@ -986,8 +996,9 @@ def _read_delta_batch(spark: SparkSession, path: str, manifest: dict,
                       name: str) -> DataFrame:
     """Read one outstanding append batch with the snapshot's DROP +
     ADD resolved (physical names): a batch written before an ADD lacks
-    the column entirely and fills the default; one written after
-    carries it (explicit NULLs stay NULL)."""
+    the column entirely and fills the default / computes the generated
+    expression; one written after carries it (explicit NULLs stay
+    NULL)."""
     df = spark.read.parquet(fsio._join(path, DELTA_DIR, name))
     _, dropped, added = _col_mapping(manifest)
     hide = [c for c in dropped if c in df.columns]
@@ -995,8 +1006,7 @@ def _read_delta_batch(spark: SparkSession, path: str, manifest: dict,
         df = df.drop(*hide)
     for n, meta in added.items():
         if n not in df.columns:
-            df = df.withColumn(
-                n, F.lit(meta.get("default")).cast(meta["type"]))
+            df = df.withColumn(n, _added_fill(meta))
     return df
 
 
@@ -1043,11 +1053,26 @@ def _batch_to_physical(manifest: dict, df: DataFrame, op: str) -> DataFrame:
     """An incoming user batch (logical names) → storage names: the
     FIRST step of every public write. Refuses columns spelled by a
     dropped or pre-rename physical name — silently storing them would
-    resurrect a dropped column or write past a rename."""
+    resurrect a dropped column or write past a rename. A batch that
+    CARRIES a generated column is validated against its expression
+    (one admission-time count, the CHECK-constraint cost model —
+    Delta's generated-column write rule); a batch that omits it stays
+    cheap and reads compute it until a rewrite materializes it."""
     _phys_names(manifest, df.columns, op)   # stale-name guard
-    ren, _, _ = _col_mapping(manifest)
+    ren, _, added = _col_mapping(manifest)
     back = {l: p for p, l in ren.items() if l in df.columns and l != p}
-    return df.withColumnsRenamed(back) if back else df
+    if back:
+        df = df.withColumnsRenamed(back)
+    for name, meta in added.items():
+        if meta.get("expr") and name in df.columns:
+            bad = df.where(~F.col(name).eqNullSafe(
+                _added_fill(meta))).count()
+            if bad:
+                raise ValueError(
+                    f"{op}: generated column {name!r} must equal "
+                    f"({meta['expr']}) — {bad} row(s) disagree; omit "
+                    f"the column to have it computed")
+    return df
 
 
 def _expr_physical(manifest: dict, expr: str | None) -> str | None:
@@ -2440,7 +2465,15 @@ def alter_zordered(spark: SparkSession, path: str,
       exactly); refused for names any stored file ever used
       (resurrecting old bytes under a new logical column would be
       silent corruption — the same reason Delta freezes physical
-      names).
+      names). With ``"expr": <sql>`` instead of a default the column
+      is GENERATED (Delta's generated columns): rows that predate it
+      COMPUTE the expression at read time (over existing columns,
+      written in current logical names), every physical rewrite
+      MATERIALIZES it — after which its zone-map stats make it
+      prunable via :func:`read_zordered_where` — and a write batch
+      that carries the column is validated against the expression
+      (omit it to have it computed). Columns a generated expression
+      references cannot be dropped.
 
     A full ``compact_zordered(mode="full")`` MATERIALIZES the mapping:
     everything is rewritten under the logical names and the mapping
@@ -2515,6 +2548,12 @@ def alter_zordered(spark: SparkSession, path: str,
                 raise ValueError(
                     f"alter_zordered: DROP {name!r} — the CHECK "
                     f"constraint ({check}) references it")
+            for an, am in added.items():
+                if an != p and am.get("expr") and _re.search(
+                        rf"\b{_re.escape(p)}\b", am["expr"]):
+                    raise ValueError(
+                        f"alter_zordered: DROP {name!r} — generated "
+                        f"column {an!r} ({am['expr']}) references it")
             added.pop(p, None)
             dropped.add(p)           # harmless no-op if never stored
             ren.pop(p, None)
@@ -2526,8 +2565,24 @@ def alter_zordered(spark: SparkSession, path: str,
                     f"alter_zordered: ADD {name!r} — the name is in "
                     f"use, or stored files still carry bytes under it "
                     f"(dropped names are never reusable)")
-            added[name] = {"type": meta["type"],
-                           "default": meta.get("default")}
+            entry = {"type": meta["type"]}
+            if meta.get("expr"):
+                pe = _expr_physical({"column_map": dict(ren)},
+                                    meta["expr"])
+                try:    # analyze (schema-only) against the physical
+                        # columns — fail at ALTER time, not first read
+                    (_read_live(spark, path, m).limit(0)
+                     .select(F.expr(pe).cast(meta["type"])).schema)
+                except Exception as e:
+                    raise ValueError(
+                        f"alter_zordered: ADD {name!r} generated "
+                        f"expression ({meta['expr']}) does not "
+                        f"analyze against the table schema: "
+                        f"{e}") from None
+                entry["expr"] = pe
+            else:
+                entry["default"] = meta.get("default")
+            added[name] = entry
             logical |= {name}
         out = dict(m)
         out.pop("change_file", None)   # per-commit, never inherited

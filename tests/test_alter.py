@@ -199,3 +199,52 @@ def test_change_feed_skips_alter_and_maps_names(spark, tmp_path):
     ch = _commit_changes(spark, p, 3, ["k"])                      # append
     assert "value" in ch.columns and "val" not in ch.columns
     assert ch.count() == 5
+
+
+def test_generated_columns(spark, tmp_path):
+    """GENERATED columns (adds with "expr"): pre-add rows compute the
+    expression at read time (written in logical names, stored over
+    physical ones); a batch carrying the column is validated against
+    it; rewrites materialize it — after which zone-map stats make it
+    prunable; referenced columns cannot drop; bad expressions fail at
+    ALTER time."""
+    p = str(tmp_path / "t")
+    L.write_zordered(_base(spark, 300), p, "a", "b", bits=5,
+                     bucket_bits=3)
+    L.alter_zordered(spark, p, renames={"val": "amount"})
+    with pytest.raises(ValueError, match="does not analyze"):
+        L.alter_zordered(spark, p, adds={
+            "bad": {"type": "long", "expr": "no_such_col + 1"}})
+    L.alter_zordered(spark, p, adds={
+        "dbl": {"type": "long", "expr": "amount * 2"}})
+
+    out = L.read_zordered(spark, p)
+    assert out.where(F.col("dbl") != F.col("amount") * 2).count() == 0
+    assert out.count() == 300
+
+    app = spark.range(300, 310).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("a"),
+        (F.col("id") % 37).alias("b"),
+        (F.col("id") * 2).alias("amount"),
+        F.lit("x").alias("txt"))
+    L.append_zordered(app, p)                    # omitted: computed
+    with pytest.raises(ValueError, match="generated column"):
+        L.append_zordered(app.withColumn("dbl", F.lit(0)), p)
+    L.append_zordered(
+        app.withColumn("k", F.col("k") + 10)
+           .withColumn("dbl", F.col("amount") * 2), p)  # exact: ok
+    out = L.read_zordered(spark, p)
+    assert out.count() == 320
+    assert out.where(F.col("dbl") != F.col("amount") * 2).count() == 0
+
+    # the fold MATERIALIZES the column: recorded per generation, and
+    # its zone maps now prune non-layout range reads
+    L.compact_zordered(spark, p)
+    m = L.read_manifest(spark, p)
+    gens_cols = set().union(*m["gen_columns"].values())
+    assert "dbl" in gens_cols
+    out = L.read_zordered(spark, p)      # re-read: old gens vacuumed
+    w = L.read_zordered_where(spark, p, {"dbl": (0, 100)})
+    assert w.count() == out.where(F.col("dbl").between(0, 100)).count()
+    with pytest.raises(ValueError, match="references it"):
+        L.alter_zordered(spark, p, drops=["amount"])
