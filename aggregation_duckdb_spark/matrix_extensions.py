@@ -4396,6 +4396,45 @@ def q_zorder_bloom_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+@register("q_zorder_generated", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+       CAST(FLOOR(value / 50) AS BIGINT) AS band
+FROM events
+ORDER BY event_id
+""")
+def q_zorder_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED column (``alter_zordered`` adds with ``expr`` — the
+    Delta generated-columns shape): the table is created with half the
+    events, ONE metadata commit declares ``band`` as
+    ``FLOOR(value / 50)``, the other half appends WITHOUT the column
+    (reads compute it), and the fold materializes it into clustered
+    storage — the final read must equal the oracle computing the same
+    expression over all rows, indistinguishable between computed and
+    materialized eras. Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", F.col("user_id").cast("long")
+                  .alias("user_id"), "value"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zgen",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev.where(F.col("event_id") % 2 == 0), base,
+                         "user_id", "value", bits=8, bucket_bits=4)
+        L.alter_zordered(spark, base, adds={
+            "band": {"type": "long",
+                     "expr": "CAST(FLOOR(value / 50) AS BIGINT)"}})
+        L.append_zordered(ev.where(F.col("event_id") % 2 == 1), base)
+        L.compact_zordered(spark, base)
+    out = L.read_zordered(spark, base)
+    return (out.select("event_id", "user_id", "value", "band")
+            .orderBy("event_id"))
+
+
 @register("q_zorder_merge_sync", """
 WITH base AS (
     SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,

@@ -382,6 +382,16 @@ _MANIFEST_TEXT_CACHE: dict[tuple[str, int], str] = {}
 _MANIFEST_CACHE_MAX = 512
 
 
+#: manifest features THIS reader understands (the Delta reader-
+#: protocol analogue): a snapshot whose semantics depend on a feature
+#: stamps it into ``reader_features``, and a reader that does not
+#: recognize one must FAIL rather than silently misread the table
+#: (e.g. a pre-column-mapping reader would surface dropped columns
+#: and physical names as if they were the schema).
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"column_mapping", "generated_columns"})
+
+
 def _read_manifest_version(spark: SparkSession, path: str,
                            version: int) -> dict | None:
     mdir = _manifest_path(path)
@@ -395,7 +405,16 @@ def _read_manifest_version(spark: SparkSession, path: str,
         if len(_MANIFEST_TEXT_CACHE) >= _MANIFEST_CACHE_MAX:
             _MANIFEST_TEXT_CACHE.clear()
         _MANIFEST_TEXT_CACHE[key] = text
-    return json.loads(text)
+    m = json.loads(text)
+    unknown = set(m.get("reader_features", [])) \
+        - _SUPPORTED_READER_FEATURES
+    if unknown:
+        raise ValueError(
+            f"snapshot v{version} of {path} requires reader "
+            f"feature(s) {sorted(unknown)} this library version does "
+            f"not support — reading it anyway would silently "
+            f"misinterpret the table; upgrade the reader")
+    return m
 
 
 class CommitConflict(RuntimeError):
@@ -2426,7 +2445,8 @@ def clone_zordered(spark: SparkSession, src: str, dst: str,
                         "version": int(version) if version is not None
                         else table_version(spark, src)},
     }
-    for mk in ("column_map", "dropped_cols", "added_cols"):
+    for mk in ("column_map", "dropped_cols", "added_cols",
+               "reader_features"):
         if src_m.get(mk):   # the logical view travels with the clone
             manifest[mk] = src_m[mk]
     if "last_batch_id" in src_m:
@@ -2593,6 +2613,20 @@ def alter_zordered(spark: SparkSession, path: str,
                 out[key] = val if key != "column_map" else dict(val)
             else:
                 out.pop(key, None)
+        # protocol gate: a snapshot whose semantics depend on the
+        # mapping names the feature, so an older reader FAILS loudly
+        # instead of surfacing physical names / dropped columns as if
+        # they were the schema (the Delta reader-features rule); a
+        # materializing full compaction clears mapping and gate alike
+        feats = set()
+        if ren or dropped or added:
+            feats.add("column_mapping")
+        if any(a.get("expr") for a in added.values()):
+            feats.add("generated_columns")
+        if feats:
+            out["reader_features"] = sorted(feats)
+        else:
+            out.pop("reader_features", None)
         return out
 
     v, _final = _commit(spark, path, build(manifest), "alter", base_v,

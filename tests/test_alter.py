@@ -248,3 +248,41 @@ def test_generated_columns(spark, tmp_path):
     assert w.count() == out.where(F.col("dbl").between(0, 100)).count()
     with pytest.raises(ValueError, match="references it"):
         L.alter_zordered(spark, p, drops=["amount"])
+
+
+def test_reader_feature_protocol_gate(spark, tmp_path):
+    """Protocol versioning (the Delta reader-features analogue): a
+    snapshot whose semantics depend on the column mapping names the
+    feature in the manifest; a reader that doesn't recognize a named
+    feature FAILS loudly instead of silently misreading the table.
+    Materializing / reverting the mapping clears the gate with it."""
+    import json
+
+    from aggregation_duckdb_spark import fsio
+
+    p = str(tmp_path / "t")
+    L.write_zordered(_base(spark, 50), p, "a", "b", bits=4,
+                     bucket_bits=2)
+    L.alter_zordered(spark, p, renames={"val": "value"},
+                     adds={"dbl": {"type": "long",
+                                   "expr": "value * 2"}})
+    m = L.read_manifest(spark, p)
+    assert m["reader_features"] == ["column_mapping",
+                                    "generated_columns"]
+    L.alter_zordered(spark, p, renames={"value": "val"},
+                     drops=["dbl"])
+    m = L.read_manifest(spark, p)
+    assert m["reader_features"] == ["column_mapping"]  # drop list live
+    L.compact_zordered(spark, p, mode="full")  # materializes
+    assert "reader_features" not in L.read_manifest(spark, p)
+
+    # a manifest demanding an UNKNOWN feature refuses to read
+    v = L.table_version(spark, p)
+    mdir = L._manifest_path(p)
+    raw = json.loads(fsio.read_text(
+        spark, fsio._join(mdir, f"v{v:08d}.json")))
+    raw["reader_features"] = ["deletion_vectors_v9"]
+    fsio.write_json_at(spark, mdir, raw, v + 1)
+    L._MANIFEST_TEXT_CACHE.clear()
+    with pytest.raises(ValueError, match="deletion_vectors_v9"):
+        L.read_zordered(spark, p).count()
