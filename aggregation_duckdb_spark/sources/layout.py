@@ -2748,7 +2748,8 @@ def describe_zordered(spark: SparkSession, path: str) -> dict:
 
 def vacuum_zordered(spark: SparkSession, path: str,
                     keep_versions: int = 1,
-                    retention_ms: int = 0) -> dict:
+                    retention_ms: int = 0,
+                    dry_run: bool = False) -> dict:
     """Reclaim storage from retained history: keep the newest
     ``keep_versions`` manifest snapshots, delete every data generation
     and delta directory no kept snapshot references, advance the
@@ -2767,12 +2768,23 @@ def vacuum_zordered(spark: SparkSession, path: str,
     write-to-commit gap when other writers may be live (the default 0
     keeps the single-writer behavior: reclaim everything now).
     Returns {"kept_versions", "deleted_gens", "deleted_deltas",
-    "deleted_tombstones"}."""
+    "deleted_tombstones"}. ``dry_run=True`` (Delta's VACUUM DRY RUN)
+    deletes NOTHING and moves no markers — it reports the same counts
+    plus ``would_delete``, the exact directory list a real run would
+    reclaim under the same retention window."""
     import time as _time
     cutoff = int(_time.time() * 1000) - retention_ms
 
     def _old_enough(p: str) -> bool:
         return retention_ms <= 0 or fsio.modified_ms(spark, p) <= cutoff
+
+    would_delete: list[str] = []
+
+    def _reclaim(p: str) -> None:
+        if dry_run:
+            would_delete.append(p)
+        else:
+            fsio.delete(spark, p)
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
@@ -2799,27 +2811,27 @@ def vacuum_zordered(spark: SparkSession, path: str,
             g = gdir.split("=", 1)[1]
             full = fsio._join(data_root, bdir, gdir)
             if (k, g) not in live_pairs and _old_enough(full):
-                fsio.delete(spark, full)
+                _reclaim(full)
                 deleted_gens += 1
     deleted_deltas = 0
     for d in fsio.list_names(spark, fsio._join(path, DELTA_DIR)):
         full = fsio._join(path, DELTA_DIR, d)
         if d not in live_deltas and _old_enough(full):
-            fsio.delete(spark, full)
+            _reclaim(full)
             deleted_deltas += 1
     live_tombs = {t for m in manifests for t in m.get("tombstones", [])}
     deleted_tombstones = 0
     for t in fsio.list_names(spark, fsio._join(path, TOMBSTONE_DIR)):
         full = fsio._join(path, TOMBSTONE_DIR, t)
         if t not in live_tombs and _old_enough(full):
-            fsio.delete(spark, full)
+            _reclaim(full)
             deleted_tombstones += 1
     # stored change files (writer-side CDF) of pruned commits
     live_changes = {m.get("change_file") for m in manifests} - {None}
     for c in fsio.list_names(spark, fsio._join(path, CHANGES_DIR)):
         full = fsio._join(path, CHANGES_DIR, c)
         if c not in live_changes and _old_enough(full):
-            fsio.delete(spark, full)
+            _reclaim(full)
     # Bloom sidecar shards: keep the newest meta's parquet shard,
     # reclaim superseded b-* dirs (rebuilds) and older metas. The
     # retention window applies — a builder writes its shard BEFORE its
@@ -2832,16 +2844,21 @@ def vacuum_zordered(spark: SparkSession, path: str,
         full = fsio._join(bloom_dir, name)
         if name.startswith("b-") and name not in live_shard \
                 and _old_enough(full):
-            fsio.delete(spark, full)
+            _reclaim(full)
             deleted_bloom += 1
-    if fsio.latest_version(spark, bloom_dir):
-        fsio.prune_versions(spark, bloom_dir, keep=1)
-    _set_min_live_version(spark, path, kept[0])
-    fsio.prune_versions(spark, mdir, keep=len(kept))
-    return {"kept_versions": kept, "deleted_gens": deleted_gens,
-            "deleted_deltas": deleted_deltas,
-            "deleted_tombstones": deleted_tombstones,
-            "deleted_bloom_shards": deleted_bloom}
+    if not dry_run:
+        if fsio.latest_version(spark, bloom_dir):
+            fsio.prune_versions(spark, bloom_dir, keep=1)
+        _set_min_live_version(spark, path, kept[0])
+        fsio.prune_versions(spark, mdir, keep=len(kept))
+    out = {"kept_versions": kept, "deleted_gens": deleted_gens,
+           "deleted_deltas": deleted_deltas,
+           "deleted_tombstones": deleted_tombstones,
+           "deleted_bloom_shards": deleted_bloom}
+    if dry_run:
+        out["dry_run"] = True
+        out["would_delete"] = sorted(would_delete)
+    return out
 
 
 _STAT_TYPES = ("long", "integer", "short", "byte", "double", "float",

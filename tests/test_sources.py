@@ -542,8 +542,19 @@ def test_zorder_time_travel_and_vacuum(spark, tmp_path):
                             version=v1).collect())
     assert (3, 3, 777_000) not in got_box_v1
 
+    # DRY RUN first (Delta's VACUUM DRY RUN): same counts, exact
+    # would-delete list, NOTHING touched — v1 still readable after
+    probe = L.vacuum_zordered(spark, path, keep_versions=1,
+                              dry_run=True)
+    assert probe["dry_run"] and probe["deleted_gens"] >= 1
+    assert len(probe["would_delete"]) >= probe["deleted_gens"]
+    assert got_v1 == sorted(
+        (r.a, r.b, r.payload) for r in
+        L.read_zordered(spark, path, version=v1).collect())
+
     stats = L.vacuum_zordered(spark, path, keep_versions=1)
-    assert stats["deleted_gens"] >= 1
+    assert stats["deleted_gens"] == probe["deleted_gens"]
+    assert "would_delete" not in stats
     with _pytest.raises((ValueError, FileNotFoundError)):
         L.read_manifest(spark, path, version=v1)
     got_after = sorted((r.a, r.b, r.payload) for r in
