@@ -2462,7 +2462,9 @@ def clone_zordered(spark: SparkSession, src: str, dst: str,
 def alter_zordered(spark: SparkSession, path: str,
                    renames: dict[str, str] | None = None,
                    drops: list[str] | None = None,
-                   adds: dict[str, dict] | None = None) -> dict:
+                   adds: dict[str, dict] | None = None,
+                   set_check: str | None = None,
+                   drop_check: bool = False) -> dict:
     """Metadata-only ``ALTER TABLE`` — RENAME COLUMN / DROP COLUMN /
     ADD COLUMN as ONE manifest commit, zero data movement at any table
     size (the Delta column-mapping feature, mode=name): data files
@@ -2494,6 +2496,16 @@ def alter_zordered(spark: SparkSession, path: str,
       that carries the column is validated against the expression
       (omit it to have it computed). Columns a generated expression
       references cannot be dropped.
+    - ``set_check`` / ``drop_check``: ALTER TABLE ADD/DROP CONSTRAINT
+      (Delta's constraint verbs). Setting a check VALIDATES the
+      EXISTING visible rows first — one column-pruned scan, exactly
+      Delta's ADD CONSTRAINT cost — then every later batch admits
+      through it; the expression is written in current logical names
+      and stored over physical ones. Dropping clears admission-time
+      validation (rows already admitted are untouched). The
+      append-rebase rule already treats a check-only spec change as
+      mergeable: a racing append re-validates against the new
+      constraint instead of conflicting.
 
     A full ``compact_zordered(mode="full")`` MATERIALIZES the mapping:
     everything is rewritten under the logical names and the mapping
@@ -2508,7 +2520,11 @@ def alter_zordered(spark: SparkSession, path: str,
     renames = dict(renames or {})
     drops = list(drops or [])
     adds = dict(adds or {})
-    if not (renames or drops or adds):
+    if set_check is not None and drop_check:
+        raise ValueError(
+            "alter_zordered: set_check and drop_check are exclusive")
+    if not (renames or drops or adds or set_check is not None
+            or drop_check):
         raise ValueError("alter_zordered: nothing to do")
     for name, meta in adds.items():
         if "type" not in meta:
@@ -2528,7 +2544,6 @@ def alter_zordered(spark: SparkSession, path: str,
         phys_all = {c for g in live for c in gc.get(g, ())} \
             | set(ren) | dropped | set(added)
         spec_dims = {c for c, _, _ in _spec_dims(m["spec"])}
-        check = m["spec"].get("check") or ""
         tkey = set(m.get("tombstone_key", [])) \
             if m.get("tombstones") else set()
         import re as _re
@@ -2551,6 +2566,24 @@ def alter_zordered(spark: SparkSession, path: str,
                 ren[p] = new
             inv = {l: pp for pp, l in ren.items()}
             logical = (logical - {old}) | {new}
+        spec = dict(m["spec"])
+        if drop_check:
+            spec.pop("check", None)
+        elif set_check is not None:
+            pc = _expr_physical({"column_map": dict(ren)}, set_check)
+            # ADD CONSTRAINT validates the EXISTING visible rows first
+            # (one column-pruned scan — Delta's exact rule); a
+            # violating table changes nothing
+            bad = (read_zordered(spark, path, manifest=m,
+                                 _logical=False)
+                   .where(~F.coalesce(F.expr(pc), F.lit(False)))
+                   .count())
+            if bad:
+                raise ValueError(
+                    f"alter_zordered: CHECK ({set_check}) violated by "
+                    f"{bad} existing row(s) — nothing was changed")
+            spec["check"] = pc
+        check = spec.get("check") or ""
         for name in drops:
             if name not in logical:
                 raise ValueError(
@@ -2606,6 +2639,8 @@ def alter_zordered(spark: SparkSession, path: str,
             logical |= {name}
         out = dict(m)
         out.pop("change_file", None)   # per-commit, never inherited
+        if spec != m["spec"]:
+            out["spec"] = spec
         for key, val in (("column_map", ren),
                          ("dropped_cols", sorted(dropped)),
                          ("added_cols", added)):
@@ -2629,11 +2664,15 @@ def alter_zordered(spark: SparkSession, path: str,
             out.pop("reader_features", None)
         return out
 
+    mx = {"columns_renamed": len(renames),
+          "columns_dropped": len(drops),
+          "columns_added": len(adds)}
+    if set_check is not None:
+        mx["check_set"] = 1
+    if drop_check:
+        mx["check_dropped"] = 1
     v, _final = _commit(spark, path, build(manifest), "alter", base_v,
-                        rebase=build,
-                        metrics={"columns_renamed": len(renames),
-                                 "columns_dropped": len(drops),
-                                 "columns_added": len(adds)})
+                        rebase=build, metrics=mx)
     return {"version": v, "renamed": renames, "dropped": drops,
             "added": sorted(adds)}
 

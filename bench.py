@@ -181,6 +181,21 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _cpu_ticks() -> dict[str, int]:
+    """Aggregate CPU ticks from /proc/stat — ``steal`` is the one
+    loadavg can NOT see: ticks the hypervisor ran someone else while
+    this guest was runnable. A recording with steal_pct >> 0 is
+    host-noise-inflated no matter how idle the guest looked."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        names = ("user", "nice", "system", "idle", "iowait", "irq",
+                 "softirq", "steal")
+        return {n: int(v) for n, v in zip(names, parts[1:9])}
+    except (OSError, ValueError):
+        return {}
+
+
 def _wait_for_idle() -> float:
     """Two of the last three driver-recorded benches were inflated
     1.3-1.5x uniformly by co-resident load (pytest/oracle JVMs still
@@ -209,6 +224,7 @@ def main() -> None:
 
     idle_wait_s = _wait_for_idle()
     load_before = _loadavg()
+    ticks_before = _cpu_ticks()
 
     spark = get_spark("bench", master=f"local[{CPUS}]",
                       extra_confs={"spark.ui.enabled": "false"})
@@ -286,6 +302,13 @@ def main() -> None:
     # instead of needing a manual idle re-run to interpret.
     load = {"loadavg_before": load_before, "loadavg_after": _loadavg(),
             "idle_wait_s": round(idle_wait_s, 1)}
+    t1 = _cpu_ticks()
+    if ticks_before and t1:
+        d = {k: t1[k] - ticks_before[k]
+             for k in t1 if k in ticks_before}
+        busy = sum(d.values()) or 1
+        # % of this run's CPU time the hypervisor gave to someone else
+        load["steal_pct"] = round(100.0 * d.get("steal", 0) / busy, 2)
     # Two JSON lines, detail first and the compact headline LAST: the
     # driver's bench artifact keeps only the tail of stdout, and the
     # extended map has grown past that window — the line that must

@@ -286,3 +286,44 @@ def test_reader_feature_protocol_gate(spark, tmp_path):
     L._MANIFEST_TEXT_CACHE.clear()
     with pytest.raises(ValueError, match="deletion_vectors_v9"):
         L.read_zordered(spark, p).count()
+
+
+def test_alter_check_constraint(spark, tmp_path):
+    """ALTER TABLE ADD/DROP CONSTRAINT: setting a CHECK validates the
+    EXISTING visible rows first (a violating table changes nothing),
+    then gates every later batch; expressions are written in logical
+    names (stored physical — appends validate post-rename); dropping
+    clears admission-time validation; a column the live check
+    references still cannot drop."""
+    p = str(tmp_path / "t")
+    L.write_zordered(_base(spark, 200), p, "a", "b", bits=5,
+                     bucket_bits=3)
+    L.alter_zordered(spark, p, renames={"val": "value"})
+    # existing rows violate: refused, nothing changes
+    with pytest.raises(ValueError, match="violated by"):
+        L.alter_zordered(spark, p, set_check="value > 100")
+    assert "check" not in L.read_spec(spark, p)
+    # a satisfiable constraint lands (logical names in, physical out)
+    L.alter_zordered(spark, p, set_check="value >= 0")
+    assert L.read_spec(spark, p)["check"] == "val >= 0"
+    bad = spark.createDataFrame([(9_000, 0, 0, -5, "x")],
+                                "k long, a long, b long, value long, "
+                                "txt string")
+    with pytest.raises(ValueError, match="CHECK"):
+        L.append_zordered(bad, p)
+    L.append_zordered(bad.withColumn("value", F.lit(5)), p)
+    # the checked column cannot drop while the constraint lives
+    with pytest.raises(ValueError, match="CHECK"):
+        L.alter_zordered(spark, p, drops=["value"])
+    # DROP CONSTRAINT clears admission-time validation
+    L.alter_zordered(spark, p, drop_check=True)
+    assert "check" not in L.read_spec(spark, p)
+    L.append_zordered(bad.withColumn("k", F.col("k") + 1), p)
+    assert L.read_zordered(spark, p).count() == 202
+    # history records the constraint commits
+    ops = [(h["op"], h["op_metrics"]) for h in
+           L.table_history(spark, p)]
+    assert ("alter", {"columns_renamed": 0, "columns_dropped": 0,
+                      "columns_added": 0, "check_set": 1}) in ops
+    assert ("alter", {"columns_renamed": 0, "columns_dropped": 0,
+                      "columns_added": 0, "check_dropped": 1}) in ops
