@@ -79,9 +79,9 @@ def register(name: str, sql: str | None = None):
 # via column mapping) and stream_table_read (the Delta readStream
 # analogue) — both registered round 12 after the window froze; if a
 # round-13 code change needs a slot, it outranks these two, and
-# q_zorder_merge_sync (WHEN NOT MATCHED BY SOURCE) plus
-# q_zorder_generated (generated columns), both round 12, queue right
-# behind them.
+# q_zorder_merge_sync (WHEN NOT MATCHED BY SOURCE),
+# q_zorder_generated (generated columns) and q_zorder_recluster
+# (re-cluster verb), all round 12, queue right behind them.
 # Exactly 50 names below.
 _DRIVER_WINDOW_FIRST = [
     # newest driver evidence = round 8 (all 44):

@@ -4396,6 +4396,43 @@ def q_zorder_bloom_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+@register("q_zorder_recluster", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value, ts
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+             AND TIMESTAMP '2024-01-15 00:00:00'
+ORDER BY event_id
+""")
+def q_zorder_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-CLUSTER (``layout.recluster_zordered`` — the OPTIMIZE
+    ZORDER BY verb): the table starts clustered on (user_id, value),
+    the query pattern changes, and one call rewrites it on (ts,
+    user_id) — a datetime box read on the NEW layout must equal the
+    oracle's plain range filter (and folds the pre-recluster delta
+    append in). Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", F.col("user_id").cast("long")
+                  .alias("user_id"), "value", "ts"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zrecl",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev.where(F.col("event_id") % 5 != 0), base,
+                         "user_id", "value", bits=8, bucket_bits=4)
+        L.append_zordered(ev.where(F.col("event_id") % 5 == 0), base)
+        L.recluster_zordered(spark, base, cols=["ts", "user_id"])
+    out = L.read_zordered_box_nd(
+        spark, base,
+        {"ts": ("2024-01-08 00:00:00", "2024-01-15 00:00:00")})
+    return (out.select("event_id", "user_id", "value", "ts")
+            .orderBy("event_id"))
+
+
 @register("q_zorder_generated", """
 SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
        CAST(FLOOR(value / 50) AS BIGINT) AS band

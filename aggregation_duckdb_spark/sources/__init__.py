@@ -17,6 +17,7 @@ from aggregation_duckdb_spark.sources.layout import (
     alter_zordered, append_zordered, compact_zordered,
     delete_zordered_box,
     delete_zordered_keys, optimize_zordered, read_zordered,
+    recluster_zordered,
     read_zordered_box, read_zordered_box_nd,
     read_zordered_box_with_delta, read_zordered_where, table_exists,
     table_history, table_version, upsert_zordered, vacuum_zordered,
@@ -33,4 +34,4 @@ __all__ = ["read_csv", "read_json", "write_csv_dir", "write_json",
            "delete_zordered_box", "delete_zordered_keys",
            "write_zordered_nd", "read_zordered_box_nd",
            "zbuckets_for_ranges", "optimize_zordered",
-           "table_history", "alter_zordered"]
+           "table_history", "alter_zordered", "recluster_zordered"]

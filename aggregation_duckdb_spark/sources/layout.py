@@ -2459,6 +2459,52 @@ def clone_zordered(spark: SparkSession, src: str, dst: str,
             "cloned_from": manifest["cloned_from"]}
 
 
+def recluster_zordered(spark: SparkSession, path: str,
+                       cols: list[str] | None = None,
+                       bits: int | None = None,
+                       bucket_bits: int | None = None,
+                       files_per_bucket: int = 1,
+                       vacuum: bool = True) -> dict:
+    """RE-CLUSTER the table under new layout dimensions and/or a new
+    binning resolution — the ``OPTIMIZE ... ZORDER BY (new, cols)`` /
+    re-cluster verb: when the query pattern changes (reads now bound
+    ``(tenant, ts)`` instead of ``(user, value)``), ONE call rewrites
+    the table Morton-clustered on the new dims as a forward commit on
+    the same table — history, time travel, CHECK constraint and the
+    optimistic-concurrency contract all carry through (the commit is
+    a CREATE-OR-REPLACE-shaped full rewrite: racing bucket rewrites
+    lose by declaration, exactly like ``mode="full"`` compaction).
+
+    Defaults keep the current (logical) dims and resolution — making
+    the bare call a "fold everything and re-bin" synonym — and any
+    column mapping MATERIALIZES (the rewrite reads logically and the
+    fresh manifest carries no mapping), so this is also the explicit
+    escape hatch from accumulated renames/drops. ``cols`` are logical
+    names; the CHECK constraint is re-keyed to them. Outstanding
+    deltas and tombstones fold in (the read is the visible table).
+
+    Cost, honestly: a full-table read + clustered write — the price
+    of changing physical order at any size; at 100 TB run it as the
+    deliberate maintenance job it is, not a routine call."""
+    m = read_manifest(spark, path)
+    lspec = _spec_logical(m)
+    ldims = [c for c, _, _ in _spec_dims(lspec)]
+    full = read_zordered(spark, path, manifest=m).drop("zbucket")
+    new_cols = list(cols) if cols else ldims
+    missing = [c for c in new_cols if c not in full.columns]
+    if missing:
+        raise ValueError(
+            f"recluster_zordered: layout dimension(s) {missing} are "
+            f"not columns of the table")
+    return write_zordered_nd(
+        full, path, new_cols,
+        bits=int(bits if bits is not None else lspec["bits"]),
+        bucket_bits=int(bucket_bits if bucket_bits is not None
+                        else lspec["bucket_bits"]),
+        files_per_bucket=files_per_bucket, vacuum=vacuum,
+        check=lspec.get("check"))
+
+
 def alter_zordered(spark: SparkSession, path: str,
                    renames: dict[str, str] | None = None,
                    drops: list[str] | None = None,

@@ -327,3 +327,37 @@ def test_alter_check_constraint(spark, tmp_path):
                       "columns_added": 0, "check_set": 1}) in ops
     assert ("alter", {"columns_renamed": 0, "columns_dropped": 0,
                       "columns_added": 0, "check_dropped": 1}) in ops
+
+
+def test_recluster_changes_layout_dimensions(spark, tmp_path):
+    """recluster_zordered (the OPTIMIZE ZORDER BY / re-cluster verb):
+    one call rewrites the table Morton-clustered on NEW dims as a
+    forward commit — box reads bound the new dims, outstanding deltas
+    and tombstones fold in, the CHECK constraint re-keys to logical
+    names, and any column mapping materializes."""
+    p = str(tmp_path / "t")
+    L.write_zordered(_base(spark, 400), p, "a", "b", bits=6,
+                     bucket_bits=3, check="val >= 0")
+    L.alter_zordered(spark, p, renames={"val": "value"})
+    L.append_zordered(
+        _base(spark, 20).withColumnRenamed("val", "value")
+        .withColumn("k", F.col("k") + 400), p)
+    L.delete_zordered_keys(spark.createDataFrame([(0,)], "k long"),
+                           p, ["k"])
+    L.recluster_zordered(spark, p, cols=["k", "value"], bits=7,
+                         bucket_bits=4)
+    m = L.read_manifest(spark, p)
+    assert [c for c, _, _ in L._spec_dims(m["spec"])] == ["k", "value"]
+    assert m["spec"]["check"] == "value >= 0"    # re-keyed logical
+    assert "column_map" not in m                 # materialized
+    assert not m.get("deltas") and not m.get("tombstones")
+    out = L.read_zordered(spark, p)
+    assert out.count() == 419                    # 400 + 20 - 1 deleted
+    box = L.read_zordered_box_nd(spark, p, {"k": (10, 20)})
+    assert box.count() == 11
+    # the new constraint still gates admissions
+    with pytest.raises(ValueError, match="CHECK"):
+        L.append_zordered(
+            spark.createDataFrame([(9999, 0, 0, -1, "x")],
+                                  "k long, a long, b long, value "
+                                  "long, txt string"), p)
