@@ -220,6 +220,19 @@ ENTRIES = {
         "_commit_version-partitioned sink — snapshot and append "
         "batches landed once; no manifest walks or diff joins at "
         "read time"),
+    "q_zorder_merge_sync": (
+        "a read after a NOT-MATCHED-BY-SOURCE merge is an ordinary "
+        "pruned snapshot scan — the sync rewrote only victim buckets; "
+        "no residual join or delta union in the plan"),
+    "q_zorder_generated": (
+        "after the fold the generated column is MATERIALIZED: the "
+        "read is a plain pruned scan with the column in ReadSchema — "
+        "no per-row expression evaluation left in the plan"),
+    "q_zorder_recluster": (
+        "the datetime box read on the NEW layout prunes "
+        "live-(zbucket, gen) directories via PartitionFilters with "
+        "the timestamp range in PushedFilters — the re-clustered "
+        "table plans exactly like one created on those dims"),
 }
 
 
