@@ -21,6 +21,7 @@ from aggregation_duckdb_spark.sources.layout import (
     read_zordered_box, read_zordered_box_nd,
     read_zordered_box_with_delta, read_zordered_where, table_exists,
     table_history, table_version, upsert_zordered, vacuum_zordered,
+    version_at_timestamp,
     write_zordered, write_zordered_nd, zbuckets_for_box,
     zbuckets_for_ranges, zonemap_buckets)
 
@@ -34,4 +35,5 @@ __all__ = ["read_csv", "read_json", "write_csv_dir", "write_json",
            "delete_zordered_box", "delete_zordered_keys",
            "write_zordered_nd", "read_zordered_box_nd",
            "zbuckets_for_ranges", "optimize_zordered",
-           "table_history", "alter_zordered", "recluster_zordered"]
+           "table_history", "alter_zordered", "recluster_zordered",
+           "version_at_timestamp"]

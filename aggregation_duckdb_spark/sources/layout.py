@@ -486,11 +486,16 @@ def _commit(spark: SparkSession, path: str, manifest: dict | None,
             return 0, None
         m = dict(manifest)
         m["op"] = op
-        # op and metrics are PER-COMMIT fields: stale ones a rebase
-        # builder copied from the latest snapshot never leak through
+        # op, metrics and committed_ms are PER-COMMIT fields: stale
+        # ones a rebase builder copied from the latest snapshot never
+        # leak through
         m.pop("metrics", None)
         if metrics:
             m["metrics"] = metrics
+        # commit wall-clock IN the manifest (not file mtime, which
+        # copies/restores reset) — what timestamp time travel binds to
+        import time as _time
+        m["committed_ms"] = int(_time.time() * 1000)
         try:
             fsio.write_json_at(spark, _manifest_path(path), m, attempt_v)
             return attempt_v, m
@@ -576,6 +581,36 @@ def _rebase_bucket_rewrite(latest: dict, base: dict, touched,
     return out
 
 
+def version_at_timestamp(spark: SparkSession, path: str,
+                         ts_ms: int) -> int:
+    """Timestamp time travel (Delta's ``timestampAsOf``): the newest
+    RETAINED snapshot committed at or before ``ts_ms`` (epoch millis)
+    — commit times are stamped INSIDE each manifest by the committer,
+    so copies/restores that reset file mtimes cannot skew history.
+    Raises when every retained commit is newer (asking for a state
+    before the table existed or before the retention horizon) — pin
+    reads with ``read_zordered(..., version=version_at_timestamp(...))``.
+    Commits from before the stamp existed order by version with an
+    unknown time and only match when a NEWER stamped commit already
+    bounds them."""
+    mdir = _manifest_path(path)
+    versions = sorted(
+        (int(x.group(1)) for x in
+         (fsio._VERSION_RE.match(n) for n in fsio.list_names(spark, mdir))
+         if x), reverse=True)
+    if not versions:
+        raise FileNotFoundError(f"no z-order manifest under {path}")
+    for v in versions:       # newest-first: first match wins
+        m = _read_manifest_version(spark, path, v)
+        if m is not None and m.get("committed_ms") is not None \
+                and int(m["committed_ms"]) <= ts_ms:
+            return v
+    raise ValueError(
+        f"version_at_timestamp: no retained snapshot of {path} at or "
+        f"before {ts_ms} — the table is newer, or the retention "
+        f"horizon passed it (vacuum keeps fewer versions than asked)")
+
+
 def table_history(spark: SparkSession, path: str) -> list[dict]:
     """The retained commit history, newest first — the audit/lineage
     view (the DESCRIBE HISTORY analogue): one row per manifest version
@@ -596,10 +631,12 @@ def table_history(spark: SparkSession, path: str) -> list[dict]:
                     "buckets": len(m.get("gens", {})),
                     "deltas": len(m.get("deltas", [])),
                     "tombstones": len(m.get("tombstones", [])),
-                    # per-commit operation metrics (the DESCRIBE
-                    # HISTORY operationMetrics analogue) — {} for
-                    # commits from before the feature
-                    "op_metrics": m.get("metrics", {})})
+                    # per-commit operation metrics and commit time
+                    # (the DESCRIBE HISTORY operationMetrics /
+                    # timestamp columns) — {}/None for commits from
+                    # before the features
+                    "op_metrics": m.get("metrics", {}),
+                    "committed_ms": m.get("committed_ms")})
     return out
 
 

@@ -361,3 +361,34 @@ def test_recluster_changes_layout_dimensions(spark, tmp_path):
             spark.createDataFrame([(9999, 0, 0, -1, "x")],
                                   "k long, a long, b long, value "
                                   "long, txt string"), p)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """Timestamp time travel (Delta's timestampAsOf): commit times
+    are stamped INSIDE each manifest, version_at_timestamp binds a
+    wall-clock instant to the newest snapshot at or before it, and a
+    pinned read reproduces that state; instants before the table (or
+    behind the retention horizon) raise instead of guessing."""
+    import time
+
+    p = str(tmp_path / "t")
+    t_before = int(time.time() * 1000) - 1
+    L.write_zordered(_base(spark, 100), p, "a", "b", bits=4,
+                     bucket_bits=2, vacuum=False)               # v1
+    time.sleep(1.1)
+    t_mid = int(time.time() * 1000)
+    time.sleep(1.1)
+    L.delete_zordered_keys(
+        spark.range(0, 50).select(F.col("id").alias("k")), p, ["k"])
+    t_after = int(time.time() * 1000) + 1                       # v2
+
+    assert L.version_at_timestamp(spark, p, t_mid) == 1
+    assert L.version_at_timestamp(spark, p, t_after) == 2
+    v = L.version_at_timestamp(spark, p, t_mid)
+    assert L.read_zordered(spark, p, version=v).count() == 100
+    assert L.read_zordered(spark, p).count() == 50
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        L.version_at_timestamp(spark, p, t_before)
+    hist = L.table_history(spark, p)
+    assert all(h["committed_ms"] for h in hist)
+    assert hist[0]["committed_ms"] >= hist[-1]["committed_ms"]
