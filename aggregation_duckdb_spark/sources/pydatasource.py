@@ -148,10 +148,11 @@ class ZHistoryStreamReader:
     feed the change-data capture rides (offsets ARE manifest versions,
     so Spark's checkpoint makes delivery exactly-once: a replayed
     range re-reads the same immutable, versioned manifests and
-    regenerates identical rows). Rate-limited: at most
-    ``max_commits_per_batch`` commits advance per micro-batch, so a
-    backlogged table drains in bounded steps instead of one giant
-    batch. Requires the covered versions to still be retained (run
+    regenerates identical rows). Optionally rate-limited: a positive
+    ``max_commits_per_batch`` advances at most that many commits per
+    micro-batch (bounded steps); ``<= 0`` (the runners' default)
+    drains to the manifest head in one batch — still only one
+    metadata row per commit. Requires the covered versions to still be retained (run
     mutations with ``vacuum=False`` / a retention window — the same
     contract as Delta's change feed); a pruned version raises cleanly.
 
@@ -196,7 +197,15 @@ class ZHistoryStreamReader:
         from aggregation_duckdb_spark import fsio
         s = int(start["version"])
         latest = fsio.latest_version(None, self._mdir())
-        e = min(latest, s + self.max_commits)
+        # max_commits <= 0 means "drain to the head in ONE batch":
+        # Spark's Python micro-batch source runs a single batch per
+        # start() (no true AvailableNow), so a bounded cap costs one
+        # ~3s stream startup per cap-sized step — a 10k-commit backlog
+        # at cap 10 would pay 1,000 startups. Unbounded, the batch is
+        # still only metadata rows (one per commit); the row-sized
+        # work happens downstream in foreachBatch.
+        e = latest if self.max_commits <= 0 \
+            else min(latest, s + self.max_commits)
         if e <= s:
             return iter([]), {"version": s}
         return iter(self._rows(s, e)), {"version": e}

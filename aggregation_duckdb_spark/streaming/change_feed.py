@@ -131,10 +131,56 @@ def _commit_changes(spark: SparkSession, table_path: str, version: int,
                            key_cols=key_cols)
 
 
+# Commits per sink write: up to this many commits' rows union into
+# ONE dynamic-partition-overwrite write. Small enough that a chunk's
+# union plan stays trivial for Catalyst; big enough that a long
+# backlog pays O(commits/32) write jobs instead of one per commit.
+_WRITE_CHUNK = 32
+
+
+def _write_commit_chunks(spark: SparkSession, sink_path: str,
+                         per_commit, done: set) -> None:
+    """Land ``(version, rows-or-None)`` pairs in the sink, CHUNKED:
+    each row set is stamped with its ``_commit_version`` and up to
+    :data:`_WRITE_CHUNK` commits union into one dynamic-partition-
+    overwrite write. Replay granularity is unchanged — every touched
+    partition is rewritten whole, so the sink holds exactly-once
+    visible rows either way; a crash mid-drain redoes at most the
+    batch's unflushed chunks on replay. An exception from the
+    ``per_commit`` iterator (a refusal, a retention error) propagates
+    after already-flushed chunks landed, exactly as the per-commit
+    writes did."""
+    from aggregation_duckdb_spark import fsio
+    batch: list = []
+
+    def flush() -> None:
+        if not batch:
+            return
+        out = None
+        for v, rows in batch:
+            r = rows.withColumn("_commit_version", F.lit(int(v)))
+            out = r if out is None else \
+                out.unionByName(r, allowMissingColumns=True)
+        with fsio.dynamic_partition_overwrite(spark):
+            (out.write.mode("overwrite")
+             .partitionBy("_commit_version").parquet(sink_path))
+        done.update(int(v) for v, _ in batch)
+        batch.clear()
+
+    for v, rows in per_commit:
+        if rows is None:
+            done.add(int(v))
+            continue
+        batch.append((v, rows))
+        if len(batch) >= _WRITE_CHUNK:
+            flush()
+    flush()
+
+
 def run_change_feed(spark: SparkSession, table_path: str,
                     sink_path: str, checkpoint_dir: str,
                     key_cols: list[str],
-                    max_commits_per_batch: int = 10,
+                    max_commits_per_batch: int = 0,
                     starting_version: int = 1) -> None:
     """Drain all outstanding commits of the table into the change-row
     sink, resuming from the checkpoint — call again after more commits
@@ -143,11 +189,14 @@ def run_change_feed(spark: SparkSession, table_path: str,
     ``_commit_version`` partition.
 
     Spark's Python micro-batch stream does not support
-    Trigger.AvailableNow (it falls back to SINGLE-batch execution),
-    so one start() processes at most ``max_commits_per_batch``
-    commits; this function loops starts against the same checkpoint
-    until the feed has caught up with the manifest head (or a run
-    makes no progress — already drained)."""
+    Trigger.AvailableNow (it falls back to SINGLE-batch execution,
+    one ~seconds-scale stream startup per start()), so the default
+    ``max_commits_per_batch=0`` drains the WHOLE backlog in one batch
+    — the batch is only metadata rows, and the sink writes chunk via
+    :func:`_write_commit_chunks` — making drain startup cost O(1) in
+    backlog length instead of O(commits/batch). Pass a positive cap
+    to restore bounded steps (the loop below then starts repeatedly
+    until the feed has caught up or makes no progress)."""
     from aggregation_duckdb_spark import fsio
     from aggregation_duckdb_spark.sources.pydatasource import (
         register_zhistory)
@@ -155,18 +204,13 @@ def run_change_feed(spark: SparkSession, table_path: str,
     done: set[int] = set()
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        # bounded collect: at most max_commits_per_batch metadata rows
+        # bounded collect: one tiny metadata row per commit
         commits = sorted(r["version"] for r in
                          batch_df.select("version").collect())
-        for v in commits:
-            changes = _commit_changes(spark, table_path, v, key_cols)
-            if changes is not None:
-                rows = changes.withColumn("_commit_version",
-                                          F.lit(int(v)))
-                with fsio.dynamic_partition_overwrite(spark):
-                    (rows.write.mode("overwrite")
-                     .partitionBy("_commit_version").parquet(sink_path))
-            done.add(int(v))
+        _write_commit_chunks(
+            spark, sink_path,
+            ((v, _commit_changes(spark, table_path, v, key_cols))
+             for v in commits), done)
 
     mdir = fsio._join(table_path, "_manifest")
     while True:

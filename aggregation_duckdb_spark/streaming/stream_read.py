@@ -83,43 +83,51 @@ def _commit_rows(spark: SparkSession, table_path: str, version: int,
 def run_table_stream(spark: SparkSession, table_path: str,
                      sink_path: str, checkpoint_dir: str,
                      skip_change_commits: bool = False,
-                     max_commits_per_batch: int = 10,
+                     max_commits_per_batch: int = 0,
                      starting_version: int = 1) -> None:
     """Drain all outstanding commits of the table into the row sink,
     resuming from the checkpoint — the snapshot lands once (its
     starting version's partition), appends land incrementally; call
     again after more commits, or wrap with a processing-time trigger
     for a long-lived tail. Idempotent per commit: replays rewrite
-    their ``_commit_version`` partition. Loops single-batch starts
-    exactly as :func:`change_feed.run_change_feed` does (the Python
-    micro-batch source's Trigger.AvailableNow fallback)."""
+    their ``_commit_version`` partition. Startup cost is O(1) in
+    backlog length by default (``max_commits_per_batch=0`` drains to
+    the head in one batch; sink writes chunk via
+    :func:`change_feed._write_commit_chunks`) — pass a positive cap
+    for bounded steps, which loop single-batch starts exactly as
+    :func:`change_feed.run_change_feed` does (the Python micro-batch
+    source's Trigger.AvailableNow fallback)."""
     from aggregation_duckdb_spark import fsio
     from aggregation_duckdb_spark.sources.pydatasource import (
         register_zhistory)
+    from aggregation_duckdb_spark.streaming.change_feed import (
+        _write_commit_chunks)
     register_zhistory(spark)
     done: set[int] = set()
     refused: list[Exception] = []
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        # bounded collect: at most max_commits_per_batch metadata rows
+        # bounded collect: one tiny metadata row per commit
         commits = sorted(r["version"] for r in
                          batch_df.select("version").collect())
-        for v in commits:
-            try:
-                rows = _commit_rows(spark, table_path, v,
-                                    starting_version,
-                                    skip_change_commits)
-            except ValueError as e:
-                # surfaces wrapped in a StreamingQueryException below;
-                # keep the original so the caller sees a clean refusal
-                refused.append(e)
-                raise
-            if rows is not None:
-                rows = rows.withColumn("_commit_version", F.lit(int(v)))
-                with fsio.dynamic_partition_overwrite(spark):
-                    (rows.write.mode("overwrite")
-                     .partitionBy("_commit_version").parquet(sink_path))
-            done.add(int(v))
+
+        def rows_of():
+            for v in commits:
+                try:
+                    yield v, _commit_rows(spark, table_path, v,
+                                          starting_version,
+                                          skip_change_commits)
+                except (ValueError, FileNotFoundError) as e:
+                    # surfaces wrapped in a StreamingQueryException
+                    # below; keep the original so the caller sees a
+                    # clean refusal (ValueError = mutation refusal,
+                    # FileNotFoundError = the retention error
+                    # _commit_rows raises with guidance — both must
+                    # reach the caller unwrapped)
+                    refused.append(e)
+                    raise
+
+        _write_commit_chunks(spark, sink_path, rows_of(), done)
 
     mdir = fsio._join(table_path, "_manifest")
     while True:

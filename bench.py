@@ -306,8 +306,12 @@ def main() -> None:
     if ticks_before and t1:
         d = {k: t1[k] - ticks_before[k]
              for k in t1 if k in ticks_before}
-        busy = sum(d.values()) or 1
-        # % of this run's CPU time the hypervisor gave to someone else
+        # % of this run's non-idle CPU time the hypervisor gave to
+        # someone else: idle and iowait ticks are excluded from the
+        # denominator, else a partially-idle guest understates steal
+        # (steal over total elapsed ticks, not over CPU actually used)
+        busy = sum(v for k, v in d.items()
+                   if k not in ("idle", "iowait")) or 1
         load["steal_pct"] = round(100.0 * d.get("steal", 0) / busy, 2)
     # Two JSON lines, detail first and the compact headline LAST: the
     # driver's bench artifact keeps only the tail of stdout, and the

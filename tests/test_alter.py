@@ -392,3 +392,69 @@ def test_timestamp_time_travel(spark, tmp_path):
     hist = L.table_history(spark, p)
     assert all(h["committed_ms"] for h in hist)
     assert hist[0]["committed_ms"] >= hist[-1]["committed_ms"]
+
+
+def test_mapped_full_compact_conflicts_with_concurrent_append(
+        spark, table, monkeypatch):
+    """A full compaction that MATERIALIZES a column mapping is a
+    metadata change (Delta's metadata-conflict rule): a concurrent
+    blind append's delta batch was written in the OLD physical names,
+    and the fresh manifest clears the mapping — reading that batch
+    untranslated afterwards would NULL-fill the renamed column. The
+    rebase must CONFLICT, not merge-and-corrupt."""
+    from aggregation_duckdb_spark import fsio
+
+    L.alter_zordered(spark, table, renames={"val": "value"})
+    app = spark.range(600, 605).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("a"),
+        (F.col("id") % 37).alias("b"), (F.col("id") * 2).alias("value"),
+        F.concat(F.lit("doc"), F.col("id")).alias("txt"))
+
+    real = fsio.write_json_at
+    fired = {}
+
+    def inject(spk, mdir, obj, version):
+        if obj.get("op", "").startswith("compact") and "x" not in fired:
+            fired["x"] = True
+            L.append_zordered(app, table)  # lands mid-rebuild
+        return real(spk, mdir, obj, version)
+
+    monkeypatch.setattr(fsio, "write_json_at", inject)
+    with pytest.raises(L.CommitConflict, match="column mapping"):
+        L.compact_zordered(spark, table, mode="full")
+    monkeypatch.undo()
+
+    # nothing corrupted: the append landed, the mapping survived, and
+    # a retry (no concurrent writer now) folds everything cleanly
+    out = L.read_zordered(spark, table)
+    assert out.count() == 605
+    assert out.where(F.col("value").isNull()).count() == 0
+    L.compact_zordered(spark, table, mode="full")
+    m = L.read_manifest(spark, table)
+    assert "column_map" not in m and m.get("deltas", []) == []
+    out = L.read_zordered(spark, table)
+    assert out.count() == 605
+    assert out.where(F.col("value").isNull()).count() == 0
+
+
+def test_expr_rewrite_skips_literals_derefs_and_functions():
+    """Merge-clause / CHECK expression rewriting only touches genuine
+    column-reference positions: string literals, struct-field derefs
+    (s.val) and function-call names (val(...)) keep their spelling;
+    backtick-quoted references still rewrite."""
+    m = {"column_map": {"val": "value", "a": "alpha"}}
+    f = lambda e: L._expr_physical(m, e)
+    assert f("value + 1") == "val + 1"
+    assert f("concat('value: ', cast(value as string))") \
+        == "concat('value: ', cast(val as string))"
+    assert f('"alpha value" = alpha') == '"alpha value" = a'
+    # merge frame qualifiers t./s. are column refs and rewrite; any
+    # other dotted prefix is a struct-field deref and does not
+    assert f("t.value + s.value") == "t.val + s.val"
+    assert f("other.value + value") == "other.value + val"
+    assert f("value(alpha)") == "value(a)"
+    assert f("`value` > 0") == "`val` > 0"
+    assert f("'it''s value' || value") == "'it''s value' || val"
+    # inverse direction (CHECK materialization) honors the same rules
+    assert L._expr_logical(m, "val > 0 AND 'val' <> txt") \
+        == "value > 0 AND 'val' <> txt"

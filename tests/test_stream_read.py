@@ -84,3 +84,69 @@ def test_table_stream_maps_renamed_columns(spark, tmp_path):
 def test_empty_sink_reads_as_typed_empty_frame(spark, tmp_path):
     got = read_table_stream(spark, str(tmp_path / "nope"))
     assert got.count() == 0 and "_commit_version" in got.columns
+
+
+def test_retention_error_surfaces_unwrapped(spark, tmp_path,
+                                            monkeypatch):
+    """A pruned-manifest retention error raised inside foreachBatch
+    must reach the caller as the original FileNotFoundError (with its
+    retain-history guidance), not wrapped in an opaque
+    StreamingQueryException — the same clean-propagation contract
+    mutation refusals (ValueError) already have."""
+    from aggregation_duckdb_spark.streaming import stream_read as SR
+
+    p = str(tmp_path / "t")
+    L.write_zordered(_rows(spark, 0, 50), p, "a", "b", bits=4,
+                     bucket_bits=2, vacuum=False)
+
+    def pruned(*a, **k):
+        raise FileNotFoundError(
+            "stream read needs manifest version 1, but it was pruned "
+            "— retain history while a stream is live")
+
+    monkeypatch.setattr(SR, "_commit_rows", pruned)
+    with pytest.raises(FileNotFoundError, match="retain history"):
+        run_table_stream(spark, p, str(tmp_path / "sink"),
+                         str(tmp_path / "ckpt"))
+
+
+def test_backlog_drains_in_one_start_with_chunked_writes(
+        spark, tmp_path, monkeypatch):
+    """The auto (max_commits_per_batch=0) drain pays ONE stream
+    startup for the whole backlog — the checkpoint records exactly
+    one micro-batch — and the sink writes chunk (≤ _WRITE_CHUNK
+    commits per write job), instead of one ~3s start per 10 commits
+    and one write per commit. Content is identical to the bounded
+    path: per-commit partitions, exactly the appended rows."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.streaming import change_feed as CF
+
+    p = str(tmp_path / "t")
+    L.write_zordered(_rows(spark, 0, 40), p, "a", "b", bits=4,
+                     bucket_bits=2, vacuum=False)                   # v1
+    n_appends = 24
+    for i in range(n_appends):                       # v2..v25
+        L.append_zordered(_rows(spark, 40 + i, 41 + i), p)
+
+    writes = {"n": 0}
+    real = fsio.dynamic_partition_overwrite
+
+    def counting(spk):
+        writes["n"] += 1
+        return real(spk)
+
+    monkeypatch.setattr(fsio, "dynamic_partition_overwrite", counting)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    run_table_stream(spark, p, sink, ckpt)
+    monkeypatch.undo()
+
+    got = read_table_stream(spark, sink)
+    assert got.count() == 40 + n_appends
+    assert got.select("_commit_version").distinct().count() \
+        == 1 + n_appends
+    # one write job per chunk, not per commit
+    assert writes["n"] <= (1 + n_appends) // CF._WRITE_CHUNK + 1
+    # ONE micro-batch in the checkpoint = one stream start drained it
+    offsets = [n for n in fsio.list_names(spark, ckpt + "/offsets")
+               if not n.startswith(".")]
+    assert len(offsets) == 1, offsets
