@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from aggregation_duckdb_spark.runtime import ensure_parallelism, materialize
@@ -583,28 +585,39 @@ def pq_fit_joint(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
     for _ in range(max_iters):
         if not live:
             break
-        lit = F.array(*[
-            F.struct(F.lit(j).cast("int").alias("sub"),
-                     F.lit(int(cid)).cast("long").alias("cid"),
-                     F.array(*[F.lit(float(x)) for x in cv]).alias("cvec"))
-            for j in sorted(live) for cid, cv in cents[j]])
-        mine = F.filter(lit, lambda c: c["sub"] == F.col("subspace"))
-        # exactly ivf_assign's l2 scoring + max(-cid) tie rule
-        # (named_struct: plain .alias() inside a nested higher-order
-        # lambda loses its name, leaving col1/col2 fields)
-        scored = F.transform(
-            mine, lambda c: F.named_struct(
-                F.lit("sim"),
-                -F.aggregate(
-                    F.zip_with(F.col("sv"), c["cvec"],
-                               lambda a, b: (a.cast("double") - b)
-                               * (a.cast("double") - b)),
-                    F.lit(0.0), lambda acc, x: acc + x),
-                F.lit("negcid"), -c["cid"]))
-        best = F.array_max(scored)
+        # Arrow-vectorized assignment against the current codebook —
+        # bit-identical to ivf_assign's l2 fold + max(-cid) tie rule:
+        # elementwise float64 (a-b)*(a-b), accumulated LEFT-TO-RIGHT
+        # by explicit chained adds (the same IEEE operation sequence
+        # as the JVM fold — numpy's own sum would pairwise-split),
+        # argmin first-hit on position-ordered cids == lowest-cid tie
+        # (cents[j] keeps cid == list position by construction:
+        # enumerate at seed, order-preserving update below). Why a
+        # pandas UDF in an otherwise-JVM file: the in-row
+        # higher-order-function argmin is interpreted (HOFs never
+        # enter whole-stage codegen) and evaluated at ~300µs/row —
+        # a fixed multi-second floor per Lloyd iteration even at the
+        # 50k fit-sample cap. This is the sanctioned Arrow-batched
+        # extension path (SURVEY §2.8), model-sized closure, never
+        # per-row Python objects.
+        cb = np.array([[cv for _cid, cv in cents[j]]
+                       for j in range(num_subspaces)])   # (S, k, sub)
+
+        @F.pandas_udf("long")
+        def _assign(subspace: pd.Series, sv: pd.Series) -> pd.Series:
+            v = np.array(sv.tolist(), dtype=np.float64)  # (n, sub)
+            c = cb[subspace.to_numpy()]                  # (n, k, sub)
+            d = v[:, None, :] - c
+            x = d * d
+            acc = x[:, :, 0].copy()
+            for p in range(1, x.shape[2]):
+                acc = acc + x[:, :, p]                   # sequential fold
+            return pd.Series(np.argmin(acc, axis=1).astype("int64"))
+
         stats = (exploded
                  .where(F.col("subspace").isin(sorted(live)))
-                 .select("subspace", (-best["negcid"]).alias("centroid_id"),
+                 .select("subspace",
+                         _assign("subspace", "sv").alias("centroid_id"),
                          F.posexplode(F.col("sv")).alias("pos", "comp"))
                  .groupBy("subspace", "centroid_id", "pos")
                  .agg(F.count(F.lit(1)).alias("n"),
@@ -679,23 +692,58 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame,
     """Encode every vector as (id, subspace, code): per subspace, the
     nearest codebook centroid by L2 (the quantizer objective Lloyd's
     mean-update optimizes — cosine assignment here would discard
-    subvector magnitude, corrupting the ADC sums) — the argmin folds
-    in-row against the broadcast codebook (same zero-shuffle shape as
-    :func:`ivf_assign`, once per subspace). Long form (one row per
-    (id, subspace)) keeps downstream ADC a plain equi-join."""
+    subvector magnitude, corrupting the ADC sums). ONE zero-shuffle
+    pass: the vector explodes into its (subspace, subvector) slices
+    in-row (narrow), and an Arrow-batched argmin scores them against
+    the model-sized codebook closure — bit-identical to
+    :func:`ivf_assign`'s l2 fold (elementwise float64 (a-b)*(a-b)
+    accumulated left-to-right by explicit chained adds) with the same
+    lowest-cid tie rule (candidates ordered by ascending cid, argmin
+    first-hit). The previous shape — num_subspaces sequential
+    :func:`ivf_assign` calls unioned — scanned the corpus 8× and
+    paid the interpreted higher-order-function argmin (~300µs/row);
+    this is the sanctioned Arrow extension path (SURVEY §2.8). Long
+    form (one row per (id, subspace)) keeps downstream ADC a plain
+    equi-join."""
     sub = dim // num_subspaces
-    out = None
-    for j in range(num_subspaces):
-        cb_j = codebooks.where(F.col("subspace") == j).select(
-            F.col("centroid_id"), F.col("centroid"))
-        sliced = corpus.select(
-            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub)
-            .alias(vec_col))
-        enc = (ivf_assign(sliced, cb_j, vec_col, id_col, metric="l2")
-               .select(F.col(id_col), F.lit(j).alias("subspace"),
-                       F.col("centroid_id").alias("code")))
-        out = enc if out is None else out.unionByName(enc)
-    return out
+    rows = codebooks.collect()   # model-sized, like ivf_assign
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(int(r["subspace"]), []).append(
+            (int(r["centroid_id"]), [float(x) for x in r["centroid"]]))
+    # ascending cid per subspace so argmin's first-hit tie == lowest
+    # cid (arbitrary, possibly sparse cids supported — e.g. label ids)
+    cids = {j: np.array(sorted(c for c, _ in v), dtype=np.int64)
+            for j, v in by_sub.items()}
+    mats = {j: np.array([cv for _c, cv in sorted(v)])
+            for j, v in by_sub.items()}
+
+    @F.pandas_udf("long")
+    def _code(subspace: pd.Series, sv: pd.Series) -> pd.Series:
+        v = np.array(sv.tolist(), dtype=np.float64)
+        s = subspace.to_numpy()
+        out = np.empty(len(v), dtype=np.int64)
+        for j in np.unique(s):
+            m = s == j
+            d = v[m][:, None, :] - mats[int(j)]
+            x = d * d
+            acc = x[:, :, 0].copy()
+            for p in range(1, x.shape[2]):
+                acc = acc + x[:, :, p]               # sequential fold
+            out[m] = cids[int(j)][np.argmin(acc, axis=1)]
+        return pd.Series(out)
+
+    exploded = corpus.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("subspace"),
+                     F.slice(F.col(vec_col), j * sub + 1, sub)
+                     .alias("sv"))
+            for j in range(num_subspaces)])).alias("__e"))
+    return exploded.select(
+        F.col(id_col),
+        F.col("__e.subspace").cast("long").alias("subspace"),
+        _code(F.col("__e.subspace"), F.col("__e.sv")).alias("code"))
 
 
 def pq_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
