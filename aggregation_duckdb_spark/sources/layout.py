@@ -132,6 +132,48 @@ TOMBSTONE_DIR = "_tombstones"
 CHANGES_DIR = "_changes"
 
 
+# "auto" bucket sizing targets this many SOURCE bytes per coarse
+# bucket directory. Anchors (ceil-log2, clamped [2, 12]): ~100 TB →
+# 9 bits (512 dirs, ~200 GB each — many healthy-sized files per dir),
+# ~10 TB → 6, ≤ ~1 TB → the floor. The local default stays the
+# explicit 4 — auto is for callers who don't know their table's
+# scale class up front.
+AUTO_BUCKET_TARGET_BYTES = 256 << 30
+
+
+def _bits_for_bytes(est_bytes: int) -> int:
+    """Pure sizing rule for ``bucket_bits="auto"``: enough bucket
+    directories that each holds about :data:`AUTO_BUCKET_TARGET_BYTES`
+    of source data, clamped to [2, 12] (4+ dirs always — pruning needs
+    something to prune; 4096 max — directory listings stay bounded)."""
+    import math
+    if est_bytes <= AUTO_BUCKET_TARGET_BYTES:
+        return 2
+    return max(2, min(12, math.ceil(
+        math.log2(est_bytes / AUTO_BUCKET_TARGET_BYTES))))
+
+
+def _auto_bucket_bits(df: DataFrame) -> int:
+    """Resolve ``bucket_bits="auto"`` from Catalyst's optimized-plan
+    size estimate (file-backed frames: the scan's summed file sizes;
+    derived frames: the propagated estimate). Unknown/sentinel stats
+    fall back to the local default 4 rather than guessing huge."""
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes()))
+    except Exception:
+        return 4
+    if est <= 0 or est >= (1 << 60):   # Catalyst's unknown sentinel
+        return 4
+    return _bits_for_bytes(est)
+
+
+def _resolve_bucket_bits(df: DataFrame, bucket_bits) -> int:
+    if bucket_bits == "auto":
+        return _auto_bucket_bits(df)
+    return int(bucket_bits)
+
+
 def bin_col(c: Column, lo: int, hi: int, bits: int) -> Column:
     """Linear bin of ``c`` into [0, 2^bits), clamped at the edges."""
     n = 1 << bits
@@ -680,7 +722,7 @@ def read_spec(spark_or_path, path: str | None = None) -> dict:
 
 
 def write_zordered(df: DataFrame, path: str, a_col: str, b_col: str,
-                   bits: int = 8, bucket_bits: int = 4,
+                   bits: int = 8, bucket_bits: int | str = 4,
                    bounds: dict | None = None,
                    files_per_bucket: int = 1,
                    vacuum: bool = True,
@@ -698,8 +740,12 @@ def write_zordered(df: DataFrame, path: str, a_col: str, b_col: str,
     later ``append_zordered``/``upsert_zordered`` batch is validated
     BEFORE anything lands; a violating batch raises with the
     violation count and commits nothing. Null checks count as
-    violations (a CHECK must affirmatively hold). Returns the layout
-    spec."""
+    violations (a CHECK must affirmatively hold).
+    ``bucket_bits="auto"`` sizes the coarse-bucket count from the
+    input's estimated bytes (:func:`_bits_for_bytes` — ~one bucket
+    directory per :data:`AUTO_BUCKET_TARGET_BYTES`). Returns the
+    layout spec."""
+    bucket_bits = _resolve_bucket_bits(df, bucket_bits)
     kinds = _dim_kinds(df, [a_col, b_col])
     if bounds is None:
         (_, a_lo, a_hi), (_, b_lo, b_hi) = numeric_bounds_nd(
@@ -715,7 +761,7 @@ def write_zordered(df: DataFrame, path: str, a_col: str, b_col: str,
 
 
 def write_zordered_nd(df: DataFrame, path: str, cols: list[str],
-                      bits: int = 8, bucket_bits: int = 4,
+                      bits: int = 8, bucket_bits: int | str = 4,
                       bounds: list[list] | None = None,
                       files_per_bucket: int = 1,
                       vacuum: bool = True,
@@ -728,7 +774,9 @@ def write_zordered_nd(df: DataFrame, path: str, cols: list[str],
     long); planning enumerates 2^bucket_bits candidates as before. The
     spec is stored as a ``dims`` list — every other verb (append /
     compact / upsert / vacuum / zone-map reads) works on both shapes
-    through the same normalization."""
+    through the same normalization. ``bucket_bits="auto"`` as in
+    :func:`write_zordered`."""
+    bucket_bits = _resolve_bucket_bits(df, bucket_bits)
     kinds = _dim_kinds(df, cols)
     if bounds is None:
         bounds = numeric_bounds_nd(df, cols, kinds)

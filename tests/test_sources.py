@@ -2827,3 +2827,33 @@ def test_bloom_builder_prober_parity_property():
         assert pos == [(h1 + i * h2) % m for i in range(k)]
 
     prop()
+
+
+def test_auto_bucket_bits(spark, tmp_path):
+    """bucket_bits="auto" sizes the coarse-bucket count from the
+    input's estimated bytes: the pure rule is monotone with anchored
+    scale classes (100 TB-class → 9 bits, 10 TB → 6, ≤1 TB → the
+    floor 2), a tiny local frame resolves to the floor, and the
+    written table reads back through the normal box path."""
+    from aggregation_duckdb_spark.sources import layout as L
+
+    TB = 1 << 40
+    assert L._bits_for_bytes(1 << 20) == 2           # tiny
+    assert L._bits_for_bytes(1 * TB) == 2            # <= target
+    assert L._bits_for_bytes(10 * TB) == 6
+    assert L._bits_for_bytes(100 * TB) == 9
+    assert L._bits_for_bytes(1 << 53) == 12          # 8 PB clamps
+    sizes = [1 << e for e in range(20, 55)]
+    bits = [L._bits_for_bytes(s) for s in sizes]
+    assert bits == sorted(bits) and all(2 <= b <= 12 for b in bits)
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 20).alias("a"),
+        (F.col("id") % 13).alias("b"))
+    p = str(tmp_path / "t_auto")
+    spec = L.write_zordered(df, p, "a", "b", bits=6,
+                            bucket_bits="auto")
+    assert spec["bucket_bits"] == 2                  # MB-scale input
+    assert L.read_zordered(spark, p).count() == 500
+    exp = sum(1 for i in range(500) if i % 20 <= 5)
+    assert L.read_zordered_box(spark, p, 0, 5, 0, 12).count() == exp
