@@ -765,7 +765,8 @@ def write_zordered_nd(df: DataFrame, path: str, cols: list[str],
                       bounds: list[list] | None = None,
                       files_per_bucket: int = 1,
                       vacuum: bool = True,
-                      check: str | None = None) -> dict:
+                      check: str | None = None,
+                      _expect: tuple[int, dict] | None = None) -> dict:
     """:func:`write_zordered` for k layout dimensions (user x time x
     tenant is routine at 100 TB): the Z value round-robin-interleaves
     the bits of every column in ``cols``, so a k-D box predicate maps
@@ -786,15 +787,21 @@ def write_zordered_nd(df: DataFrame, path: str, cols: list[str],
         spec["kinds"] = kinds
     if check is not None:
         spec["check"] = check
-    return _write_table(df, path, spec, files_per_bucket, vacuum)
+    return _write_table(df, path, spec, files_per_bucket, vacuum,
+                        expect=_expect)
 
 
 def _write_table(df: DataFrame, path: str, spec: dict,
-                 files_per_bucket: int, vacuum: bool) -> dict:
+                 files_per_bucket: int, vacuum: bool,
+                 expect: tuple[int, dict] | None = None) -> dict:
     spark = df.sparkSession
     _validate_check(df, spec, "write_zordered")
-    prev_v = table_version(spark, path)
-    prev = _read_manifest_version(spark, path, prev_v) if prev_v else None
+    if expect is not None:
+        prev_v, prev = expect
+    else:
+        prev_v = table_version(spark, path)
+        prev = _read_manifest_version(spark, path, prev_v) \
+            if prev_v else None
     gen = _new_gen()
     data_root = fsio._join(path, DATA_DIR)
     _write_clustered(df, data_root, spec, gen, files_per_bucket)
@@ -802,12 +809,34 @@ def _write_table(df: DataFrame, path: str, spec: dict,
     manifest = {"spec": spec, "gens": {str(k): gen for k in buckets},
                 "deltas": [], "stats": stats,
                 "gen_columns": {gen: cols}}
-    # CREATE OR REPLACE is last-writer-wins by declaration: a commit
-    # collision recommits the same snapshot over whatever landed in
-    # between (the loser's directories become invisible orphans — the
-    # crash-orphan class cleanup/vacuum already handles)
+    if expect is not None and "last_batch_id" in expect[1]:
+        # a rebuild verb preserves the streaming-ingest watermark
+        # (compact_full does the same); a user CREATE OR REPLACE
+        # resets it with the rest of the table's identity
+        manifest["last_batch_id"] = expect[1]["last_batch_id"]
+    if expect is None:
+        # CREATE OR REPLACE is last-writer-wins by declaration: a
+        # commit collision recommits the same snapshot over whatever
+        # landed in between (the loser's directories become invisible
+        # orphans — the crash-orphan class cleanup/vacuum handles)
+        rebase = lambda latest: manifest   # noqa: E731
+    else:
+        def rebase(latest: dict) -> dict:
+            # a REBUILD verb (recluster) read the whole table at the
+            # ``expect`` snapshot: any concurrent commit — an append's
+            # delta batch, a bucket rewrite, a tombstone, an ALTER's
+            # mapping edit — would be silently DISCARDED by replacing
+            # state wholesale (a lost update, not a declared
+            # replace). Conflict instead; the caller retries against
+            # the new snapshot.
+            for f in ("gens", "spec", "deltas", "tombstones",
+                      "column_map", "dropped_cols", "added_cols"):
+                if latest.get(f) != prev.get(f):
+                    _conflict("recluster", latest,
+                              "changed table state mid-rebuild")
+            return manifest
     v, final = _commit(spark, path, manifest, "write", prev_v,
-                       rebase=lambda latest: manifest,
+                       rebase=rebase,
                        metrics=_rewrite_metrics(buckets, stats))
     if prev is not None and vacuum:
         _cleanup_superseded(spark, path, prev, final)
@@ -2590,9 +2619,13 @@ def recluster_zordered(spark: SparkSession, path: str,
     ``(tenant, ts)`` instead of ``(user, value)``), ONE call rewrites
     the table Morton-clustered on the new dims as a forward commit on
     the same table — history, time travel, CHECK constraint and the
-    optimistic-concurrency contract all carry through (the commit is
-    a CREATE-OR-REPLACE-shaped full rewrite: racing bucket rewrites
-    lose by declaration, exactly like ``mode="full"`` compaction).
+    optimistic-concurrency contract all carry through. Unlike a user
+    CREATE OR REPLACE (last-writer-wins by declaration), the rebuild
+    CONFLICTS if anything committed between its full-table read and
+    its commit — an append, a rewrite, a tombstone, an ALTER — since
+    replacing state wholesale would silently discard that work (the
+    same posture as ``mode="full"`` compaction under a column
+    mapping); the streaming-ingest watermark carries through.
 
     Defaults keep the current (logical) dims and resolution — making
     the bare call a "fold everything and re-bin" synonym — and any
@@ -2605,7 +2638,7 @@ def recluster_zordered(spark: SparkSession, path: str,
     Cost, honestly: a full-table read + clustered write — the price
     of changing physical order at any size; at 100 TB run it as the
     deliberate maintenance job it is, not a routine call."""
-    m = read_manifest(spark, path)
+    base_v, m = _latest(spark, path)
     lspec = _spec_logical(m)
     ldims = [c for c, _, _ in _spec_dims(lspec)]
     full = read_zordered(spark, path, manifest=m).drop("zbucket")
@@ -2621,7 +2654,7 @@ def recluster_zordered(spark: SparkSession, path: str,
         bucket_bits=int(bucket_bits if bucket_bits is not None
                         else lspec["bucket_bits"]),
         files_per_bucket=files_per_bucket, vacuum=vacuum,
-        check=lspec.get("check"))
+        check=lspec.get("check"), _expect=(base_v, m))
 
 
 def alter_zordered(spark: SparkSession, path: str,

@@ -813,6 +813,116 @@ def textindex_probe(multiples: list) -> None:
                 "speedup": round(live_s / idx_s, 2) if idx_s else None}))
 
 
+
+
+def drain_probe(backlogs: list) -> None:
+    """Row-stream drain cost vs commit BACKLOG (round-13 item 2): the
+    Python micro-batch source has no true Trigger.AvailableNow, so the
+    old bounded drain paid one ~3s stream startup per 10 commits —
+    O(backlog/10) startups. The auto drain (max_commits_per_batch=0 +
+    chunked sink writes) must hold startups at 1 and write jobs at
+    ~backlog/32: wall-clock should grow only with the real per-commit
+    row work, not the startup floor. Bounded mode is timed at the
+    smallest backlog for the floor comparison."""
+    import shutil
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+    from aggregation_duckdb_spark.streaming import (read_table_stream,
+                                                    run_table_stream)
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    for i, b in enumerate(backlogs):
+        root = tempfile.mkdtemp(prefix=f"drain-probe-{b}-")
+        path = f"{root}/t"
+        base = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") % 50).alias("a"),
+            (F.col("id") % 37).alias("b"), F.col("id").alias("val"))
+        L.write_zordered(base, path, "a", "b", bits=6, bucket_bits=3,
+                         vacuum=False)
+        t0 = time.time()
+        for j in range(b):
+            row = spark.range(j, j + 1).select(
+                (F.col("id") + 100_000).alias("k"),
+                (F.col("id") % 50).alias("a"),
+                (F.col("id") % 37).alias("b"),
+                F.col("id").alias("val"))
+            L.append_zordered(row, path)
+        build_s = time.time() - t0
+        t0 = time.time()
+        run_table_stream(spark, path, f"{root}/sink", f"{root}/ckpt")
+        auto_s = time.time() - t0
+        got = read_table_stream(spark, f"{root}/sink").count()
+        assert got == 5000 + b, (got, b)
+        out = {"probe": "stream_drain", "backlog_commits": b,
+               "build_appends_seconds": round(build_s, 2),
+               "auto_drain_seconds": round(auto_s, 2),
+               "rows_landed": got}
+        if i == 0:
+            t0 = time.time()
+            run_table_stream(spark, path, f"{root}/sink10",
+                             f"{root}/ckpt10", max_commits_per_batch=10)
+            out["bounded10_drain_seconds"] = round(time.time() - t0, 2)
+            assert read_table_stream(spark,
+                                     f"{root}/sink10").count() == got
+        print(json.dumps(out))
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def bucketbits_probe(bits_list: list) -> None:
+    """bucket_bits sizing probe (round-13 item 6): the same 16x
+    events volume laid out at 4/6/8 bucket bits — write cost, file
+    counts, and selective box-read latency. What more buckets buy is
+    a FLAT files-read fraction with finer pruning (at object-store
+    scale, listing+footer I/O tracks files touched); what they cost
+    locally is more, smaller files. Also reports what
+    bucket_bits="auto" resolves to for this input."""
+    import glob
+    import os as _os
+    import tempfile
+
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.sources import layout as L
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    base = (load_table(spark, "events", SF_DIR)
+            .select("event_id", "user_id", "value"))
+    ev = base
+    for i in range(15):
+        ev = ev.unionByName(base.select(
+            (F.col("event_id") + (i + 1) * 100_000_000).alias("event_id"),
+            "user_id", "value"))
+    ev = ev.localCheckpoint()
+    n_rows = ev.count()
+    box = (10, 60, 50, 200)
+    for bb in bits_list:
+        path = tempfile.mkdtemp(prefix=f"bb-probe-{bb}-")
+        t0 = time.time()
+        spec = L.write_zordered(ev, path, "user_id", "value",
+                                bits=10, bucket_bits=bb,
+                                files_per_bucket=max(1, 32 >> bb))
+        write_s = time.time() - t0
+        buckets = L.zbuckets_for_box(spec, *box)
+        L.read_zordered(spark, path).count()       # warm listings
+        pruned_df = L.read_zordered_box(spark, path, *box)
+        ts, counts = [], set()
+        for _ in range(3):
+            t0 = time.time()
+            counts.add(pruned_df.count())
+            ts.append(time.time() - t0)
+        allf = glob.glob(_os.path.join(path, L.DATA_DIR, "zbucket=*",
+                                       "gen=*", "*.parquet"))
+        chosen = [f for f in allf
+                  if any(f"zbucket={b}/" in f for b in buckets)]
+        print(json.dumps({
+            "probe": "bucket_bits", "bucket_bits": bb, "rows": n_rows,
+            "write_seconds": round(write_s, 2),
+            "buckets_read": len(buckets),
+            "buckets_total": 1 << spec["bucket_bits"],
+            "files_read": len(chosen), "files_total": len(allf),
+            "box_rows": counts.pop(),
+            "box_read_seconds": round(min(ts), 2),
+            "auto_resolves_to": L._auto_bucket_bits(ev)}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--hierarchy":
         hierarchy_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
@@ -851,6 +961,10 @@ if __name__ == "__main__":
         pack_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--dedupindex":
         dedupindex_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--drain":
+        drain_probe([int(a) for a in sys.argv[2:]] or [10, 100, 1000])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bucketbits":
+        bucketbits_probe([int(a) for a in sys.argv[2:]] or [4, 6, 8])
     elif len(sys.argv) > 1 and sys.argv[1] == "--textindex":
         textindex_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     else:

@@ -458,3 +458,38 @@ def test_expr_rewrite_skips_literals_derefs_and_functions():
     # inverse direction (CHECK materialization) honors the same rules
     assert L._expr_logical(m, "val > 0 AND 'val' <> txt") \
         == "value > 0 AND 'val' <> txt"
+
+
+def test_recluster_conflicts_with_concurrent_append(spark, table,
+                                                    monkeypatch):
+    """recluster_zordered is a full-table rebuild, not a declared
+    CREATE OR REPLACE: an append landing between its read and its
+    commit must CONFLICT (replacing state wholesale would silently
+    drop the append's delta batch — a lost update), and a retry with
+    no competitor folds everything in."""
+    from aggregation_duckdb_spark import fsio
+
+    app = spark.range(600, 610).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("a"),
+        (F.col("id") % 37).alias("b"), (F.col("id") * 2).alias("val"),
+        F.concat(F.lit("doc"), F.col("id")).alias("txt"))
+
+    real = fsio.write_json_at
+    fired = {}
+
+    def inject(spk, mdir, obj, version):
+        if obj.get("op") == "write" and "x" not in fired:
+            fired["x"] = True
+            L.append_zordered(app, table)  # lands mid-rebuild
+        return real(spk, mdir, obj, version)
+
+    monkeypatch.setattr(fsio, "write_json_at", inject)
+    with pytest.raises(L.CommitConflict, match="mid-rebuild"):
+        L.recluster_zordered(spark, table, cols=["val", "b"])
+    monkeypatch.undo()
+
+    assert L.read_zordered(spark, table).count() == 610  # append safe
+    L.recluster_zordered(spark, table, cols=["val", "b"])
+    out = L.read_zordered(spark, table)
+    assert out.count() == 610
+    assert L.read_manifest(spark, table).get("deltas", []) == []
