@@ -923,6 +923,52 @@ def bucketbits_probe(bits_list: list) -> None:
             "auto_resolves_to": L._auto_bucket_bits(ev)}))
 
 
+
+
+def extgrowth_probe(multiples: list) -> None:
+    """Growth curves for the four slowest extended entries (round-13
+    item 7: dedup_prefix_pairs, pipeline_end_to_end,
+    dedup_containment_pairs, text_countmin_heavyhitters): each has an
+    equi-join plan pin but no measured curve past r05/r06 on current
+    code. Runs the REAL matrix entries against a synthetic sf dir
+    whose documents table is the sf0.1 corpus re-keyed m× (other
+    tables symlinked), so the timed path is exactly the driver's."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from aggregation_duckdb_spark import matrix
+    from aggregation_duckdb_spark.io import load_table
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    qs = matrix.queries()
+    names = ["dedup_prefix_pairs", "dedup_containment_pairs",
+             "text_countmin_heavyhitters", "pipeline_end_to_end"]
+    base = load_table(spark, "documents", SF_DIR)
+    for m in multiples:
+        root = tempfile.mkdtemp(prefix=f"extgrowth-{m}-")
+        for nm in _os.listdir(SF_DIR):
+            if nm != "documents.parquet":
+                _os.symlink(_os.path.join(SF_DIR, nm),
+                            _os.path.join(root, nm))
+        docs = base
+        for i in range(m - 1):
+            docs = docs.unionByName(base.select(
+                (F.col("doc_id") + (i + 1) * 1_000_000_000)
+                .alias("doc_id"), "text", "lang", "source", "n_chars"))
+        (docs.coalesce(max(1, 2 * m)).write.mode("overwrite")
+         .parquet(_os.path.join(root, "documents.parquet")))
+        n = docs.count()
+        out = {"probe": "ext_growth", "multiple": m, "doc_rows": n}
+        for name in names:
+            t0 = time.time()
+            rows = qs[name](spark, root).count()
+            out[name] = {"seconds": round(time.time() - t0, 2),
+                         "rows": rows}
+        print(json.dumps(out))
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--hierarchy":
         hierarchy_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
@@ -961,6 +1007,8 @@ if __name__ == "__main__":
         pack_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--dedupindex":
         dedupindex_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--extgrowth":
+        extgrowth_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
     elif len(sys.argv) > 1 and sys.argv[1] == "--drain":
         drain_probe([int(a) for a in sys.argv[2:]] or [10, 100, 1000])
     elif len(sys.argv) > 1 and sys.argv[1] == "--bucketbits":
