@@ -39,6 +39,55 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _seqsum(x: np.ndarray) -> np.ndarray:
+    """Left-to-right chained adds along the LAST axis from a +0.0
+    seed — the exact IEEE operation sequence of the JVM fold
+    ``aggregate(arr, 0.0, acc + x)``. numpy's own ``sum`` would
+    pairwise-split (ulp drift vs the fold); the +0.0 seed also maps a
+    leading -0.0 to +0.0 exactly as the fold's 0.0 seed does. This is
+    what keeps every Arrow-vectorized scoring path bit-identical to
+    its JVM expression twin and to the DuckDB oracles."""
+    acc = x[..., 0] + 0.0
+    for p in range(1, x.shape[-1]):
+        acc = acc + x[..., p]
+    return acc
+
+
+def _fold_dots(v: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(n, d) × (k, d) → (n, k) dot products with the JVM fold's
+    exact summation order: acc = ((0.0 + x0) + x1) + …, xp = vp·cp.
+    Deliberately NOT a BLAS matmul — GEMM blocks/FMA-reassociates the
+    sum, which would drift from the oracle by ulps. Accumulating one
+    component at a time also avoids the (n, k, d) product temporary
+    (memory bandwidth, not flops, dominates that shape)."""
+    acc = v[:, 0, None] * c[None, :, 0] + 0.0
+    for p in range(1, v.shape[1]):
+        acc = acc + v[:, p, None] * c[None, :, p]
+    return acc
+
+
+def _fold_sqdists(v: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(n, d) × (k, d) → (n, k) squared L2 distances, same fold order
+    and no-giant-temporary shape as :func:`_fold_dots`; the square is
+    an explicit multiply (never ``** 2`` — pow is not correctly
+    rounded across libms)."""
+    d0 = v[:, 0, None] - c[None, :, 0]
+    acc = d0 * d0 + 0.0
+    for p in range(1, v.shape[1]):
+        dp = v[:, p, None] - c[None, :, p]
+        acc = acc + dp * dp
+    return acc
+
+
+def _argmax_nan_biggest(sims: np.ndarray) -> np.ndarray:
+    """Row-wise argmax matching Spark's ``array_max(struct(sim,
+    -cid))`` rule over candidates ordered by ASCENDING cid: highest
+    sim wins, ties take the lowest cid, and NaN ranks above every
+    double (Spark's ordering). ``np.argmax`` has exactly these
+    semantics — first-hit on ties, first NaN when any is present."""
+    return np.argmax(sims, axis=1)
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact cosine top-k: broadcast the (bounded) query set against the
@@ -66,52 +115,99 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                centroid_vec: str = "centroid",
                metric: str = "cosine") -> DataFrame:
     """Assign each vector to its nearest centroid — a ZERO-SHUFFLE
-    map-side pass: the codebook is bounded (k·dim values), so it is
-    collected once and folded into the plan as a literal
-    array<struct<cid, cvec>>; the per-vector argmax is
-    transform→array_max in-row. (The alternative — crossJoin +
-    per-id window — shuffles corpus×k rows to rank them; at corpus
-    scale that shuffle IS the job.)  Ties break to the lowest
-    centroid id. At scale, write the result partitioned by cell for
-    pruned probes.
+    map-side pass: the codebook is bounded (k·dim values), collected
+    once, and scored in-row against every vector. (The alternative —
+    crossJoin + per-id window — shuffles corpus×k rows to rank them;
+    at corpus scale that shuffle IS the job.)  Ties break to the
+    lowest centroid id. At scale, write the result partitioned by
+    cell for pruned probes.
 
     ``metric``: 'cosine' (angular cells — the IVF search default) or
     'l2' (Euclidean cells — what Lloyd's mean-update step optimizes;
     REQUIRED for product quantization, where subvector magnitudes
-    carry signal that cosine assignment would discard)."""
+    carry signal that cosine assignment would discard).
+
+    Execution dispatches on codebook size, both paths BIT-IDENTICAL
+    (measured mismatch-free; the DuckDB full-value oracle twins rely
+    on it):
+
+    - small codebooks (k < 32, e.g. the label-centroid oracles) fold
+      the literal in-row exactly as before — JVM expression eval,
+      no Python workers, and the interpreted-HOF cost is small at
+      small k;
+    - larger codebooks score Arrow batches against the model-sized
+      closure (ArrowEvalPython — a map operator, zero shuffles,
+      plan-pinned): the interpreted higher-order function scales
+      linearly in k with a ~ms/row constant (at k=120/64-dim it runs
+      10× slower than the Arrow path), and real IVF wants k in the
+      hundreds-to-thousands (~√N cells) — at 100 TB the full-corpus
+      assignment pass IS the index build's CPU bill.
+
+    The Arrow arithmetic reproduces the JVM fold bit-for-bit:
+    elementwise float64 products/squares (explicit multiply, never
+    ``** 2`` — pow is not correctly rounded across libms),
+    accumulated LEFT-TO-RIGHT from a +0.0 seed
+    (:func:`_fold_dots`/:func:`_fold_sqdists` — numpy's own sum would
+    pairwise-split), IEEE sqrt/divide, ties to the lowest centroid id
+    (:func:`_argmax_nan_biggest` == the ``array_max(struct(sim,
+    -cid))`` rule, NaN-biggest included)."""
     if metric not in ("cosine", "l2"):
         raise ValueError(f"ivf_assign: unknown metric {metric!r}")
     rows = centroids.select(F.col(centroid_id).alias("cid"),
                             F.col(centroid_vec).alias("cvec")).collect()
     if not rows:
         raise ValueError("ivf_assign: empty codebook")
-    lit = F.array(*[
-        F.struct(
-            F.lit(int(r["cid"])).cast("long").alias("cid"),
-            F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"))
-        for r in rows])
-    # one score per centroid, staged per element; array_max compares
-    # structs lexicographically → best score, then max(-cid) = min cid
+
+    if len(rows) < 32:
+        lit = F.array(*[
+            F.struct(
+                F.lit(int(r["cid"])).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cvec"]])
+                .alias("cvec"))
+            for r in rows])
+        # one score per centroid, staged per element; array_max
+        # compares structs lexicographically → best score, then
+        # max(-cid) = min cid
+        if metric == "cosine":
+            score = lambda c: cosine(F.col(vec_col), c["cvec"])  # noqa: E731
+        else:
+            score = lambda c: -F.aggregate(  # noqa: E731
+                F.zip_with(F.col(vec_col), c["cvec"],
+                           lambda a, b: (a.cast("double") - b)
+                           * (a.cast("double") - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+        scored = F.transform(
+            lit, lambda c: F.struct(
+                score(c).alias("sim"),
+                (-c["cid"]).alias("negcid")))
+        best = F.array_max(scored)
+        return corpus.select(F.col(id_col), F.col(vec_col),
+                             (-best["negcid"]).alias(centroid_id))
+
+    pairs = sorted((int(r["cid"]), [float(x) for x in r["cvec"]])
+                   for r in rows)
+    cids = np.array([c for c, _ in pairs], dtype=np.int64)
+    cmat = np.array([v for _, v in pairs], dtype=np.float64)
+
     if metric == "cosine":
-        score = lambda c: cosine(F.col(vec_col), c["cvec"])  # noqa: E731
+        cnorm = np.sqrt(_seqsum(cmat * cmat))
+
+        @F.pandas_udf("long")
+        def _best(vec: pd.Series) -> pd.Series:
+            v = np.array(vec.tolist(), dtype=np.float64)
+            dots = _fold_dots(v, cmat)
+            vnorm = np.sqrt(_seqsum(v * v))
+            sims = dots / (vnorm[:, None] * cnorm[None, :])
+            return pd.Series(cids[_argmax_nan_biggest(sims)])
     else:
-        # maximize the NEGATED squared L2 distance (exact same argmin).
-        # The square is an explicit multiply, never `** 2`: pow(x, 2.0)
-        # is not guaranteed correctly rounded and differs between libm
-        # implementations, while d*d is one IEEE multiply — identical
-        # bits in any engine, which the DuckDB oracle twins rely on.
-        score = lambda c: -F.aggregate(  # noqa: E731
-            F.zip_with(F.col(vec_col), c["cvec"],
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-    scored = F.transform(
-        lit, lambda c: F.struct(
-            score(c).alias("sim"),
-            (-c["cid"]).alias("negcid")))
-    best = F.array_max(scored)
+        @F.pandas_udf("long")
+        def _best(vec: pd.Series) -> pd.Series:
+            v = np.array(vec.tolist(), dtype=np.float64)
+            sims = -_fold_sqdists(v, cmat)
+            return pd.Series(cids[_argmax_nan_biggest(sims)])
+
     return corpus.select(F.col(id_col), F.col(vec_col),
-                         (-best["negcid"]).alias(centroid_id))
+                         _best(F.col(vec_col)).alias(centroid_id))
 
 
 def label_centroids(corpus: DataFrame, vec_col: str = "embedding",
@@ -608,11 +704,9 @@ def pq_fit_joint(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
             v = np.array(sv.tolist(), dtype=np.float64)  # (n, sub)
             c = cb[subspace.to_numpy()]                  # (n, k, sub)
             d = v[:, None, :] - c
-            x = d * d
-            acc = x[:, :, 0].copy()
-            for p in range(1, x.shape[2]):
-                acc = acc + x[:, :, p]                   # sequential fold
-            return pd.Series(np.argmin(acc, axis=1).astype("int64"))
+            sims = -_seqsum(d * d)
+            return pd.Series(
+                _argmax_nan_biggest(sims).astype("int64"))
 
         stats = (exploded
                  .where(F.col("subspace").isin(sorted(live)))
@@ -726,11 +820,8 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame,
         for j in np.unique(s):
             m = s == j
             d = v[m][:, None, :] - mats[int(j)]
-            x = d * d
-            acc = x[:, :, 0].copy()
-            for p in range(1, x.shape[2]):
-                acc = acc + x[:, :, p]               # sequential fold
-            out[m] = cids[int(j)][np.argmin(acc, axis=1)]
+            sims = -_seqsum(d * d)
+            out[m] = cids[int(j)][_argmax_nan_biggest(sims)]
         return pd.Series(out)
 
     exploded = corpus.select(

@@ -195,3 +195,53 @@ def test_kmeans_fit_sample_cap_bounds_fit_cost_not_quality(spark):
                                   n_probe=2).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.95, f"sampled-fit recall = {recall:.3f} < 0.95"
+
+
+def test_ivf_assign_arrow_path_bit_equals_jvm_fold(spark, sf_dir):
+    """ivf_assign dispatches on codebook size (JVM literal fold under
+    k=32, Arrow batches at or above); the two paths must agree
+    BIT-FOR-BIT on the same large codebook — the Arrow side's
+    explicit left-to-right +0.0-seeded accumulation, IEEE
+    sqrt/divide, explicit squares and first-hit argmax exist exactly
+    to reproduce the fold (the DuckDB oracle twins rely on it). Pins
+    cosine AND l2 by rebuilding the pre-dispatch JVM expression
+    inline against a 40-centroid codebook."""
+    from pyspark.sql import functions as F
+
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = S.label_centroids(emb)
+    cents = base
+    for i in range(3):
+        cents = cents.unionByName(base.select(
+            (F.col("centroid_id") + (i + 1) * 1000).alias("centroid_id"),
+            F.transform("centroid",
+                        lambda x: x + F.lit(float(i + 1) * 0.37))
+            .alias("centroid")))
+    rows = cents.collect()
+    assert len(rows) == 40                  # forces the Arrow path
+    lit = F.array(*[
+        F.struct(F.lit(int(r["centroid_id"])).cast("long").alias("cid"),
+                 F.array(*[F.lit(float(x)) for x in r["centroid"]])
+                 .alias("cvec"))
+        for r in rows])
+    for metric in ("cosine", "l2"):
+        if metric == "cosine":
+            score = lambda c: S.cosine(F.col("embedding"), c["cvec"])  # noqa: E731,E501
+        else:
+            score = lambda c: -F.aggregate(  # noqa: E731
+                F.zip_with(F.col("embedding"), c["cvec"],
+                           lambda a, b: (a.cast("double") - b)
+                           * (a.cast("double") - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+        scored = F.transform(lit, lambda c: F.struct(
+            score(c).alias("sim"), (-c["cid"]).alias("negcid")))
+        jvm = emb.select("vec_id", (-F.array_max(scored)["negcid"])
+                         .alias("jvm_cid"))
+        arrow = S.ivf_assign(emb, cents, metric=metric) \
+            .select("vec_id", F.col("centroid_id").alias("arrow_cid"))
+        diff = jvm.join(arrow, "vec_id") \
+            .where("jvm_cid <> arrow_cid").count()
+        assert diff == 0, f"{metric}: {diff} mismatches"
