@@ -2986,7 +2986,8 @@ def describe_zordered(spark: SparkSession, path: str) -> dict:
 def vacuum_zordered(spark: SparkSession, path: str,
                     keep_versions: int = 1,
                     retention_ms: int = 0,
-                    dry_run: bool = False) -> dict:
+                    dry_run: bool = False,
+                    keep_hours: float | None = None) -> dict:
     """Reclaim storage from retained history: keep the newest
     ``keep_versions`` manifest snapshots, delete every data generation
     and delta directory no kept snapshot references, advance the
@@ -3004,6 +3005,14 @@ def vacuum_zordered(spark: SparkSession, path: str,
     ``retention_ms`` are skipped; set it above the longest plausible
     write-to-commit gap when other writers may be live (the default 0
     keeps the single-writer behavior: reclaim everything now).
+    ``keep_hours`` retains history by AGE on top of the count
+    (Delta's log-retention-duration shape): every snapshot whose
+    in-manifest ``committed_ms`` falls within the window stays
+    time-travel-readable, in ADDITION to the newest
+    ``keep_versions``. Commits from before the stamp existed have
+    unknown age and are never age-retained (the same rule as
+    :func:`version_at_timestamp` — only the count protects them).
+
     Returns {"kept_versions", "deleted_gens", "deleted_deltas",
     "deleted_tombstones"}. ``dry_run=True`` (Delta's VACUUM DRY RUN)
     deletes NOTHING and moves no markers — it reports the same counts
@@ -3032,6 +3041,22 @@ def vacuum_zordered(spark: SparkSession, path: str,
     kept = [v for v in range(max(1, latest - keep_versions + 1),
                              latest + 1)
             if fsio.exists(spark, fsio._join(mdir, f"v{v:08d}.json"))]
+    if keep_hours is not None:
+        # age retention: walk newest→oldest; commit times are stamped
+        # at commit so they are monotone — the first stamped commit
+        # older than the window bounds everything below it, and an
+        # unstamped (pre-feature) commit is genuinely older still
+        age_cut = int(_time.time() * 1000) - int(keep_hours * 3_600_000)
+        aged = []
+        for v in range(latest, 0, -1):
+            m = _read_manifest_version(spark, path, v)
+            if m is None:
+                continue
+            ms = m.get("committed_ms")
+            if ms is None or int(ms) < age_cut:
+                break
+            aged.append(v)
+        kept = sorted(set(kept) | set(aged))
     manifests = [_read_manifest_version(spark, path, v) for v in kept]
     live_pairs = {(k, g) for m in manifests
                   for k, g in m.get("gens", {}).items()}

@@ -2857,3 +2857,43 @@ def test_auto_bucket_bits(spark, tmp_path):
     assert L.read_zordered(spark, p).count() == 500
     exp = sum(1 for i in range(500) if i % 20 <= 5)
     assert L.read_zordered_box(spark, p, 0, 5, 0, 12).count() == exp
+
+
+def test_vacuum_age_retention(spark, tmp_path):
+    """vacuum_zordered(keep_hours=...) retains snapshots by commit AGE
+    on top of the count window (Delta's log-retention shape): every
+    stamped commit inside the window stays time-travel-readable even
+    when keep_versions alone would reclaim it, and a zero-width window
+    falls back to exactly the count behavior."""
+    import time as _t
+
+    import pytest as _pytest
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 20).alias("a"),
+        (F.col("id") % 13).alias("b"), F.col("id").alias("val"))
+    L.write_zordered(df, p, "a", "b", bits=5, bucket_bits=2,
+                     vacuum=False)                                  # v1
+    _t.sleep(1.2)
+    t_mid = int(_t.time() * 1000)
+    _t.sleep(1.2)
+    L.append_zordered(df.limit(10), p)                              # v2
+    L.append_zordered(df.limit(5), p)                               # v3
+
+    # window that covers v2+v3 but not v1 (committed before t_mid)
+    hours = (int(_t.time() * 1000) - t_mid) / 3_600_000
+    out = L.vacuum_zordered(spark, p, keep_versions=1,
+                            keep_hours=hours)
+    assert out["kept_versions"] == [2, 3]
+    assert L.read_zordered(spark, p, version=2).count() == 310
+    with _pytest.raises(ValueError, match="vacuum"):
+        L.read_zordered(spark, p, version=1)
+
+    # zero-width window == pure count retention
+    L.append_zordered(df.limit(3), p)                               # v4
+    out = L.vacuum_zordered(spark, p, keep_versions=1, keep_hours=0.0)
+    assert out["kept_versions"] == [4]
+    assert L.read_zordered(spark, p).count() == 318
