@@ -4924,3 +4924,43 @@ def q_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = L.read_zordered(spark, base)
     return (out.select("event_id", "user_id", "value", "event_type")
             .orderBy("event_id"))
+
+
+@register("q_zorder_purge", """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value
+FROM events
+WHERE event_id % 9 <> 4
+ORDER BY event_id
+""")
+def q_zorder_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL key erasure (``layout.purge_zordered_keys`` — the
+    right-to-be-forgotten verb, round 13): tombstone → victim-bucket
+    fold → eager vacuum → raw-parquet verification sweep, composed in
+    one call that RAISES unless zero retained bytes match. The build
+    purges every ninth event id (half of them living in an
+    un-compacted delta batch at purge time, so the sweep covers both
+    storage areas) and asserts the report's invariants; the read is
+    the full table vs the oracle's plain anti-filter. Built once per
+    (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.sources import layout as L
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", "user_id", "value"))
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-zpurge",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not L.table_exists(spark, base):
+        L.write_zordered(ev.where(F.col("event_id") % 2 == 0), base,
+                         "user_id", "value", bits=8, bucket_bits=4)
+        L.append_zordered(ev.where(F.col("event_id") % 2 == 1), base)
+        doomed = ev.where(F.col("event_id") % 9 == 4).select("event_id")
+        rep = L.purge_zordered_keys(doomed, base, ["event_id"])
+        assert rep["residual_matches"] == 0
+    out = L.read_zordered(spark, base)
+    return (out.select("event_id",
+                       F.col("user_id").cast("long").alias("user_id"),
+                       "value")
+            .orderBy("event_id"))

@@ -1511,6 +1511,61 @@ def delete_zordered_keys(keys_df: DataFrame, path: str,
                 fsio._join(path, TOMBSTONE_DIR, name)).count()})
 
 
+def purge_zordered_keys(keys_df: DataFrame, path: str,
+                        key_cols: list[str],
+                        files_per_bucket: int = 1) -> dict:
+    """PHYSICAL erasure of keys — the right-to-be-forgotten contract,
+    distinct from :func:`delete_zordered_keys` (logical, amortized):
+    purge pays the rewrite NOW and proves no retained byte still
+    matches. Composition: tombstone commit → victim-bucket fold
+    (:func:`compact_zordered` rewrites only the buckets physically
+    holding the keys) → eager vacuum (superseded generations, delta
+    batches, the tombstone files THEMSELVES — they contain the key
+    values — and pruned commits' stored change files all reclaimed) →
+    a verification sweep that reads every RETAINED parquet file under
+    the table RAW (not through the logical read, which would hide
+    rows behind tombstones) and semi-joins the keys: any residual
+    match raises instead of silently claiming erasure.
+
+    Cost tracks the victims (one column-pruned semi-join scan + their
+    bucket rewrites) plus one verification scan — never history size,
+    which vacuum has already bounded to the surviving snapshot.
+    Retained history is necessarily collapsed to the post-purge
+    snapshot: erasure and time travel to pre-purge states are
+    mutually exclusive by definition. Bloom sidecar bits are one-way
+    hashes, not recoverable values; rebuild with
+    :func:`build_bloom_index` if policy counts membership bits as a
+    trace (reported via ``bloom_sidecar_present``)."""
+    spark = keys_df.sparkSession
+    keys = keys_df.select(*key_cols).distinct()
+    n_keys = keys.count()
+    delete_zordered_keys(keys, path, key_cols)
+    compact_zordered(spark, path, files_per_bucket=files_per_bucket)
+    vacuum_zordered(spark, path, keep_versions=1)
+    m = read_manifest(spark, path)
+    phys = _phys_names(m, key_cols, "purge_zordered_keys")
+    raw = (spark.read.option("mergeSchema", "true")
+           .parquet(fsio._join(path, DATA_DIR))
+           .select(*phys).toDF(*key_cols))
+    residual = raw.join(F.broadcast(keys), key_cols, "semi").count()
+    leftovers = [
+        fsio._join(d, n)
+        for d in (DELTA_DIR, TOMBSTONE_DIR, CHANGES_DIR)
+        for n in fsio.list_names(spark, fsio._join(path, d))]
+    if residual or leftovers:
+        raise RuntimeError(
+            f"purge_zordered_keys on {path}: {residual} residual "
+            f"physical row(s) and {len(leftovers)} unreclaimed side "
+            f"artifact(s) {leftovers[:5]} — a concurrent writer may "
+            f"have re-landed keys or extended history mid-purge; "
+            f"re-run the purge")
+    bloom = bool(fsio.list_names(
+        spark, fsio._join(_manifest_path(path), BLOOM_DIR)))
+    return {"purged_keys": n_keys, "residual_matches": 0,
+            "retained_version": table_version(spark, path),
+            "bloom_sidecar_present": bloom}
+
+
 def _tombstone_keys(spark: SparkSession, path: str,
                     manifest: dict) -> DataFrame | None:
     """The outstanding tombstoned keys of a snapshot (None if none)."""

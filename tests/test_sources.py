@@ -2897,3 +2897,42 @@ def test_vacuum_age_retention(spark, tmp_path):
     out = L.vacuum_zordered(spark, p, keep_versions=1, keep_hours=0.0)
     assert out["kept_versions"] == [4]
     assert L.read_zordered(spark, p).count() == 318
+
+
+def test_purge_keys_physical_erasure(spark, tmp_path):
+    """purge_zordered_keys leaves NO retained byte matching the keys:
+    raw parquet under the table root (not the logical read, which
+    tombstones could fake), no delta/tombstone/change side files (the
+    tombstone batches contain the key values), and the survivors read
+    back intact. Works through a column rename (logical key names)."""
+    import pytest as _pytest
+
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 20).alias("a"),
+        (F.col("id") % 13).alias("b"), F.col("id").alias("val"))
+    L.write_zordered(df, p, "a", "b", bits=5, bucket_bits=2,
+                     vacuum=False)
+    L.append_zordered(df.select((F.col("k") + 400).alias("k"),
+                                "a", "b", "val"), p)      # outstanding delta
+    L.alter_zordered(spark, p, renames={"k": "key_id"})   # logical names
+
+    doomed = spark.range(0, 50).select(F.col("id").alias("key_id"))
+    out = L.purge_zordered_keys(doomed, p, ["key_id"])
+    assert out["purged_keys"] == 50 and out["residual_matches"] == 0
+
+    live = L.read_zordered(spark, p)
+    assert live.count() == 750
+    assert live.where(F.col("key_id") < 50).count() == 0
+    # raw physical sweep agrees (purge verified it; re-check here)
+    raw = spark.read.option("mergeSchema", "true") \
+        .parquet(fsio._join(p, L.DATA_DIR))
+    assert raw.where(F.col("k") < 50).count() == 0
+    for d in (L.DELTA_DIR, L.TOMBSTONE_DIR, L.CHANGES_DIR):
+        assert fsio.list_names(spark, fsio._join(p, d)) == []
+    # pre-purge history is gone BY DESIGN (erasure excludes travel)
+    with _pytest.raises(ValueError, match="vacuum"):
+        L.read_zordered(spark, p, version=1)
