@@ -16,7 +16,8 @@ from aggregation_duckdb_spark.sources.formats import (
 from aggregation_duckdb_spark.sources.layout import (
     alter_zordered, append_zordered, compact_zordered,
     delete_zordered_box,
-    delete_zordered_keys, optimize_zordered, read_zordered,
+    delete_zordered_keys, optimize_zordered, purge_zordered_keys,
+    read_zordered,
     recluster_zordered,
     read_zordered_box, read_zordered_box_nd,
     read_zordered_box_with_delta, read_zordered_where, table_exists,
@@ -36,4 +37,4 @@ __all__ = ["read_csv", "read_json", "write_csv_dir", "write_json",
            "write_zordered_nd", "read_zordered_box_nd",
            "zbuckets_for_ranges", "optimize_zordered",
            "table_history", "alter_zordered", "recluster_zordered",
-           "version_at_timestamp"]
+           "version_at_timestamp", "purge_zordered_keys"]
