@@ -144,8 +144,10 @@ def test_backlog_drains_in_one_start_with_chunked_writes(
     assert got.count() == 40 + n_appends
     assert got.select("_commit_version").distinct().count() \
         == 1 + n_appends
-    # one write job per chunk, not per commit
-    assert writes["n"] <= (1 + n_appends) // CF._WRITE_CHUNK + 1
+    # one write per storage pass, not per commit: the snapshot's
+    # chunk write plus ONE multi-path scan+write for the whole
+    # plain-append run (batched since round 13)
+    assert writes["n"] <= 2, writes
     # ONE micro-batch in the checkpoint = one stream start drained it
     offsets = [n for n in fsio.list_names(spark, ckpt + "/offsets")
                if not n.startswith(".")]
