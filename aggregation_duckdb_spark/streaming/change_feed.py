@@ -177,6 +177,99 @@ def _write_commit_chunks(spark: SparkSession, sink_path: str,
     flush()
 
 
+# Longest run of PLAIN appends read as one multi-path scan; bounds the
+# version→batch literal map and the per-scan task count.
+_MAX_APPEND_RUN = 256
+
+
+def _group_runs(commits, is_plain, max_run: int = _MAX_APPEND_RUN):
+    """Split an ordered commit list into maximal (≥2-length,
+    consecutive-version) runs of plain appends and singles, order
+    preserved: yields ``("run", [v...])`` / ``("single", v)``."""
+    run: list[int] = []
+    for v in commits:
+        if is_plain(v) and (not run or v == run[-1] + 1) \
+                and len(run) < max_run:
+            run.append(v)
+            continue
+        if len(run) >= 2:
+            yield "run", run
+        else:
+            for x in run:
+                yield "single", x
+        run = [v] if is_plain(v) else []
+        if not run:
+            yield "single", v
+    if len(run) >= 2:
+        yield "run", run
+    else:
+        for x in run:
+            yield "single", x
+
+
+def _flush_append_run(spark: SparkSession, table_path: str,
+                      sink_path: str, run: list[int], meta,
+                      done: set, tag_change_type: bool = False) -> None:
+    """ONE scan for a run of pure-ingest appends (no tombstones, no
+    column mapping — the condition under which a merged multi-path
+    read is semantically identical to per-batch reads): each commit's
+    new delta dirs, stamped with their commit version via the batch
+    directory name. A backlog of N ingest commits costs O(N/256)
+    plans instead of N — the residual drain cost SCALE_PROBE_r13 §1
+    measured at ~0.15s/commit."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    paths, kv = [], []
+    for v in run:
+        new = [d for d in meta(v).get("deltas", [])
+               if d not in meta(v - 1).get("deltas", [])]
+        for d in new:
+            paths.append(fsio._join(table_path, L.DELTA_DIR, d))
+            kv += [d, int(v)]
+        done.add(int(v))   # no-op replays count as drained
+    if not paths:
+        return
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    name = F.regexp_extract(F.input_file_name(),
+                            rf"{L.DELTA_DIR}/([^/]+)/", 1)
+    ver = F.create_map(*[F.lit(x) for x in kv]).getItem(name) \
+        .cast("int")
+    df = df.withColumn("_commit_version", ver)
+    if tag_change_type:
+        df = df.withColumn("_change_type", F.lit("insert"))
+    with fsio.dynamic_partition_overwrite(spark):
+        (df.write.mode("overwrite")
+         .partitionBy("_commit_version").parquet(sink_path))
+
+
+def _plain_append_check(spark: SparkSession, table_path: str,
+                        skip_versions: tuple) -> tuple:
+    """(meta, is_plain) closures over a per-fold manifest cache: a
+    run member must be a pure-ingest append — no tombstones, no
+    column mapping, no stored change file (writer-side CDF rows are
+    authoritative when present), not a snapshot version."""
+    from aggregation_duckdb_spark.sources import layout as L
+    metas: dict[int, dict | None] = {}
+
+    def meta(v: int):
+        if v not in metas:
+            metas[v] = L._read_manifest_version(spark, table_path, v)
+        return metas[v]
+
+    def is_plain(v: int) -> bool:
+        m = meta(v)
+        return (v not in skip_versions and m is not None
+                and m.get("op") == "append"
+                and "change_file" not in m
+                and not m.get("tombstones")
+                and not m.get("column_map")
+                and not m.get("dropped_cols")
+                and not m.get("added_cols")
+                and meta(v - 1) is not None)
+
+    return meta, is_plain
+
+
 def run_change_feed(spark: SparkSession, table_path: str,
                     sink_path: str, checkpoint_dir: str,
                     key_cols: list[str],
@@ -207,10 +300,24 @@ def run_change_feed(spark: SparkSession, table_path: str,
         # bounded collect: one tiny metadata row per commit
         commits = sorted(r["version"] for r in
                          batch_df.select("version").collect())
-        _write_commit_chunks(
-            spark, sink_path,
-            ((v, _commit_changes(spark, table_path, v, key_cols))
-             for v in commits), done)
+        meta, is_plain = _plain_append_check(spark, table_path, (1,))
+
+        def rows_of(vs):
+            for v in vs:
+                yield v, _commit_changes(spark, table_path, v,
+                                         key_cols)
+
+        singles: list[int] = []
+        for kind, x in _group_runs(commits, is_plain):
+            if kind == "single":
+                singles.append(x)
+                continue
+            _write_commit_chunks(spark, sink_path, rows_of(singles),
+                                 done)
+            singles = []
+            _flush_append_run(spark, table_path, sink_path, x, meta,
+                              done, tag_change_type=True)
+        _write_commit_chunks(spark, sink_path, rows_of(singles), done)
 
     mdir = fsio._join(table_path, "_manifest")
     while True:

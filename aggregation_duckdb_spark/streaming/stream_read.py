@@ -106,67 +106,22 @@ def run_table_stream(spark: SparkSession, table_path: str,
     done: set[int] = set()
     refused: list[Exception] = []
 
-    # Longest run of PLAIN appends read as one multi-path scan; bounds
-    # the version→batch literal map and the per-scan task count.
-    max_run = 256
-
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        from aggregation_duckdb_spark.sources import layout as L
+        from aggregation_duckdb_spark.streaming.change_feed import (
+            _flush_append_run, _group_runs, _plain_append_check)
 
         # bounded collect: one tiny metadata row per commit
         commits = sorted(r["version"] for r in
                          batch_df.select("version").collect())
-        metas: dict[int, dict | None] = {}
+        # runs of pure-ingest appends (no tombstones, no mapping —
+        # a merged multi-path scan is then semantically identical to
+        # per-batch reads) drain as ONE scan per ≤256 commits; the
+        # snapshot version and every other commit keep the exact
+        # per-commit path
+        meta, is_plain = _plain_append_check(
+            spark, table_path, (starting_version,))
 
-        def meta(v: int):
-            if v not in metas:
-                metas[v] = L._read_manifest_version(spark, table_path,
-                                                    v)
-            return metas[v]
-
-        def plain_append(v: int) -> bool:
-            # a run member must be a pure-ingest append: no
-            # tombstones to apply, no column mapping to resolve —
-            # then a merged multi-path scan is semantically identical
-            # to per-batch reads (missing columns NULL-fill exactly
-            # as unionByName(allowMissingColumns=True) would)
-            m = meta(v)
-            return (v != starting_version and m is not None
-                    and m.get("op") == "append"
-                    and not m.get("tombstones")
-                    and not m.get("column_map")
-                    and not m.get("dropped_cols")
-                    and not m.get("added_cols")
-                    and meta(v - 1) is not None)
-
-        def flush_run(run: list[int]) -> None:
-            # ONE scan for the whole run: each commit's new delta
-            # dirs, stamped with their commit version via the batch
-            # directory name — a backlog of N ingest commits costs
-            # O(N/max_run) plans instead of N (the residual cost
-            # SCALE_PROBE_r13 §1 measured at ~0.15s/commit)
-            paths, kv = [], []
-            for v in run:
-                new = [d for d in meta(v).get("deltas", [])
-                       if d not in meta(v - 1).get("deltas", [])]
-                for d in new:
-                    paths.append(fsio._join(table_path, L.DELTA_DIR, d))
-                    kv += [d, int(v)]
-                done.add(int(v))   # no-op replays count as drained
-            if not paths:
-                return
-            df = spark.read.option("mergeSchema", "true") \
-                .parquet(*paths)
-            name = F.regexp_extract(
-                F.input_file_name(), rf"{L.DELTA_DIR}/([^/]+)/", 1)
-            ver = F.create_map(*[F.lit(x) for x in kv]) \
-                .getItem(name).cast("int")
-            with fsio.dynamic_partition_overwrite(spark):
-                (df.withColumn("_commit_version", ver)
-                 .write.mode("overwrite")
-                 .partitionBy("_commit_version").parquet(sink_path))
-
-        def rows_of(vs: list[int]):
+        def rows_of(vs):
             for v in vs:
                 try:
                     yield v, _commit_rows(spark, table_path, v,
@@ -183,29 +138,15 @@ def run_table_stream(spark: SparkSession, table_path: str,
                     raise
 
         singles: list[int] = []
-        run: list[int] = []
-        for v in commits:
-            if plain_append(v) and (not run or v == run[-1] + 1) \
-                    and len(run) < max_run:
-                run.append(v)
+        for kind, x in _group_runs(commits, is_plain):
+            if kind == "single":
+                singles.append(x)
                 continue
-            if len(run) >= 2:
-                _write_commit_chunks(spark, sink_path,
-                                     rows_of(singles), done)
-                singles = []
-                flush_run(run)
-            else:
-                singles.extend(run)
-            run = [v] if plain_append(v) else []
-            if not run:
-                singles.append(v)
-        if len(run) >= 2:
             _write_commit_chunks(spark, sink_path, rows_of(singles),
                                  done)
             singles = []
-            flush_run(run)
-        else:
-            singles.extend(run)
+            _flush_append_run(spark, table_path, sink_path, x, meta,
+                              done)
         _write_commit_chunks(spark, sink_path, rows_of(singles), done)
 
     mdir = fsio._join(table_path, "_manifest")
