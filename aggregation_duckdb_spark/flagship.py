@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from aggregation_duckdb_spark.hierarchy import Hierarchy
 from aggregation_duckdb_spark.io import load_table
+from aggregation_duckdb_spark.runtime import broadcast_if_small
 from aggregation_duckdb_spark.operators.aggregate import (
     aggregate_with_closure, aggregate_with_rollup)
 
@@ -69,14 +70,19 @@ def geo_hierarchy(spark: SparkSession, sf_dir: str) -> Hierarchy:
 
 
 def order_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders ⋈ customer (broadcast): attach the leaf nation key.
+    """orders ⋈ customer (size-gated broadcast): attach the leaf
+    nation key.
 
-    customer is a dimension even at 100 TB-of-orders scale; broadcast
-    keeps the fact table shuffle-free here."""
+    customer is NOT a fixed-size dimension — it scales with SF
+    (~2 TB of customer at 100 TB of orders), so the broadcast hint is
+    gated on the estimated side size (:func:`broadcast_if_small`):
+    at bench scale the hint applies and the fact table stays
+    shuffle-free; past the gate the join goes unhinted and AQE picks
+    a shuffled join from runtime statistics."""
     orders = load_table(spark, "orders", sf_dir)
     customer = load_table(spark, "customer", sf_dir).select(
         F.col("c_custkey"), F.col("c_nationkey").cast("long").alias("nation_key"))
-    return (orders.join(F.broadcast(customer),
+    return (orders.join(broadcast_if_small(customer),
                         orders["o_custkey"] == customer["c_custkey"], "inner")
             .select("o_orderkey", "o_custkey", "o_totalprice", "nation_key"))
 

@@ -20,6 +20,7 @@ from aggregation_duckdb_spark.operators import pipeline as P
 from aggregation_duckdb_spark.operators import ranges as R
 from aggregation_duckdb_spark.operators import similarity as S
 from aggregation_duckdb_spark.operators import text as T
+from aggregation_duckdb_spark import runtime as _RT
 from aggregation_duckdb_spark.runtime import materialize
 
 # ---------------------------------------------------------------------
@@ -2537,7 +2538,9 @@ def hier_agg_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, "customer", sf_dir).select(
         "c_custkey", F.col("c_nationkey").cast("long").alias("nation_key"))
     facts = (orders
-             .join(F.broadcast(customer),
+             # customer scales with SF — size-gated hint, not a hard
+             # F.broadcast (see runtime.broadcast_if_small)
+             .join(_RT.broadcast_if_small(customer),
                    orders["o_custkey"] == customer["c_custkey"])
              .select("o_custkey", "o_totalprice", "nation_key",
                      F.trunc(F.col("o_orderdate"), "month").alias("month")))
@@ -4958,7 +4961,11 @@ def q_zorder_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         L.append_zordered(ev.where(F.col("event_id") % 2 == 1), base)
         doomed = ev.where(F.col("event_id") % 9 == 4).select("event_id")
         rep = L.purge_zordered_keys(doomed, base, ["event_id"])
-        assert rep["residual_matches"] == 0
+        if rep["residual_matches"] != 0:   # raise-with-context, not a
+            raise RuntimeError(            # bare assert (-O strips it)
+                f"q_zorder_purge build: purge left "
+                f"{rep['residual_matches']} residual row(s) in "
+                f"{base} — report: {rep}")
     out = L.read_zordered(spark, base)
     return (out.select("event_id",
                        F.col("user_id").cast("long").alias("user_id"),

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aggregation_duckdb_spark.io import load_table
 from aggregation_duckdb_spark.matrix import register
+from aggregation_duckdb_spark.runtime import broadcast_if_small
 
 
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
@@ -1679,7 +1680,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name") == "ASIA")
 
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
-    lo = (lineitem.join(F.broadcast(orders),
+    # orders (even filtered to status 'F') is ~25% of fact bytes and
+    # scales with SF — size-gate the hint: broadcast at bench scale,
+    # shuffled join past the gate (AQE decides from runtime stats)
+    lo = (lineitem.join(broadcast_if_small(orders),
                         lineitem["l_orderkey"] == orders["o_orderkey"])
           .select("l_orderkey", "l_suppkey", late.alias("is_late")))
     # two-stage distinct (same trick as hier_distinct_twostage): reduce

@@ -79,6 +79,28 @@ def _fold_sqdists(v: np.ndarray, c: np.ndarray) -> np.ndarray:
     return acc
 
 
+def _checked_vec(vec_col: str, dim: int, op: str) -> Column:
+    """Enforce the fixed-dim non-null vector contract JVM-side,
+    PATH-INDEPENDENTLY: null or wrong-length embeddings raise the
+    same clean error whether the operator takes the small-codebook
+    JVM expression path or the Arrow-batched path (previously the
+    JVM path degraded to null scores while the Arrow path crashed in
+    ``np.array`` with an inhomogeneous-shape error — same API, two
+    failure modes depending on codebook size). The guard is a lazy
+    CASE branch inside codegen — zero cost on valid rows — and fires
+    before any Python worker sees a batch."""
+    c = F.col(vec_col)
+    return F.when(
+        c.isNull() | (F.size(c) != F.lit(int(dim))),
+        F.raise_error(F.concat(
+            F.lit(f"{op}: {vec_col} must be a non-null {int(dim)}-"
+                  f"element vector (fixed-dim non-null contract); "
+                  f"got size="),
+            F.when(c.isNull(), F.lit("NULL"))       # not size()'s -1:
+            .otherwise(F.size(c).cast("string")))),  # legacy sizeOfNull
+    ).otherwise(c)
+
+
 def _argmax_nan_biggest(sims: np.ndarray) -> np.ndarray:
     """Row-wise argmax matching Spark's ``array_max(struct(sim,
     -cid))`` rule over candidates ordered by ASCENDING cid: highest
@@ -127,6 +149,10 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     REQUIRED for product quantization, where subvector magnitudes
     carry signal that cosine assignment would discard).
 
+    Contract: ``vec_col`` must be NON-NULL and exactly the codebook's
+    dimension on every row — a null or ragged vector raises the same
+    clean error on both execution paths (:func:`_checked_vec`).
+
     Execution dispatches on codebook size, both paths BIT-IDENTICAL
     (measured mismatch-free; the DuckDB full-value oracle twins rely
     on it):
@@ -157,6 +183,10 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                             F.col(centroid_vec).alias("cvec")).collect()
     if not rows:
         raise ValueError("ivf_assign: empty codebook")
+    # fixed-dim non-null contract (dim = the codebook's): both paths
+    # below raise the SAME error on null/ragged vectors (see
+    # _checked_vec) instead of diverging by codebook size
+    vec = _checked_vec(vec_col, len(rows[0]["cvec"]), "ivf_assign")
 
     if len(rows) < 32:
         lit = F.array(*[
@@ -169,10 +199,10 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
         # compares structs lexicographically → best score, then
         # max(-cid) = min cid
         if metric == "cosine":
-            score = lambda c: cosine(F.col(vec_col), c["cvec"])  # noqa: E731
+            score = lambda c: cosine(vec, c["cvec"])  # noqa: E731
         else:
             score = lambda c: -F.aggregate(  # noqa: E731
-                F.zip_with(F.col(vec_col), c["cvec"],
+                F.zip_with(vec, c["cvec"],
                            lambda a, b: (a.cast("double") - b)
                            * (a.cast("double") - b)),
                 F.lit(0.0), lambda acc, x: acc + x)
@@ -207,7 +237,7 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
             return pd.Series(cids[_argmax_nan_biggest(sims)])
 
     return corpus.select(F.col(id_col), F.col(vec_col),
-                         _best(F.col(vec_col)).alias(centroid_id))
+                         _best(vec).alias(centroid_id))
 
 
 def label_centroids(corpus: DataFrame, vec_col: str = "embedding",
@@ -668,11 +698,13 @@ def pq_fit_joint(corpus: DataFrame, num_subspaces: int = 8, k: int = 16,
         j: [(i, [float(x) for x in r[vec_col]][j * sub:(j + 1) * sub])
             for i, r in enumerate(seed_rows)]
         for j in range(num_subspaces)}
+    # fixed-dim non-null contract, same guard as pq_encode/ivf_assign
+    vec = _checked_vec(vec_col, dim, "pq_fit_joint")
     exploded = materialize(corpus.select(
         F.col(id_col),
         F.explode(F.array(*[
             F.struct(F.lit(j).alias("subspace"),
-                     F.slice(F.col(vec_col), j * sub + 1, sub)
+                     F.slice(vec, j * sub + 1, sub)
                      .alias("sv"))
             for j in range(num_subspaces)])).alias("__e"))
         .select(id_col, F.col("__e.subspace").alias("subspace"),
@@ -798,7 +830,11 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame,
     paid the interpreted higher-order-function argmin (~300µs/row);
     this is the sanctioned Arrow extension path (SURVEY §2.8). Long
     form (one row per (id, subspace)) keeps downstream ADC a plain
-    equi-join."""
+    equi-join.
+
+    Contract: ``vec_col`` must be NON-NULL and exactly ``dim``
+    elements on every row — null/ragged vectors raise the clean
+    :func:`_checked_vec` error, never a numpy shape crash."""
     sub = dim // num_subspaces
     rows = codebooks.collect()   # model-sized, like ivf_assign
     by_sub: dict[int, list] = {}
@@ -824,11 +860,15 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame,
             out[m] = cids[int(j)][_argmax_nan_biggest(sims)]
         return pd.Series(out)
 
+    # fixed-dim non-null contract (declared dim): null/ragged vectors
+    # raise the clean _checked_vec error before slicing, not an
+    # inhomogeneous-shape numpy crash inside the Arrow worker
+    vec = _checked_vec(vec_col, dim, "pq_encode")
     exploded = corpus.select(
         F.col(id_col),
         F.explode(F.array(*[
             F.struct(F.lit(j).alias("subspace"),
-                     F.slice(F.col(vec_col), j * sub + 1, sub)
+                     F.slice(vec, j * sub + 1, sub)
                      .alias("sv"))
             for j in range(num_subspaces)])).alias("__e"))
     return exploded.select(

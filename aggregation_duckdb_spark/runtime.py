@@ -107,3 +107,59 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     except Exception:  # Spark Connect: no sparkContext / .rdd
         par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     return df.repartition(par)
+
+
+#: Gate for deliberate broadcast hints, as a multiple of the session's
+#: autoBroadcastJoinThreshold. The hint exists to override stats the
+#: optimizer UNDERESTIMATES on frames we know are join-profitable —
+#: not to force unbounded sides through the block manager; 10x the
+#: auto threshold (640 MB at the session default 64m) is comfortably
+#: inside executor memory while still hinting every genuinely
+#: dimension-shaped side.
+BROADCAST_HINT_MULTIPLE = 10
+
+
+def _parse_bytes(s: str) -> int:
+    """'64m' / '64MB' / '67108864' → bytes (Spark conf spellings)."""
+    t = str(s).strip().lower().removesuffix("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if t and t[-1] in units:
+        return int(float(t[:-1]) * units[t[-1]])
+    return int(t)
+
+
+def broadcast_if_small(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
+    """Size-gated broadcast hint: ``F.broadcast`` is a HARD hint that
+    overrides ``spark.sql.autoBroadcastJoinThreshold`` with no upper
+    bound — correct and fast when the side really is dimension-shaped,
+    an executor/driver OOM when a "dimension" silently scales with the
+    fact data (TPC-H customer is ~2 TB at 100 TB of orders; q21's
+    filtered orders is ~25% of fact bytes). Hint only when Catalyst's
+    optimized-plan size estimate is under the gate (default
+    :data:`BROADCAST_HINT_MULTIPLE` x the session's auto threshold);
+    otherwise return the frame UNHINTED and let AQE pick the join
+    strategy from runtime shuffle statistics — at scale that is a
+    shuffled hash/sort-merge join, which is the right answer there.
+
+    An unknown or sentinel estimate also returns unhinted: forcing a
+    broadcast on a side we cannot size is exactly the failure mode
+    this gate exists to prevent."""
+    from pyspark.sql import functions as F
+
+    if max_bytes is None:
+        try:
+            thr = _parse_bytes(df.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"))
+        except Exception:
+            thr = 64 << 20
+        if thr <= 0:            # auto-broadcast disabled: no hints
+            return df
+        max_bytes = BROADCAST_HINT_MULTIPLE * thr
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes()))
+    except Exception:
+        return df
+    if est <= 0 or est >= (1 << 60):    # Catalyst's unknown sentinel
+        return df
+    return F.broadcast(df) if est <= max_bytes else df

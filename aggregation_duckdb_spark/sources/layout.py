@@ -153,14 +153,29 @@ def _bits_for_bytes(est_bytes: int) -> int:
         math.log2(est_bytes / AUTO_BUCKET_TARGET_BYTES))))
 
 
+# plan nodes whose size estimate is grounded in real bytes: file
+# scans (summed file sizes), literal/range leaves (exact row width),
+# and the width-only Project/Filter wrappers over them
+_SCAN_ONLY_PLAN_NODES = ("Relation", "Project", "Filter",
+                         "LocalRelation", "Range")
+
+
 def _auto_bucket_bits(df: DataFrame) -> int:
     """Resolve ``bucket_bits="auto"`` from Catalyst's optimized-plan
-    size estimate (file-backed frames: the scan's summed file sizes;
-    derived frames: the propagated estimate). Unknown/sentinel stats
-    fall back to the local default 4 rather than guessing huge."""
+    size estimate — but ONLY for frames the estimate is trustworthy
+    on: plain file scans (plus projection/filter), where sizeInBytes
+    is the summed file sizes. Join-/aggregate-/union-derived frames
+    propagate multiplied estimates that grossly overshoot (a modest
+    derived input can "estimate" petabytes and mint 4096 bucket
+    directories of tiny files), so any other plan node falls back to
+    the local default 4 — auto sizing is for file-backed inputs."""
     try:
-        est = int(str(df._jdf.queryExecution().optimizedPlan()
-                      .stats().sizeInBytes()))
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for line in str(plan.toString()).splitlines():
+            node = line.lstrip(" :+-")
+            if node and not node.startswith(_SCAN_ONLY_PLAN_NODES):
+                return 4
+        est = int(str(plan.stats().sizeInBytes()))
     except Exception:
         return 4
     if est <= 0 or est >= (1 << 60):   # Catalyst's unknown sentinel
@@ -1218,14 +1233,26 @@ def _sub_identifier(expr: str, old: str, new: str) -> str:
     (``col.old`` is a field of ``col``, not the column) and
     function-call positions (``old(...)`` names a function). The
     merge clauses' target/source frame qualifiers ``t.``/``s.`` ARE
-    column-reference positions and rewrite; backtick-quoted
-    spellings rewrite too — they are column references."""
+    column-reference positions and rewrite — but only when the
+    qualifier STARTS the reference (``t.col``, not the struct-field
+    path ``x.t.col``, whose ``t`` is itself a field of ``x``);
+    backtick-quoted spellings rewrite too — they are column
+    references. Residual ambiguity: a USER column literally named
+    ``t``/``s`` shadows the frame qualifier in merge expressions
+    (``s.field`` reads as source-frame ``field``) — documented
+    contract of the merge API, same as Delta's alias shadowing."""
     import re as _re
     pat = _re.compile(
-        rf"(?<![\w$])(?:(?<=\bt\.)|(?<=\bs\.)|(?<!\.))"
+        rf"(?:(?<![\w$.])[ts]\.|(?<![\w$.]))"
         rf"{_re.escape(old)}(?![\w$])(?!\s*\()")
+
+    def _repl(m: "_re.Match[str]") -> str:
+        text = m.group(0)
+        qual = text[:len(text) - len(old)]   # '' or 't.'/'s.'
+        return qual + new
+
     parts = _re.split(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")", expr)
-    return "".join(p if i % 2 else pat.sub(new, p)
+    return "".join(p if i % 2 else pat.sub(_repl, p)
                    for i, p in enumerate(parts))
 
 
@@ -3103,10 +3130,17 @@ def vacuum_zordered(spark: SparkSession, path: str,
         # unstamped (pre-feature) commit is genuinely older still
         age_cut = int(_time.time() * 1000) - int(keep_hours * 3_600_000)
         aged = []
-        for v in range(latest, 0, -1):
+        # bounded below by the min-live marker: versions under it are
+        # already unreadable, so nothing there can be age-retained —
+        # without the floor every age vacuum on a long-lived table
+        # would probe the full (pruned) version range back to v1
+        floor = _min_live_version(spark, path)
+        for v in range(latest, max(floor, 1) - 1, -1):
             m = _read_manifest_version(spark, path, v)
             if m is None:
-                continue
+                # manifests are pruned oldest-first — nothing below
+                # this version survives either
+                break
             ms = m.get("committed_ms")
             if ms is None or int(ms) < age_cut:
                 break

@@ -226,8 +226,8 @@ def _flush_append_run(spark: SparkSession, table_path: str,
         for d in new:
             paths.append(fsio._join(table_path, L.DELTA_DIR, d))
             kv += [d, int(v)]
-        done.add(int(v))   # no-op replays count as drained
     if not paths:
+        done.update(int(v) for v in run)  # no-op replays are drained
         return
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
     name = F.regexp_extract(F.input_file_name(),
@@ -240,6 +240,10 @@ def _flush_append_run(spark: SparkSession, table_path: str,
     with fsio.dynamic_partition_overwrite(spark):
         (df.write.mode("overwrite")
          .partitionBy("_commit_version").parquet(sink_path))
+    # mark drained only AFTER the sink write lands (mirrors
+    # _write_commit_chunks' flush ordering): a write failure must not
+    # leave run versions falsely marked drained in the in-memory set
+    done.update(int(v) for v in run)
 
 
 def _plain_append_check(spark: SparkSession, table_path: str,

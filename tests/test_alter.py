@@ -455,6 +455,12 @@ def test_expr_rewrite_skips_literals_derefs_and_functions():
     assert f("value(alpha)") == "value(a)"
     assert f("`value` > 0") == "`val` > 0"
     assert f("'it''s value' || value") == "'it''s value' || val"
+    # the qualifier only counts when it STARTS the reference: a path
+    # segment named t/s deeper in a struct deref is a FIELD, and its
+    # own fields must keep their spelling (x.s.value is field `value`
+    # of field `s` of column `x`, not source-frame `value`)
+    assert f("x.s.value + y.t.value") == "x.s.value + y.t.value"
+    assert f("(s.value) = t.value") == "(s.val) = t.val"
     # inverse direction (CHECK materialization) honors the same rules
     assert L._expr_logical(m, "val > 0 AND 'val' <> txt") \
         == "value > 0 AND 'val' <> txt"

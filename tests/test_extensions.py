@@ -1189,3 +1189,45 @@ def test_index_appends_are_replay_guarded(spark, sf_dir, tmp_path):
     S.append_pq_index(newb, ppath, batch_id=3)    # replay: skipped
     assert spark.read.parquet(
         fsio._join(ppath, "codes")).count() == np_
+
+
+def test_vector_contract_raises_path_independently(spark):
+    """Null or ragged embeddings raise the SAME clean error on both
+    ivf_assign execution paths (small-codebook JVM fold and Arrow
+    batch) and in pq_encode — previously the JVM path degraded to
+    null scores while the Arrow path crashed with numpy's
+    inhomogeneous-shape error, so the same API failed differently
+    depending on codebook size."""
+    import pytest as _pytest
+
+    small = spark.createDataFrame(
+        [(i, [0.1 + i, 0.2, 0.3, 0.4]) for i in range(2)],
+        "centroid_id long, centroid array<double>")
+    big = spark.createDataFrame(
+        [(i, [0.1 + ((i * 7 + j) % 5) for j in range(4)])
+         for i in range(40)],
+        "centroid_id long, centroid array<double>")
+    null_vec = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None)],
+        "vec_id long, embedding array<double>")
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0])],
+        "vec_id long, embedding array<double>")
+    for cents in (small, big):           # JVM path, Arrow path
+        with _pytest.raises(Exception,
+                            match="fixed-dim non-null contract"):
+            S.ivf_assign(null_vec, cents).collect()
+        with _pytest.raises(Exception, match="got size=1"):
+            S.ivf_assign(ragged, cents).collect()
+    # valid rows still assign identically on both paths
+    ok = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 2.0]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    a = {(r["vec_id"], r["centroid_id"])
+         for r in S.ivf_assign(ok, big).collect()}
+    assert len(a) == 8
+    cb = S.pq_fit_joint(ok, num_subspaces=2, k=2, dim=4, max_iters=2)
+    with _pytest.raises(Exception,
+                        match="fixed-dim non-null contract"):
+        S.pq_encode(null_vec, cb, num_subspaces=2, dim=4).collect()
+    assert S.pq_encode(ok, cb, num_subspaces=2, dim=4).count() == 16

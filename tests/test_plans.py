@@ -805,3 +805,54 @@ def test_column_mapping_plan_shapes(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan2
     want = sum(1 for i in range(400) if 10 <= i % 97 <= 40)
     assert box.count() == want
+
+
+def test_broadcast_if_small_gates_on_estimated_size(spark, sf_dir,
+                                                    tmp_path):
+    """The deliberate broadcast hints on linearly-scaling join sides
+    (flagship/hier_agg_by_month customer attach, q21's filtered
+    orders) go through runtime.broadcast_if_small: under the gate the
+    hint applies (bench-scale plans unchanged — the pins above keep
+    holding), over the gate the side is returned UNHINTED and the
+    join plans as a non-broadcast join, so a 100 TB "dimension" can
+    never be forced through the block manager."""
+    from aggregation_duckdb_spark.plans.inspect import physical_plan
+    from aggregation_duckdb_spark.runtime import broadcast_if_small
+
+    base = spark.range(0, 5000).selectExpr("id as k", "id * 2 as v")
+    p = str(tmp_path / "side")
+    base.write.mode("overwrite").parquet(p)
+    side = spark.read.parquet(p)
+    fact = spark.range(0, 50000).selectExpr("id as k", "id % 7 as m")
+
+    # under the gate: the hint applies -> BroadcastHashJoin
+    hinted = fact.join(broadcast_if_small(side), "k")
+    assert "BroadcastHashJoin" in physical_plan(hinted, "simple")
+
+    # over the gate (force with a 1-byte ceiling): UNHINTED -> the
+    # planner must not be forced into a broadcast by our hint. With
+    # AQE the tiny local side may still auto-broadcast from its real
+    # runtime size — assert on the INITIAL (pre-AQE) static plan,
+    # where an unhinted side this size plans as sort-merge/shuffled
+    # hash under the session's static threshold only if the estimate
+    # exceeds it; the decisive check is that the helper returned the
+    # frame without the hint.
+    demoted = broadcast_if_small(side, max_bytes=1)
+    assert demoted is side                    # no hint object wrapped
+    # and an unknown/sentinel estimate is never hinted either
+    unknown = broadcast_if_small(
+        fact.join(side, "k"), max_bytes=None)  # derived frame: fine
+    # (derived frames still size below the default gate locally; the
+    # contract asserted here is over-gate demotion + identity return)
+    assert unknown is not None
+
+    # the three audited sites still broadcast at test scale
+    from aggregation_duckdb_spark import flagship as _fs
+    assert "BroadcastHashJoin" in physical_plan(
+        _fs.order_facts(spark, sf_dir), "simple")
+    assert_broadcast_join(
+        matrix.queries()["q21_waiting_suppliers"](spark, sf_dir),
+        at_least=3)
+    assert_broadcast_join(
+        matrix.queries()["hier_agg_by_month"](spark, sf_dir),
+        at_least=2)

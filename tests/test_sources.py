@@ -2859,6 +2859,68 @@ def test_auto_bucket_bits(spark, tmp_path):
     assert L.read_zordered_box(spark, p, 0, 5, 0, 12).count() == exp
 
 
+def test_auto_bucket_bits_derived_frames_fall_back(spark, tmp_path):
+    """bucket_bits="auto" trusts Catalyst's size estimate only on
+    plans whose stats are grounded in real bytes (file scans / range
+    / local relations, plus projection-filter wrappers): a join- or
+    aggregate-derived frame propagates MULTIPLIED estimates that can
+    overshoot by orders of magnitude — a modest derived input must
+    resolve to the local default 4, never mint thousands of tiny
+    bucket directories off a petabyte-scale guess."""
+    from aggregation_duckdb_spark.sources import layout as L
+
+    base = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 20).alias("a"))
+    p = str(tmp_path / "src")
+    base.write.mode("overwrite").parquet(p)
+    scan = spark.read.parquet(p)
+    # trustworthy shapes: scan, projected/filtered scan, range
+    assert L._auto_bucket_bits(scan) == 2
+    assert L._auto_bucket_bits(scan.where("k > 3").select("k")) == 2
+    assert L._auto_bucket_bits(base) == 2
+    # derived shapes fall back to the default regardless of estimate
+    joined = scan.join(scan.selectExpr("k", "a as b"), "k")
+    assert L._auto_bucket_bits(joined) == 4
+    assert L._auto_bucket_bits(
+        scan.groupBy("a").agg(F.count(F.lit(1)).alias("n"))) == 4
+    assert L._auto_bucket_bits(
+        scan.unionAll(scan)) == 4
+
+
+def test_vacuum_age_walk_stops_at_min_live_floor(spark, tmp_path,
+                                                 monkeypatch):
+    """The keep_hours age walk is bounded below by the min-live
+    marker: versions under it are already unreadable, so an age
+    vacuum on a long-lived table must not probe the (pruned) manifest
+    range back to v1 — and a pruned manifest inside the walk stops
+    it instead of being skipped over."""
+    from aggregation_duckdb_spark.sources import layout as L
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 20).alias("a"),
+        (F.col("id") % 13).alias("b"))
+    L.write_zordered(df, p, "a", "b", bits=4, bucket_bits=2,
+                     vacuum=False)                                  # v1
+    for i in range(6):                                              # v2..v7
+        L.append_zordered(df.limit(2), p)
+    # advance the floor: keep only the newest 3 (min-live -> v5)
+    L.vacuum_zordered(spark, p, keep_versions=3)
+    assert L._min_live_version(spark, p) == 5
+
+    probed: list[int] = []
+    real = L._read_manifest_version
+
+    def spying(spk, path, v):
+        probed.append(v)
+        return real(spk, path, v)
+
+    monkeypatch.setattr(L, "_read_manifest_version", spying)
+    L.vacuum_zordered(spark, p, keep_versions=1, keep_hours=1.0)
+    monkeypatch.undo()
+    assert probed and min(probed) >= 5, probed
+
+
 def test_vacuum_age_retention(spark, tmp_path):
     """vacuum_zordered(keep_hours=...) retains snapshots by commit AGE
     on top of the count window (Delta's log-retention shape): every

@@ -152,3 +152,38 @@ def test_backlog_drains_in_one_start_with_chunked_writes(
     offsets = [n for n in fsio.list_names(spark, ckpt + "/offsets")
                if not n.startswith(".")]
     assert len(offsets) == 1, offsets
+
+
+def test_failed_run_flush_marks_nothing_drained(spark, tmp_path,
+                                                monkeypatch):
+    """_flush_append_run marks run versions drained only AFTER the
+    sink write lands (the same ordering _write_commit_chunks uses):
+    a write failure must leave the in-memory `done` set untouched, so
+    a retrying caller re-drains the run instead of silently skipping
+    it. Empty runs (no-op replays) still count as drained."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.streaming.change_feed import (
+        _flush_append_run, _plain_append_check)
+
+    p = str(tmp_path / "t")
+    L.write_zordered(_rows(spark, 0, 20), p, "a", "b", bits=4,
+                     bucket_bits=2, vacuum=False)                   # v1
+    L.append_zordered(_rows(spark, 20, 22), p)                      # v2
+    L.append_zordered(_rows(spark, 22, 25), p)                      # v3
+    meta, _ = _plain_append_check(spark, p, (1,))
+
+    def boom(spk):
+        raise RuntimeError("sink write failed")
+
+    monkeypatch.setattr(fsio, "dynamic_partition_overwrite", boom)
+    done: set[int] = set()
+    sink = str(tmp_path / "sink")
+    with pytest.raises(RuntimeError, match="sink write failed"):
+        _flush_append_run(spark, p, sink, [2, 3], meta, done)
+    assert done == set()          # nothing falsely marked drained
+    monkeypatch.undo()
+
+    _flush_append_run(spark, p, sink, [2, 3], meta, done)
+    assert done == {2, 3}
+    got = spark.read.parquet(sink)
+    assert got.count() == 5
