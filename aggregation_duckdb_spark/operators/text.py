@@ -1,13 +1,18 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
 All hot-path logic is built from native ``pyspark.sql.functions``
-(JVM-side, whole-stage-codegen'd) — no Python UDFs anywhere: at 100 TB
-of documents these run at scan speed. Determinism: every derived value
-is exact integer/string math (hashes are md5 hex strings), so results
+(JVM-side, whole-stage-codegen'd) — no row-at-a-time Python UDFs
+anywhere: at 100 TB of documents these run at scan speed. The one
+Arrow-batched exception is :func:`bpe_encode`'s merge fold (a
+data-dependent loop no SQL expression expresses; SURVEY §2.8's
+sanctioned path). Determinism: every derived value is exact
+integer/string math (hashes are md5 hex strings), so results
 hash-match the DuckDB oracle bit-for-bit.
 """
 
 from __future__ import annotations
+
+import pandas as pd  # the one sanctioned Arrow path here: bpe_encode
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -849,3 +854,151 @@ def bm25_search_indexed(spark, path: str, terms: list[str],
                           F.col("dl").alias("n_tokens"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(top_k))
+
+
+def bpe_fit_merges(docs: DataFrame, num_merges: int = 200,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   fit_sample_cap: int | None = 20_000,
+                   max_vocab_words: int = 30_000) -> DataFrame:
+    """Learn a BPE merge table from the corpus — the REAL merge-loop
+    trainer (round 14; closes the "pre-tokenizer counts only" gap):
+    repeatedly merge the most frequent adjacent symbol pair, starting
+    from codepoints, exactly the Sennrich/GPT-2 training procedure.
+
+    Scale shape (the codebook-fit pattern): ONE distributed pass
+    reduces the corpus to a (word, count) frequency table — the only
+    state BPE training ever needs — bounded by ``max_vocab_words``
+    (top counts, deterministic ties) over an md5-sampled
+    ``fit_sample_cap`` subset; the merge loop then runs driver-side
+    over that model-sized dict, like sentencepiece/HF trainers, which
+    also train from an in-memory word-frequency table. Applying the
+    merges is the corpus-sized job (:func:`bpe_encode`), fitting is
+    not. Fully deterministic: ties on pair frequency break to the
+    lexicographically smallest (left, right).
+
+    Returns (rank long, left string, right string): merge `rank`
+    replaces adjacent (left, right) with left||right; lower rank =
+    higher priority (learned earlier)."""
+    from aggregation_duckdb_spark.operators.similarity import md5_sample
+
+    spark = docs.sparkSession
+    base = docs
+    if fit_sample_cap is not None:
+        base = md5_sample(base, fit_sample_cap, id_col)
+    # bounded collect: at most max_vocab_words (word, count) rows —
+    # Zipf means the dropped tail carries negligible pair mass
+    wc = (base.select(F.explode(
+            F.regexp_extract_all(F.col(text_col),
+                                 F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+          .alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+          .orderBy(F.desc("c"), F.asc("w"))
+          .limit(max_vocab_words)
+          .collect())
+    words: dict[tuple[str, ...], int] = {}
+    for r in wc:
+        k = tuple(r["w"])
+        words[k] = words.get(k, 0) + int(r["c"])
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (left, right), _ = min(pairs.items(),
+                               key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, left, right))
+        merged = left + right
+        new_words: dict[tuple[str, ...], int] = {}
+        for syms, c in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):                 # all occurrences,
+                if (i < len(syms) - 1            # left-to-right
+                        and syms[i] == left and syms[i + 1] == right):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_words[t] = new_words.get(t, 0) + c
+        words = new_words
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string")
+
+
+def bpe_encode(docs: DataFrame, merges: DataFrame,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a BPE merge table: pre-tokenize JVM-side
+    (:data:`BPE_TOKEN_PATTERN` via ``regexp_extract_all`` — Java and
+    RE2 agree on this alternation, so the oracle pre-tokenizes
+    identically), then fold merges over each word's codepoints.
+
+    Merge application spec (deterministic, shared by the engine, the
+    DuckDB recursive-CTE oracle, and the pure-Python pytest
+    reference): repeatedly pick the adjacent pair with the LOWEST
+    merge rank — leftmost occurrence on rank ties — merge that ONE
+    occurrence, repeat until no adjacent pair is in the table. This
+    one-occurrence-at-a-time greedy is the textbook BPE application;
+    it differs from HF's merge-all-occurrences batching only in the
+    rare case where the merged symbol immediately forms a
+    lower-ranked pair than the remaining occurrences of the current
+    bigram — a spec choice, pinned by tests either way.
+
+    Scale shape: the merge table is MODEL-sized (bounded like the IVF
+    codebooks) — collected once, closed over by an Arrow-batched
+    pandas UDF; the encode is a ZERO-SHUFFLE map pass over the corpus
+    (no explode, no join; the sanctioned Arrow extension path, SURVEY
+    §2.8), with a per-batch word→tokens memo so the Zipf head of the
+    vocabulary encodes once per executor, not once per occurrence.
+
+    Returns (id, tokens array<string>, n_tokens long)."""
+    import pandas as pd  # noqa: F401 — resolved again at module level
+                         # for the UDF's postponed annotations
+
+    ranks: dict[tuple[str, str], int] = {
+        (r["left"], r["right"]): int(r["rank"])
+        for r in merges.collect()}   # model-sized, like ivf_assign
+
+    @F.pandas_udf("array<string>")
+    def _enc(words: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            t = memo.get(w)
+            if t is None:
+                syms = list(w)
+                while len(syms) > 1:
+                    best_rank, best_i = None, -1
+                    for i in range(len(syms) - 1):
+                        rk = ranks.get((syms[i], syms[i + 1]))
+                        if rk is not None and (best_rank is None
+                                               or rk < best_rank):
+                            best_rank, best_i = rk, i
+                    if best_rank is None:
+                        break
+                    syms[best_i:best_i + 2] = [
+                        syms[best_i] + syms[best_i + 1]]
+                t = memo[w] = syms
+            return t
+
+        out = []
+        for ws in words:
+            toks: list[str] = []
+            for w in (ws if ws is not None else []):
+                toks.extend(enc_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    pre = F.regexp_extract_all(F.col(text_col),
+                               F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    # stage the UDF output before deriving from it: one Arrow pass,
+    # not one per downstream expression
+    staged = docs.select(F.col(id_col), _enc(pre).alias("tokens"))
+    return staged.select(
+        F.col(id_col), F.col("tokens"),
+        F.size("tokens").cast("long").alias("n_tokens"))

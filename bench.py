@@ -102,6 +102,7 @@ EXTENDED = [
     "events_topk_paths",
     "sim_knn_classify",
     "text_encode_ids",
+    "text_bpe_encode",
     "text_dedup_doc_lines",
     "pipeline_curriculum_order",
     "q_zorder_pruning",

@@ -1231,3 +1231,104 @@ def test_vector_contract_raises_path_independently(spark):
                         match="fixed-dim non-null contract"):
         S.pq_encode(null_vec, cb, num_subspaces=2, dim=4).collect()
     assert S.pq_encode(ok, cb, num_subspaces=2, dim=4).count() == 16
+
+
+def _bpe_ref_fit(texts, num_merges):
+    """Pure-Python BPE trainer — the independent reference for
+    text.bpe_fit_merges' spec: most-frequent adjacent pair, ties to
+    lexicographically smallest (left, right), merge ALL occurrences
+    left-to-right, starting from codepoints of the pre-tokenized
+    words."""
+    import re
+
+    from aggregation_duckdb_spark.operators.text import BPE_TOKEN_PATTERN
+
+    words: dict[tuple, int] = {}
+    for t in texts:
+        for w in re.findall(BPE_TOKEN_PATTERN, t or ""):
+            k = tuple(w)
+            words[k] = words.get(k, 0) + 1
+    merges = []
+    for rank in range(num_merges):
+        pairs: dict = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (l, r), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r))
+        new = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        words = new
+    return merges
+
+
+def _bpe_ref_encode(text, ranks):
+    """Pure-Python encoder for the shared spec: lowest-rank pair
+    first, leftmost on ties, ONE occurrence per step."""
+    import re
+
+    from aggregation_duckdb_spark.operators.text import BPE_TOKEN_PATTERN
+
+    toks = []
+    for w in re.findall(BPE_TOKEN_PATTERN, text or ""):
+        syms = list(w)
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best is None or rk < best[0]):
+                    best = (rk, i)
+            if best is None:
+                break
+            i = best[1]
+            syms[i:i + 2] = [syms[i] + syms[i + 1]]
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_fit_and_encode_match_pure_python(spark, sf_dir):
+    """The real merge-loop BPE (round 14): the distributed trainer
+    reproduces a pure-Python reference merge-for-merge, and the
+    Arrow-batched encoder reproduces the reference token stream
+    doc-for-doc — including empty documents, punctuation/digit
+    pre-token splits, and words untouched by any merge."""
+    from aggregation_duckdb_spark.operators import text as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    rows = docs.select("doc_id", "text").collect()
+    texts = [r["text"] for r in rows]
+
+    merges_df = T.bpe_fit_merges(docs, num_merges=40)
+    got = [(int(r["rank"]), r["left"], r["right"])
+           for r in merges_df.orderBy("rank").collect()]
+    want = _bpe_ref_fit(texts, 40)
+    assert got == want
+
+    ranks = {(l, r): k for k, l, r in want}
+    enc = {r["doc_id"]: (list(r["tokens"]), int(r["n_tokens"]))
+           for r in T.bpe_encode(docs, merges_df).collect()}
+    assert len(enc) == len(rows)
+    for r in rows:
+        ref = _bpe_ref_encode(r["text"], ranks)
+        assert enc[r["doc_id"]] == (ref, len(ref)), r["doc_id"]
+
+    # synthetic edge cases: empty text, pure punctuation, no merges
+    extra = spark.createDataFrame(
+        [(1, ""), (2, "!!!"), (3, "zqx"), (4, "a1b2, c3!")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: list(r["tokens"])
+           for r in T.bpe_encode(extra, merges_df).collect()}
+    for did, txt in [(1, ""), (2, "!!!"), (3, "zqx"), (4, "a1b2, c3!")]:
+        assert out[did] == _bpe_ref_encode(txt, ranks), (did, out[did])

@@ -856,3 +856,23 @@ def test_broadcast_if_small_gates_on_estimated_size(spark, sf_dir,
     assert_broadcast_join(
         matrix.queries()["hier_agg_by_month"](spark, sf_dir),
         at_least=2)
+
+
+def test_bpe_encode_zero_shuffle_arrow_pass(spark, sf_dir):
+    """bpe_encode is one Arrow-batched map pass over the corpus scan:
+    the merge table is collected (model-sized) and closed over — the
+    plan must contain an ArrowEvalPython operator, ZERO exchanges,
+    and no join (at 100 TB the encode IS the tokenize step of the
+    pipeline; a per-token join or explode would shuffle the corpus)."""
+    from aggregation_duckdb_spark.operators import text as T
+    from aggregation_duckdb_spark.plans.inspect import physical_plan
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = spark.createDataFrame(
+        [(0, "t", "a"), (1, "ta", "b")],
+        "rank long, left string, right string")
+    df = T.bpe_encode(docs, merges)
+    plan = physical_plan(df, "simple")
+    assert "ArrowEvalPython" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
