@@ -1332,3 +1332,103 @@ def test_bpe_fit_and_encode_match_pure_python(spark, sf_dir):
            for r in T.bpe_encode(extra, merges_df).collect()}
     for did, txt in [(1, ""), (2, "!!!"), (3, "zqx"), (4, "a1b2, c3!")]:
         assert out[did] == _bpe_ref_encode(txt, ranks), (did, out[did])
+
+
+def test_purge_index_keys_erases_every_stored_index(spark, sf_dir,
+                                                    tmp_path):
+    """Right-to-be-forgotten COMPOSITION (round 14): after purging a
+    doc/vector id from each persisted index family — dedup
+    (hashes/shingles/buckets), BM25 (postings/doclens + recomputed
+    scalars), IVF cells (raw embeddings), PQ codes — a raw parquet
+    re-read of every stored table finds ZERO rows for the purged
+    keys, surviving rows are untouched, and the BM25 sidecar's
+    aggregate counts match the post-purge corpus. Also pins the
+    emptied-partition path: a batch partition whose every row is
+    purged must be deleted, not silently retained."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.operators import index_purge as IP
+    from aggregation_duckdb_spark.operators import similarity as S
+    from aggregation_duckdb_spark.operators import text as T
+    from aggregation_duckdb_spark import fsio
+
+    docs = load_table(spark, "documents", sf_dir)
+    doomed_ids = [r["doc_id"] for r in
+                  docs.select("doc_id").orderBy("doc_id").limit(7)
+                  .collect()]
+    doomed = docs.where(F.col("doc_id").isin(doomed_ids)) \
+                 .select("doc_id", "text")
+
+    # --- dedup index: base build + one append batch that holds ONLY
+    # doomed docs (exercises the emptied-partition delete)
+    dpath = str(tmp_path / "dedup_idx")
+    D.write_dedup_index(docs.where(~F.col("doc_id").isin(doomed_ids[:3])),
+                        dpath)
+    D.append_dedup_index(docs.where(F.col("doc_id").isin(doomed_ids[:3])),
+                         dpath, batch_id=1)
+    rep = IP.purge_dedup_index_keys(doomed, dpath)
+    assert rep["purged_keys"] == 7 and rep["residual_matches"] == 0
+    doomed_hashes = [r["__h"] for r in docs.where(
+        F.col("doc_id").isin(doomed_ids)).select(
+        F.md5(F.lower("text")).alias("__h")).distinct().collect()]
+    for name, col, vals in (("hashes", "__h", doomed_hashes),
+                            ("shingles", "doc", doomed_ids),
+                            ("buckets", "doc", doomed_ids)):
+        raw = spark.read.parquet(str(tmp_path / "dedup_idx" / name))
+        assert raw.where(F.col(col).isin(vals)).count() == 0
+        assert raw.count() > 0                  # survivors untouched
+        # the doomed-only batch partition is gone from disk
+        assert "__ingest_batch=1" not in fsio.list_names(
+            spark, str(tmp_path / "dedup_idx" / name))
+
+    # --- BM25 index
+    tpath = str(tmp_path / "text_idx")
+    T.write_text_index(docs, tpath)
+    rep = IP.purge_text_index_keys(doomed, tpath)
+    assert rep["residual_matches"] == 0 and rep["stats_recomputed"]
+    for name in ("postings", "doclens"):
+        raw = spark.read.parquet(str(tmp_path / "text_idx" / name))
+        assert raw.where(F.col("doc").isin(doomed_ids)).count() == 0
+        assert raw.count() > 0
+    stats = fsio.read_json(spark, str(tmp_path / "text_idx") +
+                           "/stats.json")
+    want_docs = docs.count() - 7
+    assert stats["n_docs"] == want_docs
+    # and the index still answers queries consistently post-purge
+    hit = T.bm25_search_indexed(spark, tpath, ["table", "join"],
+                                top_k=5)
+    got = {r["doc_id"] for r in hit.collect()}
+    assert got and not (got & set(doomed_ids))
+
+    # --- IVF + PQ indexes
+    emb = load_table(spark, "embeddings", sf_dir)
+    vec_doomed_ids = [r["vec_id"] for r in
+                      emb.select("vec_id").orderBy("vec_id").limit(5)
+                      .collect()]
+    vec_doomed = emb.where(F.col("vec_id").isin(vec_doomed_ids)) \
+                    .select("vec_id")
+    cents = S.label_centroids(emb)
+    ipath = str(tmp_path / "ivf_idx")
+    S.write_ivf_index(emb, cents, ipath)
+    rep = IP.purge_ivf_index_keys(vec_doomed, ipath)
+    assert rep["residual_matches"] == 0 and rep["codebook_retained"]
+    raw = spark.read.parquet(str(tmp_path / "ivf_idx" / "cells"))
+    assert raw.where(F.col("vec_id").isin(vec_doomed_ids)).count() == 0
+    assert raw.count() == emb.count() - 5
+
+    books = S.pq_fit_joint(emb, num_subspaces=2, k=4, dim=8,
+                           max_iters=2) \
+        if emb.select(F.size("embedding")).first()[0] == 8 else None
+    if books is None:
+        books = S.pq_fit_joint(
+            emb, num_subspaces=2, k=4,
+            dim=emb.select(F.size("embedding")).first()[0],
+            max_iters=2)
+    ppath = str(tmp_path / "pq_idx")
+    S.write_pq_index(emb, books, ppath, num_subspaces=2,
+                     dim=emb.select(F.size("embedding")).first()[0])
+    rep = IP.purge_pq_index_keys(vec_doomed, ppath)
+    assert rep["residual_matches"] == 0
+    raw = spark.read.parquet(str(tmp_path / "pq_idx" / "codes"))
+    assert raw.where(F.col("vec_id").isin(vec_doomed_ids)).count() == 0
+    assert raw.count() == (emb.count() - 5) * 2
