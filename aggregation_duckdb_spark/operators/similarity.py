@@ -1216,3 +1216,105 @@ def pq_topk_rerank_indexed(spark, path: str, corpus: DataFrame,
                           num_subspaces=p["num_subspaces"],
                           vec_col=vec_col, id_col=id_col, dim=p["dim"],
                           fixed_order=fixed_order)
+
+
+def ivf_index_health(spark, path: str, vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     sample_cap: int = 5_000) -> dict:
+    """Drift probe over a persisted IVF index — the metadata-sized
+    measurement :func:`maintain_ivf_index` decides from:
+
+    - ``cell_skew``: max/mean cell population over the FULL cells
+      table (one groupBy — k aggregate rows). Appends assigned
+      against a stale codebook pile into the nearest surviving cells,
+      so drift shows up as skew long before recall visibly decays.
+    - ``mean_sim``: mean cosine similarity of an md5-sampled subset
+      of stored vectors to their OWN centroid (sample ⋈ broadcast
+      codebook — model-sized work). Drift pushes vectors away from
+      every frozen centroid, dropping this number.
+
+    Both are deterministic (md5 sample, decimal-free integer counts /
+    a bounded float mean)."""
+    from aggregation_duckdb_spark import fsio
+    cells = spark.read.parquet(fsio._join(path, "cells"))
+    sizes = (cells.groupBy("centroid_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect())
+    ns = [int(r["n"]) for r in sizes]
+    skew = (max(ns) / (sum(ns) / len(ns))) if ns else 0.0
+    cents = (spark.read.parquet(fsio._join(path, "codebook"))
+             .select(F.col("centroid_id").cast("int").alias("__cid"),
+                     F.col("centroid").alias("__cvec")))
+    sample = md5_sample(cells.select(F.col(id_col), F.col(vec_col),
+                                     F.col("centroid_id").cast("int")
+                                     .alias("__cid")),
+                        sample_cap, id_col, salt="ivf-health")
+    row = (sample.join(F.broadcast(cents), "__cid")
+           .select(cosine(F.col(vec_col), F.col("__cvec"))
+                   .alias("__s"))
+           .agg(F.avg("__s").alias("m")).collect()[0])
+    return {"cell_skew": round(float(skew), 4),
+            "mean_sim": (round(float(row["m"]), 6)
+                         if row["m"] is not None else None),
+            "n_cells": len(ns), "n_vectors": sum(ns)}
+
+
+IVF_HEALTH_SIDECAR = "health.json"
+
+
+def maintain_ivf_index(spark, path: str, vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       max_skew: float = 4.0,
+                       max_sim_drop: float = 0.05,
+                       sample_cap: int = 5_000,
+                       max_iters: int = 10,
+                       fit_sample_cap: int | None = 50_000) -> dict:
+    """One-call IVF index maintenance — the ``maintain_zordered``
+    policy shape for ANN: measure drift cheaply, re-fit and
+    re-partition only when it crosses a threshold, otherwise do
+    nothing (a healthy index costs one k-row aggregate and one
+    sampled mean).
+
+    ``append_ivf_index`` deliberately freezes the codebook (IVF's
+    standard contract — immutable centroids between retrains), which
+    means recall DECAYS silently under distribution drift: new
+    batches crowd into whichever stale cells are nearest, probes read
+    overgrown cells, and the n_probe nearest-cell heuristic stops
+    matching where the data actually lives. This verb is the missing
+    retrain policy: the first call records the build-time health
+    baseline in a sidecar; later calls re-measure and REBUILD (fresh
+    :func:`kmeans_fit` over the stored vectors — md5-sample-capped,
+    so the fit cost never grows with the corpus — then one full
+    reassignment pass, the same bulk job as the original build) when
+    ``cell_skew`` exceeds ``max_skew`` or the sampled own-centroid
+    similarity fell more than ``max_sim_drop`` below the baseline.
+    Returns {"refit", "health", "baseline"}; recall recovery on a
+    deliberately drifted batch is pytest-pinned."""
+    from aggregation_duckdb_spark import fsio
+    health = ivf_index_health(spark, path, vec_col, id_col, sample_cap)
+    side = fsio._join(path, IVF_HEALTH_SIDECAR)
+    try:
+        baseline = fsio.read_json(spark, side)
+    except Exception:
+        baseline = None
+    if baseline is None:
+        # first measurement on an index built before this verb (or
+        # right after a build): record the baseline, change nothing
+        fsio.write_json(spark, side, health)
+        return {"refit": False, "health": health, "baseline": health}
+    drifted = health["cell_skew"] > max_skew or (
+        health["mean_sim"] is not None
+        and baseline.get("mean_sim") is not None
+        and health["mean_sim"] < baseline["mean_sim"] - max_sim_drop)
+    if not drifted:
+        return {"refit": False, "health": health, "baseline": baseline}
+    cells = spark.read.parquet(fsio._join(path, "cells"))
+    corpus = materialize(cells.select(F.col(id_col), F.col(vec_col)))
+    k = int(health["n_cells"]) or 16
+    cents = kmeans_fit(corpus, k=k, max_iters=max_iters,
+                       vec_col=vec_col, id_col=id_col,
+                       fit_sample_cap=fit_sample_cap)
+    write_ivf_index(corpus, cents, path, vec_col, id_col)
+    new_health = ivf_index_health(spark, path, vec_col, id_col,
+                                  sample_cap)
+    fsio.write_json(spark, side, new_health)   # new baseline
+    return {"refit": True, "health": new_health, "baseline": baseline}

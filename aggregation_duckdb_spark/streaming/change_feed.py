@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _commit_changes(spark: SparkSession, table_path: str, version: int,
-                    key_cols: list[str]) -> DataFrame | None:
+                    key_cols: list[str], meta=None) -> DataFrame | None:
     """The change rows of ONE commit, derived per OPERATION so the
     cost tracks the change, not the snapshot (the Delta-CDF cost
     model, reconstructed from the manifest instead of change files):
@@ -58,8 +58,12 @@ def _commit_changes(spark: SparkSession, table_path: str, version: int,
     # raw manifest reads (no min-live guard): this function needs the
     # commit's METADATA; the paths that actually read snapshot data
     # (v1 inserts, delete preimages, the diff fallback) enforce the
-    # retention guard themselves via read_zordered/diff_zordered
-    m_v = L._read_manifest_version(spark, table_path, version)
+    # retention guard themselves via read_zordered/diff_zordered.
+    # ``meta`` is the fold's bulk-prefetched version→manifest cache.
+    if meta is None:
+        meta = lambda v: L._read_manifest_version(  # noqa: E731
+            spark, table_path, v)
+    m_v = meta(version)
     if m_v is None:
         raise FileNotFoundError(
             f"change feed needs manifest version {version} of "
@@ -87,7 +91,7 @@ def _commit_changes(spark: SparkSession, table_path: str, version: int,
         # physical rewrites and metadata-only schema changes move no
         # rows — logically invisible to the feed (the Delta CDF rule)
         return None
-    m_prev = L._read_manifest_version(spark, table_path, version - 1)
+    m_prev = meta(version - 1)
     if m_prev is None:
         raise FileNotFoundError(
             f"change feed needs manifest version {version - 1} of "
@@ -210,13 +214,16 @@ def _group_runs(commits, is_plain, max_run: int = _MAX_APPEND_RUN):
 def _flush_append_run(spark: SparkSession, table_path: str,
                       sink_path: str, run: list[int], meta,
                       done: set, tag_change_type: bool = False) -> None:
-    """ONE scan for a run of pure-ingest appends (no tombstones, no
-    column mapping — the condition under which a merged multi-path
-    read is semantically identical to per-batch reads): each commit's
-    new delta dirs, stamped with their commit version via the batch
-    directory name. A backlog of N ingest commits costs O(N/256)
-    plans instead of N — the residual drain cost SCALE_PROBE_r13 §1
-    measured at ~0.15s/commit."""
+    """ONE scan for a run of ingest appends (no NEW tombstones within
+    the run, no column mapping — the conditions under which a merged
+    multi-path read is semantically identical to per-batch reads):
+    each commit's new delta dirs, stamped with their commit version
+    via the batch directory name. When the run carries an UNCHANGED
+    outstanding tombstone set (extended round 14 — previously any
+    tombstones forced the per-commit path), that shared set is
+    anti-joined ONCE against the merged frame, exactly what the
+    per-commit path applies per member. A backlog of N ingest commits
+    costs O(N/256) plans instead of N."""
     from aggregation_duckdb_spark import fsio
     from aggregation_duckdb_spark.sources import layout as L
     paths, kv = [], []
@@ -235,6 +242,10 @@ def _flush_append_run(spark: SparkSession, table_path: str,
     ver = F.create_map(*[F.lit(x) for x in kv]).getItem(name) \
         .cast("int")
     df = df.withColumn("_commit_version", ver)
+    # every run member shares the same outstanding tombstone set
+    # (is_plain chains tombstones-unchanged-vs-prev), so one
+    # anti-join == the per-commit application on every member
+    df = L._apply_tombstones(spark, table_path, meta(run[0]), df)
     if tag_change_type:
         df = df.withColumn("_change_type", F.lit("insert"))
     with fsio.dynamic_partition_overwrite(spark):
@@ -246,14 +257,58 @@ def _flush_append_run(spark: SparkSession, table_path: str,
     done.update(int(v) for v in run)
 
 
+def _prefetch_manifests(spark: SparkSession, table_path: str,
+                        versions) -> dict:
+    """Bulk-read the manifest JSONs a drain batch needs in ONE
+    distributed pass (``wholeTextFiles`` over the manifest directory)
+    instead of one driver-side Hadoop round-trip per commit — the
+    residual per-commit drain cost SCALE_PROBE_r13 §8 profiled at
+    ~0.07s/commit was exactly these reads. Versions in the requested
+    range with no surviving file map to None (pruned), matching what
+    a direct read would return; any failure falls back to empty (the
+    per-version cache then reads lazily, correctness unchanged)."""
+    import json
+    import re as _re
+
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    versions = sorted(set(int(v) for v in versions))
+    if not versions:
+        return {}
+    lo, hi = versions[0] - 1, versions[-1]   # runs peek at v-1
+    try:
+        mdir = L._manifest_path(table_path)
+        pairs = spark.sparkContext.wholeTextFiles(
+            fsio._join(mdir, "v*.json")).collect()
+    except Exception:
+        return {}
+    out: dict[int, dict | None] = {v: None for v in range(max(lo, 1),
+                                                          hi + 1)}
+    for p, content in pairs:
+        m = _re.search(r"v(\d+)\.json$", p)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if max(lo, 1) <= v <= hi:
+            out[v] = json.loads(content)
+    return out
+
+
 def _plain_append_check(spark: SparkSession, table_path: str,
-                        skip_versions: tuple) -> tuple:
-    """(meta, is_plain) closures over a per-fold manifest cache: a
-    run member must be a pure-ingest append — no tombstones, no
-    column mapping, no stored change file (writer-side CDF rows are
-    authoritative when present), not a snapshot version."""
+                        skip_versions: tuple,
+                        prefetch=None) -> tuple:
+    """(meta, is_plain) closures over a per-fold manifest cache
+    (bulk-prefetched for the batch's versions when ``prefetch`` is
+    given — see :func:`_prefetch_manifests`): a run member must be an
+    ingest append — no NEW tombstones (an unchanged outstanding set
+    is fine: the merged scan applies the shared set once, see
+    :func:`_flush_append_run`), no column mapping, no stored change
+    file (writer-side CDF rows are authoritative when present), not a
+    snapshot version."""
     from aggregation_duckdb_spark.sources import layout as L
     metas: dict[int, dict | None] = {}
+    if prefetch is not None:
+        metas.update(_prefetch_manifests(spark, table_path, prefetch))
 
     def meta(v: int):
         if v not in metas:
@@ -265,11 +320,12 @@ def _plain_append_check(spark: SparkSession, table_path: str,
         return (v not in skip_versions and m is not None
                 and m.get("op") == "append"
                 and "change_file" not in m
-                and not m.get("tombstones")
+                and meta(v - 1) is not None
+                and m.get("tombstones", [])
+                == meta(v - 1).get("tombstones", [])
                 and not m.get("column_map")
                 and not m.get("dropped_cols")
-                and not m.get("added_cols")
-                and meta(v - 1) is not None)
+                and not m.get("added_cols"))
 
     return meta, is_plain
 
@@ -304,12 +360,13 @@ def run_change_feed(spark: SparkSession, table_path: str,
         # bounded collect: one tiny metadata row per commit
         commits = sorted(r["version"] for r in
                          batch_df.select("version").collect())
-        meta, is_plain = _plain_append_check(spark, table_path, (1,))
+        meta, is_plain = _plain_append_check(spark, table_path, (1,),
+                                             prefetch=commits)
 
         def rows_of(vs):
             for v in vs:
                 yield v, _commit_changes(spark, table_path, v,
-                                         key_cols)
+                                         key_cols, meta=meta)
 
         singles: list[int] = []
         for kind, x in _group_runs(commits, is_plain):

@@ -33,12 +33,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 def _commit_rows(spark: SparkSession, table_path: str, version: int,
                  starting_version: int,
-                 skip_change_commits: bool) -> DataFrame | None:
+                 skip_change_commits: bool,
+                 meta=None) -> DataFrame | None:
     """The rows ONE commit contributes to the row stream — None when
     it contributes nothing (physical rewrites, metadata-only commits,
-    replayed no-ops, or skipped mutations)."""
+    replayed no-ops, or skipped mutations). ``meta`` is an optional
+    version→manifest cache (the fold passes the bulk-prefetched one —
+    see change_feed._prefetch_manifests); without it every call pays
+    two driver-side manifest reads."""
     from aggregation_duckdb_spark.sources import layout as L
-    m_v = L._read_manifest_version(spark, table_path, version)
+    if meta is None:
+        meta = lambda v: L._read_manifest_version(  # noqa: E731
+            spark, table_path, v)
+    m_v = meta(version)
     if m_v is None:
         raise FileNotFoundError(
             f"stream read needs manifest version {version} of "
@@ -52,8 +59,7 @@ def _commit_rows(spark: SparkSession, table_path: str, version: int,
               "alter"):
         return None
     if op == "append":
-        m_prev = L._read_manifest_version(spark, table_path,
-                                          version - 1)
+        m_prev = meta(version - 1)
         if m_prev is None:
             raise FileNotFoundError(
                 f"stream read needs manifest version {version - 1} of "
@@ -113,20 +119,22 @@ def run_table_stream(spark: SparkSession, table_path: str,
         # bounded collect: one tiny metadata row per commit
         commits = sorted(r["version"] for r in
                          batch_df.select("version").collect())
-        # runs of pure-ingest appends (no tombstones, no mapping —
-        # a merged multi-path scan is then semantically identical to
+        # runs of ingest appends (no NEW tombstones, no mapping — a
+        # merged multi-path scan is then semantically identical to
         # per-batch reads) drain as ONE scan per ≤256 commits; the
         # snapshot version and every other commit keep the exact
-        # per-commit path
+        # per-commit path. Manifests for the whole batch are
+        # bulk-prefetched in one distributed pass.
         meta, is_plain = _plain_append_check(
-            spark, table_path, (starting_version,))
+            spark, table_path, (starting_version,), prefetch=commits)
 
         def rows_of(vs):
             for v in vs:
                 try:
                     yield v, _commit_rows(spark, table_path, v,
                                           starting_version,
-                                          skip_change_commits)
+                                          skip_change_commits,
+                                          meta=meta)
                 except (ValueError, FileNotFoundError) as e:
                     # surfaces wrapped in a StreamingQueryException
                     # below; keep the original so the caller sees a

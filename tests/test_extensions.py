@@ -1432,3 +1432,83 @@ def test_purge_index_keys_erases_every_stored_index(spark, sf_dir,
     raw = spark.read.parquet(str(tmp_path / "pq_idx" / "codes"))
     assert raw.where(F.col("vec_id").isin(vec_doomed_ids)).count() == 0
     assert raw.count() == (emb.count() - 5) * 2
+
+
+def test_maintain_ivf_index_recovers_recall_after_drift(spark,
+                                                        tmp_path):
+    """IVF maintenance policy (round 14): append_ivf_index freezes
+    the codebook, so a drifted ingest batch silently decays probe
+    recall — the drift cluster is engineered to SPLIT across two
+    stale cells, so n_probe=1 queries find only half their true
+    neighbors. maintain_ivf_index must (a) record a baseline and do
+    nothing on a healthy index, (b) detect the drift from the sampled
+    own-centroid similarity drop / cell skew, (c) re-fit and
+    re-partition, after which the same queries recover recall."""
+    from aggregation_duckdb_spark.operators import similarity as S
+    from aggregation_duckdb_spark import fsio
+
+    def cluster(center, n, base_id, lean=None):
+        rows = []
+        for i in range(n):
+            v = [c * 10.0 for c in center]
+            if lean is None:
+                v[(base_id + i) % 8] += 0.2 + (i % 5) * 0.03
+            else:
+                # lean sign decides the stale-cell assignment (A vs
+                # B); the e7 spread decides the TRUE neighbor
+                # ordering and is shared across lean pairs — every
+                # drifted vector's top neighbors mix both leans,
+                # i.e. both stale cells, so n_probe=1 must miss some
+                v[lean[i % 2]] += 1.5
+                v[7] += 2.0 + 0.8 * ((i // 2) % 10)
+            rows.append((base_id + i, [float(x) for x in v]))
+        return rows
+
+    e = lambda j: [1.0 if i == j else 0.0 for i in range(8)]  # noqa: E731
+    base = (cluster(e(0), 50, 0) + cluster(e(1), 50, 100)
+            + cluster(e(2), 50, 200))
+    # drift cluster halfway between clusters 0 and 1, members leaning
+    # alternately toward each -> frozen assignment splits them
+    mid = [(a + b) / 2 for a, b in zip(e(0), e(1))]
+    drift = cluster(mid, 40, 300, lean=(0, 1))
+    schema = "vec_id long, embedding array<double>"
+    base_df = spark.createDataFrame(base, schema)
+    drift_df = spark.createDataFrame(drift, schema)
+
+    path = str(tmp_path / "ivf")
+    cents = S.kmeans_fit(base_df, k=4, max_iters=6)
+    S.write_ivf_index(base_df, cents, path)
+
+    # healthy index: first call records the baseline, refit=False
+    rep0 = S.maintain_ivf_index(spark, path)
+    assert rep0["refit"] is False
+    assert rep0["baseline"]["n_vectors"] == 150
+
+    S.append_ivf_index(drift_df, path, batch_id=1)
+    # drifted members really did split across >= 2 stale cells
+    cells = spark.read.parquet(fsio._join(path, "cells"))
+    split = (cells.where(F.col("vec_id") >= 300)
+             .select("centroid_id").distinct().count())
+    assert split >= 2, split
+
+    all_df = base_df.unionByName(drift_df)
+    queries = drift_df.where(F.col("vec_id") < 305)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             S.brute_force_topk(all_df, queries, k=10).collect()}
+
+    def recall():
+        got = {(r["query_id"], r["neighbor_id"]) for r in
+               S.ivf_topk_indexed(spark, path, queries, k=10,
+                                  n_probe=1).collect()}
+        return len(got & exact) / len(exact)
+
+    r_before = recall()
+    assert r_before <= 0.9, r_before    # drift really decayed recall
+    rep1 = S.maintain_ivf_index(spark, path, max_sim_drop=0.02)
+    assert rep1["refit"] is True, (rep1, r_before)
+    r_after = recall()
+    assert r_after > r_before, (r_before, r_after)
+    assert r_after >= 0.95, (r_before, r_after)
+    # the refit re-baselined: an immediate re-call does nothing
+    rep2 = S.maintain_ivf_index(spark, path, max_sim_drop=0.02)
+    assert rep2["refit"] is False

@@ -187,3 +187,56 @@ def test_failed_run_flush_marks_nothing_drained(spark, tmp_path,
     assert done == {2, 3}
     got = spark.read.parquet(sink)
     assert got.count() == 5
+
+
+def test_tombstoned_append_runs_batch_into_one_scan(spark, tmp_path,
+                                                    monkeypatch):
+    """Round 14: appends carrying an UNCHANGED outstanding tombstone
+    set batch into one merged scan (previously any tombstones forced
+    the per-commit path). The shared set is anti-joined once against
+    the merged frame — the sink must hide exactly the tombstoned keys
+    from the appended rows, byte-identical to the per-commit path —
+    and the whole tombstoned backlog still costs O(1) storage passes."""
+    from aggregation_duckdb_spark import fsio
+
+    p = str(tmp_path / "t")
+    L.write_zordered(_rows(spark, 0, 40), p, "a", "b", bits=4,
+                     bucket_bits=2, vacuum=False)                   # v1
+    # tombstone keys 10..19 (logical delete, no rewrite)           # v2
+    L.delete_zordered_keys(
+        _rows(spark, 10, 20).select("k"), p, ["k"])
+    # 12 appends; some re-land tombstoned keys — reads hide them,
+    # so the row stream must too                                # v3..v14
+    for i in range(12):
+        lo = 100 + 2 * i
+        batch = _rows(spark, lo, lo + 2).unionByName(
+            _rows(spark, 10 + i % 3, 11 + i % 3))   # a doomed key
+        L.append_zordered(batch, p)
+
+    writes = {"n": 0}
+    real = fsio.dynamic_partition_overwrite
+
+    def counting(spk):
+        writes["n"] += 1
+        return real(spk)
+
+    monkeypatch.setattr(fsio, "dynamic_partition_overwrite", counting)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    # the delete commit is a mutation — a row stream cannot retract,
+    # so it must be explicitly skipped (Delta's skipChangeCommits);
+    # the appends AFTER it are what the run batching covers
+    run_table_stream(spark, p, sink, ckpt, skip_change_commits=True)
+    monkeypatch.undo()
+
+    got = read_table_stream(spark, sink)
+    # snapshot (v1): all 40 rows — the tombstones land at v2, after
+    # the snapshot version, so the stream had already emitted them
+    assert got.where(F.col("_commit_version") == 1).count() == 40
+    appended = got.where(F.col("_commit_version") >= 3)
+    # 2 fresh rows per append survive; the re-landed doomed keys are
+    # hidden by the shared tombstone set
+    assert appended.count() == 24, appended.count()
+    assert appended.where(F.col("k").between(10, 19)).count() == 0
+    # run batching held: snapshot chunk + ONE merged scan write for
+    # the whole tombstoned append run
+    assert writes["n"] <= 2, writes
