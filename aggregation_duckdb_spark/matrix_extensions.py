@@ -3915,7 +3915,7 @@ ups AS (
     SELECT event_id, user_id, value, 'upserted' AS event_type
     FROM base WHERE event_id % 11 = 0
     UNION ALL
-    SELECT event_id + 1000000000, user_id, value, 'inserted'
+    SELECT event_id + 1000000000000000, user_id, value, 'inserted'
     FROM base WHERE event_id % 13 = 0),
 merged AS (
     SELECT b.* FROM base b
@@ -3951,7 +3951,7 @@ def q_zorder_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ups = (ev.where(F.col("event_id") % 11 == 0)
                .withColumn("event_type", F.lit("upserted")))
         ins = (ev.where(F.col("event_id") % 13 == 0)
-               .select((F.col("event_id") + 1_000_000_000)
+               .select((F.col("event_id") + 1_000_000_000_000_000)
                        .alias("event_id"), "user_id", "value",
                        F.lit("inserted").alias("event_type")))
         L.upsert_zordered(ups.unionByName(ins), base, ["event_id"])
@@ -4385,7 +4385,7 @@ v3 AS (
                 ELSE event_type END AS event_type
     FROM v1 WHERE event_id % 17 <> 0
     UNION ALL
-    SELECT event_id + 1000000000, user_id, value, 'inserted'
+    SELECT event_id + 1000000000000000, user_id, value, 'inserted'
     FROM v1 WHERE event_id % 13 = 0),
 dels AS (
     SELECT o.*, 'delete' AS _change_type
@@ -4435,7 +4435,7 @@ def q_zorder_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ups = (ev.where(F.col("event_id") % 11 == 0)
                .withColumn("event_type", F.lit("upserted")))
         ins = (ev.where(F.col("event_id") % 13 == 0)
-               .select((F.col("event_id") + 1_000_000_000)
+               .select((F.col("event_id") + 1_000_000_000_000_000)
                        .alias("event_id"), "user_id", "value",
                        F.lit("inserted").alias("event_type")))
         L.upsert_zordered(ups.unionByName(ins), base, ["event_id"],
@@ -4629,7 +4629,7 @@ SELECT event_id, user_id, value,
 FROM base
 WHERE NOT (event_id % 11 = 0 AND value < 100)
 UNION ALL
-SELECT event_id + 1000000000, user_id, value, 'inserted'
+SELECT event_id + 1000000000000000, user_id, value, 'inserted'
 FROM base
 WHERE event_id % 13 = 0 AND value >= 50
 ORDER BY event_id
@@ -4638,7 +4638,7 @@ def q_zorder_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional MERGE INTO (``layout.merge_zordered`` — the full
     Delta clause shape): matched keys (every 11th event) DELETE when
     the target's value < 100 and otherwise UPDATE event_type, while
-    unmatched clone keys (every 13th, +1e9) INSERT only when the
+    unmatched clone keys (every 13th, offset into the disjoint +1e15 clone space — far above any replicated/re-keyed id, see sf1_bench.py) INSERT only when the
     source's value >= 50 — all in one bucket-bounded commit. The full
     read must equal the oracle's clause-by-clause reconstruction.
     Built once per (application, sf)."""
@@ -4658,7 +4658,7 @@ def q_zorder_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                          bits=8, bucket_bits=4)
         matched = ev.where(F.col("event_id") % 11 == 0)
         clones = (ev.where(F.col("event_id") % 13 == 0)
-                  .select((F.col("event_id") + 1_000_000_000)
+                  .select((F.col("event_id") + 1_000_000_000_000_000)
                           .alias("event_id"), "user_id", "value",
                           F.lit("inserted").alias("event_type")))
         L.merge_zordered(
@@ -4833,7 +4833,7 @@ SELECT event_id, user_id, value, 'upserted',
        'update_postimage', 2
 FROM v1 WHERE event_id % 11 = 0
 UNION ALL
-SELECT event_id + 1000000000, user_id, value, 'inserted',
+SELECT event_id + 1000000000000000, user_id, value, 'inserted',
        'insert', 2
 FROM v1 WHERE event_id % 13 = 0
 ORDER BY event_id, _change_type
@@ -4869,7 +4869,7 @@ def q_zorder_cdf_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         ups = (ev.where(F.col("event_id") % 11 == 0)
                .withColumn("event_type", F.lit("upserted")))
         ins = (ev.where(F.col("event_id") % 13 == 0)
-               .select((F.col("event_id") + 1_000_000_000)
+               .select((F.col("event_id") + 1_000_000_000_000_000)
                        .alias("event_id"), "user_id", "value",
                        F.lit("inserted").alias("event_type")))
         L.upsert_zordered(ups.unionByName(ins), base, ["event_id"],
@@ -4961,7 +4961,7 @@ def q_zorder_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ups = (ev.where(F.col("event_id") % 7 == 0)
                .withColumn("event_type", F.lit("replaced")))
         ins = (ev.where(F.col("event_id") % 13 == 0)
-               .select((F.col("event_id") + 1_000_000_000)
+               .select((F.col("event_id") + 1_000_000_000_000_000)
                        .alias("event_id"), "user_id", "value",
                        F.lit("cloned").alias("event_type")))
         L.upsert_zordered(ups.unionByName(ins), base, ["event_id"],
