@@ -332,16 +332,27 @@ def main() -> None:
     settle = float(os.environ.get("SPARK_GRAFT_POSTLOAD_SETTLE", "90"))
     gate = float(os.environ.get("SPARK_GRAFT_POSTLOAD_MAX", "1.0"))
     if settle > 0:
+        import math
         time.sleep(settle)
         settled = _loadavg()
         load["loadavg_settled"] = settled
-        if settled and settled[0] >= gate:
+        # our own end-of-run 1-min load decays by exp(-settle/60)
+        # while our executors sit idle; anything ABOVE that decay
+        # bound is someone else's steady load (a heavy sf1 extended
+        # phase ends at 1-min ~5, whose 90s residual ~1.1 must not
+        # read as a co-resident)
+        own_bound = (load["loadavg_after"][0]
+                     * math.exp(-settle / 60.0)
+                     if load["loadavg_after"] else 0.0)
+        excess = round((settled[0] - own_bound) if settled else 0.0, 2)
+        load["coresident_excess"] = excess
+        if excess >= gate:
             load["diagnostic_only"] = True
             load["diagnostic_reason"] = (
-                f"1-min loadavg {settled[0]} after a {int(settle)}s "
-                f"post-run settle >= {gate}: co-resident load during "
-                "the recording; headline not comparable "
-                "round-over-round")
+                f"settled 1-min loadavg {settled[0]} exceeds the own-"
+                f"load decay bound {round(own_bound, 2)} by {excess} "
+                f">= {gate}: co-resident load during the recording; "
+                "headline not comparable round-over-round")
     # Two JSON lines, detail first and the compact headline LAST: the
     # driver's bench artifact keeps only the tail of stdout, and the
     # extended map has grown past that window — the line that must
