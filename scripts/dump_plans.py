@@ -228,6 +228,19 @@ ENTRIES = {
         "after the fold the generated column is MATERIALIZED: the "
         "read is a plain pruned scan with the column in ReadSchema — "
         "no per-row expression evaluation left in the plan"),
+    "text_bpe_encode": (
+        "real BPE encode is ONE Arrow-batched map pass over the scan: "
+        "ArrowEvalPython present, zero Exchange operators, no join — "
+        "the broadcast merge table lives in the UDF closure"),
+    "q_zorder_purge": (
+        "physical GDPR erasure's READ side: plain pruned table read "
+        "(the purge work happened at build: tombstone -> victim-bucket "
+        "fold -> eager vacuum -> raw residual sweep)"),
+    "hier_agg_by_month": (
+        "the customer attach goes through the SIZE-GATED broadcast "
+        "hint (runtime.broadcast_if_small): BroadcastHashJoin at this "
+        "scale, demoted to an AQE-chosen shuffled join past the gate "
+        "instead of a forced multi-TB broadcast"),
     "q_zorder_recluster": (
         "the datetime box read on the NEW layout prunes "
         "live-(zbucket, gen) directories via PartitionFilters with "
