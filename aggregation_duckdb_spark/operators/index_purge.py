@@ -64,17 +64,27 @@ def _purge_parquet_table(spark: SparkSession, table_dir: str,
     if not hits:
         return {"rewritten_partitions": 0, "deleted_partitions": 0}
     if len(part_cols) == 1:
-        hit_lit = F.col(part_cols[0]).isin([h[0] for h in hits])
-    else:                 # OR of per-tuple conjunctions — hits is a
-        conds = None      # bounded partition list, not a row list
+        sub = df.where(F.col(part_cols[0]).isin([h[0] for h in hits]))
+    elif len(hits) <= 64:
+        # OR of per-tuple conjunctions — still a plan-literal filter
+        # Catalyst can push to partition pruning
+        conds = None
         for h in hits:
             c = F.lit(True)
             for col, v in zip(part_cols, h):
                 c = c & (F.col(col) == F.lit(v))
             conds = c if conds is None else (conds | c)
-        hit_lit = conds
+        sub = df.where(conds)
+    else:
+        # hundreds of (cell, batch) victims: a broadcast semi-join on
+        # the partition tuple beats an unboundedly deep OR expression
+        spark_ = df.sparkSession
+        hit_df = spark_.createDataFrame(
+            [tuple(h) for h in hits],
+            df.select(*part_cols).schema)
+        sub = df.join(F.broadcast(hit_df), part_cols, "semi")
     survivors = materialize(
-        df.where(hit_lit).join(F.broadcast(keys), id_col, "left_anti"))
+        sub.join(F.broadcast(keys), id_col, "left_anti"))
     kept = {tuple(r[c] for c in part_cols)
             for r in survivors.select(*part_cols).distinct().collect()}
     emptied = [h for h in hits if h not in kept]

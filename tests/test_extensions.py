@@ -1512,3 +1512,36 @@ def test_maintain_ivf_index_recovers_recall_after_drift(spark,
     # the refit re-baselined: an immediate re-call does nothing
     rep2 = S.maintain_ivf_index(spark, path, max_sim_drop=0.02)
     assert rep2["refit"] is False
+
+
+def test_purge_core_semi_join_branch_many_partitions(spark, tmp_path):
+    """_purge_parquet_table's large-hit-list path (> 64 affected
+    partition tuples switches from a literal OR filter to a broadcast
+    semi-join on the partition tuple): purging keys spread across ~90
+    (cell, batch) partitions still erases exactly the victims and
+    keeps every survivor."""
+    from aggregation_duckdb_spark.operators.index_purge import (
+        _purge_parquet_table, _verify_clean)
+
+    d = str(tmp_path / "t")
+    df = spark.range(0, 2000).selectExpr(
+        "id as vec_id", "cast(id % 31 as int) as centroid_id",
+        "cast(id % 3 as int) as __ingest_batch", "id * 2 as payload")
+    (df.write.mode("overwrite")
+     .partitionBy("centroid_id", "__ingest_batch").parquet(d))
+    # victims land in nearly every (cell, batch) pair (31 x 3 = 93
+    # partitions, gcd-coprime moduli) — well past the 64-hit literal
+    # threshold, so the semi-join branch runs
+    keys = spark.range(0, 2000, 7).selectExpr("id as vec_id")
+    n_hit = (df.join(keys, "vec_id", "semi")
+             .select("centroid_id", "__ingest_batch")
+             .distinct().count())
+    assert n_hit > 64, n_hit
+    rep = _purge_parquet_table(spark, d, "vec_id", keys,
+                               ["centroid_id", "__ingest_batch"])
+    assert rep["rewritten_partitions"] + rep["deleted_partitions"] \
+        == n_hit
+    _verify_clean(spark, "test", d, "vec_id", keys)
+    back = spark.read.parquet(d)
+    assert back.count() == 2000 - keys.count()
+    assert back.where(F.col("vec_id") % 7 == 0).count() == 0
