@@ -314,6 +314,12 @@ def main() -> None:
         busy = sum(v for k, v in d.items()
                    if k not in ("idle", "iowait")) or 1
         load["steal_pct"] = round(100.0 * d.get("steal", 0) / busy, 2)
+        if load["steal_pct"] >= 5.0:       # BASELINE.md's steal rule,
+            load["diagnostic_only"] = True  # enforced by the artifact
+            load["diagnostic_reason"] = (
+                f"hypervisor steal {load['steal_pct']}% >= 5% over "
+                "the run: timings inflated by the host; headline not "
+                "comparable round-over-round")
     # Self-labeling: a recording taken while OTHER work was running on
     # the box (post-run 1-min loadavg above the gate — this bench's
     # own executors have drained by then, so residual load is
