@@ -42,65 +42,68 @@ def register(name: str, sql: str | None = None):
 # their DuckDB oracles. ALL entries pass the same comparison locally
 # (scripts/oracle_check.py runs the full set — keep it that way); this
 # list only schedules WHICH entries get a driver-recorded row this
-# round. Round-14 rotation, closing the round-13 verdict's item 1.
-# Per-entry newest driver evidence across CORRECTNESS_r01..r13:
-# r9×4, r10×47, r11×49, r12×49, r13×50 — plus q_zorder_purge
-# (registered r13 after the window froze; the ONLY entry with no
-# driver row ever). Policy order (never-checked / changed-code first,
-# then oldest evidence):
-#   1. q_zorder_purge — first driver row ever.
-#   2. text_bpe_encode — NEW this round (real merge-loop BPE);
-#      registered before the window froze so it gets evidence now.
-#   3. stream_change_feed — its drain code changes THIS round
-#      (run-flush done-ordering fix + manifest-read batching);
-#      the r13 row predates the change.
-#   4. the 4 entries deferred from r13 (newest evidence = r9):
-#      hier_closure_recursive, events_sliding, stream_sliding,
-#      text_rolling_hash — all judge-local-PASS in the r13 session.
-#   5. 43 of the 47 r10-evidence entries.
-# 1 + 1 + 1 + 4 + 43 = exactly 50. The 4 deferred r10 entries each
-# have an in-window sibling exercising the same kernel this round:
-#   q_rollup_grouping (q_cube_grouping + q_grouping_sets in-window:
-#     same multi-grouping-set/GROUPING() aggregate kernel; the rollup
-#     feed itself also has fresh r13 evidence via hier_agg_rollup),
-#   q_zorder_delete_upsert (q_zorder_upsert in-window, same MERGE
-#     kernel; the delete leg was just driven r13 via q_zorder_delete
-#     and q_zorder_delete_keys),
-#   mm_frame_sample (mm_decode_metadata + mm_payload_stats_arrow
-#     in-window, same fake-codec metadata/Arrow plumbing kernel),
-#   events_session_overlap (events_value_bands in-window, same
-#     ranges.py bucketize-then-equi-join rewrite kernel).
-# stream_table_read (r13 evidence) is NOT re-driven despite the
-# stream_read.py change: stream_change_feed in-window drains through
-# the same _commit_rows/run-batch kernel plus its own CDC layer.
-# Round-15 stale cohort = the 4 deferred r10 entries + the 49
-# r11-evidence entries; re-verify against CORRECTNESS_r14 at round-15
+# round. Round-15 rotation, closing the round-14 verdict's item 2.
+# Per-entry newest driver evidence across CORRECTNESS_r01..r14:
+# r10×4, r11×49, r12×49, r13×49, r14×50 — every entry green, none
+# never-checked. Policy order (new / changed-code first, then oldest
+# evidence):
+#   1. q_forget_keys — NEW this round (one-call GDPR orchestrator,
+#      verdict item 3); first driver row ever.
+#   2. text_bpe_encode_batch — NEW this round (HF-parity
+#      merge-all-occurrences BPE, verdict item 5); first driver row.
+#   3. the 4 entries deferred from r14 (newest evidence = r10):
+#      q_rollup_grouping, q_zorder_delete_upsert, mm_frame_sample,
+#      events_session_overlap — all judge-local-PASS in the r14
+#      session.
+#   4. 44 of the 49 r11-evidence entries.
+# 2 + 4 + 44 = exactly 50. The 5 deferred r11 entries each have an
+# in-window sibling exercising the same kernel this round:
+#   dedup_minhash_estimate (dedup_minhash_lsh + dedup_jaccard_pairs
+#     in-window: same shingle→minhash→band kernel; the estimator is a
+#     closed-form map over the identical signatures),
+#   dedup_cluster_sizes (dedup_cc_clusters in-window: sizes is a
+#     groupBy over the same connected-components output),
+#   text_line_stats (text_dedup_doc_lines + dedup_global_lines
+#     in-window: same line-explode census kernel),
+#   q_window_row_number (q_window_analytics in-window: same window-
+#     function kernel; row_number itself also ran r13 inside
+#     hier_reporting_dim's DFS ordering),
+#   pipeline_snapshot_diff (pipeline_dataset_hash +
+#     pipeline_bucket_fingerprints in-window: same Merkle-fingerprint
+#     kernel; diff semantics also covered in-window by q_zorder_diff).
+# Changed-code note: this round gates the mutation-path broadcasts
+# (layout.py / change_feed.py / dedup.py) behind broadcast_if_small —
+# a plan-level hint change with oracle-identical results; the window
+# already re-drives the touched kernels via q_zorder_bloom_eq/diff/
+# restore/schema_evolution, dedup_incremental_indexed, stream_corpus_
+# hash and stream_dau (all r11-evidence, in-window below).
+# Round-16 stale cohort = the 5 deferred r11 entries + the 49
+# r12-evidence entries; re-verify against CORRECTNESS_r15 at round-16
 # start.
 _DRIVER_WINDOW_FIRST = [
-    # never driver-checked / new / changed-code — first driver rows:
-    "q_zorder_purge", "text_bpe_encode", "stream_change_feed",
-    # newest driver evidence = round 9 (deferred from r13):
-    "hier_closure_recursive", "events_sliding", "stream_sliding",
-    "text_rolling_hash",
-    # newest driver evidence = round 10 (43 of 47; 4 deferred above):
-    "asof_nearest_events", "dedup_containment_pairs",
-    "dedup_duplicate_spans", "dedup_edit_distance",
-    "dedup_exact_survivors", "dedup_incremental", "dedup_prefix_pairs",
-    "events_funnel", "events_hourly_anomalies",
-    "events_retention_cohorts", "events_value_bands",
-    "hier_agg_by_month", "hier_subtree_agg", "mm_decode_metadata",
-    "mm_payload_stats_arrow", "pipeline_bloom_decontaminate",
-    "pipeline_chunk_overlap", "pipeline_clean_corpus",
-    "pipeline_corpus_report", "pipeline_group_sample",
-    "pipeline_leakage_free_split", "pipeline_mixture_weights",
-    "pipeline_pack_sequences", "pipeline_rebalance",
-    "q1_pricing_summary", "q_case_when", "q_count_distinct",
-    "q_cube_grouping", "q_filter_project", "q_grouping_sets",
-    "q_in_subquery", "q_json_functions", "q_multiformat_roundtrip",
-    "q_partitioned_pruning", "q_salted_join", "q_variant_extract",
-    "q_zorder_upsert", "q_zorder_zonemap", "sim_ivf_topk_exact",
-    "sim_semdedup_keepers", "text_bpe_token_count",
-    "text_countmin_heavyhitters", "text_tokenize_udtf",
+    # NEW this round — first driver rows:
+    "q_forget_keys", "text_bpe_encode_batch",
+    # newest driver evidence = round 10 (deferred from r14):
+    "q_rollup_grouping", "q_zorder_delete_upsert", "mm_frame_sample",
+    "events_session_overlap",
+    # newest driver evidence = round 11 (44 of 49; 5 deferred above):
+    "dedup_cc_clusters", "dedup_global_lines",
+    "dedup_incremental_indexed", "dedup_jaccard_pairs",
+    "dedup_minhash_lsh", "dedup_near_duplicates", "dedup_simhash",
+    "events_dau_wau", "events_key_skew_report",
+    "events_transition_matrix", "hier_agg_time", "mm_features",
+    "mm_phash_neardup", "pipeline_bucket_fingerprints",
+    "pipeline_curriculum_order", "pipeline_dataset_hash",
+    "pipeline_end_to_end", "pipeline_epoch_shuffle",
+    "pipeline_leak_report", "pipeline_pack_greedy",
+    "q18_large_volume_customers", "q_having", "q_join_fact_dims",
+    "q_outer_join", "q_scalar_subquery", "q_semi_join",
+    "q_struct_array", "q_window_analytics", "q_zorder_bloom_eq",
+    "q_zorder_diff", "q_zorder_restore", "q_zorder_schema_evolution",
+    "sim_embedding_neardup", "sim_ivf_indexed", "sim_knn_classify",
+    "sim_lsh_topk", "stream_corpus_hash", "stream_dau",
+    "text_dedup_doc_lines", "text_encode_ids", "text_ngram_novelty",
+    "text_token_vocab", "text_topk_ngrams", "text_unigram_quality",
 ]
 
 

@@ -3351,6 +3351,92 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+@register("text_bpe_encode_batch", f"""
+WITH RECURSIVE
+merges(rank, l, r) AS (VALUES {_BPE_MERGES_SQL}),
+w0 AS (SELECT doc_id,
+              regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS ws
+       FROM documents),
+words AS (SELECT doc_id, u.i AS wi, ws[u.i] AS w
+          FROM w0,
+               UNNEST([{{'i': x}} FOR x IN range(1, len(ws) + 1)])
+                   AS t(u)),
+-- symbol lists as sep-framed strings: one sep at each end, TWO at
+-- every interior boundary. The HF merge-all-occurrences pass is then
+-- ONE non-overlapping left-to-right replace: the pattern consumes
+-- one sep from each side's boundary and the replacement restores it,
+-- so consecutive occurrences still match and overlaps are skipped —
+-- exactly the GPT-2 bpe() loop's semantics.
+steps AS (
+    SELECT doc_id, wi,
+           chr(31) || array_to_string(string_split(w, ''),
+                                      chr(31) || chr(31)) || chr(31)
+               AS s,
+           0 AS it
+    FROM words
+  UNION ALL
+    -- one ITERATION per step: lowest-ranked pair PRESENT, all of its
+    -- occurrences merged in this one replace
+    SELECT doc_id, wi,
+           replace(s, chr(31) || ml || chr(31) || chr(31) || mr
+                          || chr(31),
+                      chr(31) || ml || mr || chr(31)) AS s,
+           it + 1
+    FROM (
+      SELECT q.doc_id, q.wi, q.s, q.it,
+             (SELECT m.l FROM merges m
+              WHERE strpos(q.s, chr(31) || m.l || chr(31) || chr(31)
+                                || m.r || chr(31)) > 0
+              ORDER BY m.rank LIMIT 1) AS ml,
+             (SELECT m.r FROM merges m
+              WHERE strpos(q.s, chr(31) || m.l || chr(31) || chr(31)
+                                || m.r || chr(31)) > 0
+              ORDER BY m.rank LIMIT 1) AS mr
+      FROM steps q) z
+    WHERE ml IS NOT NULL),
+final AS (
+  SELECT doc_id, wi, s
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, wi
+                                     ORDER BY it DESC) AS rn
+        FROM steps)
+  WHERE rn = 1),
+toks AS (
+  SELECT doc_id, wi,
+         string_split(s[2:-2], chr(31) || chr(31)) AS syms
+  FROM final),
+doc_tokens AS (
+  SELECT doc_id, flatten(list(syms ORDER BY wi)) AS tokens
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       md5(array_to_string(COALESCE(t.tokens, []), chr(31)))
+           AS tokens_md5,
+       CAST(COALESCE(len(t.tokens), 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN doc_tokens t USING (doc_id)
+ORDER BY d.doc_id
+""")
+def text_bpe_encode_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HF/GPT-2-PARITY BPE encoding (``text.bpe_encode(...,
+    batch_merges=True)``, round 15 — r14 verdict item 5): per
+    iteration the lowest-ranked pair PRESENT merges at ALL its
+    occurrences in one left-to-right overlap-skipping pass, the
+    reference ``tokenizers`` application, so token counts can budget
+    against a real GPT-2/LLaMA-family tokenizer. Same zero-shuffle
+    Arrow map pass and merge table as text_bpe_encode; the oracle
+    replays the batching spec with a sep-framed string replace per
+    rank (see the CTE comments). The two specs' divergence case is
+    pytest-pinned in test_extensions."""
+    docs = load_table(spark, "documents", sf_dir)
+    merges = spark.createDataFrame(_BPE_MERGES,
+                                   "rank long, left string, right string")
+    out = T.bpe_encode(docs, merges, batch_merges=True)
+    return (out.select(
+        "doc_id",
+        F.md5(F.concat_ws("\x1f", F.col("tokens"))).alias("tokens_md5"),
+        "n_tokens")
+        .orderBy("doc_id"))
+
+
 @register("text_encode_ids", f"""
 WITH toks AS (SELECT UNNEST({_TOKS}) AS token FROM documents),
 counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
@@ -5062,3 +5148,66 @@ def q_zorder_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("user_id").cast("long").alias("user_id"),
                        "value")
             .orderBy("event_id"))
+
+
+@register("q_forget_keys", """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE doc_id % 7 <> 3
+ORDER BY doc_id
+""")
+def q_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-CALL right-to-be-forgotten across the table AND every
+    derived index family (``index_purge.forget_keys``, round 15): the
+    build lays down a Z-ordered documents table plus all four stored
+    indexes built from it (dedup MinHash, BM25 postings, IVF cells,
+    PQ codes), then erases every seventh doc id with a single verb.
+    The orchestrator enforces the only always-safe order — indexes
+    first (resolving the doomed TEXT from the still-intact table for
+    the dedup hash rows), table last — and each constituent purge
+    raw-verifies clean or raises, so the build completing at all
+    proves zero residual rows across all five artifacts. The read is
+    the surviving table vs the oracle's plain anti-filter. Built once
+    per (application, sf)."""
+    import os
+    import tempfile
+
+    from aggregation_duckdb_spark.operators import index_purge as IP
+    from aggregation_duckdb_spark.sources import layout as L
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", "n_chars")
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-forget",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    tbl = os.path.join(base, "table")
+    dd, tx, iv, pq = (os.path.join(base, n)
+                      for n in ("dedup", "text", "ivf", "pq"))
+    if not L.table_exists(spark, tbl):
+        L.write_zordered(docs, tbl, "doc_id", "n_chars",
+                         bits=8, bucket_bits=4)
+        D.write_dedup_index(docs, dd)
+        T.write_text_index(docs, tx, num_buckets=16)
+        long_c = S.label_centroids_exact(emb)
+        cents = (long_c.groupBy("centroid_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("pos", "mean_value"))),
+                     lambda x: x["mean_value"]).alias("centroid")))
+        S.write_ivf_index(emb, cents, iv)
+        books = S.pq_fit_joint(emb, num_subspaces=8, k=16,
+                               max_iters=2)
+        S.write_pq_index(emb, books, pq)
+        # keys only — the orchestrator resolves the doomed text from
+        # the not-yet-purged table (the ordering it exists to enforce)
+        doomed = docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+        rep = IP.forget_keys(doomed, table_path=tbl, dedup_index=dd,
+                             text_index=tx, ivf_index=iv, pq_index=pq,
+                             vec_key_col="vec_id")
+        if rep["residual_matches"] != 0 or \
+                rep["order"][-1] != "table":   # raise-with-context,
+            raise RuntimeError(                # not a bare assert
+                f"q_forget_keys build: unexpected report {rep}")
+    out = L.read_zordered(spark, tbl)
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")

@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from aggregation_duckdb_spark.operators.text import tokens
-from aggregation_duckdb_spark.runtime import ensure_parallelism, materialize
+from aggregation_duckdb_spark.runtime import (
+    broadcast_if_counted, ensure_parallelism, materialize)
 
 
 def shingles(text: Column, width: int = 3) -> Column:
@@ -448,7 +449,9 @@ def incremental_dedup(new: DataFrame, existing: DataFrame,
     shingles) — which at 100 TB are precomputed once at ingest and
     stored; the per-batch cost is then proportional to the BATCH, and
     every join against the corpus side is a hash equi-join where the
-    small (new-batch) side broadcasts. New-vs-new duplicates are NOT
+    (usually small) new-batch side broadcasts — gated on an exact
+    batch count, so an unbounded batch demotes to a shuffled join
+    instead of an OOM. New-vs-new duplicates are NOT
     flagged here — run :func:`exact_dedup`/:func:`near_duplicates`
     within the batch for that.
     """
@@ -489,15 +492,25 @@ def _incremental_against(new: DataFrame, ex_hashes: DataFrame,
     t_new = F.lower(F.col(text_col)) if normalize else F.col(text_col)
     new_hashed = new.select(F.col(id_col).alias("doc"),
                             F.md5(t_new).alias("__h"))
-    # corpus side streams; the batch side broadcasts
-    exact = (ex_hashes.join(F.broadcast(new_hashed), "__h")
+    # corpus side streams; the batch side broadcasts — gated on an
+    # exact batch row count (one cheap count() job; Catalyst's
+    # estimate for a projection of an arbitrary user frame is
+    # untrustworthy): an unbounded admission batch stays unhinted and
+    # AQE picks the join strategy instead of forcing an OOM broadcast
+    n_batch = new_hashed.count()
+    exact = (ex_hashes.join(broadcast_if_counted(new_hashed,
+                                                 known_rows=n_batch),
+                            "__h")
              .select("doc").distinct()
              .withColumn("__exact", F.lit(True)))
 
     new_sh = doc_shingles(new, text_col, id_col, shingle_width,
                           checkpoint=True)
+    # band rows = batch docs x num_bands, so the same count gates them
     new_b = band_buckets(new_sh, num_hashes, num_bands)
-    cands = (ex_b.join(F.broadcast(new_b), "bucket")
+    cands = (ex_b.join(broadcast_if_counted(
+                           new_b, known_rows=n_batch * num_bands),
+                       "bucket")
              .select(ex_b["doc"].alias("old_doc"),
                      new_b["doc"].alias("doc"))
              .distinct())

@@ -12,7 +12,6 @@ hash-match the DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
-import pandas as pd  # the one sanctioned Arrow path here: bpe_encode
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -700,6 +699,64 @@ def _bm25_text_fold(docs: DataFrame, terms: list[str], dfs: dict,
             .limit(top_k))
 
 
+#: Doc-membership Bloom sidecar sizing (per term bucket): 2048 words
+#: x 32 bits holds ~6.5k distinct docs/bucket at ~1% fpp with k=3;
+#: at larger corpora the fpp degrades the SKIP RATE only, never
+#: correctness (false positives read a bucket that held nothing).
+_DOC_BLOOM_WORDS = 2048
+_DOC_BLOOM_K = 3
+
+
+def text_index_doc_buckets(keys: DataFrame, path: str,
+                           key_col: str = "doc") -> list[int] | None:
+    """The term buckets that MAY hold posting rows for any of
+    ``keys``, judged by the index's doc-membership Bloom sidecar —
+    the doc-scoped-read primitive (round 15): a doc's purge or
+    audit otherwise scans EVERY bucket, because term buckets are
+    keyed by term hash, not doc. Returns None when the index predates
+    the sidecar (callers then scan everything — degrade, don't
+    break). Conservative by Bloom's contract: a returned bucket may
+    hold nothing (false positive), a bucket NOT returned provably
+    holds no posting row for any key. The probe is one join of the
+    keys' k bit positions against the (bucket, word, bits) table —
+    never a postings read."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.operators.pipeline import (
+        BLOOM_BITS_PER_WORD, _bloom_pos)
+
+    spark = keys.sparkSession
+    st = fsio.read_json(spark, fsio._join(path, "stats.json"))
+    db = st.get("doc_bloom")
+    if not db or not fsio.exists(spark, fsio._join(path, "doc_bloom")):
+        return None
+    kk = int(db["k"])
+    num_bits = int(db["num_words"]) * BLOOM_BITS_PER_WORD
+    bloom = spark.read.parquet(fsio._join(path, "doc_bloom"))
+    probes = (keys.select(F.col(key_col).cast("string").alias("__k"))
+              .distinct()
+              .select("__k", F.explode(F.array(*[
+                  _bloom_pos(F.col("__k"), i, num_bits)
+                  for i in range(kk)])).alias("pos"))
+              .withColumn("word", F.expr(
+                  f"pos div {BLOOM_BITS_PER_WORD}")))
+    # a key is (maybe) in a bucket iff EVERY one of its probed
+    # positions is set there; two hash functions can collide on a
+    # position, so compare against the key's own distinct-position
+    # count, not k
+    per_key = probes.groupBy("__k").agg(
+        F.countDistinct("pos").alias("__np"))
+    hits = (probes.join(bloom, "word")
+            .where(F.expr(
+                f"(bits & shiftleft(cast(1 as bigint), "
+                f"cast(pos % {BLOOM_BITS_PER_WORD} as int))) != 0"))
+            .groupBy("tbucket", "__k")
+            .agg(F.countDistinct("pos").alias("__nhit"))
+            .join(per_key, "__k")
+            .where(F.col("__nhit") >= F.col("__np"))
+            .select("tbucket").distinct())
+    return sorted(int(r["tbucket"]) for r in hits.collect())
+
+
 def write_text_index(docs: DataFrame, path: str, num_buckets: int = 64,
                      text_col: str = "text", id_col: str = "doc_id",
                      max_df_frac: float = 0.25) -> None:
@@ -718,6 +775,9 @@ def write_text_index(docs: DataFrame, path: str, num_buckets: int = 64,
     small, and reading it is slower than the full-scan fold it was
     meant to replace (measured: SCALE_PROBE_r06 stop-word workload)."""
     from aggregation_duckdb_spark import fsio
+    # lazy: pipeline imports this module at load time (no cycle here)
+    from aggregation_duckdb_spark.operators.pipeline import (
+        BLOOM_BITS_PER_WORD, _bloom_mask, _bloom_pos)
     spark = docs.sparkSession
     toks = tokens(F.col(text_col))
     # dl rides IN the posting row (denormalized at build time, the way
@@ -738,6 +798,26 @@ def write_text_index(docs: DataFrame, path: str, num_buckets: int = 64,
     posts_back = spark.read.parquet(fsio._join(path, "postings"))
     (sized.select("doc", "dl")
      .write.mode("overwrite").parquet(fsio._join(path, "doclens")))
+    # per-term-bucket DOC-membership Bloom sidecar (round 15): a doc's
+    # terms hash into many buckets, so doc-keyed operations (purge,
+    # doc-scoped reads) otherwise have to scan EVERY bucket's postings
+    # to find the affected ones. One (bucket, word, bits) table —
+    # num_buckets x _DOC_BLOOM_WORDS x 4 bytes total — lets them skip
+    # buckets provably free of the victims (Bloom contract: false
+    # positives only, never false negatives).
+    num_bits = _DOC_BLOOM_WORDS * BLOOM_BITS_PER_WORD
+    (posts_back.select("tbucket",
+                       F.col("doc").cast("string").alias("__k"))
+     .distinct()
+     .select("tbucket", F.explode(F.array(*[
+         _bloom_pos(F.col("__k"), i, num_bits)
+         for i in range(_DOC_BLOOM_K)])).alias("pos"))
+     .select("tbucket",
+             F.expr(f"pos div {BLOOM_BITS_PER_WORD}").alias("word"),
+             _bloom_mask().alias("__mask"))
+     .groupBy("tbucket", "word")
+     .agg(F.bit_or("__mask").alias("bits"))
+     .write.mode("overwrite").parquet(fsio._join(path, "doc_bloom")))
     stats = docs.agg(F.count(F.lit(1)).alias("n"),
                      F.sum(F.size(toks)).alias("tt")).collect()[0]
     n_docs = int(stats["n"])
@@ -750,6 +830,8 @@ def write_text_index(docs: DataFrame, path: str, num_buckets: int = 64,
                     {"n_docs": n_docs, "tok_total": int(stats["tt"]),
                      "num_buckets": num_buckets,
                      "max_df_frac": max_df_frac,
+                     "doc_bloom": {"num_words": _DOC_BLOOM_WORDS,
+                                   "k": _DOC_BLOOM_K},
                      "stop_dfs": {r["term"]: int(r["df"])
                                   for r in stop_rows}})
 
@@ -886,15 +968,32 @@ def bpe_fit_merges(docs: DataFrame, num_merges: int = 200,
     if fit_sample_cap is not None:
         base = md5_sample(base, fit_sample_cap, id_col)
     # bounded collect: at most max_vocab_words (word, count) rows —
-    # Zipf means the dropped tail carries negligible pair mass
-    wc = (base.select(F.explode(
+    # Zipf means the dropped tail carries negligible pair mass. The
+    # truncation must not be SILENT, though: a heavy-tailed corpus
+    # (near-unique words) would mistrain quietly, so the dropped
+    # word-mass fraction is measured and warned about when material.
+    wc_df = (base.select(F.explode(
             F.regexp_extract_all(F.col(text_col),
                                  F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
           .alias("w"))
-          .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-          .orderBy(F.desc("c"), F.asc("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    totals = wc_df.agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("mass")).collect()[0]
+    wc = (wc_df.orderBy(F.desc("c"), F.asc("w"))
           .limit(max_vocab_words)
           .collect())
+    if int(totals["nw"]) > len(wc):
+        import warnings
+        kept = sum(int(r["c"]) for r in wc)
+        dropped_frac = 1.0 - kept / max(1, int(totals["mass"]))
+        if dropped_frac > 0.05:     # Zipf-normal truncation is fine;
+            warnings.warn(          # a heavy tail is not
+                f"bpe_fit_merges: word-frequency table truncated to "
+                f"{len(wc)} of {int(totals['nw'])} distinct words — "
+                f"{dropped_frac:.1%} of the sampled token mass "
+                f"dropped; raise max_vocab_words if this corpus's "
+                f"tail matters", stacklevel=2)
     words: dict[tuple[str, ...], int] = {}
     for r in wc:
         k = tuple(r["w"])
@@ -932,22 +1031,35 @@ def bpe_fit_merges(docs: DataFrame, num_merges: int = 200,
 
 
 def bpe_encode(docs: DataFrame, merges: DataFrame,
-               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+               text_col: str = "text", id_col: str = "doc_id",
+               batch_merges: bool = False) -> DataFrame:
     """Apply a BPE merge table: pre-tokenize JVM-side
     (:data:`BPE_TOKEN_PATTERN` via ``regexp_extract_all`` — Java and
     RE2 agree on this alternation, so the oracle pre-tokenizes
     identically), then fold merges over each word's codepoints.
 
-    Merge application spec (deterministic, shared by the engine, the
-    DuckDB recursive-CTE oracle, and the pure-Python pytest
-    reference): repeatedly pick the adjacent pair with the LOWEST
-    merge rank — leftmost occurrence on rank ties — merge that ONE
-    occurrence, repeat until no adjacent pair is in the table. This
-    one-occurrence-at-a-time greedy is the textbook BPE application;
-    it differs from HF's merge-all-occurrences batching only in the
-    rare case where the merged symbol immediately forms a
+    Default merge application spec (deterministic, shared by the
+    engine, the DuckDB recursive-CTE oracle, and the pure-Python
+    pytest reference): repeatedly pick the adjacent pair with the
+    LOWEST merge rank — leftmost occurrence on rank ties — merge that
+    ONE occurrence, repeat until no adjacent pair is in the table.
+    This one-occurrence-at-a-time greedy is the textbook BPE
+    application; it differs from HF's merge-all-occurrences batching
+    only in the rare case where the merged symbol immediately forms a
     lower-ranked pair than the remaining occurrences of the current
     bigram — a spec choice, pinned by tests either way.
+
+    ``batch_merges=True`` selects the HF/GPT-2-parity spec instead
+    (round 15): per iteration, pick the lowest-ranked pair PRESENT,
+    then merge ALL its occurrences in one left-to-right overlap-
+    skipping pass before re-evaluating — exactly the reference
+    ``tokenizers``/GPT-2 ``bpe()`` loop. Use this mode when token
+    counts must budget against a real GPT-2/LLaMA-family tokenizer
+    (e.g. feeding ``pipeline.pack_sequences``, whose budgets assume
+    whatever spec produced ``n_tokens``); the two specs are pinned
+    against each other on a crafted divergence case in
+    test_extensions. (Both modes are codepoint-level — byte-level
+    pre-mapping is out of scope and documented as such.)
 
     Scale shape: the merge table is MODEL-sized (bounded like the IVF
     codebooks) — collected once, closed over by an Arrow-batched
@@ -957,8 +1069,12 @@ def bpe_encode(docs: DataFrame, merges: DataFrame,
     vocabulary encodes once per executor, not once per occurrence.
 
     Returns (id, tokens array<string>, n_tokens long)."""
-    import pandas as pd  # noqa: F401 — resolved again at module level
-                         # for the UDF's postponed annotations
+    # pandas is NOT a module-level dependency (every other text
+    # operator is JVM-only); the UDF's postponed `pd.Series`
+    # annotations resolve through MODULE globals, so the lazy import
+    # is published there on first use
+    import pandas as pd
+    globals().setdefault("pd", pd)
 
     ranks: dict[tuple[str, str], int] = {
         (r["left"], r["right"]): int(r["rank"])
@@ -981,8 +1097,25 @@ def bpe_encode(docs: DataFrame, merges: DataFrame,
                             best_rank, best_i = rk, i
                     if best_rank is None:
                         break
-                    syms[best_i:best_i + 2] = [
-                        syms[best_i] + syms[best_i + 1]]
+                    if batch_merges:
+                        # HF/GPT-2 spec: ALL occurrences of the
+                        # chosen pair, left-to-right, skip overlaps
+                        left = syms[best_i]
+                        right = syms[best_i + 1]
+                        out: list[str] = []
+                        i = 0
+                        while i < len(syms):
+                            if (i < len(syms) - 1 and syms[i] == left
+                                    and syms[i + 1] == right):
+                                out.append(left + right)
+                                i += 2
+                            else:
+                                out.append(syms[i])
+                                i += 1
+                        syms = out
+                    else:
+                        syms[best_i:best_i + 2] = [
+                            syms[best_i] + syms[best_i + 1]]
                 t = memo[w] = syms
             return t
 

@@ -128,7 +128,78 @@ def _parse_bytes(s: str) -> int:
     return int(t)
 
 
-def broadcast_if_small(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
+def _gate_bytes(spark) -> int:
+    """The deliberate-hint gate in bytes: BROADCAST_HINT_MULTIPLE x
+    the session's autoBroadcastJoinThreshold; 0 when auto-broadcast is
+    disabled (no hints then — the user turned broadcasting off)."""
+    try:
+        thr = _parse_bytes(spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        thr = 64 << 20
+    return BROADCAST_HINT_MULTIPLE * thr if thr > 0 else 0
+
+
+#: Conservative in-memory expansion of snappy-parquet bytes for
+#: narrow key columns (dictionary + RLE encoding routinely packs keys
+#: 4-10x tighter than the unpacked broadcast hash relation).
+PARQUET_BROADCAST_EXPANSION = 8
+
+#: Per-type in-memory width estimates (bytes) for
+#: :func:`estimated_row_bytes` — Catalyst's own defaultSize values,
+#: with strings/binary at a key-column-realistic 32.
+_VAR_WIDTH_DEFAULT = 32
+
+
+def estimated_row_bytes(schema) -> int:
+    """Schema-based per-row byte estimate for frames whose Catalyst
+    size estimate is untrustworthy (derived projections inherit the
+    parent SCAN's stats — the ``_auto_bucket_bits`` lesson). Fixed
+    types use their storage width; variable-width types (string,
+    binary, arrays, structs) use a flat default that is realistic for
+    the key/hash columns these estimates gate."""
+    total = 0
+    for f in schema.fields:
+        w = getattr(f.dataType, "defaultSize", None)
+        try:
+            w = int(w) if not callable(w) else int(w())
+        except Exception:
+            w = None
+        tn = f.dataType.typeName()
+        if w is None or tn in ("string", "binary", "array", "map",
+                               "struct"):
+            w = _VAR_WIDTH_DEFAULT
+        total += w
+    return max(8, total)
+
+
+def broadcast_if_counted(df: DataFrame, known_rows: int | None = None,
+                         max_bytes: int | None = None) -> DataFrame:
+    """Row-count-gated broadcast hint for frames whose Catalyst size
+    estimate LIES — derived key-set projections of user batches
+    inherit the parent scan's byte stats, so :func:`broadcast_if_small`
+    would drop the hint on a 100-row key set projected off a wide
+    frame. Gate on an exact row count instead: ``known_rows`` when the
+    caller already counted (mutation verbs usually did, for their
+    metrics), else one ``count()`` job — a per-partition partial count
+    plus a 1-row exchange, the cheapest exact probe Spark has — times
+    the schema-estimated row width (:func:`estimated_row_bytes`).
+
+    ``known_rows=None`` with no session gate (auto-broadcast disabled)
+    returns unhinted WITHOUT running the count."""
+    from pyspark.sql import functions as F
+
+    gate = max_bytes if max_bytes is not None \
+        else _gate_bytes(df.sparkSession)
+    if gate <= 0:
+        return df
+    n = df.count() if known_rows is None else int(known_rows)
+    return F.broadcast(df) if n * estimated_row_bytes(df.schema) <= gate \
+        else df
+
+
+def broadcast_if_small(df: DataFrame, max_bytes: int | None = None,
+                       known_bytes: int | None = None) -> DataFrame:
     """Size-gated broadcast hint: ``F.broadcast`` is a HARD hint that
     overrides ``spark.sql.autoBroadcastJoinThreshold`` with no upper
     bound — correct and fast when the side really is dimension-shaped,
@@ -143,18 +214,20 @@ def broadcast_if_small(df: DataFrame, max_bytes: int | None = None) -> DataFrame
 
     An unknown or sentinel estimate also returns unhinted: forcing a
     broadcast on a side we cannot size is exactly the failure mode
-    this gate exists to prevent."""
+    this gate exists to prevent.
+
+    ``known_bytes`` bypasses the Catalyst estimate with a
+    caller-known in-memory size — e.g. tombstone key sets, whose
+    on-disk parquet bytes are free filesystem metadata (scale by
+    :data:`PARQUET_BROADCAST_EXPANSION` before passing)."""
     from pyspark.sql import functions as F
 
     if max_bytes is None:
-        try:
-            thr = _parse_bytes(df.sparkSession.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold"))
-        except Exception:
-            thr = 64 << 20
-        if thr <= 0:            # auto-broadcast disabled: no hints
+        max_bytes = _gate_bytes(df.sparkSession)
+        if max_bytes <= 0:      # auto-broadcast disabled: no hints
             return df
-        max_bytes = BROADCAST_HINT_MULTIPLE * thr
+    if known_bytes is not None:
+        return F.broadcast(df) if known_bytes <= max_bytes else df
     try:
         est = int(str(df._jdf.queryExecution().optimizedPlan()
                       .stats().sizeInBytes()))

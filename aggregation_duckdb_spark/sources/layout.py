@@ -124,6 +124,9 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from aggregation_duckdb_spark import fsio
+from aggregation_duckdb_spark.runtime import (
+    PARQUET_BROADCAST_EXPANSION, broadcast_if_counted,
+    broadcast_if_small)
 
 MANIFEST_DIR = "_manifest"
 DATA_DIR = "data"
@@ -449,6 +452,24 @@ _SUPPORTED_READER_FEATURES = frozenset(
     {"column_mapping", "generated_columns"})
 
 
+def _parse_manifest(text: str, path: str, version: int) -> dict:
+    """Parse a manifest JSON and enforce the reader-feature protocol
+    — EVERY path that turns manifest text into a dict must come
+    through here (the lazy reader below AND the streaming drain's
+    bulk prefetch), or a table requiring an unsupported feature would
+    silently misread instead of raising."""
+    m = json.loads(text)
+    unknown = set(m.get("reader_features", [])) \
+        - _SUPPORTED_READER_FEATURES
+    if unknown:
+        raise ValueError(
+            f"snapshot v{version} of {path} requires reader "
+            f"feature(s) {sorted(unknown)} this library version does "
+            f"not support — reading it anyway would silently "
+            f"misinterpret the table; upgrade the reader")
+    return m
+
+
 def _read_manifest_version(spark: SparkSession, path: str,
                            version: int) -> dict | None:
     mdir = _manifest_path(path)
@@ -462,16 +483,7 @@ def _read_manifest_version(spark: SparkSession, path: str,
         if len(_MANIFEST_TEXT_CACHE) >= _MANIFEST_CACHE_MAX:
             _MANIFEST_TEXT_CACHE.clear()
         _MANIFEST_TEXT_CACHE[key] = text
-    m = json.loads(text)
-    unknown = set(m.get("reader_features", [])) \
-        - _SUPPORTED_READER_FEATURES
-    if unknown:
-        raise ValueError(
-            f"snapshot v{version} of {path} requires reader "
-            f"feature(s) {sorted(unknown)} this library version does "
-            f"not support — reading it anyway would silently "
-            f"misinterpret the table; upgrade the reader")
-    return m
+    return _parse_manifest(text, path, version)
 
 
 class CommitConflict(RuntimeError):
@@ -1494,8 +1506,9 @@ def delete_zordered_keys(keys_df: DataFrame, path: str,
     delete time. A bare key says nothing about where its rows live
     (keys are not layout dimensions), so an eager delete would have to
     scan-and-rewrite immediately, per batch; tombstones instead let
-    every read anti-join the outstanding keys (broadcast — tombstone
-    sets are small between compactions, the same contract as deltas)
+    every read anti-join the outstanding keys (broadcast-hinted only
+    while the key batches' file bytes say they fit — see
+    :func:`_tombstone_keys`; a bulk wave stays unhinted)
     and let :func:`compact_zordered` amortize the physical removal:
     it finds the victim buckets with ONE column-pruned semi-join scan
     of the key columns and rewrites only those. Semantics: a
@@ -1574,7 +1587,9 @@ def purge_zordered_keys(keys_df: DataFrame, path: str,
     raw = (spark.read.option("mergeSchema", "true")
            .parquet(fsio._join(path, DATA_DIR))
            .select(*phys).toDF(*key_cols))
-    residual = raw.join(F.broadcast(keys), key_cols, "semi").count()
+    residual = raw.join(
+        broadcast_if_counted(keys, known_rows=n_keys),
+        key_cols, "semi").count()
     leftovers = [
         fsio._join(d, n)
         for d in (DELTA_DIR, TOMBSTONE_DIR, CHANGES_DIR)
@@ -1595,26 +1610,47 @@ def purge_zordered_keys(keys_df: DataFrame, path: str,
 
 def _tombstone_keys(spark: SparkSession, path: str,
                     manifest: dict) -> DataFrame | None:
-    """The outstanding tombstoned keys of a snapshot (None if none)."""
+    """The outstanding tombstoned keys of a snapshot (None if none),
+    returned ALREADY broadcast-hinted when they are provably small:
+    the gate is the key batches' on-disk parquet bytes (free
+    filesystem metadata — no probe job) times the conservative
+    in-memory expansion factor. Tombstone sets are usually tiny
+    between compactions, but a bulk GDPR wave (10^8 keys) can land
+    gigabytes of key batches — forcing THOSE through the block manager
+    on every read/merge/compact is the OOM this gate prevents; over
+    the gate the set stays unhinted and AQE picks the join strategy
+    from runtime statistics."""
     names = manifest.get("tombstones", [])
     if not names:
         return None
     t = None
+    raw_bytes = 0
     for name in names:
-        td = spark.read.parquet(fsio._join(path, TOMBSTONE_DIR, name))
+        d = fsio._join(path, TOMBSTONE_DIR, name)
+        td = spark.read.parquet(d)
         t = td if t is None else t.unionByName(td)
-    return t.distinct()
+        try:
+            raw_bytes += fsio.size_of(spark, d)
+        except Exception:
+            raw_bytes = None        # unsizable: never force the hint
+        if raw_bytes is None:
+            break
+    t = t.distinct()
+    if raw_bytes is None:
+        return broadcast_if_small(t)
+    return broadcast_if_small(
+        t, known_bytes=raw_bytes * PARQUET_BROADCAST_EXPANSION)
 
 
 def _apply_tombstones(spark: SparkSession, path: str, manifest: dict,
                       df: DataFrame) -> DataFrame:
-    """Hide tombstoned keys from a read — broadcast anti-join; a
-    no-op (the unchanged plan) when no tombstones are outstanding."""
+    """Hide tombstoned keys from a read — size-gated broadcast
+    anti-join (the hint rides on :func:`_tombstone_keys`); a no-op
+    (the unchanged plan) when no tombstones are outstanding."""
     keys = _tombstone_keys(spark, path, manifest)
     if keys is None:
         return df
-    return df.join(F.broadcast(keys), manifest["tombstone_key"],
-                   "left_anti")
+    return df.join(keys, manifest["tombstone_key"], "left_anti")
 
 
 def compact_zordered(spark: SparkSession, path: str,
@@ -1663,7 +1699,8 @@ def compact_zordered(spark: SparkSession, path: str,
             delta.unionByName(f, allowMissingColumns=True)
     if delta is not None and tomb_keys is not None:
         # delta rows for a tombstoned key fold away with the rest
-        delta = delta.join(F.broadcast(tomb_keys),
+        # (tomb_keys carries its own size-gated broadcast hint)
+        delta = delta.join(tomb_keys,
                            manifest["tombstone_key"], "left_anti")
 
     gen = _new_gen()
@@ -1735,14 +1772,14 @@ def compact_zordered(spark: SparkSession, path: str,
             kc = manifest["tombstone_key"]
             victims = (_read_live(spark, path, manifest)
                        .select("zbucket", *kc)
-                       .join(F.broadcast(tomb_keys), kc, "semi")
+                       .join(tomb_keys, kc, "semi")
                        .select("zbucket").distinct())
             dirtied |= {r[0] for r in victims.collect()}
         dirtied = sorted(dirtied)
         old = read_zordered_box_dirs(spark, path, manifest, dirtied) \
             .drop("zbucket")
         if tomb_keys is not None:
-            old = old.join(F.broadcast(tomb_keys),
+            old = old.join(tomb_keys,
                            manifest["tombstone_key"], "left_anti")
         merged = old.unionByName(delta, allowMissingColumns=True) \
             if delta is not None else old
@@ -1864,21 +1901,27 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
             f"{list(key_cols)} — run compact_zordered(path) first")
     spec = manifest["spec"]
     _validate_check(df, spec, "upsert_zordered")
-    new_keys = df.select(*key_cols).distinct()
+    # the upsert batch's key set scales with USER input — gate its
+    # broadcast on an exact row count (Catalyst's estimate for a
+    # projection of an arbitrary user frame inherits the parent's
+    # byte stats and over-gates); one count() job, reused across all
+    # three joins below
+    new_keys = broadcast_if_counted(
+        df.select(*key_cols).distinct())
     dirtied = _touched_buckets(df, spec)
     old = read_zordered_box_dirs(spark, path, manifest, dirtied) \
         .drop("zbucket")
-    keep = old.join(F.broadcast(new_keys), key_cols, "left_anti")
+    keep = old.join(new_keys, key_cols, "left_anti")
     remaining_name = None
     if old_tombs:
         tomb = _tombstone_keys(spark, path, manifest)
         # fold the victims physically while the buckets are being
         # rewritten anyway (non-dirtied buckets keep theirs hidden by
-        # the remaining tombstone set until the next compaction)
-        keep = keep.join(F.broadcast(tomb), key_cols, "left_anti")
-        remaining = tomb.join(F.broadcast(new_keys), key_cols,
-                              "left_anti")
-        if remaining.count() > 0:   # tombstone sets are broadcast-small
+        # the remaining tombstone set until the next compaction);
+        # tomb carries its own file-size-gated hint
+        keep = keep.join(tomb, key_cols, "left_anti")
+        remaining = tomb.join(new_keys, key_cols, "left_anti")
+        if remaining.count() > 0:
             remaining_name = f"t-{uuid.uuid4().hex}"
             remaining.write.mode("errorifexists").parquet(
                 fsio._join(path, TOMBSTONE_DIR, remaining_name))
@@ -1890,8 +1933,7 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
         # its re-insert is an insert) — one bounded pass over the
         # dirtied buckets, stored before the commit that references it
         visible_old = old if not old_tombs else old.join(
-            F.broadcast(_tombstone_keys(spark, path, manifest)),
-            key_cols, "left_anti")
+            tomb, key_cols, "left_anti")
         change_name = _write_change_file(
             _classify_diff(visible_old, merged, key_cols), path)
     gen = _new_gen()
@@ -2063,11 +2105,20 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
                 f"merge_zordered: UPDATE SET on key/layout-dimension "
                 f"column(s) {sorted(frozen)} — a moved row belongs in "
                 f"another bucket; express it as delete + insert")
-    if source.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n")) \
-            .where(F.col("__n") > 1).limit(1).count():
+    # one pass over the source serves BOTH the duplicate-key check and
+    # the exact row count that gates every source-derived broadcast
+    # below (a CDC-sized MERGE source at 100 TB table scale must NOT
+    # be forced through the block manager; Catalyst's estimate for a
+    # user frame is untrustworthy, so gate on the count)
+    src_agg = (source.groupBy(*key_cols)
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .agg(F.sum("__n").alias("__rows"),
+                    F.max("__n").alias("__mx")).collect()[0])
+    if (src_agg["__mx"] or 0) > 1:
         raise ValueError(
             "merge_zordered: multiple source rows share a merge key — "
             "each target row may match at most one source row")
+    n_src = int(src_agg["__rows"] or 0)
 
     # fold any outstanding delta batches in this commit: their rows
     # are live (the matched-row search must see them) and the dirtied
@@ -2080,8 +2131,9 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
     tomb = _tombstone_keys(spark, path, manifest)
     if delta is not None and tomb is not None:
         # delta rows for a tombstoned key were never visible — they
-        # fold away exactly as compact_zordered folds them
-        delta = delta.join(F.broadcast(tomb), key_cols, "left_anti")
+        # fold away exactly as compact_zordered folds them (tomb
+        # carries its own file-size-gated broadcast hint)
+        delta = delta.join(tomb, key_cols, "left_anti")
     dirtied = set(_touched_buckets(source, spec))
     if delta is not None:
         dirtied |= set(_touched_buckets(delta, spec))
@@ -2095,14 +2147,14 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
         # on the same predicates the clause logic applies below.
         live_t = _read_live(spark, path, manifest)
         if tomb is not None:
-            live_t = live_t.join(F.broadcast(tomb), key_cols,
-                                 "left_anti")
+            live_t = live_t.join(tomb, key_cols, "left_anti")
         live_t = live_t.alias("t")
         anti_on = _ft.reduce(
             _op.and_, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
                        for k in key_cols])
         miss = live_t.join(
-            F.broadcast(source.select(*key_cols).alias("s")),
+            broadcast_if_counted(source.select(*key_cols).alias("s"),
+                                 known_rows=n_src),
             anti_on, "left_anti")
         unconditional = (when_not_matched_by_source_delete is True) or \
             (bool(when_not_matched_by_source_update) and
@@ -2127,14 +2179,19 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
     if tomb is not None:
         # the match sees only VISIBLE rows; the rewrite physically
         # removes the dirtied buckets' tombstone victims for free
-        old = old.join(F.broadcast(tomb), key_cols, "left_anti")
+        old = old.join(tomb, key_cols, "left_anti")
     if delta is not None:
         old = old.unionByName(delta, allowMissingColumns=True)
     cols = old.columns
     # __src marks matches null-safely (a null source KEY value could
-    # not otherwise be told apart from "no match")
+    # not otherwise be told apart from "no match"). The FULL-WIDTH
+    # source is the worst frame to hard-broadcast — count-gated: over
+    # the gate it stays unhinted and the match runs as a shuffled join
+    # on the dirtied buckets, which is the right plan at that size.
     t = old.alias("t")
-    s = F.broadcast(source.withColumn("__src", F.lit(1)).alias("s"))
+    s = broadcast_if_counted(
+        source.withColumn("__src", F.lit(1)).alias("s"),
+        known_rows=n_src)
     on = _ft.reduce(_op.and_, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
                                for k in key_cols])
     joined = t.join(s, on, "left")
@@ -2194,8 +2251,12 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
         anti_on = _ft.reduce(
             _op.and_, [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
                        for k in key_cols])
+        # old's key projection is TABLE-side (dirtied buckets): its
+        # stats descend from parquet file bytes, so the plan-estimate
+        # gate is trustworthy here — small dirtied sets keep the hint,
+        # a 100 TB-scale dirtied set demotes to a shuffled join
         ins = source.alias("s").join(
-            F.broadcast(old.select(*key_cols).alias("t")),
+            broadcast_if_small(old.select(*key_cols).alias("t")),
             anti_on, "left_anti")
         if insert_condition:
             ins = ins.alias("s").where(
@@ -2213,8 +2274,10 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
     remaining_name = None
     if old_tombs:
         remaining = tomb if ins is None else tomb.join(
-            F.broadcast(ins.select(*key_cols)), key_cols, "left_anti")
-        if remaining.count() > 0:  # tombstone sets are broadcast-small
+            broadcast_if_counted(ins.select(*key_cols),
+                                 known_rows=n_src),
+            key_cols, "left_anti")
+        if remaining.count() > 0:
             remaining_name = f"t-{uuid.uuid4().hex}"
             remaining.write.mode("errorifexists").parquet(
                 fsio._join(path, TOMBSTONE_DIR, remaining_name))

@@ -115,21 +115,37 @@ def _commit_changes(spark: SparkSession, table_path: str, version: int,
                  if t not in m_prev.get("tombstones", [])]
         if new_t:
             keys = None
+            raw_bytes = 0
             for t in new_t:
-                kk = spark.read.parquet(fsio._join(table_path,
-                                                   L.TOMBSTONE_DIR, t))
+                d = fsio._join(table_path, L.TOMBSTONE_DIR, t)
+                kk = spark.read.parquet(d)
                 keys = kk if keys is None else keys.unionByName(kk)
+                try:
+                    raw_bytes += fsio.size_of(spark, d)
+                except Exception:
+                    raw_bytes = None
+                if raw_bytes is None:
+                    break
             kc = m_v.get("tombstone_key", key_cols)
             # tombstone batches and their key names are physical;
             # the preimage read below is logical — align the keys
             keys = L._rename_logical(m_v, keys)
             ren, _, _ = L._col_mapping(m_v)
             kc = [ren.get(c, c) for c in kc]
+            # broadcast of the commit's key batch gated on its file
+            # bytes (free metadata) — a bulk GDPR delete commit stays
+            # unhinted and AQE picks the join strategy
+            from aggregation_duckdb_spark import runtime as _rt
+            kd = keys.distinct()
+            kd = (_rt.broadcast_if_small(
+                      kd, known_bytes=raw_bytes
+                      * _rt.PARQUET_BROADCAST_EXPANSION)
+                  if raw_bytes is not None
+                  else _rt.broadcast_if_small(kd))
             victims = (L.read_zordered(spark, table_path,
                                        version=version - 1)
                        .drop("zbucket")
-                       .join(F.broadcast(keys.distinct()), list(kc),
-                             "left_semi"))
+                       .join(kd, list(kc), "left_semi"))
             return victims.withColumn("_change_type", F.lit("delete"))
     return L.diff_zordered(spark, table_path, version - 1, version,
                            key_cols=key_cols)
@@ -263,11 +279,16 @@ def _prefetch_manifests(spark: SparkSession, table_path: str,
     distributed pass (``wholeTextFiles`` over the manifest directory)
     instead of one driver-side Hadoop round-trip per commit — the
     residual per-commit drain cost SCALE_PROBE_r13 §8 profiled at
-    ~0.07s/commit was exactly these reads. Versions in the requested
-    range with no surviving file map to None (pruned), matching what
-    a direct read would return; any failure falls back to empty (the
-    per-version cache then reads lazily, correctness unchanged)."""
-    import json
+    ~0.07s/commit was exactly these reads. The manifest dir is LISTED
+    first and only the versions in the batch's [lo, hi] range are
+    read — drain cost tracks batch size, never table age. Versions in
+    the requested range with no surviving file map to None (pruned),
+    matching what a direct read would return; a read failure falls
+    back to empty (the per-version cache then reads lazily,
+    correctness unchanged) — but manifests that DID read are parsed
+    through layout's validating parser, so a table requiring an
+    unsupported reader feature raises here exactly as the lazy path
+    would."""
     import re as _re
 
     from aggregation_duckdb_spark import fsio
@@ -278,8 +299,12 @@ def _prefetch_manifests(spark: SparkSession, table_path: str,
     lo, hi = versions[0] - 1, versions[-1]   # runs peek at v-1
     try:
         mdir = L._manifest_path(table_path)
+        want = {f"v{v:08d}.json" for v in range(max(lo, 1), hi + 1)}
+        have = sorted(set(fsio.list_names(spark, mdir)) & want)
+        if not have:
+            return {}
         pairs = spark.sparkContext.wholeTextFiles(
-            fsio._join(mdir, "v*.json")).collect()
+            ",".join(fsio._join(mdir, n) for n in have)).collect()
     except Exception:
         return {}
     out: dict[int, dict | None] = {v: None for v in range(max(lo, 1),
@@ -290,7 +315,9 @@ def _prefetch_manifests(spark: SparkSession, table_path: str,
             continue
         v = int(m.group(1))
         if max(lo, 1) <= v <= hi:
-            out[v] = json.loads(content)
+            # outside the try: an unsupported-reader-feature error
+            # must PROPAGATE, not degrade into the lazy fallback
+            out[v] = L._parse_manifest(content, table_path, v)
     return out
 
 

@@ -858,6 +858,76 @@ def test_broadcast_if_small_gates_on_estimated_size(spark, sf_dir,
         at_least=2)
 
 
+def _has_broadcast_hint(df) -> bool:
+    """Whether the frame carries an (analyzed) broadcast hint — the
+    decisive gate check: the optimizer transfers ResolvedHint onto a
+    join, so a BARE frame is inspected in its analyzed plan."""
+    return "ResolvedHint" in \
+        df._jdf.queryExecution().analyzed().toString()
+
+
+def test_mutation_path_broadcasts_are_gated(spark, tmp_path,
+                                            monkeypatch):
+    """Round 15 (r14 verdict item 1): every lakehouse-mutation side
+    that scales with USER input rides a size gate, never a bare
+    F.broadcast. (a) broadcast_if_counted hints under the gate and
+    returns the frame UNHINTED over it; (b) tombstone key sets are
+    gated on their batches' parquet file bytes — an over-gate set
+    (forced via the expansion factor) reaches the read anti-join
+    unhinted; (c) a MERGE whose every gate is forced over (auto
+    threshold floored) still produces identical results — demotion
+    changes the plan, never the semantics."""
+    from aggregation_duckdb_spark import runtime as RT
+    from aggregation_duckdb_spark.sources import layout as L
+
+    # (a) the count gate
+    side = spark.range(0, 100).selectExpr("id as k", "id * 2 as v")
+    assert _has_broadcast_hint(
+        RT.broadcast_if_counted(side, known_rows=100))
+    assert RT.broadcast_if_counted(side, known_rows=1 << 60) is side
+    assert _has_broadcast_hint(RT.broadcast_if_counted(side))  # own count
+
+    # (b) tombstone file-byte gate, both sides of it
+    tblp = str(tmp_path / "gated")
+    df = spark.range(0, 400).selectExpr(
+        "id as k", "id % 13 as a", "(id * 7) % 11 as b",
+        "id * 1.0 as v")
+    L.write_zordered(df, tblp, "a", "b", bits=6, bucket_bits=3)
+    L.delete_zordered_keys(spark.range(0, 50).selectExpr("id as k"),
+                           tblp, ["k"])
+    m = L.read_manifest(spark, tblp)
+    assert _has_broadcast_hint(L._tombstone_keys(spark, tblp, m))
+    monkeypatch.setattr(L, "PARQUET_BROADCAST_EXPANSION", 1 << 62)
+    demoted = L._tombstone_keys(spark, tblp, m)
+    assert not _has_broadcast_hint(demoted)
+    # the read path consumes the demoted set and stays correct
+    assert L.read_zordered(spark, tblp).count() == 350
+    monkeypatch.undo()
+
+    # (c) MERGE under forced demotion (gate = 10 bytes): identical
+    # results to the same merge under normal gates
+    def run_merge(path):
+        L.write_zordered(df, path, "a", "b", bits=6, bucket_bits=3)
+        src = spark.range(30, 60).selectExpr(
+            "id as k", "id % 13 as a", "(id * 7) % 11 as b",
+            "id * 10.0 as v")
+        L.merge_zordered(
+            src, path, ["k"], when_matched_update={"v": "s.v"},
+            when_not_matched_insert=True)
+        return sorted(
+            (r["k"], r["v"])
+            for r in L.read_zordered(spark, path).collect())
+
+    normal = run_merge(str(tmp_path / "m_norm"))
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+    try:
+        demoted_rows = run_merge(str(tmp_path / "m_demoted"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert demoted_rows == normal and len(normal) == 400
+
+
 def test_bpe_encode_zero_shuffle_arrow_pass(spark, sf_dir):
     """bpe_encode is one Arrow-batched map pass over the corpus scan:
     the merge table is collected (model-sized) and closed over — the
