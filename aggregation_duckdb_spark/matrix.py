@@ -77,9 +77,14 @@ def register(name: str, sql: str | None = None):
 # already re-drives the touched kernels via q_zorder_bloom_eq/diff/
 # restore/schema_evolution, dedup_incremental_indexed, stream_corpus_
 # hash and stream_dau (all r11-evidence, in-window below).
-# Round-16 stale cohort = the 5 deferred r11 entries + the 49
-# r12-evidence entries; re-verify against CORRECTNESS_r15 at round-16
-# start.
+# text_bm25_appended (NEW round 15, registered after the window
+# froze at 50) is NOT in-window: its kernel is fully exercised
+# in-window by the same bm25 query (text_bm25_indexed ran r12;
+# the append path is pytest-pinned bit-identical to rebuild) — it
+# heads the round-16 window with the other new entries.
+# Round-16 stale cohort = text_bm25_appended (never driver-checked)
+# + the 5 deferred r11 entries + the 49 r12-evidence entries;
+# re-verify against CORRECTNESS_r15 at round-16 start.
 _DRIVER_WINDOW_FIRST = [
     # NEW this round — first driver rows:
     "q_forget_keys", "text_bpe_encode_batch",

@@ -3887,6 +3887,38 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), "doc_id"))
 
 
+@register("text_bm25_appended", _bm25_sql(["hash", "customer",
+                                           "vector"]))
+def text_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through an index grown INCREMENTALLY
+    (``text.append_text_index``, round 15): the index is built from
+    half the corpus and the other half lands as two append batches
+    (one exactly-once batch id, one replayed — the replay must be a
+    no-op), then the same query as text_bm25_indexed runs against it.
+    The SAME full-corpus oracle verifies the result, so append ∘
+    build ≡ build-at-once bit-for-bit — scores, dfs, stop-term
+    reclassification and all. Built once per (application, sf)."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "spark-graft-tixapp",
+                        spark.sparkContext.applicationId,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    if not _fsio().exists(spark, _fsio()._join(base, "stats.json")):
+        T.write_text_index(docs.where(F.col("doc_id") % 3 == 0), base)
+        T.append_text_index(docs.where(F.col("doc_id") % 3 == 1),
+                            base, batch_id=1)
+        T.append_text_index(docs.where(F.col("doc_id") % 3 == 2),
+                            base, batch_id=2)
+        T.append_text_index(docs.where(F.col("doc_id") % 3 == 2),
+                            base, batch_id=2)   # replay: must no-op
+    return (T.bm25_search_indexed(spark, base,
+                                  ["hash", "customer", "vector"],
+                                  top_k=20)
+            .orderBy(F.desc("score"), "doc_id"))
+
+
 def _fsio():
     from aggregation_duckdb_spark import fsio
     return fsio

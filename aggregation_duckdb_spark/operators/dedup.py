@@ -709,10 +709,46 @@ def write_dedup_index(existing: DataFrame, path: str,
         (frame.withColumn("__ingest_batch", F.lit(-1))
          .write.mode("overwrite").partitionBy("__ingest_batch")
          .parquet(fsio._join(path, name)))
+    _write_dedup_blooms(path, h, sh, -1, "overwrite")
     fsio.write_json(existing.sparkSession, fsio._join(path, "params.json"),
                     {"num_hashes": num_hashes, "num_bands": num_bands,
                      "shingle_width": shingle_width,
-                     "normalize": normalize})
+                     "normalize": normalize,
+                     "blooms": {"num_words": DEDUP_BLOOM_WORDS,
+                                "k": DEDUP_BLOOM_K}})
+
+
+#: Per-ingest-batch membership Bloom sizing (round 15): purges probe
+#: these instead of scanning every batch partition — a sparse GDPR
+#: purge on a thousand-batch index reads only the victims' batches.
+#: An over-full batch Bloom saturates toward all-bits-set, which
+#: degrades the SKIP RATE only (false positives), never correctness.
+DEDUP_BLOOM_WORDS = 4096
+DEDUP_BLOOM_K = 3
+
+
+def _write_dedup_blooms(path: str, h: DataFrame, sh: DataFrame,
+                        part: int, mode: str) -> None:
+    """The two per-batch membership Blooms a purge probes: doc ids
+    (prunes shingles/buckets batches) and content hashes (prunes
+    hashes batches — hashes are anonymous, so doc membership alone
+    cannot prune them: a byte-identical document appended in ANOTHER
+    batch shares the hash, and the hash Bloom sees it there). Written
+    under the SAME partition scheme and write mode as the data
+    tables, so a replayed exactly-once batch overwrites its own Bloom
+    partition with its tables."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.operators.pipeline import \
+        bloom_part_rows
+    for pairs, key, name in (
+            (sh.select(F.lit(part).alias("__ingest_batch"), "doc"),
+             "doc", "doc_bloom"),
+            (h.select(F.lit(part).alias("__ingest_batch"), "__h"),
+             "__h", "hash_bloom")):
+        (bloom_part_rows(pairs, key, "__ingest_batch",
+                         DEDUP_BLOOM_WORDS, DEDUP_BLOOM_K)
+         .write.mode(mode).partitionBy("__ingest_batch")
+         .parquet(fsio._join(path, name)))
 
 
 def append_dedup_index(admitted: DataFrame, path: str,
@@ -755,6 +791,10 @@ def append_dedup_index(admitted: DataFrame, path: str,
             (frame.withColumn("__ingest_batch", F.lit(part))
              .write.mode(mode).partitionBy("__ingest_batch")
              .parquet(fsio._join(path, name)))
+        # only when the BUILD declared blooms (every batch must have
+        # rows, or a probe would falsely clear uncovered batches)
+        if "blooms" in p:
+            _write_dedup_blooms(path, h, sh, part, mode)
     if batch_id is not None:
         fsio.commit_ingest_watermark(spark, path, batch_id)
 

@@ -46,7 +46,8 @@ def _purge_parquet_table(spark: SparkSession, table_dir: str,
                          id_col: str, keys: DataFrame,
                          part_cols: list[str],
                          n_keys: int | None = None,
-                         candidate_parts: list[tuple] | None = None)\
+                         candidate_parts: list[tuple] | None = None,
+                         candidate_cols: list[str] | None = None)\
         -> dict:
     """Anti-join rewrite of one parquet table: affected partitions are
     found with a column-pruned semi-join (bounded collect — partition
@@ -73,26 +74,30 @@ def _purge_parquet_table(spark: SparkSession, table_dir: str,
 
     ``candidate_parts`` (when a sidecar can prove it — the BM25
     doc-membership Bloom) bounds the AFFECTED-PARTITION SCAN to the
-    listed partition tuples instead of the whole table: the semi-join
-    that finds victims reads only candidate directories (plan-literal
-    partition pruning), so a sparse purge's cost tracks the victims'
-    buckets, not the index. Must be conservative (superset of the
-    true hit set) — Bloom's no-false-negative contract."""
+    listed tuples over ``candidate_cols`` (default: ``part_cols`` —
+    pass a PREFIX of the partition columns when the sidecar's
+    knowledge is coarser, e.g. term buckets but not ingest batches):
+    the semi-join that finds victims reads only candidate directories
+    (plan-literal partition pruning), so a sparse purge's cost tracks
+    the victims' buckets, not the index. Must be conservative
+    (superset of the true hit set) — Bloom's no-false-negative
+    contract."""
     df = spark.read.parquet(table_dir)
     kb = broadcast_if_counted(keys, known_rows=n_keys)
     scan = df
     if candidate_parts is not None and part_cols:
+        ccols = candidate_cols or part_cols
         if not candidate_parts:
             return {"rewritten_partitions": 0, "deleted_partitions": 0,
                     "scanned_partitions": 0}
-        if len(part_cols) == 1:
-            scan = df.where(F.col(part_cols[0]).isin(
+        if len(ccols) == 1:
+            scan = df.where(F.col(ccols[0]).isin(
                 [c[0] for c in candidate_parts]))
         else:
             conds = None
             for h in candidate_parts:
                 c = F.lit(True)
-                for col, v in zip(part_cols, h):
+                for col, v in zip(ccols, h):
                     c = c & (F.col(col) == F.lit(v))
                 conds = c if conds is None else (conds | c)
             scan = df.where(conds)
@@ -204,7 +209,12 @@ def purge_dedup_index_keys(doomed_docs: DataFrame, path: str,
     content to a purged one, its shared hash row is removed too
     (the table cannot attribute hashes) — future ingests of that
     content will be admitted once more; re-append the survivors or
-    rebuild if exact-dedup admission of such content matters."""
+    rebuild if exact-dedup admission of such content matters.
+
+    The per-batch membership Blooms stay stale-conservative after a
+    purge (victim bits remain set — false positives only, the same
+    rule as the table verb's Bloom sidecars); rebuild the index to
+    restore full skip rates after heavy erasure churn."""
     spark = doomed_docs.sparkSession
     p = fsio.read_json(spark, fsio._join(path, "params.json"))
     t = F.col(text_col)
@@ -214,15 +224,45 @@ def purge_dedup_index_keys(doomed_docs: DataFrame, path: str,
     keys = _keys(doomed_docs, id_col, "doc")
     n = keys.count()
     report: dict = {"purged_keys": n, "residual_matches": 0}
+    # per-batch membership Blooms (round 15): a sparse purge scans
+    # only the batches that MAY hold the victims — doc Bloom for the
+    # doc-keyed tables, hash Bloom for the anonymous hash table
+    # (byte-identical content in another batch shares the hash, so
+    # doc membership alone cannot prune it). Legacy indexes without
+    # blooms scan every batch, as before.
+    doc_cand = hash_cand = None
+    bl = p.get("blooms")
+    if bl:
+        from aggregation_duckdb_spark.operators.pipeline import \
+            bloom_member_parts
+        w, k = int(bl["num_words"]), int(bl["k"])
+        doc_cand = [(int(r["__ingest_batch"]),) for r in
+                    bloom_member_parts(
+                        spark.read.parquet(
+                            fsio._join(path, "doc_bloom")),
+                        keys, "doc", "__ingest_batch", w, k
+                    ).collect()]
+        hash_cand = [(int(r["__ingest_batch"]),) for r in
+                     bloom_member_parts(
+                         spark.read.parquet(
+                             fsio._join(path, "hash_bloom")),
+                         hashes, "__h", "__ingest_batch", w, k
+                     ).collect()]
+        report["bloom_candidate_batches"] = {
+            "docs": len(doc_cand), "hashes": len(hash_cand)}
+    else:
+        report["bloom_candidate_batches"] = None
     d = fsio._join(path, "hashes")
     report["hashes"] = _purge_parquet_table(
-        spark, d, "__h", hashes, ["__ingest_batch"], n_keys=n)
+        spark, d, "__h", hashes, ["__ingest_batch"], n_keys=n,
+        candidate_parts=hash_cand)
     _verify_clean(spark, "purge_dedup_index_keys", d, "__h", hashes,
                   n_keys=n)
     for name in ("shingles", "buckets"):
         d = fsio._join(path, name)
         report[name] = _purge_parquet_table(
-            spark, d, "doc", keys, ["__ingest_batch"], n_keys=n)
+            spark, d, "doc", keys, ["__ingest_batch"], n_keys=n,
+            candidate_parts=doc_cand)
         _verify_clean(spark, "purge_dedup_index_keys", d, "doc", keys,
                       n_keys=n)
     return report
@@ -252,40 +292,68 @@ def purge_text_index_keys(keys_df: DataFrame, path: str,
     keys = _keys(keys_df, key_col, "doc")
     n = keys.count()
     report: dict = {"purged_keys": n, "residual_matches": 0}
+    old = fsio.read_json(spark, fsio._join(path, "stats.json"))
     cand = text_index_doc_buckets(keys, path, key_col="doc")
     report["bloom_candidate_buckets"] = \
         None if cand is None else len(cand)
     post_dir = fsio._join(path, "postings")
+    # postings partition by (tbucket, __ingest_batch) since the
+    # appendable layout (round 15); older flat layouts partition by
+    # tbucket alone — detect from the schema and purge either
+    pdf_cols = spark.read.parquet(post_dir).columns
+    post_parts = ["tbucket", "__ingest_batch"] \
+        if "__ingest_batch" in pdf_cols else ["tbucket"]
     report["postings"] = _purge_parquet_table(
-        spark, post_dir, "doc", keys, ["tbucket"], n_keys=n,
+        spark, post_dir, "doc", keys, post_parts, n_keys=n,
         candidate_parts=None if cand is None
-        else [(b,) for b in cand])
+        else [(b,) for b in cand],
+        candidate_cols=["tbucket"])
     _verify_clean(spark, "purge_text_index_keys", post_dir, "doc",
                   keys, n_keys=n)
     dl_dir = fsio._join(path, "doclens")
+    dl_parts = ["__ingest_batch"] \
+        if "__ingest_batch" in spark.read.parquet(dl_dir).columns \
+        else []
     report["doclens"] = _purge_parquet_table(
-        spark, dl_dir, "doc", keys, [], n_keys=n)
+        spark, dl_dir, "doc", keys, dl_parts, n_keys=n)
     _verify_clean(spark, "purge_text_index_keys", dl_dir, "doc", keys,
                   n_keys=n)
     # recompute the aggregate sidecar from what actually remains
-    old = fsio.read_json(spark, fsio._join(path, "stats.json"))
     dl = spark.read.parquet(dl_dir)
     stats = dl.agg(F.count(F.lit(1)).alias("n"),
                    F.coalesce(F.sum("dl"), F.lit(0)).alias("tt")
                    ).collect()[0]
     n_docs = int(stats["n"])
-    stop_rows = (spark.read.parquet(post_dir)
-                 .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-                 .where(F.col("df") > F.lit(old["max_df_frac"] * n_docs))
-                 .collect()) if n_docs else []
+    dfs_tbl = (spark.read.parquet(post_dir)
+               .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+               ) if n_docs else None
     new_stats = {"n_docs": n_docs, "tok_total": int(stats["tt"]),
                  "num_buckets": old["num_buckets"],
-                 "max_df_frac": old["max_df_frac"],
-                 "stop_dfs": {r["term"]: int(r["df"])
-                              for r in stop_rows}}
+                 "max_df_frac": old["max_df_frac"]}
+    if "dfs_gen" in old and dfs_tbl is not None:
+        # the appendable layout's (term, df) table re-derives from the
+        # rewritten postings (a purge is rare; appends stay vocab-
+        # bounded) — new generation, flip, then reclaim the old
+        from aggregation_duckdb_spark.operators.text import _new_gen
+        gen = _new_gen()
+        dfs_tbl.write.mode("errorifexists").parquet(
+            fsio._join(path, "dfs", gen))
+        dfs_tbl = spark.read.parquet(fsio._join(path, "dfs", gen))
+        new_stats["dfs_gen"] = gen
+        if "last_batch" in old:
+            new_stats["last_batch"] = old["last_batch"]
+    stop_rows = (dfs_tbl
+                 .where(F.col("df") > F.lit(old["max_df_frac"]
+                                            * n_docs))
+                 .collect()) if dfs_tbl is not None else []
+    new_stats["stop_dfs"] = {r["term"]: int(r["df"])
+                             for r in stop_rows}
     if "doc_bloom" in old:     # sidecar survives (stale-conservative)
         new_stats["doc_bloom"] = old["doc_bloom"]
     fsio.write_json(spark, fsio._join(path, "stats.json"), new_stats)
+    if "dfs_gen" in old and new_stats.get("dfs_gen") \
+            and new_stats["dfs_gen"] != old["dfs_gen"]:
+        fsio.delete(spark, fsio._join(path, "dfs", old["dfs_gen"]))
     report["stats_recomputed"] = True
     return report
 

@@ -441,6 +441,60 @@ def _bloom_mask() -> Column:
                   f"cast(pos % {BLOOM_BITS_PER_WORD} as int))")
 
 
+def bloom_member_parts(bloom: DataFrame, keys: DataFrame,
+                       key_col: str, part_col: str,
+                       num_words: int, k: int) -> DataFrame:
+    """The partitions that MAY contain any of ``keys``, judged by a
+    per-partition Bloom table ``bloom`` = (part_col, word, bits) —
+    the shared probe behind doc-scoped index reads and purge
+    partition pruning (round 15). A key is (maybe) in a partition iff
+    EVERY one of its probed bit positions is set there; two hash
+    functions can collide on a position, so the hit count compares
+    against the key's own distinct-position count, not ``k``.
+    Conservative by Bloom's contract: returned partitions may hold
+    nothing; partitions NOT returned provably hold no key. One join
+    of the keys' positions against the bloom table — never a data
+    read. Returns a 1-column DataFrame of distinct ``part_col``."""
+    num_bits = num_words * BLOOM_BITS_PER_WORD
+    probes = (keys.select(F.col(key_col).cast("string").alias("__k"))
+              .distinct()
+              .select("__k", F.explode(F.array(*[
+                  _bloom_pos(F.col("__k"), i, num_bits)
+                  for i in range(k)])).alias("pos"))
+              .withColumn("word", F.expr(
+                  f"pos div {BLOOM_BITS_PER_WORD}")))
+    per_key = probes.groupBy("__k").agg(
+        F.countDistinct("pos").alias("__np"))
+    return (probes.join(bloom, "word")
+            .where(F.expr(
+                f"(bits & shiftleft(cast(1 as bigint), "
+                f"cast(pos % {BLOOM_BITS_PER_WORD} as int))) != 0"))
+            .groupBy(part_col, "__k")
+            .agg(F.countDistinct("pos").alias("__nhit"))
+            .join(per_key, "__k")
+            .where(F.col("__nhit") >= F.col("__np"))
+            .select(part_col).distinct())
+
+
+def bloom_part_rows(pairs: DataFrame, key_col: str, part_col: str,
+                    num_words: int, k: int) -> DataFrame:
+    """Build the per-partition Bloom table ``bloom_member_parts``
+    probes: distinct (part, key) pairs → (part_col, word, bits)."""
+    num_bits = num_words * BLOOM_BITS_PER_WORD
+    return (pairs.select(part_col,
+                         F.col(key_col).cast("string").alias("__k"))
+            .distinct()
+            .select(part_col, F.explode(F.array(*[
+                _bloom_pos(F.col("__k"), i, num_bits)
+                for i in range(k)])).alias("pos"))
+            .select(part_col,
+                    F.expr(f"pos div {BLOOM_BITS_PER_WORD}")
+                    .alias("word"),
+                    _bloom_mask().alias("__mask"))
+            .groupBy(part_col, "word")
+            .agg(F.bit_or("__mask").alias("bits")))
+
+
 def bloom_build(keys: DataFrame, key_col: str = "__key",
                 num_words: int = 4096, k: int = 3) -> DataFrame:
     """Aggregate a key set into a Bloom filter as a (word, bits) table

@@ -707,6 +707,50 @@ _DOC_BLOOM_WORDS = 2048
 _DOC_BLOOM_K = 3
 
 
+def _new_gen() -> str:
+    import uuid
+    return f"g{uuid.uuid4().hex[:12]}"
+
+
+def _doc_bloom_rows(posts: DataFrame) -> DataFrame:
+    """(tbucket, word, bits) Bloom rows over the distinct (bucket,
+    doc) pairs of a postings frame — shared by the index build and
+    the append path (which unions its batch's rows with the prior
+    generation and re-ORs)."""
+    from aggregation_duckdb_spark.operators.pipeline import \
+        bloom_part_rows
+    return bloom_part_rows(posts.select("tbucket", "doc"), "doc",
+                           "tbucket", _DOC_BLOOM_WORDS, _DOC_BLOOM_K)
+
+
+def _doc_bloom_dir(path: str, meta: dict) -> str:
+    from aggregation_duckdb_spark import fsio
+    gen = meta.get("gen")
+    return fsio._join(path, "doc_bloom", gen) if gen \
+        else fsio._join(path, "doc_bloom")
+
+
+def _index_frames(docs: DataFrame, num_buckets: int, text_col: str,
+                  id_col: str):
+    """(sized, postings) for a document frame — the index's two
+    stored projections, shared by build and append. dl rides IN the
+    posting row (denormalized, the way real posting lists carry
+    norms): the query path then reads ONLY its terms' directories — a
+    doclens join at query time would scan a corpus-sized table and
+    erase the index's point."""
+    toks = tokens(F.col(text_col))
+    sized = docs.select(F.col(id_col).alias("doc"),
+                        toks.alias("__toks"),
+                        F.size(toks).cast("long").alias("dl"))
+    postings = (sized.select("doc", "dl",
+                             F.explode("__toks").alias("term"))
+                .groupBy("term", "doc", "dl")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn("tbucket",
+                            _term_bucket(F.col("term"), num_buckets)))
+    return sized, postings
+
+
 def text_index_doc_buckets(keys: DataFrame, path: str,
                            key_col: str = "doc") -> list[int] | None:
     """The term buckets that MAY hold posting rows for any of
@@ -721,39 +765,17 @@ def text_index_doc_buckets(keys: DataFrame, path: str,
     keys' k bit positions against the (bucket, word, bits) table —
     never a postings read."""
     from aggregation_duckdb_spark import fsio
-    from aggregation_duckdb_spark.operators.pipeline import (
-        BLOOM_BITS_PER_WORD, _bloom_pos)
+    from aggregation_duckdb_spark.operators.pipeline import \
+        bloom_member_parts
 
     spark = keys.sparkSession
     st = fsio.read_json(spark, fsio._join(path, "stats.json"))
     db = st.get("doc_bloom")
     if not db or not fsio.exists(spark, fsio._join(path, "doc_bloom")):
         return None
-    kk = int(db["k"])
-    num_bits = int(db["num_words"]) * BLOOM_BITS_PER_WORD
-    bloom = spark.read.parquet(fsio._join(path, "doc_bloom"))
-    probes = (keys.select(F.col(key_col).cast("string").alias("__k"))
-              .distinct()
-              .select("__k", F.explode(F.array(*[
-                  _bloom_pos(F.col("__k"), i, num_bits)
-                  for i in range(kk)])).alias("pos"))
-              .withColumn("word", F.expr(
-                  f"pos div {BLOOM_BITS_PER_WORD}")))
-    # a key is (maybe) in a bucket iff EVERY one of its probed
-    # positions is set there; two hash functions can collide on a
-    # position, so compare against the key's own distinct-position
-    # count, not k
-    per_key = probes.groupBy("__k").agg(
-        F.countDistinct("pos").alias("__np"))
-    hits = (probes.join(bloom, "word")
-            .where(F.expr(
-                f"(bits & shiftleft(cast(1 as bigint), "
-                f"cast(pos % {BLOOM_BITS_PER_WORD} as int))) != 0"))
-            .groupBy("tbucket", "__k")
-            .agg(F.countDistinct("pos").alias("__nhit"))
-            .join(per_key, "__k")
-            .where(F.col("__nhit") >= F.col("__np"))
-            .select("tbucket").distinct())
+    bloom = spark.read.parquet(_doc_bloom_dir(path, db))
+    hits = bloom_member_parts(bloom, keys, key_col, "tbucket",
+                              int(db["num_words"]), int(db["k"]))
     return sorted(int(r["tbucket"]) for r in hits.collect())
 
 
@@ -775,55 +797,44 @@ def write_text_index(docs: DataFrame, path: str, num_buckets: int = 64,
     small, and reading it is slower than the full-scan fold it was
     meant to replace (measured: SCALE_PROBE_r06 stop-word workload)."""
     from aggregation_duckdb_spark import fsio
-    # lazy: pipeline imports this module at load time (no cycle here)
-    from aggregation_duckdb_spark.operators.pipeline import (
-        BLOOM_BITS_PER_WORD, _bloom_mask, _bloom_pos)
     spark = docs.sparkSession
     toks = tokens(F.col(text_col))
-    # dl rides IN the posting row (denormalized at build time, the way
-    # real posting lists carry norms): the query path then reads ONLY
-    # its terms' directories — a doclens join at query time would scan
-    # a corpus-sized table and erase the index's point
-    sized = docs.select(F.col(id_col).alias("doc"),
-                        toks.alias("__toks"),
-                        F.size(toks).cast("long").alias("dl"))
-    postings = (sized.select("doc", "dl",
-                             F.explode("__toks").alias("term"))
-                .groupBy("term", "doc", "dl")
-                .agg(F.count(F.lit(1)).alias("tf"))
-                .withColumn("tbucket",
-                            _term_bucket(F.col("term"), num_buckets)))
-    postings.write.mode("overwrite").partitionBy("tbucket").parquet(
-        fsio._join(path, "postings"))
+    sized, postings = _index_frames(docs, num_buckets, text_col,
+                                    id_col)
+    (postings.withColumn("__ingest_batch", F.lit(-1))
+     .write.mode("overwrite").partitionBy("tbucket", "__ingest_batch")
+     .parquet(fsio._join(path, "postings")))
     posts_back = spark.read.parquet(fsio._join(path, "postings"))
     (sized.select("doc", "dl")
-     .write.mode("overwrite").parquet(fsio._join(path, "doclens")))
+     .withColumn("__ingest_batch", F.lit(-1))
+     .write.mode("overwrite").partitionBy("__ingest_batch")
+     .parquet(fsio._join(path, "doclens")))
     # per-term-bucket DOC-membership Bloom sidecar (round 15): a doc's
     # terms hash into many buckets, so doc-keyed operations (purge,
     # doc-scoped reads) otherwise have to scan EVERY bucket's postings
     # to find the affected ones. One (bucket, word, bits) table —
     # num_buckets x _DOC_BLOOM_WORDS x 4 bytes total — lets them skip
     # buckets provably free of the victims (Bloom contract: false
-    # positives only, never false negatives).
-    num_bits = _DOC_BLOOM_WORDS * BLOOM_BITS_PER_WORD
-    (posts_back.select("tbucket",
-                       F.col("doc").cast("string").alias("__k"))
-     .distinct()
-     .select("tbucket", F.explode(F.array(*[
-         _bloom_pos(F.col("__k"), i, num_bits)
-         for i in range(_DOC_BLOOM_K)])).alias("pos"))
-     .select("tbucket",
-             F.expr(f"pos div {BLOOM_BITS_PER_WORD}").alias("word"),
-             _bloom_mask().alias("__mask"))
-     .groupBy("tbucket", "word")
-     .agg(F.bit_or("__mask").alias("bits"))
-     .write.mode("overwrite").parquet(fsio._join(path, "doc_bloom")))
+    # positives only, never false negatives). Generation-named so
+    # appends can replace it atomically via the stats.json flip.
+    bloom_gen = _new_gen()
+    (_doc_bloom_rows(posts_back)
+     .write.mode("errorifexists")
+     .parquet(fsio._join(path, "doc_bloom", bloom_gen)))
     stats = docs.agg(F.count(F.lit(1)).alias("n"),
                      F.sum(F.size(toks)).alias("tt")).collect()[0]
     n_docs = int(stats["n"])
+    # full (term, df) table — vocab-sized (Heaps' law), the state that
+    # lets APPENDS reclassify stop terms without a corpus-sized
+    # postings re-scan (round 15); generation-named like the Bloom
+    dfs_gen = _new_gen()
+    dfs_tbl = (posts_back.groupBy("term")
+               .agg(F.count(F.lit(1)).alias("df")))
+    (dfs_tbl.write.mode("errorifexists")
+     .parquet(fsio._join(path, "dfs", dfs_gen)))
+    dfs_back = spark.read.parquet(fsio._join(path, "dfs", dfs_gen))
     # stop-class dfs: bounded by avgdl/max_df_frac rows (see docstring)
-    stop_rows = (posts_back.groupBy("term")
-                 .agg(F.count(F.lit(1)).alias("df"))
+    stop_rows = (dfs_back
                  .where(F.col("df") > F.lit(max_df_frac * n_docs))
                  .collect())
     fsio.write_json(spark, fsio._join(path, "stats.json"),
@@ -831,9 +842,124 @@ def write_text_index(docs: DataFrame, path: str, num_buckets: int = 64,
                      "num_buckets": num_buckets,
                      "max_df_frac": max_df_frac,
                      "doc_bloom": {"num_words": _DOC_BLOOM_WORDS,
-                                   "k": _DOC_BLOOM_K},
+                                   "k": _DOC_BLOOM_K,
+                                   "gen": bloom_gen},
+                     "dfs_gen": dfs_gen,
+                     "last_batch": -1,
                      "stop_dfs": {r["term"]: int(r["df"])
                                   for r in stop_rows}})
+
+
+def append_text_index(admitted: DataFrame, path: str,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      batch_id: int | None = None) -> None:
+    """Grow the BM25 index with a batch of NEW documents (round 15 —
+    the incremental-ingest parity the dedup index has had since r11):
+    the batch's posting and doclen rows land under their own
+    ``__ingest_batch`` partition (per-batch cost proportional to the
+    BATCH; the stored corpus is never re-read), and the three derived
+    aggregates update incrementally — corpus scalars by addition, the
+    (term, df) table by a VOCAB-sized outer-join merge (this is why
+    the table exists: stop-term reclassification without a
+    corpus-sized postings re-scan), and the doc-membership Bloom by
+    OR-ing the batch's rows into a fresh generation.
+
+    Doc ids must be NEW to the index (the incremental-dedup admission
+    contract) — a re-ingested id would double its posting rows, as in
+    any inverted index fed duplicate documents.
+
+    ``batch_id`` makes the append EXACTLY-ONCE for streaming ingest,
+    by the same two layered mechanisms as ``dedup.append_dedup_index``
+    plus one for the aggregates: ids at or below the recorded
+    watermark skip outright; an uncommitted replay overwrites its own
+    ``__ingest_batch=N`` partitions via dynamic partition overwrite
+    (idempotent); and the aggregate update is guarded by the
+    sidecar's ``last_batch`` (a crash AFTER the stats flip but before
+    the watermark must not double-count on replay — stats.json is the
+    atomic aggregate commit point, written before the watermark).
+    Superseded dfs/doc_bloom generations are deleted after the flip;
+    a crash in between leaves harmless orphan directories. Single
+    writer, monotonic ids, as for every durable artifact. Without a
+    ``batch_id`` (ad-hoc growth) rows land under ``-1`` in plain
+    append mode — rerunning duplicates, as any blind append does."""
+    from aggregation_duckdb_spark import fsio
+
+    spark = admitted.sparkSession
+    if batch_id is not None and \
+            batch_id <= fsio.read_ingest_watermark(spark, path):
+        return  # replayed micro-batch: already ingested, skip
+    st = fsio.read_json(spark, fsio._join(path, "stats.json"))
+    if "dfs_gen" not in st:
+        raise ValueError(
+            f"append_text_index on {path}: index predates the "
+            f"appendable layout (no dfs table) — rebuild it with "
+            f"write_text_index first")
+    sized, postings = _index_frames(admitted, st["num_buckets"],
+                                    text_col, id_col)
+    part = -1 if batch_id is None else int(batch_id)
+    mode = "append" if batch_id is None else "overwrite"
+    with fsio.dynamic_partition_overwrite(spark):
+        (postings.withColumn("__ingest_batch", F.lit(part))
+         .write.mode(mode).partitionBy("tbucket", "__ingest_batch")
+         .parquet(fsio._join(path, "postings")))
+        (sized.select("doc", "dl")
+         .withColumn("__ingest_batch", F.lit(part))
+         .write.mode(mode).partitionBy("__ingest_batch")
+         .parquet(fsio._join(path, "doclens")))
+    if batch_id is None or st.get("last_batch", -1) < batch_id:
+        toks = tokens(F.col(text_col))
+        agg = admitted.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.size(toks)), F.lit(0)).alias("tt")
+            ).collect()[0]
+        n_docs = int(st["n_docs"]) + int(agg["n"])
+        tok_total = int(st["tok_total"]) + int(agg["tt"])
+        old_dfs = spark.read.parquet(
+            fsio._join(path, "dfs", st["dfs_gen"]))
+        batch_dfs = (postings.groupBy("term")
+                     .agg(F.count(F.lit(1)).alias("df")))
+        merged = (old_dfs.withColumnRenamed("df", "__a")
+                  .join(batch_dfs.withColumnRenamed("df", "__b"),
+                        "term", "full_outer")
+                  .select("term",
+                          (F.coalesce(F.col("__a"), F.lit(0))
+                           + F.coalesce(F.col("__b"), F.lit(0)))
+                          .alias("df")))
+        dfs_gen = _new_gen()
+        (merged.write.mode("errorifexists")
+         .parquet(fsio._join(path, "dfs", dfs_gen)))
+        dfs_back = spark.read.parquet(fsio._join(path, "dfs", dfs_gen))
+        stop_rows = (dfs_back.where(
+            F.col("df") > F.lit(st["max_df_frac"] * n_docs))
+            .collect())
+        bloom_gen = _new_gen()
+        old_bloom_meta = st.get("doc_bloom", {})
+        batch_posts = (spark.read.parquet(fsio._join(path, "postings"))
+                       .where(F.col("__ingest_batch") == part))
+        bloom_rows = _doc_bloom_rows(batch_posts)
+        if old_bloom_meta:
+            prior = spark.read.parquet(
+                _doc_bloom_dir(path, old_bloom_meta))
+            bloom_rows = (prior.unionByName(bloom_rows)
+                          .groupBy("tbucket", "word")
+                          .agg(F.bit_or("bits").alias("bits")))
+        (bloom_rows.write.mode("errorifexists")
+         .parquet(fsio._join(path, "doc_bloom", bloom_gen)))
+        new_st = dict(st)
+        new_st.update({
+            "n_docs": n_docs, "tok_total": tok_total,
+            "dfs_gen": dfs_gen,
+            "doc_bloom": {"num_words": _DOC_BLOOM_WORDS,
+                          "k": _DOC_BLOOM_K, "gen": bloom_gen},
+            "last_batch": part,
+            "stop_dfs": {r["term"]: int(r["df"]) for r in stop_rows}})
+        fsio.write_json(spark, fsio._join(path, "stats.json"), new_st)
+        # reclaim superseded generations AFTER the atomic flip
+        fsio.delete(spark, fsio._join(path, "dfs", st["dfs_gen"]))
+        if old_bloom_meta.get("gen"):
+            fsio.delete(spark, _doc_bloom_dir(path, old_bloom_meta))
+    if batch_id is not None:
+        fsio.commit_ingest_watermark(spark, path, batch_id)
 
 
 def _term_bucket(term, num_buckets: int):

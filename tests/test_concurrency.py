@@ -89,6 +89,21 @@ def test_two_process_append_upsert_race(spark, tmp_path):
                 assert "append" in str(e) or "upsert" in str(e) \
                     or "collision" in str(e)
                 continue
+            except ValueError as e:
+                # the worker's blind append landed a delta batch under
+                # us: upsert refuses by contract — the DOCUMENTED
+                # recovery is compact-then-retry, which is exactly the
+                # sequence a production writer races through here (the
+                # compact itself rebases onto further worker appends
+                # or conflicts and retries)
+                assert "outstanding delta" in str(e)
+                for _ in range(10):
+                    try:
+                        L.compact_zordered(spark, path, vacuum=False)
+                        break
+                    except L.CommitConflict:
+                        continue
+                continue
 
     out, _ = proc.communicate(timeout=300)
     assert proc.returncode == 0, out

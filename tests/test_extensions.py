@@ -1515,6 +1515,91 @@ def test_purge_index_keys_erases_every_stored_index(spark, sf_dir,
     assert raw.count() == (emb.count() - 5) * 2
 
 
+def test_append_text_index_matches_rebuild_and_replays_exactly_once(
+        spark, sf_dir, tmp_path):
+    """Incremental BM25 ingest (round 15): append ∘ build must equal
+    build-at-once BIT-FOR-BIT (scores, dfs, stop reclassification),
+    a replayed batch id must be a no-op (watermark guard), and a
+    crash between the aggregate flip and the watermark commit must
+    not double-count on replay (the last_batch guard). Post-purge the
+    regenerated dfs table keeps accepting appends."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.operators import index_purge as IP
+    from aggregation_duckdb_spark.operators import text as T
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text")
+    terms = ["table", "join", "hash"]
+    tx1 = str(tmp_path / "rebuilt")
+    tx2 = str(tmp_path / "appended")
+    T.write_text_index(docs, tx1, num_buckets=16)
+    T.write_text_index(docs.where(F.col("doc_id") % 2 == 0), tx2,
+                       num_buckets=16)
+    T.append_text_index(docs.where(F.col("doc_id") % 2 == 1), tx2,
+                        batch_id=7)
+
+    def hits(path):
+        return [(r["doc_id"], r["score"], r["n_tokens"]) for r in
+                T.bm25_search_indexed(spark, path, terms, top_k=15)
+                .collect()]
+
+    assert hits(tx2) == hits(tx1)
+    s1 = fsio.read_json(spark, f"{tx1}/stats.json")
+    s2 = fsio.read_json(spark, f"{tx2}/stats.json")
+    for k in ("n_docs", "tok_total", "stop_dfs", "num_buckets"):
+        assert s1[k] == s2[k], k
+    # and the (term, df) tables agree row-for-row
+    d1 = {r["term"]: r["df"] for r in spark.read.parquet(
+        f"{tx1}/dfs/{s1['dfs_gen']}").collect()}
+    d2 = {r["term"]: r["df"] for r in spark.read.parquet(
+        f"{tx2}/dfs/{s2['dfs_gen']}").collect()}
+    assert d1 == d2
+
+    # replayed batch id: full no-op (watermark short-circuit)
+    n_posts = spark.read.parquet(f"{tx2}/postings").count()
+    T.append_text_index(docs.where(F.col("doc_id") % 2 == 1), tx2,
+                        batch_id=7)
+    assert spark.read.parquet(f"{tx2}/postings").count() == n_posts
+    assert fsio.read_json(spark, f"{tx2}/stats.json") == s2
+
+    # crash between stats flip and watermark commit: wind the
+    # watermark back and replay — partitions overwrite idempotently,
+    # the last_batch guard must skip the aggregate update
+    fsio.commit_ingest_watermark(spark, tx2, 6)
+    T.append_text_index(docs.where(F.col("doc_id") % 2 == 1), tx2,
+                        batch_id=7)
+    assert spark.read.parquet(f"{tx2}/postings").count() == n_posts
+    assert fsio.read_json(spark, f"{tx2}/stats.json") == s2
+    assert fsio.read_ingest_watermark(spark, tx2) == 7
+    assert hits(tx2) == hits(tx1)
+
+    # bloom pruning keeps working for APPENDED docs
+    odd = [r["doc_id"] for r in docs.where(F.col("doc_id") % 2 == 1)
+           .select("doc_id").orderBy("doc_id").limit(1).collect()]
+    cand = T.text_index_doc_buckets(
+        spark.createDataFrame([(i,) for i in odd], "doc_id long"),
+        tx2, key_col="doc_id")
+    true_b = {int(r["tbucket"]) for r in
+              spark.read.parquet(f"{tx2}/postings")
+              .where(F.col("doc").isin(odd))
+              .select("tbucket").distinct().collect()}
+    assert cand is not None and true_b <= set(cand)
+
+    # purge an appended doc, then keep appending: the regenerated dfs
+    # table and preserved layout must accept batch 8
+    rep = IP.purge_text_index_keys(
+        spark.createDataFrame([(i,) for i in odd], "doc_id long"),
+        tx2)
+    assert rep["residual_matches"] == 0
+    extra = spark.createDataFrame(
+        [(10_000_001, "wholly new appended document text")],
+        "doc_id long, text string")
+    T.append_text_index(extra, tx2, batch_id=8)
+    got = {r["doc"] for r in spark.read.parquet(f"{tx2}/doclens")
+           .select("doc").collect()}
+    assert 10_000_001 in got and odd[0] not in got
+
+
 def test_text_index_doc_bloom_prunes_purge_buckets(spark, tmp_path):
     """BM25 doc-membership Bloom sidecar (round 15, r14 verdict item
     7): the true set of term buckets holding a victim's postings is a
@@ -1578,6 +1663,83 @@ def test_text_index_doc_bloom_prunes_purge_buckets(spark, tmp_path):
     assert rep3["bloom_candidate_buckets"] is None
     assert spark.read.parquet(f"{tx2}/postings") \
         .where(F.col("doc") == 0).count() == 0
+
+
+def test_dedup_index_blooms_prune_purge_batches(spark, sf_dir,
+                                                tmp_path):
+    """Per-batch membership Blooms on the dedup index (round 15): a
+    sparse purge scans only the batches that MAY hold the victims
+    instead of every ``__ingest_batch`` partition, and the HASH Bloom
+    — not the doc Bloom — prunes the anonymous hash table, because
+    byte-identical content appended in ANOTHER batch shares the hash
+    and must be erased from there too."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.operators import index_purge as IP
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text")
+    path = str(tmp_path / "didx")
+    D.write_dedup_index(docs.where(F.col("doc_id") % 5 == 0), path)
+    for i in range(1, 5):
+        D.append_dedup_index(docs.where(F.col("doc_id") % 5 == i),
+                             path, batch_id=i)
+    vids = [r["doc_id"] for r in
+            docs.where(F.col("doc_id") % 5 == 2)
+            .select("doc_id").orderBy("doc_id").limit(2).collect()]
+    doomed = docs.where(F.col("doc_id").isin(vids))
+    rep = IP.purge_dedup_index_keys(doomed, path)
+    cb = rep["bloom_candidate_batches"]
+    assert cb is not None
+    assert cb["docs"] < 5                       # batches were skipped
+    assert rep["shingles"]["scanned_partitions"] == cb["docs"]
+    assert rep["hashes"]["scanned_partitions"] == cb["hashes"]
+    for name, col, vals in (("shingles", "doc", vids),
+                            ("buckets", "doc", vids)):
+        raw = spark.read.parquet(f"{path}/{name}")
+        assert raw.where(F.col(col).isin(vals)).count() == 0
+        assert raw.count() > 0                  # survivors untouched
+
+    # byte-identical content across batches: purging doc A must erase
+    # the shared hash from doc B's batch as well — only the hash
+    # Bloom can see that batch
+    syn0 = spark.createDataFrame(
+        [(1, "identical payload words here"), (2, "unrelated alpha")],
+        "doc_id long, text string")
+    syn1 = spark.createDataFrame(
+        [(3, "identical payload words here"), (4, "unrelated beta")],
+        "doc_id long, text string")
+    p2 = str(tmp_path / "didx2")
+    D.write_dedup_index(syn0, p2)
+    D.append_dedup_index(syn1, p2, batch_id=1)
+    rep2 = IP.purge_dedup_index_keys(
+        syn0.where(F.col("doc_id") == 1), p2)
+    assert rep2["residual_matches"] == 0
+    # the shared hash row is gone from EVERY batch (documented
+    # contract: hashes are anonymous), doc 3's shingles survive
+    import hashlib
+    h = hashlib.md5("identical payload words here".encode()) \
+        .hexdigest()
+    raw_h = spark.read.parquet(f"{p2}/hashes")
+    assert raw_h.where(F.col("__h") == h).count() == 0
+    assert raw_h.count() == 2                   # alpha + beta remain
+    raw_sh = spark.read.parquet(f"{p2}/shingles")
+    assert raw_sh.where(F.col("doc") == 3).count() > 0
+    assert raw_sh.where(F.col("doc") == 1).count() == 0
+
+    # legacy pre-Bloom index: purge still works, no pruning claimed
+    p3 = str(tmp_path / "didx3")
+    D.write_dedup_index(syn0, p3)
+    from aggregation_duckdb_spark import fsio
+    prm = fsio.read_json(spark, f"{p3}/params.json")
+    prm.pop("blooms")
+    fsio.write_json(spark, f"{p3}/params.json", prm)
+    fsio.delete(spark, f"{p3}/doc_bloom")
+    fsio.delete(spark, f"{p3}/hash_bloom")
+    rep3 = IP.purge_dedup_index_keys(
+        syn0.where(F.col("doc_id") == 2), p3)
+    assert rep3["bloom_candidate_batches"] is None
+    assert rep3["residual_matches"] == 0
 
 
 def test_forget_keys_one_call_erases_table_and_every_index(
