@@ -799,6 +799,64 @@ def append_dedup_index(admitted: DataFrame, path: str,
         fsio.commit_ingest_watermark(spark, path, batch_id)
 
 
+def compact_dedup_index(spark, path: str) -> dict:
+    """Fold the dedup index's accumulated ``__ingest_batch``
+    partitions back into the base partition — the OPTIMIZE analogue
+    for the stored projections (round 15, the same small-file story
+    as ``text.compact_text_index``): long streaming ingest leaves one
+    tiny directory per batch per table, and every incremental check's
+    corpus-side scan starts tracking append count. One rewrite per
+    table folds them via write-temp-then-swap (a complete copy exists
+    at every instant; a crash between delete and rename leaves the
+    folded copy at ``<table>.__compact_tmp``). The hash table is
+    DISTINCT-ed in the fold (batches store their own distinct hash
+    sets, so cross-batch duplicate content collapses to one row —
+    semantics unchanged, the admission join is a semi-membership
+    test). Per-batch membership Blooms rebuild as a single base-batch
+    row set — clearing purge staleness as a side effect. The ingest
+    watermark is untouched: replays of folded batch ids still
+    short-circuit, so exactly-once survives compaction."""
+    from aggregation_duckdb_spark import fsio
+
+    p = fsio.read_json(spark, fsio._join(path, "params.json"))
+    probe = spark.read.parquet(fsio._join(path, "hashes"))
+    if "__ingest_batch" not in probe.columns:
+        return {"folded_batches": 0}
+    batches = [int(r[0]) for r in
+               probe.select("__ingest_batch").distinct().collect()]
+    if len(batches) <= 1:
+        return {"folded_batches": 0}
+
+    def swap(name, folded):
+        table_dir = fsio._join(path, name)
+        tmp = table_dir.rstrip("/") + ".__compact_tmp"
+        fsio.delete(spark, tmp)
+        (folded.withColumn("__ingest_batch", F.lit(-1))
+         .write.mode("errorifexists").partitionBy("__ingest_batch")
+         .parquet(tmp))
+        fsio.delete(spark, table_dir)
+        if not fsio.rename(spark, tmp, table_dir):
+            raise RuntimeError(
+                f"compact_dedup_index: rename from {tmp} failed — "
+                f"the complete folded table is intact there; move it "
+                f"into place and re-run")
+
+    swap("hashes",
+         probe.drop("__ingest_batch").distinct())
+    for name in ("shingles", "buckets"):
+        swap(name, spark.read.parquet(fsio._join(path, name))
+             .drop("__ingest_batch"))
+    report = {"folded_batches": len(batches)}
+    if "blooms" in p:
+        h = spark.read.parquet(fsio._join(path, "hashes")) \
+            .select("__h")
+        sh = spark.read.parquet(fsio._join(path, "shingles")) \
+            .select("doc")
+        _write_dedup_blooms(path, h, sh, -1, "overwrite")
+        report["blooms_rebuilt"] = True
+    return report
+
+
 def incremental_dedup_indexed(new: DataFrame, spark, path: str,
                               text_col: str = "text",
                               id_col: str = "doc_id",

@@ -962,6 +962,74 @@ def append_text_index(admitted: DataFrame, path: str,
         fsio.commit_ingest_watermark(spark, path, batch_id)
 
 
+def compact_text_index(spark, path: str) -> dict:
+    """Fold the index's accumulated ``__ingest_batch`` partitions back
+    into the base partition — the OPTIMIZE analogue for the inverted
+    index (round 15): ten thousand streaming appends leave ten
+    thousand tiny batch directories under EVERY term bucket, and scan
+    cost starts tracking append count instead of data size. One
+    rewrite folds them; search results are pytest-pinned identical.
+
+    The doc-membership Bloom is REBUILT from the folded postings —
+    a free side effect that also clears purge staleness (bits of
+    since-purged docs), restoring full skip rates.
+
+    Crash safety: postings and doclens are rewritten via
+    write-temp-then-swap, so a complete copy exists at every instant;
+    a crash between the delete and the rename leaves the full folded
+    copy recoverable at ``<table>.__compact_tmp``. The ingest
+    watermark is NOT touched: a replay of an already-folded batch id
+    still short-circuits on it, so exactly-once survives compaction.
+    Aggregate scalars, stop terms and the (term, df) table are
+    invariant under folding and stay as they are."""
+    from aggregation_duckdb_spark import fsio
+
+    st = fsio.read_json(spark, fsio._join(path, "stats.json"))
+    post_dir = fsio._join(path, "postings")
+    dl_dir = fsio._join(path, "doclens")
+    posts = spark.read.parquet(post_dir)
+    if "__ingest_batch" not in posts.columns:
+        return {"folded_batches": 0}
+    batches = [int(r[0]) for r in
+               posts.select("__ingest_batch").distinct().collect()]
+    if len(batches) <= 1:
+        return {"folded_batches": 0}
+
+    def swap(table_dir, folded, part_cols):
+        tmp = table_dir.rstrip("/") + ".__compact_tmp"
+        fsio.delete(spark, tmp)
+        (folded.write.mode("errorifexists").partitionBy(*part_cols)
+         .parquet(tmp))
+        fsio.delete(spark, table_dir)
+        if not fsio.rename(spark, tmp, table_dir):
+            raise RuntimeError(
+                f"compact_text_index: rename from {tmp} failed — the "
+                f"complete folded table is intact there; move it into "
+                f"place and re-run")
+
+    swap(post_dir,
+         posts.withColumn("__ingest_batch", F.lit(-1)),
+         ["tbucket", "__ingest_batch"])
+    dl = spark.read.parquet(dl_dir)
+    swap(dl_dir, dl.withColumn("__ingest_batch", F.lit(-1)),
+         ["__ingest_batch"])
+    report = {"folded_batches": len(batches)}
+    if st.get("doc_bloom"):
+        old_meta = st["doc_bloom"]
+        gen = _new_gen()
+        (_doc_bloom_rows(spark.read.parquet(post_dir))
+         .write.mode("errorifexists")
+         .parquet(fsio._join(path, "doc_bloom", gen)))
+        st = dict(st)
+        st["doc_bloom"] = {"num_words": _DOC_BLOOM_WORDS,
+                           "k": _DOC_BLOOM_K, "gen": gen}
+        fsio.write_json(spark, fsio._join(path, "stats.json"), st)
+        if old_meta.get("gen"):
+            fsio.delete(spark, _doc_bloom_dir(path, old_meta))
+        report["doc_bloom_rebuilt"] = True
+    return report
+
+
 def _term_bucket(term, num_buckets: int):
     from aggregation_duckdb_spark.operators.pipeline import SPLIT_BUCKETS
     h = F.md5(F.concat(F.lit("tix|"), term))

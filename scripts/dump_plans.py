@@ -246,6 +246,20 @@ ENTRIES = {
         "live-(zbucket, gen) directories via PartitionFilters with "
         "the timestamp range in PushedFilters — the re-clustered "
         "table plans exactly like one created on those dims"),
+    "q_forget_keys": (
+        "one-call GDPR erasure's READ side: plain pruned table read — "
+        "the orchestration (dedup/text/ivf/pq index purges, then the "
+        "table purge, each raw-verified clean) happened at build, "
+        "every side count- or file-byte-gated, no unconditional "
+        "broadcasts"),
+    "text_bpe_encode_batch": (
+        "HF-parity BPE is the SAME zero-shuffle Arrow shape as the "
+        "one-at-a-time spec: ArrowEvalPython present, zero Exchange "
+        "operators, no join"),
+    "text_bm25_appended": (
+        "BM25 over the incrementally-grown index still plans term-"
+        "bucket PartitionFilters — batch partitions nest under "
+        "tbucket, so appends never widen a query's read set"),
 }
 
 

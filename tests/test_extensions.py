@@ -1665,6 +1665,102 @@ def test_text_index_doc_bloom_prunes_purge_buckets(spark, tmp_path):
         .where(F.col("doc") == 0).count() == 0
 
 
+def test_compact_index_folds_batches_and_keeps_exactly_once(
+        spark, sf_dir, tmp_path):
+    """Index OPTIMIZE (round 15): folding accumulated ingest-batch
+    partitions back into the base partition must change NOTHING
+    observable — BM25 hits and incremental-dedup verdicts identical,
+    replays of folded batch ids still no-ops (the watermark survives),
+    later appends still land — while the per-batch directories
+    collapse to one and the membership Blooms rebuild fresh."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.operators import text as T
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text")
+    terms = ["table", "join", "hash"]
+
+    # --- text index
+    tx = str(tmp_path / "tix")
+    T.write_text_index(docs.where(F.col("doc_id") % 3 == 0), tx,
+                       num_buckets=16)
+    T.append_text_index(docs.where(F.col("doc_id") % 3 == 1), tx,
+                        batch_id=1)
+    T.append_text_index(docs.where(F.col("doc_id") % 3 == 2), tx,
+                        batch_id=2)
+
+    def hits(path):
+        return [(r["doc_id"], r["score"], r["n_tokens"]) for r in
+                T.bm25_search_indexed(spark, path, terms, top_k=15)
+                .collect()]
+
+    before = hits(tx)
+    rep = T.compact_text_index(spark, tx)
+    assert rep["folded_batches"] == 3 and rep["doc_bloom_rebuilt"]
+    assert hits(tx) == before
+    posts = spark.read.parquet(f"{tx}/postings")
+    assert [r[0] for r in
+            posts.select("__ingest_batch").distinct().collect()] \
+        == [-1]
+    n_posts = posts.count()
+    # folded batch replays are still no-ops
+    T.append_text_index(docs.where(F.col("doc_id") % 3 == 2), tx,
+                        batch_id=2)
+    assert spark.read.parquet(f"{tx}/postings").count() == n_posts
+    # and fresh appends still land
+    extra = spark.createDataFrame(
+        [(20_000_001, "fresh post-compaction document")],
+        "doc_id long, text string")
+    T.append_text_index(extra, tx, batch_id=3)
+    assert spark.read.parquet(f"{tx}/doclens") \
+        .where(F.col("doc") == 20_000_001).count() == 1
+    # rebuilt bloom still proves membership for folded docs
+    some = docs.where(F.col("doc_id") % 3 == 1) \
+        .select("doc_id").orderBy("doc_id").limit(1)
+    cand = T.text_index_doc_buckets(some, tx, key_col="doc_id")
+    vid = some.collect()[0]["doc_id"]
+    true_b = {int(r["tbucket"]) for r in
+              spark.read.parquet(f"{tx}/postings")
+              .where(F.col("doc") == vid)
+              .select("tbucket").distinct().collect()}
+    assert cand is not None and true_b <= set(cand)
+    # compacting an already-compact index (plus one live batch) folds
+    # the remainder; a second call is a no-op
+    assert T.compact_text_index(spark, tx)["folded_batches"] == 2
+    assert T.compact_text_index(spark, tx)["folded_batches"] == 0
+
+    # --- dedup index
+    dd = str(tmp_path / "didx")
+    D.write_dedup_index(docs.where(F.col("doc_id") % 3 == 0), dd)
+    D.append_dedup_index(docs.where(F.col("doc_id") % 3 == 1), dd,
+                         batch_id=1)
+    D.append_dedup_index(docs.where(F.col("doc_id") % 3 == 2), dd,
+                         batch_id=2)
+    probe = docs.where(F.col("doc_id") < 40)   # deterministic batch
+
+    def verdicts(path):
+        out = D.incremental_dedup_indexed(probe, spark, path)
+        return sorted((r["doc_id"], r["exact_dup"], r["near_dup"],
+                       r["is_new"]) for r in out.collect())
+
+    v_before = verdicts(dd)
+    rep2 = D.compact_dedup_index(spark, dd)
+    assert rep2["folded_batches"] == 3 and rep2["blooms_rebuilt"]
+    assert verdicts(dd) == v_before
+    for name in ("hashes", "shingles", "buckets", "doc_bloom",
+                 "hash_bloom"):
+        got = [r[0] for r in spark.read.parquet(f"{dd}/{name}")
+               .select("__ingest_batch").distinct().collect()]
+        assert got == [-1], name
+    # replay of a folded dedup batch: still a no-op
+    n_sh = spark.read.parquet(f"{dd}/shingles").count()
+    D.append_dedup_index(docs.where(F.col("doc_id") % 3 == 2), dd,
+                         batch_id=2)
+    assert spark.read.parquet(f"{dd}/shingles").count() == n_sh
+    assert D.compact_dedup_index(spark, dd)["folded_batches"] == 0
+
+
 def test_dedup_index_blooms_prune_purge_batches(spark, sf_dir,
                                                 tmp_path):
     """Per-batch membership Blooms on the dedup index (round 15): a
