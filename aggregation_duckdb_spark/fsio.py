@@ -445,6 +445,18 @@ def commit_ingest_watermark(spark, index_path: str,
                        {"last_batch_id": int(batch_id)})
 
 
+def ingest_batches(spark, table_dir: str) -> list[int]:
+    """Distinct ``__ingest_batch`` partition values of a stored-index
+    table, read from the DIRECTORY LISTING alone — the metadata-only
+    probe the index maintenance policies decide from (no parquet
+    footers, no Spark job; the ``maintain_zordered`` manifest-read
+    analogue for the Hive-partitioned index tables). Missing table
+    directory → empty list (``list_names`` contract)."""
+    return sorted(int(n.split("=", 1)[1])
+                  for n in list_names(spark, table_dir)
+                  if n.startswith("__ingest_batch="))
+
+
 def prune_versions(spark, manifest_dir: str, keep: int = 5) -> None:
     """Delete all but the newest ``keep`` manifest versions (each is a
     few hundred bytes; this only bounds listing growth)."""

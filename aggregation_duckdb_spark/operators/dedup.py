@@ -877,3 +877,17 @@ def incremental_dedup_indexed(new: DataFrame, spark, path: str,
                                 id_col, threshold, p["num_hashes"],
                                 p["num_bands"], p["shingle_width"],
                                 p["normalize"])
+
+
+def maintain_dedup_index(spark, path: str, max_batches: int = 8) -> dict:
+    """Maintenance policy for the dedup index — the
+    ``text.maintain_text_index`` twin: metadata-only batch census on
+    the hashes table's partition listing, fold via
+    :func:`compact_dedup_index` only past ``max_batches``; a healthy
+    index costs one directory listing."""
+    from aggregation_duckdb_spark import fsio
+    batches = fsio.ingest_batches(spark, fsio._join(path, "hashes"))
+    if len(batches) <= max_batches:
+        return {"compacted": False, "batches": len(batches)}
+    rep = compact_dedup_index(spark, path)
+    return {"compacted": True, "batches": len(batches), **rep}

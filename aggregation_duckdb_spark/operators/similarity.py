@@ -1267,7 +1267,8 @@ def maintain_ivf_index(spark, path: str, vec_col: str = "embedding",
                        max_sim_drop: float = 0.05,
                        sample_cap: int = 5_000,
                        max_iters: int = 10,
-                       fit_sample_cap: int | None = 50_000) -> dict:
+                       fit_sample_cap: int | None = 50_000,
+                       max_batches: int = 8) -> dict:
     """One-call IVF index maintenance — the ``maintain_zordered``
     policy shape for ANN: measure drift cheaply, re-fit and
     re-partition only when it crosses a threshold, otherwise do
@@ -1287,8 +1288,13 @@ def maintain_ivf_index(spark, path: str, vec_col: str = "embedding",
     reassignment pass, the same bulk job as the original build) when
     ``cell_skew`` exceeds ``max_skew`` or the sampled own-centroid
     similarity fell more than ``max_sim_drop`` below the baseline.
-    Returns {"refit", "health", "baseline"}; recall recovery on a
-    deliberately drifted batch is pytest-pinned."""
+    When the codebook is healthy, the OTHER decay axis is checked
+    instead: per-append ``__ingest_batch`` partitions piled past
+    ``max_batches`` fold via :func:`compact_ivf_index` (metadata-only
+    census, the ``maintain_text_index`` policy); a refit folds them
+    as a side effect of the rebuild. Returns {"refit", "health",
+    "baseline", "compacted", ...}; recall recovery on a deliberately
+    drifted batch is pytest-pinned."""
     from aggregation_duckdb_spark import fsio
     health = ivf_index_health(spark, path, vec_col, id_col, sample_cap)
     side = fsio._join(path, IVF_HEALTH_SIDECAR)
@@ -1300,13 +1306,15 @@ def maintain_ivf_index(spark, path: str, vec_col: str = "embedding",
         # first measurement on an index built before this verb (or
         # right after a build): record the baseline, change nothing
         fsio.write_json(spark, side, health)
-        return {"refit": False, "health": health, "baseline": health}
+        return {"refit": False, "health": health, "baseline": health,
+                **_ivf_fold_if_piled(spark, path, max_batches)}
     drifted = health["cell_skew"] > max_skew or (
         health["mean_sim"] is not None
         and baseline.get("mean_sim") is not None
         and health["mean_sim"] < baseline["mean_sim"] - max_sim_drop)
     if not drifted:
-        return {"refit": False, "health": health, "baseline": baseline}
+        return {"refit": False, "health": health, "baseline": baseline,
+                **_ivf_fold_if_piled(spark, path, max_batches)}
     cells = spark.read.parquet(fsio._join(path, "cells"))
     corpus = materialize(cells.select(F.col(id_col), F.col(vec_col)))
     k = int(health["n_cells"]) or 16
@@ -1317,4 +1325,114 @@ def maintain_ivf_index(spark, path: str, vec_col: str = "embedding",
     new_health = ivf_index_health(spark, path, vec_col, id_col,
                                   sample_cap)
     fsio.write_json(spark, side, new_health)   # new baseline
-    return {"refit": True, "health": new_health, "baseline": baseline}
+    return {"refit": True, "health": new_health, "baseline": baseline,
+            "compacted": True}   # the rebuild folds batches to base
+
+
+def _compact_swap(spark, table_dir: str, folded, part_cols, verb: str):
+    """write-temp-then-swap shared by the ANN index compactors (the
+    ``compact_dedup_index`` crash-safety contract): the folded copy is
+    complete before the live table is touched, and a crash between the
+    delete and the rename leaves it recoverable at
+    ``<table>.__compact_tmp``."""
+    from aggregation_duckdb_spark import fsio
+    tmp = table_dir.rstrip("/") + ".__compact_tmp"
+    fsio.delete(spark, tmp)
+    (folded.write.mode("errorifexists").partitionBy(*part_cols)
+     .parquet(tmp))
+    fsio.delete(spark, table_dir)
+    if not fsio.rename(spark, tmp, table_dir):
+        raise RuntimeError(
+            f"{verb}: rename from {tmp} failed — the complete folded "
+            f"table is intact there; move it into place and re-run")
+
+
+def compact_ivf_index(spark, path: str, id_col: str = "vec_id") -> dict:
+    """Fold the IVF cells table's accumulated ``__ingest_batch``
+    partitions back into the base partition — the OPTIMIZE analogue
+    for the ANN index (round 15, completing the family:
+    ``text.compact_text_index`` / ``dedup.compact_dedup_index``).
+    Every ``append_ivf_index`` leaves one tiny ``__ingest_batch=N``
+    directory under EVERY touched cell, so after long streaming
+    ingest a probe that should read n_probe directories reads
+    n_probe·batches, and scan cost tracks append count instead of
+    data size. One rewrite per index folds them, preserving the
+    ``centroid_id`` partitioning that probe-time pruning depends on.
+    The codebook, health sidecar and ingest watermark are untouched:
+    centroids don't move (assignments are invariant under folding),
+    drift baselines stay comparable, and replays of folded batch ids
+    still short-circuit — exactly-once survives compaction. Search
+    results are pytest-pinned identical across the fold."""
+    from aggregation_duckdb_spark import fsio
+    cells_dir = fsio._join(path, "cells")
+    cells = spark.read.parquet(cells_dir)
+    if "__ingest_batch" not in cells.columns:
+        return {"folded_batches": 0}
+    batches = [int(r[0]) for r in
+               cells.select("__ingest_batch").distinct().collect()]
+    if len(batches) <= 1:
+        return {"folded_batches": 0}
+    _compact_swap(spark, cells_dir,
+                  cells.withColumn("__ingest_batch", F.lit(-1)),
+                  ["centroid_id", "__ingest_batch"],
+                  "compact_ivf_index")
+    return {"folded_batches": len(batches)}
+
+
+def compact_pq_index(spark, path: str) -> dict:
+    """Fold the PQ codes table's per-append ``__ingest_batch``
+    partitions into the base partition — same small-file story and
+    same crash-safety/watermark contract as :func:`compact_ivf_index`
+    (codes are invariant under folding: the codebooks they were
+    encoded against are untouched). ADC scans afterwards read one
+    directory instead of one per historical append."""
+    from aggregation_duckdb_spark import fsio
+    codes_dir = fsio._join(path, "codes")
+    codes = spark.read.parquet(codes_dir)
+    if "__ingest_batch" not in codes.columns:
+        return {"folded_batches": 0}
+    batches = [int(r[0]) for r in
+               codes.select("__ingest_batch").distinct().collect()]
+    if len(batches) <= 1:
+        return {"folded_batches": 0}
+    _compact_swap(spark, codes_dir,
+                  codes.withColumn("__ingest_batch", F.lit(-1)),
+                  ["__ingest_batch"], "compact_pq_index")
+    return {"folded_batches": len(batches)}
+
+
+def _ivf_batches(spark, path: str) -> list:
+    """Metadata-only batch census for the nested (centroid_id,
+    __ingest_batch) cells layout: union the per-cell partition
+    listings — O(cells + directories), no Spark job."""
+    from aggregation_duckdb_spark import fsio
+    cells_dir = fsio._join(path, "cells")
+    batches = set()
+    for d in fsio.list_names(spark, cells_dir):
+        if d.startswith("centroid_id="):
+            batches.update(fsio.ingest_batches(
+                spark, fsio._join(cells_dir, d)))
+    return sorted(batches)
+
+
+def _ivf_fold_if_piled(spark, path: str, max_batches: int) -> dict:
+    batches = _ivf_batches(spark, path)
+    if len(batches) <= max_batches:
+        return {"compacted": False, "batches": len(batches)}
+    rep = compact_ivf_index(spark, path)
+    return {"compacted": True, "batches": len(batches), **rep}
+
+
+def maintain_pq_index(spark, path: str, max_batches: int = 8) -> dict:
+    """Maintenance policy for the PQ index — the
+    ``text.maintain_text_index`` twin (PQ has no drift dimension: the
+    codebooks are the trained artifact and re-fitting would re-key
+    every stored code, so the only decaying axis is the per-append
+    partition count): metadata-only batch census on the codes table's
+    listing, fold via :func:`compact_pq_index` past ``max_batches``."""
+    from aggregation_duckdb_spark import fsio
+    batches = fsio.ingest_batches(spark, fsio._join(path, "codes"))
+    if len(batches) <= max_batches:
+        return {"compacted": False, "batches": len(batches)}
+    rep = compact_pq_index(spark, path)
+    return {"compacted": True, "batches": len(batches), **rep}

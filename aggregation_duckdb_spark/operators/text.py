@@ -1329,3 +1329,19 @@ def bpe_encode(docs: DataFrame, merges: DataFrame,
     return staged.select(
         F.col(id_col), F.col("tokens"),
         F.size("tokens").cast("long").alias("n_tokens"))
+
+
+def maintain_text_index(spark, path: str, max_batches: int = 8) -> dict:
+    """One-call index maintenance policy — the ``maintain_zordered``
+    shape for the inverted index: a scheduled job calls this after
+    every ingest wave; it reads the per-batch partition count from the
+    doclens DIRECTORY LISTING (metadata-only, no Spark job) and folds
+    via :func:`compact_text_index` only once batches pile past
+    ``max_batches``. A healthy index costs one listing and does
+    nothing. Returns {"compacted", "batches", ...fold report}."""
+    from aggregation_duckdb_spark import fsio
+    batches = fsio.ingest_batches(spark, fsio._join(path, "doclens"))
+    if len(batches) <= max_batches:
+        return {"compacted": False, "batches": len(batches)}
+    rep = compact_text_index(spark, path)
+    return {"compacted": True, "batches": len(batches), **rep}

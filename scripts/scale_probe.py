@@ -815,6 +815,89 @@ def textindex_probe(multiples: list) -> None:
 
 
 
+def indexcompact_probe(appends: list) -> None:
+    """Small-file decay and its cure: a stored index accumulates one
+    tiny ``__ingest_batch=N`` directory per streaming append, so a
+    fixed query's scan cost starts tracking APPEND COUNT instead of
+    data size — then one compaction folds the batches and restores
+    build-time cost. Fixed sf0.1 corpus split into B equal ingest
+    batches; the measured query is identical before and after the
+    fold (asserted), so the delta is pure file-count overhead."""
+    import os
+    import tempfile
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.operators import similarity as S
+    from aggregation_duckdb_spark.operators import text as T
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    emb = load_table(spark, "embeddings", SF_DIR)
+    long_c = S.label_centroids_exact(emb)
+    cents = (long_c.groupBy("centroid_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "mean_value"))),
+                 lambda x: x["mean_value"]).alias("centroid")))
+    queries = emb.where(F.col("vec_id") < 5)
+
+    def nfiles(root):
+        return sum(1 for _, _, fs_ in os.walk(root)
+                   for f in fs_ if f.endswith(".parquet"))
+
+    for b in appends:
+        # --- text index: base write + (b-1) appends
+        tx = tempfile.mkdtemp(prefix=f"tixc-{b}-")
+        T.write_text_index(docs.where(F.col("doc_id") % b == 0), tx)
+        for i in range(1, b):
+            T.append_text_index(docs.where(F.col("doc_id") % b == i),
+                                tx, batch_id=i)
+
+        def bm25(path=tx):
+            t0 = time.time()
+            hits = T.bm25_search_indexed(spark, path, ["dup"],
+                                         top_k=20).collect()
+            return hits, round(time.time() - t0, 2)
+
+        hits_pre, s_pre = bm25()
+        t0 = time.time()
+        T.compact_text_index(spark, tx)
+        s_fold = round(time.time() - t0, 2)
+        hits_post, s_post = bm25()
+        assert sorted((r.doc_id, r.score) for r in hits_post) == \
+            sorted((r.doc_id, r.score) for r in hits_pre)
+        print(json.dumps({
+            "probe": "indexcompact", "index": "text", "appends": b,
+            "search_pre_s": s_pre, "compact_s": s_fold,
+            "search_post_s": s_post,
+            "files_post": nfiles(os.path.join(tx, "postings"))}),
+            flush=True)
+
+        # --- IVF index: same split, same query before/after the fold
+        iv = tempfile.mkdtemp(prefix=f"ivfc-{b}-")
+        S.write_ivf_index(emb.where(F.col("vec_id") % b == 0), cents, iv)
+        for i in range(1, b):
+            S.append_ivf_index(emb.where(F.col("vec_id") % b == i),
+                               iv, batch_id=i)
+
+        def topk(path=iv):
+            t0 = time.time()
+            rows = S.ivf_topk_indexed(spark, path, queries, k=10,
+                                      n_probe=3).collect()
+            return rows, round(time.time() - t0, 2)
+
+        r_pre, s_pre = topk()
+        t0 = time.time()
+        S.compact_ivf_index(spark, iv)
+        s_fold = round(time.time() - t0, 2)
+        r_post, s_post = topk()
+        key = lambda r: (r.query_id, r.rank, r.neighbor_id)  # noqa: E731
+        assert sorted(map(key, r_post)) == sorted(map(key, r_pre))
+        print(json.dumps({
+            "probe": "indexcompact", "index": "ivf", "appends": b,
+            "search_pre_s": s_pre, "compact_s": s_fold,
+            "search_post_s": s_post,
+            "files_post": nfiles(os.path.join(iv, "cells"))}),
+            flush=True)
+
+
 def drain_probe(backlogs: list) -> None:
     """Row-stream drain cost vs commit BACKLOG (round-13 item 2): the
     Python micro-batch source has no true Trigger.AvailableNow, so the
@@ -1015,5 +1098,7 @@ if __name__ == "__main__":
         bucketbits_probe([int(a) for a in sys.argv[2:]] or [4, 6, 8])
     elif len(sys.argv) > 1 and sys.argv[1] == "--textindex":
         textindex_probe([int(a) for a in sys.argv[2:]] or [1, 4, 16])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--indexcompact":
+        indexcompact_probe([int(a) for a in sys.argv[2:]] or [8, 32, 128])
     else:
         main()

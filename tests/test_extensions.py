@@ -2045,3 +2045,149 @@ def test_purge_core_semi_join_branch_many_partitions(spark, tmp_path):
     back = spark.read.parquet(d)
     assert back.count() == 2000 - keys.count()
     assert back.where(F.col("vec_id") % 7 == 0).count() == 0
+
+
+def test_compact_ann_indexes_fold_batches_and_keep_exactly_once(
+        spark, sf_dir, tmp_path):
+    """ANN index OPTIMIZE (round 15, completing the compaction
+    family): folding the per-append ``__ingest_batch`` partitions of
+    the IVF cells / PQ codes tables must change NOTHING observable —
+    search results identical floats-and-ranks, replays of folded
+    batch ids still no-ops, later appends still land — while the
+    batch directories collapse to the base partition and the IVF
+    ``centroid_id`` pruning layout survives."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    long_c = S.label_centroids_exact(emb)
+    cents = (long_c.groupBy("centroid_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "mean_value"))),
+                 lambda x: x["mean_value"]).alias("centroid")))
+    queries = emb.where(F.col("vec_id") < 5)
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id)  # noqa: E731
+
+    # --- IVF
+    ivf = str(tmp_path / "ivf_c")
+    S.write_ivf_index(emb.where(F.col("vec_id") % 3 == 0), cents, ivf)
+    S.append_ivf_index(emb.where(F.col("vec_id") % 3 == 1), ivf,
+                       batch_id=1)
+    S.append_ivf_index(emb.where(F.col("vec_id") % 3 == 2), ivf,
+                       batch_id=2)
+    before = sorted(map(key, S.ivf_topk_indexed(
+        spark, ivf, queries, k=10, n_probe=3).collect()))
+    rep = S.compact_ivf_index(spark, ivf)
+    assert rep["folded_batches"] == 3
+    assert sorted(map(key, S.ivf_topk_indexed(
+        spark, ivf, queries, k=10, n_probe=3).collect())) == before
+    cells = spark.read.parquet(f"{ivf}/cells")
+    assert [r[0] for r in
+            cells.select("__ingest_batch").distinct().collect()] \
+        == [-1]
+    n_cells = cells.count()
+    # folded batch replay: still a no-op (watermark survived the fold)
+    S.append_ivf_index(emb.where(F.col("vec_id") % 3 == 2), ivf,
+                       batch_id=2)
+    assert spark.read.parquet(f"{ivf}/cells").count() == n_cells
+    # fresh append still lands, and a re-compact folds just that one
+    S.append_ivf_index(queries.limit(1)
+                       .withColumn("vec_id",
+                                   F.lit(9_000_001).cast("long")),
+                       ivf, batch_id=3)
+    assert spark.read.parquet(f"{ivf}/cells") \
+        .where(F.col("vec_id") == 9_000_001).count() == 1
+    assert S.compact_ivf_index(spark, ivf)["folded_batches"] == 2
+    assert S.compact_ivf_index(spark, ivf)["folded_batches"] == 0
+
+    # --- PQ
+    books = S.pq_fit(emb, num_subspaces=8, k=16, max_iters=3)
+    pq = str(tmp_path / "pq_c")
+    S.write_pq_index(emb.where(F.col("vec_id") % 3 == 0), books, pq)
+    S.append_pq_index(emb.where(F.col("vec_id") % 3 == 1), pq,
+                      batch_id=1)
+    S.append_pq_index(emb.where(F.col("vec_id") % 3 == 2), pq,
+                      batch_id=2)
+    pq_before = sorted(map(key, S.pq_topk_indexed(
+        spark, pq, queries, k=10).collect()))
+    rep2 = S.compact_pq_index(spark, pq)
+    assert rep2["folded_batches"] == 3
+    assert sorted(map(key, S.pq_topk_indexed(
+        spark, pq, queries, k=10).collect())) == pq_before
+    codes = spark.read.parquet(f"{pq}/codes")
+    assert [r[0] for r in
+            codes.select("__ingest_batch").distinct().collect()] \
+        == [-1]
+    n_codes = codes.count()
+    S.append_pq_index(emb.where(F.col("vec_id") % 3 == 1), pq,
+                      batch_id=1)   # folded replay: no-op
+    assert spark.read.parquet(f"{pq}/codes").count() == n_codes
+    assert S.compact_pq_index(spark, pq)["folded_batches"] == 0
+
+
+def test_maintain_index_policies_fold_past_threshold(
+        spark, sf_dir, tmp_path):
+    """The scheduled-job verbs (round 15): each stored-index family's
+    ``maintain_*`` reads the batch census from the directory listing
+    alone and folds only past ``max_batches`` — healthy index, no-op;
+    piled index, one compaction; second call, no-op again."""
+    docs = load_table(spark, "documents", sf_dir) \
+        .select("doc_id", "text").where(F.col("doc_id") < 80)
+
+    # --- text
+    tx = str(tmp_path / "tix_m")
+    T.write_text_index(docs.where(F.col("doc_id") % 4 == 0), tx,
+                       num_buckets=4)
+    for i in range(1, 4):
+        T.append_text_index(docs.where(F.col("doc_id") % 4 == i), tx,
+                            batch_id=i)
+    assert T.maintain_text_index(spark, tx)["compacted"] is False  # 4<=8
+    rep = T.maintain_text_index(spark, tx, max_batches=2)
+    assert rep["compacted"] is True and rep["batches"] == 4 \
+        and rep["folded_batches"] == 4
+    rep2 = T.maintain_text_index(spark, tx, max_batches=2)
+    assert rep2 == {"compacted": False, "batches": 1}
+
+    # --- dedup
+    dd = str(tmp_path / "didx_m")
+    D.write_dedup_index(docs.where(F.col("doc_id") % 4 == 0), dd)
+    for i in range(1, 4):
+        D.append_dedup_index(docs.where(F.col("doc_id") % 4 == i), dd,
+                             batch_id=i)
+    rep = D.maintain_dedup_index(spark, dd, max_batches=2)
+    assert rep["compacted"] is True and rep["batches"] == 4
+    assert D.maintain_dedup_index(spark, dd, max_batches=2) == \
+        {"compacted": False, "batches": 1}
+
+    # --- IVF (undrifted but piled: refit False, fold True)
+    emb = load_table(spark, "embeddings", sf_dir) \
+        .where(F.col("vec_id") < 150)
+    long_c = S.label_centroids_exact(emb)
+    cents = (long_c.groupBy("centroid_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "mean_value"))),
+                 lambda x: x["mean_value"]).alias("centroid")))
+    iv = str(tmp_path / "ivf_m")
+    S.write_ivf_index(emb.where(F.col("vec_id") % 4 == 0), cents, iv)
+    rep0 = S.maintain_ivf_index(spark, iv)   # records baseline
+    assert rep0["refit"] is False and rep0["compacted"] is False
+    for i in range(1, 4):
+        S.append_ivf_index(emb.where(F.col("vec_id") % 4 == i), iv,
+                           batch_id=i)
+    rep = S.maintain_ivf_index(spark, iv, max_batches=2)
+    assert rep["refit"] is False and rep["compacted"] is True \
+        and rep["batches"] == 4 and rep["folded_batches"] == 4
+    cells = spark.read.parquet(f"{iv}/cells")
+    assert [r[0] for r in
+            cells.select("__ingest_batch").distinct().collect()] \
+        == [-1]
+
+    # --- PQ
+    books = S.pq_fit(emb, num_subspaces=4, k=8, max_iters=2)
+    pq = str(tmp_path / "pq_m")
+    S.write_pq_index(emb.where(F.col("vec_id") % 4 == 0), books, pq,
+                     num_subspaces=4)
+    for i in range(1, 4):
+        S.append_pq_index(emb.where(F.col("vec_id") % 4 == i), pq,
+                          batch_id=i)
+    rep = S.maintain_pq_index(spark, pq, max_batches=2)
+    assert rep["compacted"] is True and rep["batches"] == 4
+    assert S.maintain_pq_index(spark, pq, max_batches=2) == \
+        {"compacted": False, "batches": 1}
