@@ -21,7 +21,8 @@ from aggregation_duckdb_spark.streaming.funnel import funnel_stream
 from aggregation_duckdb_spark.streaming.near_dedup import (
     near_dedup_stream, signature_buckets)
 from aggregation_duckdb_spark.streaming.sinks import (
-    read_sink, run_dedup_ingest, run_to_parquet_exactly_once,
+    read_sink, run_dedup_ingest, run_text_index_ingest,
+    run_to_parquet_exactly_once,
     run_zordered_ingest,
     write_batch_idempotent)
 from aggregation_duckdb_spark.streaming.change_feed import (
@@ -40,7 +41,7 @@ __all__ = [
     "near_dedup_stream", "signature_buckets", "funnel_stream",
     "anomaly_stream", "attribution_stream", "dau_stream",
     "read_sink", "run_to_parquet_exactly_once", "write_batch_idempotent",
-    "run_zordered_ingest", "run_dedup_ingest",
+    "run_zordered_ingest", "run_dedup_ingest", "run_text_index_ingest",
     "run_change_feed", "read_change_feed",
     "run_table_stream", "read_table_stream",
 ]

@@ -82,7 +82,9 @@ def run_zordered_ingest(result: DataFrame, path: str,
 def run_dedup_ingest(docs: DataFrame, index_path: str,
                      admitted_path: str, checkpoint_dir: str,
                      text_col: str = "text", id_col: str = "doc_id",
-                     threshold: float = 0.6) -> None:
+                     threshold: float = 0.6,
+                     maintain_every: int | None = None,
+                     max_batches: int = 8) -> None:
     """Stream documents through corpus-level dedup ADMISSION — the
     crawl-ingest composition at 100 TB: each micro-batch is exact-
     deduped within itself, checked against the PERSISTED dedup index
@@ -112,7 +114,13 @@ def run_dedup_ingest(docs: DataFrame, index_path: str,
     batch is the admission unit; they collapse at the next
     corpus-level pass) — exact within-batch copies are dropped here.
     The index must exist (``dedup.write_dedup_index``) before ingest
-    starts; single writer, as for every durable artifact."""
+    starts; single writer, as for every durable artifact.
+    ``maintain_every=N`` runs :func:`dedup.maintain_dedup_index`
+    every N batches AT THE POST-COMMIT BOUNDARY — the only point in
+    the cycle where no uncommitted partition exists for a fold to
+    swallow — so long-running ingest never piles small files past
+    ``max_batches`` (crash mid-fold is covered by the compaction
+    verbs' write-temp-then-swap contract)."""
     from aggregation_duckdb_spark import fsio
     from aggregation_duckdb_spark.operators import dedup as D
 
@@ -143,6 +151,51 @@ def run_dedup_ingest(docs: DataFrame, index_path: str,
             write_batch_idempotent(admitted, bid, admitted_path)
         D.append_dedup_index(admitted, index_path, text_col, id_col,
                              batch_id=bid)
+        if maintain_every and (int(bid) + 1) % int(maintain_every) == 0:
+            # post-commit boundary: the watermark for bid just
+            # committed, so no uncommitted __ingest_batch partition
+            # exists for the fold to swallow (the reached_step3 probe
+            # above depends on uncommitted partitions SURVIVING)
+            D.maintain_dedup_index(spark, index_path,
+                                   max_batches=max_batches)
+
+    q = (docs.writeStream
+         .foreachBatch(body)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def run_text_index_ingest(docs: DataFrame, index_path: str,
+                          checkpoint_dir: str,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          maintain_every: int | None = None,
+                          max_batches: int = 8) -> None:
+    """Stream documents into the persisted BM25 index — the search
+    side of the crawl-ingest composition (pair it with
+    :func:`run_dedup_ingest`: its admitted sink is exactly the
+    novel-ids stream this sink's contract requires, since a
+    re-ingested id would double its posting rows in any inverted
+    index). Each micro-batch is one :func:`text.append_text_index`
+    call, which is exactly-once by itself (watermark skip +
+    per-batch dynamic partition overwrite + the stats.json aggregate
+    commit point), so the sink body needs no admission logic of its
+    own. ``maintain_every=N`` folds piled batch partitions every N
+    batches at the post-commit boundary (the ``run_dedup_ingest``
+    cadence rule). The index must exist
+    (``text.write_text_index``) before ingest starts; single
+    writer."""
+    from aggregation_duckdb_spark.operators import text as T
+
+    def body(batch_df: DataFrame, bid: int) -> None:
+        T.append_text_index(batch_df, index_path, text_col, id_col,
+                            batch_id=bid)
+        if maintain_every and (int(bid) + 1) % int(maintain_every) == 0:
+            T.maintain_text_index(batch_df.sparkSession, index_path,
+                                  max_batches=max_batches)
 
     q = (docs.writeStream
          .foreachBatch(body)

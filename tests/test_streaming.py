@@ -1028,3 +1028,119 @@ def test_change_feed_processing_time_trigger_tails_live(spark, tmp_path):
           got.where(F.col("_commit_version") == 3).collect()}
     assert v3 == {(0, -1, "delete")} | \
         {(p, p * 10, "delete") for p in range(1, 5)}
+
+
+def test_text_index_ingest_streams_exactly_once_with_maintenance(
+        spark, tmp_path):
+    """Streaming BM25 ingest (round 15): three micro-batches of novel
+    docs land in the persisted index exactly once (checkpoint restart
+    adds nothing), search over the streamed index equals the live
+    scorer over the full corpus, and the in-stream maintenance
+    cadence folds the per-batch partitions so long ingest never piles
+    small files."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.operators import text as T
+    from aggregation_duckdb_spark.streaming import run_text_index_ingest
+
+    def mk(lo, hi):
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda j: F.substring(
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("|"),
+                               (j - j % 3).cast("string"))), 1, 6))
+        return (spark.range(lo, hi)
+                .select(F.col("id").alias("doc_id"),
+                        F.concat_ws(" ", words).alias("text")))
+
+    base = mk(0, 40)
+    index = str(tmp_path / "tix")
+    T.write_text_index(base, index, num_buckets=4)
+
+    incoming = str(tmp_path / "in")
+    for lo, hi in ((100, 140), (140, 180), (180, 220)):
+        mk(lo, hi).repartition(1).write.mode("append").parquet(incoming)
+    schema = spark.read.parquet(incoming).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(incoming))
+    ckpt = str(tmp_path / "ckpt")
+    run_text_index_ingest(stream, index, ckpt, maintain_every=1,
+                          max_batches=0)
+
+    # every batch folded at its post-commit boundary
+    assert fsio.ingest_batches(spark, f"{index}/doclens") == [-1]
+    wm = fsio.read_ingest_watermark(spark, index)
+    assert wm == 2
+
+    # search over the streamed index == live scorer over full corpus
+    full = base.unionByName(mk(100, 220))
+    terms = [mk(100, 101).select(
+        F.split("text", " ")[0]).collect()[0][0]]
+    idx_hits = T.bm25_search_indexed(spark, index, terms, top_k=10)
+    live_hits = T.bm25_search(full, terms, top_k=10)
+    key = lambda r: (r.doc_id, r.score, r.n_tokens)  # noqa: E731
+    assert sorted(map(key, idx_hits.collect())) == \
+        sorted(map(key, live_hits.collect()))
+
+    # restart with the same checkpoint: nothing doubles
+    n_post = spark.read.parquet(f"{index}/postings").count()
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(incoming))
+    run_text_index_ingest(stream2, index, ckpt, maintain_every=1,
+                          max_batches=0)
+    assert spark.read.parquet(f"{index}/postings").count() == n_post
+    assert fsio.read_ingest_watermark(spark, index) == wm
+
+    # and a later wave still lands + folds
+    mk(300, 310).repartition(1).write.mode("append").parquet(incoming)
+    stream3 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(incoming))
+    run_text_index_ingest(stream3, index, ckpt, maintain_every=1,
+                          max_batches=0)
+    assert spark.read.parquet(f"{index}/doclens") \
+        .where(F.col("doc") == 305).count() == 1
+    assert fsio.ingest_batches(spark, f"{index}/doclens") == [-1]
+
+
+def test_dedup_ingest_maintenance_cadence_folds_batches(
+        spark, tmp_path):
+    """run_dedup_ingest's maintain_every: the admission pipeline's
+    index folds at the post-commit boundary and later batches still
+    dedup correctly against the folded index."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.operators import dedup as D
+    from aggregation_duckdb_spark.streaming import (read_sink,
+                                                    run_dedup_ingest)
+
+    def mk(ids, dup_of=None):
+        src = F.coalesce(F.lit(dup_of), F.col("id")) \
+            if dup_of is not None else F.col("id")
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda j: F.substring(
+                F.md5(F.concat(src.cast("string"), F.lit("|"),
+                               (j - j % 3).cast("string"))), 1, 6))
+        return (spark.range(ids[0], ids[1])
+                .select(F.col("id").alias("doc_id"),
+                        F.concat_ws(" ", words).alias("text")))
+
+    index = str(tmp_path / "idx")
+    D.write_dedup_index(mk((0, 30)), index)
+    incoming = str(tmp_path / "in")
+    mk((100, 120)).repartition(1).write.mode("append").parquet(incoming)
+    # second batch: copies of FIRST-wave docs + novel — must dedup
+    # against the index even after the first batch was folded into it
+    mk((200, 205), dup_of=100).unionByName(mk((300, 305))) \
+        .repartition(1).write.mode("append").parquet(incoming)
+    schema = spark.read.parquet(incoming).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(incoming))
+    admitted = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    run_dedup_ingest(stream, index, admitted, ckpt,
+                     maintain_every=1, max_batches=0)
+    assert fsio.ingest_batches(spark, f"{index}/hashes") == [-1]
+    texts = [r.text for r in read_sink(spark, admitted).collect()]
+    assert len(texts) == len(set(texts))       # no duplicate content
+    got = {r.doc_id for r in read_sink(spark, admitted).collect()}
+    assert {300, 301, 302, 303, 304} <= got
+    assert not ({200, 201, 202, 203, 204} & got) or 100 not in got
