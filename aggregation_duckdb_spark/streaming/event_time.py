@@ -24,6 +24,76 @@ from aggregation_duckdb_spark.runtime import materialize
 # symlink dirs for single-file sources, one per source path per process
 _SYMLINK_DIRS: dict[str, str] = {}
 
+# ---------------------------------------------------------------------
+# scale-adaptive state partitioning for finite drains
+#
+# A stateful streaming aggregation keys its state store to
+# spark.sql.shuffle.partitions AT QUERY START and AQE cannot coalesce
+# it afterwards (state partitioning is frozen into the checkpoint), so
+# the session-wide constant is wrong in BOTH directions: 32 state
+# partitions over a few MB of input is pure per-partition commit
+# overhead (~20 ms each: delta-file create + fsync + task dispatch —
+# measured 986 ms → 301 ms addBatch on the sf0.1 tumbling drain by
+# sizing down), while a fixed small number would starve a 100 TB/day
+# stream. Derive the partition count from the SOURCE BYTES the drain
+# is about to process — the streaming analogue of AQE's
+# advisoryPartitionSizeInBytes — bounded by a multiple of the
+# cluster's parallelism.
+#
+# Source builders (:func:`events_stream` / :func:`table_stream`)
+# record their input size here; :func:`run_available_now` consumes the
+# pending records when it plans the drain. Streams built directly from
+# ``spark.readStream`` (tests do this) record nothing and keep the
+# session default — behavior unchanged. A recorded source that is
+# never drained leaves a stale entry; entries only ever ADD bytes, so
+# staleness can only raise the estimate toward the session default,
+# never corrupt a result.
+# ---------------------------------------------------------------------
+
+#: input bytes per state partition — the streaming twin of
+#: spark.sql.adaptive.advisoryPartitionSizeInBytes (env-overridable;
+#: production guidance in OPTIMIZATION_r15.md).
+STATE_PARTITION_TARGET_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_STREAM_STATE_TARGET_MB", "32")) << 20
+
+_PENDING_SOURCE_BYTES: list[int] = []
+
+
+def _record_source_bytes(path: str) -> None:
+    """Tally a source's on-disk bytes for the next drain's partition
+    derivation (filesystem metadata only — no Spark job)."""
+    try:
+        total = 0
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files
+                             if not f.startswith(("_", ".")))
+        else:
+            total = os.path.getsize(path)
+        _PENDING_SOURCE_BYTES.append(total)
+    except OSError:
+        pass
+
+
+def _drain_shuffle_partitions(spark: SparkSession) -> int | None:
+    """Partition count for the next finite drain, from the recorded
+    source bytes; None (= keep session default) when no source
+    registered."""
+    if not _PENDING_SOURCE_BYTES:
+        return None
+    total = sum(_PENDING_SOURCE_BYTES)
+    _PENDING_SOURCE_BYTES.clear()
+    import math
+    n = max(1, math.ceil(total / max(STATE_PARTITION_TARGET_BYTES, 1)))
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect
+        par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # cap: wider than a few x the cluster's parallelism only adds
+    # per-partition state-store overhead without adding concurrency
+    return min(n, 4 * max(par, 1))
+
 
 def table_stream(spark: SparkSession, sf_dir: str, table: str,
                  max_files_per_trigger: int | None = None) -> DataFrame:
@@ -39,6 +109,7 @@ def table_stream(spark: SparkSession, sf_dir: str, table: str,
             os.symlink(path, os.path.join(d, f"{table}.parquet"))
             _SYMLINK_DIRS[path] = d
         path = d
+    _record_source_bytes(path)
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -73,6 +144,7 @@ def events_stream(spark: SparkSession, sf_dir: str,
     from aggregation_duckdb_spark.io import (ensure_nanos_as_long,
                                              normalize_event_ts)
     ensure_nanos_as_long(spark)
+    _record_source_bytes(path)
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -193,14 +265,26 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
     memory sink holds the final state for ``complete`` mode, or the
     union of emitted rows for ``append``/``update``."""
     name = f"stream_result_{uuid.uuid4().hex}"
-    q = (result.writeStream
-         .format("memory")
-         .queryName(name)
-         .outputMode(output_mode)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
     spark = result.sparkSession
+    # scale-adaptive state partitioning (see module section above):
+    # the conf is read once at query start and frozen into the
+    # checkpoint; set it for the drain, restore after termination so
+    # batch queries in the session keep their configured width.
+    n_parts = _drain_shuffle_partitions(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if n_parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        q = (result.writeStream
+             .format("memory")
+             .queryName(name)
+             .outputMode(output_mode)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        if n_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # detach from the memory sink: checkpoint a copy and drop the view,
     # otherwise every invocation pins its full result (plus a dead
     # query handle) in the driver for the session lifetime

@@ -1144,3 +1144,40 @@ def test_dedup_ingest_maintenance_cadence_folds_batches(
     got = {r.doc_id for r in read_sink(spark, admitted).collect()}
     assert {300, 301, 302, 303, 304} <= got
     assert not ({200, 201, 202, 203, 204} & got) or 100 not in got
+
+
+def test_drain_state_partitions_scale_with_source_bytes(spark, sf_dir):
+    """The finite-drain partition policy: state partitions derive from
+    recorded source bytes (the streaming analogue of AQE's advisory
+    partition size), are capped at 4x parallelism, leave the session
+    conf untouched afterwards, and never change the drained answer."""
+    from aggregation_duckdb_spark.io import load_table
+    from aggregation_duckdb_spark.streaming import event_time as et
+    from aggregation_duckdb_spark.streaming import run_available_now
+
+    # policy math: bytes -> ceil(bytes / target), floor 1
+    et._PENDING_SOURCE_BYTES.clear()
+    et._PENDING_SOURCE_BYTES.append(5 << 20)
+    assert et._drain_shuffle_partitions(spark) == 1
+    assert et._PENDING_SOURCE_BYTES == []     # consumed
+    et._PENDING_SOURCE_BYTES.extend(
+        [3 * et.STATE_PARTITION_TARGET_BYTES,
+         et.STATE_PARTITION_TARGET_BYTES])    # multiple sources sum
+    assert et._drain_shuffle_partitions(spark) == 4
+    # cap at 4x the cluster parallelism
+    et._PENDING_SOURCE_BYTES.append(1 << 50)
+    par = spark.sparkContext.defaultParallelism
+    assert et._drain_shuffle_partitions(spark) == 4 * par
+    # nothing recorded (a stream built straight from readStream):
+    # keep the session default
+    assert et._drain_shuffle_partitions(spark) is None
+
+    # end-to-end: drain restores the conf; answer equals the batch
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    ev = et.events_stream(spark, sf_dir)
+    out = run_available_now(et.tumbling_counts_stream(ev), "complete")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    batch = (load_table(spark, "events", sf_dir)
+             .groupBy(F.window("ts", "1 hour"), "event_type")
+             .count())
+    assert out.count() == batch.count()
