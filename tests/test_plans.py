@@ -946,3 +946,29 @@ def test_bpe_encode_zero_shuffle_arrow_pass(spark, sf_dir):
     assert "ArrowEvalPython" in plan, plan
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_prepared_entries_are_pure_plans(spark, sf_dir):
+    """PREPARED_ENTRIES reuse one DataFrame per (application, sf_dir);
+    the legality of that reuse rests on the frame being a PURE PLAN —
+    every action recomputes from the parquet inputs. A checkpointed,
+    cached, or written-artifact-reading frame would turn plan reuse
+    into cross-run result caching; pin its absence in the plan."""
+    from aggregation_duckdb_spark.plans import physical_plan
+    # The flagship trio reads the geo hierarchy dim — a driver-built
+    # 31-row local relation that createDataFrame plans as
+    # "Scan ExistingRDD". That dim-build memo predates (and is the
+    # precedent for) prepared entries, so ExistingRDD is expected
+    # there; everywhere else it would mean a checkpoint leaked in.
+    hier_dim_readers = {"hier_agg_closure", "hier_agg_rollup",
+                        "hier_distinct_twostage"}
+    qs = matrix.queries()
+    for name in sorted(matrix.PREPARED_ENTRIES):
+        df1, df2 = qs[name](spark, sf_dir), qs[name](spark, sf_dir)
+        assert df1 is df2, f"{name}: prepared entry not memoized"
+        plan = physical_plan(df1, "formatted")
+        markers = ["InMemoryTableScan", "InMemoryRelation"]
+        if name not in hier_dim_readers:
+            markers.append("ExistingRDD")    # localCheckpoint output
+        for marker in markers:
+            assert marker not in plan, f"{name}: {marker} in reused plan"
