@@ -1466,8 +1466,15 @@ def append_zordered(df: DataFrame, path: str,
     base_spec = manifest["spec"]
     _validate_check(df, base_spec, "append_zordered")
     name = f"d-{uuid.uuid4().hex}"
-    df.write.mode("errorifexists").parquet(
-        fsio._join(path, DELTA_DIR, name))
+    # the rows_appended metric rides the write pass itself
+    # (Observation): the former read-back count() was one extra
+    # listing + scan job per append — per MICRO-BATCH on the
+    # streaming-ingest road
+    from pyspark.sql import Observation
+    obs = Observation()
+    (df.observe(obs, F.count(F.lit(1)).alias("n"))
+       .write.mode("errorifexists").parquet(
+           fsio._join(path, DELTA_DIR, name)))
 
     def build(m: dict) -> dict | None:
         if batch_id is not None and batch_id <= m.get("last_batch_id", -1):
@@ -1494,8 +1501,7 @@ def append_zordered(df: DataFrame, path: str,
         return out
 
     _commit(spark, path, build(manifest), "append", base_v, rebase=build,
-            metrics={"rows_appended": spark.read.parquet(
-                fsio._join(path, DELTA_DIR, name)).count()})
+            metrics={"rows_appended": int(obs.get["n"])})
 
 
 def delete_zordered_keys(keys_df: DataFrame, path: str,
@@ -1529,7 +1535,12 @@ def delete_zordered_keys(keys_df: DataFrame, path: str,
             f"delete_zordered_keys: outstanding tombstones use key "
             f"{prior}, got {list(key_cols)} — compact_zordered first")
     name = f"t-{uuid.uuid4().hex}"
+    # keys_tombstoned rides the write pass (Observation) — same
+    # read-back-count elimination as append_zordered
+    from pyspark.sql import Observation
+    obs = Observation()
     (keys_df.select(*key_cols).distinct()
+     .observe(obs, F.count(F.lit(1)).alias("n"))
      .write.mode("errorifexists")
      .parquet(fsio._join(path, TOMBSTONE_DIR, name)))
 
@@ -1547,8 +1558,7 @@ def delete_zordered_keys(keys_df: DataFrame, path: str,
 
     _commit(spark, path, build(manifest), "delete_keys", base_v,
             rebase=build,
-            metrics={"keys_tombstoned": spark.read.parquet(
-                fsio._join(path, TOMBSTONE_DIR, name)).count()})
+            metrics={"keys_tombstoned": int(obs.get["n"])})
 
 
 def purge_zordered_keys(keys_df: DataFrame, path: str,
@@ -1904,11 +1914,21 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
     # the upsert batch's key set scales with USER input — gate its
     # broadcast on an exact row count (Catalyst's estimate for a
     # projection of an arbitrary user frame inherits the parent's
-    # byte stats and over-gates); one count() job, reused across all
-    # three joins below
+    # byte stats and over-gates). The gate count and the
+    # dirtied-bucket list each fully scanned the batch before; ONE
+    # probe aggregate now serves both (count_distinct skips all-null
+    # key tuples a frame-distinct would keep — that can only
+    # under-count the GATE for rows whose keys can never match a
+    # stored row anyway, never change data; the zbucket set is
+    # bounded by 2^bucket_bits, the sanctioned model-sized collect).
+    zb_probe, _ = _zbucket_col(spec)
+    probe = df.agg(
+        F.count_distinct(*[F.col(k) for k in key_cols]).alias("nk"),
+        F.collect_set(zb_probe).alias("bks")).first()
     new_keys = broadcast_if_counted(
-        df.select(*key_cols).distinct())
-    dirtied = _touched_buckets(df, spec)
+        df.select(*key_cols).distinct(),
+        known_rows=int(probe["nk"] or 0))
+    dirtied = sorted(int(b) for b in probe["bks"])
     old = read_zordered_box_dirs(spark, path, manifest, dirtied) \
         .drop("zbucket")
     keep = old.join(new_keys, key_cols, "left_anti")
@@ -2105,15 +2125,21 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
                 f"merge_zordered: UPDATE SET on key/layout-dimension "
                 f"column(s) {sorted(frozen)} — a moved row belongs in "
                 f"another bucket; express it as delete + insert")
-    # one pass over the source serves BOTH the duplicate-key check and
-    # the exact row count that gates every source-derived broadcast
-    # below (a CDC-sized MERGE source at 100 TB table scale must NOT
-    # be forced through the block manager; Catalyst's estimate for a
-    # user frame is untrustworthy, so gate on the count)
+    # one pass over the source serves the duplicate-key check, the
+    # exact row count that gates every source-derived broadcast below
+    # (a CDC-sized MERGE source at 100 TB table scale must NOT be
+    # forced through the block manager; Catalyst's estimate for a
+    # user frame is untrustworthy, so gate on the count), AND the
+    # source's dirtied-bucket set (formerly its own full scan): with
+    # one row per key — enforced right here — first(zbucket) per key
+    # is exact, and the distinct set is bounded by 2^bucket_bits.
+    zb_src, _ = _zbucket_col(spec)
     src_agg = (source.groupBy(*key_cols)
-               .agg(F.count(F.lit(1)).alias("__n"))
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    F.first(zb_src).alias("__zb"))
                .agg(F.sum("__n").alias("__rows"),
-                    F.max("__n").alias("__mx")).collect()[0])
+                    F.max("__n").alias("__mx"),
+                    F.collect_set("__zb").alias("__bks")).collect()[0])
     if (src_agg["__mx"] or 0) > 1:
         raise ValueError(
             "merge_zordered: multiple source rows share a merge key — "
@@ -2134,7 +2160,7 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
         # fold away exactly as compact_zordered folds them (tomb
         # carries its own file-size-gated broadcast hint)
         delta = delta.join(tomb, key_cols, "left_anti")
-    dirtied = set(_touched_buckets(source, spec))
+    dirtied = {int(b) for b in src_agg["__bks"]}
     if delta is not None:
         dirtied |= set(_touched_buckets(delta, spec))
     if when_not_matched_by_source_update or \
