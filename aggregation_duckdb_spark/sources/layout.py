@@ -2643,28 +2643,48 @@ def _classify_diff(old: DataFrame, new: DataFrame,
     non_key = [c for c in cols if c not in key_cols]
     fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in non_key]))) \
         if non_key else F.lit("")
-    o = old.withColumn("__fp", fp)
-    n = new.withColumn("__fp", fp)
-    deleted = (o.join(n.select(*key_cols), key_cols, "left_anti")
-               .select(*cols).withColumn("_change_type",
-                                         F.lit("delete")))
-    inserted = (n.join(o.select(*key_cols), key_cols, "left_anti")
-                .select(*cols).withColumn("_change_type",
-                                          F.lit("insert")))
-    changed_keys = (o.select(*key_cols, F.col("__fp").alias("__fp_old"))
-                    .join(n.select(*key_cols,
-                                   F.col("__fp").alias("__fp_new")),
-                          key_cols)
-                    .where(F.col("__fp_old") != F.col("__fp_new"))
-                    .select(*key_cols))
-    pre = (o.join(changed_keys, key_cols, "left_semi")
-           .select(*cols).withColumn("_change_type",
-                                     F.lit("update_preimage")))
-    post = (n.join(changed_keys, key_cols, "left_semi")
-            .select(*cols).withColumn("_change_type",
-                                      F.lit("update_postimage")))
-    return deleted.unionByName(inserted).unionByName(pre) \
-        .unionByName(post)
+    # ONE keyed full-outer comparison: each side is scanned exactly
+    # once. The previous four-branch form (two anti-joins, a
+    # changed-key join, two semi-joins, unioned) scanned EACH endpoint
+    # three times and shuffled three joins — at 100 TB that is six
+    # endpoint scans and six shuffle sides versus two and two here.
+    # Presence is detected via the fingerprint column (never null on a
+    # present row — '' when there are no non-key columns); an update
+    # explodes into its pre+post image pair. Row-for-row identical to
+    # the old form under the documented contract (key_cols identifies
+    # rows, i.e. unique per snapshot).
+    o = old.select(*key_cols,
+                   *([F.struct(*non_key).alias("__old")]
+                     if non_key else []),
+                   fp.alias("__fp_old"))
+    n = new.select(*key_cols,
+                   *([F.struct(*non_key).alias("__new")]
+                     if non_key else []),
+                   fp.alias("__fp_new"))
+    j = o.join(n, key_cols, "full_outer").where(
+        F.col("__fp_old").isNull() | F.col("__fp_new").isNull()
+        | (F.col("__fp_old") != F.col("__fp_new")))
+    if not non_key:
+        # every column is a key: classification is presence-only
+        return j.select(
+            *cols,
+            F.when(F.col("__fp_new").isNull(), F.lit("delete"))
+             .otherwise(F.lit("insert")).alias("_change_type"))
+    pairs = (
+        F.when(F.col("__fp_new").isNull(), F.array(F.struct(
+            F.col("__old").alias("img"), F.lit("delete").alias("t"))))
+        .when(F.col("__fp_old").isNull(), F.array(F.struct(
+            F.col("__new").alias("img"), F.lit("insert").alias("t"))))
+        .otherwise(F.array(
+            F.struct(F.col("__old").alias("img"),
+                     F.lit("update_preimage").alias("t")),
+            F.struct(F.col("__new").alias("img"),
+                     F.lit("update_postimage").alias("t")))))
+    e = j.select(*key_cols, F.explode(pairs).alias("__e"))
+    return e.select(
+        *[F.col(c) if c in key_cols
+          else F.col(f"__e.img.{c}").alias(c) for c in cols],
+        F.col("__e.t").alias("_change_type"))
 
 
 def _write_change_file(changes: DataFrame, path: str) -> str | None:
