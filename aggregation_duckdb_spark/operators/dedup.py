@@ -615,14 +615,34 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
     plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
     # materialize before the self-join: the census + per-doc sort +
     # prefix explode would otherwise recompute once per join side
-    # (same rule as the LSH bucket self-join above)
+    # (same rule as the LSH bucket self-join above). Carry the set
+    # size and the 0-based prefix position: the PPJoin length and
+    # position filters below prune candidates inside the join, before
+    # the (CPU-dominant) exact array_intersect verify ever sees them.
     pfx = materialize(
-        ordered.select("doc",
-                       F.explode(F.slice("ordered", F.lit(1), plen))
-                       .alias("sg")))
+        ordered.select("doc", "n",
+                       F.posexplode(F.slice("ordered", F.lit(1), plen))
+                       .alias("pos", "sg")))
+    # exactness-preserving candidate filters (PPJoin, Xiao et al.):
+    # - length: J >= t  =>  t*|X| <= |Y| (and symmetrically);
+    # - position: a token matching at 0-based positions (i, j) of the
+    #   rarest-first-ordered sets bounds the overlap by
+    #   min(i, j) + 1 + min(na-i-1, nb-j-1), which must reach the
+    #   required overlap ceil(t/(1+t) * (na+nb)). Every matching
+    #   occurrence yields a VALID upper bound, so dropping rows whose
+    #   bound fails loses no qualifying pair; the verify stage stays
+    #   the decider for everything kept.
+    an, bn = F.col("a.n"), F.col("b.n")
+    ai, bj = F.col("a.pos"), F.col("b.pos")
+    min_overlap = F.ceil(F.lit(threshold / (1.0 + threshold)) * (an + bn))
+    ubound = (F.least(ai, bj) + 1
+              + F.least(an - ai - 1, bn - bj - 1))
     cands = (pfx.alias("a").join(pfx.alias("b"),
                                  (F.col("a.sg") == F.col("b.sg"))
-                                 & (F.col("a.doc") < F.col("b.doc")))
+                                 & (F.col("a.doc") < F.col("b.doc"))
+                                 & (bn >= F.ceil(F.lit(threshold) * an))
+                                 & (an >= F.ceil(F.lit(threshold) * bn))
+                                 & (ubound >= min_overlap))
              .select(F.col("a.doc").alias("doc_a"),
                      F.col("b.doc").alias("doc_b"))
              .distinct())
