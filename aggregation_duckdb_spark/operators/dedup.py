@@ -373,13 +373,51 @@ def sub_duplicates(docs: DataFrame, text_col: str = "text",
                    shingle_width: int = 3, max_df: int = 20) -> DataFrame:
     """Sub-document (containment) dedup, full path: inverted-index
     candidates → exact containment verify → threshold on the smaller
-    side. One shared shingle scan feeds both stages."""
+    side. One shared shingle scan feeds both stages.
+
+    Fused DICTIONARY-ENCODED pipeline (same trick as
+    :func:`prefix_filter_pairs`, measured there 3× on the verify):
+    the inverted-index census assigns each distinct shingle a unique
+    int64 id — a pinned bijection, so candidate generation (equi-join
+    on the id ≡ equi-join on the string) and the containment ratios
+    (intersection sizes / set sizes under a bijection) are
+    bit-identical to the string form in
+    :func:`shared_shingle_candidates` + :func:`containment_for_pairs`,
+    which remain the composable public pieces."""
     shingled = doc_shingles(docs, text_col, id_col, shingle_width)
-    cands = shared_shingle_candidates(docs, text_col, id_col,
-                                     shingle_width, max_df,
-                                     shingled=shingled)
-    scored = containment_for_pairs(cands, docs, text_col, id_col,
-                                   shingle_width, shingled=shingled)
+    ex = shingled.select("doc", F.explode(F.col("__sh")).alias("s"))
+    cens = materialize(
+        ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        .withColumn("tid", F.monotonically_increasing_id()))
+    exi = ex.join(cens.select("s", "tid", "__df"), "s")
+    rare = materialize(exi.where(F.col("__df") <= max_df)
+                       .select("doc", "tid"))  # shared by both sides
+    a, b = rare.alias("a"), rare.alias("b")
+    cands = (a.join(b, (F.col("a.tid") == F.col("b.tid"))
+                    & (F.col("a.doc") < F.col("b.doc")))
+             .select(F.col("a.doc").alias("doc_a"),
+                     F.col("b.doc").alias("doc_b"))
+             .distinct())
+    sh_int = materialize(
+        exi.groupBy("doc").agg(F.collect_list("tid").alias("__shi")))
+    ca = sh_int.select(F.col("doc").alias("__ida"),
+                       F.col("__shi").alias("__sa"))
+    cb = sh_int.select(F.col("doc").alias("__idb"),
+                       F.col("__shi").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    scored = (cands
+              .join(ca, cands["doc_a"] == F.col("__ida"))
+              .join(cb, cands["doc_b"] == F.col("__idb"))
+              .select(
+                  "doc_a", "doc_b",
+                  (inter.cast("double")
+                   / F.size(F.col("__sa")).cast("double"))
+                  .alias("containment_a"),
+                  (inter.cast("double")
+                   / F.size(F.col("__sb")).cast("double"))
+                  .alias("containment_b"))
+              .withColumn("max_containment",
+                          F.greatest("containment_a", "containment_b")))
     return scored.where(F.col("max_containment") >= threshold)
 
 
