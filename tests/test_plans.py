@@ -955,6 +955,13 @@ def test_prepared_entries_are_pure_plans(spark, sf_dir):
     cached, or written-artifact-reading frame would turn plan reuse
     into cross-run result caching; pin its absence in the plan."""
     from aggregation_duckdb_spark.plans import physical_plan
+    # Other tests .cache() shared tables; Spark's CacheManager then
+    # substitutes InMemoryTableScan into ANY plan over the same
+    # relation — prepared and fresh frames alike, so it says nothing
+    # about the reuse. Clear the session cache so the markers below
+    # test the prepared frames themselves (cached fixtures recompute
+    # lazily; correctness unaffected).
+    spark.catalog.clearCache()
     # The flagship trio reads the geo hierarchy dim — a driver-built
     # 31-row local relation that createDataFrame plans as
     # "Scan ExistingRDD". That dim-build memo predates (and is the
