@@ -1820,12 +1820,20 @@ def text_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ depth·width keys no matter the corpus size), point-queried for
     the exact top-10 grams. cms_estimate ≥ exact_count always
     (collisions only add) — visible in the result."""
+    from aggregation_duckdb_spark.runtime import (ensure_parallelism,
+                                                  materialize)
     docs = load_table(spark, "documents", sf_dir)
-    sketch = T.countmin_build(docs, depth=4, width=512, gram=3)
-    top = (docs.select(F.explode(T.word_ngrams(F.col("text"), 3))
-                       .alias("gram"))
-           .groupBy("gram").agg(F.count(F.lit(1)).alias("exact_count"))
-           .orderBy(F.desc("exact_count"), F.asc("gram")).limit(10))
+    # tokenize/explode ONCE for both consumers (sketch coords + exact
+    # counts) and pin the 10-row top list, which the estimate probes
+    # AND the final join both read — previously the corpus tokenized
+    # twice and the exact heavy-hitter aggregate ran twice
+    g = materialize(ensure_parallelism(docs.select("text"))
+                    .select(F.explode(T.word_ngrams(F.col("text"), 3))
+                            .alias("gram")))
+    sketch = T.countmin_build_grams(g, depth=4, width=512)
+    top = materialize(
+        g.groupBy("gram").agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("gram")).limit(10))
     est = T.countmin_estimate(sketch, top.select("gram"),
                               depth=4, width=512, item_col="gram")
     return (top.join(est, "gram")

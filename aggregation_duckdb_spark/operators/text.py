@@ -260,6 +260,24 @@ def countmin_build(docs: DataFrame, depth: int = 4, width: int = 1024,
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def countmin_build_grams(grams: DataFrame, depth: int = 4,
+                         width: int = 1024,
+                         gram_col: str = "gram") -> DataFrame:
+    """:func:`countmin_build` over an ALREADY-EXPLODED gram frame —
+    for pipelines that also need the grams for another pass (exact
+    heavy-hitter counts, say) and want to tokenize the corpus once,
+    not once per consumer. Identical counters: the (row, col)
+    coordinates per gram are the same expressions."""
+    coords = F.explode(F.array(*[
+        F.struct(F.lit(d).alias("row"),
+                 _cms_col(F.col(gram_col), d, width).alias("col"))
+        for d in range(depth)]))
+    return (grams.select(coords.alias("c"))
+            .groupBy(F.col("c.row").alias("row"),
+                     F.col("c.col").alias("col"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
 def countmin_estimate(sketch: DataFrame, items: DataFrame,
                       depth: int = 4, width: int = 1024,
                       item_col: str = "item") -> DataFrame:
