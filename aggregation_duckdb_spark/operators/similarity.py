@@ -117,14 +117,25 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     never shuffled for the join; the only shuffle is the top-k window
     partitioned by query (use a bounded query set — this is the
     verification baseline for the ANN paths)."""
+    # norms are per-VECTOR, not per-pair: compute each side's norm
+    # once in its projection and multiply in the pair score — the
+    # inline cosine re-folded both norms for every (query, neighbor)
+    # pair, tripling the fold work of the scoring pass. Values are
+    # IEEE-identical (same fold expressions over the same data, same
+    # q-then-c multiply order), so oracle hashes are unaffected — the
+    # embedding_near_duplicates_lsh precedent.
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qvec"))
+                       F.col(vec_col).alias("__qvec"),
+                       norm(F.col(vec_col)).alias("__qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cvec"))
+                      F.col(vec_col).alias("__cvec"),
+                      norm(F.col(vec_col)).alias("__cn"))
     scored = (c.crossJoin(F.broadcast(q))
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine_sim")))
+                      (dot(F.col("__qvec"), F.col("__cvec"))
+                       / (F.col("__qn") * F.col("__cn")))
+                      .alias("cosine_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
