@@ -417,19 +417,30 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     cents = centroids.select(F.col("centroid_id").alias("__cid"),
                              F.col("centroid").alias("__cvec"))
     assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    # per-vector norms hoisted out of the per-pair score (the
+    # brute_force_topk rule): the query norm rides the probe list,
+    # the corpus norm is computed once per row in the cell scan —
+    # IEEE-identical values, a third of the fold work per candidate
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qvec"))
+                       F.col(vec_col).alias("__qvec"),
+                       norm(F.col(vec_col)).alias("__qn"))
     qprobe = (q.crossJoin(F.broadcast(cents))
-              .select("query_id", "__qvec", "__cid",
-                      cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim")))
+              .select("query_id", "__qvec", "__qn", "__cid",
+                      (dot(F.col("__qvec"), F.col("__cvec"))
+                       / (F.col("__qn") * norm(F.col("__cvec"))))
+                      .alias("__sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("__cid"))
     probes = (qprobe.withColumn("__rn", F.row_number().over(w))
               .where(F.col("__rn") <= n_probe)
-              .select("query_id", "__qvec", F.col("__cid").alias("centroid_id")))
-    scored = (assigned.join(F.broadcast(probes), "centroid_id")
+              .select("query_id", "__qvec", "__qn",
+                      F.col("__cid").alias("centroid_id")))
+    scored = (assigned.withColumn("__cn", norm(F.col(vec_col)))
+              .join(F.broadcast(probes), "centroid_id")
               .where(F.col(id_col) != F.col("query_id"))
               .select("query_id", F.col(id_col).alias("neighbor_id"),
-                      cosine(F.col("__qvec"), F.col(vec_col)).alias("cosine_sim")))
+                      (dot(F.col("__qvec"), F.col(vec_col))
+                       / (F.col("__qn") * F.col("__cn")))
+                      .alias("cosine_sim")))
     wk = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(wk).cast("long"))
@@ -597,23 +608,30 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         raise ValueError(
             f"lsh_topk dim={dim} but {vec_col} has {probe['d']} elements")
     mats = lsh_sign_matrix(num_tables, bits_per_table, dim)
+    # per-vector norms computed BEFORE the bucket explode (once per
+    # vector, not per bucket or per candidate pair) and carried to the
+    # re-rank — IEEE-identical values, the brute_force_topk rule
     c = _fan_out(corpus).select(F.col(id_col).alias("neighbor_id"),
-                                F.col(vec_col).alias("__cvec"))
+                                F.col(vec_col).alias("__cvec"),
+                                norm(F.col(vec_col)).alias("__cn"))
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qvec"))
+                       F.col(vec_col).alias("__qvec"),
+                       norm(F.col(vec_col)).alias("__qn"))
     c_buckets = c.select(
-        "neighbor_id", "__cvec",
+        "neighbor_id", "__cvec", "__cn",
         F.explode(_bucket_keys(F.col("__cvec"), mats)).alias("__bucket"))
     q_buckets = q.select(
-        "query_id", "__qvec",
+        "query_id", "__qvec", "__qn",
         F.explode(_bucket_keys(F.col("__qvec"), mats)).alias("__bucket"))
     cands = (c_buckets.join(F.broadcast(q_buckets), "__bucket")
              .where(F.col("neighbor_id") != F.col("query_id"))
-             .select("query_id", "__qvec", "neighbor_id", "__cvec")
+             .select("query_id", "__qvec", "__qn",
+                     "neighbor_id", "__cvec", "__cn")
              .dropDuplicates(["query_id", "neighbor_id"]))
     scored = cands.select(
         "query_id", "neighbor_id",
-        cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine_sim"))
+        (dot(F.col("__qvec"), F.col("__cvec"))
+         / (F.col("__qn") * F.col("__cn"))).alias("cosine_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1071,16 +1089,18 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
              .select(F.col("centroid_id").cast("int").alias("__cid"),
                      F.col("centroid").alias("__cvec")))
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qvec"))
+                       F.col(vec_col).alias("__qvec"),
+                       norm(F.col(vec_col)).alias("__qn"))
     qprobe = (q.crossJoin(F.broadcast(cents))
-              .select("query_id", "__qvec", "__cid",
-                      cosine(F.col("__qvec"), F.col("__cvec"))
+              .select("query_id", "__qvec", "__qn", "__cid",
+                      (dot(F.col("__qvec"), F.col("__cvec"))
+                       / (F.col("__qn") * norm(F.col("__cvec"))))
                       .alias("__sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"),
                                                F.asc("__cid"))
     probes = (qprobe.withColumn("__rn", F.row_number().over(w))
               .where(F.col("__rn") <= n_probe)
-              .select("query_id", "__qvec",
+              .select("query_id", "__qvec", "__qn",
                       F.col("__cid").alias("centroid_id")))
     needed = sorted({r["centroid_id"]
                      for r in probes.select("centroid_id")
@@ -1088,10 +1108,13 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
     cells = (spark.read.parquet(fsio._join(path, "cells"))
              .drop("__ingest_batch")
              .where(F.col("centroid_id").isin(needed)))
-    scored = (cells.join(F.broadcast(probes), "centroid_id")
+    # corpus-side norm once per stored row, not per (query, row) pair
+    scored = (cells.withColumn("__cn", norm(F.col(vec_col)))
+              .join(F.broadcast(probes), "centroid_id")
               .where(F.col(id_col) != F.col("query_id"))
               .select("query_id", F.col(id_col).alias("neighbor_id"),
-                      cosine(F.col("__qvec"), F.col(vec_col))
+                      (dot(F.col("__qvec"), F.col(vec_col))
+                       / (F.col("__qn") * F.col("__cn")))
                       .alias("cosine_sim")))
     wk = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id"))
