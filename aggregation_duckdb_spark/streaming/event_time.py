@@ -283,11 +283,13 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
             # Python-operator drains (applyInPandasWithState etc.) are
             # per-row PYTHON-compute-bound, not state-store-bound:
             # squeezing them to byte-derived widths serializes the
-            # pandas work on one worker (measured: the attribution
-            # drain 2-3.9 s at session width vs 4.6 s at 1 partition,
-            # while the pure-JVM tumbling agg is 3x FASTER narrow).
-            # Floor these at the cluster parallelism.
-            n_parts = max(n_parts, par)
+            # pandas work on one worker, while full session width pays
+            # a python worker + state commit per partition. Width
+            # sweep at sf0.1 (3 interleaved reps): attribution drain
+            # 4.6 s @1 / 1.2-1.9 s @8 / 1.4-1.9 s @32; dau drain
+            # 0.8-1.0 s @8 / 1.4-1.5 s @32 — floor at min(par, 8);
+            # bigger sources scale through the bytes term as usual.
+            n_parts = max(n_parts, min(par, 8))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if n_parts is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
