@@ -955,13 +955,16 @@ def test_prepared_entries_are_pure_plans(spark, sf_dir):
     cached, or written-artifact-reading frame would turn plan reuse
     into cross-run result caching; pin its absence in the plan."""
     from aggregation_duckdb_spark.plans import physical_plan
-    # Other tests .cache() shared tables; Spark's CacheManager then
-    # substitutes InMemoryTableScan into ANY plan over the same
-    # relation — prepared and fresh frames alike, so it says nothing
-    # about the reuse. Clear the session cache so the markers below
-    # test the prepared frames themselves (cached fixtures recompute
-    # lazily; correctness unaffected).
+    # Other tests .cache() shared tables; Spark substitutes
+    # InMemoryTableScan into ANY plan analyzed while the cache lives —
+    # prepared and fresh frames alike (withCachedData is pinned per
+    # Dataset), so it says nothing about the reuse and results stay
+    # correct either way (InMemoryRelation recomputes from its child
+    # on a cache miss). Build this test's frames CACHE-FREE: clear the
+    # session cache and use an sf_dir no other test memoized, so the
+    # per-(app, sf_dir) memo constructs fresh frames right here.
     spark.catalog.clearCache()
+    sf_dir = "/root/testdata/sf0.01"
     # The flagship trio reads the geo hierarchy dim — a driver-built
     # 31-row local relation that createDataFrame plans as
     # "Scan ExistingRDD". That dim-build memo predates (and is the
