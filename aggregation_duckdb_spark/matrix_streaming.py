@@ -373,8 +373,15 @@ def stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select((F.col("event_id") + 1_000_000_000)
                        .alias("event_id"), "user_id", "value",
                        F.lit("inserted").alias("event_type")))
+        # emit_changes: the upsert classifies its change rows against
+        # the dirtied buckets AT COMMIT TIME (bounded work it already
+        # scans for the merge) and the drain reads them back directly
+        # — the O(changes) CDC read path instead of re-diffing two
+        # full snapshot endpoints per commit (guide §1.2 step 1: one
+        # less full pass; round-16 item #1). vacuum=False stays: the
+        # v1-insert and v3-delete-preimage drains still read snapshots.
         L.upsert_zordered(ups.unionByName(ins), base, ["event_id"],
-                          vacuum=False)                         # v2
+                          vacuum=False, emit_changes=True)      # v2
         L.delete_zordered_keys(
             ev.where(F.col("event_id") % 17 == 0).select("event_id"),
             base, ["event_id"])                                 # v3

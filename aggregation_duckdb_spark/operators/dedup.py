@@ -793,7 +793,7 @@ def write_dedup_index(existing: DataFrame, path: str,
         (frame.withColumn("__ingest_batch", F.lit(-1))
          .write.mode("overwrite").partitionBy("__ingest_batch")
          .parquet(fsio._join(path, name)))
-    _write_dedup_blooms(path, h, sh, -1, "overwrite")
+    _write_dedup_blooms(existing.sparkSession, path, -1, "overwrite")
     fsio.write_json(existing.sparkSession, fsio._join(path, "params.json"),
                     {"num_hashes": num_hashes, "num_bands": num_bands,
                      "shingle_width": shingle_width,
@@ -811,8 +811,8 @@ DEDUP_BLOOM_WORDS = 4096
 DEDUP_BLOOM_K = 3
 
 
-def _write_dedup_blooms(path: str, h: DataFrame, sh: DataFrame,
-                        part: int, mode: str) -> None:
+def _write_dedup_blooms(spark, path: str, part: int,
+                        mode: str) -> None:
     """The two per-batch membership Blooms a purge probes: doc ids
     (prunes shingles/buckets batches) and content hashes (prunes
     hashes batches — hashes are anonymous, so doc membership alone
@@ -820,16 +820,27 @@ def _write_dedup_blooms(path: str, h: DataFrame, sh: DataFrame,
     batch shares the hash, and the hash Bloom sees it there). Written
     under the SAME partition scheme and write mode as the data
     tables, so a replayed exactly-once batch overwrites its own Bloom
-    partition with its tables."""
+    partition with its tables.
+
+    The key sets are READ BACK from the just-written parquet tables,
+    partition-pruned to ``part`` and column-pruned to the key alone —
+    NOT recomputed from the projection plans, which would re-execute
+    the md5/shingle passes over the raw corpus a second time (guide
+    §1.2 step 1: the round-15 Bloom sidecars cost an extra full pass
+    per index build; this rides the bytes that already landed). In
+    the ad-hoc ``part=-1`` append mode the read-back covers the whole
+    base partition (batch rows are indistinguishable there) — the
+    extra bits are a superset, which Bloom's contract makes correct
+    (false positives only, never false negatives)."""
     from aggregation_duckdb_spark import fsio
     from aggregation_duckdb_spark.operators.pipeline import \
         bloom_part_rows
-    for pairs, key, name in (
-            (sh.select(F.lit(part).alias("__ingest_batch"), "doc"),
-             "doc", "doc_bloom"),
-            (h.select(F.lit(part).alias("__ingest_batch"), "__h"),
-             "__h", "hash_bloom")):
-        (bloom_part_rows(pairs, key, "__ingest_batch",
+    for table, key, name in (("shingles", "doc", "doc_bloom"),
+                             ("hashes", "__h", "hash_bloom")):
+        back = (spark.read.parquet(fsio._join(path, table))
+                .where(F.col("__ingest_batch") == part)
+                .select(F.lit(part).alias("__ingest_batch"), key))
+        (bloom_part_rows(back, key, "__ingest_batch",
                          DEDUP_BLOOM_WORDS, DEDUP_BLOOM_K)
          .write.mode(mode).partitionBy("__ingest_batch")
          .parquet(fsio._join(path, name)))
@@ -878,7 +889,7 @@ def append_dedup_index(admitted: DataFrame, path: str,
         # only when the BUILD declared blooms (every batch must have
         # rows, or a probe would falsely clear uncovered batches)
         if "blooms" in p:
-            _write_dedup_blooms(path, h, sh, part, mode)
+            _write_dedup_blooms(spark, path, part, mode)
     if batch_id is not None:
         fsio.commit_ingest_watermark(spark, path, batch_id)
 
@@ -932,11 +943,7 @@ def compact_dedup_index(spark, path: str) -> dict:
              .drop("__ingest_batch"))
     report = {"folded_batches": len(batches)}
     if "blooms" in p:
-        h = spark.read.parquet(fsio._join(path, "hashes")) \
-            .select("__h")
-        sh = spark.read.parquet(fsio._join(path, "shingles")) \
-            .select("doc")
-        _write_dedup_blooms(path, h, sh, -1, "overwrite")
+        _write_dedup_blooms(spark, path, -1, "overwrite")
         report["blooms_rebuilt"] = True
     return report
 

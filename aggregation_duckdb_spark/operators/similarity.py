@@ -906,6 +906,58 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame,
         _code(F.col("__e.subspace"), F.col("__e.sv")).alias("code"))
 
 
+def _codes_are_long(codes: DataFrame) -> bool:
+    """True for the long (id, subspace, code) shape; False for the
+    wide (id, c0..c{m-1}) shape the persisted index stores (round 16:
+    one row and num_subspaces small ints per vector — ~8× fewer
+    stored rows, and the fixed-order serving path needs no pivot
+    exchange). Both shapes carry the same code values bit-for-bit
+    (the wide form IS the long form's pivot)."""
+    return "subspace" in codes.columns and "code" in codes.columns
+
+
+def codes_to_wide(codes: DataFrame, id_col: str = "vec_id",
+                  num_subspaces: int = 8) -> DataFrame:
+    """Pivot long (id, subspace, code) rows to one wide
+    (id, c0..c{m-1}) row per vector — the stored-index layout. A
+    frame already wide passes through (validated)."""
+    if _codes_are_long(codes):
+        return codes.groupBy(F.col(id_col)).agg(*[
+            F.max(F.when(F.col("subspace") == j, F.col("code")))
+            .alias(f"c{j}") for j in range(num_subspaces)])
+    missing = [f"c{j}" for j in range(num_subspaces)
+               if f"c{j}" not in codes.columns]
+    if missing:
+        raise ValueError(
+            f"codes_to_wide: frame is neither long (subspace, code) "
+            f"nor wide — missing columns {missing}")
+    return codes
+
+
+def _codes_long(codes: DataFrame, id_col: str,
+                num_subspaces: int) -> DataFrame:
+    """The long (id, subspace, code) view of a codes frame: wide rows
+    unpivot IN-ROW (an explode over a literal array — no shuffle),
+    yielding exactly the rows the long form stores, in subspace
+    order."""
+    if _codes_are_long(codes):
+        return codes
+    missing = [f"c{j}" for j in range(num_subspaces)
+               if f"c{j}" not in codes.columns]
+    if missing:
+        raise ValueError(
+            f"pq codes frame is neither long (subspace, code) nor "
+            f"wide — missing columns {missing}")
+    return codes.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).cast("long").alias("subspace"),
+                     F.col(f"c{j}").cast("long").alias("code"))
+            for j in range(num_subspaces)])).alias("__e")) \
+        .select(id_col, F.col("__e.subspace").alias("subspace"),
+                F.col("__e.code").alias("code"))
+
+
 def pq_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
             k: int = 10, num_subspaces: int = 8,
             vec_col: str = "embedding", id_col: str = "vec_id",
@@ -939,9 +991,13 @@ def pq_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
             F.array(*[F.lit(v) for v in bk[(j, c)]]) if (j, c) in bk
             else F.array(*[F.lit(0.0)] * sub)
             for j in range(num_subspaces) for c in range(n_codes)])
-        wide = codes.groupBy(F.col(id_col).alias("neighbor_id")).agg(*[
-            F.max(F.when(F.col("subspace") == j, F.col("code")))
-            .alias(f"__c{j}") for j in range(num_subspaces)])
+        # wide-stored codes skip the pivot exchange entirely (round
+        # 16); long codes pivot here exactly as before — either way
+        # the frame below carries identical code values
+        wide = codes_to_wide(codes, id_col, num_subspaces).select(
+            F.col(id_col).alias("neighbor_id"),
+            *[F.col(f"c{j}").alias(f"__c{j}")
+              for j in range(num_subspaces)])
         q = queries.select(F.col(id_col).alias("query_id"),
                            F.col(vec_col).alias("__qv"))
         partials = F.array(*[
@@ -970,7 +1026,7 @@ def pq_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
                             dot(F.col("__q"), F.col("centroid"))
                             .alias("partial")))
             q_parts = part if q_parts is None else q_parts.unionByName(part)
-        scored = (codes
+        scored = (_codes_long(codes, id_col, num_subspaces)
                   .join(F.broadcast(q_parts), ["subspace", "code"])
                   .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
                   .agg(F.sum("partial").alias("approx_dot"))
@@ -1170,8 +1226,13 @@ def write_pq_index(corpus: DataFrame, codebooks: DataFrame, path: str,
     by ADC without decompression; full vectors stay in the source
     table and are touched only by the bounded rerank join."""
     from aggregation_duckdb_spark import fsio
-    codes = pq_encode(corpus, codebooks, num_subspaces, vec_col,
-                      id_col, dim)
+    # stored WIDE — one (id, c0..c{m-1}) row per vector (round 16):
+    # ~8× fewer stored rows/bytes than the long form, and serving
+    # needs no per-query pivot exchange (guide §2.3/§6). The pivot of
+    # pq_encode's long rows carries identical code values bit-for-bit.
+    codes = codes_to_wide(
+        pq_encode(corpus, codebooks, num_subspaces, vec_col, id_col,
+                  dim), id_col, num_subspaces)
     codebooks.write.mode("overwrite").parquet(
         fsio._join(path, "codebooks"))
     (codes.withColumn("__ingest_batch", F.lit(-1))
@@ -1202,6 +1263,10 @@ def append_pq_index(new: DataFrame, path: str,
     books = spark.read.parquet(fsio._join(path, "codebooks"))
     codes = pq_encode(new, books, p["num_subspaces"], vec_col, id_col,
                       p["dim"])
+    if not _codes_are_long(spark.read.parquet(fsio._join(path,
+                                                         "codes"))):
+        codes = codes_to_wide(codes, id_col, p["num_subspaces"])
+    # else: legacy long-shape artifact — keep appending long rows
     part = -1 if batch_id is None else int(batch_id)
     mode = "append" if batch_id is None else "overwrite"
     with fsio.dynamic_partition_overwrite(spark):

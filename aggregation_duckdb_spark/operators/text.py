@@ -816,7 +816,6 @@ def write_text_index(docs: DataFrame, path: str, num_buckets: int = 64,
     meant to replace (measured: SCALE_PROBE_r06 stop-word workload)."""
     from aggregation_duckdb_spark import fsio
     spark = docs.sparkSession
-    toks = tokens(F.col(text_col))
     sized, postings = _index_frames(docs, num_buckets, text_col,
                                     id_col)
     (postings.withColumn("__ingest_batch", F.lit(-1))
@@ -839,8 +838,13 @@ def write_text_index(docs: DataFrame, path: str, num_buckets: int = 64,
     (_doc_bloom_rows(posts_back)
      .write.mode("errorifexists")
      .parquet(fsio._join(path, "doc_bloom", bloom_gen)))
-    stats = docs.agg(F.count(F.lit(1)).alias("n"),
-                     F.sum(F.size(toks)).alias("tt")).collect()[0]
+    # corpus scalars from the just-written doclens (one row per doc,
+    # dl = token count) — NOT a third tokenize pass over the raw
+    # corpus text (guide §1.2 step 1: the bytes already landed; sum
+    # over nulls matches sum over size(toks) because dl IS size(toks))
+    stats = (spark.read.parquet(fsio._join(path, "doclens"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("dl").alias("tt")).collect()[0])
     n_docs = int(stats["n"])
     # full (term, df) table — vocab-sized (Heaps' law), the state that
     # lets APPENDS reclassify stop terms without a corpus-sized
@@ -925,17 +929,36 @@ def append_text_index(admitted: DataFrame, path: str,
          .write.mode(mode).partitionBy("__ingest_batch")
          .parquet(fsio._join(path, "doclens")))
     if batch_id is None or st.get("last_batch", -1) < batch_id:
-        toks = tokens(F.col(text_col))
-        agg = admitted.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.size(toks)), F.lit(0)).alias("tt")
-            ).collect()[0]
+        if batch_id is not None:
+            # exactly-once batch: its doclens partition holds exactly
+            # the batch's (doc, dl) rows — aggregate those instead of
+            # re-tokenizing the batch text (guide §1.2 step 1)
+            agg = (spark.read.parquet(fsio._join(path, "doclens"))
+                   .where(F.col("__ingest_batch") == part)
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.coalesce(F.sum("dl"), F.lit(0)).alias("tt"))
+                   .collect()[0])
+        else:
+            # ad-hoc append: rows land in the shared -1 partition, so
+            # the read-back cannot isolate the batch — aggregate the
+            # input frame as before
+            toks = tokens(F.col(text_col))
+            agg = admitted.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.size(toks)), F.lit(0)).alias("tt")
+                ).collect()[0]
         n_docs = int(st["n_docs"]) + int(agg["n"])
         tok_total = int(st["tok_total"]) + int(agg["tt"])
         old_dfs = spark.read.parquet(
             fsio._join(path, "dfs", st["dfs_gen"]))
-        batch_dfs = (postings.groupBy("term")
-                     .agg(F.count(F.lit(1)).alias("df")))
+        # exactly-once batches count dfs from their just-written
+        # postings partition (column-pruned term read) instead of
+        # re-executing the tokenize+explode projection; ad-hoc rows
+        # share the -1 partition and keep the plan-side count
+        batch_dfs = ((spark.read.parquet(fsio._join(path, "postings"))
+                      .where(F.col("__ingest_batch") == part))
+                     if batch_id is not None else postings) \
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         merged = (old_dfs.withColumnRenamed("df", "__a")
                   .join(batch_dfs.withColumnRenamed("df", "__b"),
                         "term", "full_outer")
