@@ -37,6 +37,17 @@ _ORACLES: dict[str, str] = {}
 #: artifact read back (same), no per-call side effect (streaming
 #: drains, temp writes). The purity contract is pinned by
 #: tests/test_plans.py::test_prepared_entries_are_pure_plans.
+#:
+#: STATIC-INPUT ASSUMPTION (documented per the round-15 advisor): the
+#: memoized frame freezes the parquet FILE LISTING
+#: (InMemoryFileIndex) at first construction, so mutating a table
+#: under ``sf_dir`` within one application would be invisible to
+#: later calls. The bench/oracle inputs are immutable test fixtures,
+#: which is exactly why these entries qualify; an entry over mutable
+#: paths must never join this set. Editing this set REQUIRES the
+#: purity test (it also rejects scans of runtime ``mat-*``/
+#: ``spark-graft-*`` artifact paths, the case a plan marker alone
+#: cannot catch).
 PREPARED_ENTRIES: set[str] = {
     # flagship pair: hier dim is an existing per-(app, sf) memoized
     # local relation; the fact side is a pure scan plan

@@ -5134,9 +5134,15 @@ def q_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         L.write_zordered(ev.where(F.col("event_id") % 10 == 0),
                          base, "user_id", "value",
                          bits=8, bucket_bits=4)
-        for i in range(1, 10):   # nine un-compacted delta batches
-            L.append_zordered(ev.where(F.col("event_id") % 10 == i),
-                              base)
+        # nine un-compacted delta batches — landed via the batched
+        # multi-append verb (round 16): one write job + one manifest
+        # commit instead of nine of each; the table still holds nine
+        # distinct delta directories, so the maintain threshold and
+        # the compaction it triggers exercise exactly what nine
+        # sequential appends produced (guide §6)
+        L.append_zordered_many(
+            [ev.where(F.col("event_id") % 10 == i)
+             for i in range(1, 10)], base)
         ran = L.maintain_zordered(spark, base, max_deltas=8)
         assert ran["compacted"]
         ran2 = L.maintain_zordered(spark, base, max_deltas=8)

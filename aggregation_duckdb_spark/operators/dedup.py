@@ -685,6 +685,21 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
     min_overlap = F.ceil(F.lit(threshold / (1.0 + threshold)) * (an + bn))
     ubound = (F.least(ai, bj) + 1
               + F.least(an - ai - 1, bn - bj - 1))
+    # The pair-level distinct is upgraded to a grouped PPJoin+-style
+    # suffix bound (round 16): per surviving pair, m = the number of
+    # prefix-shared shingles and (amax, bmax) = their last matched
+    # 0-based positions. Under the global rarest-first order every
+    # common element NOT matched in both prefixes must sort strictly
+    # after the last matched one in BOTH docs (if it sorted before,
+    # it would lie inside both prefixes and have matched), so
+    #   overlap <= m + min(na-1-amax, nb-1-bmax).
+    # Exactness-preserving: for a truly qualifying pair every prefix
+    # occurrence passes the per-occurrence filters above (each bound
+    # is >= the true overlap >= min_overlap), so m counts ALL its
+    # prefix matches and the grouped bound is >= the true overlap —
+    # only never-qualifying pairs are dropped before the CPU-dense
+    # exact verify (completeness stays pytest-pinned against the
+    # all-pairs oracle).
     cands = (pfx.alias("a").join(pfx.alias("b"),
                                  (F.col("a.sg") == F.col("b.sg"))
                                  & (F.col("a.doc") < F.col("b.doc"))
@@ -692,8 +707,19 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
                                  & (an >= F.ceil(F.lit(threshold) * bn))
                                  & (ubound >= min_overlap))
              .select(F.col("a.doc").alias("doc_a"),
-                     F.col("b.doc").alias("doc_b"))
-             .distinct())
+                     F.col("b.doc").alias("doc_b"),
+                     an.alias("__na"), bn.alias("__nb"),
+                     ai.alias("__ai"), bj.alias("__bj"))
+             .groupBy("doc_a", "doc_b", "__na", "__nb")
+             .agg(F.count(F.lit(1)).alias("__m"),
+                  F.max("__ai").alias("__amax"),
+                  F.max("__bj").alias("__bmax"))
+             .where((F.col("__m")
+                     + F.least(F.col("__na") - 1 - F.col("__amax"),
+                               F.col("__nb") - 1 - F.col("__bmax")))
+                    >= F.ceil(F.lit(threshold / (1.0 + threshold))
+                              * (F.col("__na") + F.col("__nb"))))
+             .select("doc_a", "doc_b"))
     # exact verify over the dictionary-encoded sets (ids are a
     # bijection of the shingles, so |A∩B| and the Jaccard double are
     # bit-identical to the string form)

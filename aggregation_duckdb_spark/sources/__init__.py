@@ -14,7 +14,8 @@ from aggregation_duckdb_spark.sources.bucketing import (
 from aggregation_duckdb_spark.sources.formats import (
     read_csv, read_json, write_csv_dir, write_json)
 from aggregation_duckdb_spark.sources.layout import (
-    alter_zordered, append_zordered, compact_zordered,
+    alter_zordered, append_zordered, append_zordered_many,
+    compact_zordered,
     delete_zordered_box,
     delete_zordered_keys, optimize_zordered, purge_zordered_keys,
     read_zordered,
@@ -29,7 +30,8 @@ from aggregation_duckdb_spark.sources.layout import (
 __all__ = ["read_csv", "read_json", "write_csv_dir", "write_json",
            "write_bucketed", "is_shuffle_free_join",
            "write_zordered", "read_zordered", "read_zordered_box",
-           "zbuckets_for_box", "append_zordered", "compact_zordered",
+           "zbuckets_for_box", "append_zordered",
+           "append_zordered_many", "compact_zordered",
            "read_zordered_box_with_delta", "table_exists",
            "upsert_zordered", "vacuum_zordered", "table_version",
            "read_zordered_where", "zonemap_buckets",

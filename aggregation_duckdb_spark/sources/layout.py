@@ -1504,6 +1504,103 @@ def append_zordered(df: DataFrame, path: str,
             metrics={"rows_appended": int(obs.get["n"])})
 
 
+def append_zordered_many(dfs: list[DataFrame], path: str) -> None:
+    """Append K batches as K delta directories in ONE write job and
+    ONE manifest commit — the bulk-backlog form of
+    :func:`append_zordered` (round 16, guide §6: K separate appends
+    pay K write jobs plus K commit round-trips for what is one
+    logical ingest step; a nightly backlog of micro-batches should
+    amortize both). Each input frame becomes its OWN delta batch
+    directory, byte-equivalent to K sequential appends: reads,
+    compaction, and the change feed see K distinct deltas landing in
+    one commit (the feed's append path already unions every delta
+    NEW to a commit).
+
+    Mechanics: the batches union under a ``__mbatch`` discriminator
+    and write ONCE partitioned by it into a staging directory; each
+    partition directory is then renamed to its delta name (a metadata
+    move — the bytes land exactly once) and the manifest commit
+    records all K names. A batch with zero rows produces no partition
+    directory and is recorded as no delta (K sequential appends would
+    have committed an empty directory — visible rows identical).
+
+    Contract: all batches must share one column set (this verb exists
+    for homogeneous micro-batch backlogs; schema-evolving batches
+    take :func:`append_zordered` individually), and the usual append
+    rules apply — validated against the current CHECK, conflict on a
+    concurrent spec change, blind vs other appends."""
+    if not dfs:
+        return
+    spark = dfs[0].sparkSession
+    base_v, manifest = _latest(spark, path)
+    base_spec = manifest["spec"]
+    phys = [_batch_to_physical(manifest, d, "append_zordered_many")
+            for d in dfs]
+    cols0 = sorted(phys[0].columns)
+    for d in phys[1:]:
+        if sorted(d.columns) != cols0:
+            raise ValueError(
+                "append_zordered_many: batches carry different "
+                f"column sets ({cols0} vs {sorted(d.columns)}) — "
+                "append schema-evolving batches individually")
+    union = None
+    for i, d in enumerate(phys):
+        dd = d.withColumn("__mbatch", F.lit(i))
+        union = dd if union is None else union.unionByName(dd)
+    # one validation pass rides the union (same predicate the
+    # per-batch path applies K times)
+    _validate_check(union, base_spec, "append_zordered_many")
+    from pyspark.sql import Observation
+    obs = Observation()
+    stage = fsio._join(path, DELTA_DIR, f".multi-{uuid.uuid4().hex}")
+    (union.observe(obs, F.count(F.lit(1)).alias("n"))
+     .write.mode("errorifexists").partitionBy("__mbatch")
+     .parquet(stage))
+    names: list[str] = []
+    for i in range(len(phys)):
+        src = fsio._join(stage, f"__mbatch={i}")
+        if not fsio.exists(spark, src):
+            continue                     # empty batch: no delta dir
+        name = f"d-{uuid.uuid4().hex}"
+        dst = fsio._join(path, DELTA_DIR, name)
+        if not fsio.rename(spark, src, dst):
+            raise RuntimeError(
+                f"append_zordered_many: rename of staged batch {i} "
+                f"from {src} failed — staging left intact; nothing "
+                f"was committed")
+        names.append(name)
+    fsio.delete(spark, stage)
+    if not names:
+        return                           # all batches empty: no-op
+
+    def build(m: dict) -> dict | None:
+        if m["spec"] != base_spec:
+            only_check = ({k: v for k, v in m["spec"].items()
+                           if k != "check"}
+                          == {k: v for k, v in base_spec.items()
+                              if k != "check"})
+            if not only_check:
+                _conflict("append_zordered_many", m,
+                          "changed the layout spec (batches were "
+                          "validated against the old table)")
+            try:
+                for d in phys:
+                    _validate_check(d, m["spec"],
+                                    "append_zordered_many")
+            except ValueError as e:
+                _conflict("append_zordered_many", m,
+                          f"tightened the CHECK constraint ({e})")
+        out = dict(m)
+        out.pop("change_file", None)   # per-commit, never inherited
+        out["deltas"] = list(m.get("deltas", [])) + names
+        return out
+
+    _commit(spark, path, build(manifest), "append", base_v,
+            rebase=build,
+            metrics={"rows_appended": int(obs.get["n"]),
+                     "delta_batches": len(names)})
+
+
 def delete_zordered_keys(keys_df: DataFrame, path: str,
                          key_cols: list[str]) -> None:
     """Key-based DELETE (the GDPR shape) as a TOMBSTONE append: the
@@ -1922,9 +2019,25 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
     # stored row anyway, never change data; the zbucket set is
     # bounded by 2^bucket_bits, the sanctioned model-sized collect).
     zb_probe, _ = _zbucket_col(spec)
+    # nk gates the broadcast NULL-SAFELY: count_distinct over a
+    # struct counts key tuples containing nulls exactly as the
+    # frame-distinct below keeps them (bare count_distinct would
+    # silently skip them and under-gate). A null ZBUCKET — a row
+    # whose layout-dimension value is null — has no bucket to dirty
+    # and would slip past the rewrite while still being written;
+    # refuse it loudly in the same aggregate (the pre-round-15 probe
+    # failed on it too, via sorted(None)).
     probe = df.agg(
-        F.count_distinct(*[F.col(k) for k in key_cols]).alias("nk"),
+        F.count_distinct(F.struct(*[F.col(k) for k in key_cols]))
+        .alias("nk"),
+        F.sum(zb_probe.isNull().cast("long")).alias("__nullzb"),
         F.collect_set(zb_probe).alias("bks")).first()
+    if int(probe["__nullzb"] or 0):
+        raise ValueError(
+            f"upsert_zordered: {int(probe['__nullzb'])} row(s) carry "
+            f"a NULL layout-dimension value — they map to no zbucket, "
+            f"so the keyed rewrite cannot place them; clean the batch "
+            f"or delete+append instead")
     new_keys = broadcast_if_counted(
         df.select(*key_cols).distinct(),
         known_rows=int(probe["nk"] or 0))
@@ -2139,11 +2252,22 @@ def merge_zordered(source: DataFrame, path: str, key_cols: list[str],
                     F.first(zb_src).alias("__zb"))
                .agg(F.sum("__n").alias("__rows"),
                     F.max("__n").alias("__mx"),
+                    F.sum(F.col("__zb").isNull().cast("long"))
+                    .alias("__nullzb"),
                     F.collect_set("__zb").alias("__bks")).collect()[0])
     if (src_agg["__mx"] or 0) > 1:
         raise ValueError(
             "merge_zordered: multiple source rows share a merge key — "
             "each target row may match at most one source row")
+    if int(src_agg["__nullzb"] or 0):
+        # collect_set silently drops null zbuckets — a source row with
+        # a null layout-dimension value would be written without its
+        # bucket ever being marked dirty; refuse loudly instead
+        raise ValueError(
+            f"merge_zordered: {int(src_agg['__nullzb'])} source "
+            f"key(s) carry a NULL layout-dimension value — they map "
+            f"to no zbucket, so the keyed rewrite cannot place them; "
+            f"clean the source or delete+append instead")
     n_src = int(src_agg["__rows"] or 0)
 
     # fold any outstanding delta batches in this commit: their rows

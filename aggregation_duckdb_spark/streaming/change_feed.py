@@ -380,6 +380,11 @@ def run_change_feed(spark: SparkSession, table_path: str,
     from aggregation_duckdb_spark import fsio
     from aggregation_duckdb_spark.sources.pydatasource import (
         register_zhistory)
+    from aggregation_duckdb_spark.streaming.event_time import (
+        consume_pending_source_bytes)
+    # metadata-source drain: clear any stale file-source tallies so
+    # they cannot skew a LATER drain's state-partition derivation
+    consume_pending_source_bytes()
     register_zhistory(spark)
     done: set[int] = set()
 

@@ -44,10 +44,15 @@ _SYMLINK_DIRS: dict[str, str] = {}
 # record their input size here; :func:`run_available_now` consumes the
 # pending records when it plans the drain. Streams built directly from
 # ``spark.readStream`` (tests do this) record nothing and keep the
-# session default — behavior unchanged. A recorded source that is
-# never drained leaves a stale entry; entries only ever ADD bytes, so
-# staleness can only raise the estimate toward the session default,
-# never corrupt a result.
+# session default — behavior unchanged. EVERY finite-drain entry
+# point consumes (or clears) the pending list when it runs — a source
+# drained through the foreachBatch sinks (``run_zordered_ingest``,
+# ``run_dedup_ingest``, ``run_table_stream``, …) must not leave its
+# tally behind to skew the width of the NEXT unrelated drain (round
+# 16; staleness is perf-only — results were never affected — but a
+# stale small entry could shrink an unrelated drain as easily as a
+# stale large one could widen it). Single-threaded driver assumed, as
+# for the conf save/restore in :func:`run_available_now`.
 # ---------------------------------------------------------------------
 
 #: input bytes per state partition — the streaming twin of
@@ -74,6 +79,13 @@ def _record_source_bytes(path: str) -> None:
         _PENDING_SOURCE_BYTES.append(total)
     except OSError:
         pass
+
+
+def consume_pending_source_bytes() -> None:
+    """Drop the recorded source tallies — called by every finite-drain
+    entry point that does NOT size itself from them, so a drained
+    source never skews the next drain's width derivation."""
+    _PENDING_SOURCE_BYTES.clear()
 
 
 def _drain_shuffle_partitions(spark: SparkSession) -> int | None:

@@ -23,6 +23,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from aggregation_duckdb_spark.streaming.event_time import (
+    consume_pending_source_bytes)
+
 
 def write_batch_idempotent(batch_df: DataFrame, batch_id: int,
                            path: str) -> None:
@@ -49,6 +52,9 @@ def run_to_parquet_exactly_once(result: DataFrame, path: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    # a drained source must not leave its recorded bytes behind to
+    # skew the NEXT drain's state-partition derivation (round 16)
+    consume_pending_source_bytes()
 
 
 def read_sink(spark: SparkSession, path: str) -> DataFrame:
@@ -77,6 +83,9 @@ def run_zordered_ingest(result: DataFrame, path: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    # a drained source must not leave its recorded bytes behind to
+    # skew the NEXT drain's state-partition derivation (round 16)
+    consume_pending_source_bytes()
 
 
 def run_dedup_ingest(docs: DataFrame, index_path: str,
@@ -166,6 +175,9 @@ def run_dedup_ingest(docs: DataFrame, index_path: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    # a drained source must not leave its recorded bytes behind to
+    # skew the NEXT drain's state-partition derivation (round 16)
+    consume_pending_source_bytes()
 
 
 def run_text_index_ingest(docs: DataFrame, index_path: str,
@@ -204,3 +216,6 @@ def run_text_index_ingest(docs: DataFrame, index_path: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    # a drained source must not leave its recorded bytes behind to
+    # skew the NEXT drain's state-partition derivation (round 16)
+    consume_pending_source_bytes()

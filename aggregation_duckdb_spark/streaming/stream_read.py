@@ -108,6 +108,11 @@ def run_table_stream(spark: SparkSession, table_path: str,
         register_zhistory)
     from aggregation_duckdb_spark.streaming.change_feed import (
         _write_commit_chunks)
+    from aggregation_duckdb_spark.streaming.event_time import (
+        consume_pending_source_bytes)
+    # metadata-source drain: clear any stale file-source tallies so
+    # they cannot skew a LATER drain's state-partition derivation
+    consume_pending_source_bytes()
     register_zhistory(spark)
     done: set[int] = set()
     refused: list[Exception] = []

@@ -243,6 +243,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    split: dict[str, dict] = {}
     for name in HEADLINE:
         fn = qs[name]
         # median of 3: best-of-2 proved too noisy to distinguish a real
@@ -251,16 +252,36 @@ def main() -> None:
         # in either direction. The [min, max] spread is emitted so a
         # round-over-round delta can be read against the run variance
         # it has to clear before it means anything.
+        #
+        # Each run additionally records its build/exec SPLIT (round
+        # 16, additive): build_s = driver-side DataFrame construction
+        # (py4j plan building, eager checkpoints, streaming drains),
+        # exec_s = the count() action — the part that scales with
+        # cores and data. The timed code path is UNCHANGED (the same
+        # two statements, now clocked individually); the reported
+        # split belongs to the run whose TOTAL is the median, so
+        # queries[name] == build_s + exec_s of one real run. This is
+        # what a low-core/high-core comparison should read: at sf0.1
+        # most totals are fixed-overhead-dominated, and ratios on the
+        # total mostly measure py4j, not the engine.
         runs, n = [], 0
         for _ in range(3):
             t0 = time.time()
             df = fn(spark, SF_DIR)
+            t1 = time.time()
             n = df.count()  # materialize the full result
-            runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
-        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+            t2 = time.time()
+            runs.append((t2 - t0, t1 - t0, t2 - t1))
+        med = sorted(runs)[1]
+        timings[name] = round(med[0], 3)
+        split[name] = {"build_s": round(med[1], 3),
+                       "exec_s": round(med[2], 3)}
+        spread[name] = [round(min(r[0] for r in runs), 3),
+                        round(max(r[0] for r in runs), 3)]
         print(f"# {name}: {n} rows in {timings[name]}s "
-              f"(spread {spread[name][0]}-{spread[name][1]})",
+              f"(build {split[name]['build_s']} + exec "
+              f"{split[name]['exec_s']}; spread {spread[name][0]}-"
+              f"{spread[name][1]})",
               file=sys.stderr)
         df = None
         gc.collect()  # see the extended loop note
@@ -368,6 +389,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_split": split,
         "spread": spread,
         "extended": extended,
         "sf": sf,
@@ -378,6 +400,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_split": split,
         "sf": sf,
         **load,
     }))

@@ -982,3 +982,11 @@ def test_prepared_entries_are_pure_plans(spark, sf_dir):
             markers.append("ExistingRDD")    # localCheckpoint output
         for marker in markers:
             assert marker not in plan, f"{name}: {marker} in reused plan"
+        # a materialize() under the parquet checkpoint strategy reads
+        # back a written runtime artifact as a PLAIN parquet scan no
+        # memory marker detects — reject scans of the runtime
+        # artifact path prefixes too (round-15 advisor item): a
+        # prepared entry must scan ONLY the immutable sf_dir fixtures
+        for leak in ("mat-", "spark-graft-"):
+            assert leak not in plan, \
+                f"{name}: runtime artifact scan ({leak}*) in reused plan"

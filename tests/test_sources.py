@@ -294,6 +294,47 @@ def test_zorder_delta_append_and_compaction(spark, tmp_path):
         assert got2 == got
 
 
+def test_zorder_append_many_one_commit_k_deltas(spark, tmp_path):
+    """append_zordered_many must be byte-equivalent to K sequential
+    appends — K distinct delta directories, identical visible rows,
+    delta-count-triggered maintenance still fires — while committing
+    exactly ONE new manifest version; empty batches vanish instead of
+    leaving unreadable delta references."""
+    from aggregation_duckdb_spark import fsio
+    from aggregation_duckdb_spark.sources import layout as L
+    base = _zorder_frame(spark)
+    path = str(tmp_path / "z_multi")
+    L.write_zordered(base, path, "a", "b", bits=7, bucket_bits=4)
+    batches = [spark.range(50_000 + 1000 * i, 50_000 + 1000 * i + 200)
+               .select((F.col("id") % 997).alias("a"),
+                       ((F.col("id") * 31) % 613).alias("b"),
+                       F.col("id").alias("payload"))
+               for i in range(3)]
+    empty = batches[0].where(F.lit(False))
+    L.append_zordered_many(batches + [empty], path)
+    m = L.read_manifest(spark, path)
+    assert len(m["deltas"]) == 3            # empty batch left no delta
+    assert L.table_version(spark, path) == 2   # ONE commit for all
+    got = sorted((r.a, r.b, r.payload) for r in
+                 L.read_zordered(spark, path).collect())
+    want = base
+    for b in batches:
+        want = want.unionByName(b)
+    assert got == sorted((r.a, r.b, r.payload) for r in want.collect())
+    # each delta directory is independently readable (the rename left
+    # plain parquet files) and the history records one append commit
+    for d in m["deltas"]:
+        assert spark.read.parquet(
+            fsio._join(path, L.DELTA_DIR, d)).count() == 200
+    hist = L.table_history(spark, path)
+    assert [h["op"] for h in hist if h["version"] == 2] == ["append"]
+    # the delta count still drives maintenance exactly as K appends do
+    ran = L.maintain_zordered(spark, path, max_deltas=2)
+    assert ran["compacted"]
+    assert sorted((r.a, r.b, r.payload) for r in
+                  L.read_zordered(spark, path).collect()) == got
+
+
 def test_zorder_incremental_compaction_rewrites_only_dirtied_buckets(
         spark, tmp_path):
     """The default compaction must (a) produce the same live rows as a
