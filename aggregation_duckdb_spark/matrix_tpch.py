@@ -1688,15 +1688,27 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("l_orderkey", "l_suppkey", late.alias("is_late")))
     # two-stage distinct (same trick as hier_distinct_twostage): reduce
     # to (order, supplier) pairs first — map-side combinable, no Expand
-    # operator — then count pairs per order
+    # operator — then count pairs per order. The per-pair LATE-ROW
+    # COUNT rides the same aggregate (round 16): when an order
+    # qualifies, EXACTLY ONE supplier is late (that is the filter), so
+    # max(late supplier) and sum(late supplier's rows) recover the
+    # qualifying rows WITHOUT rejoining the fact — the old
+    # lo ⋈ stats rejoin re-executed the lineitem⋈orders branch,
+    # i.e. a second full fact scan (guide §1.2 step 1). numwait is
+    # then the SUM of late-row counts per supplier — integer-exact
+    # equal to COUNT(*) over the rejoined rows.
     supp_state = (lo.groupBy("l_orderkey", "l_suppkey")
-                  .agg(F.max("is_late").alias("supp_late")))
-    stats = (supp_state.groupBy("l_orderkey")
-             .agg(F.count(F.lit(1)).alias("n_supp"),
-                  F.sum(F.col("supp_late").cast("int")).alias("n_late_supp"))
-             .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-             .select("l_orderkey"))
-    qual = lo.where(F.col("is_late")).join(stats, "l_orderkey")
+                  .agg(F.max("is_late").alias("supp_late"),
+                       F.sum(F.col("is_late").cast("long"))
+                       .alias("n_late_rows")))
+    qual = (supp_state.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_supp"),
+                 F.sum(F.col("supp_late").cast("int")).alias("n_late_supp"),
+                 F.max(F.when(F.col("supp_late"), F.col("l_suppkey")))
+                 .alias("late_supp"),
+                 F.sum(F.when(F.col("supp_late"),
+                              F.col("n_late_rows"))).alias("late_rows"))
+            .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)))
     asia_supp = (supplier
                  .join(F.broadcast(nation),
                        supplier["s_nationkey"] == nation["n_nationkey"])
@@ -1704,9 +1716,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                        nation["n_regionkey"] == region["r_regionkey"])
                  .select("s_suppkey", "s_name"))
     return (qual.join(F.broadcast(asia_supp),
-                      qual["l_suppkey"] == asia_supp["s_suppkey"])
+                      qual["late_supp"] == asia_supp["s_suppkey"])
             .groupBy("s_name")
-            .agg(F.count(F.lit(1)).alias("numwait"))
+            .agg(F.sum("late_rows").cast("long").alias("numwait"))
             .orderBy(F.col("numwait").desc(), "s_name"))
 
 

@@ -987,10 +987,25 @@ def pq_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
         bk = {(int(r["subspace"]), int(r["centroid_id"])):
               [float(x) for x in r["centroid"]] for r in rows}
         n_codes = 1 + max(c for _, c in bk)
-        flat = F.array(*[
-            F.array(*[F.lit(v) for v in bk[(j, c)]]) if (j, c) in bk
-            else F.array(*[F.lit(0.0)] * sub)
-            for j in range(num_subspaces) for c in range(n_codes)])
+        # the flat distance table is num_subspaces·n_codes·sub double
+        # LITERALS (~1k at the defaults). Building it as nested
+        # F.array(F.lit(...)) cost one py4j round-trip per element —
+        # measured 1.4-1.8 s of pure DRIVER time per serve (round 16,
+        # guide §1.2 step 2). Render it as ONE SQL literal instead
+        # (repr round-trips IEEE doubles exactly, so the parsed
+        # literals — and every fold below — are bit-identical); the
+        # py4j path stays as the fallback for non-finite centroids,
+        # which SQL double literals cannot spell.
+        vecs = [bk.get((j, c), [0.0] * sub)
+                for j in range(num_subspaces) for c in range(n_codes)]
+        import math
+        if all(math.isfinite(v) for vec in vecs for v in vec):
+            flat = F.expr("array(" + ",".join(
+                "array(" + ",".join(f"{v!r}D" for v in vec) + ")"
+                for vec in vecs) + ")")
+        else:
+            flat = F.array(*[F.array(*[F.lit(v) for v in vec])
+                             for vec in vecs])
         # wide-stored codes skip the pivot exchange entirely (round
         # 16); long codes pivot here exactly as before — either way
         # the frame below carries identical code values

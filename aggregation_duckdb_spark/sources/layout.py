@@ -119,6 +119,7 @@ file counts sane.
 from __future__ import annotations
 
 import json
+import os
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -1809,6 +1810,27 @@ def compact_zordered(spark: SparkSession, path: str,
         # (tomb_keys carries its own size-gated broadcast hint)
         delta = delta.join(tomb_keys,
                            manifest["tombstone_key"], "left_anti")
+    if delta is not None and mode == "incremental":
+        # The incremental fold reads the delta set TWICE — once for
+        # the dirtied-bucket census (_touched_buckets) and once inside
+        # the merged rewrite. When the outstanding batches are small
+        # (free filesystem metadata — the usual state under a
+        # max_deltas maintenance policy), pin the union in the block
+        # manager so both passes read memory and the N tiny batch
+        # directories are listed/scanned once (guide §1.2 step 1).
+        # Large backlogs keep the streaming two-pass shape — never
+        # force table-scale bytes through the block manager.
+        gate = int(os.environ.get(
+            "SPARK_GRAFT_COMPACT_MATERIALIZE_MB", "256")) << 20
+        try:
+            delta_bytes = sum(
+                fsio.size_of(spark, fsio._join(path, DELTA_DIR, d))
+                for d in deltas)
+        except Exception:
+            delta_bytes = None
+        if delta_bytes is not None and delta_bytes < gate:
+            from aggregation_duckdb_spark.runtime import materialize
+            delta = materialize(delta)
 
     gen = _new_gen()
     data_root = fsio._join(path, DATA_DIR)
@@ -2063,12 +2085,22 @@ def upsert_zordered(df: DataFrame, path: str, key_cols: list[str],
     if emit_changes:
         # writer-side CDF: classify against the VISIBLE old rows (a
         # physically-present tombstoned key was already deleted, so
-        # its re-insert is an insert) — one bounded pass over the
-        # dirtied buckets, stored before the commit that references it
+        # its re-insert is an insert). Both classify inputs are
+        # RESTRICTED to the upserted keys (round 16): rows outside
+        # them are identical on both sides of the old
+        # (visible_old, merged) comparison and were filtered by the
+        # fingerprint anyway — an upsert never deletes, so the change
+        # set is exactly classify(visible_old ⋉ keys, batch). That
+        # turns the stored-changes pass from ~three dirtied-bucket
+        # re-executions (old + keep∪df) into one semi-joined bucket
+        # scan against the model-or-count-gated key set (guide §1.2
+        # step 1).
         visible_old = old if not old_tombs else old.join(
             tomb, key_cols, "left_anti")
         change_name = _write_change_file(
-            _classify_diff(visible_old, merged, key_cols), path)
+            _classify_diff(visible_old.join(new_keys, key_cols,
+                                            "left_semi"),
+                           df, key_cols), path)
     gen = _new_gen()
     _write_clustered(merged, fsio._join(path, DATA_DIR), spec, gen,
                      files_per_bucket)
@@ -2821,12 +2853,22 @@ def _write_change_file(changes: DataFrame, path: str) -> str | None:
     crash-orphan class). An empty change set stores nothing and
     records ``change_file: None`` — still an explicit marker that the
     commit's changes are KNOWN (the feed emits nothing rather than
-    falling back to a diff)."""
-    if not changes.limit(1).count():
-        return None
+    falling back to a diff).
+
+    The emptiness check rides the write itself (Observation) — the
+    former ``limit(1).count()`` probe EXECUTED the whole
+    classification lineage a second time per emitting commit (guide
+    §1.2 step 1; an empty change set now costs one write of nothing
+    plus a directory delete, the rare case)."""
+    from pyspark.sql import Observation
     name = f"c-{uuid.uuid4().hex}"
-    changes.write.mode("errorifexists").parquet(
-        fsio._join(path, CHANGES_DIR, name))
+    target = fsio._join(path, CHANGES_DIR, name)
+    obs = Observation()
+    (changes.observe(obs, F.count(F.lit(1)).alias("n"))
+     .write.mode("errorifexists").parquet(target))
+    if not int(obs.get["n"]):
+        fsio.delete(changes.sparkSession, target)
+        return None
     return name
 
 
