@@ -1512,7 +1512,9 @@ def test_purge_index_keys_erases_every_stored_index(spark, sf_dir,
     assert rep["residual_matches"] == 0
     raw = spark.read.parquet(str(tmp_path / "pq_idx" / "codes"))
     assert raw.where(F.col("vec_id").isin(vec_doomed_ids)).count() == 0
-    assert raw.count() == (emb.count() - 5) * 2
+    # wide layout (round 16): ONE (id, c0..c{m-1}) row per vector
+    assert raw.count() == emb.count() - 5
+    assert {"c0", "c1"} <= set(raw.columns)
 
 
 def test_append_text_index_matches_rebuild_and_replays_exactly_once(
