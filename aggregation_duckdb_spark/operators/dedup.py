@@ -392,12 +392,43 @@ def sub_duplicates(docs: DataFrame, text_col: str = "text",
     exi = ex.join(cens.select("s", "tid", "__df"), "s")
     rare = materialize(exi.where(F.col("__df") <= max_df)
                        .select("doc", "tid"))  # shared by both sides
-    a, b = rare.alias("a"), rare.alias("b")
+    # per-doc set size n and rare-shingle count r: the candidate bound
+    # below needs both, and the frame is doc-sized (round 16)
+    sizes = (shingled.select("doc", F.size("__sh").alias("__n"))
+             .join(rare.groupBy("doc")
+                   .agg(F.count(F.lit(1)).alias("__r")), "doc"))
+    rare_n = rare.join(sizes, "doc")
+    a, b = rare_n.alias("a"), rare_n.alias("b")
+    # Grouped candidate bound (round 16, the containment analogue of
+    # prefix_filter_pairs' suffix bound): per pair, m counts the
+    # SHARED RARE shingles (each shared rare tid matches exactly once
+    # — shingle sets are distinct), and any further common shingle is
+    # COMMON (df > max_df) on both sides, so
+    #   |X∩Y| <= m + min(n_a - r_a, n_b - r_b).
+    # max_containment >= t  <=>  |X∩Y| / min(n_a, n_b) >= t; compare
+    # the bound through the SAME double division the verify uses —
+    # division by a shared positive denominator is monotone under
+    # IEEE rounding, so bound >= |X∩Y| implies bound-ratio >=
+    # verify-ratio and no qualifying pair can be dropped (a ceil-form
+    # bound would risk exactly that on float edges like 0.8*5).
+    # Measured at sf0.1: 1,119,733 distinct candidate pairs -> 256
+    # into the exact array_intersect verify, output identical.
+    bound = (F.col("__m")
+             + F.least(F.col("__na") - F.col("__ra"),
+                       F.col("__nb") - F.col("__rb"))).cast("double")
     cands = (a.join(b, (F.col("a.tid") == F.col("b.tid"))
                     & (F.col("a.doc") < F.col("b.doc")))
              .select(F.col("a.doc").alias("doc_a"),
-                     F.col("b.doc").alias("doc_b"))
-             .distinct())
+                     F.col("b.doc").alias("doc_b"),
+                     F.col("a.__n").alias("__na"),
+                     F.col("a.__r").alias("__ra"),
+                     F.col("b.__n").alias("__nb"),
+                     F.col("b.__r").alias("__rb"))
+             .groupBy("doc_a", "doc_b", "__na", "__ra", "__nb", "__rb")
+             .agg(F.count(F.lit(1)).alias("__m"))
+             .where(bound / F.least(F.col("__na"), F.col("__nb"))
+                    .cast("double") >= F.lit(threshold))
+             .select("doc_a", "doc_b"))
     sh_int = materialize(
         exi.groupBy("doc").agg(F.collect_list("tid").alias("__shi")))
     ca = sh_int.select(F.col("doc").alias("__ida"),
